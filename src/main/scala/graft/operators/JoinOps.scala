@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Join / top-k operators — the star-schema generalization of the reference
+  * pipeline (SURVEY.md §2.2 `q_join_enrich`, `q_topk`). The reference itself
+  * is single-table (no join anywhere in `ingest_data.py:1-175`), so these
+  * define the join surface a user of a real warehouse needs.
+  *
+  * Scale posture: dimension tables (region=5, nation=25, customer=150×sf,
+  * supplier=10×sf rows) are explicitly `broadcast()` so the fact-table side
+  * never shuffles for them; at 100 TB only genuinely large-large joins
+  * (lineitem⋈orders) shuffle, on their join key, where AQE handles skew.
+  */
+object JoinOps {
+
+  /** Row-level enrichment: orders ⋈ customer ⋈ nation ⋈ region. All three
+    * dimension sides broadcast — the orders scan is never shuffled. */
+  def joinEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val orders   = Tables.orders(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val nation   = Tables.nation(spark, dir)
+    val region   = Tables.region(spark, dir)
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .select(
+        col("o_orderkey"),
+        col("o_totalprice"),
+        col("c_name"),
+        col("n_name"),
+        col("r_name"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Revenue-by-nation aggregate (TPC-H Q5 shape): one big-big shuffle join
+    * (lineitem⋈orders on orderkey), everything else broadcast; partial
+    * aggregation collapses the result to |nation| rows before the final
+    * exchange. */
+  def joinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = Tables.lineitem(spark, dir)
+    val orders   = Tables.orders(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val nation   = Tables.nation(spark, dir)
+    lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Left-semi join: orders that have at least one high-quantity lineitem
+    * (EXISTS). Semi joins ship only the join key of the probe side. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders   = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 45)
+    orders
+      .join(lineitem, orders("o_orderkey") === lineitem("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Left-anti join: customers with no orders (NOT EXISTS). */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(spark, dir)
+    val orders   = Tables.orders(spark, dir)
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Top-k per group (R10 generalized): top-5 orders by totalprice within
+    * each order priority. Window ties broken by the unique o_orderkey so the
+    * result is deterministic. At scale this is one hash-partition on the
+    * group key + per-partition sort — no global sort. */
+  def topK(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+        round(col("o_totalprice"), 4).as("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+}

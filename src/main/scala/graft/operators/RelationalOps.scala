@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Core relational operators, generalized from the reference pipeline's
+  * surface (SURVEY.md §2.1 R2–R16: scan/limit/filter/isin-count/cast/
+  * schema-echo/derived-name/partition-agg/full-scan-agg).
+  *
+  * Reference evidence (shyambh/e2e-data-pipeline):
+  *  - scan + row cap: `ingest_data.py:49` (`pd.read_csv(nrows=100000)`)
+  *  - filter != 0:    `ingest_data.py:29-38`
+  *  - isin count:     `ingest_data.py:32,36`
+  *  - conditional ts cast: `ingest_data.py:67-76`
+  *  - schema-only DDL write: `ingest_data.py:52`
+  *  - derived names / partition paths: `ingest_data.py:20-22,159,169`
+  *
+  * Determinism contract (SURVEY.md §2.2): every query ends with a total-order
+  * `orderBy` on a unique key and rounds floating-point aggregates, so the
+  * DuckDB-oracle hash compare is stable. All plans are single-pass scans or
+  * one shuffle — at 100 TB each is a narrow scan + (optionally) one exchange;
+  * filters and projections push into the parquet scan.
+  */
+object RelationalOps {
+
+  /** R2+R10: ordered scan with row cap. Catalyst plans TakeOrderedAndProject
+    * (no global sort materialization) — the right shape at any scale. */
+  def scanLimit(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  /** R4: the reference's `passenger_count != 0` filter, generalized to
+    * `l_quantity <> 0`. Predicate pushes down to the parquet scan. */
+  def filterNe(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") =!= 0)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** R5: membership predicate + boolean-sum data-quality metric
+    * (`isin([0]).sum()` in the reference). Map-side partial aggregation
+    * means one scalar crosses the shuffle regardless of input size. */
+  def isinCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        sum(when(col("l_returnflag").isin("R", "A"), 1L).otherwise(0L))
+          .as("n_matching"),
+        count(lit(1)).as("n_total"))
+
+  /** R7: string/timestamp→date-part casts (the reference's `pd.to_datetime`).
+    * Emits date + hour rather than the raw timestamp because the events table
+    * carries nanosecond precision that Spark truncates to micros. */
+  def castTimestamp(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        to_date(col("ts")).as("day"),
+        hour(col("ts")).as("hr"),
+        col("event_type"))
+      .orderBy(col("event_id"))
+
+  /** R6: schema-only projection (`df.head(n=0).to_sql` → create-table DDL).
+    * `limit(0)` lets Catalyst prune the scan entirely. */
+  def schemaOnly(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).limit(0)
+
+  /** R16: derived-name expressions (the reference's f-string table/dataset
+    * names, `ingest_data.py:159,169`) as a column computation. */
+  def derivedName(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        concat(
+          lit("orders_"),
+          year(col("o_orderdate")).cast("string"),
+          lit("_"),
+          lpad(month(col("o_orderdate")).cast("string"), 2, "0"))
+          .as("part_label"))
+      .orderBy(col("o_orderkey"))
+
+  /** R15 generalized: per-(year, month) partition statistics — the aggregate
+    * view of the reference's hand-built Hive-style partition layout. */
+  def partitionAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mon"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 4).as("sum_total"))
+      .orderBy(col("yr"), col("mon"))
+
+  /** R3+R19 generalized: full-scan pricing-summary aggregate (TPC-H Q1 shape)
+    * — the reference's chunked scan+filter+cast+write loop re-expressed as one
+    * declarative aggregation. Partial aggregation makes the shuffle carry only
+    * (6 groups × 8 aggregates) however large the input. */
+  def chunkedAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+}
