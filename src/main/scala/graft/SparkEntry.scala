@@ -36,6 +36,20 @@ object SparkEntry {
     "q_semi_join"      -> (JoinOps.semiJoin _),
     "q_anti_join"      -> (JoinOps.antiJoin _),
     "q_topk"           -> (JoinOps.topK _),
+    "q_window_agg"     -> (EventOps.windowAgg _),
+    "q_json_extract"   -> (EventOps.jsonExtract _),
+    "q_text_stats"     -> (TextOps.textStats _),
+    "q_token_count"    -> (TextOps.tokenCount _),
+    "q_lang_id"        -> (TextOps.langId _),
+    "q_quality_score"  -> (TextOps.qualityScore _),
+    "q_fingerprint"    -> (TextOps.fingerprintDocs _),
+    "q_dedup_exact"    -> (DedupOps.dedupExact _),
+    "q_dedup_ngram"    -> (DedupOps.dedupNgram _),
+    "q_dedup_minhash"  -> (DedupOps.dedupMinhash _),
+    "q_dedup_simhash"  -> (DedupOps.dedupSimhash _),
+    "q_dedup_embed"    -> (DedupOps.dedupEmbed _),
+    "q_sim_topk"       -> (SimilarityOps.simTopK _),
+    "q_sim_lsh"        -> (SimilarityOps.simLsh _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -100,5 +114,80 @@ object SparkEntry {
         "FROM (SELECT o_orderpriority, o_orderkey, o_totalprice, " +
         "ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
         "FROM orders) WHERE rn <= 5 ORDER BY o_orderpriority, rn"),
+    "q_window_agg" ->
+      ("SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr, event_type, " +
+        "COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value, round(AVG(value), 4) AS avg_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY hr, event_type"),
+    "q_json_extract" ->
+      ("SELECT event_id, CAST(props->>'k' AS INTEGER) AS k_val, event_type " +
+        "FROM events ORDER BY event_id"),
+    "q_text_stats" ->
+      ("SELECT lang, COUNT(*) AS n_docs, round(AVG(n_chars), 4) AS avg_chars, " +
+        "round(AVG(len(string_split(trim(text), ' '))), 4) AS avg_tokens " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
+    "q_token_count" ->
+      ("SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_tokens, " +
+        "CAST(length(text) AS INTEGER) AS n_chars_exact FROM documents ORDER BY doc_id"),
+    "q_lang_id" ->
+      ("WITH t AS (SELECT doc_id, lang, string_split(trim(lower(text)), ' ') AS toks FROM documents), " +
+        "c AS (SELECT doc_id, lang, " +
+        "CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) AS INTEGER) AS en_n, " +
+        "CAST(len(list_filter(toks, t -> t = 'der' OR t = 'die' OR t = 'das' OR t = 'und')) AS INTEGER) AS de_n, " +
+        "CAST(len(list_filter(toks, t -> t = 'el' OR t = 'los' OR t = 'las' OR t = 'y')) AS INTEGER) AS es_n, " +
+        "CAST(len(list_filter(toks, t -> t = 'le' OR t = 'les' OR t = 'des' OR t = 'et')) AS INTEGER) AS fr_n " +
+        "FROM t) " +
+        "SELECT doc_id, lang, en_n, de_n, es_n, fr_n, " +
+        "CASE WHEN en_n >= de_n AND en_n >= es_n AND en_n >= fr_n THEN 'en' " +
+        "WHEN de_n >= es_n AND de_n >= fr_n THEN 'de' " +
+        "WHEN es_n >= fr_n THEN 'es' ELSE 'fr' END AS lang_pred " +
+        "FROM c ORDER BY doc_id"),
+    "q_quality_score" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_tokens, " +
+        "length(replace(text, ' ', '')) AS n_letter_chars, " +
+        "len(list_filter(string_split(trim(lower(text)), ' '), " +
+        "t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) AS sw_n " +
+        "FROM documents), " +
+        "d AS (SELECT doc_id, n_tokens, " +
+        "CAST(n_letter_chars AS DOUBLE) / n_tokens AS awl, " +
+        "CAST(sw_n AS DOUBLE) / n_tokens AS swr FROM t) " +
+        "SELECT doc_id, n_tokens, round(awl, 4) AS avg_wlen, round(swr, 4) AS stopword_ratio, " +
+        "round(least(1.0, n_tokens / 50.0) * 0.5 " +
+        "+ CASE WHEN awl BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END " +
+        "+ least(0.2, swr), 4) AS quality_score " +
+        "FROM d ORDER BY doc_id"),
+    "q_fingerprint" ->
+      ("SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp " +
+        "FROM documents ORDER BY doc_id"),
+    "q_dedup_exact" ->
+      ("SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text ORDER BY doc_id"),
+    "q_dedup_ngram" ->
+      ("WITH t AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM t), " +
+        "x AS (SELECT doc_id, unnest(sh) AS shingle FROM s), " +
+        "c AS (SELECT doc_id, count(*) AS n FROM x GROUP BY doc_id), " +
+        "p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared FROM x a " +
+        "JOIN x b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT da, db, round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 4) AS jaccard " +
+        "FROM p JOIN c ca ON p.da = ca.doc_id JOIN c cb ON p.db = cb.doc_id " +
+        "ORDER BY jaccard DESC, da, db LIMIT 20"),
+    "q_dedup_embed" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e) " +
+        "SELECT a.vec_id AS va, b.vec_id AS vb, " +
+        "round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS cos_sim " +
+        "FROM n a JOIN n b ON a.vec_id < b.vec_id " +
+        "ORDER BY cos_sim DESC, va, vb LIMIT 20"),
+    "q_sim_topk" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e), " +
+        "p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id, " +
+        "round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 4) AS cos_sim " +
+        "FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id), " +
+        "r AS (SELECT q_id, cand_id, cos_sim, " +
+        "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rn FROM p) " +
+        "SELECT q_id, CAST(rn AS INTEGER) AS rn, cand_id, cos_sim FROM r WHERE rn <= 10 " +
+        "ORDER BY q_id, rn"),
   )
 }

@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the LLM-data-pipeline operators (tokenize, shingle,
+  * fingerprint). All built-in codegen'd functions; semantics chosen to be
+  * expressible 1:1 in ANSI-ish SQL for the DuckDB oracle.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (single-space split of the trimmed text —
+    * matches DuckDB `string_split(trim(x), ' ')`). */
+  def tokens(text: Column): Column = split(trim(text), " ")
+
+  /** Lowercased tokens for case-insensitive matching. */
+  def tokensLower(text: Column): Column = split(trim(lower(text)), " ")
+
+  /** Distinct word n-gram shingles (default 3). Documents with fewer than
+    * `n` tokens yield an empty array. Shingles are the dedup candidate unit:
+    * far more selective than single tokens, so the candidate self-join stays
+    * near-linear instead of exploding on common words. */
+  def shingles(toks: Column, n: Int = 3): Column =
+    when(size(toks) >= n,
+      array_distinct(
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Count of tokens contained in `words` (stopword-style membership count).
+    * OR-chain comparison keeps the DuckDB lambda translation trivial. */
+  def tokenMatchCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => words.map(w => t === w).reduce(_ || _)))
+
+  /** Canonical document fingerprint: md5 of the lowercased,
+    * whitespace-collapsed text. Identical to
+    * `md5(lower(trim(regexp_replace(text,'\s+',' ','g'))))` in DuckDB. */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+}

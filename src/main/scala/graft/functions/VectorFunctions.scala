@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `ArrayType(FloatType)` embedding columns, built from
+  * Spark's codegen'd higher-order functions (no UDFs — stays inside
+  * whole-stage codegen, SURVEY.md §7.3).
+  *
+  * All arithmetic is double-precision with a sequential left fold, which
+  * matches DuckDB's `list_sum(list_transform(...))` evaluation order exactly
+  * (empirically to <1e-16), so rounded cosine values hash-match the oracle.
+  */
+object VectorFunctions {
+
+  /** Element-wise dot product in double precision (sequential fold). */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** L2 norm in double precision. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Cosine similarity given precomputed norms (precompute norms per side
+    * before a pair join — O(n) instead of O(n²) norm work). */
+  def cosine(dot: Column, normA: Column, normB: Column): Column =
+    dot / (normA * normB)
+
+  /** Random-hyperplane LSH signature: the sign bit of the dot product with
+    * `planes` fixed hyperplanes, packed into a long. Deterministic planes
+    * come from [[hyperplanes]]. Used to bucket vectors so approximate
+    * nearest-neighbor search only compares within a bucket — the 100 TB
+    * scale path for similarity search (brute force is the small-scale
+    * baseline). */
+  def lshSignature(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dotProduct(vec, planeCol) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+
+  /** Deterministic pseudo-random Gaussian hyperplanes (fixed seed so query
+    * results are reproducible across runs and JVMs). */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+}

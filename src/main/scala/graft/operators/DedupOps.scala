@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Deduplication operators (north-star ★): exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash, and embedding-cosine near-dup.
+  *
+  * Scale posture: every variant avoids the O(n²) all-pairs comparison by
+  * generating candidates through a *selective equality join* — shingle match,
+  * LSH band-bucket match, or hyperplane bucket match — so at 100 TB the work
+  * is (scan + explode + hash-partition join on a high-cardinality key),
+  * never a cross join. The brute-force paths exist only inside small
+  * candidate buckets or as small-scale baselines.
+  */
+object DedupOps {
+
+  /** Exact dedup: one surviving (min doc_id) representative per distinct
+    * text. Hash-partition on `text` — the classic exact-dedup shuffle. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+
+  /** (doc_id, shingle) exploded view of distinct word-3-gram shingles. */
+  private def shingleSet(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(shingles(tokensLower(col("text")))).as("shingle"))
+
+  /** N-gram Jaccard near-dup: candidate pairs share ≥1 word-3-gram shingle;
+    * Jaccard = |A∩B| / |A∪B| over the distinct shingle sets. Returns the
+    * top-`k` most similar pairs (deterministic order). */
+  def ngramJaccardTopPairs(docs: DataFrame, k: Int = 20): DataFrame = {
+    val ex = shingleSet(docs)
+    val counts = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = ex.as("a")
+      .join(ex.as("b"),
+        col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.as("ca"), col("da") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("db") === col("cb.doc_id"))
+      .select(col("da"), col("db"),
+        round(col("shared").cast("double")
+          / (col("ca.n") + col("cb.n") - col("shared")), 4).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("da"), col("db"))
+      .limit(k)
+  }
+
+  def dedupNgram(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardTopPairs(Tables.documents(spark, dir))
+
+  /** MinHash signatures: `numHashes` independent hash functions simulated as
+    * xxhash64 with distinct salts; signature_i = min over the shingle set.
+    * One groupBy with `numHashes` min-aggregates — map-side partial agg keeps
+    * the shuffle at one row per doc. */
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 32): DataFrame = {
+    val ex = shingleSet(docs)
+    val aggs = (0 until numHashes)
+      .map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    ex.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: split the signature into `bands` bands of r rows; docs
+    * agreeing on any whole band become candidate pairs. The join key
+    * (band index, band hash) is high-cardinality → near-linear shuffle. */
+  def minhashCandidates(sigs: DataFrame, bands: Int = 8): DataFrame = {
+    val numHashes = 32 // must match minhashSignatures default
+    val r = numHashes / bands
+    val bandStructs = (0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        hash(slice(col("sig"), j * r + 1, r)).as("bkey"))
+    }
+    val banded = sigs.select(col("doc_id"),
+      explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+  }
+
+  /** Candidates verified with exact Jaccard over the shingle sets. */
+  def minhashVerifiedPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val ex = shingleSet(docs)
+    val counts = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val cands = minhashCandidates(minhashSignatures(docs))
+    val shared = cands
+      .join(ex.as("ea"), col("da") === col("ea.doc_id"))
+      .join(ex.as("eb"),
+        col("db") === col("eb.doc_id")
+          && col("ea.shingle") === col("eb.shingle"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.as("ca"), col("da") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("db") === col("cb.doc_id"))
+      .select(col("da"), col("db"),
+        (col("shared").cast("double")
+          / (col("ca.n") + col("cb.n") - col("shared"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Declared MinHash query: per-doc near-dup cluster representative =
+    * min(doc_id) among {self} ∪ verified neighbors (Jaccard ≥ 0.5). Docs
+    * with no near-dup keep themselves — output is always |documents| rows,
+    * deterministic. */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = minhashVerifiedPairs(docs, 0.5)
+    val edges = pairs.select(col("da").as("doc_id"), col("db").as("nbr"))
+      .union(pairs.select(col("db").as("doc_id"), col("da").as("nbr")))
+    docs.select(col("doc_id"))
+      .join(edges, Seq("doc_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        least(min(col("nbr")), col("doc_id").cast("long")).as("cluster_rep"),
+        sum(when(col("nbr").isNotNull, 1L).otherwise(0L)).as("n_near_dups"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** 64-bit SimHash over the token multiset: per bit j, sum +1/−1 votes from
+    * each token hash's bit j; bit j of the signature = sign of the vote.
+    * One groupBy with 64 small integer aggregates (all codegen'd). */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(tokensLower(col("text"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1)
+        .otherwise(-1)).as(s"v_$j"))
+    val sig = (0 until 64)
+      .map(j => when(col(s"v_$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
+      .reduce(_.bitwiseOR(_))
+    toks.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashSignatures(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** Embedding-cosine near-dup: top-`k` most similar vector pairs. Small-SF
+    * baseline is the all-pairs join below; the scale path buckets by
+    * hyperplane LSH first (see SimilarityOps.annTopK). */
+  def embeddingTopPairs(emb: DataFrame, k: Int = 20): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        round(cosine(dotProduct(col("a.embedding"), col("b.embedding")),
+          col("a.nrm"), col("b.nrm")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("va"), col("vb"))
+      .limit(k)
+  }
+
+  def dedupEmbed(spark: SparkSession, dir: String): DataFrame =
+    embeddingTopPairs(Tables.embeddings(spark, dir))
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` table (north-star ★).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *    The query side is tiny (a handful of probe vectors) and broadcast, so
+  *    the candidate scan stays narrow even at scale; cost is O(|Q|·n).
+  *  - [[annTopK]]: approximate top-k via random-hyperplane LSH bucketing —
+  *    the 100 TB path. Vectors hash to 2^b sign-buckets; the pair join is an
+  *    equality join on the bucket id, so Spark hash-partitions both sides
+  *    and never materializes the cross product.
+  */
+object SimilarityOps {
+
+  val EmbeddingDim = 64
+
+  /** Exact cosine top-k of `candidates` for each query vector. */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), l2Norm(col("embedding")).as("q_nrm"))
+    val c = candidates.select(col("vec_id").as("cand_id"),
+      col("embedding").as("c_emb"), l2Norm(col("embedding")).as("c_nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    broadcast(q)
+      .join(c, col("q_id") =!= col("cand_id"))
+      .select(col("q_id"), col("cand_id"),
+        round(cosine(dotProduct(col("q_emb"), col("c_emb")),
+          col("q_nrm"), col("c_nrm")), 4).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("cand_id"), col("cos_sim"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** Declared query: exact top-10 neighbors for probe vectors vec_id < 5. */
+  def simTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    bruteForceTopK(emb.filter(col("vec_id") < 5), emb, 10)
+  }
+
+  /** Approximate top-k: compare only vectors in the same hyperplane-sign
+    * bucket. `numPlanes` trades recall vs bucket size (2^numPlanes buckets).
+    * Deterministic (fixed-seed planes); not SQL-expressible → rows-only
+    * check + recall test against the brute-force baseline in ScalaTest. */
+  def annTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      numPlanes: Int = 6): DataFrame = {
+    val planes = hyperplanes(numPlanes, EmbeddingDim)
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), l2Norm(col("embedding")).as("q_nrm"),
+      lshSignature(col("embedding"), planes).as("bucket"))
+    val c = candidates.select(col("vec_id").as("cand_id"),
+      col("embedding").as("c_emb"), l2Norm(col("embedding")).as("c_nrm"),
+      lshSignature(col("embedding"), planes).as("bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    q.join(c, Seq("bucket"))
+      .filter(col("q_id") =!= col("cand_id"))
+      .select(col("q_id"), col("cand_id"),
+        round(cosine(dotProduct(col("q_emb"), col("c_emb")),
+          col("q_nrm"), col("c_nrm")), 4).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("cand_id"), col("cos_sim"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** Declared query: LSH-bucketed approximate top-10 for probes vec_id < 5. */
+  def simLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    annTopK(emb.filter(col("vec_id") < 5), emb, 10)
+  }
+}

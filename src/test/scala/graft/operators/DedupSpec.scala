@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+import graft.functions.TextFunctions
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** documents plus a planted near-duplicate of doc 0 (one word changed)
+    * and an exact duplicate of doc 1, with fresh high doc_ids. */
+  private lazy val planted = {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val Array(t0, t1) = docs.filter(col("doc_id").isin(0, 1))
+      .orderBy("doc_id").select("text").as[String].collect()
+    val nearDup = t0.split(" ").toVector.updated(2, "zzzmutant").mkString(" ")
+    val extra = Seq(
+      (100000L, nearDup, "en", "synthetic", nearDup.length.toLong),
+      (100001L, t1, "en", "synthetic", t1.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.union(extra)
+  }
+
+  test("dedupExact collapses the planted exact duplicate") {
+    val deduped = planted.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    assert(deduped.count() == planted.count() - 1)
+    // the surviving id for doc 1's text is the original, not 100001
+    assert(deduped.filter(col("doc_id") === 100001L).count() == 0)
+  }
+
+  test("minhash LSH finds the planted near-duplicate pair") {
+    val pairs = DedupOps.minhashVerifiedPairs(planted, 0.5)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 100000L)))
+    assert(pairs.contains((1L, 100001L))) // exact dup: jaccard 1.0
+  }
+
+  test("ngram Jaccard ranks the exact duplicate at 1.0 and the near-dup high") {
+    // restricted to the 4 relevant docs: the corpus itself contains
+    // generator-planted near-dups (jaccard ≈ 0.99) that outrank ours
+    val four = planted.filter(col("doc_id").isin(0L, 1L, 100000L, 100001L))
+    val top = DedupOps.ngramJaccardTopPairs(four, 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(top((1L, 100001L)) == 1.0)
+    assert(top((0L, 100000L)) > 0.7)
+  }
+
+  test("simhash: identical texts get identical signatures; near-dup is close") {
+    val sigs = DedupOps.simhashSignatures(planted)
+      .filter(col("doc_id").isin(0L, 1L, 100000L, 100001L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(100001L))
+    val hamming = java.lang.Long.bitCount(sigs(0L) ^ sigs(100000L))
+    assert(hamming <= 12, s"hamming $hamming too large for a near-dup")
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val df = Seq(
+      (1L, "Hello   World"),
+      (2L, "  hello world "),
+      (3L, "different text")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+    val fps = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("dedupMinhash output covers every document exactly once") {
+    val out = DedupOps.dedupMinhash(spark, sf)
+    assert(out.count() == Tables.documents(spark, sf).count())
+    assert(out.filter(col("cluster_rep") > col("doc_id")).count() == 0)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+
+class RelationalOpsSpec extends SparkTestBase {
+
+  test("scanLimit returns at most 100 rows, ordered by key") {
+    val rows = RelationalOps.scanLimit(spark, sf).collect()
+    assert(rows.length == 100)
+    val keys = rows.map(r => (r.getLong(0), r.getInt(3)))
+    assert(keys.sameElements(keys.sortBy(identity)))
+  }
+
+  test("filterNe + complement partition the table (R4/R5 invariant)") {
+    val total = Tables.lineitem(spark, sf).count()
+    val kept = RelationalOps.filterNe(spark, sf).count()
+    val dropped = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") === 0).count()
+    assert(kept + dropped == total)
+  }
+
+  test("isinCount matches a direct filter count") {
+    val row = RelationalOps.isinCount(spark, sf).collect().head
+    val direct = Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag").isin("R", "A")).count()
+    assert(row.getAs[Long]("n_matching") == direct)
+    assert(row.getAs[Long]("n_total") == Tables.lineitem(spark, sf).count())
+  }
+
+  test("schemaOnly echoes the schema with zero rows (R6)") {
+    val df = RelationalOps.schemaOnly(spark, sf)
+    assert(df.count() == 0)
+    assert(df.schema == Tables.lineitem(spark, sf).schema)
+  }
+
+  test("chunkedAgg: group count bounded by flag×status combinations") {
+    val rows = RelationalOps.chunkedAgg(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 6)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sum_qty") > 0)
+      assert(r.getAs[Long]("count_order") > 0)
+    }
+  }
+
+  test("partitionAgg totals equal the orders row count") {
+    val total = RelationalOps.partitionAgg(spark, sf)
+      .agg(sum(col("n_orders"))).collect().head.getLong(0)
+    assert(total == Tables.orders(spark, sf).count())
+  }
+
+  test("castTimestamp yields valid dates and hours") {
+    val rows = RelationalOps.castTimestamp(spark, sf)
+      .agg(min(col("hr")), max(col("hr")), count(lit(1))).collect().head
+    assert(rows.getInt(0) >= 0 && rows.getInt(1) <= 23)
+    assert(rows.getLong(2) == Tables.events(spark, sf).count())
+  }
+}

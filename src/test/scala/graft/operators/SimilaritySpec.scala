@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+
+class SimilaritySpec extends SparkTestBase {
+
+  test("bruteForceTopK: k rows per query, cosine in [-1,1], descending") {
+    val rows = SimilarityOps.simTopK(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { g =>
+      assert(g.length == 10)
+      val cs = g.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cs.forall(c => c >= -1.0001 && c <= 1.0001))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("self-similarity of a vector with itself is 1") {
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 3)
+    val self = SimilarityOps.bruteForceTopK(emb, emb, 5)
+    // probe: join each query against itself was excluded
+    assert(self.filter(col("q_id") === col("cand_id")).count() == 0)
+  }
+
+  test("annTopK results agree with exact cosine for the pairs it returns") {
+    val emb = Tables.embeddings(spark, sf)
+    val ann = SimilarityOps.simLsh(spark, sf)
+      .select(col("q_id"), col("cand_id"), col("cos_sim"))
+    val exact = SimilarityOps.bruteForceTopK(
+      emb.filter(col("vec_id") < 5), emb, Int.MaxValue)
+      .select(col("q_id"), col("cand_id"), col("cos_sim").as("cos_exact"))
+    val joined = ann.join(exact, Seq("q_id", "cand_id"), "left")
+    assert(joined.filter(col("cos_exact").isNull).count() == 0)
+    assert(joined.filter(abs(col("cos_sim") - col("cos_exact")) > 1e-9).count() == 0)
+  }
+
+  test("annTopK is a subset ordering: rn contiguous from 1 per query") {
+    val rows = SimilarityOps.simLsh(spark, sf).collect()
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val rns = g.map(_.getInt(1)).sorted
+      assert(rns.sameElements(1 to rns.length))
+    }
+  }
+}
