@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.functions._
 
 /** Text primitives for the LLM-data-pipeline operators (tokenize, shingle,
@@ -19,13 +19,11 @@ object TextFunctions {
   /** Distinct word n-gram shingles (default 3). Documents with fewer than
     * `n` tokens yield an empty array. Shingles are the dedup candidate unit:
     * far more selective than single tokens, so the candidate self-join stays
-    * near-linear instead of exploding on common words. */
+    * near-linear instead of exploding on common words. Backed by the
+    * compiled [[graft.functions.expressions.WordShingles]] expression. */
   def shingles(toks: Column, n: Int = 3): Column =
-    when(size(toks) >= n,
-      array_distinct(
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))))
-      .otherwise(array().cast("array<string>"))
+    GraftColumnBridge.toColumn(expressions.WordShingles(
+      GraftColumnBridge.toExpression(toks), n))
 
   /** Count of tokens contained in `words` (stopword-style membership count).
     * OR-chain comparison keeps the DuckDB lambda translation trivial. */

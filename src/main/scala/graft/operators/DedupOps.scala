@@ -28,9 +28,18 @@ object DedupOps {
       .select(col("doc_id"), col("text"))
       .orderBy(col("doc_id"))
 
+  /** Spread CPU-heavy per-row work across all cores when the input scan has
+    * fewer partitions than the cluster's parallelism (a small local file is
+    * one task). At real scale the parquet scan already yields enough
+    * partitions and this is a no-op — no forced shuffle of a large corpus. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** (doc_id, shingle) exploded view of distinct word-3-gram shingles. */
   private def shingleSet(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    spread(docs).select(col("doc_id"),
       explode(shingles(tokensLower(col("text")))).as("shingle"))
 
   /** N-gram Jaccard near-dup: candidate pairs share ≥1 word-3-gram shingle;
@@ -136,7 +145,7 @@ object DedupOps {
     * each token hash's bit j; bit j of the signature = sign of the vote.
     * One groupBy with 64 small integer aggregates (all codegen'd). */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
+    val toks = spread(docs).select(col("doc_id"),
       explode(tokensLower(col("text"))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val votes = (0 until 64).map(j =>
