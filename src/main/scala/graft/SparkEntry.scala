@@ -50,6 +50,7 @@ object SparkEntry {
     "q_dedup_embed"    -> (DedupOps.dedupEmbed _),
     "q_sim_topk"       -> (SimilarityOps.simTopK _),
     "q_sim_lsh"        -> (SimilarityOps.simLsh _),
+    "q_multimodal_meta" -> (MultimodalOps.multimodalMeta _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -189,5 +190,9 @@ object SparkEntry {
         "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rn FROM p) " +
         "SELECT q_id, CAST(rn AS INTEGER) AS rn, cand_id, cos_sim FROM r WHERE rn <= 10 " +
         "ORDER BY q_id, rn"),
+    "q_multimodal_meta" ->
+      ("SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes, " +
+        "CAST(ascii(text) % 4 AS INTEGER) AS format_id, md5(text) AS content_hash " +
+        "FROM documents ORDER BY doc_id"),
   )
 }

@@ -1,0 +1,130 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Source/Sink surface re-expressing the reference pipeline's IO edges
+  * (SURVEY.md §2.1 R1/R2/R6/R8/R9/R11-R15) on Spark's data source API.
+  *
+  * The reference talks to Postgres, GCS and BigQuery; this environment is
+  * offline, so the object-store/warehouse sinks are local-filesystem
+  * stand-ins behind the same traits — swapping in `gs://` paths (Hadoop GCS
+  * connector) or the spark-bigquery connector is a constructor change, not
+  * an architecture change.
+  */
+trait Source { def read(spark: SparkSession): DataFrame }
+trait Sink { def write(df: DataFrame): Unit }
+
+/** R2: CSV scan — header, inferred schema, transparent gzip codec, optional
+  * row cap (the reference's `nrows=100000`). Inferred schema mirrors
+  * `pd.read_csv` (ingest_data.py:49); at scale prefer an explicit schema to
+  * skip the inference pass. */
+final case class CsvSource(path: String, limit: Option[Int] = None,
+    schema: Option[org.apache.spark.sql.types.StructType] = None)
+    extends Source {
+  override def read(spark: SparkSession): DataFrame = {
+    val base = spark.read.option("header", "true")
+    val withSchema = schema match {
+      case Some(s) => base.schema(s)
+      // pandas parity: pd.read_csv never guesses datetimes, so pin the
+      // inference timestampFormat to a strict ISO profile the taxi data
+      // doesn't match — datetime-looking columns stay strings and the
+      // conditional cast (R7) stays meaningful, as in the reference.
+      case None => base.option("inferSchema", "true")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS]XXX")
+    }
+    val df = withSchema.csv(path)
+    limit.map(df.limit).getOrElse(df)
+  }
+}
+
+/** R9: JDBC scan. `partitionColumn` enables parallel reads (the distributed
+  * analogue of the reference's `chunksize=100000` iterator,
+  * ingest_data.py:100): numPartitions concurrent range queries instead of a
+  * single serial cursor. */
+final case class JdbcSource(url: String, table: String,
+    partitionColumn: Option[(String, Long, Long, Int)] = None)
+    extends Source {
+  override def read(spark: SparkSession): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+    partitionColumn match {
+      case Some((col, lo, hi, n)) => base
+        .option("partitionColumn", col)
+        .option("lowerBound", lo).option("upperBound", hi)
+        .option("numPartitions", n).load()
+      case None => base.load()
+    }
+  }
+}
+
+/** R6+R8: JDBC sink. `Append` per batch = the reference's chunked
+  * `to_sql(if_exists="append")` (ingest_data.py:78); `Overwrite` with
+  * truncate=false = the schema-replacing create (ingest_data.py:52). */
+final case class JdbcSink(url: String, table: String,
+    mode: SaveMode = SaveMode.Append) extends Sink {
+  override def write(df: DataFrame): Unit =
+    df.write.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .mode(mode).save()
+}
+
+/** R11+R15: parquet sink with codec + Hive-style partition layout — the
+  * declarative version of the reference's hand-built
+  * `{dir}/{color}_taxi/{year}/{month}` paths (ingest_data.py:20-22).
+  * Partition values live in the directory structure, so downstream reads
+  * prune partitions for free. */
+final case class ParquetSink(path: String, compression: String = "gzip",
+    partitionBy: Seq[String] = Nil, mode: SaveMode = SaveMode.Overwrite)
+    extends Sink {
+  override def write(df: DataFrame): Unit = {
+    val w = df.write.option("compression", compression).mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path)
+  }
+}
+
+/** R12/R14: object-store upload/download. Local-FS stand-in: Spark reads and
+  * writes the store path in place (no copy step — the reference's explicit
+  * re-download, self-described as redundant at ingest_data.py:125, becomes a
+  * direct read). */
+final case class ObjectStoreSink(bucketPath: String) extends Sink {
+  override def write(df: DataFrame): Unit =
+    ParquetSink(bucketPath).write(df)
+}
+final case class ObjectStoreSource(bucketPath: String) extends Source {
+  override def read(spark: SparkSession): DataFrame =
+    spark.read.parquet(bucketPath)
+}
+
+/** R13: warehouse append sink (BigQuery stand-in: append-mode parquet
+  * "dataset.table" directory; swap for format("bigquery") when online). */
+final case class WarehouseSink(warehouseDir: String, dataset: String,
+    table: String) extends Sink {
+  override def write(df: DataFrame): Unit =
+    df.write.mode(SaveMode.Append)
+      .parquet(s"$warehouseDir/$dataset/$table")
+}
+
+/** R1: driver-side HTTP fetch to a local file (Spark has no HTTP source;
+  * the reference shells out to curl, ingest_data.py:24). Supports file://
+  * URIs for offline use/tests. Creates the partition directory first,
+  * mirroring ingest_data.py:20-22. */
+object HttpFetch {
+  def fetch(url: String, dest: Path): Path = {
+    Files.createDirectories(dest.getParent)
+    val uri = URI.create(url)
+    if (uri.getScheme == "file") {
+      Files.copy(Paths.get(uri), dest, StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val client = HttpClient.newBuilder()
+        .followRedirects(HttpClient.Redirect.ALWAYS).build()
+      val req = HttpRequest.newBuilder(uri).GET().build()
+      client.send(req, HttpResponse.BodyHandlers.ofFile(dest))
+    }
+    dest
+  }
+}

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+
+class MultimodalSpec extends SparkTestBase {
+
+  test("decodeMeta is partition-parallel, deterministic, one row per doc") {
+    val docs = Tables.documents(spark, sf)
+    val meta = MultimodalOps.decodeMeta(docs)
+    assert(meta.count() == docs.count())
+    val a = meta.orderBy("doc_id").collect()
+    val b = MultimodalOps.decodeMeta(docs.repartition(8)).orderBy("doc_id").collect()
+    assert(a.sameElements(b)) // decode independent of partitioning
+    a.foreach { m =>
+      assert(Set("jpeg", "png", "wav", "mp4")(m.format))
+      assert(m.width >= 64 && m.height >= 64 && m.n_frames >= 1)
+    }
+  }
+
+  test("sampleFrames keeps every k-th fixed-size frame") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 10)
+    val frames = MultimodalOps.sampleFrames(docs, frameBytes = 16, everyK = 4)
+    val byDoc = frames.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = MultimodalOps.withBinaryPayload(docs)
+      .select(col("doc_id"), octet_length(col("payload")).as("len")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1) / 16 + 3) / 4).toLong).toMap
+    assert(byDoc == expected)
+    // frames are at most 16 bytes
+    assert(frames.filter(octet_length(col("frame")) > 16).count() == 0)
+  }
+
+  test("featurizeFrames yields an 8-dim vector per sampled frame") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 5)
+    val frames = MultimodalOps.sampleFrames(docs)
+    val feats = MultimodalOps.featurizeFrames(frames)
+    assert(feats.count() == frames.count())
+    feats.collect().foreach { f =>
+      assert(f.feature.length == 8)
+      assert(f.feature.forall(v => v >= 0f && v <= 1f))
+    }
+  }
+}

@@ -1,0 +1,101 @@
+package graft.pipeline
+
+import java.io.{FileInputStream, FileOutputStream}
+import java.nio.file.{Files, Paths}
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, TimestampType}
+
+import graft.SparkTestBase
+import graft.sources._
+
+class TaxiPipelineSpec extends SparkTestBase {
+
+  private lazy val tmp = Files.createTempDirectory("graft-pipe").toString
+  private def res(name: String): String =
+    getClass.getResource(s"/$name").getPath
+
+  private def gzip(src: String, dest: String): String = {
+    val out = new GZIPOutputStream(new FileOutputStream(dest))
+    val in = new FileInputStream(src)
+    in.transferTo(out); in.close(); out.close()
+    dest
+  }
+
+  private def config(color: String) = TaxiPipeline.Config(
+    outputDir = s"$tmp/out_$color",
+    taxiColor = color, year = 2021, month = 1,
+    jdbcUrl = s"jdbc:derby:$tmp/db_$color;create=true",
+    bucketDir = s"$tmp/bucket_$color",
+    warehouseDir = s"$tmp/wh_$color")
+
+  test("CsvSource reads gzipped CSV with header + inferred schema (R2)") {
+    val gz = gzip(res("yellow_sample.csv"), s"$tmp/y.csv.gz")
+    val df = CsvSource(gz).read(spark)
+    assert(df.count() == 10)
+    assert(df.schema("passenger_count").dataType.typeName == "integer")
+  }
+
+  test("dropZeroPassengers keeps nulls, drops zeros (R4 pandas semantics)") {
+    val df = CsvSource(res("yellow_sample.csv")).read(spark)
+    val kept = TaxiPipeline.dropZeroPassengers(df)
+    assert(TaxiPipeline.zeroPassengerCount(df) == 3)
+    assert(kept.count() == 7) // 10 - 3 zeros; the null row survives
+    assert(kept.filter(col("passenger_count").isNull).count() == 1)
+  }
+
+  test("castTimestampsIfPresent: yellow cast, green untouched (R7 quirk)") {
+    val yellow = TaxiPipeline.castTimestampsIfPresent(
+      CsvSource(res("yellow_sample.csv")).read(spark))
+    assert(yellow.schema("tpep_pickup_datetime").dataType == TimestampType)
+    val greenRaw = spark.read.option("header", "true").csv(res("green_sample.csv"))
+    val green = TaxiPipeline.castTimestampsIfPresent(greenRaw)
+    assert(green.schema("lpep_pickup_datetime").dataType == StringType)
+  }
+
+  test("ParquetSink writes Hive-style partition layout (R15)") {
+    val df = CsvSource(res("yellow_sample.csv")).read(spark)
+      .withColumn("taxi_color", lit("yellow"))
+      .withColumn("year", lit(2021)).withColumn("month", lit(1))
+    ParquetSink(s"$tmp/part", partitionBy = Seq("taxi_color", "year", "month"))
+      .write(df)
+    assert(Files.exists(Paths.get(s"$tmp/part/taxi_color=yellow/year=2021/month=1")))
+    val back = spark.read.parquet(s"$tmp/part")
+      .filter(col("taxi_color") === "yellow" && col("year") === 2021)
+    assert(back.count() == 10)
+  }
+
+  test("end-to-end pipeline: fetch -> ingest(Derby) -> export -> re-read (R1-R17)") {
+    val c = config("yellow")
+    val url = s"file://${res("yellow_sample.csv")}"
+    val back = TaxiPipeline.run(spark, url, c)
+    // 10 rows - 3 zero-passenger rows = 7 survive ingest
+    assert(back.count() == 7)
+    assert(back.schema("tpep_pickup_datetime").dataType == TimestampType)
+    // object-store and warehouse artifacts exist
+    assert(Files.exists(Paths.get(s"${c.bucketDir}/yellow_2021_1.parquet")))
+    assert(Files.exists(Paths.get(
+      s"${c.warehouseDir}/${TaxiPipeline.datasetName(c)}/taxi_data")))
+    // JDBC roundtrip preserved the data
+    val db = JdbcSource(c.jdbcUrl, TaxiPipeline.tableName(c)).read(spark)
+    assert(db.count() == 7)
+  }
+
+  test("green pipeline: lpep columns pass through uncast (deployment default)") {
+    val c = config("green")
+    val url = s"file://${res("green_sample.csv")}"
+    val back = TaxiPipeline.run(spark, url, c)
+    assert(back.count() == 6) // 8 - 2 zeros
+    assert(back.schema("lpep_pickup_datetime").dataType == StringType)
+  }
+
+  test("exportRowCap limits the export like the reference's first chunk (R10)") {
+    val c = config("yellow").copy(
+      outputDir = s"$tmp/cap_out", bucketDir = s"$tmp/cap_bucket",
+      warehouseDir = s"$tmp/cap_wh", jdbcUrl = s"jdbc:derby:$tmp/cap_db;create=true",
+      exportRowCap = 3)
+    val url = s"file://${res("yellow_sample.csv")}"
+    assert(TaxiPipeline.run(spark, url, c).count() == 3)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.{SparkTestBase, Tables}
+
+class EventStreamSpec extends SparkTestBase {
+
+  private lazy val stagingDir: String = {
+    // stage the events table as a clean µs-timestamp parquet so the file
+    // stream source reads it without the nanos legacy path
+    val dir = Files.createTempDirectory("graft-stream").toString
+    Tables.events(spark, sf).write.parquet(s"$dir/events")
+    dir
+  }
+
+  test("streaming hourly counts equal the batch run (micro-batch replay, R3)") {
+    val batchDf = Tables.events(spark, sf)
+    val expected = EventStreamOps.hourlyWindowedCounts(batchDf)
+      .orderBy("window_start", "event_type").collect()
+
+    val schema = spark.read.parquet(s"$stagingDir/events").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // the reference's chunk loop
+      .parquet(s"$stagingDir/events")
+    val q = EventStreamOps.hourlyWindowedCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("hourly")
+      .orderBy("window_start", "event_type").collect()
+    assert(got.sameElements(expected))
+  }
+
+  test("sessionize (stateful) matches the stateless batch sessionization") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreamOps.Event]
+
+    // stateful operator emits closed sessions; flushing open state via
+    // finalSessions on the full data gives the ground truth
+    val truth = EventStreamOps.finalSessions(events, 30).collect()
+      .map(s => (s.user_id, s.n_events, s.total_value)).sorted
+
+    // drive the stateful version over the same data in one batch epoch:
+    // closed sessions + still-open state must partition the truth set
+    val closed = EventStreamOps.sessionize(events, 30).collect()
+    val closedSet = closed.map(s => (s.user_id, s.n_events, s.total_value)).toSet
+    assert(closedSet.subsetOf(truth.toSet))
+    // every user has exactly one open session left unreported
+    val users = events.select("user_id").distinct().count()
+    assert(truth.length == closed.length + users)
+  }
+
+  test("probe: empty stream directory yields zero windows, no crash") {
+    val empty = Files.createTempDirectory("graft-empty").toString
+    val schema = spark.read.parquet(s"$stagingDir/events").schema
+    val stream = spark.readStream.schema(schema).parquet(empty)
+    val q = EventStreamOps.hourlyWindowedCounts(stream)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("empty_windows").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("empty_windows").count() == 0)
+  }
+}
