@@ -51,6 +51,19 @@ object SparkEntry {
     "q_sim_topk"       -> (SimilarityOps.simTopK _),
     "q_sim_lsh"        -> (SimilarityOps.simLsh _),
     "q_multimodal_meta" -> (MultimodalOps.multimodalMeta _),
+    "q_union"          -> (SetOps.unionOrders _),
+    "q_intersect"      -> (SetOps.intersectCustomers _),
+    "q_except"         -> (SetOps.exceptCustomers _),
+    "q_distinct"       -> (SetOps.distinctStatus _),
+    "q_rollup"         -> (AnalyticsOps.rollupAgg _),
+    "q_window_analytics" -> (AnalyticsOps.windowAnalytics _),
+    "q_pivot"          -> (AnalyticsOps.pivotStatus _),
+    "q_null_handling"  -> (AnalyticsOps.nullHandling _),
+    "q_string_funcs"   -> (AnalyticsOps.stringFuncs _),
+    "q_date_funcs"     -> (AnalyticsOps.dateFuncs _),
+    "q_math_funcs"     -> (AnalyticsOps.mathFuncs _),
+    "q_array_funcs"    -> (AnalyticsOps.arrayFuncs _),
+    "q_asof_join"      -> (AsOfJoinOps.eventsAsOf _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -194,5 +207,75 @@ object SparkEntry {
       ("SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes, " +
         "CAST(ascii(text) % 4 AS INTEGER) AS format_id, md5(text) AS content_hash " +
         "FROM documents ORDER BY doc_id"),
+    "q_union" ->
+      ("SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 200000 " +
+        "UNION SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT' " +
+        "ORDER BY o_orderkey"),
+    "q_intersect" ->
+      ("SELECT c_custkey FROM customer WHERE c_acctbal > 0 " +
+        "INTERSECT SELECT c_custkey FROM customer WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE') " +
+        "ORDER BY c_custkey"),
+    "q_except" ->
+      ("SELECT c_custkey FROM customer WHERE c_acctbal > 0 " +
+        "EXCEPT SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' " +
+        "ORDER BY c_custkey"),
+    "q_distinct" ->
+      ("SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders " +
+        "ORDER BY o_orderstatus, o_orderpriority"),
+    "q_rollup" ->
+      ("SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, CAST(month(o_orderdate) AS INTEGER) AS mon, " +
+        "COUNT(*) AS n_orders, round(SUM(o_totalprice), 4) AS sum_total " +
+        "FROM orders GROUP BY ROLLUP(yr, mon) " +
+        "ORDER BY yr ASC NULLS FIRST, mon ASC NULLS FIRST"),
+    "q_window_analytics" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS price_rank, " +
+        "round(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 4) AS prev_price, " +
+        "round(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total " +
+        "FROM orders ORDER BY o_custkey, o_orderkey"),
+    "q_pivot" ->
+      ("SELECT o_orderpriority, " +
+        "CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f, " +
+        "CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o, " +
+        "CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_null_handling" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+        "round(coalesce(nullif(l_discount, 0.0), -1.0), 4) AS disc_or_flag, " +
+        "CASE WHEN l_tax > 0.05 THEN 'high' ELSE 'low' END AS tax_band " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+    "q_string_funcs" ->
+      ("SELECT c_custkey, upper(c_name) AS name_upper, substring(c_name, 1, 8) AS name_prefix, " +
+        "CAST(length(c_name) AS INTEGER) AS name_len, reverse(c_mktsegment) AS seg_rev, " +
+        "concat_ws('|', c_mktsegment, c_name) AS seg_name, " +
+        "replace(c_name, 'Customer', 'Cust') AS name_short " +
+        "FROM customer ORDER BY c_custkey"),
+    "q_date_funcs" ->
+      ("SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d, " +
+        "CAST(year(o_orderdate) AS INTEGER) AS yr, CAST(quarter(o_orderdate) AS INTEGER) AS qtr, " +
+        "CAST(o_orderdate AS DATE) + 30 AS due_date, last_day(o_orderdate) AS month_end, " +
+        "CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS INTEGER) AS age_days " +
+        "FROM orders ORDER BY o_orderkey"),
+    "q_math_funcs" ->
+      ("SELECT l_orderkey, l_linenumber, round(sqrt(l_extendedprice), 4) AS price_sqrt, " +
+        "round(ln(l_extendedprice + 1), 4) AS price_ln, " +
+        "CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil, " +
+        "CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct, " +
+        "abs(l_quantity - 25) AS qty_dev, l_orderkey % 7 AS key_mod " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+    "q_array_funcs" ->
+      ("SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, " +
+        "round(CAST(embedding[1] AS DOUBLE), 4) AS first_val, " +
+        "round(CAST(embedding[-1] AS DOUBLE), 4) AS last_val, " +
+        "CAST(len(embedding[1:8]) AS INTEGER) AS head_len " +
+        "FROM embeddings ORDER BY vec_id"),
+    "q_asof_join" ->
+      ("WITH v AS (SELECT event_id AS view_id, user_id, ts FROM events WHERE event_type = 'view'), " +
+        "p AS (SELECT user_id, ts, max(event_id) AS purchase_id FROM events " +
+        "WHERE event_type = 'purchase' GROUP BY user_id, ts) " +
+        "SELECT v.view_id, v.user_id, p.purchase_id " +
+        "FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts " +
+        "ORDER BY v.view_id"),
   )
 }

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Analytic operators: ROLLUP/grouping sets, window analytics (rank / lag /
+  * running aggregates), manual pivot, null-handling scalars, and the scalar
+  * function library surface (string / date / math / array). These generalize
+  * the reference's absent-but-implied warehouse surface (SURVEY.md §2.1
+  * absence table) into declared, oracle-checked queries.
+  */
+object AnalyticsOps {
+
+  /** ROLLUP over (year, month): subtotals + grand total, grouping id for
+    * deterministic identification of summary rows. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mon"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 4).as("sum_total"))
+      .orderBy(col("yr").asc_nulls_first, col("mon").asc_nulls_first)
+
+  /** Window analytics per customer: rank by price, previous order's price
+    * (lag), running revenue. One hash partition on o_custkey, one sort —
+    * no global sort at any scale. */
+  def windowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    val byDate = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        rank().over(byPrice).as("price_rank"),
+        round(lag(col("o_totalprice"), 1).over(byDate), 4).as("prev_price"),
+        round(sum(col("o_totalprice"))
+          .over(byDate.rowsBetween(Window.unboundedPreceding, 0)), 4)
+          .as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Manual pivot: order counts per (priority × status) via conditional
+    * aggregation — the shuffle-once pivot shape. */
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Null-handling scalars: nullif / coalesce round-trip on discounts. */
+  def nullHandling(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0)), 4)
+          .as("disc_or_flag"),
+        when(col("l_tax") > 0.05, "high").otherwise("low").as("tax_band"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** String function surface. */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        length(col("c_name")).as("name_len"),
+        reverse(col("c_mktsegment")).as("seg_rev"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("seg_name"),
+        replace(col("c_name"), lit("Customer"), lit("Cust")).as("name_short"))
+      .orderBy(col("c_custkey"))
+
+  /** Date function surface. */
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("d"),
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"),
+        date_add(to_date(col("o_orderdate")), 30).as("due_date"),
+        last_day(col("o_orderdate")).as("month_end"),
+        datediff(lit("1999-01-01").cast("date"), to_date(col("o_orderdate")))
+          .as("age_days"))
+      .orderBy(col("o_orderkey"))
+
+  /** Math function surface (rounded for cross-engine float parity). */
+  def mathFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(sqrt(col("l_extendedprice")), 4).as("price_sqrt"),
+        round(log(col("l_extendedprice") + 1), 4).as("price_ln"),
+        ceil(col("l_quantity")).as("qty_ceil"),
+        floor(col("l_discount") * 100).as("disc_pct"),
+        abs(col("l_quantity") - 25).as("qty_dev"),
+        pmod(col("l_orderkey"), lit(7L)).as("key_mod"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Array function surface over the embedding column. */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"),
+        round(element_at(col("embedding"), -1).cast("double"), 4).as("last_val"),
+        size(slice(col("embedding"), 1, 8)).as("head_len"))
+      .orderBy(col("vec_id"))
+}
