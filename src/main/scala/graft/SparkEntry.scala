@@ -64,6 +64,8 @@ object SparkEntry {
     "q_math_funcs"     -> (AnalyticsOps.mathFuncs _),
     "q_array_funcs"    -> (AnalyticsOps.arrayFuncs _),
     "q_asof_join"      -> (AsOfJoinOps.eventsAsOf _),
+    "q_cube"           -> (AnalyticsOps.cubeAgg _),
+    "q_range_join"     -> (AnalyticsOps.rangeJoin _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -277,5 +279,14 @@ object SparkEntry {
         "SELECT v.view_id, v.user_id, p.purchase_id " +
         "FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts " +
         "ORDER BY v.view_id"),
+    "q_cube" ->
+      ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders FROM orders " +
+        "GROUP BY CUBE(o_orderstatus, o_orderpriority) " +
+        "ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"),
+    "q_range_join" ->
+      ("SELECT band, COUNT(*) AS n_items, round(SUM(l_extendedprice), 4) AS sum_price " +
+        "FROM lineitem JOIN (VALUES ('small', 0.0, 10.0), ('mid', 10.0, 25.0), " +
+        "('large', 25.0, 51.0)) AS bands(band, lo, hi) " +
+        "ON l_quantity >= lo AND l_quantity < hi GROUP BY band ORDER BY band"),
   )
 }

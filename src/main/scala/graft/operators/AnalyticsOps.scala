@@ -23,6 +23,32 @@ object AnalyticsOps {
         round(sum(col("o_totalprice")), 4).as("sum_total"))
       .orderBy(col("yr").asc_nulls_first, col("mon").asc_nulls_first)
 
+  /** CUBE over (status, priority): all grouping-set combinations. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** Range (band) join: non-equi join of the fact table against a small
+    * broadcast bands table — plans as BroadcastNestedLoopJoin, which is
+    * exactly right when the band side is tiny; a big-big range join would
+    * bucket the ranges first. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("small", 0.0, 10.0), ("mid", 10.0, 25.0), ("large", 25.0, 51.0))
+      .toDF("band", "lo", "hi")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(bands),
+        col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 4).as("sum_price"))
+      .orderBy(col("band"))
+  }
+
   /** Window analytics per customer: rank by price, previous order's price
     * (lag), running revenue. One hash partition on o_custkey, one sort —
     * no global sort at any scale. */

@@ -179,4 +179,27 @@ object DedupOps {
 
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame =
     embeddingTopPairs(Tables.embeddings(spark, dir))
+
+  /** Scale path for embedding near-dup: bucket vectors by hyperplane-LSH
+    * signature, compare only within a bucket (equality join on the bucket
+    * id — hash-partitioned, never a cross product). Near-identical vectors
+    * land in the same bucket with high probability; `numPlanes` trades
+    * recall vs bucket size. Returns pairs with cosine ≥ `threshold`. */
+  def embeddingNearDupLsh(emb: DataFrame, threshold: Double,
+      numPlanes: Int = 8): DataFrame = {
+    val planes = graft.functions.VectorFunctions.hyperplanes(
+      numPlanes, SimilarityOps.EmbeddingDim)
+    val e = emb.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"),
+      graft.functions.VectorFunctions
+        .lshSignature(col("embedding"), planes).as("bucket"))
+    e.as("a").join(e.as("b"),
+      col("a.bucket") === col("b.bucket")
+        && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        round(cosine(dotProduct(col("a.embedding"), col("b.embedding")),
+          col("a.nrm"), col("b.nrm")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy(col("va"), col("vb"))
+  }
 }
