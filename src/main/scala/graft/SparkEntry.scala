@@ -66,6 +66,7 @@ object SparkEntry {
     "q_asof_join"      -> (AsOfJoinOps.eventsAsOf _),
     "q_cube"           -> (AnalyticsOps.cubeAgg _),
     "q_range_join"     -> (AnalyticsOps.rangeJoin _),
+    "q_stats_agg"      -> (AnalyticsOps.statsAgg _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -288,5 +289,11 @@ object SparkEntry {
         "FROM lineitem JOIN (VALUES ('small', 0.0, 10.0), ('mid', 10.0, 25.0), " +
         "('large', 25.0, 51.0)) AS bands(band, lo, hi) " +
         "ON l_quantity >= lo AND l_quantity < hi GROUP BY band ORDER BY band"),
+    "q_stats_agg" ->
+      ("SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS median_qty, " +
+        "round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price, " +
+        "round(stddev_samp(l_quantity), 4) AS sd_qty, " +
+        "COUNT(DISTINCT l_partkey) AS n_parts " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
   )
 }

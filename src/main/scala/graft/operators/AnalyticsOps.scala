@@ -129,6 +129,20 @@ object AnalyticsOps {
         pmod(col("l_orderkey"), lit(7L)).as("key_mod"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** Statistical aggregates: exact percentiles (interpolated), sample
+    * stddev, distinct counts. Exact percentile needs a per-group sort; at
+    * 100 TB swap in approx_percentile (t-digest, one pass) — kept exact
+    * here because the oracle compare demands determinism. */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+      .orderBy(col("l_returnflag"))
+
   /** Array function surface over the embedding column. */
   def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

@@ -46,20 +46,21 @@ object DedupOps {
     * Jaccard = |A∩B| / |A∪B| over the distinct shingle sets. Returns the
     * top-`k` most similar pairs (deterministic order). */
   def ngramJaccardTopPairs(docs: DataFrame, k: Int = 20): DataFrame = {
-    val ex = shingleSet(docs)
-    val counts = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val shared = ex.as("a")
+    // carry each doc's shingle count on every exploded row via a window —
+    // the self-join then already holds |A| and |B|, saving two join passes
+    // over the (re-computed) exploded set
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val ex = shingleSet(docs).withColumn("n", count(lit(1)).over(w))
+    ex.as("a")
       .join(ex.as("b"),
         col("a.shingle") === col("b.shingle")
           && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(counts.as("ca"), col("da") === col("ca.doc_id"))
-      .join(counts.as("cb"), col("db") === col("cb.doc_id"))
+      .agg(count(lit(1)).as("shared"),
+        max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
       .select(col("da"), col("db"),
         round(col("shared").cast("double")
-          / (col("ca.n") + col("cb.n") - col("shared")), 4).as("jaccard"))
+          / (col("na") + col("nb") - col("shared")), 4).as("jaccard"))
       .orderBy(col("jaccard").desc, col("da"), col("db"))
       .limit(k)
   }
@@ -121,6 +122,50 @@ object DedupOps {
         (col("shared").cast("double")
           / (col("ca.n") + col("cb.n") - col("shared"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Distributed connected components over an undirected edge list
+    * (label-propagation to the minimum reachable id). Each iteration is one
+    * join + one aggregation — all distributed; the driver only checks
+    * convergence. Near-dup graphs converge in a handful of iterations
+    * (components are short chains), so `maxIter` is a safety bound. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 10): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNeighbors = sym
+        .join(labels, sym("dst") === labels("node"))
+        .select(sym("src").as("node"), col("comp"))
+      val next = labels.select(col("node"), col("comp"))
+        .union(viaNeighbors)
+        .groupBy(col("node"))
+        .agg(min(col("comp")).as("comp"))
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.comp") =!= col("o.comp")).count()
+      labels = next.localCheckpoint(eager = true) // truncate the lineage
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** Full near-dup clustering: MinHash+LSH candidate pairs, exact-Jaccard
+    * verification, then connected components so transitive chains (A≈B,
+    * B≈C) collapse into one cluster — the complete corpus-dedup operator:
+    * keep min(doc_id) per component. */
+  def dedupClusters(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashVerifiedPairs(docs, threshold)
+      .select(col("da").as("src"), col("db").as("dst"))
+    val comps = connectedComponents(pairs)
+    docs.select(col("doc_id"))
+      .join(comps, docs("doc_id") === comps("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("cluster_id"))
   }
 
   /** Declared MinHash query: per-doc near-dup cluster representative =

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+
+class ClusterDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("connectedComponents labels chains and isolates separate components") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
+      .toDF("src", "dst")
+    val comps = DedupOps.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(comps(_) == 1L))
+    assert(Seq(10L, 11L).forall(comps(_) == 10L))
+    assert(Seq(20L, 21L, 22L, 23L).forall(comps(_) == 20L))
+  }
+
+  test("dedupClusters collapses transitive near-dup chains") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val t0 = docs.filter(col("doc_id") === 0).select("text").as[String].head()
+    val words = t0.split(" ").toVector
+    // chain: doc0 ~ m1 (1 word changed) ~ m2 (2 words changed from doc0)
+    val m1 = words.updated(1, "mutA").mkString(" ")
+    val m2 = words.updated(1, "mutA").updated(4, "mutB").mkString(" ")
+    val extra = Seq(
+      (200000L, m1, "en", "syn", m1.length.toLong),
+      (200001L, m2, "en", "syn", m2.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val clusters = DedupOps.dedupClusters(docs.union(extra), 0.4)
+      .filter(col("doc_id").isin(0L, 200000L, 200001L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // all three collapse to the representative 0 through the chain
+    assert(clusters(0L) == 0L)
+    assert(clusters(200000L) == 0L)
+    assert(clusters(200001L) == 0L)
+  }
+
+  test("dedupClusters covers every doc exactly once, reps are minimal") {
+    val docs = Tables.documents(spark, sf)
+    val out = DedupOps.dedupClusters(docs, 0.5)
+    assert(out.count() == docs.count())
+    assert(out.filter(col("cluster_id") > col("doc_id")).count() == 0)
+  }
+}
