@@ -67,6 +67,7 @@ object SparkEntry {
     "q_cube"           -> (AnalyticsOps.cubeAgg _),
     "q_range_join"     -> (AnalyticsOps.rangeJoin _),
     "q_stats_agg"      -> (AnalyticsOps.statsAgg _),
+    "q_token_bpe"      -> (TextOps.tokenCountBpe _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -295,5 +296,10 @@ object SparkEntry {
         "round(stddev_samp(l_quantity), 4) AS sd_qty, " +
         "COUNT(DISTINCT l_partkey) AS n_parts " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_token_bpe" ->
+      ("SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens, " +
+        "CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_ws_tokens " +
+        "FROM documents ORDER BY doc_id"),
   )
 }

@@ -30,6 +30,15 @@ object TextFunctions {
   def tokenMatchCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => words.map(w => t === w).reduce(_ || _)))
 
+  /** BPE-ish subword tokenization: alphabetic runs, digit runs, and single
+    * punctuation marks — the pre-merge word-piece segmentation most BPE
+    * vocabularies start from. Identical RE2/Java-regex semantics for this
+    * character-class-only pattern. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeishPattern), lit(0))
+
   /** Canonical document fingerprint: md5 of the lowercased,
     * whitespace-collapsed text. Identical to
     * `md5(lower(trim(regexp_replace(text,'\s+',' ','g'))))` in DuckDB. */

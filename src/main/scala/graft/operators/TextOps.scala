@@ -38,6 +38,16 @@ object TextOps {
         length(col("text")).as("n_chars_exact"))
       .orderBy(col("doc_id"))
 
+  /** Token counting, BPE-ish: subword-run segmentation vs whitespace —
+    * the token-budget estimate a training-data pipeline tracks per doc. */
+  def tokenCountBpe(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(bpeishTokens(col("text"))).as("n_bpe_tokens"),
+        size(tokens(col("text"))).as("n_ws_tokens"))
+      .orderBy(col("doc_id"))
+
   /** Heuristic language identification: stopword-membership counts per
     * candidate language, argmax with a fixed priority tie-break (en > de >
     * es > fr). A real pipeline would use char n-gram profiles; the declared
