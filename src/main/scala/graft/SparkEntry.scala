@@ -68,6 +68,7 @@ object SparkEntry {
     "q_range_join"     -> (AnalyticsOps.rangeJoin _),
     "q_stats_agg"      -> (AnalyticsOps.statsAgg _),
     "q_token_bpe"      -> (TextOps.tokenCountBpe _),
+    "q_sessionize"     -> (EventOps.sessionAgg _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -301,5 +302,15 @@ object SparkEntry {
         "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens, " +
         "CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_ws_tokens " +
         "FROM documents ORDER BY doc_id"),
+    "q_sessionize" ->
+      ("WITH g AS (SELECT user_id, event_id, ts, value, " +
+        "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL " +
+        "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE " +
+        "THEN 1 ELSE 0 END AS new_sess FROM events), " +
+        "s AS (SELECT user_id, value, " +
+        "CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS sess_id FROM g) " +
+        "SELECT user_id, sess_id, COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value " +
+        "FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id"),
   )
 }

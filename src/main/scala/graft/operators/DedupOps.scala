@@ -82,6 +82,23 @@ object DedupOps {
         array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
   }
 
+  /** Alternative MinHash via the custom TypedImperativeAggregate
+    * [[graft.functions.expressions.MinHashSignature]]: one aggregate buffer
+    * of primitive longs per doc instead of `numHashes` separate min
+    * columns — one pass, partial-aggregate friendly, no re-hashing per
+    * column. Hash family differs from [[minhashSignatures]] (Murmur3-seeded
+    * vs xxhash64-salted); both are valid MinHash families. */
+  def minhashSignaturesAgg(docs: DataFrame, numHashes: Int = 32): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val sigCol = GraftColumnBridge.toColumn(
+      graft.functions.expressions.MinHashSignature(
+        GraftColumnBridge.toExpression(col("shingle")), numHashes)
+        .toAggregateExpression())
+    shingleSet(docs)
+      .groupBy(col("doc_id"))
+      .agg(sigCol.as("sig"))
+  }
+
   /** LSH banding: split the signature into `bands` bands of r rows; docs
     * agreeing on any whole band become candidate pairs. The join key
     * (band index, band hash) is high-cardinality → near-linear shuffle. */

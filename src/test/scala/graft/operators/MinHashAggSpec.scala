@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+
+class MinHashAggSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("typed-imperative MinHash: fixed length, partitioning-invariant") {
+    val docs = Tables.documents(spark, sf).limit(100)
+    val a = DedupOps.minhashSignaturesAgg(docs, 32).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    val b = DedupOps.minhashSignaturesAgg(docs.repartition(16), 32)
+      .orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    assert(a.length == 100)
+    a.foreach { case (_, sig) => assert(sig.length == 32) }
+    // merge across partitions must give identical signatures (associativity
+    // + commutativity of elementwise min)
+    assert(a.zip(b).forall { case ((id1, s1), (id2, s2)) =>
+      id1 == id2 && s1 == s2 })
+  }
+
+  test("identical texts yield identical aggregate signatures; distinct differ") {
+    val df = Seq(
+      (1L, "the cat sat on the mat today again"),
+      (2L, "the cat sat on the mat today again"),
+      (3L, "an entirely different document text here"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val sigs = DedupOps.minhashSignaturesAgg(df, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+}
