@@ -10,6 +10,13 @@ import graft.functions.VectorFunctions._
 /** Deduplication operators (north-star ★): exact, n-gram Jaccard, MinHash+LSH,
   * SimHash, and embedding-cosine near-dup.
   *
+  * Algorithms (public literature): MinHash resemblance sketches — Broder,
+  * "On the resemblance and containment of documents" (1997); LSH banding —
+  * Indyk & Motwani (1998) / Gionis et al., "Similarity Search in High
+  * Dimensions via Hashing" (1999); SimHash — Charikar, "Similarity
+  * estimation techniques from rounding algorithms" (2002), as deployed for
+  * web-scale near-dup in Manku et al. (2007).
+  *
   * Scale posture: every variant avoids the O(n²) all-pairs comparison by
   * generating candidates through a *selective equality join* — shingle match,
   * LSH band-bucket match, or hyperplane bucket match — so at 100 TB the work

@@ -8,6 +8,10 @@ import graft.Tables
 import graft.functions.VectorFunctions._
 
 /** Similarity search over the `embeddings` table (north-star ★).
+  * Random-hyperplane signatures follow Charikar (2002); the bucket-probe
+  * structure is the classic LSH scheme of Indyk & Motwani (1998). An IVF
+  * variant would replace the hyperplane signature with a k-means coarse
+  * quantizer — same join shape on the centroid id.
   *
   * Two paths:
   *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.

@@ -11,3 +11,11 @@ object GraftColumnBridge {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 }
+
+/** Builds a DataFrame from a hand-constructed LogicalPlan (the analyzer
+  * resolves it) — needed to inject graft's custom logical operators. */
+object GraftPlanBridge {
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}
