@@ -69,6 +69,8 @@ object SparkEntry {
     "q_stats_agg"      -> (AnalyticsOps.statsAgg _),
     "q_token_bpe"      -> (TextOps.tokenCountBpe _),
     "q_sessionize"     -> (EventOps.sessionAgg _),
+    "q_topk_custom"    -> (JoinOps.topKCustom _),
+    "q_sim_ivf"        -> (IvfOps.simIvf _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -312,5 +314,10 @@ object SparkEntry {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS sess_id FROM g) " +
         "SELECT user_id, sess_id, COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value " +
         "FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id"),
+    "q_topk_custom" ->
+      ("SELECT o_orderpriority, o_orderkey, round(o_totalprice, 4) AS o_totalprice " +
+        "FROM (SELECT o_orderpriority, o_orderkey, o_totalprice, " +
+        "ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+        "FROM orders) WHERE rn <= 5 ORDER BY o_orderpriority, o_orderkey"),
   )
 }

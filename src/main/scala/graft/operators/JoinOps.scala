@@ -81,6 +81,19 @@ object JoinOps {
       .orderBy(col("c_custkey"))
   }
 
+  /** Top-k per group through the custom [[graft.plans.TopKPerGroup]]
+    * physical operator (bounded heaps, no per-partition sort) — same
+    * result set as [[topK]] minus the rank column, verified against the
+    * same oracle shape. */
+  def topKCustom(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopK.perGroup(
+      Tables.orders(spark, dir),
+      Seq("o_orderpriority"),
+      Seq(("o_totalprice", false), ("o_orderkey", true)), 5)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice"), 4).as("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+
   /** Top-k per group (R10 generalized): top-5 orders by totalprice within
     * each order priority. Window ties broken by the unique o_orderkey so the
     * result is deterministic. At scale this is one hash-partition on the

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+
+class IvfSpec extends SparkTestBase {
+
+  private lazy val emb = Tables.embeddings(spark, sf)
+  private lazy val centroids = IvfOps.trainCentroids(emb, k = 16, iters = 3)
+
+  test("training yields k centroids of the embedding dimension") {
+    val rows = centroids.collect()
+    assert(rows.length == 16)
+    rows.foreach(r => assert(r.getSeq[Double](1).length == 64))
+  }
+
+  test("assignment is a true L2 argmin (verified on a sample)") {
+    val cents = centroids.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val vecs = emb.filter(col("vec_id") < 20).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val got = IvfOps.assign(emb.filter(col("vec_id") < 20), centroids)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    vecs.foreach { case (id, v) =>
+      val best = cents.minBy { case (cid, c) =>
+        (v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+      }._1
+      assert(got(id) == best, s"vec $id assigned ${got(id)}, argmin $best")
+    }
+  }
+
+  test("IVF search: cosines exact for returned pairs; reasonable recall") {
+    val ivf = IvfOps.simIvf(spark, sf)
+      .select("q_id", "cand_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = SimilarityOps.bruteForceTopK(
+      emb.filter(col("vec_id") < 5), emb, 10)
+      .select("q_id", "cand_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // cosine values of returned pairs must equal the exact computation
+    val exactAll = SimilarityOps.bruteForceTopK(
+      emb.filter(col("vec_id") < 5), emb, Int.MaxValue)
+      .select("q_id", "cand_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivf.foreach { case (pair, c) => assert(exactAll(pair) == c) }
+    // recall@10 over the 5 probes: IVF with 4/16 probes should find a
+    // meaningful share of the true top-10 (deterministic given fixed init)
+    val hits = exact.keySet.count(ivf.contains)
+    assert(hits >= 15, s"recall too low: $hits/50")
+  }
+}
