@@ -78,9 +78,9 @@ object SparkEntry {
     * SUM(int)→HUGEINT, ROW_NUMBER()→BIGINT) where Spark keeps int/long. */
   def oracleSql: Map[String, String] = Map(
     "q_scan_limit" ->
-      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
+      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice LIMIT 100",
     "q_filter_ne" ->
-      "SELECT * FROM lineitem WHERE l_quantity <> 0 ORDER BY l_orderkey, l_linenumber",
+      "SELECT * FROM lineitem WHERE l_quantity <> 0 ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice",
     "q_isin_count" ->
       ("SELECT CAST(SUM(CASE WHEN l_returnflag IN ('R','A') THEN 1 ELSE 0 END) AS BIGINT) AS n_matching, " +
         "COUNT(*) AS n_total FROM lineitem"),
@@ -103,9 +103,9 @@ object SparkEntry {
         "round(SUM(l_extendedprice), 4) AS sum_base_price, " +
         "round(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price, " +
         "round(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge, " +
-        "round(AVG(l_quantity), 4) AS avg_qty, " +
-        "round(AVG(l_extendedprice), 4) AS avg_price, " +
-        "round(AVG(l_discount), 4) AS avg_disc, " +
+        "CAST(round(CAST(AVG(l_quantity) AS DECIMAL(20,8)), 4) AS DECIMAL(20,4)) AS avg_qty, " +
+        "CAST(round(CAST(AVG(l_extendedprice) AS DECIMAL(20,8)), 4) AS DECIMAL(20,4)) AS avg_price, " +
+        "CAST(round(CAST(AVG(l_discount) AS DECIMAL(20,8)), 4) AS DECIMAL(20,4)) AS avg_disc, " +
         "COUNT(*) AS count_order " +
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
@@ -137,14 +137,14 @@ object SparkEntry {
         "FROM orders) WHERE rn <= 5 ORDER BY o_orderpriority, rn"),
     "q_window_agg" ->
       ("SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr, event_type, " +
-        "COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value, round(AVG(value), 4) AS avg_value " +
+        "COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value, CAST(round(CAST(AVG(value) AS DECIMAL(20,8)), 4) AS DECIMAL(20,4)) AS avg_value " +
         "FROM events GROUP BY 1, 2 ORDER BY hr, event_type"),
     "q_json_extract" ->
       ("SELECT event_id, CAST(props->>'k' AS INTEGER) AS k_val, event_type " +
         "FROM events ORDER BY event_id"),
     "q_text_stats" ->
-      ("SELECT lang, COUNT(*) AS n_docs, round(AVG(n_chars), 4) AS avg_chars, " +
-        "round(AVG(len(string_split(trim(text), ' '))), 4) AS avg_tokens " +
+      ("SELECT lang, COUNT(*) AS n_docs, CAST(round(CAST(AVG(n_chars) AS DECIMAL(20,8)), 4) AS DECIMAL(20,4)) AS avg_chars, " +
+        "CAST(round(CAST(AVG(len(string_split(trim(text), chr(32)))) AS DECIMAL(20,8)), 4) AS DECIMAL(20,4)) AS avg_tokens " +
         "FROM documents GROUP BY lang ORDER BY lang"),
     "q_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_tokens, " +
@@ -172,10 +172,8 @@ object SparkEntry {
         "d AS (SELECT doc_id, n_tokens, " +
         "CAST(n_letter_chars AS DOUBLE) / n_tokens AS awl, " +
         "CAST(sw_n AS DOUBLE) / n_tokens AS swr FROM t) " +
-        "SELECT doc_id, n_tokens, round(awl, 4) AS avg_wlen, round(swr, 4) AS stopword_ratio, " +
-        "round(least(1.0, n_tokens / 50.0) * 0.5 " +
-        "+ CASE WHEN awl BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END " +
-        "+ least(0.2, swr), 4) AS quality_score " +
+        "SELECT doc_id, n_tokens, CAST(round(CAST(awl AS DECIMAL(20,8)), 4) AS DECIMAL(20,4)) AS avg_wlen, CAST(round(CAST(swr AS DECIMAL(20,8)), 4) AS DECIMAL(20,4)) AS stopword_ratio, " +
+        "CAST(round(CAST(least(1.0, n_tokens / 50.0) * 0.5 + CASE WHEN awl BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END + least(0.2, swr) AS DECIMAL(20,8)), 4) AS DECIMAL(20,4)) AS quality_score " +
         "FROM d ORDER BY doc_id"),
     "q_fingerprint" ->
       ("SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp " +
@@ -251,7 +249,7 @@ object SparkEntry {
       ("SELECT l_orderkey, l_linenumber, " +
         "round(coalesce(nullif(l_discount, 0.0), -1.0), 4) AS disc_or_flag, " +
         "CASE WHEN l_tax > 0.05 THEN 'high' ELSE 'low' END AS tax_band " +
-        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice"),
     "q_string_funcs" ->
       ("SELECT c_custkey, upper(c_name) AS name_upper, substring(c_name, 1, 8) AS name_prefix, " +
         "CAST(length(c_name) AS INTEGER) AS name_len, reverse(c_mktsegment) AS seg_rev, " +
@@ -270,7 +268,7 @@ object SparkEntry {
         "CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil, " +
         "CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct, " +
         "abs(l_quantity - 25) AS qty_dev, l_orderkey % 7 AS key_mod " +
-        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice"),
     "q_array_funcs" ->
       ("SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, " +
         "round(CAST(embedding[1] AS DOUBLE), 4) AS first_val, " +

@@ -86,8 +86,10 @@ object AnalyticsOps {
         col("l_orderkey"), col("l_linenumber"),
         round(coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0)), 4)
           .as("disc_or_flag"),
-        when(col("l_tax") > 0.05, "high").otherwise("low").as("tax_band"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+        when(col("l_tax") > 0.05, "high").otherwise("low").as("tax_band"),
+        col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      .orderBy(RelationalOps.LineitemOrder: _*)
+      .drop("l_partkey", "l_suppkey", "l_extendedprice")
 
   /** String function surface. */
   def stringFuncs(spark: SparkSession, dir: String): DataFrame =
@@ -126,8 +128,10 @@ object AnalyticsOps {
         ceil(col("l_quantity")).as("qty_ceil"),
         floor(col("l_discount") * 100).as("disc_pct"),
         abs(col("l_quantity") - 25).as("qty_dev"),
-        pmod(col("l_orderkey"), lit(7L)).as("key_mod"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+        pmod(col("l_orderkey"), lit(7L)).as("key_mod"),
+        col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      .orderBy(RelationalOps.LineitemOrder: _*)
+      .drop("l_partkey", "l_suppkey", "l_extendedprice")
 
   /** Statistical aggregates: exact percentiles (interpolated), sample
     * stddev, distinct counts. Exact percentile needs a per-group sort; at

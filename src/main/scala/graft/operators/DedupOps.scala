@@ -109,8 +109,9 @@ object DedupOps {
   /** LSH banding: split the signature into `bands` bands of r rows; docs
     * agreeing on any whole band become candidate pairs. The join key
     * (band index, band hash) is high-cardinality → near-linear shuffle. */
-  def minhashCandidates(sigs: DataFrame, bands: Int = 8): DataFrame = {
-    val numHashes = 32 // must match minhashSignatures default
+  def minhashCandidates(sigs: DataFrame, bands: Int = 8,
+      numHashes: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val bandStructs = (0 until bands).map { j =>
       struct(lit(j).as("band"),

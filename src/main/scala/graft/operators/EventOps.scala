@@ -22,7 +22,10 @@ object EventOps {
       .agg(
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"),
-        round(avg(col("value")), 4).as("avg_value"))
+        // averages of low-decimal data land on exact 4th-decimal halves —
+        // stabilized rounding (see NumericFunctions) keeps engines agreeing
+        graft.functions.NumericFunctions.stableRound4(avg(col("value")))
+          .as("avg_value"))
       .orderBy(col("hr"), col("event_type"))
 
   /** Gap-based sessionization, batch/window formulation: a session breaks

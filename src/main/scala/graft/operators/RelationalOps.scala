@@ -27,9 +27,16 @@ object RelationalOps {
 
   /** R2+R10: ordered scan with row cap. Catalyst plans TakeOrderedAndProject
     * (no global sort materialization) — the right shape at any scale. */
+  /** Total order over lineitem: (orderkey, linenumber) alone is NOT unique
+    * in the generated data (the generator doesn't sequence linenumbers per
+    * order), so ties would make limits/row-orders engine-dependent. */
+  private[operators] val LineitemOrder = Seq(
+    col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+    col("l_suppkey"), col("l_extendedprice"))
+
   def scanLimit(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(LineitemOrder: _*)
       .limit(100)
 
   /** R4: the reference's `passenger_count != 0` filter, generalized to
@@ -37,7 +44,7 @@ object RelationalOps {
   def filterNe(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .filter(col("l_quantity") =!= 0)
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(LineitemOrder: _*)
 
   /** R5: membership predicate + boolean-sum data-quality metric
     * (`isin([0]).sum()` in the reference). Map-side partial aggregation
@@ -107,9 +114,12 @@ object RelationalOps {
           .as("sum_disc_price"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
           * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        graft.functions.NumericFunctions.stableRound4(avg(col("l_quantity")))
+          .as("avg_qty"),
+        graft.functions.NumericFunctions.stableRound4(avg(col("l_extendedprice")))
+          .as("avg_price"),
+        graft.functions.NumericFunctions.stableRound4(avg(col("l_discount")))
+          .as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 }

@@ -25,8 +25,10 @@ object TextOps {
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
-        round(avg(col("n_chars")), 4).as("avg_chars"),
-        round(avg(col("n_tokens")), 4).as("avg_tokens"))
+        graft.functions.NumericFunctions.stableRound4(avg(col("n_chars")))
+          .as("avg_chars"),
+        graft.functions.NumericFunctions.stableRound4(avg(col("n_tokens")))
+          .as("avg_tokens"))
       .orderBy(col("lang"))
 
   /** Per-document token/char counts (whitespace tokenizer). */
@@ -88,13 +90,14 @@ object TextOps {
       .select(
         col("doc_id"),
         col("n_tokens"),
-        round(col("awl"), 4).as("avg_wlen"),
-        round(col("swr"), 4).as("stopword_ratio"),
-        round(
+        graft.functions.NumericFunctions.stableRound4(col("awl"))
+          .as("avg_wlen"),
+        graft.functions.NumericFunctions.stableRound4(col("swr"))
+          .as("stopword_ratio"),
+        graft.functions.NumericFunctions.stableRound4(
           least(lit(1.0), col("n_tokens") / lit(50.0)) * 0.5
             + when(col("awl").between(3.0, 8.0), 0.3).otherwise(0.0)
-            + least(lit(0.2), col("swr")),
-          4).as("quality_score"))
+            + least(lit(0.2), col("swr"))).as("quality_score"))
       .orderBy(col("doc_id"))
   }
 
