@@ -82,6 +82,19 @@ class TaxiPipelineSpec extends SparkTestBase {
     assert(db.count() == 7)
   }
 
+  test("JdbcSource partitioned read: parallel range queries, same rows (R9)") {
+    val c = config("yellow") // reuses the Derby db the e2e test populated
+    val url = s"file://${res("yellow_sample.csv")}"
+    TaxiPipeline.run(spark, url, c)
+    val serial = JdbcSource(c.jdbcUrl, TaxiPipeline.tableName(c)).read(spark)
+    val parallel = JdbcSource(c.jdbcUrl, TaxiPipeline.tableName(c),
+      partitionColumn = Some(("VendorID", 1L, 3L, 2))).read(spark)
+    assert(parallel.rdd.getNumPartitions == 2)
+    assert(parallel.count() == serial.count())
+    assert(parallel.agg(sum(col("fare_amount"))).collect().head.getDouble(0)
+      == serial.agg(sum(col("fare_amount"))).collect().head.getDouble(0))
+  }
+
   test("green pipeline: lpep columns pass through uncast (deployment default)") {
     val c = config("green")
     val url = s"file://${res("green_sample.csv")}"
