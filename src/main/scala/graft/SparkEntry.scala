@@ -71,6 +71,7 @@ object SparkEntry {
     "q_sessionize"     -> (EventOps.sessionAgg _),
     "q_topk_custom"    -> (JoinOps.topKCustom _),
     "q_sim_ivf"        -> (IvfOps.simIvf _),
+    "q_interval_join"  -> (EventOps.viewToPurchase _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -317,5 +318,12 @@ object SparkEntry {
         "FROM (SELECT o_orderpriority, o_orderkey, o_totalprice, " +
         "ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
         "FROM orders) WHERE rn <= 5 ORDER BY o_orderpriority, o_orderkey"),
+    "q_interval_join" ->
+      ("SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id " +
+        "FROM (SELECT * FROM events WHERE event_type = 'view') v " +
+        "JOIN (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "ON v.user_id = p.user_id AND p.ts >= v.ts " +
+        "AND p.ts <= v.ts + INTERVAL 30 MINUTE " +
+        "ORDER BY view_id, purchase_id"),
   )
 }

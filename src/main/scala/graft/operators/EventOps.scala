@@ -52,6 +52,28 @@ object EventOps {
       .orderBy(col("user_id"), col("sess_id"))
   }
 
+  /** Interval (temporal range) join, batch form: purchases within 30
+    * minutes after a view by the same user — equi join on user_id with a
+    * range predicate, so Spark plans a key-partitioned join + filter, not a
+    * cross product. The same transform runs as a watermarked stream-stream
+    * join in graft.streaming.EventStreamOps.viewPurchaseJoin. */
+  def viewToPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    views.join(purchases,
+      col("v_user") === col("p_user")
+        && col("p_ts") >= col("v_ts")
+        && col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("view_id"), col("purchase_id"),
+        col("v_user").as("user_id"))
+      .orderBy(col("view_id"), col("purchase_id"))
+  }
+
   /** JSON payload extraction (`props` is a JSON object per event). */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

@@ -38,6 +38,24 @@ object EventStreamOps {
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join: purchases within 30 minutes after a view
+    * by the same user. Watermarks bound both join-state buffers (views held
+    * 1h, purchases 2h) so state can't grow without bound on an unbounded
+    * stream. The identical plan runs in batch — see
+    * graft.operators.EventOps.viewToPurchase (the oracle-checked form). */
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame =
+    views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+      col("event_id").as("view_id"))
+      .withWatermark("v_ts", "1 hour")
+      .join(
+        purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+          .withWatermark("p_ts", "2 hours"),
+        expr("""v_user = p_user AND
+                p_ts >= v_ts AND
+                p_ts <= v_ts + INTERVAL 30 MINUTES"""))
+      .select(col("view_id"), col("purchase_id"), col("v_user").as("user_id"))
+
   /** Custom stateful operator: gap-based sessionization per user via
     * flatMapGroupsWithState. State per key = the open session; a session
     * closes when the next event arrives more than `gapMinutes` after the

@@ -59,6 +59,27 @@ class EventStreamSpec extends SparkTestBase {
     assert(truth.length == closed.length + users)
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val ev = spark.read.parquet(s"$stagingDir/events")
+    val batch = graft.operators.EventOps.viewToPurchase(spark, sf)
+      .select("view_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val schema = ev.schema
+    def stream = spark.readStream.schema(schema).parquet(s"$stagingDir/events")
+    val q = EventStreamOps.viewPurchaseJoin(
+      stream.filter(col("event_type") === "view"),
+      stream.filter(col("event_type") === "purchase"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("vpjoin").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("vpjoin")
+      .select("view_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+  }
+
   test("probe: empty stream directory yields zero windows, no crash") {
     val empty = Files.createTempDirectory("graft-empty").toString
     val schema = spark.read.parquet(s"$stagingDir/events").schema
