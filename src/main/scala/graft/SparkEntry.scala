@@ -72,6 +72,7 @@ object SparkEntry {
     "q_topk_custom"    -> (JoinOps.topKCustom _),
     "q_sim_ivf"        -> (IvfOps.simIvf _),
     "q_interval_join"  -> (EventOps.viewToPurchase _),
+    "q_approx_stats"   -> (SketchOps.approxStats _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
