@@ -73,6 +73,7 @@ object SparkEntry {
     "q_sim_ivf"        -> (IvfOps.simIvf _),
     "q_interval_join"  -> (EventOps.viewToPurchase _),
     "q_approx_stats"   -> (SketchOps.approxStats _),
+    "q_dedup_clusters" -> (DedupOps.dedupClustersQuery _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -178,6 +178,13 @@ object DedupOps {
     }
     labels
   }
+
+  /** Declared query: full transitive near-dup clustering over the corpus
+    * (rows-only — iterative CC isn't SQL-expressible). One row per doc with
+    * its cluster id; survivors = rows where doc_id == cluster_id. */
+  def dedupClustersQuery(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(Tables.documents(spark, dir), 0.5)
+      .orderBy(col("doc_id"))
 
   /** Full near-dup clustering: MinHash+LSH candidate pairs, exact-Jaccard
     * verification, then connected components so transitive chains (A≈B,
