@@ -74,6 +74,7 @@ object SparkEntry {
     "q_interval_join"  -> (EventOps.viewToPurchase _),
     "q_approx_stats"   -> (SketchOps.approxStats _),
     "q_dedup_clusters" -> (DedupOps.dedupClustersQuery _),
+    "q_dedup_embed_lsh" -> (DedupOps.dedupEmbedLsh _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived

@@ -257,6 +257,14 @@ object DedupOps {
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame =
     embeddingTopPairs(Tables.embeddings(spark, dir))
 
+  /** Declared query for the LSH-bucketed near-dup scale path (rows-only —
+    * the bucket structure isn't SQL-expressible; ScaleSpec proves the
+    * subset-of-brute-force property). Threshold/planes tuned so the
+    * near-random test embeddings (max pair cosine ≈ 0.51) still produce
+    * candidate pairs at every SF. */
+  def dedupEmbedLsh(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDupLsh(Tables.embeddings(spark, dir), 0.25, numPlanes = 6)
+
   /** Scale path for embedding near-dup: bucket vectors by hyperplane-LSH
     * signature, compare only within a bucket (equality join on the bucket
     * id — hash-partitioned, never a cross product). Near-identical vectors
