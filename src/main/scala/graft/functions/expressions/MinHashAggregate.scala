@@ -12,11 +12,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * the exploded shingles updating a primitive long[numHashes] buffer, one
   * array column out — instead of `numHashes` separate `min(xxhash64(...))`
   * aggregate columns (which each re-hash the input). The hash family is
-  * xxhash64 seeded by the hash index, identical to the column formulation
-  * in DedupOps.minhashSignatures.
+  * Murmur3 seeded by the hash index — NOT the same family as the
+  * xxhash64-salted `DedupOps.minhashSignatures`; signatures from the two
+  * paths are not comparable and must not be mixed in one LSH banding join.
   *
   * Buffer serialization (for partial-aggregate shuffle) is a flat
-  * little-endian long array — no Kryo, no boxing.
+  * big-endian long array — no Kryo, no boxing.
   */
 case class MinHashSignature(
     child: Expression,

@@ -15,7 +15,8 @@ import org.apache.spark.sql.types._
   *
   * Semantics are identical to the higher-order version and to the DuckDB
   * oracle: sequential left-to-right fold in double precision. Null elements
-  * are skipped (none occur in the test tables).
+  * are skipped (none occur in the test tables); mismatched dimensions throw
+  * rather than silently truncating — a wrong-dim embedding must fail loudly.
   */
 object VectorExpressions {
 
@@ -46,7 +47,9 @@ case class VectorDotProduct(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val (lt, rt) = (elementType(left), elementType(right))
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) throw new IllegalArgumentException(
+      s"vector_dot: dimension mismatch ${x.numElements()} vs ${y.numElements()}")
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -67,7 +70,11 @@ case class VectorDotProduct(left: Expression, right: Expression)
       val xv = CodeGenerator.getValue(a, lt, i)
       val yv = CodeGenerator.getValue(b, rt, i)
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "vector_dot: dimension mismatch " + $a.numElements() + " vs " + $b.numElements());
+         |}
+         |int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {

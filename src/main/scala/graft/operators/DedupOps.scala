@@ -154,28 +154,52 @@ object DedupOps {
     * join + one aggregation — all distributed; the driver only checks
     * convergence. Near-dup graphs converge in a handful of iterations
     * (components are short chains), so `maxIter` is a safety bound. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
+    // materialize with a clean-slate plan: localCheckpoint alone preserves
+    // plan constraints that can reference pruned attributes, which trips
+    // Catalyst's union constraint rewrite when the result is re-unioned/
+    // self-joined across iterations
+    def materialize(df: DataFrame): DataFrame = {
+      val mat = df.localCheckpoint(eager = true)
+      spark.createDataFrame(mat.rdd, mat.schema)
+    }
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node"))
+    var labels = materialize(
+      sym.select(col("src").as("node")).distinct()
+        .withColumn("comp", col("node")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val viaNeighbors = sym
         .join(labels, sym("dst") === labels("node"))
         .select(sym("src").as("node"), col("comp"))
-      val next = labels.select(col("node"), col("comp"))
-        .union(viaNeighbors)
-        .groupBy(col("node"))
-        .agg(min(col("comp")).as("comp"))
+      val propagated = materialize(
+        labels.select(col("node"), col("comp"))
+          .union(viaNeighbors)
+          .groupBy(col("node"))
+          .agg(min(col("comp")).as("comp")))
+      // pointer jumping (path halving): also adopt the label of our current
+      // representative, giving O(log chain) convergence instead of O(chain)
+      val next = materialize(
+        propagated.as("p")
+          .join(propagated.select(col("node").as("rep"),
+            col("comp").as("rep_comp")).as("r"),
+            col("p.comp") === col("r.rep"), "left")
+          .select(col("p.node").as("node"),
+            least(col("p.comp"), coalesce(col("rep_comp"), col("p.comp")))
+              .as("comp")))
       val changed = next.as("n")
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .filter(col("n.comp") =!= col("o.comp")).count()
-      labels = next.localCheckpoint(eager = true) // truncate the lineage
+      labels = next
       converged = changed == 0
       i += 1
     }
+    // returning partially-propagated labels would be silently wrong
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter iterations")
     labels
   }
 

@@ -26,20 +26,26 @@ import graft.functions.VectorFunctions._
   */
 object IvfOps {
 
-  /** Squared L2 distance via the expansion |a|²+|b|²−2⟨a,b⟩ so the inner
-    * loop is the codegen'd VectorDotProduct instead of an interpreted
-    * zip_with fold (~10× on the assignment cross join). */
-  private def dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    l2Norm(a) * l2Norm(a) + l2Norm(b) * l2Norm(b) - lit(2.0) * dotProduct(a, b)
+  /** Centroids with their precomputed squared norm (k rows, computed once —
+    * not once per vector-centroid pair). */
+  private def withCentroidNorm(centroids: DataFrame): DataFrame =
+    centroids.withColumn("cnrm2",
+      dotProduct(col("centroid"), col("centroid")))
+
+  /** Argmin score for "nearest centroid by L2": |b|²−2⟨a,b⟩. The |a|² term
+    * is constant per input vector, so dropping it preserves the argmin and
+    * leaves the codegen'd dot product as the only per-pair O(dim) work. */
+  private def centroidScore: org.apache.spark.sql.Column =
+    col("cnrm2") - lit(2.0) * dotProduct(col("embedding"), col("centroid"))
 
   /** One assignment pass: nearest centroid (L2) per vector. `centroids` is
-    * broadcast — it is k rows. Uses min(struct(dist, cid)) for a
+    * broadcast — it is k rows. Uses min(struct(score, cid)) for a
     * deterministic argmin (ties break to the lower cid). */
   def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val joined = emb.crossJoin(broadcast(centroids))
-      .withColumn("dist2", dist2(col("embedding"), col("centroid")))
+    val joined = emb.crossJoin(broadcast(withCentroidNorm(centroids)))
+      .withColumn("score", centroidScore)
     joined.groupBy(col("vec_id"))
-      .agg(min(struct(col("dist2"), col("centroid_id"))).as("best"))
+      .agg(min(struct(col("score"), col("centroid_id"))).as("best"))
       .select(col("vec_id"), col("best.centroid_id").as("centroid_id"))
   }
 
@@ -83,9 +89,9 @@ object IvfOps {
       .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
         l2Norm(col("embedding")).as("c_nrm"), col("centroid_id"))
 
-    val probeW = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("centroid_id"))
-    val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("dist2", dist2(col("embedding"), col("centroid")))
+    val probeW = Window.partitionBy(col("vec_id")).orderBy(col("score"), col("centroid_id"))
+    val probes = queries.crossJoin(broadcast(withCentroidNorm(centroids)))
+      .withColumn("score", centroidScore)
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nprobe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),

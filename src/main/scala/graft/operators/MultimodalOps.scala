@@ -64,18 +64,26 @@ object MultimodalOps {
 
   /** Frame sampling: split the payload into fixed-size "frames" and keep
     * every `everyK`-th — the Spark shape of video frame extraction
-    * (explode stays narrow; no shuffle). */
+    * (explode stays narrow; no shuffle). `frame_idx` is the ORIGINAL frame
+    * position (0, k, 2k, …) so features map back to the source frame;
+    * payloads shorter than one frame yield no frames at all. */
   def sampleFrames(docs: DataFrame, frameBytes: Int = 16, everyK: Int = 4): DataFrame =
     withBinaryPayload(docs)
       .select(col("doc_id"), col("payload"),
         (octet_length(col("payload")) / frameBytes).cast("int").as("nf"))
       .select(col("doc_id"),
-        posexplode(filter(
-          transform(sequence(lit(0), greatest(col("nf") - 1, lit(0))),
-            i => substring(col("payload"), i * frameBytes + 1, lit(frameBytes))),
-          (_, i) => i % everyK === 0)))
-      .withColumnRenamed("pos", "frame_idx")
-      .withColumnRenamed("col", "frame")
+        explode(
+          when(col("nf") > 0,
+            filter(
+              transform(sequence(lit(0), greatest(col("nf") - 1, lit(0))),
+                i => struct(i.as("frame_idx"),
+                  substring(col("payload"), i * frameBytes + 1, lit(frameBytes))
+                    .as("frame"))),
+              s => s.getField("frame_idx") % everyK === 0))
+            .otherwise(array().cast("array<struct<frame_idx:int,frame:binary>>")))
+          .as("f"))
+      .select(col("doc_id"), col("f.frame_idx").as("frame_idx"),
+        col("f.frame").as("frame"))
 
   /** Per-frame featurization STUB: a real pipeline would run an encoder on
     * the decoded frame; the fake derives a deterministic 8-dim vector from

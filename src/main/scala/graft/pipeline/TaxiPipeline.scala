@@ -66,14 +66,28 @@ object TaxiPipeline {
   /** R2-R8: ingest — scan CSV, quality-count, filter, cast, append to the
     * relational store. Returns (rowsBefore, zeroBefore, zeroAfter). */
   def ingest(spark: SparkSession, csvPath: String, c: Config): (Long, Long, Long) = {
-    val raw = CsvSource(csvPath).read(spark)
-    val zeroBefore = zeroPassengerCount(raw)
+    // cache the scan: schema inference + the quality counts + two writes
+    // would otherwise re-read the file ~6×. A single month file fits; a
+    // at-scale ingest runs per-partition where each file is read once anyway.
+    val raw = CsvSource(csvPath).read(spark).cache()
+    // one aggregate pass for (total, zero-count) instead of two scans;
+    // the zero-count column is conditional on passenger_count existing (R7's
+    // cast-if-present sibling quirk)
+    val zeroCol =
+      if (raw.columns.contains("passenger_count"))
+        sum(when(col("passenger_count").isin(0), 1L).otherwise(0L))
+      else lit(0L)
+    val stats = raw.agg(count(lit(1)).as("n"), zeroCol.as("zeros"))
+      .collect().head
+    val (total, zeroBefore) =
+      (stats.getLong(0), Option(stats.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L))
     val cleaned = castTimestampsIfPresent(dropZeroPassengers(raw))
     val zeroAfter = zeroPassengerCount(cleaned)
     // R6: schema-only write creates/replaces the table without data motion
     JdbcSink(c.jdbcUrl, tableName(c), SaveMode.Overwrite).write(cleaned.limit(0))
     JdbcSink(c.jdbcUrl, tableName(c), SaveMode.Append).write(cleaned)
-    (raw.count(), zeroBefore, zeroAfter)
+    raw.unpersist()
+    (total, zeroBefore, zeroAfter)
   }
 
   /** R9-R14: export — read back, cap rows (the reference's

@@ -123,7 +123,13 @@ object HttpFetch {
       val client = HttpClient.newBuilder()
         .followRedirects(HttpClient.Redirect.ALWAYS).build()
       val req = HttpRequest.newBuilder(uri).GET().build()
-      client.send(req, HttpResponse.BodyHandlers.ofFile(dest))
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(dest))
+      // a 404/500 body must not masquerade as the downloaded CSV
+      if (resp.statusCode() / 100 != 2) {
+        Files.deleteIfExists(dest)
+        throw new java.io.IOException(
+          s"fetch of $url failed: HTTP ${resp.statusCode()}")
+      }
     }
     dest
   }

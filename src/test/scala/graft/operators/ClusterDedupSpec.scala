@@ -17,6 +17,14 @@ class ClusterDedupSpec extends SparkTestBase {
     assert(Seq(20L, 21L, 22L, 23L).forall(comps(_) == 20L))
   }
 
+  test("connectedComponents converges on a 60-node chain (pointer jumping)") {
+    val edges = (0L until 59L).map(i => (i, i + 1)).toDF("src", "dst")
+    val comps = DedupOps.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size == 60)
+    assert(comps.values.forall(_ == 0L))
+  }
+
   test("dedupClusters collapses transitive near-dup chains") {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "text", "lang", "source", "n_chars")

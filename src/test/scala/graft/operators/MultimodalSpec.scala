@@ -32,6 +32,16 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.filter(octet_length(col("frame")) > 16).count() == 0)
   }
 
+  test("sampleFrames: short payloads yield zero frames; indices are original positions") {
+    import spark.implicits._
+    val docs = Seq((1L, "tiny"), (2L, "x" * 100)).toDF("doc_id", "text")
+    val frames = MultimodalOps.sampleFrames(docs, frameBytes = 16, everyK = 4)
+    assert(frames.filter(col("doc_id") === 1L).count() == 0) // 4 bytes < 1 frame
+    val idx = frames.filter(col("doc_id") === 2L)
+      .select("frame_idx").collect().map(_.getInt(0)).sorted
+    assert(idx.sameElements(Array(0, 4))) // 6 full frames -> keep 0 and 4
+  }
+
   test("featurizeFrames yields an 8-dim vector per sampled frame") {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 5)
     val frames = MultimodalOps.sampleFrames(docs)
