@@ -175,20 +175,21 @@ object DedupOps {
       val viaNeighbors = sym
         .join(labels, sym("dst") === labels("node"))
         .select(sym("src").as("node"), col("comp"))
-      val propagated = materialize(
+      // pointer jumping (path halving) against the PREVIOUS iteration's
+      // materialized labels: adopting our representative's last-known label
+      // still gives O(log chain) convergence, and joining against the
+      // already-materialized `labels` avoids a second materialization of a
+      // self-joined plan — one distributed job per iteration
+      val next = materialize(
         labels.select(col("node"), col("comp"))
           .union(viaNeighbors)
           .groupBy(col("node"))
-          .agg(min(col("comp")).as("comp")))
-      // pointer jumping (path halving): also adopt the label of our current
-      // representative, giving O(log chain) convergence instead of O(chain)
-      val next = materialize(
-        propagated.as("p")
-          .join(propagated.select(col("node").as("rep"),
-            col("comp").as("rep_comp")).as("r"),
-            col("p.comp") === col("r.rep"), "left")
-          .select(col("p.node").as("node"),
-            least(col("p.comp"), coalesce(col("rep_comp"), col("p.comp")))
+          .agg(min(col("comp")).as("comp"))
+          .join(labels.select(col("node").as("rep"),
+            col("comp").as("rep_comp")),
+            col("comp") === col("rep"), "left")
+          .select(col("node"),
+            least(col("comp"), coalesce(col("rep_comp"), col("comp")))
               .as("comp")))
       val changed = next.as("n")
         .join(labels.as("o"), col("n.node") === col("o.node"))

@@ -74,6 +74,33 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: asOfJoin equals the per-row brute-force as-of semantics") {
+    import java.sql.Timestamp
+    val keyGen = Gen.choose(1L, 5L)
+    val tsGen = Gen.choose(0L, 100000L)
+    val left = sample(Gen.zip(keyGen, tsGen), 120).zipWithIndex
+      .map { case ((k, t), i) => (k, new Timestamp(t), i.toLong) }
+    val right = sample(Gen.zip(keyGen, tsGen), 80).zipWithIndex
+      .map { case ((k, t), i) => (k, new Timestamp(t), 1000L + i) }
+    // dedupe right per (key, ts) keeping max id — the operator's precondition
+    val rightDeduped = right.groupBy(r => (r._1, r._2.getTime))
+      .values.map(_.maxBy(_._3)).toList
+    val got = graft.operators.AsOfJoinOps.asOfJoin(
+      left.toDF("user_id", "ts", "view_id"),
+      rightDeduped.toDF("user_id", "ts", "purchase_id"),
+      "user_id", "ts", "purchase_id")
+      .collect()
+      .map(r => r.getAs[Long]("view_id") ->
+        (if (r.isNullAt(r.fieldIndex("purchase_id"))) -1L
+         else r.getAs[Long]("purchase_id"))).toMap
+    left.foreach { case (k, t, id) =>
+      val expected = rightDeduped
+        .filter(r => r._1 == k && r._2.getTime <= t.getTime)
+        .sortBy(r => (r._2.getTime, r._3)).lastOption.map(_._3).getOrElse(-1L)
+      assert(got(id) == expected, s"left row $id key $k ts ${t.getTime}")
+    }
+  }
+
   test("property: minhash signature length is constant and pairwise jaccard symmetric bounds hold") {
     val texts = sample(docGen, 80).filter(_.nonEmpty)
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
