@@ -85,6 +85,33 @@ object MultimodalOps {
       .select(col("doc_id"), col("f.frame_idx").as("frame_idx"),
         col("f.frame").as("frame"))
 
+  /** Resized media record. */
+  final case class ResizedMedia(doc_id: Long, width: Int, height: Int,
+      payload: Array[Byte])
+
+  /** Resize STUB: a real implementation decodes, scales to
+    * `targetW`×`targetH`, and re-encodes; the fake deterministically
+    * downsamples the byte stream to the target "pixel" count so output
+    * sizes and the partition-parallel plumbing behave exactly like a real
+    * resize (bounded output, one decoder per partition, no shuffle). */
+  def resize(docs: DataFrame, targetW: Int = 32, targetH: Int = 32): Dataset[ResizedMedia] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val target = targetW * targetH
+    withBinaryPayload(docs)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val out =
+            if (bytes.length <= target) bytes
+            else Array.tabulate(target)(i =>
+              bytes((i.toLong * bytes.length / target).toInt))
+          ResizedMedia(id, targetW, targetH, out)
+        }
+      }
+  }
+
   /** Per-frame featurization STUB: a real pipeline would run an encoder on
     * the decoded frame; the fake derives a deterministic 8-dim vector from
     * the frame bytes. Partition-parallel, streaming. */

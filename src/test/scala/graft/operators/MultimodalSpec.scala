@@ -42,6 +42,16 @@ class MultimodalSpec extends SparkTestBase {
     assert(idx.sameElements(Array(0, 4))) // 6 full frames -> keep 0 and 4
   }
 
+  test("resize bounds payloads at targetW*targetH and is deterministic") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 50)
+    val a = MultimodalOps.resize(docs, 8, 8).collect().sortBy(_.doc_id)
+    val b = MultimodalOps.resize(docs.repartition(8), 8, 8).collect().sortBy(_.doc_id)
+    assert(a.length == 50)
+    a.foreach(r => assert(r.payload.length <= 64))
+    assert(a.zip(b).forall { case (x, y) =>
+      x.doc_id == y.doc_id && java.util.Arrays.equals(x.payload, y.payload) })
+  }
+
   test("featurizeFrames yields an 8-dim vector per sampled frame") {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 5)
     val frames = MultimodalOps.sampleFrames(docs)
