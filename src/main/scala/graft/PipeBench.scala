@@ -14,11 +14,13 @@ object PipeBench {
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).count() // warm the session
 
-    def run(label: String, src: sources.CsvSource, dest: String): Unit = {
+    def run(label: String, src: sources.CsvSource, dest: String,
+        repartitionTo: Option[Int] = None): Unit = {
       val t0 = System.nanoTime()
       val cleaned = pipeline.TaxiPipeline.castTimestampsIfPresent(
         pipeline.TaxiPipeline.dropZeroPassengers(src.read(spark)))
-      sources.ParquetSink(dest).write(cleaned)
+      val shaped = repartitionTo.map(cleaned.repartition).getOrElse(cleaned)
+      sources.ParquetSink(dest).write(shaped)
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"$label: $dt%.1f s, rows out ${spark.read.parquet(dest).count()}")
     }
@@ -31,14 +33,9 @@ object PipeBench {
       s"${out}_pinned")
     // non-splittable gzip forces a serial scan, but the cast + parquet
     // encode + deflate can still fan out across cores
-    val t0 = System.nanoTime()
-    val raw = sources.CsvSource(in, schema = Some(schema)).read(spark)
-    val cleaned = pipeline.TaxiPipeline.castTimestampsIfPresent(
-      pipeline.TaxiPipeline.dropZeroPassengers(raw))
-      .repartition(8)
-    sources.ParquetSink(s"${out}_par").write(cleaned)
-    val dt = (System.nanoTime() - t0) / 1e9
-    println(f"graft (pinned + parallel write): $dt%.1f s, rows out ${spark.read.parquet(s"${out}_par").count()}")
+    run("graft (pinned + parallel write)",
+      sources.CsvSource(in, schema = Some(schema)), s"${out}_par",
+      repartitionTo = Some(8))
     spark.stop()
   }
 }

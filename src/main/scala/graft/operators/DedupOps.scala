@@ -164,8 +164,12 @@ object DedupOps {
       val mat = df.localCheckpoint(eager = true)
       spark.createDataFrame(mat.rdd, mat.schema)
     }
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // materialized: otherwise the full upstream edges pipeline (in
+    // dedupClusters, the whole MinHash+verify DAG) re-executes every
+    // iteration inside the viaNeighbors join
+    val sym = materialize(
+      edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
     var labels = materialize(
       sym.select(col("src").as("node")).distinct()
         .withColumn("comp", col("node")))

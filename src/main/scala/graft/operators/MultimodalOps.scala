@@ -75,7 +75,7 @@ object MultimodalOps {
         explode(
           when(col("nf") > 0,
             filter(
-              transform(sequence(lit(0), greatest(col("nf") - 1, lit(0))),
+              transform(sequence(lit(0), col("nf") - 1), // nf >= 1 in this branch
                 i => struct(i.as("frame_idx"),
                   substring(col("payload"), i * frameBytes + 1, lit(frameBytes))
                     .as("frame"))),
@@ -91,9 +91,10 @@ object MultimodalOps {
 
   /** Resize STUB: a real implementation decodes, scales to
     * `targetW`×`targetH`, and re-encodes; the fake deterministically
-    * downsamples the byte stream to the target "pixel" count so output
-    * sizes and the partition-parallel plumbing behave exactly like a real
-    * resize (bounded output, one decoder per partition, no shuffle). */
+    * resamples the byte stream to EXACTLY targetW×targetH "pixels" (down-
+    * or up-sampling, like a real resize), so payload length always equals
+    * the emitted dimensions. Null/empty payloads yield zero-filled output.
+    * Partition-parallel, no shuffle. */
   def resize(docs: DataFrame, targetW: Int = 32, targetH: Int = 32): Dataset[ResizedMedia] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -102,9 +103,10 @@ object MultimodalOps {
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, bytes) =>
+        it.map { case (id, bytesOrNull) =>
+          val bytes = if (bytesOrNull == null) Array.empty[Byte] else bytesOrNull
           val out =
-            if (bytes.length <= target) bytes
+            if (bytes.isEmpty) new Array[Byte](target)
             else Array.tabulate(target)(i =>
               bytes((i.toLong * bytes.length / target).toInt))
           ResizedMedia(id, targetW, targetH, out)

@@ -123,7 +123,12 @@ object HttpFetch {
       val client = HttpClient.newBuilder()
         .followRedirects(HttpClient.Redirect.ALWAYS).build()
       val req = HttpRequest.newBuilder(uri).GET().build()
-      val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(dest))
+      // TRUNCATE_EXISTING: without it a refetch of a smaller body leaves
+      // stale trailing bytes from the previous download
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(dest,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING))
       // a 404/500 body must not masquerade as the downloaded CSV
       if (resp.statusCode() / 100 != 2) {
         Files.deleteIfExists(dest)

@@ -26,7 +26,8 @@ class MultimodalSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val expected = MultimodalOps.withBinaryPayload(docs)
       .select(col("doc_id"), octet_length(col("payload")).as("len")).collect()
-      .map(r => r.getLong(0) -> ((r.getInt(1) / 16 + 3) / 4).toLong).toMap
+      .map(r => r.getLong(0) -> ((r.getInt(1) / 16 + 3) / 4).toLong)
+      .filter(_._2 > 0).toMap // zero-frame docs emit no rows at all
     assert(byDoc == expected)
     // frames are at most 16 bytes
     assert(frames.filter(octet_length(col("frame")) > 16).count() == 0)
@@ -47,7 +48,8 @@ class MultimodalSpec extends SparkTestBase {
     val a = MultimodalOps.resize(docs, 8, 8).collect().sortBy(_.doc_id)
     val b = MultimodalOps.resize(docs.repartition(8), 8, 8).collect().sortBy(_.doc_id)
     assert(a.length == 50)
-    a.foreach(r => assert(r.payload.length <= 64))
+    // a real resize emits exactly target-many pixels; so does the stub
+    a.foreach(r => assert(r.payload.length == 64))
     assert(a.zip(b).forall { case (x, y) =>
       x.doc_id == y.doc_id && java.util.Arrays.equals(x.payload, y.payload) })
   }
