@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions
+
+class TextOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("langId heuristic classifies crafted stopword-bearing docs") {
+    // mirror the declared query's scoring on controlled input
+    val docs = Seq(
+      (1L, "the cat and the dog of a house"),        // en
+      (2L, "der hund und die katze und das haus"),   // de
+      (3L, "el perro y los gatos y las casas"),      // es
+      (4L, "le chien et les chats et des maisons")) // fr
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("?")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.createOrReplaceTempView("crafted_docs")
+    // reuse the operator's internals by running the same select chain
+    val toks = TextFunctions.tokensLower(col("text"))
+    def cnt(ws: Seq[String]) = TextFunctions.tokenMatchCount(toks, ws)
+    val preds = docs.select(col("doc_id"),
+      cnt(Seq("the", "a", "of", "and")).as("en_n"),
+      cnt(Seq("der", "die", "das", "und")).as("de_n"),
+      cnt(Seq("el", "los", "las", "y")).as("es_n"),
+      cnt(Seq("le", "les", "des", "et")).as("fr_n"))
+      .withColumn("pred",
+        when(col("en_n") >= col("de_n") && col("en_n") >= col("es_n")
+          && col("en_n") >= col("fr_n"), "en")
+          .when(col("de_n") >= col("es_n") && col("de_n") >= col("fr_n"), "de")
+          .when(col("es_n") >= col("fr_n"), "es")
+          .otherwise("fr"))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("pred")).toMap
+    assert(preds == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr"))
+  }
+
+  test("bpeish tokens split words, digits, and punctuation runs") {
+    val got = Seq((1L, "hello, world42 x!"))
+      .toDF("doc_id", "text")
+      .select(TextFunctions.bpeishTokens(col("text")))
+      .collect().head.getSeq[String](0)
+    assert(got == Seq("hello", ",", "world", "42", "x", "!"))
+  }
+}
