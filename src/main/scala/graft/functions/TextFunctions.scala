@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenization (single-space split of the trimmed text —
-    * matches DuckDB `string_split(trim(x), ' ')`). */
-  def tokens(text: Column): Column = split(trim(text), " ")
+  /** Whitespace tokenization: split the trimmed text on runs of whitespace,
+    * so tabs/newlines/double spaces don't yield empty tokens that inflate
+    * counts and ratios. Matches DuckDB
+    * `regexp_split_to_array(trim(x), '\s+')`. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   /** Lowercased tokens for case-insensitive matching. */
-  def tokensLower(text: Column): Column = split(trim(lower(text)), " ")
+  def tokensLower(text: Column): Column = split(trim(lower(text)), "\\s+")
 
   /** Distinct word n-gram shingles (default 3). Documents with fewer than
     * `n` tokens yield an empty array. Shingles are the dedup candidate unit:

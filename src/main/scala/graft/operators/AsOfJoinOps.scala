@@ -22,12 +22,19 @@ object AsOfJoinOps {
   /** Generic as-of join: for each left row, the latest right row with
     * `right.tsCol <= left.tsCol` within the same `keyCol`. The right side
     * must be unique per (key, ts) — pre-aggregate it if not. `valueCol` is
-    * the right-side column carried onto left rows (null when no match). */
+    * the right-side column carried onto left rows (null when no match).
+    * The value rides inside a non-null struct wrapper, so a matched right
+    * row whose value IS null propagates as null instead of being skipped by
+    * `ignoreNulls` in favor of an older row (DuckDB ASOF JOIN semantics). */
   def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, valueCol: String): DataFrame = {
+    val rvalType = right.schema(valueCol).dataType
     val l = left.withColumn("_side", lit(1))
-      .withColumn("_rval", lit(null).cast(right.schema(valueCol).dataType))
-    val r = right.select(col(keyCol), col(tsCol), col(valueCol).as("_rval"))
+      .withColumn("_rrec",
+        lit(null).cast(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("v", rvalType)))))
+    val r = right.select(col(keyCol), col(tsCol),
+        struct(col(valueCol).as("v")).as("_rrec"))
       .withColumn("_side", lit(0))
     val extraLeftCols = left.columns.filterNot(Set(keyCol, tsCol))
     val rPadded = extraLeftCols.foldLeft(r)((d, c) =>
@@ -39,9 +46,10 @@ object AsOfJoinOps {
       .orderBy(col(tsCol), col("_side"))
       .rowsBetween(Window.unboundedPreceding, 0)
     l.select(l.columns.map(col): _*).union(rPadded)
-      .withColumn("_matched", last(col("_rval"), ignoreNulls = true).over(w))
+      .withColumn("_matched",
+        last(col("_rrec"), ignoreNulls = true).over(w).getField("v"))
       .filter(col("_side") === 1)
-      .drop("_side", "_rval")
+      .drop("_side", "_rrec")
       .withColumnRenamed("_matched", valueCol)
   }
 

@@ -83,7 +83,7 @@ object TextOps {
       .select(
         col("doc_id"),
         size(toks).as("n_tokens"),
-        length(regexp_replace(col("text"), " ", "")).as("n_letter_chars"),
+        length(regexp_replace(col("text"), "\\s", "")).as("n_letter_chars"),
         tokenMatchCount(tokensLower(col("text")), EnWords).as("sw_n"))
       .withColumn("awl", col("n_letter_chars").cast("double") / col("n_tokens"))
       .withColumn("swr", col("sw_n").cast("double") / col("n_tokens"))

@@ -120,8 +120,9 @@ object HttpFetch {
     if (uri.getScheme == "file") {
       Files.copy(Paths.get(uri), dest, StandardCopyOption.REPLACE_EXISTING)
     } else {
+      // NORMAL follows redirects except https→http downgrades
       val client = HttpClient.newBuilder()
-        .followRedirects(HttpClient.Redirect.ALWAYS).build()
+        .followRedirects(HttpClient.Redirect.NORMAL).build()
       val req = HttpRequest.newBuilder(uri).GET().build()
       // TRUNCATE_EXISTING: without it a refetch of a smaller body leaves
       // stale trailing bytes from the previous download

@@ -41,6 +41,20 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got.head.getLong(0) == 55L)
   }
 
+  test("asOfJoin: a matched right row with NULL value propagates null") {
+    // The latest right row at 10:00 has a null value; the operator must
+    // carry that null, not fall back to the older 09:00 row's value.
+    val left = Seq((1L, ts("2024-01-01 10:30:00"), 100L))
+      .toDF("user_id", "ts", "view_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), Some(7L)),
+      (1L, ts("2024-01-01 10:00:00"), None: Option[Long]))
+      .toDF("user_id", "ts", "purchase_id")
+    val got = AsOfJoinOps.asOfJoin(left, right, "user_id", "ts", "purchase_id")
+      .select("purchase_id").collect()
+    assert(got.head.isNullAt(0))
+  }
+
   test("set ops: intersect + except partition the base set") {
     val inter = SetOps.intersectCustomers(spark, sf).count()
     val exceptBoth = {
