@@ -75,6 +75,13 @@ object SparkEntry {
     "q_approx_stats"   -> (SketchOps.approxStats _),
     "q_dedup_clusters" -> (DedupOps.dedupClustersQuery _),
     "q_dedup_embed_lsh" -> (DedupOps.dedupEmbedLsh _),
+    "q_grouping_sets"  -> (AnalyticsOps.groupingSetsAgg _),
+    "q_skew_join"      -> (JoinOps.skewJoinAgg _),
+    "q_chunk_docs"     -> (CorpusOps.chunkDocs _),
+    "q_sample_hash"    -> (CorpusOps.sampleByHash _),
+    "q_pii_redact"     -> (CorpusOps.piiRedact _),
+    "q_vocab_topk"     -> (CorpusOps.vocabTopK _),
+    "q_explode_tokens" -> (CorpusOps.explodeTokens _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -328,5 +335,43 @@ object SparkEntry {
         "ON v.user_id = p.user_id AND p.ts >= v.ts " +
         "AND p.ts <= v.ts + INTERVAL 30 MINUTE " +
         "ORDER BY view_id, purchase_id"),
+    "q_grouping_sets" ->
+      ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders, " +
+        "round(SUM(o_totalprice), 4) AS sum_total FROM orders " +
+        "GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ()) " +
+        "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"),
+    "q_skew_join" ->
+      ("SELECT p_brand, COUNT(*) AS n_items, round(SUM(l_extendedprice), 4) AS total " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "GROUP BY p_brand ORDER BY p_brand"),
+    "q_chunk_docs" ->
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), " +
+        "e AS (SELECT doc_id, toks, len(toks) AS n_toks, " +
+        "unnest(generate_series(0, CAST(ceil(len(toks)/50.0) AS BIGINT)-1)) AS i FROM t) " +
+        "SELECT doc_id, CAST(i AS INTEGER) AS chunk_id, " +
+        "CAST(least(50, n_toks - i*50) AS INTEGER) AS n_tokens, " +
+        "md5(array_to_string(list_slice(toks, i*50+1, i*50+50), ' ')) AS chunk_md5 " +
+        "FROM e ORDER BY doc_id, chunk_id"),
+    "q_sample_hash" ->
+      ("SELECT doc_id, lang FROM documents " +
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' ORDER BY doc_id"),
+    "q_pii_redact" ->
+      ("WITH t AS (SELECT doc_id, text || ' contact: user' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com call 555-123-4567 now' AS txt FROM documents) " +
+        "SELECT doc_id, md5(regexp_replace(regexp_replace(txt, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '<PHONE>', 'g')) AS redacted_md5 " +
+        "FROM t ORDER BY doc_id"),
+    "q_vocab_topk" ->
+      ("WITH t AS (SELECT list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks FROM documents), " +
+        "x AS (SELECT unnest(toks) AS token FROM t) " +
+        "SELECT token, COUNT(*) AS doc_freq FROM x GROUP BY token " +
+        "ORDER BY doc_freq DESC, token LIMIT 50"),
+    "q_explode_tokens" ->
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), " +
+        "e AS (SELECT doc_id, toks, " +
+        "unnest(generate_series(0, CAST(least(len(toks), 20) AS BIGINT)-1)) AS i FROM t) " +
+        "SELECT doc_id, CAST(i AS INTEGER) AS pos, toks[i+1] AS token " +
+        "FROM e ORDER BY doc_id, pos"),
   )
 }

@@ -31,6 +31,21 @@ object AnalyticsOps {
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** Explicit GROUPING SETS (Spark 4 native `Dataset.groupingSets`): the
+    * general form of rollup/cube — per-(status, priority), per-status, and
+    * grand-total rows in one aggregation pass (Spark expands the sets and
+    * aggregates once, not once per set). */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame = {
+    val status = col("o_orderstatus")
+    val prio   = col("o_orderpriority")
+    Tables.orders(spark, dir)
+      .groupingSets(Seq(Seq(status, prio), Seq(status), Seq()), status, prio)
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 4).as("sum_total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
   /** Range (band) join: non-equi join of the fact table against a small
     * broadcast bands table — plans as BroadcastNestedLoopJoin, which is
     * exactly right when the band side is tiny; a big-big range join would

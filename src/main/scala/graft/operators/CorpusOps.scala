@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Corpus-preparation operators a training-data pipeline runs between raw
+  * ingest and dedup: chunking, deterministic sampling, PII redaction,
+  * vocabulary statistics, token-position explode. The reference pipeline
+  * (ingest_data.py:29-38) stops at a row filter; these generalize that
+  * "clean the batch before loading" stage to LLM-corpus semantics.
+  *
+  * Scale posture: every operator here is a narrow per-row transformation
+  * (no join, at most one aggregation shuffle for the vocab rollup) — at
+  * 100 TB they run at parquet-scan speed with whole-stage codegen, and the
+  * explode-based ones grow the row count by a bounded factor chosen by the
+  * caller (chunk size / position cap).
+  */
+object CorpusOps {
+
+  /** Chunk size for [[chunkDocs]]: 50 whitespace tokens per training chunk. */
+  val ChunkTokens = 50
+
+  /** Fixed-size token-window chunking: split each document into consecutive
+    * `ChunkTokens`-token chunks (last chunk ragged). Output is one row per
+    * chunk with a stable (doc_id, chunk_id) key and the md5 of the chunk
+    * text (the full text stays out of the result to keep it narrow). */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame = {
+    val nChunks = ceil(col("n_toks") / lit(ChunkTokens.toDouble)).cast("int")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+      .select(col("doc_id"), col("toks"), col("n_toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(
+        col("doc_id"),
+        col("chunk_id"),
+        least(lit(ChunkTokens), col("n_toks") - col("chunk_id") * ChunkTokens)
+          .as("n_tokens"),
+        md5(array_join(
+          slice(col("toks"), col("chunk_id") * ChunkTokens + 1,
+            lit(ChunkTokens)),
+          " ")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** Deterministic ~10% sample: keep rows whose md5(doc_id) hex prefix is
+    * below a fixed threshold. Unlike `df.sample`, the choice is a pure
+    * function of the key — reproducible across runs, engines, partitionings,
+    * and cluster sizes, which is what makes holdout splits auditable. No
+    * shuffle: the filter rides the scan. */
+  def sampleByHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < "1a")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** Conservative RE2-and-Java-compatible PII patterns. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** Redact email addresses and phone numbers from `text`. */
+  def redactPii(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  /** Declared query: redact PII from each document. The synthetic corpus
+    * carries no PII, so a per-row contact line (derived from doc_id, hence
+    * deterministic) is appended first — every row then exercises one email
+    * and one phone replacement, and the md5 of the redacted text is the
+    * compared output. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" contact: user"),
+          col("doc_id").cast("string"),
+          lit("@example.com call 555-123-4567 now")).as("txt"))
+      .select(col("doc_id"), md5(redactPii(col("txt"))).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+
+  /** Vocabulary rollup: top 50 tokens by document frequency (distinct
+    * per-doc tokens → count per token). One explode + one partial-agg
+    * shuffle; the top-k is a tiny ordered take after the aggregation. */
+  def vocabTopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(array_distinct(tokensLower(col("text")))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("token"))
+      .limit(50)
+
+  /** Cap on exploded token positions in [[explodeTokens]]. */
+  val ExplodePosCap = 20
+
+  /** Token-position explode: (doc_id, pos, token) for the first
+    * `ExplodePosCap` tokens of each document — the lateral/ordinality view
+    * feeding positional n-gram or prefix analyses. Bounded fan-out. */
+  def explodeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(slice(tokens(col("text")), 1, ExplodePosCap))
+          .as(Seq("pos", "token")))
+      .orderBy(col("doc_id"), col("pos"))
+}

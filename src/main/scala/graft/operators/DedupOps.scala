@@ -57,7 +57,10 @@ object DedupOps {
     // the self-join then already holds |A| and |B|, saving two join passes
     // over the (re-computed) exploded set
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val ex = shingleSet(docs).withColumn("n", count(lit(1)).over(w))
+    // materialized: both sides of the self-join read this — without it the
+    // scan+tokenize+explode+window chain executes twice
+    val ex = Materialize(
+      shingleSet(docs).withColumn("n", count(lit(1)).over(w)))
     ex.as("a")
       .join(ex.as("b"),
         col("a.shingle") === col("b.shingle")
@@ -79,15 +82,8 @@ object DedupOps {
     * xxhash64 with distinct salts; signature_i = min over the shingle set.
     * One groupBy with `numHashes` min-aggregates — map-side partial agg keeps
     * the shuffle at one row per doc. */
-  def minhashSignatures(docs: DataFrame, numHashes: Int = 32): DataFrame = {
-    val ex = shingleSet(docs)
-    val aggs = (0 until numHashes)
-      .map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
-    ex.groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
-  }
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 32): DataFrame =
+    minhashSignaturesFromShingles(shingleSet(docs), numHashes)
 
   /** Alternative MinHash via the custom TypedImperativeAggregate
     * [[graft.functions.expressions.MinHashSignature]]: one aggregate buffer
@@ -128,11 +124,27 @@ object DedupOps {
       .distinct()
   }
 
-  /** Candidates verified with exact Jaccard over the shingle sets. */
+  /** MinHash signatures from an already-exploded (doc_id, shingle) set —
+    * lets callers that also need the raw shingles (Jaccard verification)
+    * compute the explode once. */
+  private def minhashSignaturesFromShingles(ex: DataFrame,
+      numHashes: Int = 32): DataFrame = {
+    val aggs = (0 until numHashes)
+      .map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    ex.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
+  }
+
+  /** Candidates verified with exact Jaccard over the shingle sets. The
+    * exploded shingle set is materialized once — it feeds the signature
+    * build, the per-doc counts, and both sides of the verification join,
+    * which would otherwise re-run the scan+tokenize+explode four times. */
   def minhashVerifiedPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val ex = shingleSet(docs)
+    val ex = Materialize(shingleSet(docs))
     val counts = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val cands = minhashCandidates(minhashSignatures(docs))
+    val cands = minhashCandidates(minhashSignaturesFromShingles(ex))
     val shared = cands
       .join(ex.as("ea"), col("da") === col("ea.doc_id"))
       .join(ex.as("eb"),
@@ -155,22 +167,13 @@ object DedupOps {
     * convergence. Near-dup graphs converge in a handful of iterations
     * (components are short chains), so `maxIter` is a safety bound. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val spark = edges.sparkSession
-    // materialize with a clean-slate plan: localCheckpoint alone preserves
-    // plan constraints that can reference pruned attributes, which trips
-    // Catalyst's union constraint rewrite when the result is re-unioned/
-    // self-joined across iterations
-    def materialize(df: DataFrame): DataFrame = {
-      val mat = df.localCheckpoint(eager = true)
-      spark.createDataFrame(mat.rdd, mat.schema)
-    }
     // materialized: otherwise the full upstream edges pipeline (in
     // dedupClusters, the whole MinHash+verify DAG) re-executes every
     // iteration inside the viaNeighbors join
-    val sym = materialize(
+    val sym = Materialize(
       edges.select(col("src"), col("dst"))
         .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
-    var labels = materialize(
+    var labels = Materialize(
       sym.select(col("src").as("node")).distinct()
         .withColumn("comp", col("node")))
     var converged = false
@@ -183,22 +186,25 @@ object DedupOps {
       // materialized labels: adopting our representative's last-known label
       // still gives O(log chain) convergence, and joining against the
       // already-materialized `labels` avoids a second materialization of a
-      // self-joined plan — one distributed job per iteration
-      val next = materialize(
-        labels.select(col("node"), col("comp"))
-          .union(viaNeighbors)
+      // self-joined plan. The previous label rides along as `prev`, so the
+      // convergence check is a cheap filter-count on the materialized
+      // result — not an extra join job per iteration.
+      val next = Materialize(
+        labels.select(col("node"), col("comp"), col("comp").as("prev"))
+          .union(viaNeighbors
+            .select(col("node"), col("comp"),
+              lit(null).cast(labels.schema("comp").dataType).as("prev")))
           .groupBy(col("node"))
-          .agg(min(col("comp")).as("comp"))
+          .agg(min(col("comp")).as("comp"), max(col("prev")).as("prev"))
           .join(labels.select(col("node").as("rep"),
             col("comp").as("rep_comp")),
             col("comp") === col("rep"), "left")
           .select(col("node"),
             least(col("comp"), coalesce(col("rep_comp"), col("comp")))
-              .as("comp")))
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.comp") =!= col("o.comp")).count()
-      labels = next
+              .as("comp"),
+            col("prev")))
+      val changed = next.filter(col("comp") =!= col("prev")).count()
+      labels = next.select(col("node"), col("comp"))
       converged = changed == 0
       i += 1
     }

@@ -40,13 +40,18 @@ object IvfOps {
 
   /** One assignment pass: nearest centroid (L2) per vector. `centroids` is
     * broadcast — it is k rows. Uses min(struct(score, cid)) for a
-    * deterministic argmin (ties break to the lower cid). */
+    * deterministic argmin (ties break to the lower cid). The embedding is
+    * carried through the aggregate (any_value over identical copies), so
+    * callers needing (vec_id, cell, vector) don't re-join — and re-scan —
+    * the embedding table after every pass. */
   def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
     val joined = emb.crossJoin(broadcast(withCentroidNorm(centroids)))
       .withColumn("score", centroidScore)
     joined.groupBy(col("vec_id"))
-      .agg(min(struct(col("score"), col("centroid_id"))).as("best"))
-      .select(col("vec_id"), col("best.centroid_id").as("centroid_id"))
+      .agg(min(struct(col("score"), col("centroid_id"))).as("best"),
+        any_value(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("best.centroid_id").as("centroid_id"),
+        col("embedding"))
   }
 
   /** Train `k` centroids with `iters` Lloyd iterations. Returns
@@ -60,7 +65,6 @@ object IvfOps {
 
     (1 to iters).foldLeft(init) { (centroids, _) =>
       val assigned = assign(emb, centroids)
-        .join(emb, "vec_id")
       // mean per (cell, dimension), then re-assemble the vectors in
       // dimension order — all associative aggregations
       val next = assigned
@@ -84,8 +88,7 @@ object IvfOps {
     * candidates in those cells by cosine. */
   def search(queries: DataFrame, emb: DataFrame, centroids: DataFrame,
       nprobe: Int = 4, k: Int = 10): DataFrame = {
-    val assigned = assign(emb, centroids)
-    val candidates = emb.join(assigned, "vec_id")
+    val candidates = assign(emb, centroids)
       .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
         l2Norm(col("embedding")).as("c_nrm"), col("centroid_id"))
 
@@ -114,7 +117,10 @@ object IvfOps {
     * the iterative training isn't SQL-expressible; ScalaTest checks recall
     * against the exact baseline and cosine agreement). */
   def simIvf(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+    // materialized once: k-means reads the vectors every iteration, then
+    // search reads them twice more — without this the parquet scan +
+    // float→double transforms re-execute per pass
+    val emb = Materialize(Tables.embeddings(spark, dir))
     val centroids = trainCentroids(emb, k = 16, iters = 3)
     search(emb.filter(col("vec_id") < 5), emb, centroids)
   }

@@ -109,4 +109,20 @@ object JoinOps {
         round(col("o_totalprice"), 4).as("o_totalprice"))
       .orderBy(col("o_orderpriority"), col("rn"))
   }
+
+  /** Skew-resistant fact⋈dim join via [[SkewUtils.saltedJoin]] (8-way salt
+    * on the part key), aggregated per brand. Semantically identical to the
+    * plain equi-join — the oracle IS the plain join — while each hot
+    * l_partkey spreads over 8 reducers instead of one. */
+  def skewJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = Tables.lineitem(spark, dir)
+    val part = Tables.part(spark, dir)
+      .withColumnRenamed("p_partkey", "l_partkey")
+    SkewUtils.saltedJoin(lineitem, part, "l_partkey", factor = 8,
+      bigSaltSource = Seq("l_orderkey", "l_linenumber", "l_suppkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 4).as("total"))
+      .orderBy(col("p_brand"))
+  }
 }

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class CorpusOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("chunkDocs splits every doc into ceil(n/50) chunks, last one ragged") {
+    val chunks = CorpusOps.chunkDocs(spark, sf).collect()
+    val tokCounts = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byDoc = chunks.groupBy(_.getLong(0))
+    assert(byDoc.keySet == tokCounts.keySet)
+    byDoc.foreach { case (doc, rows) =>
+      val n = tokCounts(doc)
+      assert(rows.length == math.ceil(n / 50.0).toInt)
+      // chunk ids are 0..k-1; token counts are 50,...,50,remainder
+      assert(rows.map(_.getInt(1)).sorted.sameElements(rows.indices))
+      assert(rows.map(_.getInt(2)).sum == n)
+      assert(rows.filter(_.getInt(1) < rows.length - 1)
+        .forall(_.getInt(2) == 50))
+    }
+  }
+
+  test("sampleByHash is a deterministic pure function of doc_id") {
+    val a = CorpusOps.sampleByHash(spark, sf).collect().map(_.getLong(0))
+    val b = CorpusOps.sampleByHash(spark, sf).collect().map(_.getLong(0))
+    assert(a.sameElements(b))
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(a.nonEmpty && a.length < total)
+  }
+
+  test("redactPii replaces emails and phone numbers") {
+    val got = Seq("mail bob.smith+x@sub.example.org now or 555-123-4567 ok")
+      .toDF("t")
+      .select(CorpusOps.redactPii(col("t")).as("r"))
+      .head().getString(0)
+    assert(got == "mail <EMAIL> now or <PHONE> ok")
+  }
+
+  test("vocabTopK ranks tokens by document frequency with token tie-break") {
+    val rows = CorpusOps.vocabTopK(spark, sf).collect()
+    // sf0.001's synthetic vocab is smaller than the top-k cap
+    assert(rows.length <= 50 && rows.nonEmpty)
+    val freqs = rows.map(_.getLong(1))
+    assert(freqs.sameElements(freqs.sorted.reverse))
+    // doc frequency can't exceed the corpus size
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(freqs.head <= total)
+  }
+
+  test("explodeTokens yields 0-based positions capped at 20") {
+    val rows = CorpusOps.explodeTokens(spark, sf)
+      .groupBy(col("doc_id"))
+      .agg(min(col("pos")).as("lo"), max(col("pos")).as("hi"),
+        count(lit(1)).as("n"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) == 0)
+      assert(r.getInt(2) <= 19)
+      assert(r.getLong(3) == r.getInt(2) + 1) // dense positions
+    }
+  }
+
+  test("groupingSetsAgg grand-total row matches the table count") {
+    val rows = AnalyticsOps.groupingSetsAgg(spark, sf).collect()
+    val total = graft.Tables.orders(spark, sf).count()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1 && grand.head.getLong(2) == total)
+    // per-status subtotals sum to the grand total
+    val statusRows = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    assert(statusRows.map(_.getLong(2)).sum == total)
+  }
+
+  test("skewJoinAgg (salted) equals the plain equi-join aggregation") {
+    val salted = JoinOps.skewJoinAgg(spark, sf).collect()
+    val lineitem = graft.Tables.lineitem(spark, sf)
+    val part = graft.Tables.part(spark, sf)
+    val plain = lineitem
+      .join(part, lineitem("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 4).as("total"))
+      .orderBy(col("p_brand")).collect()
+    assert(salted.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
+  }
+}
