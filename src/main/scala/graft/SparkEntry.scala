@@ -82,6 +82,7 @@ object SparkEntry {
     "q_pii_redact"     -> (CorpusOps.piiRedact _),
     "q_vocab_topk"     -> (CorpusOps.vocabTopK _),
     "q_explode_tokens" -> (CorpusOps.explodeTokens _),
+    "q_udaf_stats"     -> (AnalyticsOps.udafStats _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -373,5 +374,9 @@ object SparkEntry {
         "unnest(generate_series(0, CAST(least(len(toks), 20) AS BIGINT)-1)) AS i FROM t) " +
         "SELECT doc_id, CAST(i AS INTEGER) AS pos, toks[i+1] AS token " +
         "FROM e ORDER BY doc_id, pos"),
+    "q_udaf_stats" ->
+      ("SELECT l_returnflag, SUM(l_quantity * l_quantity) AS sum_sq_qty, " +
+        "round(SUM(l_quantity), 4) AS sum_qty, COUNT(*) AS n " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
   )
 }

@@ -31,6 +31,23 @@ object AnalyticsOps {
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** Custom typed-Aggregator UDAF ([[graft.functions.TypedAggregators
+    * .SumOfSquares]]) side by side with built-ins in one aggregation —
+    * Spark runs both with identical partial/merge phases. The oracle is
+    * plain `SUM(x*x)`: integer-valued l_quantity keeps the double sums
+    * exact, so the UDAF must hash-match the SQL form. */
+  def udafStats(spark: SparkSession, dir: String): DataFrame = {
+    val sumSq = org.apache.spark.sql.functions.udaf(
+      graft.functions.TypedAggregators.SumOfSquares)
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sumSq(col("l_quantity")).as("sum_sq_qty"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Explicit GROUPING SETS (Spark 4 native `Dataset.groupingSets`): the
     * general form of rollup/cube — per-(status, priority), per-status, and
     * grand-total rows in one aggregation pass (Spark expands the sets and

@@ -76,6 +76,16 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(statusRows.map(_.getLong(2)).sum == total)
   }
 
+  test("udafStats: typed Aggregator equals built-in SUM(x*x)") {
+    val rows = AnalyticsOps.udafStats(spark, sf).collect()
+    val expected = graft.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity") * col("l_quantity")).as("s"))
+      .orderBy(col("l_returnflag")).collect()
+    assert(rows.map(r => r.getString(0) -> r.getDouble(1)).toSeq ==
+      expected.map(r => r.getString(0) -> r.getDouble(1)).toSeq)
+  }
+
   test("skewJoinAgg (salted) equals the plain equi-join aggregation") {
     val salted = JoinOps.skewJoinAgg(spark, sf).collect()
     val lineitem = graft.Tables.lineitem(spark, sf)
