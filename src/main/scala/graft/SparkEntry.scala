@@ -83,6 +83,8 @@ object SparkEntry {
     "q_vocab_topk"     -> (CorpusOps.vocabTopK _),
     "q_explode_tokens" -> (CorpusOps.explodeTokens _),
     "q_udaf_stats"     -> (AnalyticsOps.udafStats _),
+    "q_union_by_name"  -> (SetOps.unionByNameOrders _),
+    "q_window_range"   -> (EventOps.windowRange _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -378,5 +380,19 @@ object SparkEntry {
       ("SELECT l_returnflag, SUM(l_quantity * l_quantity) AS sum_sq_qty, " +
         "round(SUM(l_quantity), 4) AS sum_qty, COUNT(*) AS n " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_union_by_name" ->
+      ("SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice, 'hi' AS src " +
+        "FROM orders WHERE o_totalprice > 200000 " +
+        "UNION ALL BY NAME " +
+        "SELECT o_orderkey, 'urgent' AS src, o_orderpriority " +
+        "FROM orders WHERE o_orderpriority = '1-URGENT' " +
+        "ORDER BY o_orderkey, src"),
+    "q_window_range" ->
+      ("WITH e AS (SELECT event_id, user_id, " +
+        "CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS epoch, value FROM events) " +
+        "SELECT event_id, user_id, epoch, " +
+        "round(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch " +
+        "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS hour_sum " +
+        "FROM e ORDER BY event_id"),
   )
 }

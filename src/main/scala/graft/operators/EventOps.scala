@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -27,6 +28,23 @@ object EventOps {
         graft.functions.NumericFunctions.stableRound4(avg(col("value")))
           .as("avg_value"))
       .orderBy(col("hr"), col("event_type"))
+
+  /** Time-range window frame: per-user moving 1-hour sum of `value` —
+    * `RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW` over epoch seconds.
+    * Unlike a ROWS frame, the range frame covers all rows at equal epoch,
+    * so the result is tie-insensitive and deterministic. One hash
+    * partition on user_id + one per-partition sort at any scale. */
+  def windowRange(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("epoch"))
+      .rangeBetween(-3600L, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("epoch"), col("value"))
+      .withColumn("hour_sum", round(sum(col("value")).over(w), 4))
+      .select(col("event_id"), col("user_id"), col("epoch"), col("hour_sum"))
+      .orderBy(col("event_id"))
+  }
 
   /** Gap-based sessionization, batch/window formulation: a session breaks
     * after 30 idle minutes; session id = running count of breaks. Same

@@ -46,4 +46,21 @@ object SetOps {
       .select("o_orderstatus", "o_orderpriority")
       .distinct()
       .orderBy("o_orderstatus", "o_orderpriority")
+
+  /** Schema-evolving union: `unionByName(allowMissingColumns = true)` over
+    * two projections with different column sets — absent columns fill with
+    * null, matching by NAME not position (the heterogeneous-batch shape of
+    * appending differently-shaped exports; cf. DuckDB UNION ALL BY NAME). */
+  def unionByNameOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val big = o.filter(col("o_totalprice") > 200000)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice"), 4).as("o_totalprice"),
+        lit("hi").as("src"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), lit("urgent").as("src"),
+        col("o_orderpriority"))
+    big.unionByName(urgent, allowMissingColumns = true)
+      .orderBy(col("o_orderkey"), col("src"))
+  }
 }
