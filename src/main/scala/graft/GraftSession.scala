@@ -20,6 +20,9 @@ object GraftSession {
     SparkSession.builder()
       .appName(appName)
       .master(master)
+      // custom planner strategies (TopKPerGroup) registered the
+      // deployment-grade way; see graft.plans.GraftExtensions
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

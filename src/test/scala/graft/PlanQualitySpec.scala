@@ -54,6 +54,30 @@ class PlanQualitySpec extends SparkTestBase {
       || p.contains("Limit 0") || RelationalOps.schemaOnly(spark, sf).count() == 0)
   }
 
+  test("chunkDocs prunes the scan to (doc_id, text) through the explode") {
+    val p = plan(CorpusOps.chunkDocs(spark, sf))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("vocabTopK partial-aggregates and takes an ordered limit") {
+    val p = plan(CorpusOps.vocabTopK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("sampleByHash scans only the projected columns") {
+    val p = plan(CorpusOps.sampleByHash(spark, sf))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p)
+  }
+
+  test("udafStats runs the typed Aggregator with partial aggregation") {
+    val p = plan(AnalyticsOps.udafStats(spark, sf))
+    // ObjectHashAggregate/SortAggregate with a partial phase before the
+    // exchange — the UDAF must not force a single-node aggregate
+    assert(p.contains("Aggregate"), p)
+    assert(p.contains("partial"), p)
+  }
+
   test("sql surface: same query via spark.sql yields same result") {
     GraftSession.openTables(spark, sf)
     val viaSql = GraftSession.sql(spark,

@@ -25,6 +25,20 @@ class ClusterDedupSpec extends SparkTestBase {
     assert(comps.values.forall(_ == 0L))
   }
 
+  test("distributed CC path equals the local union-find path") {
+    // chains, a star, isolates-by-pair — force the label-propagation loop
+    // (the size dispatch would otherwise route everything tiny to the
+    // driver-local path) and require identical labeling
+    val edges = ((0L until 59L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (100L, 102L), (100L, 103L), (200L, 201L)))
+      .toDF("src", "dst")
+    val dist = DedupOps.connectedComponents(edges, forceDistributed = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sorted.toSeq
+    val local = DedupOps.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sorted.toSeq
+    assert(dist == local)
+  }
+
   test("dedupClusters collapses transitive near-dup chains") {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "text", "lang", "source", "n_chars")

@@ -33,6 +33,28 @@ class TopKPerGroupSpec extends SparkTestBase {
     assert(!p.contains("Window"), p)
   }
 
+  test("GraftExtensions plans the operator without the runtime fallback") {
+    // Build the logical node directly (bypassing TopK.perGroup, which also
+    // injects into experimental.extraStrategies) — planning must succeed
+    // purely through the SparkSessionExtensions-registered strategy.
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, NullsFirst, NullsLast, SortOrder}
+    val saved = spark.experimental.extraStrategies
+    try {
+      spark.experimental.extraStrategies = Nil
+      val node = TopKPerGroup(
+        Seq(UnresolvedAttribute.quoted("o_orderpriority")),
+        Seq(SortOrder(UnresolvedAttribute.quoted("o_totalprice"),
+          Descending, NullsLast, Seq.empty),
+          SortOrder(UnresolvedAttribute.quoted("o_orderkey"),
+            Ascending, NullsFirst, Seq.empty)),
+        3, Tables.orders(spark, sf).queryExecution.logical)
+      val df = org.apache.spark.sql.GraftPlanBridge.ofRows(spark, node)
+      assert(df.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+      assert(df.count() > 0)
+    } finally spark.experimental.extraStrategies = saved
+  }
+
   test("probe: k larger than any group returns whole groups; k=1 returns maxima") {
     val orders = Tables.orders(spark, sf)
     val all = TopK.perGroup(orders, Seq("o_orderstatus"),
