@@ -27,6 +27,12 @@ object VectorFunctions {
     GraftColumnBridge.toColumn(expressions.VectorL2Norm(
       GraftColumnBridge.toExpression(a)))
 
+  /** Element-wise mean of a fixed-dim vector column as one partial-friendly
+    * aggregate (see [[expressions.VectorAverage]]). */
+  def vectorAvg(a: Column, dim: Int): Column =
+    GraftColumnBridge.toColumn(expressions.VectorAverage(
+      GraftColumnBridge.toExpression(a), dim).toAggregateExpression())
+
   /** Cosine similarity given precomputed norms (precompute norms per side
     * before a pair join — O(n) instead of O(n²) norm work). */
   def cosine(dot: Column, normA: Column, normB: Column): Column =

@@ -63,19 +63,16 @@ object IvfOps {
       .select(col("centroid_id"),
         transform(col("embedding"), _.cast("double")).as("centroid"))
 
+    val dim = SimilarityOps.EmbeddingDim
     (1 to iters).foldLeft(init) { (centroids, _) =>
       val assigned = assign(emb, centroids)
-      // mean per (cell, dimension), then re-assemble the vectors in
-      // dimension order — all associative aggregations
+      // centroid update = element-wise mean per cell via the custom
+      // VectorAverage aggregate: ONE groupBy whose shuffle carries one
+      // partial buffer per cell — not a posexplode (×dim rows) through two
+      // groupBys
       val next = assigned
-        .select(col("centroid_id"),
-          posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("centroid_id"), col("pos"))
-        .agg(avg(col("v").cast("double")).as("m"))
         .groupBy(col("centroid_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dims"))
-        .select(col("centroid_id"),
-          transform(col("dims"), d => d.getField("m")).as("centroid"))
+        .agg(vectorAvg(col("embedding"), dim).as("centroid"))
       // keep empty cells at their previous position
       centroids.as("old").join(next.as("new"), Seq("centroid_id"), "left")
         .select(col("centroid_id"),

@@ -44,4 +44,36 @@ class SimilaritySpec extends SparkTestBase {
       assert(rns.sameElements(1 to rns.length))
     }
   }
+
+  test("vectorAvg matches posexplode mean; null vectors skipped; all-null is null") {
+    import graft.functions.VectorFunctions.vectorAvg
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(Array(1.0f, 2.0f, 3.0f))),
+      ("a", Some(Array(3.0f, 6.0f, 9.0f))),
+      ("a", None),
+      ("b", None)
+    ).toDF("g", "v")
+    val got = df.groupBy($"g").agg(vectorAvg($"v", 3).as("m"))
+      .collect().map(r => r.getString(0) -> Option(r.getSeq[Double](1))).toMap
+    assert(got("b").isEmpty)
+    assert(got("a").get.zip(Seq(2.0, 4.0, 6.0)).forall { case (x, y) => math.abs(x - y) < 1e-12 })
+    // double input too
+    val d = df.filter($"v".isNotNull)
+      .select($"g", transform($"v", _.cast("double")).as("v"))
+      .groupBy($"g").agg(vectorAvg($"v", 3).as("m"))
+      .head().getSeq[Double](1)
+    assert(d.zip(Seq(2.0, 4.0, 6.0)).forall { case (x, y) => math.abs(x - y) < 1e-12 })
+  }
+
+  test("vectorAvg rejects non-array input at analysis time") {
+    import graft.functions.VectorFunctions.vectorAvg
+    import spark.implicits._
+    val df = Seq(("a", 1.0)).toDF("g", "v")
+    val e = intercept[Exception] {
+      df.groupBy($"g").agg(vectorAvg($"v", 3)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("array") ||
+      e.getMessage.contains("DATATYPE_MISMATCH"))
+  }
 }
