@@ -85,6 +85,12 @@ object SparkEntry {
     "q_udaf_stats"     -> (AnalyticsOps.udafStats _),
     "q_union_by_name"  -> (SetOps.unionByNameOrders _),
     "q_window_range"   -> (EventOps.windowRange _),
+    "q_outer_join"     -> (JoinOps.outerJoin _),
+    "q_subquery_agg"   -> (AnalyticsOps.subqueryAgg _),
+    "q_string_agg"     -> (AnalyticsOps.stringAgg _),
+    "q_regex_funcs"    -> (AnalyticsOps.regexFuncs _),
+    "q_window_nav"     -> (AnalyticsOps.windowNav _),
+    "q_having"         -> (AnalyticsOps.havingAgg _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -394,5 +400,39 @@ object SparkEntry {
         "round(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch " +
         "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS hour_sum " +
         "FROM e ORDER BY event_id"),
+    "q_outer_join" ->
+      ("SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, " +
+        "c.c_mktsegment AS seg, o.n_orders " +
+        "FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000) c " +
+        "FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) o " +
+        "ON c.c_custkey = o.o_custkey ORDER BY custkey"),
+    "q_subquery_agg" ->
+      ("SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice, " +
+        "(SELECT CAST(round(CAST(AVG(o_totalprice) AS DECIMAL(20,8)), 4) AS DOUBLE) FROM orders) AS avg_tp " +
+        "FROM orders WHERE o_totalprice > " +
+        "(SELECT CAST(round(CAST(AVG(o_totalprice) AS DECIMAL(20,8)), 4) AS DOUBLE) FROM orders) " +
+        "ORDER BY o_orderkey"),
+    "q_string_agg" ->
+      ("SELECT o_orderpriority, " +
+        "string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses, " +
+        "COUNT(*) AS n_orders FROM orders GROUP BY o_orderpriority " +
+        "ORDER BY o_orderpriority"),
+    "q_regex_funcs" ->
+      ("SELECT c_custkey, " +
+        "CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS INTEGER) AS cust_num, " +
+        "regexp_replace(c_name, '\\d', '*', 'g') AS masked, " +
+        "regexp_matches(c_name, '99') AS has_double9 " +
+        "FROM customer ORDER BY c_custkey"),
+    "q_window_nav" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "CAST(ntile(4) OVER w AS INTEGER) AS quartile, " +
+        "round(first_value(o_totalprice) OVER w, 4) AS first_price, " +
+        "round(nth_value(o_totalprice, 2) OVER w, 4) AS second_price, " +
+        "round(lead(o_totalprice, 1) OVER w, 4) AS next_price " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
+        "ORDER BY o_custkey, o_orderkey"),
+    "q_having" ->
+      ("SELECT o_custkey, COUNT(*) AS n_orders, round(SUM(o_totalprice), 4) AS sum_total " +
+        "FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 5 ORDER BY o_custkey"),
   )
 }

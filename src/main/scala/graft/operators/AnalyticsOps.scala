@@ -179,6 +179,80 @@ object AnalyticsOps {
         countDistinct(col("l_partkey")).as("n_parts"))
       .orderBy(col("l_returnflag"))
 
+  /** Scalar-subquery filter: orders above the global average price. The
+    * "subquery" is a one-row aggregate broadcast-cross-joined onto the scan,
+    * so the big side never shuffles and there is no driver round-trip. The
+    * threshold is decimal-rounded identically on both engines
+    * ([[graft.functions.NumericFunctions.stableRound4]]) so the comparison
+    * boundary cannot drift on float summation order. */
+  def subqueryAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val orders = Tables.orders(spark, dir)
+    val avgTp = orders.agg(
+      stableRound4(avg(col("o_totalprice"))).as("avg_tp"))
+    orders
+      .crossJoin(broadcast(avgTp))
+      .filter(col("o_totalprice") > col("avg_tp"))
+      .select(
+        col("o_orderkey"),
+        round(col("o_totalprice"), 4).as("o_totalprice"),
+        col("avg_tp"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Ordered string aggregation (GROUP_CONCAT shape): distinct statuses per
+    * priority, sorted before concatenation so the result is independent of
+    * partition arrival order. */
+  def stringAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+          .as("statuses"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Regex surface: capture-group extract, global digit masking, substring
+    * match test — all codegen'd built-ins, no UDFs. */
+  def regexFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "Customer#(\\d+)", 1).cast("int")
+          .as("cust_num"),
+        regexp_replace(col("c_name"), "\\d", "*").as("masked"),
+        col("c_name").rlike("99").as("has_double9"))
+      .orderBy(col("c_custkey"))
+
+  /** Window navigation: quartile bucket (ntile), first/second value of the
+    * running frame, next row's price (lead). One partition-sort per
+    * customer; the unique (date, key) ordering keeps every navigator
+    * deterministic. */
+  def windowNav(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        round(first(col("o_totalprice")).over(w), 4).as("first_price"),
+        round(nth_value(col("o_totalprice"), 2).over(w), 4).as("second_price"),
+        round(lead(col("o_totalprice"), 1).over(w), 4).as("next_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** GROUP BY … HAVING: per-customer order stats, keeping only customers
+    * with at least 5 orders — the filter runs on the post-shuffle,
+    * already-reduced aggregate, not the fact scan. */
+  def havingAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 4).as("sum_total"))
+      .filter(col("n_orders") >= 5)
+      .orderBy(col("o_custkey"))
+
   /** Array function surface over the embedding column. */
   def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

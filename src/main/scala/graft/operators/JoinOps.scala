@@ -81,6 +81,27 @@ object JoinOps {
       .orderBy(col("c_custkey"))
   }
 
+  /** Full-outer join on unique keys: high-balance customers against
+    * per-customer order counts — either side may be absent, and its columns
+    * carry through as nulls. Both sides are O(|customers|) so neither is
+    * broadcast; they shuffle once on the join key, and the aggregate side
+    * arrives pre-reduced (one row per key) from its own partial agg. */
+  def outerJoin(spark: SparkSession, dir: String): DataFrame = {
+    val rich = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val counts = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    rich
+      .join(counts, rich("c_custkey") === counts("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_mktsegment").as("seg"),
+        col("n_orders"))
+      .orderBy(col("custkey"))
+  }
+
   /** Top-k per group through the custom [[graft.plans.TopKPerGroup]]
     * physical operator (bounded heaps, no per-partition sort) — same
     * result set as [[topK]] minus the rank column, verified against the

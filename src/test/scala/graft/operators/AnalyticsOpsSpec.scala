@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+
+/** Invariant tests for the analytics surface added in round 2 (the
+  * value-level contract is the DuckDB oracle gate; these pin the semantics
+  * that the hash compare can't express directly). */
+class AnalyticsOpsSpec extends SparkTestBase {
+
+  test("subqueryAgg: every row beats the global average, threshold constant") {
+    val out = AnalyticsOps.subqueryAgg(spark, sf).cache()
+    try {
+      val avgs = out.select(col("avg_tp")).distinct().collect()
+      assert(avgs.length == 1)
+      assert(out.filter(col("o_totalprice") <= col("avg_tp")).count() == 0)
+      val total = Tables.orders(spark, sf).count()
+      assert(out.count() > 0 && out.count() < total)
+    } finally out.unpersist()
+  }
+
+  test("stringAgg: statuses sorted CSV over {F,O,P}; counts sum to table size") {
+    val rows = AnalyticsOps.stringAgg(spark, sf).collect()
+    val valid = Set("F", "O", "P")
+    rows.foreach { r =>
+      val parts = r.getString(1).split(",").toSeq
+      assert(parts == parts.sorted)
+      assert(parts.toSet.subsetOf(valid))
+    }
+    assert(rows.map(_.getLong(2)).sum == Tables.orders(spark, sf).count())
+  }
+
+  test("regexFuncs: extracted number equals the key; masking removes digits") {
+    val out = AnalyticsOps.regexFuncs(spark, sf).cache()
+    try {
+      assert(out.filter(col("cust_num") =!= col("c_custkey")).count() == 0)
+      assert(out.filter(col("masked").rlike("[0-9]")).count() == 0)
+      val mismatch = out.join(Tables.customer(spark, sf), "c_custkey")
+        .filter(col("has_double9") =!= col("c_name").contains("99"))
+      assert(mismatch.count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("windowNav: quartiles in 1..4; exactly one missing second_price per customer") {
+    val out = AnalyticsOps.windowNav(spark, sf).cache()
+    try {
+      assert(out.filter(col("quartile") < 1 || col("quartile") > 4).count() == 0)
+      assert(out.filter(col("first_price").isNull).count() == 0)
+      val nCustomers = out.select(col("o_custkey")).distinct().count()
+      assert(out.filter(col("second_price").isNull).count() == nCustomers)
+      // last order per customer has no next_price
+      assert(out.filter(col("next_price").isNull).count() == nCustomers)
+    } finally out.unpersist()
+  }
+
+  test("havingAgg equals the unfiltered aggregate restricted to n>=5") {
+    val all = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    val expected = all.filter(col("n") >= 5).count()
+    val out = AnalyticsOps.havingAgg(spark, sf)
+    assert(out.count() == expected)
+    assert(out.filter(col("n_orders") < 5).count() == 0)
+  }
+}

@@ -38,6 +38,22 @@ class JoinOpsSpec extends SparkTestBase {
     }
   }
 
+  test("outerJoin covers the union of both key sets exactly once") {
+    val customer = Tables.customer(spark, sf)
+    val orders = Tables.orders(spark, sf)
+    val expected = customer.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+      .union(orders.select(col("o_custkey"))).distinct().count()
+    val out = JoinOps.outerJoin(spark, sf)
+    assert(out.count() == expected)
+    assert(out.select(col("custkey")).distinct().count() == expected)
+    assert(out.filter(col("custkey").isNull).count() == 0)
+    // rows with null seg are exactly the low-balance customers with orders
+    val lowBalWithOrders = customer.filter(col("c_acctbal") <= 5000)
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_semi")
+      .count()
+    assert(out.filter(col("seg").isNull).count() == lowBalWithOrders)
+  }
+
   test("joinAgg revenue is positive for every nation present") {
     val rows = JoinOps.joinAgg(spark, sf).collect()
     assert(rows.nonEmpty)
