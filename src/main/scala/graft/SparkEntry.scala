@@ -91,6 +91,9 @@ object SparkEntry {
     "q_regex_funcs"    -> (AnalyticsOps.regexFuncs _),
     "q_window_nav"     -> (AnalyticsOps.windowNav _),
     "q_having"         -> (AnalyticsOps.havingAgg _),
+    "q_map_funcs"      -> (AnalyticsOps.mapFuncs _),
+    "q_struct_funcs"   -> (AnalyticsOps.structFuncs _),
+    "q_cross_grid"     -> (AnalyticsOps.crossGrid _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -434,5 +437,27 @@ object SparkEntry {
     "q_having" ->
       ("SELECT o_custkey, COUNT(*) AS n_orders, round(SUM(o_totalprice), 4) AS sum_total " +
         "FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 5 ORDER BY o_custkey"),
+    "q_map_funcs" ->
+      ("SELECT o_orderpriority, CAST(COUNT(DISTINCT o_orderstatus) AS INTEGER) AS n_statuses, " +
+        "CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f, " +
+        "CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o, " +
+        "CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_struct_funcs" ->
+      ("SELECT l_orderkey, round(l_extendedprice, 4) AS max_price, " +
+        "l_partkey AS max_partkey, l_suppkey AS max_suppkey " +
+        "FROM (SELECT l_orderkey, l_extendedprice, l_partkey, l_suppkey, " +
+        "ROW_NUMBER() OVER (PARTITION BY l_orderkey " +
+        "ORDER BY l_extendedprice DESC, l_partkey DESC, l_suppkey DESC) AS rn " +
+        "FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey"),
+    "q_cross_grid" ->
+      ("SELECT p.o_orderpriority, s.o_orderstatus, " +
+        "CAST(coalesce(c.n, 0) AS BIGINT) AS n_orders " +
+        "FROM (SELECT DISTINCT o_orderpriority FROM orders) p " +
+        "CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s " +
+        "LEFT JOIN (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n " +
+        "FROM orders GROUP BY 1, 2) c " +
+        "ON p.o_orderpriority = c.o_orderpriority AND s.o_orderstatus = c.o_orderstatus " +
+        "ORDER BY p.o_orderpriority, s.o_orderstatus"),
   )
 }

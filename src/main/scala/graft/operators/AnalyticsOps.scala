@@ -253,6 +253,60 @@ object AnalyticsOps {
       .filter(col("n_orders") >= 5)
       .orderBy(col("o_custkey"))
 
+  /** Map function surface: per-priority status→count map built with
+    * `map_from_entries` over a sorted entry list, then probed with
+    * `element_at` / `map_keys`. The map stays inside the plan (codegen'd);
+    * only scalar probes reach the output, so the oracle is plain
+    * conditional aggregation. */
+  def mapFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("o_orderpriority"))
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("o_orderstatus"), col("n")))))
+        .as("m"))
+      .select(
+        col("o_orderpriority"),
+        size(map_keys(col("m"))).as("n_statuses"),
+        coalesce(element_at(col("m"), "F"), lit(0L)).as("n_f"),
+        coalesce(element_at(col("m"), "O"), lit(0L)).as("n_o"),
+        coalesce(element_at(col("m"), "P"), lit(0L)).as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Struct function surface: arg-max via `max(struct(...))` — structs
+    * compare lexicographically, so one partial-aggregatable MAX carries the
+    * whole argument row; no window, no self-join. The classic Spark idiom
+    * for "row with the max value per group" at scale. */
+  def structFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(struct(col("l_extendedprice"), col("l_partkey"),
+        col("l_suppkey"))).as("top"))
+      .select(
+        col("l_orderkey"),
+        round(col("top.l_extendedprice"), 4).as("max_price"),
+        col("top.l_partkey").as("max_partkey"),
+        col("top.l_suppkey").as("max_suppkey"))
+      .orderBy(col("l_orderkey"))
+
+  /** Cross join: the full (priority × status) grid — including combinations
+    * with zero orders — zero-filled from a left join against the observed
+    * counts. Both grid sides are tiny distinct sets, so the cartesian is
+    * deliberate and cheap; the count side arrives pre-aggregated. */
+  def crossGrid(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val prios = orders.select(col("o_orderpriority")).distinct()
+    val stats = orders.select(col("o_orderstatus")).distinct()
+    val counts = orders.groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+    prios.crossJoin(stats)
+      .join(counts, Seq("o_orderpriority", "o_orderstatus"), "left")
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        coalesce(col("n"), lit(0L)).as("n_orders"))
+      .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+  }
+
   /** Array function surface over the embedding column. */
   def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

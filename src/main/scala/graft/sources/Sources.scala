@@ -87,6 +87,23 @@ final case class ParquetSink(path: String, compression: String = "gzip",
   }
 }
 
+/** Columnar interchange beyond parquet: ORC (built into spark-sql —
+  * vectorized reader, predicate pushdown and column pruning work the same
+  * way). Same codec + partition-layout options as [[ParquetSink]], so a
+  * pipeline can switch formats without touching its plan. */
+final case class OrcSource(path: String) extends Source {
+  override def read(spark: SparkSession): DataFrame = spark.read.orc(path)
+}
+final case class OrcSink(path: String, compression: String = "zlib",
+    partitionBy: Seq[String] = Nil, mode: SaveMode = SaveMode.Overwrite)
+    extends Sink {
+  override def write(df: DataFrame): Unit = {
+    val w = df.write.option("compression", compression).mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .orc(path)
+  }
+}
+
 /** R12/R14: object-store upload/download. Local-FS stand-in: Spark reads and
   * writes the store path in place (no copy step — the reference's explicit
   * re-download, self-described as redundant at ingest_data.py:125, becomes a

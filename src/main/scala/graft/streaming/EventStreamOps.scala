@@ -56,6 +56,17 @@ object EventStreamOps {
                 p_ts <= v_ts + INTERVAL 30 MINUTES"""))
       .select(col("view_id"), col("purchase_id"), col("v_user").as("user_id"))
 
+  /** Watermark-bounded streaming deduplication — the unbounded-stream
+    * analogue of exact dedup (graft.operators.DedupOps.dedupExact): at-most-
+    * once emission per event_id within the watermark horizon. State holds
+    * one entry per distinct key seen inside the horizon and is purged as the
+    * watermark advances, so a duplicate-heavy 100 TB/day feed keeps a
+    * bounded dedup table instead of an ever-growing one. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Custom stateful operator: gap-based sessionization per user via
     * flatMapGroupsWithState. State per key = the open session; a session
     * closes when the next event arrives more than `gapMinutes` after the

@@ -54,6 +54,35 @@ class AnalyticsOpsSpec extends SparkTestBase {
     } finally out.unpersist()
   }
 
+  test("mapFuncs: per-status probes sum to the priority's order count") {
+    val out = AnalyticsOps.mapFuncs(spark, sf)
+    val perPrio = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("expected"))
+    val joined = out.join(perPrio, "o_orderpriority")
+      .filter(col("n_f") + col("n_o") + col("n_p") =!= col("expected"))
+    assert(joined.count() == 0)
+  }
+
+  test("structFuncs: one row per order, max_price is the true per-order max") {
+    val out = AnalyticsOps.structFuncs(spark, sf)
+    val expected = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey"))
+      .agg(round(max(col("l_extendedprice")), 4).as("expected_max"))
+    assert(out.count() == expected.count())
+    val bad = out.join(expected, "l_orderkey")
+      .filter(col("max_price") =!= col("expected_max"))
+    assert(bad.count() == 0)
+  }
+
+  test("crossGrid: |priorities| x |statuses| rows; zero-filled cells sum to total") {
+    val orders = Tables.orders(spark, sf)
+    val nP = orders.select(col("o_orderpriority")).distinct().count()
+    val nS = orders.select(col("o_orderstatus")).distinct().count()
+    val rows = AnalyticsOps.crossGrid(spark, sf).collect()
+    assert(rows.length == nP * nS)
+    assert(rows.map(_.getLong(2)).sum == orders.count())
+  }
+
   test("havingAgg equals the unfiltered aggregate restricted to n>=5") {
     val all = Tables.orders(spark, sf)
       .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))

@@ -66,6 +66,20 @@ class TaxiPipelineSpec extends SparkTestBase {
     assert(back.count() == 10)
   }
 
+  test("OrcSink/OrcSource roundtrip preserves rows, schema and partitions") {
+    val src = graft.Tables.orders(spark, sf)
+      .withColumn("yr", year(col("o_orderdate")))
+    OrcSink(s"$tmp/orc_orders", partitionBy = Seq("yr")).write(src)
+    val back = OrcSource(s"$tmp/orc_orders").read(spark)
+    assert(back.count() == src.count())
+    assert(back.columns.sorted.sameElements(src.columns.sorted))
+    // partition pruning: a yr filter must prune to that partition's rows
+    val yrs = src.groupBy(col("yr")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val someYr = yrs.keys.min
+    assert(back.filter(col("yr") === someYr).count() == yrs(someYr))
+  }
+
   test("end-to-end pipeline: fetch -> ingest(Derby) -> export -> re-read (R1-R17)") {
     val c = config("yellow")
     val url = s"file://${res("yellow_sample.csv")}"

@@ -38,6 +38,34 @@ class EventStreamSpec extends SparkTestBase {
     assert(got.sameElements(expected))
   }
 
+  test("streaming dedup: a replayed file emits every event exactly once") {
+    // stage the stream as the same file twice -> every event arrives twice
+    val dir = Files.createTempDirectory("graft-dedup-stream").toString
+    val events = Tables.events(spark, sf)
+    events.coalesce(1).write.parquet(s"$dir/a")
+    val part = new java.io.File(s"$dir/a").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    Files.copy(part.toPath, java.nio.file.Paths.get(s"$dir/in/f1.parquet"))
+    Files.copy(part.toPath, java.nio.file.Paths.get(s"$dir/in/f2.parquet"))
+
+    val schema = events.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+    val q = EventStreamOps.dedupEvents(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_events")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_events")
+    assert(got.count() == events.count())
+    assert(got.groupBy(col("event_id")).count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
   test("sessionize (stateful) matches the stateless batch sessionization") {
     import spark.implicits._
     val events = Tables.events(spark, sf)
