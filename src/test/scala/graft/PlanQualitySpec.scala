@@ -78,6 +78,37 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("partial"), p)
   }
 
+  test("structFuncs arg-max plans one partial-aggregated MAX, no window") {
+    val p = plan(AnalyticsOps.structFuncs(spark, sf))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial"), p)
+    // scan prunes to the four columns the struct needs
+    assert(p.contains(
+      "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,l_extendedprice:double>"), p)
+  }
+
+  test("subqueryAgg broadcasts the one-row aggregate (no shuffle of orders)") {
+    val p = plan(AnalyticsOps.subqueryAgg(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("outerJoin plans a full-outer shuffle join with pre-reduced right side") {
+    val p = plan(JoinOps.outerJoin(spark, sf))
+    assert(p.contains("FullOuter"), p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+    // balance filter reaches the customer scan
+    assert(p.contains("GreaterThan(c_acctbal,5000"), p)
+  }
+
+  test("havingAgg filters post-aggregation, not on the scan") {
+    val df = AnalyticsOps.havingAgg(spark, sf)
+    val p = plan(df)
+    assert(p.contains("partial_count") || p.contains("partial"), p)
+    // the HAVING predicate must sit above the final aggregate, so the scan
+    // reads only the two aggregation inputs with no pushed value filter
+    assert(p.contains("ReadSchema: struct<o_custkey:bigint,o_totalprice:double>"), p)
+  }
+
   test("sql surface: same query via spark.sql yields same result") {
     GraftSession.openTables(spark, sf)
     val viaSql = GraftSession.sql(spark,
