@@ -94,6 +94,8 @@ object SparkEntry {
     "q_map_funcs"      -> (AnalyticsOps.mapFuncs _),
     "q_struct_funcs"   -> (AnalyticsOps.structFuncs _),
     "q_cross_grid"     -> (AnalyticsOps.crossGrid _),
+    "q_tfidf"          -> (CorpusOps.tfidfTop _),
+    "q_latest_event"   -> (EventOps.latestEvent _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -459,5 +461,21 @@ object SparkEntry {
         "FROM orders GROUP BY 1, 2) c " +
         "ON p.o_orderpriority = c.o_orderpriority AND s.o_orderstatus = c.o_orderstatus " +
         "ORDER BY p.o_orderpriority, s.o_orderstatus"),
+    "q_tfidf" ->
+      ("WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token FROM documents), " +
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2), " +
+        "df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents), " +
+        "r AS (SELECT doc_id, token, tf, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, token) AS rn FROM tf) " +
+        "SELECT r.doc_id, r.token AS top_token, r.tf, df.df, " +
+        "CAST(round(CAST(r.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS DECIMAL(20,8)), 4) AS DOUBLE) AS tfidf " +
+        "FROM r JOIN df ON r.token = df.token CROSS JOIN n WHERE rn = 1 ORDER BY r.doc_id"),
+    "q_latest_event" ->
+      ("SELECT user_id, event_id, event_type, " +
+        "CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS epoch, " +
+        "round(value, 4) AS value " +
+        "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id " +
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM events) " +
+        "WHERE rn = 1 ORDER BY user_id"),
   )
 }

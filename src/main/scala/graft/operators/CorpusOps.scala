@@ -92,6 +92,38 @@ object CorpusOps {
       .orderBy(col("doc_freq").desc, col("token"))
       .limit(50)
 
+  /** TF-IDF: the top term per document. Term frequency and document
+    * frequency are integer counts, the ranking key is (tf DESC, token) —
+    * fully integer/string-deterministic, so cross-engine float drift can't
+    * reorder rows; the smoothed idf weight `ln((N+1)/(df+1))` appears only
+    * as a decimal-rounded output value. Two aggregation shuffles (tf per
+    * (doc, token), df per token) + one broadcast of the tiny df/N sides —
+    * the per-doc window sorts only each doc's own term list. */
+  def tfidfTop(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.NumericFunctions.stableRound4
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokensLower(col("text"))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("token"))
+    tf.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(broadcast(df), "token")
+      .crossJoin(broadcast(nDocs))
+      .select(
+        col("doc_id"),
+        col("token").as("top_token"),
+        col("tf"), col("df"),
+        stableRound4(col("tf") *
+          log((col("n_docs") + 1.0) / (col("df") + 1.0))).as("tfidf"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Cap on exploded token positions in [[explodeTokens]]. */
   val ExplodePosCap = 20
 

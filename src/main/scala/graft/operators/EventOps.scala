@@ -100,4 +100,22 @@ object EventOps {
         get_json_object(col("props"), "$.k").cast("int").as("k_val"),
         col("event_type"))
       .orderBy(col("event_id"))
+
+  /** Latest record per key (CDC/upsert compaction): each user's most recent
+    * event by (ts, event_id). One partition-sort per user — the canonical
+    * "compact a changelog to current state" shape; at 100 TB the same plan
+    * runs per key-range partition with no global sort. */
+  def latestEvent(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"), col("event_id"), col("event_type"),
+        floor(unix_timestamp(col("ts"))).as("epoch"),
+        round(col("value"), 4).as("value"))
+      .orderBy(col("user_id"))
+  }
 }

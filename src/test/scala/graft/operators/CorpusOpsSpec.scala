@@ -98,4 +98,38 @@ class CorpusOpsSpec extends SparkTestBase {
       .orderBy(col("p_brand")).collect()
     assert(salted.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
   }
+
+  test("tfidfTop: one row per doc; top token really is the doc's modal token") {
+    val out = CorpusOps.tfidfTop(spark, sf).cache()
+    try {
+      val nDocs = graft.Tables.documents(spark, sf).count()
+      assert(out.count() == nDocs)
+      // recompute the modal token independently and compare a sample
+      val toks = graft.Tables.documents(spark, sf)
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokensLower(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token")).count()
+      val expected = toks.collect().groupBy(_.getLong(0)).map { case (d, rs) =>
+        d -> rs.map(r => (r.getString(1), r.getLong(2)))
+          .sortBy { case (t, n) => (-n, t) }.head
+      }
+      out.collect().take(50).foreach { r =>
+        val (tok, n) = expected(r.getLong(0))
+        assert(r.getString(1) == tok && r.getLong(2) == n)
+      }
+      // tfidf weight is non-negative and zero only when df = n_docs
+      assert(out.filter(col("tfidf") < 0).count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("latestEvent: one row per user with that user's max timestamp") {
+    val out = EventOps.latestEvent(spark, sf)
+    val events = graft.Tables.events(spark, sf)
+    val expected = events.groupBy(col("user_id"))
+      .agg(max(floor(unix_timestamp(col("ts")))).as("max_epoch"))
+    assert(out.count() == expected.count())
+    val bad = out.join(expected, "user_id")
+      .filter(col("epoch") =!= col("max_epoch"))
+    assert(bad.count() == 0)
+  }
 }
