@@ -27,6 +27,13 @@ object TextFunctions {
     GraftColumnBridge.toColumn(expressions.WordShingles(
       GraftColumnBridge.toExpression(toks), n))
 
+  /** Scalar MinHash signature over a shingle-array column — a narrow map
+    * (no explode, no aggregation shuffle); see
+    * [[expressions.MinHashArray]]. */
+  def minhashArray(shingleArr: Column, numHashes: Int): Column =
+    GraftColumnBridge.toColumn(expressions.MinHashArray(
+      GraftColumnBridge.toExpression(shingleArr), numHashes))
+
   /** Count of tokens contained in `words` (stopword-style membership count).
     * OR-chain comparison keeps the DuckDB lambda translation trivial. */
   def tokenMatchCount(toks: Column, words: Seq[String]): Column =

@@ -37,18 +37,7 @@ case class MinHashSignature(
   override def update(buf: Array[Long], input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v.asInstanceOf[UTF8String]
-      val base = s.getBytes
-      var i = 0
-      while (i < numHashes) {
-        // Murmur3 seeded by the hash index — an independent-enough family;
-        // deterministic across JVMs and partitionings
-        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
-          .hashUnsafeBytes2(base, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-            base.length, i).toLong ^ (i.toLong << 32)
-        if (h < buf(i)) buf(i) = h
-        i += 1
-      }
+      MinHashFamily.updateWith(buf, v.asInstanceOf[UTF8String], numHashes)
     }
     buf
   }
@@ -79,4 +68,64 @@ case class MinHashSignature(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren.head)
+}
+
+/** The shared MinHash hash family: Murmur3 seeded by the hash index —
+  * deterministic across JVMs and partitionings. Both the aggregate
+  * ([[MinHashSignature]], one shingle per row) and the scalar
+  * ([[MinHashArray]], whole shingle array per row) use EXACTLY this
+  * function, so their signatures are interchangeable in one LSH join. */
+object MinHashFamily {
+  def updateWith(buf: Array[Long], s: UTF8String, numHashes: Int): Unit = {
+    val base = s.getBytes
+    var i = 0
+    while (i < numHashes) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
+        .hashUnsafeBytes2(base, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          base.length, i).toLong ^ (i.toLong << 32)
+      if (h < buf(i)) buf(i) = h
+      i += 1
+    }
+  }
+}
+
+/** Scalar MinHash over a per-document shingle array: when the shingles are
+  * already collected in an `array<string>` column (the [[WordShingles]]
+  * output), the signature is a pure narrow map — NO explode (×|shingles|
+  * row blowup) and NO aggregation shuffle at all. At 100 TB this turns the
+  * signature stage from a shuffle into a scan. Same hash family as
+  * [[MinHashSignature]] ([[MinHashFamily]]). Empty arrays yield the
+  * all-Long.MaxValue signature (same as an empty aggregate group). */
+case class MinHashArray(child: Expression, numHashes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(numHashes >= 1, "numHashes must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_array"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"minhash_array needs array<string>, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val buf = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    val sz = arr.numElements()
+    while (j < sz) {
+      MinHashFamily.updateWith(buf, arr.getUTF8String(j), numHashes)
+      j += 1
+    }
+    new GenericArrayData(buf)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

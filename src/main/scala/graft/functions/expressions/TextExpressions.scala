@@ -25,6 +25,17 @@ case class WordShingles(child: Expression, n: Int)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "word_shingles"
 
+  // fail at analysis, not with a runtime ClassCastException, when handed
+  // raw text instead of a token array (the SQL surface makes this easy)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(
+          s"word_shingles needs array<string> (tokenized text), got $t")
+    }
+
   private val sep = UTF8String.fromString(" ")
 
   override def nullSafeEval(v: Any): Any = {

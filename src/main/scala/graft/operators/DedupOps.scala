@@ -102,6 +102,16 @@ object DedupOps {
       .agg(sigCol.as("sig"))
   }
 
+  /** MinHash signatures as a pure narrow map: the scalar
+    * [[graft.functions.expressions.MinHashArray]] over each doc's shingle
+    * array — no explode (×|shingles| rows) and no aggregation shuffle;
+    * the signature stage becomes a scan. Same hash family as
+    * [[minhashSignaturesAgg]], so outputs are interchangeable. */
+  def minhashSignaturesScalar(docs: DataFrame, numHashes: Int = 32): DataFrame =
+    spread(docs).select(col("doc_id"),
+      graft.functions.TextFunctions.minhashArray(
+        shingles(tokensLower(col("text"))), numHashes).as("sig"))
+
   /** LSH banding: split the signature into `bands` bands of r rows; docs
     * agreeing on any whole band become candidate pairs. The join key
     * (band index, band hash) is high-cardinality → near-linear shuffle. */

@@ -22,6 +22,21 @@ class MinHashAggSpec extends SparkTestBase {
       id1 == id2 && s1 == s2 })
   }
 
+  test("scalar minhash_array equals the aggregate path on the whole corpus") {
+    val docs = Tables.documents(spark, sf)
+    val agg = DedupOps.minhashSignaturesAgg(docs, 32).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    val scalar = DedupOps.minhashSignaturesScalar(docs, 32).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    assert(agg.length == scalar.length)
+    assert(agg.zip(scalar).forall { case ((i1, s1), (i2, s2)) =>
+      i1 == i2 && s1 == s2 })
+    // and the scalar path plans no shuffle: a single narrow stage
+    val p = DedupOps.minhashSignaturesScalar(docs, 32)
+      .queryExecution.sparkPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("identical texts yield identical aggregate signatures; distinct differ") {
     val df = Seq(
       (1L, "the cat sat on the mat today again"),

@@ -1,0 +1,81 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+
+/** The extensions-registered SQL functions must behave identically to their
+  * Column-API counterparts — same expressions underneath, two surfaces. */
+class SqlFunctionsSpec extends SparkTestBase {
+
+  test("vector_dot / vector_norm in spark.sql match the Column API") {
+    Tables.embeddings(spark, sf).limit(50).createOrReplaceTempView("emb_sql")
+    val viaSql = spark.sql(
+      """SELECT vec_id,
+        |       round(vector_dot(embedding, embedding), 4) AS d,
+        |       round(vector_norm(embedding), 4) AS n
+        |FROM emb_sql ORDER BY vec_id""".stripMargin).collect()
+    val viaApi = Tables.embeddings(spark, sf).limit(50)
+      .select(col("vec_id"),
+        round(graft.functions.VectorFunctions.dotProduct(
+          col("embedding"), col("embedding")), 4).as("d"),
+        round(graft.functions.VectorFunctions.l2Norm(col("embedding")), 4).as("n"))
+      .orderBy(col("vec_id")).collect()
+    assert(viaSql.sameElements(viaApi))
+  }
+
+  test("vector_average in spark.sql aggregates element-wise") {
+    import spark.implicits._
+    Seq(("a", Array(1.0f, 3.0f)), ("a", Array(3.0f, 5.0f)))
+      .toDF("g", "v").createOrReplaceTempView("va_sql")
+    val got = spark.sql(
+      "SELECT g, vector_average(v, 2) AS m FROM va_sql GROUP BY g")
+      .head().getSeq[Double](1)
+    assert(got == Seq(2.0, 4.0))
+  }
+
+  test("word_shingles + minhash_signature compose in SQL") {
+    Tables.documents(spark, sf).limit(20).createOrReplaceTempView("docs_sql")
+    val rows = spark.sql(
+      """SELECT doc_id,
+        |       size(word_shingles(split(trim(lower(text)), '\\s+'), 3)) AS n_sh
+        |FROM docs_sql ORDER BY doc_id""".stripMargin).collect()
+    assert(rows.nonEmpty && rows.forall(_.getInt(1) >= 0))
+    // scalar signature per doc — no explode, no shuffle
+    val sig = spark.sql(
+      """SELECT minhash_array(
+        |         word_shingles(split(trim(lower(text)), '\\s+'), 3), 16) AS sig
+        |FROM docs_sql""".stripMargin).head().getSeq[Long](0)
+    assert(sig.length == 16)
+    // aggregate signature over exploded shingles — same family, same result
+    val aggSig = spark.sql(
+      """SELECT doc_id, minhash_signature(sh, 16) AS sig
+        |FROM (SELECT doc_id,
+        |        explode(word_shingles(split(trim(lower(text)), '\\s+'), 3)) AS sh
+        |      FROM docs_sql)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin).head().getSeq[Long](1)
+    val scalarSig = spark.sql(
+      """SELECT doc_id, minhash_array(
+        |         word_shingles(split(trim(lower(text)), '\\s+'), 3), 16) AS sig
+        |FROM docs_sql ORDER BY doc_id""".stripMargin).head().getSeq[Long](1)
+    assert(aggSig == scalarSig)
+  }
+
+  test("word_shingles on raw text fails at analysis with a type error") {
+    Tables.documents(spark, sf).limit(5).createOrReplaceTempView("docs_raw")
+    val e = intercept[Exception] {
+      spark.sql("SELECT word_shingles(text, 3) FROM docs_raw").collect()
+    }
+    assert(e.getMessage.contains("array<string>")
+      || e.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
+  test("non-literal dim argument is rejected with a clear error") {
+    Tables.embeddings(spark, sf).limit(5).createOrReplaceTempView("emb_bad")
+    val e = intercept[Exception] {
+      spark.sql("SELECT vector_average(embedding, vec_id) FROM emb_bad").collect()
+    }
+    assert(e.getMessage.contains("integer literal")
+      || e.getMessage.toLowerCase.contains("cannot resolve"))
+  }
+}
