@@ -60,9 +60,20 @@ object ScaleSmoke {
     timed("minhash signatures (agg) over corpus") {
       operators.DedupOps.minhashSignaturesAgg(docsBig, 32).count()
     }
+    timed("minhash signatures (scalar, shuffle-free) over corpus") {
+      operators.DedupOps.minhashSignaturesScalar(docsBig, 32).count()
+    }
     timed("lsh candidate pairs") {
       operators.DedupOps.minhashCandidates(
         operators.DedupOps.minhashSignatures(docsBig, 32)).count()
+    }
+    timed("tfidf top term per doc") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("tf").desc, col("token"))
+      val toks = docsBig.select(col("doc_id"),
+        explode(functions.TextFunctions.tokensLower(col("text"))).as("token"))
+      toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).count()
     }
     spark.stop()
   }
