@@ -63,9 +63,12 @@ def main(sf_dir: str, out_dir: str) -> int:
             # duckdb returns datetime64. The driver's round-1 results show
             # it tolerates this (date queries passed), so normalize here.
             import datetime as _dt
-            if a.dtype == object and len(a) and \
-                    isinstance(a.iloc[0], _dt.date) and \
-                    not isinstance(a.iloc[0], _dt.datetime):
+            # probe the first NON-NULL value: a null in row 0 (e.g. outer
+            # join ordered nulls-first) must not skip the conversion
+            a_nonnull = a.dropna()
+            if a.dtype == object and len(a_nonnull) and \
+                    isinstance(a_nonnull.iloc[0], _dt.date) and \
+                    not isinstance(a_nonnull.iloc[0], _dt.datetime):
                 a = pd.to_datetime(a)
             # pyarrow may give ns/us datetime units vs duckdb's us — unify
             if str(a.dtype).startswith("datetime64") and \

@@ -94,8 +94,10 @@ object MinHashFamily {
   * output), the signature is a pure narrow map — NO explode (×|shingles|
   * row blowup) and NO aggregation shuffle at all. At 100 TB this turns the
   * signature stage from a shuffle into a scan. Same hash family as
-  * [[MinHashSignature]] ([[MinHashFamily]]). Empty arrays yield the
-  * all-Long.MaxValue signature (same as an empty aggregate group). */
+  * [[MinHashSignature]] ([[MinHashFamily]]). Empty shingle arrays yield
+  * NULL — the aggregate path produces no row for a shingle-less doc, and a
+  * sentinel signature would make every short doc collide on every LSH
+  * band. */
 case class MinHashArray(child: Expression, numHashes: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
@@ -103,6 +105,7 @@ case class MinHashArray(child: Expression, numHashes: Int)
   require(numHashes >= 1, "numHashes must be >= 1")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "minhash_array"
 
@@ -116,9 +119,10 @@ case class MinHashArray(child: Expression, numHashes: Int)
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val sz = arr.numElements()
+    if (sz == 0) return null
     val buf = Array.fill(numHashes)(Long.MaxValue)
     var j = 0
-    val sz = arr.numElements()
     while (j < sz) {
       MinHashFamily.updateWith(buf, arr.getUTF8String(j), numHashes)
       j += 1

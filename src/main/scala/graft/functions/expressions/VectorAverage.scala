@@ -60,7 +60,11 @@ case class VectorAverage(
       val arr = v.asInstanceOf[ArrayData]
       require(arr.numElements() == dim,
         s"vector_average: expected dim $dim, got ${arr.numElements()}")
+      // a vector with any null element has no well-defined contribution to
+      // an element-wise mean — skip the whole row, like avg skips nulls
       var i = 0
+      while (i < dim) { if (arr.isNullAt(i)) return buf; i += 1 }
+      i = 0
       if (elemIsFloat)
         while (i < dim) { buf.sums(i) += arr.getFloat(i); i += 1 }
       else

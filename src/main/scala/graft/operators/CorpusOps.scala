@@ -104,8 +104,10 @@ object CorpusOps {
     import graft.functions.NumericFunctions.stableRound4
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokensLower(col("text"))).as("token"))
-    val tf = toks.groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
+    // materialized: tf feeds both the per-doc window and the df rollup —
+    // without it the scan+tokenize+explode+aggregate tree runs twice
+    val tf = Materialize(toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf")))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(spark, dir)
       .agg(count(lit(1)).as("n_docs"))

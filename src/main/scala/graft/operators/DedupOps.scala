@@ -111,6 +111,9 @@ object DedupOps {
     spread(docs).select(col("doc_id"),
       graft.functions.TextFunctions.minhashArray(
         shingles(tokensLower(col("text"))), numHashes).as("sig"))
+      // shingle-less docs sign as NULL; drop them so the row set matches
+      // the aggregate path (which never forms a group for them)
+      .filter(col("sig").isNotNull)
 
   /** LSH banding: split the signature into `bands` bands of r rows; docs
     * agreeing on any whole band become candidate pairs. The join key
@@ -189,7 +192,7 @@ object DedupOps {
     // smaller than the corpus — when it fits comfortably on the driver,
     // local union-find finishes in milliseconds instead of paying 3-4
     // shuffle stages per label-propagation round. The threshold bounds
-    // driver memory (5M edges ≈ 80 MB of longs); genuinely large graphs
+    // driver memory (see LocalUnionFindMaxEdges); genuinely large graphs
     // take the distributed loop below. The count is a local scan of the
     // materialized blocks.
     if (!forceDistributed && sym.count() <= LocalUnionFindMaxEdges)
@@ -235,8 +238,12 @@ object DedupOps {
     labels
   }
 
-  /** Edge-count bound for the driver-local CC path (~80 MB of raw longs). */
-  val LocalUnionFindMaxEdges: Long = 5000000L
+  /** Edge-count bound for the driver-local CC path. Budget the COLLECTED
+    * form, not raw longs: ~48 B per boxed (Long, Long) row plus ~100 B per
+    * union-find map entry → 1M edges ≈ 150-250 MB transient driver heap,
+    * safe on a default driver; beyond that the distributed loop wins
+    * anyway because per-round shuffle cost is amortized over more work. */
+  val LocalUnionFindMaxEdges: Long = 1000000L
 
   /** Driver-local union-find with path compression over a (small,
     * symmetrized) edge list. Same output contract as the distributed loop:
@@ -261,9 +268,13 @@ object DedupOps {
         if (ra < rb) parent(rb) = ra else parent(ra) = rb
       }
     }
+    val keyType = sym.schema("src").dataType
     parent.keys.toSeq.sorted
       .map(n => (n, find(n)))
       .toDF("node", "comp")
+      // match the distributed branch's schema for non-long node ids
+      .select(col("node").cast(keyType).as("node"),
+        col("comp").cast(keyType).as("comp"))
   }
 
   /** Declared query: full transitive near-dup clustering over the corpus

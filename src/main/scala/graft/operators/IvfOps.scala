@@ -63,7 +63,9 @@ object IvfOps {
       .select(col("centroid_id"),
         transform(col("embedding"), _.cast("double")).as("centroid"))
 
-    val dim = SimilarityOps.EmbeddingDim
+    // dimension comes from the data (one-row probe), keeping the API
+    // dimension-agnostic; VectorAverage needs it up front for its buffer
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
     (1 to iters).foldLeft(init) { (centroids, _) =>
       val assigned = assign(emb, centroids)
       // centroid update = element-wise mean per cell via the custom

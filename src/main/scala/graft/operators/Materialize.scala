@@ -13,7 +13,10 @@ import org.apache.spark.sql.DataFrame
   *
   * Scale note: the blocks live in executor storage (disk-backed), same as
   * MLlib's `.cache()` of an iterative training set — sized by the operator
-  * to hold signatures/exploded keys, not raw corpus bytes.
+  * to hold signatures/exploded keys, not raw corpus bytes. Superseded
+  * checkpoints (e.g. each CC round's previous labels) are reclaimed by
+  * Spark's ContextCleaner once the wrapping DataFrame becomes unreachable;
+  * long-lived references pin their blocks.
   */
 object Materialize {
   def apply(df: DataFrame): DataFrame = {

@@ -37,6 +37,20 @@ class MinHashAggSpec extends SparkTestBase {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("shingle-less docs: scalar path drops them, matching the agg path") {
+    val df = Seq(
+      (1L, "too short"), // < 3 tokens -> no shingles
+      (2L, "this document has plenty of tokens for shingling"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val agg = DedupOps.minhashSignaturesAgg(df, 16).collect()
+    val scalar = DedupOps.minhashSignaturesScalar(df, 16).collect()
+    assert(agg.map(_.getLong(0)).toSet == Set(2L))
+    assert(scalar.map(_.getLong(0)).toSet == Set(2L))
+    assert(agg.head.getSeq[Long](1) == scalar.head.getSeq[Long](1))
+  }
+
   test("identical texts yield identical aggregate signatures; distinct differ") {
     val df = Seq(
       (1L, "the cat sat on the mat today again"),
