@@ -96,6 +96,8 @@ object SparkEntry {
     "q_cross_grid"     -> (AnalyticsOps.crossGrid _),
     "q_tfidf"          -> (CorpusOps.tfidfTop _),
     "q_latest_event"   -> (EventOps.latestEvent _),
+    "q_unpivot"        -> (AnalyticsOps.unpivotStatus _),
+    "q_corr_stats"     -> (AnalyticsOps.corrStats _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -477,5 +479,21 @@ object SparkEntry {
         "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id " +
         "ORDER BY ts DESC, event_id DESC) AS rn FROM events) " +
         "WHERE rn = 1 ORDER BY user_id"),
+    "q_unpivot" ->
+      ("WITH p AS (SELECT o_orderpriority, " +
+        "CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f, " +
+        "CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o, " +
+        "CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p " +
+        "FROM orders GROUP BY o_orderpriority) " +
+        "SELECT o_orderpriority, 'n_f' AS status_col, n_f AS n FROM p " +
+        "UNION ALL SELECT o_orderpriority, 'n_o', n_o FROM p " +
+        "UNION ALL SELECT o_orderpriority, 'n_p', n_p FROM p " +
+        "ORDER BY o_orderpriority, status_col"),
+    "q_corr_stats" ->
+      ("SELECT l_returnflag, " +
+        "CAST(round(CAST(corr(l_quantity, l_extendedprice) AS DECIMAL(20,8)), 4) AS DOUBLE) AS qty_price_corr, " +
+        "CAST(round(CAST(covar_samp(l_quantity, l_extendedprice) AS DECIMAL(20,8)), 4) AS DOUBLE) AS qty_price_covar, " +
+        "COUNT(*) AS n " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
   )
 }

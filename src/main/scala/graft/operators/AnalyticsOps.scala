@@ -307,6 +307,34 @@ object AnalyticsOps {
       .orderBy(col("o_orderpriority"), col("o_orderstatus"))
   }
 
+  /** Unpivot (melt): the inverse of [[pivotStatus]] — wide per-status count
+    * columns back to (priority, status, n) rows via Spark 4's native
+    * `unpivot`. Narrow reshape: each input row fans out to a fixed number
+    * of output rows with no shuffle beyond the feeding aggregation. */
+  def unpivotStatus(spark: SparkSession, dir: String): DataFrame =
+    pivotStatus(spark, dir)
+      .unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("n_f"), col("n_o"), col("n_p")),
+        "status_col", "n")
+      .orderBy(col("o_orderpriority"), col("status_col"))
+
+  /** Bivariate statistics: Pearson correlation and sample covariance of
+    * quantity vs price per return flag — single-pass, partial-aggregatable
+    * moments (no per-group sort). */
+  def corrStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        stableRound4(corr(col("l_quantity"), col("l_extendedprice")))
+          .as("qty_price_corr"),
+        stableRound4(covar_samp(col("l_quantity"), col("l_extendedprice")))
+          .as("qty_price_covar"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Array function surface over the embedding column. */
   def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

@@ -108,4 +108,46 @@ class PropertySpec extends SparkTestBase {
     val sigs = DedupOps.minhashSignatures(df, 16).collect()
     sigs.foreach(r => assert(r.getSeq[Long](1).length == 16))
   }
+
+  test("property: minhash of a shingle-set union is the elementwise min of the parts") {
+    // sig(A ∪ B)[i] = min(sig(A)[i], sig(B)[i]) — the algebraic identity
+    // that makes MinHash partial-aggregatable; checked on the scalar path
+    val texts = sample(docGen, 40).filter(_.split("\\s+").length >= 3)
+    val pairs = texts.grouped(2).collect { case List(a, b) => (a, b) }.toList
+    val df = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      List((i.toLong, "a", a), (i.toLong, "b", b), (i.toLong, "ab", s"$a $b"))
+    }.toDF("pair_id", "side", "text")
+    val shingleArr = TextFunctions.shingles(TextFunctions.tokensLower(col("text")))
+    val sigs = df.select(col("pair_id"), col("side"),
+      TextFunctions.minhashArray(shingleArr, 16).as("sig"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> Option(r.getSeq[Long](2)))
+      .toMap
+    pairs.indices.foreach { i =>
+      (sigs((i.toLong, "a")), sigs((i.toLong, "b")), sigs((i.toLong, "ab"))) match {
+        case (Some(sa), Some(sb), Some(sab)) =>
+          // union text's shingle set ⊇ both parts' sets; the cross-boundary
+          // shingles can only LOWER the min, never raise it
+          sa.zip(sb).zip(sab).foreach { case ((x, y), u) =>
+            assert(u <= math.min(x, y))
+          }
+        case _ => // a part with < 3 tokens signs as null — skip
+      }
+    }
+  }
+
+  test("property: vectorAvg of k copies of one vector is that vector") {
+    import graft.functions.VectorFunctions.vectorAvg
+    val vecs = sample(Gen.listOfN(4, Gen.choose(-10.0, 10.0)), 20)
+    val df = vecs.zipWithIndex.flatMap { case (v, i) =>
+      List.fill(1 + i % 3)((i.toLong, v.toArray))
+    }.toDF("g", "v")
+    val got = df.groupBy(col("g")).agg(vectorAvg(col("v"), 4).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      got(i.toLong).zip(v).foreach { case (m, x) =>
+        assert(math.abs(m - x) < 1e-9)
+      }
+    }
+  }
 }

@@ -83,6 +83,27 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(rows.map(_.getLong(2)).sum == orders.count())
   }
 
+  test("unpivot is the exact inverse reshape of the pivot") {
+    val wide = AnalyticsOps.pivotStatus(spark, sf).collect()
+    val long = AnalyticsOps.unpivotStatus(spark, sf).collect()
+    assert(long.length == wide.length * 3)
+    val longMap = long.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    wide.foreach { r =>
+      assert(longMap((r.getString(0), "n_f")) == r.getLong(1))
+      assert(longMap((r.getString(0), "n_o")) == r.getLong(2))
+      assert(longMap((r.getString(0), "n_p")) == r.getLong(3))
+    }
+  }
+
+  test("corrStats: correlation in [-1,1], covariance sign matches correlation") {
+    val rows = AnalyticsOps.corrStats(spark, sf).collect()
+    rows.foreach { r =>
+      val (c, cov) = (r.getDouble(1), r.getDouble(2))
+      assert(c >= -1.0 && c <= 1.0)
+      assert(math.signum(c) == math.signum(cov))
+    }
+  }
+
   test("havingAgg equals the unfiltered aggregate restricted to n>=5") {
     val all = Tables.orders(spark, sf)
       .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
