@@ -67,6 +67,22 @@ object EventStreamOps {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Chained stateful pipeline: watermark-bounded dedup feeding event-time
+    * windowed aggregation — two stateful operators sharing the ONE
+    * watermark declared by [[dedupEvents]] (Spark disallows redeclaring it
+    * between stateful ops). The production shape for a duplicate-heavy
+    * feed: dedup state and window state both purge as the watermark
+    * advances. Append mode emits each window once, when it finalizes. */
+  def dedupedHourlyCounts(events: DataFrame): DataFrame =
+    dedupEvents(events)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** Custom stateful operator: gap-based sessionization per user via
     * flatMapGroupsWithState. State per key = the open session; a session
     * closes when the next event arrives more than `gapMinutes` after the

@@ -66,6 +66,45 @@ class EventStreamSpec extends SparkTestBase {
       .filter(col("count") > 1).count() == 0)
   }
 
+  test("chained stateful ops: dedup then windowed agg equals batch (append mode)") {
+    // duplicate-heavy stream; a far-future sentinel event advances the
+    // watermark so every real window finalizes under append mode
+    val dir = Files.createTempDirectory("graft-chain-stream").toString
+    val events = Tables.events(spark, sf)
+    events.coalesce(1).write.parquet(s"$dir/a")
+    val part = new java.io.File(s"$dir/a").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    Files.copy(part.toPath, java.nio.file.Paths.get(s"$dir/in/f1.parquet"))
+    Files.copy(part.toPath, java.nio.file.Paths.get(s"$dir/in/f2.parquet"))
+    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+    events.limit(1)
+      .withColumn("ts", lit(new java.sql.Timestamp(maxTs.getTime + 36000000L)))
+      .withColumn("event_id", lit(-1L))
+      .coalesce(1).write.parquet(s"$dir/sentinel")
+    val sentinelPart = new java.io.File(s"$dir/sentinel").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(sentinelPart.toPath, java.nio.file.Paths.get(s"$dir/in/f3.parquet"))
+
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+    val q = EventStreamOps.dedupedHourlyCounts(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("chained")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("chained")
+      .orderBy("window_start", "event_type").collect()
+    // batch equivalent on the real (non-sentinel) events; the sentinel's
+    // own window never finalizes and must not appear
+    val expected = EventStreamOps.hourlyWindowedCounts(events)
+      .orderBy("window_start", "event_type").collect()
+    assert(got.sameElements(expected))
+  }
+
   test("sessionize (stateful) matches the stateless batch sessionization") {
     import spark.implicits._
     val events = Tables.events(spark, sf)
