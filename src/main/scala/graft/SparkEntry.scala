@@ -98,6 +98,7 @@ object SparkEntry {
     "q_latest_event"   -> (EventOps.latestEvent _),
     "q_unpivot"        -> (AnalyticsOps.unpivotStatus _),
     "q_corr_stats"     -> (AnalyticsOps.corrStats _),
+    "q_date_spine"     -> (AnalyticsOps.dateSpine _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -495,5 +496,14 @@ object SparkEntry {
         "CAST(round(CAST(covar_samp(l_quantity, l_extendedprice) AS DECIMAL(20,8)), 4) AS DOUBLE) AS qty_price_covar, " +
         "COUNT(*) AS n " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_date_spine" ->
+      ("WITH b AS (SELECT date_trunc('month', min(o_orderdate)) AS lo, " +
+        "date_trunc('month', max(o_orderdate)) AS hi FROM orders), " +
+        "s AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS month_start FROM b), " +
+        "c AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start, " +
+        "COUNT(*) AS n_orders FROM orders GROUP BY 1) " +
+        "SELECT s.month_start, CAST(coalesce(c.n_orders, 0) AS BIGINT) AS n_orders " +
+        "FROM s LEFT JOIN c ON s.month_start = c.month_start " +
+        "ORDER BY s.month_start"),
   )
 }

@@ -335,6 +335,28 @@ object AnalyticsOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Date spine: a generated month calendar spanning the data's full range
+    * (sequence + explode — no source rows needed beyond the min/max probe),
+    * left-joined with observed per-month order counts so empty months
+    * surface as zero. The generated side is tiny (one row per month) and
+    * broadcasts. */
+  def dateSpine(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val bounds = orders.agg(
+      date_trunc("month", min(col("o_orderdate"))).as("lo"),
+      date_trunc("month", max(col("o_orderdate"))).as("hi"))
+    val spine = bounds.select(explode(sequence(
+      col("lo"), col("hi"), expr("interval 1 month"))).as("month_start"))
+      .select(to_date(col("month_start")).as("month_start"))
+    val counts = orders
+      .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("month_start"))
+      .agg(count(lit(1)).as("n_orders"))
+    spine.join(counts, Seq("month_start"), "left")
+      .select(col("month_start"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy(col("month_start"))
+  }
+
   /** Array function surface over the embedding column. */
   def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

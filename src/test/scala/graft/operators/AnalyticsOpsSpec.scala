@@ -104,6 +104,16 @@ class AnalyticsOpsSpec extends SparkTestBase {
     }
   }
 
+  test("dateSpine: contiguous months, counts sum to the table total") {
+    val rows = AnalyticsOps.dateSpine(spark, sf).collect()
+    val months = rows.map(_.getDate(0).toLocalDate)
+    months.sliding(2).foreach {
+      case Array(a, b) => assert(a.plusMonths(1) == b)
+      case _ =>
+    }
+    assert(rows.map(_.getLong(1)).sum == Tables.orders(spark, sf).count())
+  }
+
   test("havingAgg equals the unfiltered aggregate restricted to n>=5") {
     val all = Tables.orders(spark, sf)
       .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
