@@ -78,6 +78,16 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("partial"), p)
   }
 
+  test("topK rank filter plans WindowGroupLimit (bounded per-group state)") {
+    // Catalyst's InferWindowGroupLimit turns row_number()<=k into a
+    // bounded per-group limit BEFORE the full window sort — each partition
+    // keeps k rows per group instead of sorting everything. This is the
+    // optimization our custom TopKPerGroup operator generalizes; the
+    // built-in path must keep planning it.
+    val p = plan(JoinOps.topK(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("structFuncs arg-max plans one partial-aggregated MAX, no window") {
     val p = plan(AnalyticsOps.structFuncs(spark, sf))
     assert(!p.contains("Window"), p)
