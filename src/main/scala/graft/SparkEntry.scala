@@ -99,6 +99,8 @@ object SparkEntry {
     "q_unpivot"        -> (AnalyticsOps.unpivotStatus _),
     "q_corr_stats"     -> (AnalyticsOps.corrStats _),
     "q_date_spine"     -> (AnalyticsOps.dateSpine _),
+    "q_lambda_funcs"   -> (AnalyticsOps.lambdaFuncs _),
+    "q_edit_distance"  -> ((s, d) => AnalyticsOps.editDistancePairs(s, d)),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -505,5 +507,19 @@ object SparkEntry {
         "SELECT s.month_start, CAST(coalesce(c.n_orders, 0) AS BIGINT) AS n_orders " +
         "FROM s LEFT JOIN c ON s.month_start = c.month_start " +
         "ORDER BY s.month_start"),
+    "q_lambda_funcs" ->
+      ("SELECT vec_id, " +
+        "CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos, " +
+        "CAST(round(CAST(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DECIMAL(20,8)), 4) AS DOUBLE) AS sum_sq, " +
+        "CAST(round(CAST(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DECIMAL(20,8)), 4) AS DOUBLE) AS self_dot " +
+        "FROM embeddings ORDER BY vec_id"),
+    "q_edit_distance" ->
+      ("WITH p AS (SELECT doc_id, substring(lower(text), 1, 16) AS pref, " +
+        "substring(lower(text), 1, 2) AS blk FROM documents) " +
+        "SELECT a.doc_id AS da, b.doc_id AS db, " +
+        "CAST(levenshtein(a.pref, b.pref) AS INTEGER) AS dist " +
+        "FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
+        "WHERE levenshtein(a.pref, b.pref) <= 5 " +
+        "ORDER BY dist, da, db LIMIT 20"),
   )
 }

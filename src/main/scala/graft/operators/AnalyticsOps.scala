@@ -357,6 +357,49 @@ object AnalyticsOps {
       .orderBy(col("month_start"))
   }
 
+  /** Higher-order (lambda) function surface: filter / transform /
+    * aggregate over the embedding arrays. These are the declarative array
+    * lambdas — fine for one pass over a column; the hot pair-join paths use
+    * the native expressions instead (~2 ms/row interpreted cost, see
+    * functions.expressions). */
+  def lambdaFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    Tables.embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        size(filter(col("embedding"), x => x > 0f)).as("n_pos"),
+        stableRound4(aggregate(
+          transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x)).as("sum_sq"),
+        stableRound4(aggregate(
+          zip_with(col("embedding"), col("embedding"),
+            (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0), (acc, x) => acc + x)).as("self_dot"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Edit-distance fuzzy matching: Levenshtein over normalized 16-char
+    * text prefixes, with a blocking key (the first 2 chars) gating the
+    * pair join — the production fuzzy-dedup shape: candidates come from a
+    * selective equality join on the block, not an all-pairs cartesian, so
+    * the O(len²) DP runs only inside blocks. Near-identical strings share
+    * the block unless the edit hits position 1-2 (standard blocking
+    * recall tradeoff). */
+  def editDistancePairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val pref = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        substring(lower(col("text")), 1, 16).as("pref"),
+        substring(lower(col("text")), 1, 2).as("blk"))
+    pref.as("a").join(pref.as("b"),
+      col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        levenshtein(col("a.pref"), col("b.pref")).as("dist"))
+      .filter(col("dist") <= 5)
+      .orderBy(col("dist"), col("da"), col("db"))
+      .limit(k)
+  }
+
   /** Array function surface over the embedding column. */
   def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

@@ -114,6 +114,35 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(rows.map(_.getLong(1)).sum == Tables.orders(spark, sf).count())
   }
 
+  test("lambdaFuncs: self_dot equals sum_sq and both match the native dot product") {
+    val out = AnalyticsOps.lambdaFuncs(spark, sf)
+    assert(out.filter(col("sum_sq") =!= col("self_dot")).count() == 0)
+    val native = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        graft.functions.NumericFunctions.stableRound4(
+          graft.functions.VectorFunctions.dotProduct(
+            col("embedding"), col("embedding"))).as("native_dot"))
+    val joined = out.join(native, "vec_id")
+      .filter(abs(col("sum_sq") - col("native_dot")) > 1e-6)
+    assert(joined.count() == 0)
+  }
+
+  test("editDistancePairs: symmetric bound, ordered output, planted near-match found") {
+    import spark.implicits._
+    val rows = AnalyticsOps.editDistancePairs(spark, sf).collect()
+    assert(rows.nonEmpty) // the corpus plants near-dups; blocking must keep them
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getInt(2) >= 0 && r.getInt(2) <= 5)
+    }
+    val dists = rows.map(_.getInt(2)).toSeq
+    assert(dists == dists.sorted)
+    // levenshtein semantics probe on known strings
+    val d = Seq(("kitten", "sitting")).toDF("a", "b")
+      .select(levenshtein(col("a"), col("b"))).head().getInt(0)
+    assert(d == 3)
+  }
+
   test("havingAgg equals the unfiltered aggregate restricted to n>=5") {
     val all = Tables.orders(spark, sf)
       .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
