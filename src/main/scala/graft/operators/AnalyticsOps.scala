@@ -100,16 +100,20 @@ object AnalyticsOps {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
-  /** Manual pivot: order counts per (priority × status) via conditional
-    * aggregation — the shuffle-once pivot shape. */
-  def pivotStatus(spark: SparkSession, dir: String): DataFrame =
+  /** The unordered wide pivot aggregate shared by [[pivotStatus]] and
+    * [[unpivotStatus]] — each applies its own final sort. */
+  private def pivotWide(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority"))
       .agg(
         sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
         sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
         sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_p"))
-      .orderBy(col("o_orderpriority"))
+
+  /** Manual pivot: order counts per (priority × status) via conditional
+    * aggregation — the shuffle-once pivot shape. */
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame =
+    pivotWide(spark, dir).orderBy(col("o_orderpriority"))
 
   /** Null-handling scalars: nullif / coalesce round-trip on discounts. */
   def nullHandling(spark: SparkSession, dir: String): DataFrame =
@@ -312,7 +316,7 @@ object AnalyticsOps {
     * `unpivot`. Narrow reshape: each input row fans out to a fixed number
     * of output rows with no shuffle beyond the feeding aggregation. */
   def unpivotStatus(spark: SparkSession, dir: String): DataFrame =
-    pivotStatus(spark, dir)
+    pivotWide(spark, dir)
       .unpivot(
         Array(col("o_orderpriority")),
         Array(col("n_f"), col("n_o"), col("n_p")),

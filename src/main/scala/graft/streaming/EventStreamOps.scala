@@ -24,12 +24,11 @@ object EventStreamOps {
   final case class SessionSummary(user_id: Long, n_events: Int,
       total_value: Double, start_ts: Timestamp, end_ts: Timestamp)
 
-  /** Tumbling 1-hour event-time windows per event type; the 2-hour
-    * watermark bounds window state so a 100 TB/day stream can't grow
-    * state without bound. */
-  def hourlyWindowedCounts(events: DataFrame): DataFrame =
+  /** The shared windowed-aggregation tail: both the plain and the deduped
+    * pipeline MUST produce identical shapes (the streaming==batch tests
+    * compare them row-for-row), so there is exactly one definition. */
+  private def windowedCounts(events: DataFrame): DataFrame =
     events
-      .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -37,6 +36,12 @@ object EventStreamOps {
       .select(
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Tumbling 1-hour event-time windows per event type; the 2-hour
+    * watermark bounds window state so a 100 TB/day stream can't grow
+    * state without bound. */
+  def hourlyWindowedCounts(events: DataFrame): DataFrame =
+    windowedCounts(events.withWatermark("ts", "2 hours"))
 
   /** Stream-stream interval join: purchases within 30 minutes after a view
     * by the same user. Watermarks bound both join-state buffers (views held
@@ -74,14 +79,7 @@ object EventStreamOps {
     * feed: dedup state and window state both purge as the watermark
     * advances. Append mode emits each window once, when it finalizes. */
   def dedupedHourlyCounts(events: DataFrame): DataFrame =
-    dedupEvents(events)
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("sum_value"))
-      .select(
-        col("window.start").as("window_start"),
-        col("event_type"), col("n_events"), col("sum_value"))
+    windowedCounts(dedupEvents(events))
 
   /** Custom stateful operator: gap-based sessionization per user via
     * flatMapGroupsWithState. State per key = the open session; a session

@@ -95,13 +95,17 @@ class AnalyticsOpsSpec extends SparkTestBase {
     }
   }
 
-  test("corrStats: correlation in [-1,1], covariance sign matches correlation") {
+  test("corrStats: correlation in [-1,1], group counts cover the table") {
     val rows = AnalyticsOps.corrStats(spark, sf).collect()
     rows.foreach { r =>
-      val (c, cov) = (r.getDouble(1), r.getDouble(2))
+      assert(!r.isNullAt(1) && !r.isNullAt(2))
+      val c = r.getDouble(1)
       assert(c >= -1.0 && c <= 1.0)
-      assert(math.signum(c) == math.signum(cov))
     }
+    // qty/price correlation in this data is ~0, so sign comparisons against
+    // the rounded value are meaningless; the value-level contract is the
+    // DuckDB oracle. Here: the groups partition the table.
+    assert(rows.map(_.getLong(3)).sum == Tables.lineitem(spark, sf).count())
   }
 
   test("dateSpine: contiguous months, counts sum to the table total") {
