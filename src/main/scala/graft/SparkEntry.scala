@@ -101,6 +101,8 @@ object SparkEntry {
     "q_date_spine"     -> (AnalyticsOps.dateSpine _),
     "q_lambda_funcs"   -> (AnalyticsOps.lambdaFuncs _),
     "q_edit_distance"  -> ((s, d) => AnalyticsOps.editDistancePairs(s, d)),
+    "q_histogram"      -> (AnalyticsOps.histogram _),
+    "q_normalize"      -> (AnalyticsOps.normalize _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -521,5 +523,15 @@ object SparkEntry {
         "FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
         "WHERE levenshtein(a.pref, b.pref) <= 5 " +
         "ORDER BY dist, da, db LIMIT 20"),
+    "q_histogram" ->
+      ("SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket, " +
+        "COUNT(*) AS n_orders, round(MIN(o_totalprice), 4) AS lo, " +
+        "round(MAX(o_totalprice), 4) AS hi " +
+        "FROM orders GROUP BY 1 ORDER BY bucket"),
+    "q_normalize" ->
+      ("WITH b AS (SELECT min(o_totalprice) AS tp_min, max(o_totalprice) AS tp_max FROM orders) " +
+        "SELECT o_orderkey, " +
+        "CAST(round(CAST((o_totalprice - b.tp_min) / (b.tp_max - b.tp_min) AS DECIMAL(20,8)), 4) AS DOUBLE) AS tp_norm " +
+        "FROM orders CROSS JOIN b ORDER BY o_orderkey"),
   )
 }

@@ -404,6 +404,37 @@ object AnalyticsOps {
       .limit(k)
   }
 
+  /** Fixed-width histogram: order totals bucketed by integer division —
+    * one partial-aggregatable groupBy over a derived integer key; the
+    * distribution-analysis primitive (no sort, no window). */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(floor(col("o_totalprice") / 25000).cast("long").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(min(col("o_totalprice")), 4).as("lo"),
+        round(max(col("o_totalprice")), 4).as("hi"))
+      .orderBy(col("bucket"))
+
+  /** Min-max feature normalization: (x - min) / (max - min) against global
+    * bounds — the ML-preprocessing primitive. The bounds are a one-row
+    * aggregate broadcast onto the scan (same shape as [[subqueryAgg]]);
+    * min/max are order-insensitive so the scaling is exactly reproducible
+    * on any engine. */
+  def normalize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val orders = Tables.orders(spark, dir)
+    val bounds = orders.agg(
+      min(col("o_totalprice")).as("tp_min"),
+      max(col("o_totalprice")).as("tp_max"))
+    orders.crossJoin(broadcast(bounds))
+      .select(
+        col("o_orderkey"),
+        stableRound4((col("o_totalprice") - col("tp_min"))
+          / (col("tp_max") - col("tp_min"))).as("tp_norm"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Array function surface over the embedding column. */
   def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

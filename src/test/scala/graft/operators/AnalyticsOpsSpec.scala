@@ -147,6 +147,26 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(d == 3)
   }
 
+  test("histogram: buckets partition the table, bounds inside bucket range") {
+    val rows = AnalyticsOps.histogram(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == Tables.orders(spark, sf).count())
+    rows.foreach { r =>
+      val (b, lo, hi) = (r.getLong(0), r.getDouble(2), r.getDouble(3))
+      assert(lo <= hi)
+      assert(lo >= b * 25000.0 && hi < (b + 1) * 25000.0)
+    }
+  }
+
+  test("normalize: values span [0,1] with both endpoints attained") {
+    val out = AnalyticsOps.normalize(spark, sf).cache()
+    try {
+      assert(out.filter(col("tp_norm") < 0 || col("tp_norm") > 1).count() == 0)
+      assert(out.filter(col("tp_norm") === 0.0).count() >= 1)
+      assert(out.filter(col("tp_norm") === 1.0).count() >= 1)
+      assert(out.count() == Tables.orders(spark, sf).count())
+    } finally out.unpersist()
+  }
+
   test("havingAgg equals the unfiltered aggregate restricted to n>=5") {
     val all = Tables.orders(spark, sf)
       .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
