@@ -21,8 +21,11 @@ object Bench {
     Seq("lineitem", "documents", "embeddings", "events")
       .foreach(t => Tables(spark, sfDir, t).count())
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    // Track warm failures: a missing warm dir would silently produce
+    // cold-start timings that aren't comparable to warmed runs.
+    var warmFailures = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try fn(spark, warmDir).count() catch { case _: Throwable => warmFailures += 1 }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -36,11 +39,19 @@ object Bench {
     val qs = results.map { case (k, v, err) =>
       "\"" + k + "\":" + (if (err.isDefined) "null" else v.toString)
     }.mkString("{", ",", "}")
+    // JSON-escape including control chars (< 0x20): a tab or CR in an
+    // exception message must not break the line-oriented metrics contract.
+    def jsonEscape(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '"'  => "\\\""
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val errs = results.collect { case (k, _, Some(m)) =>
-      "\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      "\"" + k + "\":\"" + jsonEscape(m) + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"warm_failures":$warmFailures,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

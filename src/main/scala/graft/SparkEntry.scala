@@ -419,10 +419,10 @@ object SparkEntry {
         "FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) o " +
         "ON c.c_custkey = o.o_custkey ORDER BY custkey"),
     "q_subquery_agg" ->
-      ("SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice, " +
-        "(SELECT CAST(round(CAST(AVG(o_totalprice) AS DECIMAL(20,8)), 4) AS DOUBLE) FROM orders) AS avg_tp " +
-        "FROM orders WHERE o_totalprice > " +
-        "(SELECT CAST(round(CAST(AVG(o_totalprice) AS DECIMAL(20,8)), 4) AS DOUBLE) FROM orders) " +
+      ("WITH a AS (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*) AS thr FROM orders) " +
+        "SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice, " +
+        "CAST(round(CAST(thr AS DECIMAL(20,8)), 4) AS DOUBLE) AS avg_tp " +
+        "FROM orders, a WHERE o_totalprice > thr " +
         "ORDER BY o_orderkey"),
     "q_string_agg" ->
       ("SELECT o_orderpriority, " +
@@ -482,7 +482,7 @@ object SparkEntry {
         "CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS epoch, " +
         "round(value, 4) AS value " +
         "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id " +
-        "ORDER BY ts DESC, event_id DESC) AS rn FROM events) " +
+        "ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events) " +
         "WHERE rn = 1 ORDER BY user_id"),
     "q_unpivot" ->
       ("WITH p AS (SELECT o_orderpriority, " +

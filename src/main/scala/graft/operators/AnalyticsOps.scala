@@ -192,15 +192,23 @@ object AnalyticsOps {
   def subqueryAgg(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.NumericFunctions.stableRound4
     val orders = Tables.orders(spark, dir)
-    val avgTp = orders.agg(
-      stableRound4(avg(col("o_totalprice"))).as("avg_tp"))
+    // The filter threshold decides ROW MEMBERSHIP, so it must be exactly
+    // reproducible across engines: derive it from an order-insensitive
+    // exact decimal SUM (then one double division), never from a float AVG
+    // whose summation order can flip the 4th decimal and change the row
+    // set. The rounded display copy rides along separately.
+    val avgTp = orders
+      .agg(
+        sum(col("o_totalprice").cast("decimal(20,8)")).as("tp_sum"),
+        count(lit(1)).as("n"))
+      .select((col("tp_sum").cast("double") / col("n")).as("thr"))
     orders
       .crossJoin(broadcast(avgTp))
-      .filter(col("o_totalprice") > col("avg_tp"))
+      .filter(col("o_totalprice") > col("thr"))
       .select(
         col("o_orderkey"),
         round(col("o_totalprice"), 4).as("o_totalprice"),
-        col("avg_tp"))
+        stableRound4(col("thr")).as("avg_tp"))
       .orderBy(col("o_orderkey"))
   }
 

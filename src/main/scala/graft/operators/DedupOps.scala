@@ -194,8 +194,20 @@ object DedupOps {
     // shuffle stages per label-propagation round. The threshold bounds
     // driver memory (see LocalUnionFindMaxEdges); genuinely large graphs
     // take the distributed loop below. The count is a local scan of the
-    // materialized blocks.
-    if (!forceDistributed && sym.count() <= LocalUnionFindMaxEdges)
+    // materialized blocks. The local path casts node ids through Long, so
+    // it is only safe for integral key types — anything else (string ids,
+    // decimals) would cast to null and silently collapse unrelated nodes
+    // into one component; those routes take the distributed loop, which is
+    // type-agnostic.
+    val integralKey = sym.schema("src").dataType match {
+      case org.apache.spark.sql.types.ByteType
+         | org.apache.spark.sql.types.ShortType
+         | org.apache.spark.sql.types.IntegerType
+         | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (!forceDistributed && integralKey
+        && sym.count() <= LocalUnionFindMaxEdges)
       return localUnionFind(sym)
     var labels = Materialize(
       sym.select(col("src").as("node")).distinct()

@@ -106,9 +106,14 @@ object EventOps {
     * "compact a changelog to current state" shape; at 100 TB the same plan
     * runs per key-range partition with no global sort. */
   def latestEvent(spark: SparkSession, dir: String): DataFrame = {
+    // Order by an explicit MICROSECOND epoch, not raw ts: Spark reads the
+    // events table truncated to µs while the DuckDB oracle sees full ns, so
+    // a raw-ts sort could pick different "latest" rows for two events in
+    // the same microsecond. Pinning both engines to µs makes the sort key
+    // precision identical (the oracle orders by epoch_us(ts)).
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"))
-      .orderBy(col("ts").desc, col("event_id").desc)
+      .orderBy(unix_micros(col("ts")).desc, col("event_id").desc)
     Tables.events(spark, dir)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
