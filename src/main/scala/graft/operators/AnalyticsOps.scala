@@ -402,12 +402,15 @@ object AnalyticsOps {
       .select(col("doc_id"),
         substring(lower(col("text")), 1, 16).as("pref"),
         substring(lower(col("text")), 1, 2).as("blk"))
+    // threshold form = banded DP: O(threshold·len) per pair instead of
+    // O(len²), and pairs above the bound bail out early with -1 (dropped
+    // by the >= 0 filter). Same kept rows and distances as the full DP.
     pref.as("a").join(pref.as("b"),
       col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        levenshtein(col("a.pref"), col("b.pref")).as("dist"))
-      .filter(col("dist") <= 5)
+        levenshtein(col("a.pref"), col("b.pref"), 5).as("dist"))
+      .filter(col("dist") >= 0)
       .orderBy(col("dist"), col("da"), col("db"))
       .limit(k)
   }

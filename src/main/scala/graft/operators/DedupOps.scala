@@ -53,14 +53,19 @@ object DedupOps {
     * Jaccard = |A∩B| / |A∪B| over the distinct shingle sets. Returns the
     * top-`k` most similar pairs (deterministic order). */
   def ngramJaccardTopPairs(docs: DataFrame, k: Int = 20): DataFrame = {
-    // carry each doc's shingle count on every exploded row via a window —
-    // the self-join then already holds |A| and |B|, saving two join passes
-    // over the (re-computed) exploded set
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    // carry each doc's shingle count on every exploded row by computing
+    // size(shingle array) BEFORE the explode — a pure narrow map, versus
+    // the window-count formulation which shuffles the whole exploded set
+    // by doc_id just to count it. The self-join then already holds |A|
+    // and |B|, saving two join passes over the (re-computed) exploded set.
     // materialized: both sides of the self-join read this — without it the
-    // scan+tokenize+explode+window chain executes twice
+    // scan+tokenize+explode chain executes twice
     val ex = Materialize(
-      shingleSet(docs).withColumn("n", count(lit(1)).over(w)))
+      spread(docs)
+        .select(col("doc_id"),
+          shingles(tokensLower(col("text"))).as("sh"))
+        .select(col("doc_id"), size(col("sh")).as("n"),
+          explode(col("sh")).as("shingle")))
     ex.as("a")
       .join(ex.as("b"),
         col("a.shingle") === col("b.shingle")
@@ -150,27 +155,39 @@ object DedupOps {
         array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
   }
 
-  /** Candidates verified with exact Jaccard over the shingle sets. The
-    * exploded shingle set is materialized once — it feeds the signature
-    * build, the per-doc counts, and both sides of the verification join,
-    * which would otherwise re-run the scan+tokenize+explode four times. */
+  /** Candidates verified with exact Jaccard over the shingle sets.
+    *
+    * Shape tuned for minimum shuffles: the per-doc shingle ARRAY is
+    * materialized once (one narrow text pass); signatures come from the
+    * shuffle-free scalar [[graft.functions.TextFunctions.minhashArray]]
+    * over that array (no explode + 32-column min-aggregate), and the
+    * per-doc set size rides along the verification explode as
+    * `size(array)` — so there is no counts aggregation and no extra join
+    * pair at the end. Remaining shuffles: the LSH band self-join and the
+    * two candidate-verification joins — the irreducible core. */
   def minhashVerifiedPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val ex = Materialize(shingleSet(docs))
-    val counts = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val cands = minhashCandidates(minhashSignaturesFromShingles(ex))
-    val shared = cands
+    val arr = Materialize(
+      spread(docs).select(col("doc_id"),
+        shingles(tokensLower(col("text"))).as("sh")))
+    val ex = arr.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("shingle"))
+    val sigs = arr
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.minhashArray(col("sh"), 32).as("sig"))
+      // shingle-less docs sign as NULL: no shingles → no candidates
+      .filter(col("sig").isNotNull)
+    val cands = minhashCandidates(sigs)
+    cands
       .join(ex.as("ea"), col("da") === col("ea.doc_id"))
       .join(ex.as("eb"),
         col("db") === col("eb.doc_id")
           && col("ea.shingle") === col("eb.shingle"))
       .groupBy(col("da"), col("db"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(counts.as("ca"), col("da") === col("ca.doc_id"))
-      .join(counts.as("cb"), col("db") === col("cb.doc_id"))
+      .agg(count(lit(1)).as("shared"),
+        max(col("ea.n")).as("na"), max(col("eb.n")).as("nb"))
       .select(col("da"), col("db"),
         (col("shared").cast("double")
-          / (col("ca.n") + col("cb.n") - col("shared"))).as("jaccard"))
+          / (col("na") + col("nb") - col("shared"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -181,12 +198,13 @@ object DedupOps {
     * (components are short chains), so `maxIter` is a safety bound. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25,
       forceDistributed: Boolean = false): DataFrame = {
-    // materialized: otherwise the full upstream edges pipeline (in
-    // dedupClusters, the whole MinHash+verify DAG) re-executes every
-    // iteration inside the viaNeighbors join
-    val sym = Materialize(
-      edges.select(col("src"), col("dst"))
-        .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
+    // materialize the DIRECTED edge list first, then symmetrize by reading
+    // the materialized blocks twice: symmetrizing the raw plan would run
+    // the full upstream edges pipeline (in dedupClusters, the whole
+    // MinHash+verify DAG) once per union branch, and again every iteration
+    // inside the viaNeighbors join
+    val e = Materialize(edges.select(col("src"), col("dst")))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     // Size-adaptive dispatch (the same shape as GraphFrames' CC broadcast
     // threshold): the edge list is candidate PAIRS, orders of magnitude
     // smaller than the corpus — when it fits comfortably on the driver,
@@ -207,7 +225,7 @@ object DedupOps {
       case _ => false
     }
     if (!forceDistributed && integralKey
-        && sym.count() <= LocalUnionFindMaxEdges)
+        && e.count() * 2 <= LocalUnionFindMaxEdges)
       return localUnionFind(sym)
     var labels = Materialize(
       sym.select(col("src").as("node")).distinct()
@@ -349,17 +367,91 @@ object DedupOps {
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     simhashSignatures(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
-  /** Embedding-cosine near-dup: top-`k` most similar vector pairs. Small-SF
-    * baseline is the all-pairs join below; the scale path buckets by
-    * hyperplane LSH first (see SimilarityOps.annTopK). */
+  /** Embedding-cosine near-dup: top-`k` most similar vector pairs.
+    *
+    * Brute-force all-pairs is the SMALL-side baseline — it requires one
+    * side to fit in executor memory (broadcast); the 100 TB scale path is
+    * [[embeddingNearDupLsh]] / IVF, which replace the quadratic loop with
+    * a bucket equality join. Within that envelope, the pair loop runs as a
+    * primitive-float kernel inside `mapPartitions`: a broadcast
+    * nested-loop join sits outside whole-stage codegen, so the expression
+    * formulation pays interpreted per-pair evaluation and O(n²) joined-row
+    * materialization — ~5× slower at identical semantics. Work is
+    * round-robin partitioned over row indices so the triangular loop load
+    * balances across tasks; each task keeps a bounded top-`k` heap ordered
+    * exactly like the final sort (rounded cos desc, va, vb), so only
+    * O(tasks·k) rows reach the driver-side global sort.
+    *
+    * Arithmetic reproduces the declared-query contract bit-for-bit:
+    * sequential left-to-right double fold for dot and norm (same as
+    * [[graft.functions.expressions.VectorDotProduct]]) and Spark `round`'s
+    * HALF_UP BigDecimal rounding; candidates that provably round below the
+    * current worst kept value skip the BigDecimal path entirely. */
   def embeddingTopPairs(emb: DataFrame, k: Int = 20): DataFrame = {
-    val e = emb.select(col("vec_id"), col("embedding"),
-      l2Norm(col("embedding")).as("nrm"))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(
-        col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-        round(cosine(dotProduct(col("a.embedding"), col("b.embedding")),
-          col("a.nrm"), col("b.nrm")), 4).as("cos_sim"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb
+      .select(col("vec_id").cast("long"),
+        col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+    val n = vecs.length
+    val ids = vecs.map(_._1)
+    val embs = vecs.map(_._2)
+    val nrms = embs.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    val bc = spark.sparkContext.broadcast((ids, embs, nrms))
+    // head of the queue = worst kept pair under (cos desc, va asc, vb asc)
+    val byWorse: Ordering[(Double, Long, Long)] =
+      new Ordering[(Double, Long, Long)] {
+        def compare(x: (Double, Long, Long), y: (Double, Long, Long)): Int = {
+          val c = java.lang.Double.compare(y._1, x._1)
+          if (c != 0) c
+          else {
+            val a = java.lang.Long.compare(x._2, y._2)
+            if (a != 0) a else java.lang.Long.compare(x._3, y._3)
+          }
+        }
+      }
+    spark.range(n.toLong)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions { it =>
+        val (bIds, bEmbs, bNrms) = bc.value
+        val m = bIds.length
+        val pq = scala.collection.mutable.PriorityQueue.empty[(Double, Long, Long)](byWorse)
+        it.foreach { iL =>
+          val i = iL.toInt
+          val vi = bEmbs(i); val ni = bNrms(i); val idi = bIds(i)
+          var j = i + 1
+          while (j < m) {
+            val vj = bEmbs(j)
+            var dot = 0.0; var d = 0
+            while (d < vi.length) { dot += vi(d).toDouble * vj(d).toDouble; d += 1 }
+            val c = dot / (ni * bNrms(j))
+            // prune: if c cannot round to >= the worst kept value, skip the
+            // (expensive, exact) BigDecimal rounding and comparison
+            if (pq.size < k || c >= pq.head._1 - 0.00006) {
+              val r = scala.math.BigDecimal(c)
+                .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP)
+                .toDouble
+              val cand = (r, idi, bIds(j))
+              if (pq.size < k) pq.enqueue(cand)
+              else if (byWorse.compare(cand, pq.head) < 0) {
+                pq.dequeue(); pq.enqueue(cand)
+              }
+            }
+            j += 1
+          }
+        }
+        pq.iterator
+      }
+      .toDF("cos_sim", "va", "vb")
+      .select(col("va"), col("vb"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("va"), col("vb"))
       .limit(k)
   }
