@@ -103,6 +103,15 @@ object SparkEntry {
     "q_edit_distance"  -> ((s, d) => AnalyticsOps.editDistancePairs(s, d)),
     "q_histogram"      -> (AnalyticsOps.histogram _),
     "q_normalize"      -> (AnalyticsOps.normalize _),
+    "q_session_window" -> (EventOps.sessionWindowAgg _),
+    "q_event_funnel"   -> (EventOps.eventFunnel _),
+    "q_rolling_rows"   -> (EventOps.rollingRows _),
+    "q_minmax_by"      -> (AnalyticsOps.minmaxBy _),
+    "q_window_rank"    -> (AnalyticsOps.windowRank _),
+    "q_null_safe_join" -> (JoinOps.nullSafeJoin _),
+    "q_ngram_freq"     -> ((s, d) => CorpusOps.ngramFreq(s, d)),
+    "q_vocab_coverage" -> ((s, d) => CorpusOps.vocabCoverage(s, d)),
+    "q_dedup_normkey"  -> (DedupOps.dedupNormKey _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -533,5 +542,70 @@ object SparkEntry {
         "SELECT o_orderkey, " +
         "CAST(round(CAST((o_totalprice - b.tp_min) / (b.tp_max - b.tp_min) AS DECIMAL(20,8)), 4) AS DOUBLE) AS tp_norm " +
         "FROM orders CROSS JOIN b ORDER BY o_orderkey"),
+    // Spark session windows have an INCLUSIVE end (verified in
+    // Round3OpsSpec): an event exactly `gap` after its predecessor still
+    // merges, so the break flag is `diff > gap`.
+    "q_session_window" ->
+      ("WITH g AS (SELECT user_id, event_id, ts, " +
+        "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL " +
+        "OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 " +
+        "THEN 1 ELSE 0 END AS brk FROM events), " +
+        "s AS (SELECT user_id, event_id, ts, " +
+        "SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM g) " +
+        "SELECT user_id, CAST(floor(min(epoch_us(ts)) / 1000000) AS BIGINT) AS sess_start, " +
+        "COUNT(*) AS n_events, min(event_id) AS first_event, max(event_id) AS last_event " +
+        "FROM s GROUP BY user_id, sess ORDER BY user_id, sess_start"),
+    "q_event_funnel" ->
+      ("WITH v AS (SELECT user_id, min(epoch_us(ts)) AS first_view_us " +
+        "FROM events WHERE event_type = 'view' GROUP BY user_id), " +
+        "p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS first_purchase_us " +
+        "FROM events e JOIN v ON e.user_id = v.user_id " +
+        "WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.first_view_us " +
+        "GROUP BY e.user_id) " +
+        "SELECT v.user_id, CAST(floor(v.first_view_us / 1000000) AS BIGINT) AS first_view_epoch, " +
+        "p.user_id IS NOT NULL AS converted, " +
+        "CAST(floor((p.first_purchase_us - v.first_view_us) / 1000000) AS BIGINT) AS latency_sec " +
+        "FROM v LEFT JOIN p ON v.user_id = p.user_id ORDER BY v.user_id"),
+    "q_rolling_rows" ->
+      ("SELECT event_id, user_id, " +
+        "CAST(COUNT(*) OVER w AS BIGINT) AS n_frame, " +
+        "CAST(SUM(cents) OVER w AS BIGINT) AS cents_sum " +
+        "FROM (SELECT event_id, user_id, CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events) " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY event_id"),
+    "q_minmax_by" ->
+      ("SELECT c_mktsegment, arg_max(c_name, c_custkey) AS newest_customer, " +
+        "arg_min(c_name, c_custkey) AS oldest_customer, COUNT(*) AS n_customers " +
+        "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "q_window_rank" ->
+      ("SELECT o_orderkey, o_orderpriority, round(o_totalprice, 4) AS o_totalprice, " +
+        "percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume, " +
+        "CAST(dense_rank() OVER w AS INTEGER) AS dr " +
+        "FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice) " +
+        "ORDER BY o_orderkey"),
+    "q_null_safe_join" ->
+      ("WITH l AS (SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status_key FROM orders), " +
+        "g AS (SELECT nullif(o_orderstatus, 'P') AS g_key, COUNT(*) AS grp_n FROM orders GROUP BY 1) " +
+        "SELECT l.o_orderkey, l.status_key, g.grp_n FROM l " +
+        "JOIN g ON l.status_key IS NOT DISTINCT FROM g.g_key ORDER BY l.o_orderkey"),
+    "q_ngram_freq" ->
+      ("WITH t AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "e AS (SELECT toks, unnest(generate_series(1, CAST(len(toks) AS BIGINT) - 1)) AS i FROM t) " +
+        "SELECT toks[i] || ' ' || toks[i+1] AS bigram, COUNT(*) AS n " +
+        "FROM e GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50"),
+    "q_vocab_coverage" ->
+      ("WITH c AS (SELECT token, COUNT(*) AS n FROM " +
+        "(SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token FROM documents) " +
+        "GROUP BY token) " +
+        "SELECT token, n, round(CAST(SUM(n) OVER " +
+        "(ORDER BY n DESC, token ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) " +
+        "/ SUM(n) OVER (), 4) AS cum_share " +
+        "FROM c ORDER BY n DESC, token LIMIT 100"),
+    "q_dedup_normkey" ->
+      ("SELECT min(doc_id) AS doc_id, COUNT(*) AS n_variants, norm_key " +
+        "FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_key FROM documents) " +
+        "GROUP BY norm_key ORDER BY doc_id"),
   )
 }

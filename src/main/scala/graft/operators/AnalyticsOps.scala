@@ -456,4 +456,34 @@ object AnalyticsOps {
         round(element_at(col("embedding"), -1).cast("double"), 4).as("last_val"),
         size(slice(col("embedding"), 1, 8)).as("head_len"))
       .orderBy(col("vec_id"))
+
+  /** Arg-extremum aggregates via native `max_by`/`min_by` (one shuffle,
+    * partial-aggregate friendly — unlike the sort-based per-group-top-1
+    * window). The ordering key is the UNIQUE c_custkey: `max_by` on a
+    * non-unique key is tie-nondeterministic on every engine. */
+  def minmaxBy(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        max_by(col("c_name"), col("c_custkey")).as("newest_customer"),
+        min_by(col("c_name"), col("c_custkey")).as("oldest_customer"),
+        count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Relative-rank window functions: percent_rank / cume_dist / dense_rank
+    * over order value within each priority class. All three are
+    * tie-stable — equal sort keys get equal ranks — so the per-row output
+    * is deterministic even though o_totalprice is not unique. */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"))
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice"), 4).as("o_totalprice"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        dense_rank().over(w).as("dr"))
+      .orderBy(col("o_orderkey"))
+  }
 }

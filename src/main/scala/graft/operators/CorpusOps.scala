@@ -138,4 +138,46 @@ object CorpusOps {
         posexplode(slice(tokens(col("text")), 1, ExplodePosCap))
           .as(Seq("pos", "token")))
       .orderBy(col("doc_id"), col("pos"))
+
+  /** Corpus bigram frequencies: adjacent token pairs built with one
+    * zip_with over each document's (small) token array — a narrow per-doc
+    * map, NOT a pair join — then one count aggregation. The language-model
+    * n-gram statistics primitive; at 100 TB this is scan + explode +
+    * hash-partition count on a high-cardinality key. */
+  def ngramFreq(spark: SparkSession, dir: String, k: Int = 50): DataFrame =
+    Tables.documents(spark, dir)
+      .select(tokensLower(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), " +
+          "slice(toks, 2, size(toks) - 1), (x, y) -> concat(x, ' ', y))"))
+        .as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(k)
+
+  /** Vocabulary coverage curve: the top-`k` corpus tokens with each one's
+    * cumulative share of all token occurrences — the "how much of the
+    * corpus do the top-N words cover" diagnostic. The running sum over the
+    * ORDERED vocabulary runs on the aggregated (vocab-sized) table, never
+    * on the raw token stream; counts are exact integers so the shares are
+    * engine-exact. */
+  def vocabCoverage(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, dir)
+      .select(explode(tokensLower(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+    val wRun = Window.orderBy(col("n").desc, col("token"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .select(col("token"), col("n"),
+        round(sum(col("n")).over(wRun).cast("double")
+          / sum(col("n")).over(wAll), 4).as("cum_share"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+  }
 }

@@ -26,6 +26,23 @@ import graft.functions.VectorFunctions._
   */
 object DedupOps {
 
+  /** Canonical-key (fuzzy-exact) dedup: normalize the text — lowercase,
+    * strip non-alphanumerics, collapse whitespace — and keep the min
+    * doc_id per normalized key. Catches case/punctuation/spacing variants
+    * that byte-exact dedup misses, still with one hash-partition shuffle
+    * on the derived key (the normalization is a narrow codegen'd map). */
+  def dedupNormKey(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          " +", " ")).as("norm_key"))
+      .groupBy(col("norm_key"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_variants"))
+      .select(col("doc_id"), col("n_variants"), col("norm_key"))
+      .orderBy(col("doc_id"))
+
   /** Exact dedup: one surviving (min doc_id) representative per distinct
     * text. Hash-partition on `text` — the classic exact-dedup shuffle. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =

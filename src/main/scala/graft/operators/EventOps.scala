@@ -123,4 +123,69 @@ object EventOps {
         round(col("value"), 4).as("value"))
       .orderBy(col("user_id"))
   }
+
+  /** Native session-window aggregation: Spark's `session_window(ts, gap)`
+    * merges overlapping [ts, ts+gap) intervals per key — the engine-level
+    * sessionization operator (the streaming twin runs the same call under
+    * a watermark). Semantics: session windows have an INCLUSIVE end — an
+    * event exactly `gap` after its predecessor still merges — which the
+    * SQL oracle mirrors with a `diff > gap` break flag. Output avoids
+    * float sums — counts and min/max event ids are exact on any engine. */
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"))
+      .select(
+        col("user_id"),
+        floor(unix_timestamp(col("session_window.start"))).as("sess_start"),
+        col("n_events"), col("first_event"), col("last_event"))
+      .orderBy(col("user_id"), col("sess_start"))
+
+  /** Conversion funnel: each user's first `view` and the first `purchase`
+    * at-or-after it, with integer-microsecond latency — the canonical
+    * event-sequence analysis. All arithmetic is integral (µs epochs), so
+    * the result is exactly reproducible on any engine. Two small
+    * aggregations + one broadcast-able join on user_id. */
+  def eventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("first_view_us"))
+    val firstPurchase = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+      .join(firstView, Seq("user_id"))
+      .filter(col("p_us") >= col("first_view_us"))
+      .groupBy(col("user_id"))
+      .agg(min(col("p_us")).as("first_purchase_us"))
+    firstView.join(firstPurchase, Seq("user_id"), "left")
+      .select(
+        col("user_id"),
+        floor(col("first_view_us") / 1000000L).as("first_view_epoch"),
+        col("first_purchase_us").isNotNull.as("converted"),
+        floor((col("first_purchase_us") - col("first_view_us")) / 1000000L)
+          .as("latency_sec"))
+      .orderBy(col("user_id"))
+  }
+
+  /** ROWS-frame sliding window: per-user trailing 4-row sum over events
+    * ordered by the UNIQUE event_id (a non-unique sort key under a ROWS
+    * frame is nondeterministic — the tie-order changes the frame). The
+    * summed quantity is integer cents, because engines disagree on float
+    * summation order inside sliding frames (DuckDB uses segment trees);
+    * integer sums are exact everywhere. */
+  def rollingRows(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("event_id"))
+      .rowsBetween(-3, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_frame"),
+        sum(col("cents")).over(w).as("cents_sum"))
+      .orderBy(col("event_id"))
+  }
 }

@@ -146,4 +146,22 @@ object JoinOps {
         round(sum(col("l_extendedprice")), 4).as("total"))
       .orderBy(col("p_brand"))
   }
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): rows whose
+    * join key is NULL match the NULL group instead of dropping out — the
+    * semantics CDC/merge pipelines need for nullable business keys. The
+    * nullable key is derived with nullif so the fixture data exercises the
+    * NULL-matching path; the group side is 3 rows → broadcast hash join
+    * with the null-safe comparator, no shuffle of the fact side. */
+  def nullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val keyed = orders.select(col("o_orderkey"),
+      nullif(col("o_orderstatus"), lit("P")).as("status_key"))
+    val groups = keyed.groupBy(col("status_key"))
+      .agg(count(lit(1)).as("grp_n"))
+      .withColumnRenamed("status_key", "g_key")
+    keyed.join(broadcast(groups), col("status_key") <=> col("g_key"))
+      .select(col("o_orderkey"), col("status_key"), col("grp_n"))
+      .orderBy(col("o_orderkey"))
+  }
 }

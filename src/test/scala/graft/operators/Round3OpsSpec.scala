@@ -1,0 +1,155 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+
+/** Round-3 operators: native session windows, funnel, ROWS-frame sliding
+  * window, arg-extremum aggregates, relative-rank windows, null-safe join,
+  * bigram frequencies, vocabulary coverage, normalized-key dedup. */
+class Round3OpsSpec extends SparkTestBase {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("sessionWindowAgg: session end is INCLUSIVE (gap-exact event merges)") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 7L),
+      (2L, ts("2024-01-01 00:29:59"), 7L), // inside the gap → same session
+      (3L, ts("2024-01-01 00:59:59"), 7L), // exactly 30:00 after #2 → MERGES
+      (4L, ts("2024-01-01 01:30:00"), 7L), // 30:01 after #3 → new session
+      (5L, ts("2024-01-01 03:00:00"), 7L)  // far out → its own session
+    ).toDF("event_id", "ts", "user_id")
+    val sessions = ev
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("n"))
+      .as[Long].collect().sorted
+    assert(sessions.toSeq == Seq(1L, 1L, 3L))
+  }
+
+  test("sessionWindowAgg totals: every event lands in exactly one session") {
+    val out = EventOps.sessionWindowAgg(spark, sf)
+    assert(out.agg(sum(col("n_events"))).head.getLong(0)
+      == Tables.events(spark, sf).count())
+    // session bounds are consistent: first <= last event id
+    assert(out.filter(col("first_event") > col("last_event")).count() == 0)
+  }
+
+  test("eventFunnel: one row per viewing user; latency only when converted") {
+    val out = EventOps.eventFunnel(spark, sf)
+    val viewers = Tables.events(spark, sf)
+      .filter(col("event_type") === "view")
+      .select(col("user_id")).distinct().count()
+    assert(out.count() == viewers)
+    assert(out.filter(col("converted") && col("latency_sec").isNull).count() == 0)
+    assert(out.filter(!col("converted") && col("latency_sec").isNotNull).count() == 0)
+    assert(out.filter(col("latency_sec") < 0).count() == 0)
+  }
+
+  test("rollingRows: frame holds at most 4 rows and sums exactly") {
+    val out = EventOps.rollingRows(spark, sf)
+    assert(out.filter(col("n_frame") > 4 || col("n_frame") < 1).count() == 0)
+    // per-user first row: frame is just itself
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("event_id"))
+    val firsts = Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val joined = out.join(firsts, "event_id")
+    assert(joined.filter(col("cents_sum") =!= col("cents")).count() == 0)
+  }
+
+  test("minmaxBy picks the names at the extreme custkeys per segment") {
+    val out = AnalyticsOps.minmaxBy(spark, sf).collect()
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_name"))
+      .collect()
+      .groupBy(_.getAs[String]("c_mktsegment"))
+    out.foreach { r =>
+      val seg = r.getAs[String]("c_mktsegment")
+      val rows = cust(seg)
+      assert(r.getAs[String]("newest_customer")
+        == rows.maxBy(_.getAs[Long]("c_custkey")).getAs[String]("c_name"))
+      assert(r.getAs[String]("oldest_customer")
+        == rows.minBy(_.getAs[Long]("c_custkey")).getAs[String]("c_name"))
+      assert(r.getAs[Long]("n_customers") == rows.length)
+    }
+  }
+
+  test("windowRank: pct_rank/cume bounded, ties share a dense rank") {
+    val out = AnalyticsOps.windowRank(spark, sf)
+    assert(out.filter(col("pct_rank") < 0 || col("pct_rank") > 1).count() == 0)
+    assert(out.filter(col("cume") <= 0 || col("cume") > 1).count() == 0)
+    // equal (priority, price) rows must carry equal dense rank
+    val conflicting = out
+      .groupBy(col("o_orderpriority"), col("o_totalprice"))
+      .agg(countDistinct(col("dr")).as("nd"))
+      .filter(col("nd") > 1)
+    assert(conflicting.count() == 0)
+  }
+
+  test("nullSafeJoin keeps every order, including NULL keys") {
+    val out = JoinOps.nullSafeJoin(spark, sf)
+    val orders = Tables.orders(spark, sf)
+    assert(out.count() == orders.count())
+    val nullRows = out.filter(col("status_key").isNull)
+    val pCount = orders.filter(col("o_orderstatus") === "P").count()
+    assert(nullRows.count() == pCount)
+    // the NULL group joined (grp_n populated, equal to the P count)
+    assert(nullRows.filter(col("grp_n") =!= pCount).count() == 0)
+  }
+
+  test("ngramFreq counts adjacent pairs (hand-checked corpus)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "a b c")
+    ).toDF("doc_id", "text")
+    val m = CorpusOps.ngramFreq(spark, sf, k = 10) // smoke the declared path
+    assert(m.columns.toSeq == Seq("bigram", "n"))
+    val local = docs
+      .select(graft.functions.TextFunctions.tokensLower(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), (x, y) -> concat(x, ' ', y))"))
+        .as("bigram"))
+      .groupBy("bigram").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(local == Map("a b" -> 3L, "b a" -> 1L, "b c" -> 1L))
+  }
+
+  test("vocabCoverage: cumulative share is monotone and ends at top-k share") {
+    val shares = CorpusOps.vocabCoverage(spark, sf, k = 50)
+      .select(col("cum_share"))
+      .collect().map(_.getDouble(0))
+    assert(shares.nonEmpty)
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b + 1e-9 })
+    assert(shares.last <= 1.0 + 1e-9)
+  }
+
+  test("dedupNormKey groups case/punctuation variants under one key") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "Hello,   World!"),
+      (11L, "hello world"),
+      (12L, "something else")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          " +", " ")).as("norm_key"))
+    val keys = docs.groupBy(col("norm_key")).agg(min(col("doc_id")).as("rep"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keys == Map("hello world" -> 10L, "something else" -> 12L))
+    // declared query: representatives are unique and counts sum to |docs|
+    val out = DedupOps.dedupNormKey(spark, sf)
+    assert(out.select(col("doc_id")).distinct().count() == out.count())
+    assert(out.agg(sum(col("n_variants"))).head.getLong(0)
+      == Tables.documents(spark, sf).count())
+  }
+}
