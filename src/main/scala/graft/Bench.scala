@@ -52,6 +52,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"warm_failures":$warmFailures,"sf":"$sfDir"}""")
+    // The full line above is ~4 KB (one entry per query) and has outrun the
+    // driver's captured output tail every round (BENCH_r01..r03 all record
+    // "parsed": null). Emit a compact summary LAST so it always survives
+    // tail truncation and the 2x-of-baseline perf gate can actually evaluate.
+    val nErr = results.count(_._3.isDefined)
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.size},"n_err":$nErr,"warm_failures":$warmFailures,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

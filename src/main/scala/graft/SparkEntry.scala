@@ -597,11 +597,12 @@ object SparkEntry {
     "q_vocab_coverage" ->
       ("WITH c AS (SELECT token, COUNT(*) AS n FROM " +
         "(SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token FROM documents) " +
-        "GROUP BY token) " +
-        "SELECT token, n, round(CAST(SUM(n) OVER " +
+        "GROUP BY token), " +
+        "t AS (SELECT token, n FROM c ORDER BY n DESC, token LIMIT 100) " +
+        "SELECT token, n, CAST(round(CAST(CAST(SUM(n) OVER " +
         "(ORDER BY n DESC, token ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) " +
-        "/ SUM(n) OVER (), 4) AS cum_share " +
-        "FROM c ORDER BY n DESC, token LIMIT 100"),
+        "/ (SELECT SUM(n) FROM c) AS DECIMAL(20,8)), 4) AS DOUBLE) AS cum_share " +
+        "FROM t ORDER BY n DESC, token"),
     "q_dedup_normkey" ->
       ("SELECT min(doc_id) AS doc_id, COUNT(*) AS n_variants, norm_key " +
         "FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), " +

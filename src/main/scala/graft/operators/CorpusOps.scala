@@ -164,20 +164,34 @@ object CorpusOps {
     * on the raw token stream; counts are exact integers so the shares are
     * engine-exact. */
   def vocabCoverage(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val counts = Tables.documents(spark, dir)
-      .select(explode(tokensLower(col("text"))).as("token"))
-      .groupBy(col("token"))
-      .agg(count(lit(1)).as("n"))
-    val wRun = Window.orderBy(col("n").desc, col("token"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
-    counts
+    import graft.functions.NumericFunctions.stableRound4
+    // materialized: the aggregated vocabulary feeds both the grand total
+    // and the top-k take — without it the scan+tokenize+explode+agg tree
+    // runs twice
+    val counts = Materialize(
+      Tables.documents(spark, dir)
+        .select(explode(tokensLower(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n")))
+    // grand total = scalar aggregate (broadcast, 1 row); top-k = ordered
+    // take (TakeOrderedAndProject). The running sum over those k rows is a
+    // rank-prefix self-join (sum every row ranked at-or-before mine) — k²
+    // broadcast-joined rows for a top-k-sized k, and NO window at all:
+    // never the single-partition global sort of the whole vocabulary that
+    // an unpartitioned running-sum window plans, which at web scale is
+    // 10⁸+ tokens moved to one task.
+    val total = counts.agg(sum(col("n")).as("total"))
+    val t = counts.orderBy(col("n").desc, col("token")).limit(k)
+    t.as("a")
+      .join(broadcast(t.as("b")),
+        col("b.n") > col("a.n")
+          || (col("b.n") === col("a.n") && col("b.token") <= col("a.token")))
+      .groupBy(col("a.token").as("token"), col("a.n").as("n"))
+      .agg(sum(col("b.n")).as("cum"))
+      .crossJoin(broadcast(total))
       .select(col("token"), col("n"),
-        round(sum(col("n")).over(wRun).cast("double")
-          / sum(col("n")).over(wAll), 4).as("cum_share"))
+        stableRound4(col("cum").cast("double") / col("total"))
+          .as("cum_share"))
       .orderBy(col("n").desc, col("token"))
-      .limit(k)
   }
 }

@@ -55,10 +55,19 @@ object DedupOps {
   /** Spread CPU-heavy per-row work across all cores when the input scan has
     * fewer partitions than the cluster's parallelism (a small local file is
     * one task). At real scale the parquet scan already yields enough
-    * partitions and this is a no-op — no forced shuffle of a large corpus. */
+    * partitions and this is a no-op — no forced shuffle of a large corpus.
+    * The "would the scan fill the cluster" probe is plan-only: the
+    * optimizer's size estimate (file bytes for a parquet scan) against
+    * maxPartitionBytes × parallelism — not `df.rdd.getNumPartitions`, which
+    * forces a full RDD conversion during planning. Unknown-size plans
+    * estimate huge and are conservatively left alone. */
   private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val maxPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    if (bytes < BigInt(maxPart) * target) df.repartition(target) else df
   }
 
   /** (doc_id, shingle) exploded view of distinct word-3-gram shingles. */
@@ -384,27 +393,141 @@ object DedupOps {
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     simhashSignatures(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
-  /** Embedding-cosine near-dup: top-`k` most similar vector pairs.
+  /** Head of the bounded top-`k` heaps = worst kept pair under the output
+    * order (cos desc, va asc, vb asc). */
+  private val pairByWorse: Ordering[(Double, Long, Long)] =
+    new Ordering[(Double, Long, Long)] {
+      def compare(x: (Double, Long, Long), y: (Double, Long, Long)): Int = {
+        val c = java.lang.Double.compare(y._1, x._1)
+        if (c != 0) c
+        else {
+          val a = java.lang.Long.compare(x._2, y._2)
+          if (a != 0) a else java.lang.Long.compare(x._3, y._3)
+        }
+      }
+    }
+
+  /** Offer a candidate pair to a bounded top-`k` heap with the contract
+    * arithmetic: sequential-fold doubles in, exact HALF_UP BigDecimal
+    * rounding to 4 decimals (same as Spark/DuckDB `round`), and a prune
+    * that skips the (expensive) BigDecimal path when the raw cosine
+    * provably rounds below the worst kept value. Non-finite cosines
+    * (zero-norm vectors) are skipped — matching the expression path, where
+    * division by zero yields NULL and the row sorts last. */
+  private def offerPair(
+      pq: scala.collection.mutable.PriorityQueue[(Double, Long, Long)],
+      k: Int, c: Double, ia: Long, ib: Long): Unit = {
+    if (java.lang.Double.isFinite(c)
+        && (pq.size < k || c >= pq.head._1 - 0.00006)) {
+      val r = scala.math.BigDecimal(c)
+        .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      val cand = if (ia < ib) (r, ia, ib) else (r, ib, ia)
+      if (pq.size < k) pq.enqueue(cand)
+      else if (pairByWorse.compare(cand, pq.head) < 0) {
+        pq.dequeue(); pq.enqueue(cand)
+      }
+    }
+  }
+
+  /** Number of id-hash blocks in the distributed exact all-pairs loop. A
+    * task holds at most two blocks (2·n/B vectors) and shuffle volume is
+    * n·B replicated rows, so B ≈ sqrt(n·rowBytes / taskMemBudget) balances
+    * task memory against shuffle at scale; 16 keeps a task's working set in
+    * the low hundreds of MB up to ~50M vectors of dim 64 while replicating
+    * the table only 16×. */
+  val EmbedPairBlocks: Int = 16
+
+  /** Embedding-cosine near-dup: the exact top-`k` most similar vector
+    * pairs, as a DISTRIBUTED blocked all-pairs pass.
     *
-    * Brute-force all-pairs is the SMALL-side baseline — it requires one
-    * side to fit in executor memory (broadcast); the 100 TB scale path is
-    * [[embeddingNearDupLsh]] / IVF, which replace the quadratic loop with
-    * a bucket equality join. Within that envelope, the pair loop runs as a
-    * primitive-float kernel inside `mapPartitions`: a broadcast
-    * nested-loop join sits outside whole-stage codegen, so the expression
-    * formulation pays interpreted per-pair evaluation and O(n²) joined-row
-    * materialization — ~5× slower at identical semantics. Work is
-    * round-robin partitioned over row indices so the triangular loop load
-    * balances across tasks; each task keeps a bounded top-`k` heap ordered
-    * exactly like the final sort (rounded cos desc, va, vb), so only
-    * O(tasks·k) rows reach the driver-side global sort.
+    * Exact all-pairs top-k over unstructured vectors is inherently Ω(n²)
+    * comparisons (LSH/IVF candidates can't guarantee the true top-k on
+    * low-similarity corpora, and this query's oracle is the exact answer);
+    * the scalable formulation is the classic block-pair decomposition:
+    * hash every vector to one of B id-blocks, replicate each vector to the
+    * B (block, partner-block) groups it participates in, and run the
+    * primitive-float pair kernel independently inside each of the
+    * B(B+1)/2 groups. No driver collect, no broadcast of the table: each
+    * task's working set is two blocks (2n/B vectors) and the only shuffle
+    * is the n·B-row replication — both tunable via `numBlocks`. Each group
+    * keeps a bounded top-`k` heap ordered exactly like the final sort, so
+    * only O(B²·k) rows reach the global TakeOrderedAndProject.
     *
-    * Arithmetic reproduces the declared-query contract bit-for-bit:
-    * sequential left-to-right double fold for dot and norm (same as
-    * [[graft.functions.expressions.VectorDotProduct]]) and Spark `round`'s
-    * HALF_UP BigDecimal rounding; candidates that provably round below the
-    * current worst kept value skip the BigDecimal path entirely. */
-  def embeddingTopPairs(emb: DataFrame, k: Int = 20): DataFrame = {
+    * The kernel runs the same arithmetic as the expression path
+    * ([[graft.functions.expressions.VectorDotProduct]] + Spark `round`):
+    * sequential left-to-right double folds and HALF_UP BigDecimal rounding,
+    * so results hash-match the declared-query oracle bit-for-bit. The
+    * APPROXIMATE scale paths ([[embeddingNearDupLsh]], IVF) remain the
+    * right tool when the quadratic compare itself is unaffordable. */
+  def embeddingTopPairs(emb: DataFrame, k: Int = 20,
+      numBlocks: Int = EmbedPairBlocks): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val B = numBlocks
+    val ds = emb
+      .select(col("vec_id").cast("long"),
+        col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])]
+    // replicate each vector to every (lo ≤ hi) block pair it belongs to;
+    // the diagonal (b, b) pair is emitted exactly once
+    val replicated = ds.flatMap { case (id, v) =>
+      val b = java.lang.Math.floorMod(id, B.toLong).toInt
+      (0 until B).map { o =>
+        val key = if (o < b) o * B + b else b * B + o
+        (key, id, v)
+      }
+    }
+    val partial = replicated
+      .groupByKey(_._1)
+      .flatMapGroups { (key: Int, it: Iterator[(Int, Long, Array[Float])]) =>
+        val lo = key / B; val hi = key % B
+        val rows = it.toArray
+        def block(b: Int): (Array[Long], Array[Array[Float]], Array[Double]) = {
+          val rs = rows.filter(r =>
+            java.lang.Math.floorMod(r._2, B.toLong).toInt == b).sortBy(_._2)
+          val ids = rs.map(_._2)
+          val embs = rs.map(_._3)
+          val nrms = embs.map { v =>
+            var s = 0.0; var i = 0
+            while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+            math.sqrt(s)
+          }
+          (ids, embs, nrms)
+        }
+        val (aIds, aEmbs, aNrms) = block(lo)
+        val (bIds, bEmbs, bNrms) =
+          if (lo == hi) (aIds, aEmbs, aNrms) else block(hi)
+        val pq = scala.collection.mutable.PriorityQueue
+          .empty[(Double, Long, Long)](pairByWorse)
+        var i = 0
+        while (i < aIds.length) {
+          val vi = aEmbs(i); val ni = aNrms(i); val idi = aIds(i)
+          var j = if (lo == hi) i + 1 else 0
+          while (j < bIds.length) {
+            val vj = bEmbs(j)
+            var dot = 0.0; var d = 0
+            while (d < vi.length) { dot += vi(d).toDouble * vj(d).toDouble; d += 1 }
+            offerPair(pq, k, dot / (ni * bNrms(j)), idi, bIds(j))
+            j += 1
+          }
+          i += 1
+        }
+        pq.iterator
+      }
+      .toDF("cos_sim", "va", "vb")
+    partial
+      .select(col("va"), col("vb"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("va"), col("vb"))
+      .limit(k)
+  }
+
+  /** Driver-local variant of [[embeddingTopPairs]]: collect + broadcast the
+    * whole table, round-robin the triangular loop over row indices. TEST
+    * BASELINE ONLY — it requires every vector on the driver, so it caps out
+    * where the driver heap does; the declared query runs the blocked
+    * distributed pass above, and ScaleSpec proves the two agree exactly. */
+  def embeddingTopPairsLocal(emb: DataFrame, k: Int = 20): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val vecs = emb
@@ -422,25 +545,14 @@ object DedupOps {
       math.sqrt(s)
     }
     val bc = spark.sparkContext.broadcast((ids, embs, nrms))
-    // head of the queue = worst kept pair under (cos desc, va asc, vb asc)
-    val byWorse: Ordering[(Double, Long, Long)] =
-      new Ordering[(Double, Long, Long)] {
-        def compare(x: (Double, Long, Long), y: (Double, Long, Long)): Int = {
-          val c = java.lang.Double.compare(y._1, x._1)
-          if (c != 0) c
-          else {
-            val a = java.lang.Long.compare(x._2, y._2)
-            if (a != 0) a else java.lang.Long.compare(x._3, y._3)
-          }
-        }
-      }
     spark.range(n.toLong)
       .repartition(spark.sparkContext.defaultParallelism)
       .as[Long]
       .mapPartitions { it =>
         val (bIds, bEmbs, bNrms) = bc.value
         val m = bIds.length
-        val pq = scala.collection.mutable.PriorityQueue.empty[(Double, Long, Long)](byWorse)
+        val pq = scala.collection.mutable.PriorityQueue
+          .empty[(Double, Long, Long)](pairByWorse)
         it.foreach { iL =>
           val i = iL.toInt
           val vi = bEmbs(i); val ni = bNrms(i); val idi = bIds(i)
@@ -449,19 +561,7 @@ object DedupOps {
             val vj = bEmbs(j)
             var dot = 0.0; var d = 0
             while (d < vi.length) { dot += vi(d).toDouble * vj(d).toDouble; d += 1 }
-            val c = dot / (ni * bNrms(j))
-            // prune: if c cannot round to >= the worst kept value, skip the
-            // (expensive, exact) BigDecimal rounding and comparison
-            if (pq.size < k || c >= pq.head._1 - 0.00006) {
-              val r = scala.math.BigDecimal(c)
-                .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP)
-                .toDouble
-              val cand = (r, idi, bIds(j))
-              if (pq.size < k) pq.enqueue(cand)
-              else if (byWorse.compare(cand, pq.head) < 0) {
-                pq.dequeue(); pq.enqueue(cand)
-              }
-            }
+            offerPair(pq, k, dot / (ni * bNrms(j)), idi, bIds(j))
             j += 1
           }
         }

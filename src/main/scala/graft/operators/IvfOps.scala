@@ -54,19 +54,25 @@ object IvfOps {
         col("embedding"))
   }
 
-  /** Train `k` centroids with `iters` Lloyd iterations. Returns
-    * (centroid_id, centroid: array<double>). */
-  def trainCentroids(emb: DataFrame, k: Int = 16, iters: Int = 5): DataFrame = {
-    val init = emb.orderBy(col("vec_id")).limit(k)
+  /** Deterministic init: the first `k` vectors by id become the seed
+    * centroids. The row-numbering window runs over exactly `k` rows
+    * (post-limit); its partition key isnull(vec_id) is constant-valued but
+    * NOT constant-foldable, so EliminateWindowPartitions can't strip it —
+    * avoiding the empty-partition-spec WindowExec shape (and its
+    * "moving all data to a single partition" warning) at no cost. */
+  private def initCentroids(emb: DataFrame, k: Int): DataFrame =
+    emb.orderBy(col("vec_id")).limit(k)
       .withColumn("centroid_id",
-        row_number().over(Window.orderBy(col("vec_id"))) - 1)
+        row_number().over(
+          Window.partitionBy(isnull(col("vec_id")))
+            .orderBy(col("vec_id"))) - 1)
       .select(col("centroid_id"),
         transform(col("embedding"), _.cast("double")).as("centroid"))
 
-    // dimension comes from the data (one-row probe), keeping the API
-    // dimension-agnostic; VectorAverage needs it up front for its buffer
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    (1 to iters).foldLeft(init) { (centroids, _) =>
+  /** `rounds` Lloyd assign+update iterations from `init`. */
+  private def lloyd(emb: DataFrame, init: DataFrame, dim: Int,
+      rounds: Int): DataFrame =
+    (1 to rounds).foldLeft(init) { (centroids, _) =>
       val assigned = assign(emb, centroids)
       // centroid update = element-wise mean per cell via the custom
       // VectorAverage aggregate: ONE groupBy whose shuffle carries one
@@ -81,13 +87,45 @@ object IvfOps {
           coalesce(col("new.centroid"), col("old.centroid")).as("centroid"))
         .localCheckpoint(eager = true) // truncate the iterative lineage
     }
+
+  /** Train `k` centroids with `iters` Lloyd iterations. Returns
+    * (centroid_id, centroid: array<double>). */
+  def trainCentroids(emb: DataFrame, k: Int = 16, iters: Int = 5): DataFrame = {
+    // dimension comes from the data (one-row probe), keeping the API
+    // dimension-agnostic; VectorAverage needs it up front for its buffer
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    lloyd(emb, initCentroids(emb, k), dim, iters)
   }
 
-  /** IVF search: for each query, probe the `nprobe` nearest cells and rank
-    * candidates in those cells by cosine. */
+  /** Train the full IVF index: `iters` assignment passes over the corpus —
+    * `iters − 1` Lloyd updates, then ONE final assignment under the
+    * returned centroids. That final assignment IS the inverted list:
+    * it was computed under exactly the centroids search will probe with,
+    * so cell selection and list membership share one geometry, and search
+    * needs no re-assignment pass of its own (the round-3 shape ran
+    * `iters` training assigns PLUS a full re-assign inside search — one
+    * redundant scan+broadcast-argmin over the whole corpus). */
+  def trainIndex(emb: DataFrame, k: Int = 16, iters: Int = 3)
+      : (DataFrame, DataFrame) = {
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val centroids = lloyd(emb, initCentroids(emb, k), dim, iters - 1)
+    (centroids, assign(emb, centroids))
+  }
+
+  /** IVF search against a fresh assignment pass. Prefer
+    * [[searchAssigned]] with [[trainIndex]]'s inverted list — this variant
+    * re-scans the corpus to rebuild it. */
   def search(queries: DataFrame, emb: DataFrame, centroids: DataFrame,
-      nprobe: Int = 4, k: Int = 10): DataFrame = {
-    val candidates = assign(emb, centroids)
+      nprobe: Int = 4, k: Int = 10): DataFrame =
+    searchAssigned(queries, assign(emb, centroids), centroids, nprobe, k)
+
+  /** IVF search: for each query, probe the `nprobe` nearest cells and rank
+    * the candidates in those cells by cosine. `assigned` is the inverted
+    * list — (vec_id, centroid_id, embedding) as produced by [[assign]] /
+    * [[trainIndex]]. */
+  def searchAssigned(queries: DataFrame, assigned: DataFrame,
+      centroids: DataFrame, nprobe: Int = 4, k: Int = 10): DataFrame = {
+    val candidates = assigned
       .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
         l2Norm(col("embedding")).as("c_nrm"), col("centroid_id"))
 
@@ -117,10 +155,11 @@ object IvfOps {
     * against the exact baseline and cosine agreement). */
   def simIvf(spark: SparkSession, dir: String): DataFrame = {
     // materialized once: k-means reads the vectors every iteration, then
-    // search reads them twice more — without this the parquet scan +
-    // float→double transforms re-execute per pass
+    // the final index assignment and the probe side read them again —
+    // without this the parquet scan + float→double transforms re-execute
+    // per pass
     val emb = Materialize(Tables.embeddings(spark, dir))
-    val centroids = trainCentroids(emb, k = 16, iters = 3)
-    search(emb.filter(col("vec_id") < 5), emb, centroids)
+    val (centroids, assigned) = trainIndex(emb, k = 16, iters = 3)
+    searchAssigned(emb.filter(col("vec_id") < 5), assigned, centroids)
   }
 }

@@ -119,6 +119,27 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("ReadSchema: struct<o_custkey:bigint,o_totalprice:double>"), p)
   }
 
+  test("dedupEmbed reads the table inside the plan (no driver collect)") {
+    val df = DedupOps.dedupEmbed(spark, sf)
+    val p = plan(df)
+    // the round-3 kernel collected the table at DataFrame construction and
+    // planned only a Range over indices; the blocked pass must scan parquet
+    // and run the pair kernel as a distributed grouped map
+    assert(p.contains("FileScan parquet") || p.contains("Scan parquet"), p)
+    assert(p.contains("MapGroups"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("vocabCoverage windows only the top-k take, never the full vocabulary") {
+    val df = CorpusOps.vocabCoverage(spark, sf)
+    val p = plan(df)
+    // top-k via ordered take; the running sum is a rank-prefix self-join
+    // over those k rows — NO Window anywhere, so no single-partition
+    // global sort of the vocabulary can sneak in
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("sql surface: same query via spark.sql yields same result") {
     GraftSession.openTables(spark, sf)
     val viaSql = GraftSession.sql(spark,

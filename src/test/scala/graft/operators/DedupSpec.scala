@@ -68,6 +68,38 @@ class DedupSpec extends SparkTestBase {
     assert(fps(1L) != fps(3L))
   }
 
+  test("minhash verified pairs: exact precision and bounded recall vs all-pairs Jaccard") {
+    // pins the end-to-end MinHash+LSH recall across signature-family
+    // changes (e.g. the round-3 xxhash64 -> Murmur3 swap): the declared
+    // queries built on it are rows-only, so a silent recall regression
+    // would otherwise be invisible
+    val docs = Tables.documents(spark, sf)
+    val thr = 0.5
+    val verified = DedupOps.minhashVerifiedPairs(docs, thr)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    // exact ground truth: all pairs with Jaccard >= thr over the same
+    // word-3-gram shingle sets (pairs sharing no shingle can't reach 0.5)
+    val ex = docs.select(col("doc_id"),
+      TextFunctions.shingles(TextFunctions.tokensLower(col("text"))).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("shingle"))
+    val exact = ex.as("a")
+      .join(ex.as("b"), col("a.shingle") === col("b.shingle")
+        && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("shared"),
+        max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
+      .filter(col("shared").cast("double")
+        / (col("na") + col("nb") - col("shared")) >= thr)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    // verification computes exact Jaccard on candidates -> precision is 1.0
+    assert(verified.subsetOf(exact),
+      s"false positives: ${verified.diff(exact).take(5)}")
+    assert(exact.nonEmpty, "fixture has no near-dup pairs; test is vacuous")
+    val recall = verified.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (${verified.size}/${exact.size})")
+  }
+
   test("dedupMinhash output covers every document exactly once") {
     val out = DedupOps.dedupMinhash(spark, sf)
     assert(out.count() == Tables.documents(spark, sf).count())

@@ -50,6 +50,31 @@ class ScaleSpec extends SparkTestBase {
     assert(joined.count() == Tables.lineitem(spark, sf).count())
   }
 
+  test("blocked distributed exact top-pairs equals the driver-local kernel at both SFs") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val emb = Tables.embeddings(spark, dir)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(rows(DedupOps.embeddingTopPairs(emb)) ==
+        rows(DedupOps.embeddingTopPairsLocal(emb)), s"mismatch at $dir")
+    }
+  }
+
+  test("embedding top-pairs skips non-finite cosines from zero-norm vectors") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.5f, 0.5f)),
+      (3L, Array(0.0f, 0.0f))). // zero norm -> cosine NaN against anything
+      toDF("vec_id", "embedding")
+    val out = DedupOps.embeddingTopPairs(df, k = 10, numBlocks = 2).collect()
+    assert(out.length == 1) // only the (1,2) pair survives
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L)
+    val outLocal = DedupOps.embeddingTopPairsLocal(df, k = 10).collect()
+    assert(outLocal.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      == out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+  }
+
   test("LSH near-dup pairs are a subset of brute-force pairs at the same threshold") {
     val emb = Tables.embeddings(spark, sf)
     val thr = 0.6
