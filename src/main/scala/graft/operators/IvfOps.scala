@@ -13,11 +13,12 @@ import graft.functions.VectorFunctions._
   * Quantization for Nearest Neighbor Search", 2011, whose IVF coarse stage
   * this follows without the PQ refinement).
   *
-  * Training is Lloyd's k-means expressed as DataFrame ops: assignment is a
-  * broadcast join against the (tiny) centroid set, update is one
-  * hash-aggregation — both scale linearly and shuffle only (vec → centroid)
-  * assignments, never vector pairs. Initialization is deterministic (first
-  * `k` vectors by id), so the whole index build is reproducible.
+  * Training is Lloyd's k-means with a driver-held model (k·dim doubles):
+  * assignment is a narrow codegen'd argmin scan against the model folded
+  * into literals, update is one per-cell hash-aggregation — one Spark job
+  * per iteration, scaling linearly and shuffling only k partial buffers,
+  * never vector pairs or exploded rows. Initialization is deterministic
+  * (first `k` vectors by id), so the whole index build is reproducible.
   *
   * Search probes the `nprobe` nearest cells per query: candidates come from
   * an equality join on the cell id — same join shape as LSH, but cells adapt
@@ -38,64 +39,99 @@ object IvfOps {
   private def centroidScore: org.apache.spark.sql.Column =
     col("cnrm2") - lit(2.0) * dotProduct(col("embedding"), col("centroid"))
 
-  /** One assignment pass: nearest centroid (L2) per vector. `centroids` is
-    * broadcast — it is k rows. Uses min(struct(score, cid)) for a
-    * deterministic argmin (ties break to the lower cid). The embedding is
-    * carried through the aggregate (any_value over identical copies), so
-    * callers needing (vec_id, cell, vector) don't re-join — and re-scan —
-    * the embedding table after every pass. */
-  def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val joined = emb.crossJoin(broadcast(withCentroidNorm(centroids)))
-      .withColumn("score", centroidScore)
-    joined.groupBy(col("vec_id"))
-      .agg(min(struct(col("score"), col("centroid_id"))).as("best"),
-        any_value(col("embedding")).as("embedding"))
-      .select(col("vec_id"), col("best.centroid_id").as("centroid_id"),
-        col("embedding"))
+  /** One assignment pass: nearest centroid (L2) per vector, as a NARROW
+    * codegen'd scan. The centroid set is k (=16) rows — a bounded model,
+    * so it is pulled to the driver (the same shape as MLlib broadcasting
+    * its centroid matrix) and folded into a `least(struct(score, cid), …)`
+    * expression: per row, k inline dot products and a lexicographic min —
+    * deterministic argmin with ties to the lower cid, identical to the
+    * former min(struct(score, cid)) aggregate. The round-3 formulation
+    * crossJoined every vector against all k centroids (k× row and
+    * embedding-payload explosion) and then shuffled the whole table through
+    * an argmin groupBy — per Lloyd pass; this does zero shuffling. */
+  /** The k-means MODEL: k (cid, centroid) pairs held on the driver. Only
+    * the model (k·dim doubles — bounded, k=16 here) ever crosses the driver
+    * boundary; the data never does. This is the same shape as MLlib's
+    * KMeans, which broadcasts its centroid matrix each iteration. */
+  private type Model = Array[(Int, Array[Double])]
+
+  private def collectModel(centroids: DataFrame): Model =
+    centroids.select(col("centroid_id"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  private def modelToDF(spark: SparkSession, m: Model): DataFrame = {
+    import spark.implicits._
+    m.toSeq.map { case (cid, c) => (cid, c.toSeq) }
+      .toDF("centroid_id", "centroid")
   }
 
-  /** Deterministic init: the first `k` vectors by id become the seed
-    * centroids. The row-numbering window runs over exactly `k` rows
-    * (post-limit); its partition key isnull(vec_id) is constant-valued but
-    * NOT constant-foldable, so EliminateWindowPartitions can't strip it —
-    * avoiding the empty-partition-spec WindowExec shape (and its
-    * "moving all data to a single partition" warning) at no cost. */
-  private def initCentroids(emb: DataFrame, k: Int): DataFrame =
-    emb.orderBy(col("vec_id")).limit(k)
-      .withColumn("centroid_id",
-        row_number().over(
-          Window.partitionBy(isnull(col("vec_id")))
-            .orderBy(col("vec_id"))) - 1)
-      .select(col("centroid_id"),
-        transform(col("embedding"), _.cast("double")).as("centroid"))
+  /** Argmin-cell expression for a driver-held model: per row, k inline
+    * codegen'd dot products scored as |b|²−2⟨a,b⟩ (|b|² precomputed into a
+    * literal) and a lexicographic `least(struct(score, cid), …)` —
+    * deterministic argmin, ties to the lower cid, identical to a
+    * min(struct(score, cid)) aggregate. */
+  private def nearestCell(m: Model): org.apache.spark.sql.Column = {
+    require(m.nonEmpty, "nearestCell: empty centroid set")
+    val scored = m.map { case (cid, c) =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      struct((lit(s) - lit(2.0) * dotProduct(col("embedding"), typedLit(c)))
+        .as("score"), lit(cid).as("cid"))
+    }
+    (if (scored.length == 1) scored.head else least(scored.toIndexedSeq: _*))
+      .getField("cid")
+  }
 
-  /** `rounds` Lloyd assign+update iterations from `init`. */
-  private def lloyd(emb: DataFrame, init: DataFrame, dim: Int,
-      rounds: Int): DataFrame =
-    (1 to rounds).foldLeft(init) { (centroids, _) =>
-      val assigned = assign(emb, centroids)
-      // centroid update = element-wise mean per cell via the custom
-      // VectorAverage aggregate: ONE groupBy whose shuffle carries one
-      // partial buffer per cell — not a posexplode (×dim rows) through two
-      // groupBys
-      val next = assigned
+  private def assignWith(emb: DataFrame, m: Model): DataFrame =
+    emb.select(col("vec_id"), nearestCell(m).as("centroid_id"),
+      col("embedding"))
+
+  /** One assignment pass: nearest centroid (L2) per vector, as a NARROW
+    * codegen'd scan — zero shuffles. The round-3 formulation crossJoined
+    * every vector against all k centroids (k× row and embedding-payload
+    * explosion) and then shuffled the whole table through an argmin
+    * groupBy — per Lloyd pass. */
+  def assign(emb: DataFrame, centroids: DataFrame): DataFrame =
+    assignWith(emb, collectModel(centroids))
+
+  /** Deterministic init: the first `k` vectors by id seed the model, in id
+    * order (one ordered-take job, k rows to the driver). */
+  private def initModel(emb: DataFrame, k: Int): Model =
+    emb.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("centroid"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+
+  /** `rounds` Lloyd iterations: each is exactly ONE Spark job — a narrow
+    * assignment scan feeding the per-cell VectorAverage aggregate (one
+    * partial buffer per cell rides the shuffle, not ×dim exploded rows) —
+    * whose k-row result updates the driver-held model. Empty cells keep
+    * their previous position. No per-iteration join, no localCheckpoint,
+    * no lineage growth: every round's plan is (materialized scan + literal
+    * model). */
+  private def lloydModel(emb: DataFrame, init: Model, rounds: Int): Model = {
+    val dim = if (init.isEmpty) 0 else init.head._2.length
+    (1 to rounds).foldLeft(init) { (m, _) =>
+      val next = assignWith(emb, m)
         .groupBy(col("centroid_id"))
         .agg(vectorAvg(col("embedding"), dim).as("centroid"))
-      // keep empty cells at their previous position
-      centroids.as("old").join(next.as("new"), Seq("centroid_id"), "left")
-        .select(col("centroid_id"),
-          coalesce(col("new.centroid"), col("old.centroid")).as("centroid"))
-        .localCheckpoint(eager = true) // truncate the iterative lineage
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .toMap
+      m.map { case (cid, old) => (cid, next.getOrElse(cid, old)) }
     }
+  }
 
   /** Train `k` centroids with `iters` Lloyd iterations. Returns
     * (centroid_id, centroid: array<double>). */
-  def trainCentroids(emb: DataFrame, k: Int = 16, iters: Int = 5): DataFrame = {
-    // dimension comes from the data (one-row probe), keeping the API
-    // dimension-agnostic; VectorAverage needs it up front for its buffer
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    lloyd(emb, initCentroids(emb, k), dim, iters)
-  }
+  def trainCentroids(emb: DataFrame, k: Int = 16, iters: Int = 5): DataFrame =
+    modelToDF(emb.sparkSession,
+      lloydModel(emb, initModel(emb, k), iters))
 
   /** Train the full IVF index: `iters` assignment passes over the corpus —
     * `iters − 1` Lloyd updates, then ONE final assignment under the
@@ -107,9 +143,8 @@ object IvfOps {
     * redundant scan+broadcast-argmin over the whole corpus). */
   def trainIndex(emb: DataFrame, k: Int = 16, iters: Int = 3)
       : (DataFrame, DataFrame) = {
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    val centroids = lloyd(emb, initCentroids(emb, k), dim, iters - 1)
-    (centroids, assign(emb, centroids))
+    val m = lloydModel(emb, initModel(emb, k), iters - 1)
+    (modelToDF(emb.sparkSession, m), assignWith(emb, m))
   }
 
   /** IVF search against a fresh assignment pass. Prefer
