@@ -116,7 +116,19 @@ object SparkEntry {
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
     * columns are CAST explicitly because DuckDB widens (year()→BIGINT,
-    * SUM(int)→HUGEINT, ROW_NUMBER()→BIGINT) where Spark keeps int/long. */
+    * SUM(int)→HUGEINT, ROW_NUMBER()→BIGINT) where Spark keeps int/long.
+    *
+    * Seven queries are deliberately rows-only (no entry here), each with a
+    * stronger ScalaTest invariant instead: q_dedup_minhash / q_dedup_simhash
+    * / q_dedup_clusters depend on a hash family (Murmur3/xxhash64 seeding)
+    * DuckDB cannot reproduce — DedupSpec pins them to exact all-pairs
+    * Jaccard ground truth (subset + recall ≥ 0.9); q_dedup_embed_lsh /
+    * q_sim_lsh / q_sim_ivf are bucketed-candidate approximations whose
+    * bucket structure isn't SQL — ScaleSpec/SimilaritySpec/IvfSpec prove
+    * subset-of-brute-force and recall vs the EXACT oracles (q_dedup_embed,
+    * q_sim_topk, which both hash-match); q_approx_stats is a sketch
+    * (HLL++/quantile) whose exact counterparts differ by construction —
+    * SketchSpec bounds its error against exact COUNT(DISTINCT)/quantiles. */
   def oracleSql: Map[String, String] = Map(
     "q_scan_limit" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice LIMIT 100",

@@ -397,11 +397,18 @@ object AnalyticsOps {
     * the O(len²) DP runs only inside blocks. Near-identical strings share
     * the block unless the edit hits position 1-2 (standard blocking
     * recall tradeoff). */
-  def editDistancePairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+  def editDistancePairs(spark: SparkSession, dir: String, k: Int = 20,
+      blockChars: Int = 2): DataFrame = {
+    // Prefix blocking is quadratic IN BLOCK SIZE: pairs grow as the square
+    // of docs-per-block (measured ×10 wall for ×10 docs at the sf1 gate,
+    // SCALE.md). `blockChars` is the recall/cost dial — at larger corpora
+    // raise it (3-4) to shrink blocks, or use the MinHash+LSH path, which
+    // is the sub-quadratic tool for near-dup at scale. The declared query
+    // keeps blockChars=2 (the oracle-checked contract).
     val pref = Tables.documents(spark, dir)
       .select(col("doc_id"),
         substring(lower(col("text")), 1, 16).as("pref"),
-        substring(lower(col("text")), 1, 2).as("blk"))
+        substring(lower(col("text")), 1, blockChars).as("blk"))
     // threshold form = banded DP: O(threshold·len) per pair instead of
     // O(len²), and pairs above the bound bail out early with -1 (dropped
     // by the >= 0 filter). Same kept rows and distances as the full DP.

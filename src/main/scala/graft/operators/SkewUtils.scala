@@ -13,6 +13,12 @@ import org.apache.spark.sql.functions._
   * deterministic per-row salt, replicate the small-side rows once per salt
   * value, join on (key, salt). Row multiplication is |right| × factor —
   * bounded and chosen by the caller.
+  *
+  * Measured (SCALE.md, round 4): on UNIFORM keys (6M-row lineitem ⋈ 20k
+  * part + groupBy, local[32], medians of 3 warm runs) plain-join-with-AQE
+  * runs 0.47 s vs 1.37 s salted — the factor-8 small-side replication and
+  * fatter shuffle cost ~3× when no key dominates. Default to plain + AQE;
+  * reach for [[saltedJoin]] only under the two conditions above.
   */
 object SkewUtils {
 
