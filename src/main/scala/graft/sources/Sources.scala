@@ -63,7 +63,20 @@ final case class JdbcSource(url: String, table: String,
 
 /** R6+R8: JDBC sink. `Append` per batch = the reference's chunked
   * `to_sql(if_exists="append")` (ingest_data.py:78); `Overwrite` with
-  * truncate=false = the schema-replacing create (ingest_data.py:52). */
+  * truncate=false = the schema-replacing create (ingest_data.py:52).
+  *
+  * Dialect note: the reference targets Postgres (docker-compose.yaml:2-11);
+  * this zero-egress sandbox validates R8/R9 against embedded Derby, so two
+  * deltas are untested here and matter on a real Postgres 16: (1) type
+  * mapping — Spark's JdbcDialects writes StringType as TEXT on Postgres vs
+  * CLOB on Derby, TimestampType as TIMESTAMP in both, and reads Postgres
+  * NUMERIC into DecimalType with the declared precision; (2) Overwrite can
+  * add `.option("truncate", true)` on Postgres to TRUNCATE-and-reload
+  * instead of DROP/CREATE, preserving grants and indexes — Derby has no
+  * TRUNCATE support in Spark's dialect, so the tests exercise the
+  * DROP/CREATE path only. Both paths go through the same public
+  * spark.write.format("jdbc") surface; no code change is needed to switch,
+  * only the url/driver. */
 final case class JdbcSink(url: String, table: String,
     mode: SaveMode = SaveMode.Append) extends Sink {
   override def write(df: DataFrame): Unit =

@@ -150,4 +150,31 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("property: blocked exact top-pairs == local kernel on random vectors") {
+    // random dims/sizes, sparse ids (hash-block occupancy uneven), planted
+    // zero vectors (non-finite cosine guard), duplicate vectors (ties) —
+    // the blocked decomposition must agree with the driver-local kernel
+    // bit for bit on all of them
+    val dimG = Gen.choose(1, 8)
+    (0 until 5).foreach { round =>
+      val dim = sample(dimG, 1).head
+      val n = 5 + round * 13
+      val vals = sample(Gen.listOfN(dim, Gen.choose(-3.0, 3.0)), n)
+        .map(_.map(_.toFloat).toArray)
+      val withEdge = vals.zipWithIndex.map {
+        case (_, i) if i % 11 == 5 => Array.fill(dim)(0.0f) // zero norm
+        case (v, i) if i % 7 == 3 && i > 0 => vals(i - 1)   // duplicate
+        case (v, _) => v
+      }
+      val df = withEdge.zipWithIndex
+        .map { case (v, i) => (i.toLong * 37 + 5, v) } // sparse, non-dense ids
+        .toDF("vec_id", "embedding")
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val blocked = rows(DedupOps.embeddingTopPairs(df, k = 7, numBlocks = 3))
+      val local = rows(DedupOps.embeddingTopPairsLocal(df, k = 7))
+      assert(blocked == local, s"round $round dim $dim n $n")
+    }
+  }
 }
