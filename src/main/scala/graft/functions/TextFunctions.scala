@@ -34,6 +34,13 @@ object TextFunctions {
     GraftColumnBridge.toColumn(expressions.MinHashArray(
       GraftColumnBridge.toExpression(shingleArr), numHashes))
 
+  /** Scalar 64-bit SimHash over a token-array column — a narrow map (no
+    * explode, no 64-column aggregation shuffle); see
+    * [[expressions.SimHashArray]]. */
+  def simhashArray(toks: Column): Column =
+    GraftColumnBridge.toColumn(expressions.SimHashArray(
+      GraftColumnBridge.toExpression(toks)))
+
   /** Count of tokens contained in `words` (stopword-style membership count).
     * OR-chain comparison keeps the DuckDB lambda translation trivial. */
   def tokenMatchCount(toks: Column, words: Seq[String]): Column =

@@ -186,17 +186,19 @@ object DedupOps {
     * Shape tuned for minimum shuffles: the per-doc shingle ARRAY is
     * materialized once (one narrow text pass); signatures come from the
     * shuffle-free scalar [[graft.functions.TextFunctions.minhashArray]]
-    * over that array (no explode + 32-column min-aggregate), and the
-    * per-doc set size rides along the verification explode as
-    * `size(array)` — so there is no counts aggregation and no extra join
-    * pair at the end. Remaining shuffles: the LSH band self-join and the
-    * two candidate-verification joins — the irreducible core. */
+    * over that array (no explode + 32-column min-aggregate); and
+    * verification joins the candidate pairs back to the per-doc ARRAYS —
+    * |A∩B| is a codegen'd `array_intersect` over two ~100-element distinct
+    * arrays, NOT a re-explode of the corpus into |docs|·|shingles| rows
+    * followed by an equality join and a counts aggregation (the round-3
+    * shape: two exploded joins + one groupBy, all shuffling the exploded
+    * set). Remaining shuffles: the LSH band self-join and two joins of the
+    * (small) candidate list against the per-doc rows — AQE broadcasts the
+    * candidate side at runtime. */
   def minhashVerifiedPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val arr = Materialize(
       spread(docs).select(col("doc_id"),
         shingles(tokensLower(col("text"))).as("sh")))
-    val ex = arr.select(col("doc_id"), size(col("sh")).as("n"),
-      explode(col("sh")).as("shingle"))
     val sigs = arr
       .select(col("doc_id"),
         graft.functions.TextFunctions.minhashArray(col("sh"), 32).as("sig"))
@@ -204,13 +206,11 @@ object DedupOps {
       .filter(col("sig").isNotNull)
     val cands = minhashCandidates(sigs)
     cands
-      .join(ex.as("ea"), col("da") === col("ea.doc_id"))
-      .join(ex.as("eb"),
-        col("db") === col("eb.doc_id")
-          && col("ea.shingle") === col("eb.shingle"))
-      .groupBy(col("da"), col("db"))
-      .agg(count(lit(1)).as("shared"),
-        max(col("ea.n")).as("na"), max(col("eb.n")).as("nb"))
+      .join(arr.as("ea"), col("da") === col("ea.doc_id"))
+      .join(arr.as("eb"), col("db") === col("eb.doc_id"))
+      .select(col("da"), col("db"),
+        size(array_intersect(col("ea.sh"), col("eb.sh"))).as("shared"),
+        size(col("ea.sh")).as("na"), size(col("eb.sh")).as("nb"))
       .select(col("da"), col("db"),
         (col("shared").cast("double")
           / (col("na") + col("nb") - col("shared"))).as("jaccard"))
@@ -374,7 +374,10 @@ object DedupOps {
 
   /** 64-bit SimHash over the token multiset: per bit j, sum +1/−1 votes from
     * each token hash's bit j; bit j of the signature = sign of the vote.
-    * One groupBy with 64 small integer aggregates (all codegen'd). */
+    * One groupBy with 64 small integer aggregates (all codegen'd). Kept as
+    * the differential baseline for [[simhashSignaturesScalar]], which is
+    * bit-identical (same xxhash64 family, exact integer votes) without the
+    * explode or the aggregation shuffle. */
   def simhashSignatures(docs: DataFrame): DataFrame = {
     val toks = spread(docs).select(col("doc_id"),
       explode(tokensLower(col("text"))).as("tok"))
@@ -390,8 +393,22 @@ object DedupOps {
       .select(col("doc_id"), sig.as("simhash"))
   }
 
+  /** SimHash as a pure narrow map: the scalar
+    * [[graft.functions.expressions.SimHashArray]] over each doc's token
+    * array — no explode (×|tokens| rows) and no 64-column aggregation
+    * shuffle; the signature stage becomes a scan. Same xxhash64 family and
+    * integer votes as [[simhashSignatures]], so outputs are bit-identical
+    * (asserted in DedupSpec). */
+  def simhashSignaturesScalar(docs: DataFrame): DataFrame =
+    spread(docs).select(col("doc_id"),
+      graft.functions.TextFunctions
+        .simhashArray(tokensLower(col("text"))).as("simhash"))
+      // token-less docs sign as NULL; drop them so the row set matches the
+      // aggregate path (which never forms a group for them)
+      .filter(col("simhash").isNotNull)
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    simhashSignatures(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+    simhashSignaturesScalar(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
   /** Head of the bounded top-`k` heaps = worst kept pair under the output
     * order (cos desc, va asc, vb asc). */

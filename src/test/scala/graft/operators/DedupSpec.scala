@@ -57,6 +57,15 @@ class DedupSpec extends SparkTestBase {
     assert(hamming <= 12, s"hamming $hamming too large for a near-dup")
   }
 
+  test("scalar simhash is bit-identical to the aggregate formulation") {
+    val docs = Tables.documents(spark, sf)
+    val agg = DedupOps.simhashSignatures(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scalar = DedupOps.simhashSignaturesScalar(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scalar == agg)
+  }
+
   test("fingerprint is whitespace/case-insensitive") {
     val df = Seq(
       (1L, "Hello   World"),
