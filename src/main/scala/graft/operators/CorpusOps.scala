@@ -98,23 +98,25 @@ object CorpusOps {
     * reorder rows; the smoothed idf weight `ln((N+1)/(df+1))` appears only
     * as a decimal-rounded output value. Two aggregation shuffles (tf per
     * (doc, token), df per token) + one broadcast of the tiny df/N sides —
-    * the per-doc window sorts only each doc's own term list. */
+    * the per-doc top term is a partial-aggregated struct argmin
+    * (min over (−tf, token) = highest tf, ties to the lexicographically
+    * first token), NOT a per-doc window: no sort of any doc's term list,
+    * and map-side partials shrink the shuffle to one row per doc. */
   def tfidfTop(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.NumericFunctions.stableRound4
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokensLower(col("text"))).as("token"))
-    // materialized: tf feeds both the per-doc window and the df rollup —
+    // materialized: tf feeds both the per-doc argmin and the df rollup —
     // without it the scan+tokenize+explode+aggregate tree runs twice
     val tf = Materialize(toks.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf")))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(spark, dir)
       .agg(count(lit(1)).as("n_docs"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("tf").desc, col("token"))
-    tf.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    tf.groupBy(col("doc_id"))
+      .agg(min(struct((-col("tf")).as("neg_tf"), col("token"))).as("best"))
+      .select(col("doc_id"), col("best.token").as("token"),
+        (-col("best.neg_tf")).as("tf"))
       .join(broadcast(df), "token")
       .crossJoin(broadcast(nDocs))
       .select(
