@@ -38,6 +38,15 @@ object VectorFunctions {
   def cosine(dot: Column, normA: Column, normB: Column): Column =
     dot / (normA * normB)
 
+  /** Nearest-centroid cell id for a driver-held k-means model (codegen'd
+    * argmin — the model rides as reference objects, so the generated source
+    * is model-independent and compiles ONCE across Lloyd passes; see
+    * [[expressions.NearestCentroid]]). */
+  def nearestCentroid(vec: Column, cids: Array[Int],
+      centroids: Array[Array[Double]]): Column =
+    GraftColumnBridge.toColumn(expressions.NearestCentroid(
+      GraftColumnBridge.toExpression(vec), cids, centroids))
+
   /** Random-hyperplane LSH signature: the sign bit of the dot product with
     * `planes` fixed hyperplanes, packed into a long. Deterministic planes
     * come from [[hyperplanes]]. Used to bucket vectors so approximate

@@ -139,3 +139,106 @@ case class VectorL2Norm(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Nearest-centroid cell id for a DRIVER-HELD k-means model: per row, the
+  * argmin over k cells of the L2 proxy score |c|²−2⟨a,c⟩ (the |a|² term is
+  * constant per row and dropped), ties to the lower cell index — bitwise
+  * identical to the former `least(struct(score, cid), …)` formulation
+  * (same sequential double fold, commuted multiply, same `s − 2·dot`).
+  *
+  * The model crosses into generated code as REFERENCE OBJECTS
+  * (`ctx.addReferenceObj`), not inlined literals. The `least(struct(…))`
+  * version embedded each centroid's norm as a primitive literal in the
+  * generated source, so every distinct model — every Lloyd pass, every
+  * dataset — produced new source and a fresh janino compile (~0.5 s per
+  * pass at k=16·dim=64). Here the source is model-independent: one compile
+  * for the whole training loop, and the per-row work is a tight k×dim
+  * primitive loop instead of k chained struct comparisons. */
+case class NearestCentroid(
+    child: Expression,
+    cids: Array[Int],
+    centroids: Array[Array[Double]])
+  extends UnaryExpression {
+  import VectorExpressions._
+
+  require(cids.length == centroids.length && cids.nonEmpty,
+    "nearest_centroid: model must be non-empty with one cid per centroid")
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+
+  /** |c|² per cell, same sequential fold the driver used to build the old
+    * literal scores. Recomputed lazily per JVM — never serialized. */
+  @transient private lazy val norms: Array[Double] =
+    centroids.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val dt = elementType(child)
+    val n = x.numElements()
+    var best = 0
+    var bestScore = Double.PositiveInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val cen = centroids(c)
+      if (cen.length != n) throw new IllegalArgumentException(
+        s"nearest_centroid: dimension mismatch ${cen.length} vs $n")
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        if (!x.isNullAt(i)) dot += cen(i) * toDouble(x, i, dt)
+        i += 1
+      }
+      val score = norms(c) - 2.0 * dot
+      if (score < bestScore) { bestScore = score; best = c }
+      c += 1
+    }
+    cids(best)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val dt = elementType(child)
+      val cen = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      val nrm = ctx.addReferenceObj("cnorms", norms, "double[]")
+      val cid = ctx.addReferenceObj("cids", cids, "int[]")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val cc = ctx.freshName("cc")
+      val dot = ctx.freshName("dot")
+      val score = ctx.freshName("score")
+      val best = ctx.freshName("best")
+      val bestScore = ctx.freshName("bestScore")
+      val xv = CodeGenerator.getValue(a, dt, i)
+      s"""
+         |int $n = $a.numElements();
+         |int $best = 0;
+         |double $bestScore = Double.POSITIVE_INFINITY;
+         |for (int $c = 0; $c < ${centroids.length}; $c++) {
+         |  double[] $cc = $cen[$c];
+         |  if ($cc.length != $n) {
+         |    throw new IllegalArgumentException(
+         |      "nearest_centroid: dimension mismatch " + $cc.length + " vs " + $n);
+         |  }
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$a.isNullAt($i)) {
+         |      $dot += $cc[$i] * (double)($xv);
+         |    }
+         |  }
+         |  double $score = $nrm[$c] - 2.0 * $dot;
+         |  if ($score < $bestScore) { $bestScore = $score; $best = $c; }
+         |}
+         |${ev.value} = $cid[$best];
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -67,21 +67,16 @@ object IvfOps {
       .toDF("centroid_id", "centroid")
   }
 
-  /** Argmin-cell expression for a driver-held model: per row, k inline
-    * codegen'd dot products scored as |b|²−2⟨a,b⟩ (|b|² precomputed into a
-    * literal) and a lexicographic `least(struct(score, cid), …)` —
-    * deterministic argmin, ties to the lower cid, identical to a
-    * min(struct(score, cid)) aggregate. */
+  /** Argmin-cell expression for a driver-held model: one codegen'd
+    * [[graft.functions.expressions.NearestCentroid]] scan — k×dim primitive
+    * loop, deterministic argmin with ties to the lower cid. The model rides
+    * as reference objects, so the generated source (and its janino compile)
+    * is shared by every Lloyd pass and every dataset; the previous
+    * `least(struct(score, cid), …)` formulation inlined each model's norms
+    * as literals and recompiled per pass (~0.5 s each at the bench SF). */
   private def nearestCell(m: Model): org.apache.spark.sql.Column = {
     require(m.nonEmpty, "nearestCell: empty centroid set")
-    val scored = m.map { case (cid, c) =>
-      var s = 0.0; var i = 0
-      while (i < c.length) { s += c(i) * c(i); i += 1 }
-      struct((lit(s) - lit(2.0) * dotProduct(col("embedding"), typedLit(c)))
-        .as("score"), lit(cid).as("cid"))
-    }
-    (if (scored.length == 1) scored.head else least(scored.toIndexedSeq: _*))
-      .getField("cid")
+    nearestCentroid(col("embedding"), m.map(_._1), m.map(_._2))
   }
 
   private def assignWith(emb: DataFrame, m: Model): DataFrame =

@@ -30,6 +30,31 @@ class IvfSpec extends SparkTestBase {
     }
   }
 
+  test("nearest-centroid interpreted eval matches codegen; bad dim fails loudly") {
+    val small = emb.filter(col("vec_id") < 50)
+    val viaCodegen = IvfOps.assign(small, centroids)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val factoryKey = "spark.sql.codegen.factoryMode"
+    val wholeKey = "spark.sql.codegen.wholeStage"
+    val (f0, w0) = (spark.conf.get(factoryKey), spark.conf.get(wholeKey))
+    try {
+      spark.conf.set(factoryKey, "NO_CODEGEN")
+      spark.conf.set(wholeKey, "false")
+      val viaInterp = IvfOps.assign(small, centroids)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(viaInterp == viaCodegen)
+    } finally {
+      spark.conf.set(factoryKey, f0)
+      spark.conf.set(wholeKey, w0)
+    }
+    val e = intercept[Exception] {
+      IvfOps.assign(small.select(col("vec_id"),
+        slice(col("embedding"), 1, 7).as("embedding")), centroids).collect()
+    }
+    assert(e.getMessage.contains("dimension mismatch")
+      || e.getCause != null && e.getCause.getMessage.contains("dimension mismatch"))
+  }
+
   test("IVF search: cosines exact for returned pairs; reasonable recall") {
     val ivf = IvfOps.simIvf(spark, sf)
       .select("q_id", "cand_id", "cos_sim").collect()
