@@ -112,6 +112,10 @@ object SparkEntry {
     "q_ngram_freq"     -> ((s, d) => CorpusOps.ngramFreq(s, d)),
     "q_vocab_coverage" -> ((s, d) => CorpusOps.vocabCoverage(s, d)),
     "q_dedup_normkey"  -> (DedupOps.dedupNormKey _),
+    "q_repetition"     -> (TextOps.repetitionStats _),
+    "q_stratified_sample" -> (CorpusOps.stratifiedSample _),
+    "q_sample_group"   -> ((s, d) => CorpusOps.samplePerGroup(s, d)),
+    "q_doc_dupe_rate"  -> (CorpusOps.docDupeRate _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -620,5 +624,26 @@ object SparkEntry {
         "FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), " +
         "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_key FROM documents) " +
         "GROUP BY norm_key ORDER BY doc_id"),
+    "q_repetition" ->
+      ("WITH tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM " +
+        "(SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok " +
+        "FROM documents) GROUP BY doc_id, tok) " +
+        "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+        "CAST(round(CAST(1.0 - COUNT(*) / sum(c) AS DECIMAL(20,8)), 4) AS DOUBLE) AS dup_word_frac, " +
+        "CAST(round(CAST(max(c) / sum(c) AS DECIMAL(20,8)), 4) AS DOUBLE) AS top_word_share " +
+        "FROM tc GROUP BY doc_id ORDER BY doc_id"),
+    "q_stratified_sample" ->
+      ("SELECT doc_id, lang FROM documents " +
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < " +
+        "CASE WHEN lang = 'en' THEN '0d' ELSE '33' END ORDER BY doc_id"),
+    "q_sample_group" ->
+      ("SELECT doc_id, lang, CAST(rn AS INTEGER) AS rn FROM " +
+        "(SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) " +
+        "WHERE rn <= 25 ORDER BY lang, rn"),
+    "q_doc_dupe_rate" ->
+      ("SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct, " +
+        "CAST(round(CAST(1.0 - COUNT(DISTINCT text) / COUNT(*) AS DECIMAL(20,8)), 4) AS DOUBLE) AS dup_rate " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
   )
 }

@@ -159,6 +159,55 @@ object CorpusOps {
       .orderBy(col("n").desc, col("bigram"))
       .limit(k)
 
+  /** Stratified deterministic sample: per-language keep rates applied with
+    * the same md5-prefix rule as [[sampleByHash]] — here the majority
+    * language (`en`) is downsampled to ~5% while every other language keeps
+    * ~20%, the standard rebalancing move when one language dominates a
+    * crawl. Pure function of (doc_id, lang): reproducible across engines,
+    * partitionings, and cluster sizes. No shuffle — the filter rides the
+    * scan. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2)
+        < when(col("lang") === "en", lit("0d")).otherwise(lit("33")))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** Fixed-size per-stratum sample: exactly `n` documents per language (or
+    * all of them for smaller strata), chosen by md5 order — a deterministic
+    * stand-in for "give me 25 random docs of each language" eval-set
+    * carving. Plans as WindowGroupLimit (bounded per-group state, no global
+    * sort): each task keeps at most `n` rows per language before the
+    * shuffle. */
+  def samplePerGroup(spark: SparkSession, dir: String, n: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  /** Per-language duplicate-rate report: documents, distinct texts, and the
+    * duplicate fraction — the before/after accounting every dedup run
+    * publishes. One aggregation with a partial-aggregated exact distinct;
+    * at 100 TB the same shape runs as two shuffles (count-distinct
+    * expansion), or swap in approx_count_distinct for the sketched
+    * variant ([[SketchOps]]). */
+  def docDupeRate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct"),
+        stableRound4(lit(1.0) - countDistinct(col("text"))
+          / count(lit(1))).as("dup_rate"))
+      .orderBy(col("lang"))
+  }
+
   /** Vocabulary coverage curve: the top-`k` corpus tokens with each one's
     * cumulative share of all token occurrences — the "how much of the
     * corpus do the top-N words cover" diagnostic. The running sum over the

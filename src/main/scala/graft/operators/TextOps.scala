@@ -101,6 +101,33 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document repetition metrics, the Gopher-style quality signals that
+    * catch degenerate/templated text: `dup_word_frac` (share of token
+    * occurrences beyond each word's first — 1 − distinct/total) and
+    * `top_word_share` (occurrences of the single most frequent word over
+    * total). Two partial-aggregated shuffles keyed by (doc_id, token) then
+    * doc_id — never a per-document interpreted loop, so at 100 TB it runs
+    * at explode+agg speed with map-side combine on both hops. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokensLower(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        stableRound4(lit(1.0) - col("n_distinct") / col("n_tokens"))
+          .as("dup_word_frac"),
+        stableRound4(col("top_c") / col("n_tokens")).as("top_word_share"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Canonical md5 fingerprint of the normalized text (rolling-hash style
     * document identity for exact dedup across formatting noise). */
   def fingerprintDocs(spark: SparkSession, dir: String): DataFrame =

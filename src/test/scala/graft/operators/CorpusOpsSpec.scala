@@ -122,6 +122,50 @@ class CorpusOpsSpec extends SparkTestBase {
     } finally out.unpersist()
   }
 
+  test("stratifiedSample: en downsampled below the other strata; subset of full sample space") {
+    val out = CorpusOps.stratifiedSample(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val totals = graft.Tables.documents(spark, sf)
+      .groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // rate(en) ≈ 5% < rate(other) ≈ 20%; tolerant bounds for small strata
+    val rateEn = kept.getOrElse("en", 0).toDouble / totals("en")
+    val rateOther = kept.filter(_._1 != "en").map(_._2).sum.toDouble /
+      totals.filter(_._1 != "en").values.sum
+    assert(rateEn < rateOther,
+      s"expected en rate $rateEn below other-language rate $rateOther")
+    // determinism: pure function of (doc_id, lang)
+    val again = CorpusOps.stratifiedSample(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(out.sameElements(again))
+  }
+
+  test("samplePerGroup: at most n rows per language, rn dense from 1") {
+    val out = CorpusOps.samplePerGroup(spark, sf, n = 25).collect()
+    val byLang = out.groupBy(_.getString(1))
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.length <= 25, s"$lang overflows: ${rows.length}")
+      assert(rows.map(_.getInt(2)).sorted.sameElements(1 to rows.length))
+    }
+    // a stratum smaller than n keeps all its docs
+    val totals = graft.Tables.documents(spark, sf)
+      .groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.filter(_._2 <= 25).keys.foreach { lang =>
+      assert(byLang(lang).length.toLong == totals(lang))
+    }
+  }
+
+  test("docDupeRate: dup_rate consistent with exact distinct counts") {
+    val out = CorpusOps.docDupeRate(spark, sf).collect()
+    out.foreach { r =>
+      val (n, d, rate) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(d <= n && rate >= 0.0 && rate <= 1.0)
+      assert(math.abs(rate - (1.0 - d.toDouble / n)) < 1e-4)
+    }
+  }
+
   test("latestEvent: one row per user with that user's max timestamp") {
     val out = EventOps.latestEvent(spark, sf)
     val events = graft.Tables.events(spark, sf)

@@ -44,4 +44,23 @@ class TextOpsSpec extends SparkTestBase {
       .collect().head.getSeq[String](0)
     assert(got == Seq("hello", ",", "world", "42", "x", "!"))
   }
+
+  test("repetitionStats matches a hand-rolled count on a document sample") {
+    val out = TextOps.repetitionStats(spark, sf)
+      .filter(col("doc_id") < 20).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val texts = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 20).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == texts.keySet)
+    texts.foreach { case (id, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+").toSeq
+      val counts = toks.groupBy(identity).view.mapValues(_.length)
+      val (n, dup, top) = out(id)
+      assert(n == toks.length)
+      assert(math.abs(dup - (1.0 - counts.size.toDouble / toks.length)) < 1e-4)
+      assert(math.abs(top - counts.values.max.toDouble / toks.length) < 1e-4)
+    }
+  }
 }
