@@ -116,6 +116,7 @@ object SparkEntry {
     "q_stratified_sample" -> (CorpusOps.stratifiedSample _),
     "q_sample_group"   -> ((s, d) => CorpusOps.samplePerGroup(s, d)),
     "q_doc_dupe_rate"  -> (CorpusOps.docDupeRate _),
+    "q_bloom_join"     -> (JoinOps.bloomSemiJoinAgg _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -645,5 +646,13 @@ object SparkEntry {
       ("SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct, " +
         "CAST(round(CAST(1.0 - COUNT(DISTINCT text) / COUNT(*) AS DECIMAL(20,8)), 4) AS DOUBLE) AS dup_rate " +
         "FROM documents GROUP BY lang ORDER BY lang"),
+    // semantics of the Bloom pre-filter + exact semi join = plain IN subquery
+    "q_bloom_join" ->
+      ("SELECT l_returnflag, COUNT(*) AS n_items, " +
+        "round(SUM(l_quantity), 4) AS sum_qty, " +
+        "round(SUM(l_extendedprice), 4) AS total " +
+        "FROM lineitem WHERE l_orderkey IN " +
+        "(SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
   )
 }

@@ -147,6 +147,40 @@ object JoinOps {
       .orderBy(col("p_brand"))
   }
 
+  /** Bloom-filter semi-join reduction: lineitems of URGENT orders,
+    * aggregated per return flag. The urgent key set is too large to ship as
+    * an IN-list and (at 100 TB) too large to broadcast as a hash table, so
+    * the fact side is pre-filtered by a Bloom filter of the dimension keys
+    * — built DISTRIBUTED (`stat.bloomFilter` tree-aggregates per-partition
+    * filters), probed in the scan stage via the codegen'd
+    * [[graft.functions.expressions.BloomContains]] — before the exact semi
+    * join removes the false positives. Only ~sel+fpp of the fact table
+    * reaches the shuffle instead of all of it; semantics stay exactly the
+    * plain semi join (the oracle IS the plain `IN` subquery).
+    *
+    * Like the scalar-subquery pattern, the filter build is an eager
+    * two-job step (count + tree-aggregate) at DataFrame-construction
+    * time — the price of a probe that rides the scan. */
+  def bloomSemiJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SketchFunctions._
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bloom = urgent.stat.bloomFilter("o_orderkey",
+      expectedNumItems = math.max(1000L, urgent.count()), fpp = 0.01)
+    val bytes = serialize(bloom)
+    val lineitem = Tables.lineitem(spark, dir)
+      .filter(bloomMightContain(col("l_orderkey"), bytes))
+    lineitem
+      .join(urgent, lineitem("l_orderkey") === urgent("o_orderkey"),
+        "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("total"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): rows whose
     * join key is NULL match the NULL group instead of dropping out — the
     * semantics CDC/merge pipelines need for nullable business keys. The

@@ -59,4 +59,29 @@ class JoinOpsSpec extends SparkTestBase {
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getAs[Double]("revenue") > 0))
   }
+
+  test("bloom semi-join reduction equals the plain semi join; probe rides the scan stage") {
+    val out = JoinOps.bloomSemiJoinAgg(spark, sf)
+    val urgent = graft.Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    val li = graft.Tables.lineitem(spark, sf)
+    val plain = li
+      .join(urgent, li("l_orderkey") === urgent("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("total"))
+      .orderBy(col("l_returnflag"))
+    assert(out.collect().toSeq == plain.collect().toSeq)
+    // the bloom probe must filter the fact side BELOW the join, i.e. appear
+    // in the plan at all (scan stage) — the join then only sees survivors
+    val lines = out.queryExecution.sparkPlan.toString.linesIterator.toVector
+    val joinLine = lines.indexWhere(l =>
+      l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin")
+        || l.contains("ShuffledHashJoin"))
+    val probeLine = lines.indexWhere(_.contains("bloom_might_contain"))
+    assert(joinLine >= 0 && probeLine > joinLine,
+      s"bloom probe should sit below the join: join@$joinLine probe@$probeLine\n"
+        + lines.take(40).mkString("\n"))
+  }
 }
