@@ -117,6 +117,29 @@ final case class OrcSink(path: String, compression: String = "zlib",
   }
 }
 
+/** Row interchange beyond CSV: JSON Lines (one object per line — the
+  * splittable, scan-parallel layout; `multiline=true` only for whole-file
+  * documents, which cannot be split). Schema optional like [[CsvSource]]:
+  * inference costs an extra pass, so at scale pass one. Gzip is transparent
+  * on read; on write the codec rides the option. */
+final case class JsonSource(path: String, multiline: Boolean = false,
+    schema: Option[org.apache.spark.sql.types.StructType] = None)
+    extends Source {
+  override def read(spark: SparkSession): DataFrame = {
+    val base = spark.read.option("multiLine", multiline.toString)
+    schema.map(base.schema).getOrElse(base).json(path)
+  }
+}
+final case class JsonSink(path: String, compression: String = "gzip",
+    partitionBy: Seq[String] = Nil, mode: SaveMode = SaveMode.Overwrite)
+    extends Sink {
+  override def write(df: DataFrame): Unit = {
+    val w = df.write.option("compression", compression).mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .json(path)
+  }
+}
+
 /** R12/R14: object-store upload/download. Local-FS stand-in: Spark reads and
   * writes the store path in place (no copy step — the reference's explicit
   * re-download, self-described as redundant at ingest_data.py:125, becomes a

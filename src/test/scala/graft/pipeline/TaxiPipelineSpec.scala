@@ -80,6 +80,25 @@ class TaxiPipelineSpec extends SparkTestBase {
     assert(back.filter(col("yr") === someYr).count() == yrs(someYr))
   }
 
+  test("JsonSink/JsonSource roundtrip: gzip JSON lines, schema-pinned re-read") {
+    val src = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    JsonSink(s"$tmp/json_orders").write(src)
+    // gzip codec actually applied (JSON lines stay splittable per file)
+    val files = new java.io.File(s"$tmp/json_orders").listFiles()
+      .map(_.getName).filter(_.endsWith(".gz"))
+    assert(files.nonEmpty, "expected .json.gz part files")
+    // schema-pinned read: no inference pass, exact dtypes back
+    val back = JsonSource(s"$tmp/json_orders", schema = Some(src.schema))
+      .read(spark)
+    assert(back.schema == src.schema)
+    assert(back.count() == src.count())
+    assert(back.agg(sum(col("o_orderkey"))).head.getLong(0)
+      == src.agg(sum(col("o_orderkey"))).head.getLong(0))
+    // inferred read still counts the same rows (types may widen)
+    assert(JsonSource(s"$tmp/json_orders").read(spark).count() == src.count())
+  }
+
   test("end-to-end pipeline: fetch -> ingest(Derby) -> export -> re-read (R1-R17)") {
     val c = config("yellow")
     val url = s"file://${res("yellow_sample.csv")}"
