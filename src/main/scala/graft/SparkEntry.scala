@@ -117,6 +117,7 @@ object SparkEntry {
     "q_sample_group"   -> ((s, d) => CorpusOps.samplePerGroup(s, d)),
     "q_doc_dupe_rate"  -> (CorpusOps.docDupeRate _),
     "q_bloom_join"     -> (JoinOps.bloomSemiJoinAgg _),
+    "q_weighted_sample" -> (CorpusOps.weightedSample _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -654,5 +655,23 @@ object SparkEntry {
         "FROM lineitem WHERE l_orderkey IN " +
         "(SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') " +
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // same score pipeline as q_quality_score; the uniform draw is the first
+    // 4 md5 hex digits of doc_id over 2^16 on both engines
+    "q_weighted_sample" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tokens, " +
+        "length(regexp_replace(text, '\\s', '', 'g')) AS n_letter_chars, " +
+        "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), " +
+        "t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) AS sw_n " +
+        "FROM documents), " +
+        "d AS (SELECT doc_id, n_tokens, " +
+        "CAST(n_letter_chars AS DOUBLE) / n_tokens AS awl, " +
+        "CAST(sw_n AS DOUBLE) / n_tokens AS swr FROM t), " +
+        "s AS (SELECT doc_id, " +
+        "CAST(round(CAST(least(1.0, n_tokens / 50.0) * 0.5 + CASE WHEN awl BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END + least(0.2, swr) AS DECIMAL(20,8)), 4) AS DOUBLE) AS quality_score " +
+        "FROM d) " +
+        "SELECT doc_id, quality_score FROM s " +
+        "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) / 65536.0 < quality_score " +
+        "ORDER BY doc_id"),
   )
 }

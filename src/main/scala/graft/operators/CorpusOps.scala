@@ -190,6 +190,24 @@ object CorpusOps {
       .orderBy(col("lang"), col("rn"))
   }
 
+  /** Quality-weighted deterministic sample: keep each document with
+    * probability equal to its (rounded) [[TextOps.qualityScore]] — high
+    * quality docs are kept more often, the standard way training mixes
+    * up-weight clean text without a separate pass. The uniform draw is the
+    * first 4 md5 hex digits of doc_id over 2¹⁶ — a pure function of the
+    * key, so the sample is reproducible across engines and partitionings,
+    * and the keep decision composes with the score computation as one
+    * narrow scan (no shuffle, no RNG state). */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    TextOps.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+      .withColumn("u",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("double") / lit(65536.0))
+      .filter(col("u") < col("quality_score"))
+      .select(col("doc_id"), col("quality_score"))
+      .orderBy(col("doc_id"))
+
   /** Per-language duplicate-rate report: documents, distinct texts, and the
     * duplicate fraction — the before/after accounting every dedup run
     * publishes. One aggregation with a partial-aggregated exact distinct;

@@ -157,6 +157,30 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("weightedSample keeps high-quality docs more often and is a pure key function") {
+    val scores = TextOps.qualityScore(spark, sf)
+      .select(col("doc_id"), col("quality_score")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val kept = CorpusOps.weightedSample(spark, sf).collect()
+      .map(r => r.getLong(0)).toSet
+    // every kept doc passes its own threshold; every dropped one fails it
+    scores.foreach { case (id, s) =>
+      val u = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString)
+          .substring(0, 4), 16) / 65536.0
+      assert(kept.contains(id) == (u < s), s"doc $id u=$u score=$s")
+    }
+    // the sample preferentially keeps high-quality docs
+    val keptAvg = scores.filter(kv => kept.contains(kv._1)).values.sum / kept.size
+    val allAvg = scores.values.sum / scores.size
+    assert(keptAvg > allAvg)
+    // no shuffle: the keep decision is a narrow scan (no Exchange before
+    // the final output sort)
+    val plan = CorpusOps.weightedSample(spark, sf).queryExecution
+      .executedPlan.toString
+    assert(plan.split("Exchange").length - 1 <= 1, plan)
+  }
+
   test("docDupeRate: dup_rate consistent with exact distinct counts") {
     val out = CorpusOps.docDupeRate(spark, sf).collect()
     out.foreach { r =>
