@@ -118,6 +118,7 @@ object SparkEntry {
     "q_doc_dupe_rate"  -> (CorpusOps.docDupeRate _),
     "q_bloom_join"     -> (JoinOps.bloomSemiJoinAgg _),
     "q_weighted_sample" -> (CorpusOps.weightedSample _),
+    "q_upsert"         -> (RelationalOps.upsertOrders _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -673,5 +674,16 @@ object SparkEntry {
         "SELECT doc_id, quality_score FROM s " +
         "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) / 65536.0 < quality_score " +
         "ORDER BY doc_id"),
+    "q_upsert" ->
+      ("WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders), " +
+        "c AS (SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1.0 AS o_totalprice " +
+        "FROM o WHERE o_orderkey % 10 = 0), " +
+        "i AS (SELECT o_orderkey + 100000000 AS o_orderkey, 'N' AS o_orderstatus, o_totalprice " +
+        "FROM o WHERE o_orderkey % 1000 = 1), " +
+        "u AS (SELECT * FROM c UNION ALL SELECT * FROM i), " +
+        "m AS (SELECT * FROM o WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u) " +
+        "UNION ALL SELECT * FROM u) " +
+        "SELECT o_orderstatus, COUNT(*) AS n, round(SUM(o_totalprice), 4) AS total " +
+        "FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus"),
   )
 }

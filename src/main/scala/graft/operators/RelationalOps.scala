@@ -99,6 +99,36 @@ object RelationalOps {
         round(sum(col("o_totalprice")), 4).as("sum_total"))
       .orderBy(col("yr"), col("mon"))
 
+  /** CDC upsert/merge: `updates` rows replace target rows that share their
+    * key; unmatched updates insert. One anti-join shuffle on the key plus a
+    * union — the MERGE INTO shape without a table format, and the batch
+    * twin of [[graft.operators.EventOps.latestEvent]] compaction. At
+    * 100 TB both sides shuffle once on the key; with a bucketed target the
+    * exchange disappears entirely (see ScaleSpec's bucketed-join test). */
+  def upsert(target: DataFrame, updates: DataFrame, key: String): DataFrame =
+    target.join(updates.select(col(key)).distinct(), Seq(key), "left_anti")
+      .unionByName(updates)
+
+  /** Declared upsert query: orders with a synthetic CDC batch — every
+    * key ≡ 0 (mod 10) gets a status/price correction, and a shifted key
+    * range arrives as brand-new rows. Deterministic: the batch is a pure
+    * function of the table. */
+  def upsertOrders(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val corrections = orders.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + 1.0).as("o_totalprice"))
+    val inserts = orders.filter(col("o_orderkey") % 1000 === 1)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), col("o_totalprice"))
+    upsert(orders, corrections.unionByName(inserts), "o_orderkey")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 4).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** R3+R19 generalized: full-scan pricing-summary aggregate (TPC-H Q1 shape)
     * — the reference's chunked scan+filter+cast+write loop re-expressed as one
     * declarative aggregation. Partial aggregation makes the shuffle carry only

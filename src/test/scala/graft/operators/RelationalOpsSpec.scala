@@ -56,4 +56,21 @@ class RelationalOpsSpec extends SparkTestBase {
     assert(rows.getInt(0) >= 0 && rows.getInt(1) <= 23)
     assert(rows.getLong(2) == Tables.events(spark, sf).count())
   }
+
+  test("upsert: updates replace, inserts append, untouched rows carry through") {
+    import spark.implicits._
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "v", "x")
+    val updates = Seq((2L, "B", 21.0), (9L, "z", 90.0)).toDF("k", "v", "x")
+    val got = RelationalOps.upsert(target, updates, "k")
+      .orderBy(col("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "B", 21.0),
+      (3L, "c", 30.0), (9L, "z", 90.0)))
+    // a multi-row key in the target is fully replaced by its update row
+    val dupTarget = Seq((2L, "b", 20.0), (2L, "b2", 22.0)).toDF("k", "v", "x")
+    val got2 = RelationalOps.upsert(dupTarget, updates, "k")
+      .orderBy(col("k")).collect().map(_.getLong(0)).toSeq
+    assert(got2 == Seq(2L, 9L))
+  }
 }
