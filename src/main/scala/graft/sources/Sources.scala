@@ -23,10 +23,14 @@ trait Sink { def write(df: DataFrame): Unit }
   * `pd.read_csv` (ingest_data.py:49); at scale prefer an explicit schema to
   * skip the inference pass. */
 final case class CsvSource(path: String, limit: Option[Int] = None,
-    schema: Option[org.apache.spark.sql.types.StructType] = None)
+    schema: Option[org.apache.spark.sql.types.StructType] = None,
+    mode: String = "PERMISSIVE")
     extends Source {
   override def read(spark: SparkSession): DataFrame = {
-    val base = spark.read.option("header", "true")
+    // PERMISSIVE (default) nulls out unparsable fields; DROPMALFORMED skips
+    // the row; FAILFAST aborts the scan — at 100 TB one bad row must not
+    // kill a 6-hour job, so the default degrades instead of failing.
+    val base = spark.read.option("header", "true").option("mode", mode)
     val withSchema = schema match {
       case Some(s) => base.schema(s)
       // pandas parity: pd.read_csv never guesses datetimes, so pin the
@@ -123,10 +127,12 @@ final case class OrcSink(path: String, compression: String = "zlib",
   * inference costs an extra pass, so at scale pass one. Gzip is transparent
   * on read; on write the codec rides the option. */
 final case class JsonSource(path: String, multiline: Boolean = false,
-    schema: Option[org.apache.spark.sql.types.StructType] = None)
+    schema: Option[org.apache.spark.sql.types.StructType] = None,
+    mode: String = "PERMISSIVE")
     extends Source {
   override def read(spark: SparkSession): DataFrame = {
     val base = spark.read.option("multiLine", multiline.toString)
+      .option("mode", mode)
     schema.map(base.schema).getOrElse(base).json(path)
   }
 }

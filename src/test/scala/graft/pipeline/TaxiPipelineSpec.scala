@@ -99,6 +99,27 @@ class TaxiPipelineSpec extends SparkTestBase {
     assert(JsonSource(s"$tmp/json_orders").read(spark).count() == src.count())
   }
 
+  test("malformed records: PERMISSIVE degrades, DROPMALFORMED skips, FAILFAST aborts") {
+    import org.apache.spark.sql.types._
+    val p = s"$tmp/bad.jsonl"
+    Files.write(Paths.get(p), java.util.Arrays.asList(
+      """{"k": 1, "v": "ok"}""",
+      """{"k": broken""",
+      """{"k": 3, "v": "fine"}"""))
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    val permissive = JsonSource(p, schema = Some(schema)).read(spark)
+    assert(permissive.count() == 3)
+    assert(permissive.filter(col("k").isNull).count() == 1)
+    val dropped = JsonSource(p, schema = Some(schema),
+      mode = "DROPMALFORMED").read(spark)
+    assert(dropped.count() == 2)
+    intercept[Exception] {
+      JsonSource(p, schema = Some(schema), mode = "FAILFAST")
+        .read(spark).count()
+    }
+  }
+
   test("end-to-end pipeline: fetch -> ingest(Derby) -> export -> re-read (R1-R17)") {
     val c = config("yellow")
     val url = s"file://${res("yellow_sample.csv")}"
