@@ -140,6 +140,28 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("Window"), p)
   }
 
+  test("repetitionStats partial-aggregates both hops; scan prunes to (doc_id, text)") {
+    val p = plan(TextOps.repetitionStats(spark, sf))
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    // never a window or per-doc loop: two HashAggregates and nothing else
+    assert(!p.contains("Window"), p)
+  }
+
+  test("upsert plans one anti-join shuffle and no cartesian anywhere") {
+    val p = plan(RelationalOps.upsertOrders(spark, sf))
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("Cartesian"), p)
+  }
+
+  test("stratifiedSample is a pure scan: no exchange before the output sort") {
+    val df = CorpusOps.stratifiedSample(spark, sf)
+    val p = plan(df)
+    // exactly the range-partitioning exchange for the final orderBy
+    assert(p.split("Exchange").length - 1 <= 1, p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p)
+  }
+
   test("sql surface: same query via spark.sql yields same result") {
     GraftSession.openTables(spark, sf)
     val viaSql = GraftSession.sql(spark,
