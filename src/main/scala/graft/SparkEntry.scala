@@ -119,6 +119,7 @@ object SparkEntry {
     "q_bloom_join"     -> (JoinOps.bloomSemiJoinAgg _),
     "q_weighted_sample" -> (CorpusOps.weightedSample _),
     "q_upsert"         -> (RelationalOps.upsertOrders _),
+    "q_decontaminate"  -> ((s, d) => CorpusOps.decontaminate(s, d)),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -685,5 +686,15 @@ object SparkEntry {
         "UNION ALL SELECT * FROM u) " +
         "SELECT o_orderstatus, COUNT(*) AS n, round(SUM(o_totalprice), 4) AS total " +
         "FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q_decontaminate" ->
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 3, 1)), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS sh FROM t), " +
+        "x AS (SELECT doc_id, unnest(sh) AS shingle FROM s), " +
+        "e AS (SELECT doc_id AS eval_id, shingle FROM x WHERE doc_id % 13 = 0), " +
+        "tr AS (SELECT doc_id AS train_id, shingle FROM x WHERE doc_id % 13 <> 0) " +
+        "SELECT train_id, eval_id, COUNT(*) AS n_shared " +
+        "FROM tr JOIN e USING (shingle) GROUP BY train_id, eval_id " +
+        "ORDER BY n_shared DESC, train_id, eval_id LIMIT 100"),
   )
 }

@@ -226,6 +226,33 @@ object CorpusOps {
       .orderBy(col("lang"))
   }
 
+  /** Eval-set decontamination: training documents sharing at least one
+    * word n-gram with a held-out eval document — the overlap check every
+    * LLM training run performs so benchmark text does not leak into the
+    * training mix. The eval set here is a deterministic hash split
+    * (doc_id ≡ 0 mod 13); n = 5-gram shingles on the fixture corpus
+    * (production uses 8-13).
+    *
+    * Scale shape: the eval side is filtered BEFORE shingling (the
+    * predicate pushes to the scan, so only the ~8% eval slice explodes)
+    * and is broadcast — eval sets are small by construction, so the
+    * training corpus never shuffles: contamination detection rides the
+    * train-side scan as a broadcast hash join, at any corpus size. */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 5,
+      k: Int = 100): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def sh(df: DataFrame, as: String) = df
+      .select(col("doc_id").as(as),
+        explode(shingles(tokensLower(col("text")), n)).as("shingle"))
+    val evalSh = sh(docs.filter(col("doc_id") % 13 === 0), "eval_id")
+    val trainSh = sh(docs.filter(col("doc_id") % 13 =!= 0), "train_id")
+    trainSh.join(broadcast(evalSh), "shingle")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("n_shared").desc, col("train_id"), col("eval_id"))
+      .limit(k)
+  }
+
   /** Vocabulary coverage curve: the top-`k` corpus tokens with each one's
     * cumulative share of all token occurrences — the "how much of the
     * corpus do the top-N words cover" diagnostic. The running sum over the

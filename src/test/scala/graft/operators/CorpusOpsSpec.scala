@@ -181,6 +181,27 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(plan.split("Exchange").length - 1 <= 1, plan)
   }
 
+  test("decontaminate finds exactly the train/eval 5-gram overlaps (hand-rolled check)") {
+    val dir = "/root/testdata/sf0.01" // sf0.001 has no cross-split overlap
+    def grams(text: String): Set[String] = {
+      val t = text.trim.toLowerCase.split("\\s+")
+      if (t.length < 5) Set.empty
+      else t.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val all = graft.Tables.documents(spark, dir).collect()
+      .map(r => r.getLong(0) -> grams(r.getString(1)))
+    val eval = all.filter(_._1 % 13 == 0)
+    val train = all.filter(_._1 % 13 != 0)
+    val expected = (for {
+      (tid, tg) <- train; (eid, eg) <- eval
+      shared = (tg & eg).size if shared > 0
+    } yield (tid, eid, shared.toLong)).toSet
+    val got = CorpusOps.decontaminate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expected.size <= 100, "fixture outgrew the limit; raise k")
+    assert(got == expected)
+  }
+
   test("docDupeRate: dup_rate consistent with exact distinct counts") {
     val out = CorpusOps.docDupeRate(spark, sf).collect()
     out.foreach { r =>
