@@ -120,6 +120,7 @@ object SparkEntry {
     "q_weighted_sample" -> (CorpusOps.weightedSample _),
     "q_upsert"         -> (RelationalOps.upsertOrders _),
     "q_decontaminate"  -> ((s, d) => CorpusOps.decontaminate(s, d)),
+    "q_source_mix"     -> (CorpusOps.sourceMix _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -696,5 +697,13 @@ object SparkEntry {
         "SELECT train_id, eval_id, COUNT(*) AS n_shared " +
         "FROM tr JOIN e USING (shingle) GROUP BY train_id, eval_id " +
         "ORDER BY n_shared DESC, train_id, eval_id LIMIT 100"),
+    "q_source_mix" ->
+      ("WITH c AS (SELECT source, lang, COUNT(*) AS n_docs, " +
+        "CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_tokens " +
+        "FROM documents GROUP BY source, lang), " +
+        "t AS (SELECT COUNT(*) AS total_docs FROM documents) " +
+        "SELECT source, lang, n_docs, n_tokens, " +
+        "CAST(round(CAST(n_docs / total_docs AS DECIMAL(20,8)), 4) AS DOUBLE) AS doc_share " +
+        "FROM c CROSS JOIN t ORDER BY source, lang"),
   )
 }

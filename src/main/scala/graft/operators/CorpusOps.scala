@@ -226,6 +226,27 @@ object CorpusOps {
       .orderBy(col("lang"))
   }
 
+  /** Data-mixture report: per (source, language) document counts, token
+    * totals, and each cell's share of the corpus — the table a training
+    * run reads to set sampling weights across sources. One partial-
+    * aggregated shuffle; the grand total is a broadcast one-row aggregate
+    * (same shape as [[AnalyticsOps.normalize]]'s bounds), never a window. */
+  def sourceMix(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val docs = Tables.documents(spark, dir)
+    val cells = docs
+      .select(col("source"), col("lang"),
+        size(tokens(col("text"))).as("n_toks"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"))
+    val total = docs.agg(count(lit(1)).as("total_docs"))
+    cells.crossJoin(broadcast(total))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        stableRound4(col("n_docs") / col("total_docs")).as("doc_share"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   /** Eval-set decontamination: training documents sharing at least one
     * word n-gram with a held-out eval document — the overlap check every
     * LLM training run performs so benchmark text does not leak into the

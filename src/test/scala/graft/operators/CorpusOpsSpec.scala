@@ -181,6 +181,15 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(plan.split("Exchange").length - 1 <= 1, plan)
   }
 
+  test("sourceMix cells partition the corpus; shares sum to ~1") {
+    val rows = CorpusOps.sourceMix(spark, sf).collect()
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    val shareSum = rows.map(_.getDouble(4)).sum
+    assert(math.abs(shareSum - 1.0) < 0.01, s"shares sum to $shareSum")
+    assert(rows.forall(_.getLong(3) > 0))
+  }
+
   test("decontaminate finds exactly the train/eval 5-gram overlaps (hand-rolled check)") {
     val dir = "/root/testdata/sf0.01" // sf0.001 has no cross-split overlap
     def grams(text: String): Set[String] = {
