@@ -121,6 +121,9 @@ object SparkEntry {
     "q_upsert"         -> (RelationalOps.upsertOrders _),
     "q_decontaminate"  -> ((s, d) => CorpusOps.decontaminate(s, d)),
     "q_source_mix"     -> (CorpusOps.sourceMix _),
+    // rows-only: greedy packing is sequential per bin (no SQL oracle);
+    // CorpusOpsSpec pins it to a hand-rolled reference packing
+    "q_pack"           -> ((s, d) => CorpusOps.packSequences(s, d)),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived

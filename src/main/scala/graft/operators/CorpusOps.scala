@@ -226,6 +226,54 @@ object CorpusOps {
       .orderBy(col("lang"))
   }
 
+  /** One packed training sequence: consecutive (by doc_id) documents of one
+    * bin greedily accumulated up to the token budget. */
+  final case class PackedSeq(bin: Int, seq_id: Int, n_docs: Int,
+      total_tokens: Int, first_doc: Long, last_doc: Long)
+
+  /** Sequence packing: concatenate documents into fixed-budget training
+    * sequences (sample packing) without a driver-side loop. Packing is
+    * inherently sequential, so the corpus is split into `bins` independent
+    * streams by `doc_id % bins` — a PURE KEY FUNCTION, so the assignment
+    * (and therefore the whole packing) is deterministic on any cluster
+    * size or partitioning — and each bin is packed greedily in doc_id
+    * order inside `mapPartitions` (the justified use: per-partition
+    * imperative state no SQL window can express without a sequential
+    * dependency). One repartition+sort shuffle total; bins scale the
+    * parallelism, the budget bounds each task's state to ONE open
+    * sequence. Docs longer than the budget are excluded ([[chunkDocs]] is
+    * the upstream fix for those). */
+  def packSequences(spark: SparkSession, dir: String, budget: Int = 256,
+      bins: Int = 32): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).as("n_toks"))
+      .filter(col("n_toks") > 0 && col("n_toks") <= budget)
+      .withColumn("bin", (col("doc_id") % bins).cast("int"))
+      .repartition(bins, col("bin"))
+      .sortWithinPartitions(col("bin"), col("doc_id"))
+      .select(col("bin"), col("doc_id"), col("n_toks"))
+      .as[(Int, Long, Int)]
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[PackedSeq]
+        var curBin = Int.MinValue
+        var seq = 0; var used = 0; var nd = 0
+        var first = 0L; var last = 0L
+        def flush(): Unit =
+          if (nd > 0) out += PackedSeq(curBin, seq, nd, used, first, last)
+        it.foreach { case (b, id, n) =>
+          if (b != curBin) { flush(); curBin = b; seq = 0; used = 0; nd = 0 }
+          else if (used + n > budget) { flush(); seq += 1; used = 0; nd = 0 }
+          if (nd == 0) first = id
+          used += n; nd += 1; last = id
+        }
+        flush()
+        out.iterator
+      }
+      .toDF()
+      .orderBy(col("bin"), col("seq_id"))
+  }
+
   /** Data-mixture report: per (source, language) document counts, token
     * totals, and each cell's share of the corpus — the table a training
     * run reads to set sampling weights across sources. One partial-

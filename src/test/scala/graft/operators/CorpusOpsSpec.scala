@@ -181,6 +181,41 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(plan.split("Exchange").length - 1 <= 1, plan)
   }
 
+  test("packSequences equals a hand-rolled greedy packing; budget never exceeded") {
+    val budget = 256
+    val out = CorpusOps.packSequences(spark, sf, budget = budget).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    assert(out.forall(_._4 <= budget))
+    // reference packing computed independently
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+      .filter { case (_, n) => n > 0 && n <= budget }
+    val expected = docs.groupBy(_._1 % 32).toSeq.flatMap { case (bin, ds) =>
+      val sorted = ds.sortBy(_._1)
+      val seqs = scala.collection.mutable.ArrayBuffer.empty[Vector[(Long, Int)]]
+      var cur = Vector.empty[(Long, Int)]; var used = 0
+      sorted.foreach { case (id, n) =>
+        if (used + n > budget && cur.nonEmpty) { seqs += cur; cur = Vector.empty; used = 0 }
+        cur :+= (id, n); used += n
+      }
+      if (cur.nonEmpty) seqs += cur
+      seqs.zipWithIndex.map { case (s, i) =>
+        (bin.toInt, i, s.length, s.map(_._2).sum, s.head._1, s.last._1)
+      }
+    }.toSet
+    assert(out.toSet == expected)
+    // every eligible doc lands in exactly one sequence
+    assert(out.map(_._3).sum == docs.length)
+    // deterministic across runs
+    val again = CorpusOps.packSequences(spark, sf, budget = budget).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(3)))
+    assert(again.sameElements(out.map(r => (r._1, r._2, r._4))))
+  }
+
   test("sourceMix cells partition the corpus; shares sum to ~1") {
     val rows = CorpusOps.sourceMix(spark, sf).collect()
     val total = graft.Tables.documents(spark, sf).count()
