@@ -177,4 +177,49 @@ class PropertySpec extends SparkTestBase {
       assert(blocked == local, s"round $round dim $dim n $n")
     }
   }
+
+  test("property: bloom filter never false-negatives on inserted keys") {
+    val keys = sample(Gen.choose(Long.MinValue, Long.MaxValue), 500).distinct
+    val df = keys.toDF("k")
+    val bloom = df.stat.bloomFilter("k", math.max(1000L, keys.size.toLong), 0.01)
+    val bytes = graft.functions.SketchFunctions.serialize(bloom)
+    // every inserted key must probe true, via the codegen'd expression
+    val probed = df.select(
+      graft.functions.SketchFunctions.bloomMightContain(col("k"), bytes)
+        .as("hit"))
+      .collect().map(_.getBoolean(0))
+    assert(probed.forall(identity))
+    // and the fpp stays in the right order of magnitude on fresh keys
+    val fresh = sample(Gen.choose(Long.MinValue, Long.MaxValue), 2000)
+      .filterNot(keys.toSet)
+    val fps = fresh.toDF("k").select(
+      graft.functions.SketchFunctions.bloomMightContain(col("k"), bytes)
+        .as("hit")).collect().count(_.getBoolean(0))
+    assert(fps < fresh.size * 0.05, s"$fps false positives / ${fresh.size}")
+  }
+
+  test("property: nearest_centroid equals the brute-force argmin on random models") {
+    for (round <- 0 until 3) {
+      val dim = 4 + round * 3
+      val k = 3 + round * 2
+      val cents = (0 until k).map(c =>
+        sample(Gen.choose(-1.0, 1.0), dim).toArray).toArray
+      val cids = (0 until k).map(_ * 7 + 1).toArray // non-dense cell ids
+      val vecs = (0 until 60).map(i =>
+        (i.toLong, sample(Gen.choose(-1.0f, 1.0f), dim).toArray))
+      val df = vecs.toDF("vec_id", "embedding")
+      val got = df.select(col("vec_id"),
+        graft.functions.VectorFunctions.nearestCentroid(
+          col("embedding"), cids, cents).as("cell"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      vecs.foreach { case (id, v) =>
+        val best = (0 until k).minBy { c =>
+          val d = v.map(_.toDouble).zip(cents(c))
+            .map { case (a, b) => (a - b) * (a - b) }.sum
+          (d, c)
+        }
+        assert(got(id) == cids(best), s"round $round vec $id")
+      }
+    }
+  }
 }
