@@ -124,6 +124,7 @@ object SparkEntry {
     // rows-only: greedy packing is sequential per bin (no SQL oracle);
     // CorpusOpsSpec pins it to a hand-rolled reference packing
     "q_pack"           -> ((s, d) => CorpusOps.packSequences(s, d)),
+    "q_embed_quant"    -> (SimilarityOps.quantizeEmbeddings _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -708,5 +709,20 @@ object SparkEntry {
         "SELECT source, lang, n_docs, n_tokens, " +
         "CAST(round(CAST(n_docs / total_docs AS DECIMAL(20,8)), 4) AS DOUBLE) AS doc_share " +
         "FROM c CROSS JOIN t ORDER BY source, lang"),
+    // integer checksums over the int8 levels: any per-element divergence
+    // between engines flips q_sum/q_norm
+    "q_embed_quant" ->
+      ("WITH s AS (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, " +
+        "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale " +
+        "FROM embeddings), " +
+        "q AS (SELECT vec_id, scale, " +
+        "CASE WHEN scale = 0 THEN NULL " +
+        "ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) END AS lv " +
+        "FROM s) " +
+        "SELECT vec_id, CAST(round(CAST(scale AS DECIMAL(20,8)), 4) AS DOUBLE) AS scale4, " +
+        "CASE WHEN scale = 0 THEN 0 ELSE CAST(list_sum(lv) AS BIGINT) END AS q_sum, " +
+        "CASE WHEN scale = 0 THEN 0 ELSE CAST(list_sum(list_transform(lv, l -> l * l)) AS BIGINT) END AS q_norm " +
+        "FROM q ORDER BY vec_id"),
   )
 }

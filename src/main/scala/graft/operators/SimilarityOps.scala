@@ -82,4 +82,31 @@ object SimilarityOps {
     val emb = Tables.embeddings(spark, dir)
     annTopK(emb.filter(col("vec_id") < 5), emb, 10)
   }
+
+  /** Int8 scalar quantization of the embedding column — the 4× storage /
+    * bandwidth compression an ANN index applies before it ships vectors:
+    * per vector, scale = max|vᵢ|/127 and levelᵢ = ⌊vᵢ/scale + ½⌋ ∈
+    * [−127, 127]. A pure narrow scan (no shuffle). The declared output
+    * reports the scale and two EXACT integer checksums over the levels
+    * (sum and sum of squares) rather than the 64-element array, so the
+    * engine-comparison is integer-exact: any divergence in even one level
+    * anywhere flips a checksum. ⌊x+½⌋ (not banker's rounding) keeps the
+    * level function bit-identical across engines; all-zero vectors take
+    * scale 0 with all-zero levels. */
+  def quantizeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    Tables.embeddings(spark, dir)
+      .withColumn("scale",
+        expr("array_max(transform(embedding, x -> abs(cast(x AS double)))) / 127.0"))
+      .select(
+        col("vec_id"),
+        stableRound4(col("scale")).as("scale4"),
+        when(col("scale") === 0.0, lit(0L)).otherwise(expr(
+          "aggregate(transform(embedding, x -> cast(floor(cast(x AS double) / scale + 0.5) AS long)), " +
+            "0L, (acc, l) -> acc + l)")).as("q_sum"),
+        when(col("scale") === 0.0, lit(0L)).otherwise(expr(
+          "aggregate(transform(embedding, x -> cast(floor(cast(x AS double) / scale + 0.5) AS long)), " +
+            "0L, (acc, l) -> acc + l * l)")).as("q_norm"))
+      .orderBy(col("vec_id"))
+  }
 }

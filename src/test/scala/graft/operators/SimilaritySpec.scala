@@ -76,4 +76,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(e.getMessage.toLowerCase.contains("array") ||
       e.getMessage.contains("DATATYPE_MISMATCH"))
   }
+
+  test("quantizeEmbeddings: levels within int8 range, checksums match a hand-rolled pass") {
+    val out = SimilarityOps.quantizeEmbeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val raw = graft.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    assert(out.keySet == raw.map(_._1).toSet)
+    raw.foreach { case (id, v) =>
+      val scale = v.map(math.abs).max / 127.0
+      val levels =
+        if (scale == 0) v.map(_ => 0L)
+        else v.map(x => math.floor(x / scale + 0.5).toLong)
+      assert(levels.forall(l => l >= -127 && l <= 127), s"vec $id out of range")
+      val (_, qSum, qNorm) = out(id)
+      assert(qSum == levels.sum, s"vec $id q_sum")
+      assert(qNorm == levels.map(l => l * l).sum, s"vec $id q_norm")
+    }
+  }
 }
