@@ -92,7 +92,11 @@ object DedupOps {
           shingles(tokensLower(col("text"))).as("sh"))
         .select(col("doc_id"), size(col("sh")).as("n"),
           explode(col("sh")).as("shingle")))
-    ex.as("a")
+    // shuffle_hash, not sort-merge: both sides are exploded shingle rows —
+    // sorting millions of ~25-byte strings costs more than building hash
+    // tables, and the equality key is high-cardinality so buckets stay
+    // small. Purely physical; same rows out.
+    ex.as("a").hint("shuffle_hash")
       .join(ex.as("b"),
         col("a.shingle") === col("b.shingle")
           && col("a.doc_id") < col("b.doc_id"))
@@ -160,7 +164,9 @@ object DedupOps {
     val banded = sigs.select(col("doc_id"),
       explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    banded.as("a")
+    // shuffle_hash: high-cardinality (band, bkey) keys → small hash
+    // buckets; skips sort-merge's sort of both exploded band sides
+    banded.as("a").hint("shuffle_hash")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
           && col("a.doc_id") < col("b.doc_id"))
