@@ -412,7 +412,10 @@ object AnalyticsOps {
     // threshold form = banded DP: O(threshold·len) per pair instead of
     // O(len²), and pairs above the bound bail out early with -1 (dropped
     // by the >= 0 filter). Same kept rows and distances as the full DP.
-    pref.as("a").join(pref.as("b"),
+    // shuffle_hash: skips sort-merge's sort of both block sides; the build
+    // partition's hash table holds the same rows SMJ would buffer for its
+    // equal-key runs, so no extra memory risk
+    pref.as("a").hint("shuffle_hash").join(pref.as("b"),
       col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("da"), col("b.doc_id").as("db"),
