@@ -125,6 +125,11 @@ object SparkEntry {
     // CorpusOpsSpec pins it to a hand-rolled reference packing
     "q_pack"           -> ((s, d) => CorpusOps.packSequences(s, d)),
     "q_embed_quant"    -> (SimilarityOps.quantizeEmbeddings _),
+    "q_dedup_para"     -> (CorpusOps.segmentDedup _),
+    "q_repeated_ngrams" -> ((s, d) => CorpusOps.repeatedNgrams(s, d)),
+    "q_shard"          -> (CorpusOps.shardAssign _),
+    "q_cooccur"        -> ((s, d) => CorpusOps.cooccurPmi(s, d)),
+    "q_clean_pipeline" -> (CorpusOps.cleanPipeline _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -724,5 +729,63 @@ object SparkEntry {
         "CASE WHEN scale = 0 THEN 0 ELSE CAST(list_sum(lv) AS BIGINT) END AS q_sum, " +
         "CASE WHEN scale = 0 THEN 0 ELSE CAST(list_sum(list_transform(lv, l -> l * l)) AS BIGINT) END AS q_norm " +
         "FROM q ORDER BY vec_id"),
+    "q_dedup_para" ->
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), " +
+        "e AS (SELECT doc_id, toks, " +
+        "unnest(generate_series(0, CAST(ceil(len(toks)/20.0) AS BIGINT)-1)) AS i FROM t), " +
+        "s AS (SELECT doc_id, i AS seg_id, " +
+        "md5(array_to_string(list_slice(toks, i*20+1, i*20+20), ' ')) AS seg_md5 FROM e), " +
+        "f AS (SELECT seg_md5, min(doc_id*100000 + seg_id) AS first_key FROM s GROUP BY 1), " +
+        "k AS (SELECT first_key // 100000 AS doc_id, count(*) AS n_kept FROM f GROUP BY 1), " +
+        "tot AS (SELECT doc_id, CAST(ceil(len(toks)/20.0) AS INTEGER) AS n_segments FROM t) " +
+        "SELECT tot.doc_id, n_segments, CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept, " +
+        "CAST(round(CAST(CAST(coalesce(n_kept, 0) AS DOUBLE)/n_segments AS DECIMAL(20,8)), 4) AS DOUBLE) AS kept_ratio " +
+        "FROM tot LEFT JOIN k ON tot.doc_id = k.doc_id ORDER BY tot.doc_id"),
+    "q_repeated_ngrams" ->
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 3, 1)), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS sh FROM t), " +
+        "x AS (SELECT unnest(sh) AS shingle FROM s) " +
+        "SELECT shingle, count(*) AS n_docs FROM x GROUP BY 1 HAVING count(*) >= 2 " +
+        "ORDER BY n_docs DESC, shingle LIMIT 40"),
+    "q_shard" ->
+      ("SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard, " +
+        "count(*) AS n_docs, " +
+        "CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_tokens, " +
+        "min(doc_id) AS min_doc, max(doc_id) AS max_doc " +
+        "FROM documents GROUP BY 1 ORDER BY shard"),
+    "q_cooccur" ->
+      ("WITH dt AS (SELECT doc_id, unnest(list_distinct(" +
+        "regexp_split_to_array(trim(lower(text)), '\\s+'))) AS token FROM documents), " +
+        "v AS (SELECT token, count(*) AS df FROM dt GROUP BY 1 ORDER BY df DESC, token LIMIT 50), " +
+        "n AS (SELECT count(*) AS n_total FROM documents), " +
+        "vt AS (SELECT dt.doc_id, dt.token FROM dt JOIN v USING (token)), " +
+        "p AS (SELECT a.token AS token_a, b.token AS token_b, count(*) AS n_ab " +
+        "FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.token < b.token GROUP BY 1, 2) " +
+        "SELECT token_a, token_b, n_ab, va.df AS df_a, vb.df AS df_b, " +
+        "CAST(round(CAST(ln(CAST(n_ab * n_total AS DOUBLE) / (va.df * vb.df)) AS DECIMAL(20,8)), 4) AS DOUBLE) AS pmi " +
+        "FROM p JOIN v va ON p.token_a = va.token JOIN v vb ON p.token_b = vb.token CROSS JOIN n " +
+        "ORDER BY n_ab DESC, token_a, token_b LIMIT 50"),
+    "q_clean_pipeline" ->
+      ("WITH d AS (SELECT doc_id, source, lang, text, " +
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tokens, " +
+        "length(regexp_replace(text, '\\s', '', 'g')) AS n_letter, " +
+        "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), " +
+        "t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) AS sw FROM documents), " +
+        "f AS (SELECT doc_id, source, " +
+        "lang = 'en' AS pass_lang, " +
+        "lang = 'en' AND (least(1.0, n_tokens/50.0)*0.5 " +
+        "+ CASE WHEN CAST(n_letter AS DOUBLE)/n_tokens BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END " +
+        "+ least(0.2, CAST(sw AS DOUBLE)/n_tokens)) >= 0.75 AS pass_all, " +
+        "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp FROM d), " +
+        "fun AS (SELECT source, count(*) AS n_raw, " +
+        "CAST(sum(CASE WHEN pass_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang, " +
+        "CAST(sum(CASE WHEN pass_all THEN 1 ELSE 0 END) AS BIGINT) AS n_quality FROM f GROUP BY 1), " +
+        "u AS (SELECT source, count(*) AS n_unique FROM " +
+        "(SELECT fp, arg_min(source, doc_id) AS source FROM f WHERE pass_all GROUP BY fp) GROUP BY 1) " +
+        "SELECT fun.source, n_raw, n_lang, n_quality, " +
+        "CAST(coalesce(n_unique, 0) AS BIGINT) AS n_unique, " +
+        "CAST(round(CAST(CAST(coalesce(n_unique, 0) AS DOUBLE)/n_raw AS DECIMAL(20,8)), 4) AS DOUBLE) AS retention " +
+        "FROM fun LEFT JOIN u ON fun.source = u.source ORDER BY fun.source"),
   )
 }

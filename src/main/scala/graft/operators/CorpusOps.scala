@@ -359,4 +359,179 @@ object CorpusOps {
           .as("cum_share"))
       .orderBy(col("n").desc, col("token"))
   }
+
+  /** Segment size (whitespace tokens) for [[segmentDedup]] — the paragraph
+    * stand-in on the single-line fixture corpus. */
+  val SegTokens = 20
+
+  /** Sequence-level exact dedup — the "paragraph dedup" stage of a corpus
+    * pipeline (CCNet/RefinedWeb run it per paragraph; exact-substring dedup
+    * finds the same repeated spans): split every document into consecutive
+    * [[SegTokens]]-token segments, keep only the globally-first occurrence
+    * of each distinct segment (min (doc_id, seg_id), packed into one long
+    * so the survivor choice is a plain MIN), and report per-document
+    * retention.
+    *
+    * Scale shape: segments come from the same bounded explode as
+    * [[chunkDocs]]; the survivor choice is ONE aggregation shuffle keyed by
+    * the segment hash (map-side partials shrink each duplicate group to one
+    * row per partition), and the per-doc rollup re-aggregates only the
+    * one-row-per-distinct-segment survivors. Per-doc totals are recomputed
+    * arithmetically from the scan (ceil(n_toks/20)) rather than carried
+    * through the explode, so no join ever touches the exploded table. */
+  def segmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val nSegs = ceil(col("n_toks") / lit(SegTokens.toDouble)).cast("int")
+    val segs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), nSegs - 1)).as("seg_id"))
+      .select(col("doc_id"), col("seg_id"),
+        md5(array_join(
+          slice(col("toks"), col("seg_id") * SegTokens + 1, lit(SegTokens)),
+          " ")).as("seg_md5"))
+    val kept = segs
+      .groupBy(col("seg_md5"))
+      .agg(min(col("doc_id") * 100000 + col("seg_id")).as("first_key"))
+      .select(expr("first_key DIV 100000").as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        ceil(size(tokens(col("text"))) / lit(SegTokens.toDouble)).cast("int")
+          .as("n_segments"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        stableRound4(coalesce(col("n_kept"), lit(0L)) / col("n_segments"))
+          .as("kept_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Cross-document repeated n-gram spans: the word 5-grams appearing in at
+    * least `minDocs` distinct documents, by document frequency — the
+    * scalable stand-in for exact-substring duplicate detection (a suffix
+    * array finds the same repeated spans; shingle counting finds them with
+    * one explode and one aggregation shuffle, no global sort, no pairwise
+    * join). Per-doc shingles are distinct ([[shingles]]), so the count IS
+    * the distinct-document frequency without a countDistinct. */
+  def repeatedNgrams(spark: SparkSession, dir: String, n: Int = 5,
+      minDocs: Int = 2, k: Int = 40): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(shingles(tokensLower(col("text")), n)).as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("shingle"))
+      .limit(k)
+
+  /** Deterministic output sharding: assign every document to one of 16
+    * shards by the first hex digit of md5(doc_id), and report per-shard
+    * volume — the write-side layout step of a training pipeline (each
+    * shard is an output file a data loader streams independently). The
+    * assignment is a pure function of the key: stable across runs,
+    * engines, partitionings, and cluster sizes, unlike anything derived
+    * from partition ids. One aggregation shuffle over 16 groups. */
+  def shardAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"),
+        col("doc_id"), size(tokens(col("text"))).as("n_toks"))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).cast("bigint").as("n_tokens"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("shard"))
+
+  /** Token co-occurrence with pointwise mutual information over the
+    * top-`vocabK` vocabulary — the corpus-statistics pass behind phrase
+    * mining and embedding evaluation. Restricting both sides to a small
+    * broadcast vocabulary is what makes the in-document pair join tractable:
+    * each document contributes at most vocabK·(vocabK−1)/2 pairs regardless
+    * of its length, so the join output is bounded by docs × k², never
+    * tokens². PMI uses exact integer counts; the only float is the final
+    * rounded log. */
+  def cooccurPmi(spark: SparkSession, dir: String, vocabK: Int = 50,
+      k: Int = 50): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val docs = Tables.documents(spark, dir)
+    // materialized: the distinct (doc, token) pairs feed both the vocab
+    // rollup and the pair join — without it the scan+explode runs twice
+    val docTok = Materialize(docs.select(col("doc_id"),
+      explode(array_distinct(tokensLower(col("text")))).as("token")))
+    val vocab = docTok.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(vocabK)
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val vt = docTok.join(broadcast(vocab.select(col("token"))), "token")
+      .select(col("doc_id"), col("token"))
+    val pairs = vt.as("a")
+      .join(vt.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.token") < col("b.token"))
+      .groupBy(col("a.token").as("token_a"), col("b.token").as("token_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(vocab.select(col("token").as("token_a"),
+        col("df").as("df_a"))), "token_a")
+      .join(broadcast(vocab.select(col("token").as("token_b"),
+        col("df").as("df_b"))), "token_b")
+      .crossJoin(broadcast(total))
+      .select(col("token_a"), col("token_b"), col("n_ab"),
+        col("df_a"), col("df_b"),
+        stableRound4(log((col("n_ab") * col("n_total")).cast("double")
+          / (col("df_a") * col("df_b")))).as("pmi"))
+      .orderBy(col("n_ab").desc, col("token_a"), col("token_b"))
+      .limit(k)
+  }
+
+  /** Quality-score threshold for [[cleanPipeline]] (corpus median ≈ 0.83,
+    * so ≈ 40 % of documents fail the gate on the fixture data). */
+  val CleanMinQuality = 0.75
+
+  /** The composed corpus-cleaning funnel — the reference's
+    * "clean the batch before loading" stage (ingest_data.py:29-38)
+    * generalized to LLM-corpus semantics: language filter (labeled 'en'),
+    * structural quality gate (the [[TextOps.qualityScore]] formula ≥
+    * [[CleanMinQuality]]), then exact dedup (normalized-fingerprint
+    * survivor = min doc_id), reported per source as a retention funnel.
+    *
+    * Scale shape: both filters are narrow predicates that ride the scan;
+    * the dedup survivor is one min-aggregation shuffle on the fingerprint
+    * (min_by carries the survivor's source, so nothing joins back to the
+    * document table); the funnel itself is a 20-group rollup. */
+  def cleanPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val nToks = size(tokens(col("text")))
+    val awl = (length(regexp_replace(col("text"), "\\s", "")).cast("double")
+      / nToks)
+    val swr = (tokenMatchCount(tokensLower(col("text")), TextOps.EnWords)
+      .cast("double") / nToks)
+    val score = least(lit(1.0), nToks / lit(50.0)) * 0.5 +
+      when(awl.between(3.0, 8.0), 0.3).otherwise(0.0) +
+      least(lit(0.2), swr)
+    val flagged = Materialize(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        (col("lang") === "en").as("pass_lang"),
+        (col("lang") === "en" && score >= CleanMinQuality).as("pass_all"),
+        fingerprint(col("text")).as("fp")))
+    val funnel = flagged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("pass_lang"), 1L).otherwise(0L)).as("n_lang"),
+        sum(when(col("pass_all"), 1L).otherwise(0L)).as("n_quality"))
+    val unique = flagged.filter(col("pass_all"))
+      .groupBy(col("fp"))
+      .agg(min_by(col("source"), col("doc_id")).as("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_unique"))
+    funnel.join(unique, Seq("source"), "left")
+      .select(col("source"), col("n_raw"), col("n_lang"), col("n_quality"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        stableRound4(coalesce(col("n_unique"), lit(0L)) / col("n_raw"))
+          .as("retention"))
+      .orderBy(col("source"))
+  }
 }

@@ -13,7 +13,7 @@ import graft.functions.TextFunctions._
   */
 object TextOps {
 
-  private val EnWords = Seq("the", "a", "of", "and")
+  private[operators] val EnWords = Seq("the", "a", "of", "and")
   private val DeWords = Seq("der", "die", "das", "und")
   private val EsWords = Seq("el", "los", "las", "y")
   private val FrWords = Seq("le", "les", "des", "et")

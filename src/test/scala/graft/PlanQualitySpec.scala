@@ -162,6 +162,46 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p)
   }
 
+  test("segmentDedup: two agg shuffles, no window, no join to the exploded table") {
+    val p = plan(CorpusOps.segmentDedup(spark, sf))
+    assert(p.contains("partial_count") || p.contains("partial_min"), p)
+    assert(!p.contains("Window"), p)
+    // the per-doc totals side scans only (doc_id, text): the exploded
+    // segment table never appears on the probe side of the final join
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("repeatedNgrams: explode + partial agg + ordered take, nothing else") {
+    val p = plan(CorpusOps.repeatedNgrams(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
+
+  test("shardAssign: a pure scan into a 16-group aggregate") {
+    val p = plan(CorpusOps.shardAssign(spark, sf))
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("cooccurPmi: vocab sides broadcast; only the doc-pair join shuffles") {
+    val p = plan(CorpusOps.cooccurPmi(spark, sf, vocabK = 20, k = 30))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Cartesian"), p)
+    // exactly one non-broadcast join: the in-document self-join on doc_id
+    val shuffleJoins = "(SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(p).length
+    assert(shuffleJoins <= 1, p)
+  }
+
+  test("cleanPipeline: narrow predicates, min_by dedup, no window, no cartesian") {
+    val p = plan(CorpusOps.cleanPipeline(spark, sf))
+    assert(!p.contains("Window") && !p.contains("Cartesian"), p)
+    assert(p.contains("partial_count") || p.contains("partial_min_by")
+      || p.contains("min_by"), p)
+  }
+
   test("sql surface: same query via spark.sql yields same result") {
     GraftSession.openTables(spark, sf)
     val viaSql = GraftSession.sql(spark,

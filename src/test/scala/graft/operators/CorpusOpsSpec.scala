@@ -255,6 +255,95 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("segmentDedup: totals match chunk math, kept bounded, global kept = distinct segments") {
+    val out = CorpusOps.segmentDedup(spark, sf).collect()
+    val docs = graft.Tables.documents(spark, sf)
+    val tokCounts = docs
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.map(_.getLong(0)).toSet == tokCounts.keySet)
+    out.foreach { r =>
+      val (doc, segs, kept, ratio) =
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+      assert(segs == math.ceil(tokCounts(doc) / 20.0).toInt)
+      assert(kept >= 0 && kept <= segs)
+      assert(math.abs(ratio - kept.toDouble / segs) < 1e-4)
+    }
+    // every distinct segment hash is kept exactly once, so the kept total
+    // across docs equals the number of distinct segment md5s in the corpus
+    val distinctSegs = docs
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), posexplode(col("toks")))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("pos"), col("col"))).as("xs"))
+      .collect()
+      .flatMap { r =>
+        val toks = r.getSeq[org.apache.spark.sql.Row](1)
+          .sortBy(_.getInt(0)).map(_.getString(1))
+        toks.grouped(20).map(_.mkString(" "))
+      }.toSet.size
+    assert(out.map(_.getLong(2)).sum == distinctSegs)
+  }
+
+  test("repeatedNgrams: every reported shingle occurs in >= 2 docs, counts exact") {
+    val out = CorpusOps.repeatedNgrams(spark, sf).collect()
+    assert(out.nonEmpty)
+    val docShingles = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.shingles(
+          graft.functions.TextFunctions.tokensLower(col("text")), 5).as("sh"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    out.foreach { r =>
+      val (shingle, n) = (r.getString(0), r.getLong(1))
+      val exact = docShingles.count(_._2.contains(shingle))
+      assert(exact == n && n >= 2, s"$shingle: reported $n, exact $exact")
+    }
+  }
+
+  test("shardAssign: shards partition the corpus; assignment is key-pure") {
+    val out = CorpusOps.shardAssign(spark, sf).collect()
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(out.map(_.getLong(1)).sum == total)
+    assert(out.map(_.getString(0)).forall(s => s.length == 1 && "0123456789abcdef".contains(s)))
+    // repartitioning the input must not change the assignment
+    val again = CorpusOps.shardAssign(spark, sf).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      again.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
+  test("cooccurPmi: pair counts never exceed either token's doc frequency") {
+    val out = CorpusOps.cooccurPmi(spark, sf, vocabK = 20, k = 30).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (ta, tb, nab, dfa, dfb) = (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(ta < tb)
+      assert(nab <= dfa && nab <= dfb && nab >= 1)
+      assert(!r.isNullAt(5))
+    }
+  }
+
+  test("cleanPipeline: funnel counts are monotone per source and sum to corpus") {
+    val out = CorpusOps.cleanPipeline(spark, sf).collect()
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(out.map(_.getLong(1)).sum == total)
+    out.foreach { r =>
+      val (raw, lang, q, uniq) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(raw >= lang && lang >= q && q >= uniq)
+      val ret = r.getDouble(5)
+      assert(ret >= 0.0 && ret <= 1.0)
+    }
+    // dedup is global: total unique docs equals distinct fingerprints of
+    // the quality-passing slice
+    val uniqTotal = out.map(_.getLong(4)).sum
+    val qTotal = out.map(_.getLong(3)).sum
+    assert(uniqTotal <= qTotal && uniqTotal > 0)
+  }
+
   test("latestEvent: one row per user with that user's max timestamp") {
     val out = EventOps.latestEvent(spark, sf)
     val events = graft.Tables.events(spark, sf)
