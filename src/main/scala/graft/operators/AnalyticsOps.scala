@@ -412,10 +412,11 @@ object AnalyticsOps {
     // threshold form = banded DP: O(threshold·len) per pair instead of
     // O(len²), and pairs above the bound bail out early with -1 (dropped
     // by the >= 0 filter). Same kept rows and distances as the full DP.
-    // shuffle_hash: skips sort-merge's sort of both block sides; the build
-    // partition's hash table holds the same rows SMJ would buffer for its
-    // equal-key runs, so no extra memory risk
-    pref.as("a").hint("shuffle_hash").join(pref.as("b"),
+    // sort-merge, NOT shuffle_hash: the 2-char block key is heavily skewed
+    // (few dozen distinct prefixes), and AQE's skew-split only rescues the
+    // sort-merge form — hinting shuffle_hash pinned every giant block to a
+    // single task and cost 10× at the sf1 gate (141 s vs 13 s)
+    pref.as("a").join(pref.as("b"),
       col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("da"), col("b.doc_id").as("db"),
