@@ -130,6 +130,7 @@ object SparkEntry {
     "q_shard"          -> (CorpusOps.shardAssign _),
     "q_cooccur"        -> ((s, d) => CorpusOps.cooccurPmi(s, d)),
     "q_clean_pipeline" -> (CorpusOps.cleanPipeline _),
+    "q_dedup_incr"     -> (DedupOps.dedupIncremental _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -787,5 +788,21 @@ object SparkEntry {
         "CAST(coalesce(n_unique, 0) AS BIGINT) AS n_unique, " +
         "CAST(round(CAST(CAST(coalesce(n_unique, 0) AS DOUBLE)/n_raw AS DECIMAL(20,8)), 4) AS DOUBLE) AS retention " +
         "FROM fun LEFT JOIN u ON fun.source = u.source ORDER BY fun.source"),
+    // the Bloom pre-filter is a pure optimization: the oracle is the plain
+    // NOT EXISTS anti join, so any semantic leak from the bloom path
+    // (a wrongly-dropped definitely-new row) hash-mismatches
+    "q_dedup_incr" ->
+      ("WITH d AS (SELECT doc_id, source, " +
+        "md5(array_to_string(list_slice(regexp_split_to_array(trim(lower(text)), '\\s+'), 1, 10), ' ')) AS fp " +
+        "FROM documents), " +
+        "b AS (SELECT * FROM d WHERE doc_id % 10 = 9), " +
+        "c AS (SELECT fp FROM d WHERE doc_id % 10 != 9), " +
+        "k AS (SELECT b.source FROM b WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.fp = b.fp)), " +
+        "nb AS (SELECT source, count(*) AS n_batch FROM b GROUP BY 1), " +
+        "nn AS (SELECT source, count(*) AS n_new FROM k GROUP BY 1) " +
+        "SELECT nb.source, n_batch, CAST(coalesce(n_new, 0) AS BIGINT) AS n_new, " +
+        "CAST(n_batch - coalesce(n_new, 0) AS BIGINT) AS n_dup, " +
+        "CAST(round(CAST(CAST(n_batch - coalesce(n_new, 0) AS DOUBLE)/n_batch AS DECIMAL(20,8)), 4) AS DOUBLE) AS dup_rate " +
+        "FROM nb LEFT JOIN nn ON nb.source = nn.source ORDER BY nb.source"),
   )
 }

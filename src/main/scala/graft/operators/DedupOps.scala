@@ -43,6 +43,54 @@ object DedupOps {
       .select(col("doc_id"), col("n_variants"), col("norm_key"))
       .orderBy(col("doc_id"))
 
+  /** Incremental (batch-vs-corpus) dedup: drop new-batch documents whose
+    * header fingerprint (md5 of the first 10 normalized tokens — the
+    * title/lead key news dedup pipelines use) already exists in the
+    * ingested corpus, and report the per-source new/duplicate funnel. The
+    * batch is the doc_id % 10 == 9 slice; the corpus is everything else.
+    *
+    * Scale shape — the continuous-ingestion dedup a training pipeline runs
+    * on every new crawl drop: the corpus side is huge and the batch small,
+    * so a Bloom filter built distributed over the corpus fingerprints
+    * ([[graft.functions.expressions.BloomContains]], a codegen'd probe that
+    * rides the batch scan) splits the batch first. Rows the filter rules
+    * out are DEFINITELY new — they skip the join entirely; only the ~fpp
+    * "maybe" slice reaches the exact left-anti join that removes false
+    * positives. Semantics stay exactly the plain anti join (the oracle IS
+    * the plain NOT EXISTS), but at 100 TB the corpus-sized shuffle only
+    * ever carries the few batch rows that might collide. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    import graft.functions.SketchFunctions._
+    val fp = md5(array_join(slice(tokensLower(col("text")), 1, 10), " "))
+    // the bloom probe is integral-keyed, so the filter holds xxhash64(fp);
+    // the EXACT anti join below still compares the full string fingerprint,
+    // so a 64-bit hash collision can only cost a wasted join probe, never a
+    // wrongly-dropped row
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), fp.as("fp"),
+        xxhash64(fp).as("fph"))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 9)
+    val batch = Materialize(docs.filter(col("doc_id") % 10 === 9))
+    val bloom = corpus.stat.bloomFilter("fph",
+      expectedNumItems = math.max(1000L, corpus.count()), fpp = 0.01)
+    val bytes = serialize(bloom)
+    val sureNew = batch.filter(!bloomMightContain(col("fph"), bytes))
+    val maybeDup = batch.filter(bloomMightContain(col("fph"), bytes))
+      .join(corpus.select(col("fp")), Seq("fp"), "left_anti")
+    val kept = sureNew.select(col("source"))
+      .unionByName(maybeDup.select(col("source")))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_new"))
+    batch.groupBy(col("source")).agg(count(lit(1)).as("n_batch"))
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_batch"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        (col("n_batch") - coalesce(col("n_new"), lit(0L))).as("n_dup"),
+        stableRound4((col("n_batch") - coalesce(col("n_new"), lit(0L)))
+          / col("n_batch")).as("dup_rate"))
+      .orderBy(col("source"))
+  }
+
   /** Exact dedup: one surviving (min doc_id) representative per distinct
     * text. Hash-partition on `text` — the classic exact-dedup shuffle. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =

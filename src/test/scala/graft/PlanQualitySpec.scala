@@ -202,6 +202,13 @@ class PlanQualitySpec extends SparkTestBase {
       || p.contains("min_by"), p)
   }
 
+  test("dedupIncremental: bloom probe rides the batch scan; anti join present") {
+    val p = plan(DedupOps.dedupIncremental(spark, sf))
+    assert(p.contains("bloom_might_contain"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("Cartesian"), p)
+  }
+
   test("sql surface: same query via spark.sql yields same result") {
     GraftSession.openTables(spark, sf)
     val viaSql = GraftSession.sql(spark,

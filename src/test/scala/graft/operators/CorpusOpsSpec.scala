@@ -344,6 +344,29 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(uniqTotal <= qTotal && uniqTotal > 0)
   }
 
+  test("dedupIncremental: bloom path equals the plain anti-join; funnel consistent") {
+    val out = DedupOps.dedupIncremental(spark, sf).collect()
+    // plain formulation without the bloom pre-filter
+    val fp = md5(array_join(slice(
+      graft.functions.TextFunctions.tokensLower(col("text")), 1, 10), " "))
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), fp.as("fp"))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 9)
+    val batch = docs.filter(col("doc_id") % 10 === 9)
+    val plainNew = batch.join(corpus.select(col("fp")), Seq("fp"), "left_anti")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_new"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val (src, nb, nn, nd, rate) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nn == plainNew.getOrElse(src, 0L),
+        s"$src: bloom path kept $nn, plain anti-join kept ${plainNew.get(src)}")
+      assert(nb == nn + nd)
+      assert(math.abs(rate - nd.toDouble / nb) < 1e-4)
+    }
+    assert(out.map(_.getLong(1)).sum == batch.count())
+  }
+
   test("latestEvent: one row per user with that user's max timestamp") {
     val out = EventOps.latestEvent(spark, sf)
     val events = graft.Tables.events(spark, sf)
