@@ -793,10 +793,11 @@ object SparkEntry {
     // (a wrongly-dropped definitely-new row) hash-mismatches
     "q_dedup_incr" ->
       ("WITH d AS (SELECT doc_id, source, " +
-        "md5(array_to_string(list_slice(regexp_split_to_array(trim(lower(text)), '\\s+'), 1, 10), ' ')) AS fp " +
+        "md5(array_to_string(list_slice(regexp_split_to_array(trim(lower(text)), '\\s+'), 1, 10), ' ')) AS fp, " +
+        "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' AS is_batch " +
         "FROM documents), " +
-        "b AS (SELECT * FROM d WHERE doc_id % 10 = 9), " +
-        "c AS (SELECT fp FROM d WHERE doc_id % 10 != 9), " +
+        "b AS (SELECT * FROM d WHERE is_batch), " +
+        "c AS (SELECT fp FROM d WHERE NOT is_batch), " +
         "k AS (SELECT b.source FROM b WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.fp = b.fp)), " +
         "nb AS (SELECT source, count(*) AS n_batch FROM b GROUP BY 1), " +
         "nn AS (SELECT source, count(*) AS n_new FROM k GROUP BY 1) " +

@@ -47,7 +47,10 @@ object DedupOps {
     * header fingerprint (md5 of the first 10 normalized tokens — the
     * title/lead key news dedup pipelines use) already exists in the
     * ingested corpus, and report the per-source new/duplicate funnel. The
-    * batch is the doc_id % 10 == 9 slice; the corpus is everything else.
+    * batch is a ~6% md5-keyed slice of doc_id (the [[CorpusOps.sampleByHash]]
+    * split style — decorrelated from every other column, unlike a doc_id
+    * mod, which on this fixture correlates with `source`); the corpus is
+    * everything else.
     *
     * Scale shape — the continuous-ingestion dedup a training pipeline runs
     * on every new crawl drop: the corpus side is huge and the batch small,
@@ -69,9 +72,11 @@ object DedupOps {
     // wrongly-dropped row
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), fp.as("fp"),
-        xxhash64(fp).as("fph"))
-    val corpus = docs.filter(col("doc_id") % 10 =!= 9)
-    val batch = Materialize(docs.filter(col("doc_id") % 10 === 9))
+        xxhash64(fp).as("fph"),
+        (substring(md5(col("doc_id").cast("string")), 1, 1) === "f")
+          .as("is_batch"))
+    val corpus = docs.filter(!col("is_batch"))
+    val batch = Materialize(docs.filter(col("is_batch")))
     val bloom = corpus.stat.bloomFilter("fph",
       expectedNumItems = math.max(1000L, corpus.count()), fpp = 0.01)
     val bytes = serialize(bloom)

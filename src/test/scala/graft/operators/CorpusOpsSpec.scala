@@ -351,8 +351,9 @@ class CorpusOpsSpec extends SparkTestBase {
       graft.functions.TextFunctions.tokensLower(col("text")), 1, 10), " "))
     val docs = graft.Tables.documents(spark, sf)
       .select(col("doc_id"), col("source"), fp.as("fp"))
-    val corpus = docs.filter(col("doc_id") % 10 =!= 9)
-    val batch = docs.filter(col("doc_id") % 10 === 9)
+    val isBatch = substring(md5(col("doc_id").cast("string")), 1, 1) === "f"
+    val corpus = docs.filter(!isBatch)
+    val batch = docs.filter(isBatch)
     val plainNew = batch.join(corpus.select(col("fp")), Seq("fp"), "left_anti")
       .groupBy(col("source")).agg(count(lit(1)).as("n_new"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
