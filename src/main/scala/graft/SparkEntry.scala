@@ -131,23 +131,32 @@ object SparkEntry {
     "q_cooccur"        -> ((s, d) => CorpusOps.cooccurPmi(s, d)),
     "q_clean_pipeline" -> (CorpusOps.cleanPipeline _),
     "q_dedup_incr"     -> (DedupOps.dedupIncremental _),
+    // rows-only: the xxhash64 signature family isn't reproducible in
+    // DuckDB; DedupSpec proves exact equality with all-pairs Hamming
+    // ground truth (the 4×16 banding is exact for Hamming ≤ 3)
+    "q_simhash_pairs"  -> (DedupOps.dedupSimhashPairs _),
+    "q_unigram_logprob" -> (TextOps.unigramLogprob _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
     * columns are CAST explicitly because DuckDB widens (year()→BIGINT,
     * SUM(int)→HUGEINT, ROW_NUMBER()→BIGINT) where Spark keeps int/long.
     *
-    * Seven queries are deliberately rows-only (no entry here), each with a
+    * Nine queries are deliberately rows-only (no entry here), each with a
     * stronger ScalaTest invariant instead: q_dedup_minhash / q_dedup_simhash
-    * / q_dedup_clusters depend on a hash family (Murmur3/xxhash64 seeding)
-    * DuckDB cannot reproduce — DedupSpec pins them to exact all-pairs
-    * Jaccard ground truth (subset + recall ≥ 0.9); q_dedup_embed_lsh /
-    * q_sim_lsh / q_sim_ivf are bucketed-candidate approximations whose
-    * bucket structure isn't SQL — ScaleSpec/SimilaritySpec/IvfSpec prove
-    * subset-of-brute-force and recall vs the EXACT oracles (q_dedup_embed,
-    * q_sim_topk, which both hash-match); q_approx_stats is a sketch
-    * (HLL++/quantile) whose exact counterparts differ by construction —
-    * SketchSpec bounds its error against exact COUNT(DISTINCT)/quantiles. */
+    * / q_dedup_clusters / q_simhash_pairs depend on a hash family
+    * (Murmur3/xxhash64 seeding) DuckDB cannot reproduce — DedupSpec pins
+    * them to exact all-pairs Jaccard (subset + recall ≥ 0.9) or Hamming
+    * (exact equality — the 4×16 banding is lossless for Hamming ≤ 3)
+    * ground truth; q_dedup_embed_lsh / q_sim_lsh / q_sim_ivf are
+    * bucketed-candidate approximations whose bucket structure isn't SQL —
+    * ScaleSpec/SimilaritySpec/IvfSpec prove subset-of-brute-force and
+    * recall vs the EXACT oracles (q_dedup_embed, q_sim_topk, which both
+    * hash-match); q_approx_stats is a sketch (HLL++/quantile) whose exact
+    * counterparts differ by construction — SketchSpec bounds its error
+    * against exact COUNT(DISTINCT)/quantiles; q_pack is sequential greedy
+    * bin packing (no SQL oracle) — CorpusOpsSpec pins it to a hand-rolled
+    * reference packing. */
   def oracleSql: Map[String, String] = Map(
     "q_scan_limit" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice LIMIT 100",
@@ -647,6 +656,16 @@ object SparkEntry {
         "CAST(round(CAST(1.0 - COUNT(*) / sum(c) AS DECIMAL(20,8)), 4) AS DOUBLE) AS dup_word_frac, " +
         "CAST(round(CAST(max(c) / sum(c) AS DECIMAL(20,8)), 4) AS DOUBLE) AS top_word_share " +
         "FROM tc GROUP BY doc_id ORDER BY doc_id"),
+    "q_unigram_logprob" ->
+      ("WITH e AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token " +
+        "FROM documents), " +
+        "v AS (SELECT token, COUNT(*) AS n FROM e GROUP BY token), " +
+        "tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM v) " +
+        "SELECT e.doc_id, COUNT(*) AS n_tokens, " +
+        "CAST(round(CAST(AVG(log10(CAST(v.n AS DOUBLE) / tot.total)) AS DECIMAL(20,8)), 4) AS DOUBLE) AS mean_logp, " +
+        "(CAST(round(CAST(AVG(log10(CAST(v.n AS DOUBLE) / tot.total)) AS DECIMAL(20,8)), 4) AS DOUBLE) < -3.5) AS low_quality " +
+        "FROM e JOIN v USING (token) CROSS JOIN tot " +
+        "GROUP BY e.doc_id ORDER BY e.doc_id"),
     "q_stratified_sample" ->
       ("SELECT doc_id, lang FROM documents " +
         "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < " +

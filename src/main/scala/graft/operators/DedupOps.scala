@@ -469,6 +469,52 @@ object DedupOps {
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     simhashSignaturesScalar(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
+  /** SimHash near-dup PAIRS via Hamming-band candidates — the second half
+    * of the Manku et al. (2007) web-dedup recipe (the first half,
+    * signatures, is [[simhashSignaturesScalar]]): split each 64-bit
+    * signature into 4 bands of 16 bits; any pair within Hamming distance
+    * ≤ 3 differs in at most 3 bits, so by pigeonhole at least one band is
+    * IDENTICAL — the band-equality self-join is therefore an *exact*
+    * candidate generator for the ≤ 3 threshold, not an approximation
+    * (asserted against all-pairs ground truth in DedupSpec). Verification
+    * is one codegen'd `bit_count(xor)` per candidate.
+    *
+    * Scale shape: signatures are a narrow scan; the self-join key
+    * (band, 16-bit chunk) has up to 4·2¹⁶ distinct values per band set —
+    * selective enough that buckets stay small on real (non-degenerate)
+    * corpora; never an all-pairs compare. */
+  def simhashHammingPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 bands of 16 bits are exact only up to Hamming 3")
+    val sigs = Materialize(simhashSignaturesScalar(docs))
+    val bandStructs = (0 until 4).map { j =>
+      struct(lit(j).as("band"),
+        shiftright(col("simhash"), j * 16).bitwiseAND(0xFFFFL).as("bkey"))
+    }
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    // shuffle_hash: exploded band rows on both sides, high-cardinality key
+    banded.as("a").hint("shuffle_hash")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+      // a pair sharing k bands appears k times; hamming is a pure function
+      // of the pair, so distinct() collapses them without an aggregation
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("hamming"), col("da"), col("db"))
+  }
+
+  /** Declared query (rows-only — the xxhash64 signature family isn't
+    * reproducible in DuckDB; DedupSpec proves exact equality with all-pairs
+    * Hamming ground truth on the fixture). */
+  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashHammingPairs(Tables.documents(spark, dir))
+
   /** Head of the bounded top-`k` heaps = worst kept pair under the output
     * order (cos desc, va asc, vb asc). */
   private val pairByWorse: Ordering[(Double, Long, Long)] =

@@ -128,6 +128,43 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document mean unigram log-probability under the corpus's own
+    * unigram LM — the deterministic stand-in for perplexity-based quality
+    * filtering (a model-free LM: p(token) = corpus count / corpus total, so
+    * no external weights and every token has count ≥ 1 — no smoothing
+    * needed). Low `mean_logp` marks documents dominated by rare/garbled
+    * tokens; `low_quality` applies the filter threshold to the ROUNDED
+    * value so the flag is reproducible across engines.
+    *
+    * Scale shape: one explode + two hash aggregations (vocab, then per-doc)
+    * plus one high-cardinality equality join of the token stream against
+    * the vocab — all partial-aggregated, no windows, no driver data. At
+    * 100 TB the vocab side is the small one (10⁸ rows vs 10¹¹ token
+    * occurrences) and AQE picks the right join side. */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    unigramLogprobDocs(Tables.documents(spark, dir))
+
+  /** Core of [[unigramLogprob]] over any (doc_id, text) frame. */
+  def unigramLogprobDocs(docs: DataFrame): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    // materialized: the token stream feeds both the vocab aggregation and
+    // the per-doc join — without it the scan+tokenize+explode runs twice
+    val toks = Materialize(
+      docs.select(col("doc_id"), explode(tokensLower(col("text"))).as("token")))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val total = vocab.agg(sum(col("n")).as("total"))
+    toks.join(vocab, Seq("token"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        log10(col("n").cast("double") / col("total")).as("logp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        stableRound4(avg(col("logp"))).as("mean_logp"))
+      .select(col("doc_id"), col("n_tokens"), col("mean_logp"),
+        (col("mean_logp") < -3.5).as("low_quality"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Canonical md5 fingerprint of the normalized text (rolling-hash style
     * document identity for exact dedup across formatting noise). */
   def fingerprintDocs(spark: SparkSession, dir: String): DataFrame =

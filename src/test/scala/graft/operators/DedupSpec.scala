@@ -109,6 +109,38 @@ class DedupSpec extends SparkTestBase {
     assert(recall >= 0.9, s"recall $recall (${verified.size}/${exact.size})")
   }
 
+  test("simhash hamming pairs equal all-pairs ground truth (4x16 banding is exact for <= 3)") {
+    val docs = Tables.documents(spark, sf)
+    val got = DedupOps.simhashHammingPairs(docs)
+      .select("da", "db", "hamming").as[(Long, Long, Int)].collect().toSet
+    val sigs = DedupOps.simhashSignaturesScalar(docs)
+    val exact = sigs.as("a")
+      .join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == exact,
+      s"missed: ${exact.diff(got).take(5)}, extra: ${got.diff(exact).take(5)}")
+  }
+
+  test("simhash hamming pairs find crafted near-identical docs") {
+    // identical texts -> identical signatures (hamming 0); a one-word edit
+    // in a long doc flips few simhash bits; unrelated text stays far
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base),
+      (3L, base.replace("word30", "altered")),
+      (4L, "completely different text about other topics entirely"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.simhashHammingPairs(docs, maxHamming = 3)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"identical docs not paired: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated doc paired: $pairs")
+  }
+
   test("dedupMinhash output covers every document exactly once") {
     val out = DedupOps.dedupMinhash(spark, sf)
     assert(out.count() == Tables.documents(spark, sf).count())

@@ -37,6 +37,24 @@ class TextOpsSpec extends SparkTestBase {
     assert(preds == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr"))
   }
 
+  test("unigramLogprob matches hand-computed corpus-LM values") {
+    // vocab: a=2, b=1, c=1, total=4
+    // doc1 = mean(log10(.5), log10(.5), log10(.25)) = -0.40137... -> -0.4014
+    // doc2 = log10(.25) = -0.60206 -> -0.6021
+    val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val out = TextOps.unigramLogprobDocs(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((3L, -0.4014, false)), s"got ${out(1L)}")
+    assert(out(2L) == ((1L, -0.6021, false)), s"got ${out(2L)}")
+  }
+
+  test("unigramLogprob covers every fixture document with non-positive scores") {
+    val out = TextOps.unigramLogprob(spark, sf)
+    assert(out.count() == graft.Tables.documents(spark, sf).count())
+    assert(out.filter(col("mean_logp") > 0).count() == 0)
+  }
+
   test("bpeish tokens split words, digits, and punctuation runs") {
     val got = Seq((1L, "hello, world42 x!"))
       .toDF("doc_id", "text")
