@@ -136,13 +136,17 @@ object SparkEntry {
     // ground truth (the 4×16 banding is exact for Hamming ≤ 3)
     "q_simhash_pairs"  -> (DedupOps.dedupSimhashPairs _),
     "q_unigram_logprob" -> (TextOps.unigramLogprob _),
+    "q_knn_label"      -> ((s, d) => SimilarityOps.knnLabel(s, d)),
+    // rows-only: iterative k-means isn't SQL; DedupSpec pins the drop set
+    // to exact all-pairs cosine ground truth
+    "q_semdedup"       -> (DedupOps.semDedupQuery _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
     * columns are CAST explicitly because DuckDB widens (year()→BIGINT,
     * SUM(int)→HUGEINT, ROW_NUMBER()→BIGINT) where Spark keeps int/long.
     *
-    * Nine queries are deliberately rows-only (no entry here), each with a
+    * Ten queries are deliberately rows-only (no entry here), each with a
     * stronger ScalaTest invariant instead: q_dedup_minhash / q_dedup_simhash
     * / q_dedup_clusters / q_simhash_pairs depend on a hash family
     * (Murmur3/xxhash64 seeding) DuckDB cannot reproduce — DedupSpec pins
@@ -156,7 +160,9 @@ object SparkEntry {
     * counterparts differ by construction — SketchSpec bounds its error
     * against exact COUNT(DISTINCT)/quantiles; q_pack is sequential greedy
     * bin packing (no SQL oracle) — CorpusOpsSpec pins it to a hand-rolled
-    * reference packing. */
+    * reference packing; q_semdedup clusters with iterative k-means (not
+    * SQL) — DedupSpec pins its drop set to exact all-pairs cosine ground
+    * truth. */
   def oracleSql: Map[String, String] = Map(
     "q_scan_limit" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice LIMIT 100",
@@ -666,6 +672,20 @@ object SparkEntry {
         "(CAST(round(CAST(AVG(log10(CAST(v.n AS DOUBLE) / tot.total)) AS DECIMAL(20,8)), 4) AS DOUBLE) < -3.5) AS low_quality " +
         "FROM e JOIN v USING (token) CROSS JOIN tot " +
         "GROUP BY e.doc_id ORDER BY e.doc_id"),
+    "q_knn_label" ->
+      ("WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "n AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e), " +
+        "p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id, c.label AS label, " +
+        "round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 4) AS cos_sim " +
+        "FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id >= 10), " +
+        "r AS (SELECT q_id, label, " +
+        "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rn FROM p), " +
+        "v AS (SELECT q_id, label, COUNT(*) AS n_votes FROM r WHERE rn <= 10 GROUP BY q_id, label), " +
+        "m AS (SELECT q_id, label, n_votes, " +
+        "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY n_votes DESC, label) AS mr FROM v) " +
+        "SELECT m.q_id, m.label AS pred_label, m.n_votes, t.label AS true_label, " +
+        "(m.label = t.label) AS correct " +
+        "FROM m JOIN e t ON t.vec_id = m.q_id WHERE m.mr = 1 ORDER BY m.q_id"),
     "q_stratified_sample" ->
       ("SELECT doc_id, lang FROM documents " +
         "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < " +

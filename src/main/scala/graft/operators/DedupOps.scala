@@ -706,6 +706,50 @@ object DedupOps {
   def dedupEmbedLsh(spark: SparkSession, dir: String): DataFrame =
     embeddingNearDupLsh(Tables.embeddings(spark, dir), 0.25, numPlanes = 6)
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023): cluster the
+    * embeddings with k-means, compare pairs only WITHIN a cluster, and
+    * drop every vector that has an earlier (lower-id) same-cluster
+    * neighbor with cosine ≥ `threshold` — semantic dedup, catching
+    * paraphrases that byte/shingle dedup can't see. Output is one row per
+    * vector: (vec_id, keep, n_earlier_dups), deterministic given the
+    * deterministic k-means in [[IvfOps]].
+    *
+    * Scale shape — exactly the paper's: the within-cluster all-pairs
+    * compare is the algorithm (clustering exists to bound it), so cluster
+    * count must grow with the corpus (the paper uses 50k clusters for
+    * LAION-440M; rule of thumb k ≈ √n keeps E|cell|² ≈ n). The join is an
+    * equality join on centroid_id — hash-partitioned, never a global cross
+    * product; one cell's pairs never leave one task. */
+  def semDedup(emb: DataFrame, threshold: Double = 0.25,
+      numClusters: Int = 16): DataFrame = {
+    val e = Materialize(emb)
+    val (_, assigned) = IvfOps.trainIndex(e, numClusters, iters = 3)
+    val a = assigned.select(col("centroid_id"), col("vec_id"),
+      col("embedding"), l2Norm(col("embedding")).as("nrm"))
+    val earlierDups = a.as("a").join(a.as("b"),
+        col("a.centroid_id") === col("b.centroid_id")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"),
+        round(cosine(dotProduct(col("a.embedding"), col("b.embedding")),
+          col("a.nrm"), col("b.nrm")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_earlier_dups"))
+    e.select(col("vec_id"))
+      .join(earlierDups, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        col("n_earlier_dups").isNull.as("keep"),
+        coalesce(col("n_earlier_dups"), lit(0L)).as("n_earlier_dups"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Declared query (rows-only — the iterative k-means isn't SQL;
+    * DedupSpec proves every dropped vector has a genuine lower-id
+    * near-dup under the exact all-pairs ground truth). */
+  def semDedupQuery(spark: SparkSession, dir: String): DataFrame =
+    semDedup(Tables.embeddings(spark, dir))
+
   /** Scale path for embedding near-dup: bucket vectors by hyperplane-LSH
     * signature, compare only within a bucket (equality join on the bucket
     * id — hash-partitioned, never a cross product). Near-identical vectors

@@ -51,6 +51,41 @@ object SimilarityOps {
     bruteForceTopK(emb.filter(col("vec_id") < 5), emb, 10)
   }
 
+  /** kNN label prediction: classify probe vectors by majority vote over
+    * their `k` exact nearest labeled neighbors — the embedding-space
+    * auto-labeling pass training pipelines run to propagate a small set of
+    * human labels onto new data. Probes are vec_id < `nProbes`; the train
+    * set is everything else (disjoint, so no self-matches). Vote ties
+    * break to the smaller label; neighbor-rank ties break to the smaller
+    * cand_id — fully deterministic, and SQL-expressible (the DuckDB oracle
+    * hash-matches).
+    *
+    * Scale shape: same broadcast-probe × candidate-scan as
+    * [[bruteForceTopK]] (O(|Q|·n), narrow), then two bounded aggregations
+    * over |Q|·k rows. For large probe sets swap the neighbor stage for
+    * [[annTopK]] / IVF — the vote logic is unchanged. */
+  def knnLabel(spark: SparkSession, dir: String, k: Int = 10,
+      nProbes: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val probes = emb.filter(col("vec_id") < nProbes)
+    val train = emb.filter(col("vec_id") >= nProbes)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("n_votes").desc, col("label"))
+    bruteForceTopK(probes, train, k)
+      .join(train.select(col("vec_id").as("cand_id"), col("label")),
+        Seq("cand_id"))
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(probes.select(col("vec_id").as("q_id"),
+        col("label").as("true_label")), Seq("q_id"))
+      .select(col("q_id"), col("label").as("pred_label"), col("n_votes"),
+        col("true_label"),
+        (col("label") === col("true_label")).as("correct"))
+      .orderBy(col("q_id"))
+  }
+
   /** Approximate top-k: compare only vectors in the same hyperplane-sign
     * bucket. `numPlanes` trades recall vs bucket size (2^numPlanes buckets).
     * Deterministic (fixed-seed planes); not SQL-expressible → rows-only

@@ -141,6 +141,29 @@ class DedupSpec extends SparkTestBase {
       s"unrelated doc paired: $pairs")
   }
 
+  test("semDedup drop set is sound vs exact all-pairs cosine ground truth") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = DedupOps.semDedup(emb, threshold = 0.25)
+    assert(out.count() == emb.count())
+    val dropped = out.filter(!col("keep"))
+      .select("vec_id").as[Long].collect().toSet
+    // exact ground truth: vectors with ANY lower-id neighbor at cos >= thr
+    // (same-cell pairs are a subset of all pairs, so soundness must hold)
+    import graft.functions.VectorFunctions._
+    val e = emb.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
+    val withEarlier = e.as("a").join(e.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"),
+        round(cosine(dotProduct(col("a.embedding"), col("b.embedding")),
+          col("a.nrm"), col("b.nrm")), 4).as("c"))
+      .filter(col("c") >= 0.25)
+      .select("vec_id").distinct().as[Long].collect().toSet
+    assert(dropped.subsetOf(withEarlier),
+      s"unsound drops: ${dropped.diff(withEarlier).take(5)}")
+    assert(dropped.nonEmpty, "fixture produced no semantic dups; test is vacuous")
+  }
+
   test("dedupMinhash output covers every document exactly once") {
     val out = DedupOps.dedupMinhash(spark, sf)
     assert(out.count() == Tables.documents(spark, sf).count())

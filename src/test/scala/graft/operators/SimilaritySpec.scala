@@ -25,6 +25,44 @@ class SimilaritySpec extends SparkTestBase {
     assert(self.filter(col("q_id") === col("cand_id")).count() == 0)
   }
 
+  test("knnLabel predicts the cluster label on crafted separable embeddings") {
+    import spark.implicits._
+    // two tight clusters along orthogonal axes; probes 0/1 sit in one each
+    val dim = SimilarityOps.EmbeddingDim
+    def vec(axis: Int, jitter: Float) = {
+      val v = Array.fill(dim)(0.001f); v(axis) = 1.0f; v(axis + 2) = jitter; v
+    }
+    val rows =
+      Seq((0L, vec(0, 0.05f), 9), (1L, vec(1, 0.05f), 9)) ++ // probes (true_label 9)
+        (10 to 14).map(i => (i.toLong, vec(0, 0.01f * i), 1)) ++ // cluster A, label 1
+        (20 to 24).map(i => (i.toLong, vec(1, 0.01f * i), 2)) // cluster B, label 2
+    rows.map { case (id, v, l) => (id, v.toSeq, l) }
+      .toDF("vec_id", "embedding", "label")
+      .createOrReplaceTempView("crafted_emb")
+    // run the same vote chain against the crafted frame via a temp Tables
+    // stand-in: knnLabel reads Tables.embeddings, so inline its logic here
+    val emb = spark.table("crafted_emb")
+    val probes = emb.filter(col("vec_id") < 2)
+    val train = emb.filter(col("vec_id") >= 2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("n_votes").desc, col("label"))
+    val out = SimilarityOps.bruteForceTopK(probes, train, 5)
+      .join(train.select(col("vec_id").as("cand_id"), col("label")), Seq("cand_id"))
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(out(0L) == ((1, 5L)), s"probe 0 got ${out(0L)}") // all 5 votes from cluster A
+    assert(out(1L) == ((2, 5L)), s"probe 1 got ${out(1L)}")
+  }
+
+  test("knnLabel fixture output: one row per probe, votes bounded by k") {
+    val out = SimilarityOps.knnLabel(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSet == (0L until 10L).toSet)
+    assert(out.forall(r => r.getLong(2) >= 1L && r.getLong(2) <= 10L))
+  }
+
   test("annTopK results agree with exact cosine for the pairs it returns") {
     val emb = Tables.embeddings(spark, sf)
     val ann = SimilarityOps.simLsh(spark, sf)
