@@ -137,6 +137,7 @@ object SparkEntry {
     "q_simhash_pairs"  -> (DedupOps.dedupSimhashPairs _),
     "q_unigram_logprob" -> (TextOps.unigramLogprob _),
     "q_knn_label"      -> ((s, d) => SimilarityOps.knnLabel(s, d)),
+    "q_winsorize"      -> (AnalyticsOps.winsorize _),
     // rows-only: iterative k-means isn't SQL; DedupSpec pins the drop set
     // to exact all-pairs cosine ground truth
     "q_semdedup"       -> (DedupOps.semDedupQuery _),
@@ -686,6 +687,13 @@ object SparkEntry {
         "SELECT m.q_id, m.label AS pred_label, m.n_votes, t.label AS true_label, " +
         "(m.label = t.label) AS correct " +
         "FROM m JOIN e t ON t.vec_id = m.q_id WHERE m.mr = 1 ORDER BY m.q_id"),
+    "q_winsorize" ->
+      ("WITH b AS (SELECT quantile_cont(l_extendedprice, 0.05) AS lo, " +
+        "quantile_cont(l_extendedprice, 0.95) AS hi FROM lineitem) " +
+        "SELECT l_returnflag, COUNT(*) AS n, " +
+        "CAST(round(CAST(AVG(l_extendedprice) AS DECIMAL(20,8)), 4) AS DOUBLE) AS avg_raw, " +
+        "CAST(round(CAST(AVG(greatest(least(l_extendedprice, b.hi), b.lo)) AS DECIMAL(20,8)), 4) AS DOUBLE) AS avg_winsor " +
+        "FROM lineitem CROSS JOIN b GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_stratified_sample" ->
       ("SELECT doc_id, lang FROM documents " +
         "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < " +

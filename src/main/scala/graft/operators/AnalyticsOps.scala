@@ -183,6 +183,30 @@ object AnalyticsOps {
         countDistinct(col("l_partkey")).as("n_parts"))
       .orderBy(col("l_returnflag"))
 
+  /** Winsorized aggregation: clamp a heavy-tailed metric at its global
+    * exact p05/p95 before averaging — the outlier-robust mean training
+    * pipelines use for per-source quality statistics where a single
+    * garbage row would otherwise dominate. Two passes over the column
+    * (bounds, then clamp+agg) with the one-row bounds broadcast onto the
+    * scan — the big side never shuffles for the clamp; at 100 TB swap the
+    * exact percentile for approx_percentile and only the bounds pass
+    * changes. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val li = Tables.lineitem(spark, dir)
+    val bounds = li.agg(
+      expr("percentile(l_extendedprice, 0.05)").as("lo"),
+      expr("percentile(l_extendedprice, 0.95)").as("hi"))
+    li.crossJoin(broadcast(bounds))
+      .select(col("l_returnflag"), col("l_extendedprice").as("p"),
+        greatest(least(col("l_extendedprice"), col("hi")), col("lo")).as("w"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        stableRound4(avg(col("p"))).as("avg_raw"),
+        stableRound4(avg(col("w"))).as("avg_winsor"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Scalar-subquery filter: orders above the global average price. The
     * "subquery" is a one-row aggregate broadcast-cross-joined onto the scan,
     * so the big side never shuffles and there is no driver round-trip. The

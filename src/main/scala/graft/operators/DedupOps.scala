@@ -138,13 +138,20 @@ object DedupOps {
     // by doc_id just to count it. The self-join then already holds |A|
     // and |B|, saving two join passes over the (re-computed) exploded set.
     // materialized: both sides of the self-join read this — without it the
-    // scan+tokenize+explode chain executes twice
+    // scan+tokenize+explode chain executes twice. The join key is the
+    // 8-byte xxhash64 of the shingle, not the ~25-byte string: narrower
+    // materialized blocks, cheaper hash-table probes, less shuffle. |A|
+    // and |B| stay TRUE counts (size() before hashing), so a 64-bit
+    // collision could only nudge `shared` — probability ~n²/2⁶⁵, far
+    // below any realistic corpus's noise floor.
     val ex = Materialize(
       spread(docs)
         .select(col("doc_id"),
           shingles(tokensLower(col("text"))).as("sh"))
         .select(col("doc_id"), size(col("sh")).as("n"),
-          explode(col("sh")).as("shingle")))
+          explode(col("sh")).as("shingle"))
+        .select(col("doc_id"), col("n"),
+          xxhash64(col("shingle")).as("shingle")))
     // shuffle_hash, not sort-merge: both sides are exploded shingle rows —
     // sorting millions of ~25-byte strings costs more than building hash
     // tables, and the equality key is high-cardinality so buckets stay

@@ -209,6 +209,39 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("Cartesian"), p)
   }
 
+  test("simhashHammingPairs: hashed-band equality join, no cartesian") {
+    val p = plan(DedupOps.dedupSimhashPairs(spark, sf))
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("unigramLogprob: partial-aggregated vote hops, no cartesian blowup") {
+    // (the materialized token stream hides the FileScan from this plan, so
+    // no ReadSchema assert — scan pruning is covered by repetitionStats,
+    // which tokenizes the same columns without a Materialize boundary)
+    val p = plan(TextOps.unigramLogprob(spark, sf))
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Cartesian"), p)
+  }
+
+  test("knnLabel: probe side broadcasts; no global sort before the vote") {
+    val p = plan(SimilarityOps.knnLabel(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit") || p.contains("RunningWindowFunction")
+      || p.contains("Window"), p)
+  }
+
+  test("semDedup: within-cell equality join only, no cross product") {
+    val p = plan(DedupOps.semDedupQuery(spark, sf))
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("winsorize: one-row bounds broadcast; fact side aggregates partially") {
+    val p = plan(AnalyticsOps.winsorize(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row cross join
+    assert(p.contains("partial_avg") || p.contains("partial_count"), p)
+  }
+
   test("sql surface: same query via spark.sql yields same result") {
     GraftSession.openTables(spark, sf)
     val viaSql = GraftSession.sql(spark,
