@@ -54,5 +54,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash_array", "minhash_array(shingles, k) - scalar k-hash MinHash signature of a shingle array (no explode, no shuffle)"),
       (args: Seq[Expression]) => MinHashArray(args(0),
         intLit(args(1), "minhash_array", "k"))))
+    ext.injectFunction((FunctionIdentifier("simhash_array"),
+      info("simhash_array", "simhash_array(tokens) - scalar 64-bit SimHash of a token array (no explode, no shuffle)"),
+      (args: Seq[Expression]) => SimHashArray(args(0))))
   }
 }

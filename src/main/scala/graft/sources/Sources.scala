@@ -146,6 +146,25 @@ final case class JsonSink(path: String, compression: String = "gzip",
   }
 }
 
+/** Raw binary ingestion for multimodal corpora: Spark's built-in
+  * `binaryFile` format reads a directory tree of opaque payloads (images,
+  * audio, video) as (path, modificationTime, length, content: binary) —
+  * the input edge of the [[graft.operators.MultimodalOps]] decode/feature
+  * stage. `pathGlobFilter` prunes by extension at the LISTING step (files
+  * never open); `recursiveFileLookup` walks nested shard dirs. Each file is
+  * one row read by one task — at 100 TB this scales by file count, so
+  * upstream layout should keep payloads in many moderate files, not one
+  * giant tar. */
+final case class BinaryFileSource(path: String,
+    globFilter: Option[String] = None, recursive: Boolean = true)
+    extends Source {
+  override def read(spark: SparkSession): DataFrame = {
+    val base = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", recursive.toString)
+    globFilter.fold(base)(g => base.option("pathGlobFilter", g)).load(path)
+  }
+}
+
 /** R12/R14: object-store upload/download. Local-FS stand-in: Spark reads and
   * writes the store path in place (no copy step — the reference's explicit
   * re-download, self-described as redundant at ingest_data.py:125, becomes a

@@ -61,6 +61,18 @@ class SqlFunctionsSpec extends SparkTestBase {
     assert(aggSig == scalarSig)
   }
 
+  test("simhash_array in SQL matches the Column-API signature path") {
+    Tables.documents(spark, sf).limit(20).createOrReplaceTempView("docs_sh")
+    val viaSql = spark.sql(
+      """SELECT doc_id, simhash_array(split(trim(lower(text)), '\\s+')) AS sh
+        |FROM docs_sh ORDER BY doc_id""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaApi = graft.operators.DedupOps
+      .simhashSignaturesScalar(Tables.documents(spark, sf).limit(20))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaApi)
+  }
+
   test("word_shingles on raw text fails at analysis with a type error") {
     Tables.documents(spark, sf).limit(5).createOrReplaceTempView("docs_raw")
     val e = intercept[Exception] {
