@@ -138,6 +138,7 @@ object SparkEntry {
     "q_unigram_logprob" -> (TextOps.unigramLogprob _),
     "q_knn_label"      -> ((s, d) => SimilarityOps.knnLabel(s, d)),
     "q_winsorize"      -> (AnalyticsOps.winsorize _),
+    "q_bigram_logprob" -> (TextOps.bigramLogprob _),
     // rows-only: iterative k-means isn't SQL; DedupSpec pins the drop set
     // to exact all-pairs cosine ground truth
     "q_semdedup"       -> (DedupOps.semDedupQuery _),
@@ -694,6 +695,16 @@ object SparkEntry {
         "CAST(round(CAST(AVG(l_extendedprice) AS DECIMAL(20,8)), 4) AS DOUBLE) AS avg_raw, " +
         "CAST(round(CAST(AVG(greatest(least(l_extendedprice, b.hi), b.lo)) AS DECIMAL(20,8)), 4) AS DOUBLE) AS avg_winsor " +
         "FROM lineitem CROSS JOIN b GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_bigram_logprob" ->
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "e AS (SELECT doc_id, toks[i] AS prev, toks[i+1] AS cur " +
+        "FROM (SELECT doc_id, toks, unnest(generate_series(1, CAST(len(toks) AS BIGINT) - 1)) AS i FROM t)), " +
+        "bc AS (SELECT prev, cur, COUNT(*) AS nbg FROM e GROUP BY 1, 2), " +
+        "pc AS (SELECT prev, COUNT(*) AS nprev FROM e GROUP BY 1) " +
+        "SELECT e.doc_id, COUNT(*) AS n_bigrams, " +
+        "CAST(round(CAST(AVG(log10(CAST(bc.nbg AS DOUBLE) / pc.nprev)) AS DECIMAL(20,8)), 4) AS DOUBLE) AS mean_logp " +
+        "FROM e JOIN bc USING (prev, cur) JOIN pc USING (prev) " +
+        "GROUP BY e.doc_id ORDER BY e.doc_id"),
     "q_stratified_sample" ->
       ("SELECT doc_id, lang FROM documents " +
         "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < " +

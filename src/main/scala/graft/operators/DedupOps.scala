@@ -489,7 +489,12 @@ object DedupOps {
     * Scale shape: signatures are a narrow scan; the self-join key
     * (band, 16-bit chunk) has up to 4·2¹⁶ distinct values per band set —
     * selective enough that buckets stay small on real (non-degenerate)
-    * corpora; never an all-pairs compare. */
+    * corpora; never an all-pairs compare. Note the honest web-scale limit:
+    * 2¹⁶ buckets per band caps out around 10⁸ docs (E|bucket| ≈ n/2¹⁶, and
+    * within-bucket work is quadratic); past that the paper's own recipe
+    * applies — widen the fingerprint (128-bit SimHash) so band chunks carry
+    * ≥ log₂(n)+Δ bits, which is a signature-width change here, not a join-
+    * shape change. */
   def simhashHammingPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4 bands of 16 bits are exact only up to Hamming 3")
     val sigs = Materialize(simhashSignaturesScalar(docs))

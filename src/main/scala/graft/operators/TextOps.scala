@@ -165,6 +165,46 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document mean CONDITIONAL bigram log-probability under the
+    * corpus's own bigram LM: mean over positions i ≥ 2 of
+    * log10(c(w_{i-1} w_i) / c(w_{i-1} as prefix)) — a closer perplexity
+    * proxy than [[unigramLogprob]] (it scores word ORDER, catching
+    * shuffled/templated text a unigram model ranks as fluent). The prefix
+    * count is occurrences as a bigram prefix (doc-final tokens excluded),
+    * so conditional probabilities normalize exactly; every observed bigram
+    * has count ≥ 1, so no smoothing is needed. Docs with < 2 tokens have
+    * no bigrams and are excluded.
+    *
+    * Scale shape: one narrow zip_with (no index explode), one materialized
+    * bigram stream feeding two hash aggregations and two high-cardinality
+    * equality joins — all partial-aggregated, no windows, no driver data. */
+  def bigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    bigramLogprobDocs(Tables.documents(spark, dir))
+
+  /** Core of [[bigramLogprob]] over any (doc_id, text) frame. */
+  def bigramLogprobDocs(docs: DataFrame): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val bg = Materialize(
+      docs.select(col("doc_id"), tokensLower(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "zip_with(slice(toks, 1, size(toks) - 1), " +
+            "slice(toks, 2, size(toks) - 1), " +
+            "(x, y) -> named_struct('prev', x, 'cur', y))")).as("b"))
+        .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur")))
+    val bgCounts = bg.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("nbg"))
+    val prevCounts = bg.groupBy(col("prev")).agg(count(lit(1)).as("nprev"))
+    bg.join(bgCounts, Seq("prev", "cur"))
+      .join(prevCounts, Seq("prev"))
+      .select(col("doc_id"),
+        log10(col("nbg").cast("double") / col("nprev")).as("logp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        stableRound4(avg(col("logp"))).as("mean_logp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Canonical md5 fingerprint of the normalized text (rolling-hash style
     * document identity for exact dedup across formatting noise). */
   def fingerprintDocs(spark: SparkSession, dir: String): DataFrame =

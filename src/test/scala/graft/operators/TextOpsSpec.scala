@@ -55,6 +55,20 @@ class TextOpsSpec extends SparkTestBase {
     assert(out.filter(col("mean_logp") > 0).count() == 0)
   }
 
+  test("bigramLogprob matches hand-computed conditional probabilities") {
+    // stream: doc1 (a,b),(b,a),(a,c); doc2 (a,b)
+    // c(a,b)=2 c(b,a)=1 c(a,c)=1; prefix counts a=3, b=1
+    // doc1 = mean(log10(2/3), log10(1/1), log10(1/3)) = -0.21774 -> -0.2177
+    // doc2 = log10(2/3) = -0.17609 -> -0.1761; doc3 has no bigrams
+    val docs = Seq((1L, "a b a c"), (2L, "a b"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bigramLogprobDocs(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((3L, -0.2177)), s"got ${out(1L)}")
+    assert(out(2L) == ((1L, -0.1761)), s"got ${out(2L)}")
+  }
+
   test("bpeish tokens split words, digits, and punctuation runs") {
     val got = Seq((1L, "hello, world42 x!"))
       .toDF("doc_id", "text")
