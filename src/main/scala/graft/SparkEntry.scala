@@ -142,13 +142,17 @@ object SparkEntry {
     // rows-only: iterative k-means isn't SQL; DedupSpec pins the drop set
     // to exact all-pairs cosine ground truth
     "q_semdedup"       -> (DedupOps.semDedupQuery _),
+    // rows-only: DataSketches HLL registers are engine-specific; SketchSpec
+    // proves union-of-group-sketches == direct global sketch exactly, and
+    // bounds each estimate vs exact COUNT(DISTINCT)
+    "q_hll_rollup"     -> (SketchOps.hllRollup _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
     * columns are CAST explicitly because DuckDB widens (year()→BIGINT,
     * SUM(int)→HUGEINT, ROW_NUMBER()→BIGINT) where Spark keeps int/long.
     *
-    * Ten queries are deliberately rows-only (no entry here), each with a
+    * Eleven queries are deliberately rows-only (no entry here), each with a
     * stronger ScalaTest invariant instead: q_dedup_minhash / q_dedup_simhash
     * / q_dedup_clusters / q_simhash_pairs depend on a hash family
     * (Murmur3/xxhash64 seeding) DuckDB cannot reproduce — DedupSpec pins
@@ -160,7 +164,8 @@ object SparkEntry {
     * recall vs the EXACT oracles (q_dedup_embed, q_sim_topk, which both
     * hash-match); q_approx_stats is a sketch (HLL++/quantile) whose exact
     * counterparts differ by construction — SketchSpec bounds its error
-    * against exact COUNT(DISTINCT)/quantiles; q_pack is sequential greedy
+    * against exact COUNT(DISTINCT)/quantiles, and proves q_hll_rollup's
+    * sketch-union row equals the direct global sketch; q_pack is sequential greedy
     * bin packing (no SQL oracle) — CorpusOpsSpec pins it to a hand-rolled
     * reference packing; q_semdedup clusters with iterative k-means (not
     * SQL) — DedupSpec pins its drop set to exact all-pairs cosine ground

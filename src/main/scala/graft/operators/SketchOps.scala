@@ -27,4 +27,30 @@ object SketchOps {
           .as("apx_median_price"),
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
+
+  /** Mergeable-sketch rollup with Apache DataSketches HLL (Spark 4's
+    * `hll_sketch_agg` / `hll_union_agg`): per-status customer-distinct
+    * sketches PLUS an 'ALL' row whose estimate comes from UNIONING the
+    * per-group sketch binaries — never re-scanning the data. This is the
+    * 100 TB cardinality pattern: materialize small per-partition/per-day
+    * sketches once, answer any rollup later by sketch union alone (the
+    * union is exact on the sketch lattice, so unioned-estimate ==
+    * direct-global-estimate — asserted in SketchSpec). Rows-only: the
+    * sketch registers are engine-specific, so no DuckDB oracle. */
+  def hllRollup(spark: SparkSession, dir: String): DataFrame = {
+    val perGroup = Materialize(
+      Tables.orders(spark, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
+          count(lit(1)).as("n_rows")))
+    val global = perGroup
+      .agg(hll_union_agg(col("sk")).as("sk"), sum(col("n_rows")).as("n_rows"))
+      .select(lit("ALL").as("o_orderstatus"),
+        hll_sketch_estimate(col("sk")).as("apx_custs"), col("n_rows"))
+    perGroup
+      .select(col("o_orderstatus"),
+        hll_sketch_estimate(col("sk")).as("apx_custs"), col("n_rows"))
+      .unionByName(global)
+      .orderBy(col("o_orderstatus"))
+  }
 }

@@ -23,6 +23,27 @@ class SketchSpec extends SparkTestBase {
     }
   }
 
+  test("hllRollup: union of per-group sketches equals the direct global sketch") {
+    val out = SketchOps.hllRollup(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // the ALL row came from sketch UNION; recompute with one direct global
+    // sketch over the raw column — estimates must be identical, because
+    // union is exact on the sketch lattice (not merely close)
+    val direct = Tables.orders(spark, sf)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("n"))
+      .head().getLong(0)
+    assert(out("ALL")._1 == direct, s"${out("ALL")._1} vs $direct")
+    // and each estimate is within 5% of its exact distinct count
+    val exact = Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(out(k)._1 - n).toDouble / n < 0.05, s"$k: ${out(k)._1} vs $n")
+    }
+    assert(out("ALL")._2 == Tables.orders(spark, sf).count())
+  }
+
   test("sketch results are stable across partitionings (merge commutativity)") {
     val a = SketchOps.approxStats(spark, sf).collect()
     val li = Tables.lineitem(spark, sf).repartition(16)
