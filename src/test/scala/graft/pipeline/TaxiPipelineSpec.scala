@@ -78,6 +78,10 @@ class TaxiPipelineSpec extends SparkTestBase {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val someYr = yrs.keys.min
     assert(back.filter(col("yr") === someYr).count() == yrs(someYr))
+    // and the pruning is PLAN-level (directory skip), not a post-scan filter
+    val p = back.filter(col("yr") === someYr)
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("yr"), p)
   }
 
   test("JsonSink/JsonSource roundtrip: gzip JSON lines, schema-pinned re-read") {
