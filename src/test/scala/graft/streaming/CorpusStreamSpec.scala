@@ -48,4 +48,48 @@ class CorpusStreamSpec extends SparkTestBase {
     // the re-sent copies must all be dropped (their fp already seen)
     assert(got.filter(col("doc_id") >= 1000000L).count() == 0)
   }
+
+  test("stream scoring with the batch-trained unigram model equals the batch run") {
+    val docs = graft.Tables.documents(spark, sf)
+    val (model, oov) = CorpusStreamOps.trainUnigramModel(docs)
+    val batch = CorpusStreamOps.scoreWithModel(docs, model, oov)
+      .select("doc_id", "mean_logp", "low_quality")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+
+    // stream the same corpus through a file source in two batches; the
+    // scorer is a narrow map, so append mode needs no state or watermark
+    val base = Files.createTempDirectory("graft-score")
+    val in = Files.createDirectories(base.resolve("in"))
+    val out = base.resolve("out").toString
+    val cp = base.resolve("cp").toString
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmpDir = Files.createTempDirectory("graft-land2")
+      df.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+      val part = Files.list(tmpDir).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, in.resolve(name))
+    }
+    land(docs.filter(col("doc_id") < 250), "001.parquet")
+    land(docs.filter(col("doc_id") >= 250), "002.parquet")
+    val q = CorpusStreamOps.scoreWithModel(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(in.toString),
+        model, oov)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "mean_logp", "low_quality")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(streamed == batch)
+    // with topK = full vocab the bounded model matches the exact batch twin
+    val exact = graft.operators.TextOps.unigramLogprob(spark, sf)
+      .select("doc_id", "mean_logp")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val hits = batch.count { case (id, (lp, _)) => exact(id) == lp }
+    assert(hits == batch.size, s"only $hits/${batch.size} match the exact twin")
+  }
 }
