@@ -131,11 +131,31 @@ object JoinOps {
       .orderBy(col("o_orderpriority"), col("rn"))
   }
 
-  /** Skew-resistant fact⋈dim join via [[SkewUtils.saltedJoin]] (8-way salt
-    * on the part key), aggregated per brand. Semantically identical to the
-    * plain equi-join — the oracle IS the plain join — while each hot
-    * l_partkey spreads over 8 reducers instead of one. */
+  /** Skew-aware fact⋈dim join, aggregated per brand. Declared path: the
+    * PLAIN equi-join under AQE skew handling — the sf1 gate measured it 3×
+    * faster than the 8-way salted form on these (uniform) keys (0.28 s vs
+    * 0.73-0.90 s, SCALE.md), because salting pays factor-× small-side
+    * replication and a fatter shuffle whether or not any key is hot, while
+    * AQE splits oversized partitions only when they exist. The salted
+    * variant stays below as [[skewJoinAggSalted]] (same rows — proven by
+    * the shared oracle in JoinOpsSpec) for the two cases AQE can't fix:
+    * one key so dominant that even split partitions bottleneck, or a
+    * same-key aggregation downstream that must survive the join. */
   def skewJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = Tables.lineitem(spark, dir)
+    val part = Tables.part(spark, dir)
+      .withColumnRenamed("p_partkey", "l_partkey")
+    lineitem.join(part, Seq("l_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 4).as("total"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** The explicit-salt formulation of [[skewJoinAgg]] (8-way salt via
+    * [[SkewUtils.saltedJoin]]): identical output, each hot l_partkey spread
+    * over 8 reducers unconditionally. */
+  def skewJoinAggSalted(spark: SparkSession, dir: String): DataFrame = {
     val lineitem = Tables.lineitem(spark, dir)
     val part = Tables.part(spark, dir)
       .withColumnRenamed("p_partkey", "l_partkey")
