@@ -469,6 +469,12 @@ object CorpusOps {
     val total = docs.agg(count(lit(1)).as("n_total"))
     val vt = docTok.join(broadcast(vocab.select(col("token"))), "token")
       .select(col("doc_id"), col("token"))
+    // self-join on doc_id, NOT a per-doc array comprehension: the
+    // collect_set + nested-transform pair expansion was measured 1.8×
+    // slower (1.50 s vs 0.85 s at sf0.1) — higher-order functions are
+    // CodegenFallback and the struct-array explode materializes fat rows,
+    // while this join shuffles only (doc_id, token) pairs through
+    // codegen'd operators end to end.
     val pairs = vt.as("a")
       .join(vt.as("b"),
         col("a.doc_id") === col("b.doc_id") && col("a.token") < col("b.token"))
