@@ -139,6 +139,7 @@ object SparkEntry {
     "q_knn_label"      -> ((s, d) => SimilarityOps.knnLabel(s, d)),
     "q_winsorize"      -> (AnalyticsOps.winsorize _),
     "q_bigram_logprob" -> (TextOps.bigramLogprob _),
+    "q_mad_outlier"    -> (AnalyticsOps.madOutlier _),
     // rows-only: iterative k-means isn't SQL; DedupSpec pins the drop set
     // to exact all-pairs cosine ground truth
     "q_semdedup"       -> (DedupOps.semDedupQuery _),
@@ -710,6 +711,16 @@ object SparkEntry {
         "CAST(round(CAST(AVG(log10(CAST(bc.nbg AS DOUBLE) / pc.nprev)) AS DECIMAL(20,8)), 4) AS DOUBLE) AS mean_logp " +
         "FROM e JOIN bc USING (prev, cur) JOIN pc USING (prev) " +
         "GROUP BY e.doc_id ORDER BY e.doc_id"),
+    "q_mad_outlier" ->
+      ("WITH m AS (SELECT quantile_cont(l_extendedprice, 0.5) AS med FROM lineitem), " +
+        "d AS (SELECT l_returnflag, l_extendedprice, m.med, " +
+        "abs(l_extendedprice - m.med) AS adev FROM lineitem CROSS JOIN m), " +
+        "md AS (SELECT quantile_cont(adev, 0.5) AS mad FROM d) " +
+        "SELECT l_returnflag, COUNT(*) AS n, " +
+        "CAST(SUM(CASE WHEN d.adev > 3 * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, " +
+        "CAST(round(CAST(MAX(d.med) AS DECIMAL(20,8)), 4) AS DOUBLE) AS med, " +
+        "CAST(round(CAST(MAX(md.mad) AS DECIMAL(20,8)), 4) AS DOUBLE) AS mad " +
+        "FROM d CROSS JOIN md GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_stratified_sample" ->
       ("SELECT doc_id, lang FROM documents " +
         "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < " +

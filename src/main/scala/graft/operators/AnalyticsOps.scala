@@ -207,6 +207,32 @@ object AnalyticsOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Robust outlier detection via median/MAD z-scores: flag rows more than
+    * 3 median-absolute-deviations from the global median — the
+    * outlier-detection primitive that, unlike mean/stddev z-scores, is not
+    * itself dragged by the outliers it hunts. Two dependent exact-percentile
+    * passes (median, then median of absolute deviations), each a one-row
+    * aggregate broadcast back onto the scan; the flag comparison is plain
+    * IEEE arithmetic, identical across engines. At 100 TB swap
+    * approx_percentile into the two bounds passes. */
+  def madOutlier(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val li = Tables.lineitem(spark, dir)
+    val med = li.agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+    val dev = li.crossJoin(broadcast(med))
+      .select(col("l_returnflag"), col("l_extendedprice"), col("med"),
+        abs(col("l_extendedprice") - col("med")).as("adev"))
+    val mad = dev.agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        stableRound4(max(col("med"))).as("med"),
+        stableRound4(max(col("mad"))).as("mad"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Scalar-subquery filter: orders above the global average price. The
     * "subquery" is a one-row aggregate broadcast-cross-joined onto the scan,
     * so the big side never shuffles and there is no driver round-trip. The

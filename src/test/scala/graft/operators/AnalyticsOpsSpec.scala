@@ -175,4 +175,17 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(out.count() == expected)
     assert(out.filter(col("n_orders") < 5).count() == 0)
   }
+
+  test("madOutlier: outlier counts match a direct recomputation") {
+    val li = Tables.lineitem(spark, sf)
+    val med = li.agg(expr("percentile(l_extendedprice, 0.5)")).head().getDouble(0)
+    val mad = li.select(abs(col("l_extendedprice") - med).as("d"))
+      .agg(expr("percentile(d, 0.5)")).head().getDouble(0)
+    val expected = li
+      .filter(abs(col("l_extendedprice") - med) > 3.0 * mad).count()
+    val out = AnalyticsOps.madOutlier(spark, sf).collect()
+    assert(out.map(_.getLong(2)).sum == expected)
+    assert(out.map(_.getLong(1)).sum == li.count())
+    out.foreach(r => assert(r.getDouble(3) > 0 && r.getDouble(4) > 0))
+  }
 }
