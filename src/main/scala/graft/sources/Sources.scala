@@ -165,6 +165,49 @@ final case class BinaryFileSource(path: String,
   }
 }
 
+/** Parquet scan with optional schema evolution: `mergeSchema` unions the
+  * schemas of every footer (columns added over a dataset's lifetime appear
+  * as nulls in older files) instead of trusting the first file. Off by
+  * default, as in Spark: merging reads every footer — at 100 TB that is a
+  * full listing + footer fetch per file, so evolved datasets should carry
+  * an explicit catalog schema and leave this for ad-hoc exploration. */
+final case class ParquetSource(path: String, mergeSchema: Boolean = false)
+    extends Source {
+  override def read(spark: SparkSession): DataFrame =
+    spark.read.option("mergeSchema", mergeSchema.toString).parquet(path)
+}
+
+/** Small-files compaction — the operational fix for the classic 100 TB
+  * failure mode where streaming appends / per-partition writes leave
+  * thousands of KB-sized parquet files and every downstream scan pays a
+  * task (plus a namenode/listing round-trip) per file. Rewrites a dataset
+  * to ⌈totalBytes / targetBytes⌉ files of ~`targetBytes` each.
+  *
+  * Deliberately writes to a NEW directory instead of swapping in place:
+  * in-place compaction on an object store is a non-atomic
+  * delete-then-rename race against concurrent readers; production systems
+  * either version directories (this shape — cut over by path) or need a
+  * table format with a transaction log. `coalesce` (not `repartition`)
+  * merges without a shuffle — input row order within merged groups is
+  * preserved and no data crosses the network. */
+object Compactor {
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(hconf)
+    val files = fs.listStatus(p)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath).coalesce(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    val outFiles = fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    (files.length, outFiles)
+  }
+}
+
 /** R12/R14: object-store upload/download. Local-FS stand-in: Spark reads and
   * writes the store path in place (no copy step — the reference's explicit
   * re-download, self-described as redundant at ingest_data.py:125, becomes a

@@ -84,6 +84,34 @@ class TaxiPipelineSpec extends SparkTestBase {
     assert(p.contains("PartitionFilters") && p.contains("yr"), p)
   }
 
+  test("Compactor rewrites a fragmented dataset to the target file count") {
+    val in = s"$tmp/frag"
+    val out = s"$tmp/compacted"
+    val docs = graft.Tables.documents(spark, sf)
+    docs.repartition(40).write.mode("overwrite").parquet(in)
+    val dir = new java.io.File(in)
+    assert(dir.listFiles().count(_.getName.endsWith(".parquet")) == 40)
+    val (before, after) = Compactor.compact(spark, in, out,
+      targetBytes = 1L << 30)
+    assert(before == 40 && after == 1, s"$before -> $after")
+    // byte-identical content, just fewer files
+    assert(spark.read.parquet(out).orderBy("doc_id").collect()
+      .sameElements(docs.orderBy("doc_id").collect()))
+  }
+
+  test("ParquetSource mergeSchema unions evolved file schemas") {
+    import spark.implicits._
+    val dir = s"$tmp/evolve"
+    Seq((1L, "x")).toDF("id", "a").write.mode("overwrite").parquet(dir)
+    Seq((2L, 9.5)).toDF("id", "c").write.mode("append").parquet(dir)
+    val merged = ParquetSource(dir, mergeSchema = true).read(spark)
+    assert(merged.columns.sorted.toSeq == Seq("a", "c", "id"))
+    assert(merged.count() == 2)
+    // old files surface the new column as null, and vice versa
+    assert(merged.filter(col("id") === 1L).head().getAs[Any]("c") == null)
+    assert(merged.filter(col("id") === 2L).head().getAs[Any]("a") == null)
+  }
+
   test("JsonSink/JsonSource roundtrip: gzip JSON lines, schema-pinned re-read") {
     val src = graft.Tables.orders(spark, sf)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
