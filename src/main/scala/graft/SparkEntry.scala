@@ -140,6 +140,7 @@ object SparkEntry {
     "q_winsorize"      -> (AnalyticsOps.winsorize _),
     "q_bigram_logprob" -> (TextOps.bigramLogprob _),
     "q_mad_outlier"    -> (AnalyticsOps.madOutlier _),
+    "q_quality_deciles" -> (TextOps.qualityDeciles _),
     // rows-only: iterative k-means isn't SQL; DedupSpec pins the drop set
     // to exact all-pairs cosine ground truth
     "q_semdedup"       -> (DedupOps.semDedupQuery _),
@@ -721,6 +722,26 @@ object SparkEntry {
         "CAST(round(CAST(MAX(d.med) AS DECIMAL(20,8)), 4) AS DOUBLE) AS med, " +
         "CAST(round(CAST(MAX(md.mad) AS DECIMAL(20,8)), 4) AS DOUBLE) AS mad " +
         "FROM d CROSS JOIN md GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_quality_deciles" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tokens, " +
+        "length(regexp_replace(text, '\\s', '', 'g')) AS n_letter_chars, " +
+        "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), " +
+        "t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) AS sw_n " +
+        "FROM documents), " +
+        "d AS (SELECT doc_id, CAST(n_letter_chars AS DOUBLE) / n_tokens AS awl, " +
+        "n_tokens, CAST(sw_n AS DOUBLE) / n_tokens AS swr FROM t), " +
+        "s AS (SELECT doc_id, CAST(round(CAST(least(1.0, n_tokens / 50.0) * 0.5 " +
+        "+ CASE WHEN awl BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END " +
+        "+ least(0.2, swr) AS DECIMAL(20,8)), 4) AS DOUBLE) AS qs FROM d), " +
+        "c AS (SELECT quantile_cont(qs, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts FROM s), " +
+        "b AS (SELECT CAST(len(list_filter(c.cuts, x -> " +
+        "qs > CAST(round(CAST(x AS DECIMAL(20,8)), 4) AS DOUBLE))) AS INTEGER) AS decile, qs " +
+        "FROM s CROSS JOIN c) " +
+        "SELECT decile, COUNT(*) AS n, " +
+        "CAST(round(CAST(MIN(qs) AS DECIMAL(20,8)), 4) AS DOUBLE) AS lo, " +
+        "CAST(round(CAST(MAX(qs) AS DECIMAL(20,8)), 4) AS DOUBLE) AS hi " +
+        "FROM b GROUP BY decile ORDER BY decile"),
     "q_stratified_sample" ->
       ("SELECT doc_id, lang FROM documents " +
         "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < " +

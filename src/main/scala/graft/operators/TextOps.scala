@@ -101,6 +101,36 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-score decile assignment WITHOUT a global sort — the scalable
+    * replacement for `ntile(10) OVER (ORDER BY score)`, which plans a
+    * single-partition window (the whole corpus through one task at 100 TB).
+    * Instead: one aggregate computes the 9 global decile cut points
+    * (array-percentile, one row), broadcast back onto the scan, and each
+    * row counts how many (4-decimal-rounded) cuts it strictly exceeds —
+    * a narrow O(9) expression per row. Bucket populations differ from
+    * ntile's only in tie handling at cut values (deterministically: ties
+    * land in the lower bucket together, where ntile splits them by
+    * arbitrary row order — the ntile behavior is the NON-deterministic
+    * one). Output: per-decile counts with score bounds. */
+  def qualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val scored = graft.operators.Materialize(
+      qualityScore(spark, dir).select(col("doc_id"),
+        col("quality_score").as("qs")))
+    val cuts = scored.agg(expr(
+      "percentile(qs, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("cuts"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("qs"), expr(
+        "aggregate(cuts, 0, (acc, c) -> acc + " +
+          "IF(qs > CAST(round(CAST(c AS DECIMAL(20,8)), 4) AS DOUBLE), 1, 0))")
+        .as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        stableRound4(min(col("qs"))).as("lo"),
+        stableRound4(max(col("qs"))).as("hi"))
+      .orderBy(col("decile"))
+  }
+
   /** Per-document repetition metrics, the Gopher-style quality signals that
     * catch degenerate/templated text: `dup_word_frac` (share of token
     * occurrences beyond each word's first — 1 − distinct/total) and

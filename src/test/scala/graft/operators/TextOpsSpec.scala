@@ -69,6 +69,18 @@ class TextOpsSpec extends SparkTestBase {
     assert(out(2L) == ((1L, -0.1761)), s"got ${out(2L)}")
   }
 
+  test("qualityDeciles: buckets partition the corpus with ordered score bounds") {
+    val out = TextOps.qualityDeciles(spark, sf).collect()
+    assert(out.map(_.getLong(1)).sum == graft.Tables.documents(spark, sf).count())
+    out.foreach(r => assert(r.getDouble(2) <= r.getDouble(3))) // lo <= hi
+    // bucket score ranges must not overlap and must ascend with decile
+    out.sliding(2).foreach {
+      case Array(a, b) => assert(a.getDouble(3) <= b.getDouble(2),
+        s"decile ${a.getInt(0)} hi ${a.getDouble(3)} > decile ${b.getInt(0)} lo ${b.getDouble(2)}")
+      case _ =>
+    }
+  }
+
   test("bpeish tokens split words, digits, and punctuation runs") {
     val got = Seq((1L, "hello, world42 x!"))
       .toDF("doc_id", "text")
