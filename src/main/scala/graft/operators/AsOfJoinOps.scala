@@ -39,13 +39,13 @@ object AsOfJoinOps {
     val extraLeftCols = left.columns.filterNot(Set(keyCol, tsCol))
     val rPadded = extraLeftCols.foldLeft(r)((d, c) =>
       d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-      .select(l.columns.map(col): _*)
+      .select(l.columns.toIndexedSeq.map(col): _*)
 
     // right rows sort before left rows at equal ts (<= semantics)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col("_side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    l.select(l.columns.map(col): _*).union(rPadded)
+    l.select(l.columns.toIndexedSeq.map(col): _*).union(rPadded)
       .withColumn("_matched",
         last(col("_rrec"), ignoreNulls = true).over(w).getField("v"))
       .filter(col("_side") === 1)
