@@ -141,6 +141,7 @@ object SparkEntry {
     "q_bigram_logprob" -> (TextOps.bigramLogprob _),
     "q_mad_outlier"    -> (AnalyticsOps.madOutlier _),
     "q_quality_deciles" -> (TextOps.qualityDeciles _),
+    "q_cohort"         -> (EventOps.cohortRetention _),
     // rows-only: iterative k-means isn't SQL; DedupSpec pins the drop set
     // to exact all-pairs cosine ground truth
     "q_semdedup"       -> (DedupOps.semDedupQuery _),
@@ -742,6 +743,17 @@ object SparkEntry {
         "CAST(round(CAST(MIN(qs) AS DECIMAL(20,8)), 4) AS DOUBLE) AS lo, " +
         "CAST(round(CAST(MAX(qs) AS DECIMAL(20,8)), 4) AS DOUBLE) AS hi " +
         "FROM b GROUP BY decile ORDER BY decile"),
+    "q_cohort" ->
+      ("WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events), " +
+        "f AS (SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id), " +
+        "a AS (SELECT DISTINCT e.user_id, f.cohort_day, " +
+        "date_diff('day', f.cohort_day, e.d) AS day_n FROM e JOIN f USING (user_id)), " +
+        "s AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM f GROUP BY cohort_day) " +
+        "SELECT a.cohort_day, CAST(a.day_n AS INTEGER) AS day_n, COUNT(*) AS n_active, " +
+        "CAST(MAX(s.cohort_size) AS BIGINT) AS cohort_size, " +
+        "CAST(round(CAST(CAST(COUNT(*) AS DOUBLE) / MAX(s.cohort_size) AS DECIMAL(20,8)), 4) AS DOUBLE) AS retention " +
+        "FROM a JOIN s USING (cohort_day) GROUP BY a.cohort_day, a.day_n " +
+        "ORDER BY a.cohort_day, a.day_n"),
     "q_stratified_sample" ->
       ("SELECT doc_id, lang FROM documents " +
         "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < " +

@@ -105,6 +105,35 @@ object EventOps {
     * event by (ts, event_id). One partition-sort per user — the canonical
     * "compact a changelog to current state" shape; at 100 TB the same plan
     * runs per key-range partition with no global sort. */
+  /** Daily cohort-retention matrix — the canonical product-analytics
+    * rollup: users grouped by first-activity day (the cohort), each
+    * (cohort, day-offset) cell counting how many came back, with the
+    * retention share against the cohort's size. Three hash aggregations
+    * and two equality joins, all partial-aggregated; the distinct() that
+    * collapses multi-event days shuffles (user, cohort, day) triples once.
+    * No windows, no driver state — at 100 TB the matrix is tiny (days²)
+    * however large the event log. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+    val active = ev.join(first, Seq("user_id"))
+      .select(col("user_id"), col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).as("day_n"))
+      .distinct()
+    val sizes = first.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_size"))
+    active.groupBy(col("cohort_day"), col("day_n"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_n"), col("n_active"),
+        col("cohort_size"),
+        stableRound4(col("n_active").cast("double") / col("cohort_size"))
+          .as("retention"))
+      .orderBy(col("cohort_day"), col("day_n"))
+  }
+
   def latestEvent(spark: SparkSession, dir: String): DataFrame = {
     // Order by an explicit MICROSECOND epoch, not raw ts: Spark reads the
     // events table truncated to µs while the DuckDB oracle sees full ns, so

@@ -11,6 +11,21 @@ import graft.{SparkTestBase, Tables}
   * bigram frequencies, vocabulary coverage, normalized-key dedup. */
 class Round3OpsSpec extends SparkTestBase {
 
+  test("cohortRetention: day-0 retention is 1.0 and cells never exceed cohort size") {
+    val out = EventOps.cohortRetention(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.filter(_.getInt(1) == 0).foreach { r =>
+      assert(r.getLong(2) == r.getLong(3), s"day-0 active != cohort size: $r")
+      assert(r.getDouble(4) == 1.0)
+    }
+    out.foreach(r => assert(r.getLong(2) <= r.getLong(3)))
+    // cohort sizes must sum to the distinct user count
+    val sizes = out.filter(_.getInt(1) == 0).map(_.getLong(3)).sum
+    val users = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(sizes == users)
+  }
+
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
   test("sessionWindowAgg: session end is INCLUSIVE (gap-exact event merges)") {
