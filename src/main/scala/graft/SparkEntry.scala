@@ -142,6 +142,7 @@ object SparkEntry {
     "q_mad_outlier"    -> (AnalyticsOps.madOutlier _),
     "q_quality_deciles" -> (TextOps.qualityDeciles _),
     "q_cohort"         -> (EventOps.cohortRetention _),
+    "q_interpolate"    -> (EventOps.interpolateSeries _),
     // rows-only: iterative k-means isn't SQL; DedupSpec pins the drop set
     // to exact all-pairs cosine ground truth
     "q_semdedup"       -> (DedupOps.semDedupQuery _),
@@ -754,6 +755,25 @@ object SparkEntry {
         "CAST(round(CAST(CAST(COUNT(*) AS DOUBLE) / MAX(s.cohort_size) AS DECIMAL(20,8)), 4) AS DOUBLE) AS retention " +
         "FROM a JOIN s USING (cohort_day) GROUP BY a.cohort_day, a.day_n " +
         "ORDER BY a.cohort_day, a.day_n"),
+    "q_interpolate" ->
+      ("WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events), " +
+        "s AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b), " +
+        "o AS (SELECT date_trunc('hour', ts) AS h, " +
+        "CAST(round(CAST(SUM(value) AS DECIMAL(20,8)), 4) AS DOUBLE) AS v " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
+        "j AS (SELECT CAST(s.h AS TIMESTAMP) AS h, o.v FROM s LEFT JOIN o ON s.h = o.h), " +
+        "w AS (SELECT h, v, " +
+        "last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph, " +
+        "last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv, " +
+        "first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER (ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh, " +
+        "first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS) OVER (ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv " +
+        "FROM j) " +
+        "SELECT h, (v IS NULL) AS interpolated, " +
+        "CAST(round(CAST(CASE WHEN v IS NOT NULL THEN v " +
+        "WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv " +
+        "ELSE pv + (nv - pv) * (epoch(h) - epoch(ph)) / (epoch(nh) - epoch(ph)) END " +
+        "AS DECIMAL(20,8)), 4) AS DOUBLE) AS v_filled " +
+        "FROM w ORDER BY h"),
     "q_stratified_sample" ->
       ("SELECT doc_id, lang FROM documents " +
         "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < " +

@@ -105,6 +105,52 @@ object EventOps {
     * event by (ts, event_id). One partition-sort per user — the canonical
     * "compact a changelog to current state" shape; at 100 TB the same plan
     * runs per key-range partition with no global sort. */
+  /** Hourly gap-filling with linear interpolation — the time-series repair
+    * pass for metric pipelines: aggregate an (incomplete) hourly series,
+    * left-join it onto the full hour spine, and fill each missing hour
+    * from its nearest observed neighbors, weighted by time distance (edge
+    * gaps clamp to the single available neighbor). Returns every hour with
+    * `interpolated` marking filled cells.
+    *
+    * The prev/next carries run in an UNPARTITIONED window — deliberately:
+    * the window input is the POST-AGGREGATION series (one row per hour in
+    * range — ≤ ~10⁵ rows even for a decade), not the event log, so the
+    * single-partition sort is bounded regardless of data scale. The
+    * unbounded-window-over-raw-data trap this repo avoids elsewhere
+    * (vocabCoverage) does not apply to a bounded time axis. */
+  def interpolateSeries(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val ev = Tables.events(spark, dir)
+    val bounds = ev.agg(
+      date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val spine = bounds.select(explode(
+      sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+    val obs = ev.filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(stableRound4(sum(col("value"))).as("v"))
+    val wPrev = Window.orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.orderBy(col("h"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val obsPoint = when(col("v").isNotNull, struct(col("h"), col("v")))
+    val frac = (unix_timestamp(col("h")) - unix_timestamp(col("p.h")))
+      .cast("double") /
+      (unix_timestamp(col("n.h")) - unix_timestamp(col("p.h"))).cast("double")
+    spine.join(obs, Seq("h"), "left")
+      .select(col("h"), col("v"),
+        last(obsPoint, ignoreNulls = true).over(wPrev).as("p"),
+        first(obsPoint, ignoreNulls = true).over(wNext).as("n"))
+      .select(col("h"), col("v").isNull.as("interpolated"),
+        stableRound4(
+          when(col("v").isNotNull, col("v"))
+            .when(col("p").isNull, col("n.v"))
+            .when(col("n").isNull, col("p.v"))
+            .otherwise(col("p.v") + (col("n.v") - col("p.v")) * frac))
+          .as("v_filled"))
+      .orderBy(col("h"))
+  }
+
   /** Daily cohort-retention matrix — the canonical product-analytics
     * rollup: users grouped by first-activity day (the cohort), each
     * (cohort, day-offset) cell counting how many came back, with the

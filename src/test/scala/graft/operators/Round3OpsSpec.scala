@@ -11,6 +11,37 @@ import graft.{SparkTestBase, Tables}
   * bigram frequencies, vocabulary coverage, normalized-key dedup. */
 class Round3OpsSpec extends SparkTestBase {
 
+  test("interpolateSeries: full spine, observed values exact, fills bounded by neighbors") {
+    val ev = graft.Tables.events(spark, sf)
+    val out = EventOps.interpolateSeries(spark, sf).collect()
+    // one row per hour in range, no nulls anywhere
+    val hours = ev.agg(
+      (floor(unix_timestamp(max(col("ts"))) / 3600)
+        - floor(unix_timestamp(min(col("ts"))) / 3600) + 1).cast("long"))
+      .head().getLong(0)
+    assert(out.length == hours, s"${out.length} vs $hours")
+    assert(out.forall(!_.isNullAt(2)))
+    assert(out.exists(_.getBoolean(1)), "fixture has no gaps; test is vacuous")
+    // observed hours carry the exact aggregated value
+    val obs = ev.filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(graft.functions.NumericFunctions.stableRound4(sum(col("value"))).as("v"))
+      .collect().map(r => r.getTimestamp(0) -> r.getDouble(1)).toMap
+    out.filter(!_.getBoolean(1)).foreach { r =>
+      assert(obs(r.getTimestamp(0)) == r.getDouble(2))
+    }
+    // every filled value lies within [min, max] of the two nearest observed
+    val sorted = out.sortBy(_.getTimestamp(0).getTime)
+    sorted.zipWithIndex.filter(_._1.getBoolean(1)).foreach { case (r, i) =>
+      val prev = sorted.take(i).reverse.find(!_.getBoolean(1)).map(_.getDouble(2))
+      val next = sorted.drop(i + 1).find(!_.getBoolean(1)).map(_.getDouble(2))
+      val candidates = Seq(prev, next).flatten
+      val (lo, hi) = (candidates.min, candidates.max)
+      assert(r.getDouble(2) >= lo - 1e-4 && r.getDouble(2) <= hi + 1e-4,
+        s"fill ${r.getDouble(2)} outside [$lo, $hi] at ${r.getTimestamp(0)}")
+    }
+  }
+
   test("cohortRetention: day-0 retention is 1.0 and cells never exceed cohort size") {
     val out = EventOps.cohortRetention(spark, sf).collect()
     assert(out.nonEmpty)
