@@ -143,6 +143,7 @@ object SparkEntry {
     "q_quality_deciles" -> (TextOps.qualityDeciles _),
     "q_cohort"         -> (EventOps.cohortRetention _),
     "q_interpolate"    -> (EventOps.interpolateSeries _),
+    "q_rfm"            -> (AnalyticsOps.rfmSegments _),
     // rows-only: iterative k-means isn't SQL; DedupSpec pins the drop set
     // to exact all-pairs cosine ground truth
     "q_semdedup"       -> (DedupOps.semDedupQuery _),
@@ -774,6 +775,25 @@ object SparkEntry {
         "ELSE pv + (nv - pv) * (epoch(h) - epoch(ph)) / (epoch(nh) - epoch(ph)) END " +
         "AS DECIMAL(20,8)), 4) AS DOUBLE) AS v_filled " +
         "FROM w ORDER BY h"),
+    "q_rfm" ->
+      ("WITH m0 AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS d0 FROM orders), " +
+        "p AS (SELECT o_custkey, " +
+        "CAST(MIN(date_diff('day', CAST(o_orderdate AS DATE), m0.d0)) AS DOUBLE) AS recency, " +
+        "CAST(COUNT(*) AS DOUBLE) AS frequency, " +
+        "CAST(round(CAST(SUM(o_totalprice) AS DECIMAL(20,8)), 4) AS DOUBLE) AS monetary " +
+        "FROM orders CROSS JOIN m0 GROUP BY o_custkey), " +
+        "c AS (SELECT quantile_cont(recency, [0.25, 0.5, 0.75]) AS rc, " +
+        "quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fc, " +
+        "quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mc FROM p), " +
+        "b AS (SELECT o_custkey, monetary, " +
+        "5 - (1 + len(list_filter(c.rc, x -> recency > CAST(round(CAST(x AS DECIMAL(20,8)), 4) AS DOUBLE)))) AS r, " +
+        "1 + len(list_filter(c.fc, x -> frequency > CAST(round(CAST(x AS DECIMAL(20,8)), 4) AS DOUBLE))) AS f, " +
+        "1 + len(list_filter(c.mc, x -> monetary > CAST(round(CAST(x AS DECIMAL(20,8)), 4) AS DOUBLE))) AS m " +
+        "FROM p CROSS JOIN c) " +
+        "SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR) AS segment, " +
+        "COUNT(*) AS n_customers, " +
+        "CAST(round(CAST(AVG(monetary) AS DECIMAL(20,8)), 4) AS DOUBLE) AS avg_monetary " +
+        "FROM b GROUP BY 1 ORDER BY segment"),
     "q_stratified_sample" ->
       ("SELECT doc_id, lang FROM documents " +
         "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < " +

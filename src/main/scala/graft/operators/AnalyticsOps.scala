@@ -207,6 +207,45 @@ object AnalyticsOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** RFM customer segmentation — recency (days since last order),
+    * frequency (order count), monetary (total spend) per customer, each
+    * scored 1-4 by global quartile cuts, concatenated into the classic
+    * 64-segment code. Same sort-free banding pattern as the decile
+    * assignment: one array-percentile aggregate per dimension (one row,
+    * broadcast), then a narrow O(3) cut-count per customer — no ntile, no
+    * single-partition window. Recency scores INVERT (most recent = 4).
+    * Cuts are compared after 4-decimal rounding so the band edges are
+    * engine-reproducible. Output: one row per segment with counts and
+    * mean monetary. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val orders = Tables.orders(spark, dir)
+    val maxDay = orders.agg(max(to_date(col("o_orderdate"))).as("d0"))
+    val per = orders.crossJoin(broadcast(maxDay))
+      .groupBy(col("o_custkey"))
+      .agg(min(datediff(col("d0"), to_date(col("o_orderdate"))))
+          .cast("double").as("recency"),
+        count(lit(1)).cast("double").as("frequency"),
+        stableRound4(sum(col("o_totalprice"))).as("monetary"))
+    val cuts = per.agg(
+      expr("percentile(recency, array(0.25, 0.5, 0.75))").as("rc"),
+      expr("percentile(frequency, array(0.25, 0.5, 0.75))").as("fc"),
+      expr("percentile(monetary, array(0.25, 0.5, 0.75))").as("mc"))
+    def band(v: String, c: String) = expr(
+      s"aggregate($c, 1, (acc, x) -> acc + " +
+        s"IF($v > CAST(round(CAST(x AS DECIMAL(20,8)), 4) AS DOUBLE), 1, 0))")
+    per.crossJoin(broadcast(cuts))
+      .select(col("o_custkey"), col("monetary"),
+        (lit(5) - band("recency", "rc")).as("r"),
+        band("frequency", "fc").as("f"),
+        band("monetary", "mc").as("m"))
+      .groupBy(concat(col("r").cast("string"), col("f").cast("string"),
+        col("m").cast("string")).as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        stableRound4(avg(col("monetary"))).as("avg_monetary"))
+      .orderBy(col("segment"))
+  }
+
   /** Robust outlier detection via median/MAD z-scores: flag rows more than
     * 3 median-absolute-deviations from the global median — the
     * outlier-detection primitive that, unlike mean/stddev z-scores, is not

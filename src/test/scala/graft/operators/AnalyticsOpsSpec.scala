@@ -176,6 +176,16 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(out.filter(col("n_orders") < 5).count() == 0)
   }
 
+  test("rfmSegments: segments cover all customers with valid 1-4 digit codes") {
+    val out = AnalyticsOps.rfmSegments(spark, sf).collect()
+    assert(out.map(_.getLong(1)).sum ==
+      Tables.orders(spark, sf).select("o_custkey").distinct().count())
+    out.foreach { r =>
+      val seg = r.getString(0)
+      assert(seg.length == 3 && seg.forall(c => c >= '1' && c <= '4'), seg)
+    }
+  }
+
   test("madOutlier: outlier counts match a direct recomputation") {
     val li = Tables.lineitem(spark, sf)
     val med = li.agg(expr("percentile(l_extendedprice, 0.5)")).head().getDouble(0)
