@@ -144,6 +144,12 @@ object SparkEntry {
     "q_cohort"         -> (EventOps.cohortRetention _),
     "q_interpolate"    -> (EventOps.interpolateSeries _),
     "q_rfm"            -> (AnalyticsOps.rfmSegments _),
+    "q_token_entropy"  -> (TextOps.tokenEntropy _),
+    "q_temperature_mix" -> ((s, d) => CorpusOps.temperatureMix(s, d)),
+    "q_split"          -> (CorpusOps.splitReport _),
+    "q_zscore_anomaly" -> (EventOps.zscoreAnomaly _),
+    "q_lag_features"   -> (EventOps.lagFeatures _),
+    "q_label_balance"  -> (SimilarityOps.labelBalance _),
     // rows-only: iterative k-means isn't SQL; DedupSpec pins the drop set
     // to exact all-pairs cosine ground truth
     "q_semdedup"       -> (DedupOps.semDedupQuery _),
@@ -952,5 +958,63 @@ object SparkEntry {
         "CAST(n_batch - coalesce(n_new, 0) AS BIGINT) AS n_dup, " +
         "CAST(round(CAST(CAST(n_batch - coalesce(n_new, 0) AS DOUBLE)/n_batch AS DECIMAL(20,8)), 4) AS DOUBLE) AS dup_rate " +
         "FROM nb LEFT JOIN nn ON nb.source = nn.source ORDER BY nb.source"),
+    "q_token_entropy" ->
+      ("WITH tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM " +
+        "(SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok " +
+        "FROM documents) GROUP BY doc_id, tok), " +
+        "a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct, " +
+        "SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS sum_clnc FROM tc GROUP BY doc_id) " +
+        "SELECT doc_id, n_tokens, " +
+        "CAST(round(CAST(n_distinct / n_tokens AS DECIMAL(20,8)), 4) AS DOUBLE) AS ttr, " +
+        "CAST(round(CAST((ln(CAST(n_tokens AS DOUBLE)) - sum_clnc / n_tokens) / ln(2.0) AS DECIMAL(20,8)), 4) AS DOUBLE) AS entropy_bits " +
+        "FROM a ORDER BY doc_id"),
+    "q_temperature_mix" ->
+      ("WITH c AS (SELECT source, " +
+        "CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_tokens " +
+        "FROM documents GROUP BY source), " +
+        "t AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tot_tokens, " +
+        "SUM(pow(CAST(n_tokens AS DOUBLE), 0.7)) AS tot_pow FROM c) " +
+        "SELECT source, n_tokens, " +
+        "CAST(round(CAST(n_tokens / tot_tokens AS DECIMAL(20,8)), 4) AS DOUBLE) AS raw_share, " +
+        "CAST(round(CAST(pow(CAST(n_tokens AS DOUBLE), 0.7) / tot_pow AS DECIMAL(20,8)), 4) AS DOUBLE) AS temp_share, " +
+        "CAST(round(CAST(pow(CAST(n_tokens AS DOUBLE), 0.7) / tot_pow / (n_tokens / tot_tokens) AS DECIMAL(20,8)), 4) AS DOUBLE) AS boost " +
+        "FROM c CROSS JOIN t ORDER BY source"),
+    "q_split" ->
+      ("WITH d AS (SELECT CASE " +
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train' " +
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val' " +
+        "ELSE 'test' END AS split, lang, " +
+        "len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks FROM documents), " +
+        "c AS (SELECT split, lang, COUNT(*) AS n_docs, " +
+        "CAST(SUM(n_toks) AS BIGINT) AS n_tokens FROM d GROUP BY split, lang), " +
+        "t AS (SELECT split, CAST(SUM(n_docs) AS DOUBLE) AS split_docs FROM c GROUP BY split) " +
+        "SELECT split, lang, n_docs, n_tokens, " +
+        "CAST(round(CAST(n_docs / split_docs AS DECIMAL(20,8)), 4) AS DOUBLE) AS lang_share " +
+        "FROM c JOIN t USING (split) ORDER BY split, lang"),
+    "q_zscore_anomaly" ->
+      ("WITH h AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr, event_type, " +
+        "COUNT(*) AS n_events FROM events GROUP BY 1, 2), " +
+        "s AS (SELECT event_type, AVG(n_events) AS mu, stddev_samp(n_events) AS sd " +
+        "FROM h GROUP BY event_type) " +
+        "SELECT h.event_type, hr, n_events, " +
+        "CASE WHEN sd > 0 THEN CAST(round(CAST((n_events - mu) / sd AS DECIMAL(20,8)), 4) AS DOUBLE) ELSE 0.0 END AS z, " +
+        "abs(CASE WHEN sd > 0 THEN CAST(round(CAST((n_events - mu) / sd AS DECIMAL(20,8)), 4) AS DOUBLE) ELSE 0.0 END) > 2.0 AS is_anomaly " +
+        "FROM h JOIN s ON h.event_type = s.event_type " +
+        "ORDER BY h.event_type, hr"),
+    "q_lag_features" ->
+      ("SELECT event_id, user_id, value, " +
+        "lag(value) OVER w AS lag1, " +
+        "CAST(round(CAST(value - lag(value) OVER w AS DECIMAL(20,8)), 4) AS DOUBLE) AS delta, " +
+        "CAST(round(CAST(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(20,8)), 4) AS DOUBLE) AS mean3 " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "ORDER BY event_id"),
+    "q_label_balance" ->
+      ("WITH c AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label), " +
+        "t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total, CAST(COUNT(*) AS DOUBLE) AS k FROM c) " +
+        "SELECT label, n, " +
+        "CAST(round(CAST(n / total AS DECIMAL(20,8)), 4) AS DOUBLE) AS share, " +
+        "CAST(round(CAST(total / (k * n) AS DECIMAL(20,8)), 4) AS DOUBLE) AS class_weight " +
+        "FROM c CROSS JOIN t ORDER BY label"),
   )
 }

@@ -540,4 +540,64 @@ object CorpusOps {
           .as("retention"))
       .orderBy(col("source"))
   }
+
+  /** Temperature-scaled source sampling weights: w_i = n_i^τ / Σ n_j^τ over
+    * per-source token counts, with τ = 0.7 — the multinomial-temperature
+    * mixture used to up-sample low-resource sources when composing a
+    * training mix (τ = 1 recovers proportional sampling, τ → 0 uniform).
+    * `boost` = temp_share / raw_share is the effective epochs-multiplier a
+    * source gets under the tempered mix.
+    *
+    * Scale shape: one partial-aggregated groupBy to per-source token counts
+    * (a handful of rows), then a broadcast one-row total — the corpus is
+    * scanned exactly once and nothing after the agg exceeds |sources| rows. */
+  def temperatureMix(spark: SparkSession, dir: String, tau: Double = 0.7)
+      : DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), size(tokens(col("text"))).as("n_toks"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_toks")).cast("bigint").as("n_tokens"))
+    val totals = counts.agg(
+      sum(col("n_tokens")).cast("double").as("tot_tokens"),
+      sum(pow(col("n_tokens").cast("double"), tau)).as("tot_pow"))
+    counts.crossJoin(broadcast(totals))
+      .select(
+        col("source"), col("n_tokens"),
+        stableRound4(col("n_tokens") / col("tot_tokens")).as("raw_share"),
+        stableRound4(pow(col("n_tokens").cast("double"), tau) / col("tot_pow"))
+          .as("temp_share"),
+        stableRound4(pow(col("n_tokens").cast("double"), tau) / col("tot_pow")
+          / (col("n_tokens") / col("tot_tokens"))).as("boost"))
+      .orderBy(col("source"))
+  }
+
+  /** Deterministic train/val/test split report: md5(doc_id) prefix buckets
+    * the corpus ~80/10/10 (hex prefix < "cc" = 204/256 → train, < "e6" =
+    * 230/256 → val, else test), reported per (split, lang) with each
+    * language's share of its split — the reproducible split every training
+    * run needs (hash-based, so membership is stable under corpus growth
+    * and re-partitioning, unlike randomSplit).
+    *
+    * Scale shape: the split key is a narrow per-row expression riding the
+    * scan; one partial-aggregated groupBy + a 3-row broadcast of split
+    * totals. No shuffle of document text, ever. */
+  def splitReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val cells = Tables.documents(spark, dir)
+      .select(
+        when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test")
+          .as("split"),
+        col("lang"), size(tokens(col("text"))).as("n_toks"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).cast("bigint").as("n_tokens"))
+    val splitTotals = cells.groupBy(col("split"))
+      .agg(sum(col("n_docs")).cast("double").as("split_docs"))
+    cells.join(broadcast(splitTotals), Seq("split"))
+      .select(col("split"), col("lang"), col("n_docs"), col("n_tokens"),
+        stableRound4(col("n_docs") / col("split_docs")).as("lang_share"))
+      .orderBy(col("split"), col("lang"))
+  }
 }

@@ -263,4 +263,55 @@ object EventOps {
         sum(col("cents")).over(w).as("cents_sum"))
       .orderBy(col("event_id"))
   }
+
+  /** Volume-anomaly detection: hourly event counts per type z-scored
+    * against that type's own mean/stddev across hours, flagging |z| > 2 —
+    * the monitoring pass a production ingest runs to catch traffic spikes
+    * and outages. The flag thresholds the ROUNDED z so the boolean is
+    * reproducible across engines (same pattern as the quality filters).
+    *
+    * Scale shape: one partial-aggregated groupBy to (hour, type) counts,
+    * then a per-type stats agg over the already-tiny hourly rollup and a
+    * broadcast join back — the raw event stream is scanned exactly once,
+    * and everything after the first agg is |hours × types| rows. */
+  def zscoreAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val hourly = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(avg(col("n_events")).as("mu"),
+        stddev_samp(col("n_events")).as("sd"))
+    hourly.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("hr"), col("n_events"),
+        when(col("sd") > 0,
+          stableRound4((col("n_events") - col("mu")) / col("sd")))
+          .otherwise(0.0).as("z"))
+      .withColumn("is_anomaly", abs(col("z")) > 2.0)
+      .orderBy(col("event_type"), col("hr"))
+  }
+
+  /** Per-user lag/delta/rolling-mean feature generation — the standard
+    * feature-engineering pass for sequence models: previous value, change
+    * since previous, trailing 3-row mean, all over the total order
+    * (ts, event_id) so ties cannot reorder frames. First-row lags are NULL
+    * by design (no synthetic fill), matching SQL semantics exactly.
+    *
+    * Scale shape: one hash partition on user_id + one per-partition sort
+    * shared by all three window functions (a single WindowExec, no extra
+    * shuffles — the frames differ but the (partition, order) spec is the
+    * same). */
+  def lagFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val w3 = w.rowsBetween(-2, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        lag(col("value"), 1).over(w).as("lag1"),
+        stableRound4(col("value") - lag(col("value"), 1).over(w))
+          .as("delta"),
+        stableRound4(avg(col("value")).over(w3)).as("mean3"))
+      .orderBy(col("event_id"))
+  }
 }

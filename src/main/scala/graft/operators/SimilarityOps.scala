@@ -144,4 +144,28 @@ object SimilarityOps {
             "0L, (acc, l) -> acc + l * l)")).as("q_norm"))
       .orderBy(col("vec_id"))
   }
+
+  /** Class-balance report over the labeled embeddings: per-label counts,
+    * corpus share, and the standard inverse-frequency class weight
+    * w = total / (k · n) (sklearn's "balanced" formula — weights average
+    * to 1 across samples) — what a training pipeline computes before
+    * weighting a loss or resampling a skewed label distribution.
+    *
+    * Scale shape: one partial-aggregated groupBy to |labels| rows, then a
+    * broadcast one-row total; the embedding vectors are never read (column
+    * pruning keeps the scan to the label column alone). */
+  def labelBalance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val counts = Tables.embeddings(spark, dir)
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(
+      sum(col("n")).cast("double").as("total"),
+      count(lit(1)).cast("double").as("k"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("label"), col("n"),
+        stableRound4(col("n") / col("total")).as("share"),
+        stableRound4(col("total") / (col("k") * col("n")))
+          .as("class_weight"))
+      .orderBy(col("label"))
+  }
 }

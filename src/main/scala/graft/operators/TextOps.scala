@@ -235,6 +235,36 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document token-distribution statistics: Shannon entropy (bits) and
+    * type-token ratio — the lexical-diversity quality signals (low entropy =
+    * repetitive/templated text; TTR complements [[repetitionStats]]'s
+    * dup-word fraction). Entropy uses the aggregation-friendly identity
+    * H = (ln n − Σ c·ln c / n) / ln 2 over per-doc token counts c, so the
+    * whole query is two partial-aggregated hash shuffles — no per-token
+    * probability column, no window, no driver data; at 100 TB it runs at
+    * explode-then-aggregate speed like every other corpus-stats pass. */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokensLower(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c").cast("double") * log(col("c").cast("double")))
+          .as("sum_clnc"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        stableRound4(col("n_distinct") / col("n_tokens")).as("ttr"),
+        stableRound4(
+          (log(col("n_tokens").cast("double"))
+            - col("sum_clnc") / col("n_tokens")) / lit(math.log(2.0)))
+          .as("entropy_bits"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Canonical md5 fingerprint of the normalized text (rolling-hash style
     * document identity for exact dedup across formatting noise). */
   def fingerprintDocs(spark: SparkSession, dir: String): DataFrame =

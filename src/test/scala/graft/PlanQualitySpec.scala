@@ -242,6 +242,39 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("partial_avg") || p.contains("partial_count"), p)
   }
 
+  test("tokenEntropy: both agg hops partial-aggregate; scan prunes to (doc_id, text)") {
+    val p = plan(TextOps.tokenEntropy(spark, sf))
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    assert(!p.contains("Cartesian"), p)
+  }
+
+  test("temperatureMix / splitReport / labelBalance: tiny totals broadcast, no window") {
+    for (df <- Seq(CorpusOps.temperatureMix(spark, sf),
+        CorpusOps.splitReport(spark, sf),
+        SimilarityOps.labelBalance(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("Broadcast"), p) // 1-or-few-row totals side
+      assert(!p.contains("WindowExec") && !p.contains("Window "), p)
+    }
+    // labelBalance never reads the vectors: pruned to the label column
+    val lb = plan(SimilarityOps.labelBalance(spark, sf))
+    assert(lb.contains("ReadSchema: struct<label:int>"), lb)
+  }
+
+  test("zscoreAnomaly: stats side broadcast; hourly rollup partial-aggregates") {
+    val p = plan(EventOps.zscoreAnomaly(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count") || p.contains("partial_avg"), p)
+  }
+
+  test("lagFeatures: all three frames share ONE window exec over one sort") {
+    val p = plan(EventOps.lagFeatures(spark, sf))
+    assert("(?m)^\\s*[+:i]*-? *Window".r.findAllIn(p).size <= 2, p)
+    // partitioned by user_id — never a global single-partition window
+    assert(p.contains("user_id"), p)
+  }
+
   test("sql surface: same query via spark.sql yields same result") {
     GraftSession.openTables(spark, sf)
     val viaSql = GraftSession.sql(spark,

@@ -371,4 +371,40 @@ class CorpusOpsSpec extends SparkTestBase {
       .filter(col("epoch") =!= col("max_epoch"))
     assert(bad.count() == 0)
   }
+
+  test("temperatureMix: tempered shares sum to 1 and compress raw shares") {
+    val rows = CorpusOps.temperatureMix(spark, sf).collect()
+    val raw = rows.map(_.getDouble(2))
+    val temp = rows.map(_.getDouble(3))
+    assert(math.abs(raw.sum - 1.0) < 1e-2 && math.abs(temp.sum - 1.0) < 1e-2)
+    // hand-recompute from the collected token counts
+    val n = rows.map(_.getLong(1).toDouble)
+    val totPow = n.map(math.pow(_, 0.7)).sum
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(math.abs(r.getDouble(3) - math.pow(n(i), 0.7) / totPow) < 1e-4)
+      assert(math.abs(r.getDouble(4) - r.getDouble(3) / (n(i) / n.sum)) < 2e-3)
+    }
+    // temperature < 1 up-weights small sources, down-weights large ones
+    val iMin = n.indexOf(n.min); val iMax = n.indexOf(n.max)
+    assert(rows(iMin).getDouble(4) >= 1.0 - 1e-9)
+    assert(rows(iMax).getDouble(4) <= 1.0 + 1e-9)
+  }
+
+  test("splitReport: ~80/10/10 deterministic split, shares sum per split") {
+    val rows = CorpusOps.splitReport(spark, "/root/testdata/sf0.01").collect()
+    val bySplit = rows.groupBy(_.getString(0))
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    val docs = bySplit.view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val total = docs.values.sum.toDouble
+    assert(docs("train") / total > 0.75 && docs("train") / total < 0.85)
+    assert(docs("val") / total > 0.05 && docs("val") / total < 0.15)
+    assert(docs("test") / total > 0.05 && docs("test") / total < 0.15)
+    // lang shares within each split sum to 1
+    bySplit.values.foreach { rs =>
+      assert(math.abs(rs.map(_.getDouble(4)).sum - 1.0) < 1e-2)
+    }
+    // split membership is a pure function of doc_id (stable across runs)
+    val again = CorpusOps.splitReport(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
 }

@@ -198,4 +198,56 @@ class Round3OpsSpec extends SparkTestBase {
     assert(out.agg(sum(col("n_variants"))).head.getLong(0)
       == Tables.documents(spark, sf).count())
   }
+
+  test("zscoreAnomaly: z-scores recompute from hourly counts; flag = |z|>2") {
+    val rows = EventOps.zscoreAnomaly(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // per-type hand recomputation of mean/std over the hourly counts
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val n = rs.map(_.getLong(2).toDouble)
+      val mu = n.sum / n.length
+      val sd =
+        if (n.length < 2) 0.0
+        else math.sqrt(n.map(x => (x - mu) * (x - mu)).sum / (n.length - 1))
+      rs.foreach { r =>
+        val expected = if (sd > 0) (r.getLong(2) - mu) / sd else 0.0
+        assert(math.abs(r.getDouble(3) - expected) < 1e-3)
+        assert(r.getBoolean(4) == (math.abs(r.getDouble(3)) > 2.0))
+      }
+    }
+  }
+
+  test("lagFeatures: lag/delta/mean3 recompute from per-user ordered values") {
+    val out = EventOps.lagFeatures(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val byUser = graft.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .collect()
+      .groupBy(_.getLong(0))
+    byUser.values.foreach { rs =>
+      val ordered = rs.sortBy(r => (r.getLong(1), r.getLong(2)))
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        val got = out(r.getLong(2))
+        if (i == 0) assert(got.isNullAt(3) && got.isNullAt(4))
+        else {
+          assert(got.getDouble(3) == ordered(i - 1).getDouble(3))
+          assert(math.abs(got.getDouble(4)
+            - (r.getDouble(3) - ordered(i - 1).getDouble(3))) < 1e-4)
+        }
+        val frame = ordered.slice(math.max(0, i - 2), i + 1).map(_.getDouble(3))
+        assert(math.abs(got.getDouble(5) - frame.sum / frame.length) < 1e-4)
+      }
+    }
+  }
+
+  test("labelBalance: shares sum to 1, weighted sample count averages to 1") {
+    val rows = SimilarityOps.labelBalance(spark, sf).collect()
+    val n = rows.map(_.getLong(1))
+    assert(n.sum == graft.Tables.embeddings(spark, sf).count())
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-2)
+    // balanced-weight identity: sum(n_i * w_i) == total  (weights avg to 1)
+    val weighted = rows.map(r => r.getLong(1) * r.getDouble(3)).sum
+    assert(math.abs(weighted - n.sum) / n.sum < 1e-3)
+  }
 }

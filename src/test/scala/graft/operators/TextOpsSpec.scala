@@ -107,4 +107,35 @@ class TextOpsSpec extends SparkTestBase {
       assert(math.abs(top - counts.values.max.toDouble / toks.length) < 1e-4)
     }
   }
+
+  test("tokenEntropy matches hand-computed Shannon entropy and TTR") {
+    val out = TextOps.tokenEntropy(spark, sf)
+      .filter(col("doc_id") < 20).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val texts = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 20).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == texts.keySet)
+    texts.foreach { case (id, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+").toSeq
+      val counts = toks.groupBy(identity).values.map(_.length.toDouble)
+      val n = toks.length.toDouble
+      val h = counts.map(c => -(c / n) * math.log(c / n)).sum / math.log(2.0)
+      val (nTok, ttr, ent) = out(id)
+      assert(nTok == toks.length)
+      assert(math.abs(ttr - counts.size / n) < 1e-4)
+      assert(math.abs(ent - h) < 1e-4, s"doc $id: $ent vs $h")
+    }
+    // uniform tokens have zero entropy; all-distinct maximal (log2 n)
+    val edge = Seq((1L, "x x x x"), (2L, "a b c d")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("entropy").toString
+    edge.write.parquet(s"$tmp/documents.parquet")
+    val e = TextOps.tokenEntropy(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(e(1L) == ((0.25, 0.0)))
+    assert(e(2L) == ((1.0, 2.0)))
+  }
 }
