@@ -81,6 +81,36 @@ object EventStreamOps {
   def dedupedHourlyCounts(events: DataFrame): DataFrame =
     windowedCounts(dedupEvents(events))
 
+  /** Stream-static anomaly flagging: the streaming twin of
+    * graft.operators.EventOps.zscoreAnomaly. Hourly windowed counts per
+    * event type (watermark-bounded) are scored against a STATIC baseline of
+    * per-type (mean, stddev) trained offline from history — the production
+    * monitoring split: the expensive stats pass runs in batch, the stream
+    * pays only a broadcast hash join per micro-batch, and the z-score rides
+    * each window as it finalizes. `baseline` must hold (event_type, mu, sd).
+    */
+  def anomalyFlags(events: DataFrame, baseline: DataFrame): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    windowedCounts(events.withWatermark("ts", "2 hours"))
+      .join(broadcast(baseline), Seq("event_type"))
+      .select(col("event_type"), col("window_start"), col("n_events"),
+        when(col("sd") > 0,
+          stableRound4((col("n_events") - col("mu")) / col("sd")))
+          .otherwise(0.0).as("z"))
+      .withColumn("is_anomaly", abs(col("z")) > 2.0)
+  }
+
+  /** The offline baseline for [[anomalyFlags]]: per-type mean/stddev of
+    * hourly counts over a historical batch — identical formula to the batch
+    * anomaly query, so stream and batch flag the same windows. */
+  def anomalyBaseline(history: DataFrame): DataFrame =
+    history
+      .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("event_type"))
+      .agg(avg(col("n_events")).as("mu"),
+        stddev_samp(col("n_events")).as("sd"))
+
   /** Custom stateful operator: gap-based sessionization per user via
     * flatMapGroupsWithState. State per key = the open session; a session
     * closes when the next event arrives more than `gapMinutes` after the

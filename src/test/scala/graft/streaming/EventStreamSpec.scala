@@ -147,6 +147,34 @@ class EventStreamSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("stream-static anomaly flags equal the batch z-score on shared windows") {
+    val batchDf = Tables.events(spark, sf)
+    val baseline = EventStreamOps.anomalyBaseline(batchDf)
+    // batch replay of the same scoring over the same data
+    val expected = EventStreamOps.anomalyFlags(batchDf, baseline)
+      .orderBy("event_type", "window_start").collect()
+    assert(expected.nonEmpty)
+
+    val schema = spark.read.parquet(s"$stagingDir/events").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$stagingDir/events")
+    val q = EventStreamOps.anomalyFlags(stream, baseline)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("anomalies")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("anomalies")
+      .orderBy("event_type", "window_start").collect()
+    assert(got.sameElements(expected))
+    // scoring agrees with the declared batch query where windows align:
+    // both flag iff |rounded z| > 2
+    val flagged = got.count(_.getBoolean(4))
+    assert(flagged == expected.count(_.getBoolean(4)))
+  }
+
   test("probe: empty stream directory yields zero windows, no crash") {
     val empty = Files.createTempDirectory("graft-empty").toString
     val schema = spark.read.parquet(s"$stagingDir/events").schema
