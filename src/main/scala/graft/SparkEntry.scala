@@ -150,6 +150,10 @@ object SparkEntry {
     "q_zscore_anomaly" -> (EventOps.zscoreAnomaly _),
     "q_lag_features"   -> (EventOps.lagFeatures _),
     "q_label_balance"  -> (SimilarityOps.labelBalance _),
+    "q_group_zscore"   -> (AnalyticsOps.groupZscore _),
+    "q_benford"        -> (AnalyticsOps.benfordProfile _),
+    "q_autocorr"       -> (EventOps.autocorrHourly _),
+    "q_null_profile"   -> (RelationalOps.nullProfile _),
     // rows-only: iterative k-means isn't SQL; DedupSpec pins the drop set
     // to exact all-pairs cosine ground truth
     "q_semdedup"       -> (DedupOps.semDedupQuery _),
@@ -1016,5 +1020,46 @@ object SparkEntry {
         "CAST(round(CAST(n / total AS DECIMAL(20,8)), 4) AS DOUBLE) AS share, " +
         "CAST(round(CAST(total / (k * n) AS DECIMAL(20,8)), 4) AS DOUBLE) AS class_weight " +
         "FROM c CROSS JOIN t ORDER BY label"),
+    "q_group_zscore" ->
+      ("WITH s AS (SELECT lang, AVG(n_chars) AS mu, stddev_samp(n_chars) AS sd " +
+        "FROM documents GROUP BY lang) " +
+        "SELECT doc_id, d.lang, n_chars, " +
+        "CASE WHEN sd > 0 THEN CAST(round(CAST((n_chars - mu) / sd AS DECIMAL(20,8)), 4) AS DOUBLE) ELSE 0.0 END AS z " +
+        "FROM documents d JOIN s ON d.lang = s.lang ORDER BY doc_id"),
+    "q_benford" ->
+      ("WITH g AS (SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit, " +
+        "COUNT(*) AS n FROM orders " +
+        "WHERE substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) BETWEEN '1' AND '9' " +
+        "GROUP BY 1), " +
+        "t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM g) " +
+        "SELECT digit, n, " +
+        "CAST(round(CAST(n / total AS DECIMAL(20,8)), 4) AS DOUBLE) AS observed, " +
+        "CAST(round(CAST(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS DECIMAL(20,8)), 4) AS DOUBLE) AS expected, " +
+        "CAST(round(CAST(abs(n / total - log10(1.0 + 1.0 / CAST(digit AS DOUBLE))) AS DECIMAL(20,8)), 4) AS DOUBLE) AS abs_dev " +
+        "FROM g CROSS JOIN t ORDER BY digit"),
+    "q_autocorr" ->
+      ("WITH h AS (SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr, " +
+        "SUM(value) AS v FROM events GROUP BY 1, 2), " +
+        "l AS (SELECT event_type, v, lag(v) OVER (PARTITION BY event_type ORDER BY hr) AS v_prev FROM h) " +
+        "SELECT event_type, COUNT(v_prev) AS n_pairs, " +
+        "CAST(round(CAST(corr(v, v_prev) AS DECIMAL(20,8)), 4) AS DOUBLE) AS lag1_autocorr " +
+        "FROM l GROUP BY event_type ORDER BY event_type"),
+    "q_null_profile" ->
+      ("WITH a AS (SELECT COUNT(*) AS n_rows, " +
+        "CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_id, COUNT(DISTINCT event_id) AS dist_event_id, " +
+        "CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts, COUNT(DISTINCT ts) AS dist_ts, " +
+        "CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id, COUNT(DISTINCT user_id) AS dist_user_id, " +
+        "CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type, COUNT(DISTINCT event_type) AS dist_event_type, " +
+        "CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value, COUNT(DISTINCT value) AS dist_value, " +
+        "CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props, COUNT(DISTINCT props) AS dist_props " +
+        "FROM events) " +
+        "SELECT column_name, n_rows, n_null, n_distinct FROM (" +
+        "SELECT 'event_id' AS column_name, n_rows, null_event_id AS n_null, dist_event_id AS n_distinct FROM a " +
+        "UNION ALL SELECT 'ts', n_rows, null_ts, dist_ts FROM a " +
+        "UNION ALL SELECT 'user_id', n_rows, null_user_id, dist_user_id FROM a " +
+        "UNION ALL SELECT 'event_type', n_rows, null_event_type, dist_event_type FROM a " +
+        "UNION ALL SELECT 'value', n_rows, null_value, dist_value FROM a " +
+        "UNION ALL SELECT 'props', n_rows, null_props, dist_props FROM a) " +
+        "ORDER BY column_name"),
   )
 }

@@ -586,4 +586,54 @@ object AnalyticsOps {
         dense_rank().over(w).as("dr"))
       .orderBy(col("o_orderkey"))
   }
+
+  /** Group-wise feature standardization: each document's length z-scored
+    * against ITS LANGUAGE's mean/stddev — the per-group normalization a
+    * feature pipeline applies before mixing heterogeneous strata (a global
+    * z-score would let the dominant language set the scale for everyone).
+    *
+    * Scale shape: the per-group stats are a partial-aggregated groupBy to
+    * |groups| rows, broadcast back onto the scan — the corpus shuffles
+    * never; same stats-then-broadcast shape as the anomaly and winsorize
+    * queries. */
+  def groupZscore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val docs = Tables.documents(spark, dir)
+    val stats = docs.groupBy(col("lang"))
+      .agg(avg(col("n_chars")).as("mu"),
+        stddev_samp(col("n_chars")).as("sd"))
+    docs.join(broadcast(stats), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        when(col("sd") > 0,
+          stableRound4((col("n_chars") - col("mu")) / col("sd")))
+          .otherwise(0.0).as("z"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benford first-digit profile of order totals — the distribution
+    * data-quality check for detecting fabricated or truncated numeric
+    * columns: observed share of each leading digit vs Benford's
+    * log10(1 + 1/d) expectation, with the absolute deviation.
+    *
+    * Scale shape: one narrow derived column + a 9-group partial
+    * aggregation, then a one-row total broadcast; runs at scan speed on
+    * any corpus. */
+  def benfordProfile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val digits = Tables.orders(spark, dir)
+      .select(substring(floor(col("o_totalprice")).cast("string"), 1, 1)
+        .as("digit"))
+      .filter(col("digit").between("1", "9"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).cast("double").as("total"))
+    digits.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        stableRound4(col("n") / col("total")).as("observed"),
+        stableRound4(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")))
+          .as("expected"),
+        stableRound4(abs(col("n") / col("total")
+          - log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))))
+          .as("abs_dev"))
+      .orderBy(col("digit"))
+  }
 }

@@ -314,4 +314,28 @@ object EventOps {
         stableRound4(avg(col("value")).over(w3)).as("mean3"))
       .orderBy(col("event_id"))
   }
+
+  /** Lag-1 autocorrelation of the hourly value series per event type —
+    * the time-series diagnostic behind seasonality detection and
+    * forecasting-model choice (high lag-1 autocorrelation = smooth series;
+    * near zero = white noise). Pearson correlation of (v_t, v_{t-1}) over
+    * the hour-ordered series.
+    *
+    * Scale shape: the window and the correlation both run over the
+    * POST-AGGREGATION hourly series (|hours × types| rows — bounded by the
+    * time axis, not the event count), partitioned by type; the raw stream
+    * is scanned once into a partial-aggregated rollup. */
+  def autocorrHourly(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(sum(col("value")).as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    hourly
+      .withColumn("v_prev", lag(col("v"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(col("v_prev")).as("n_pairs"),
+        stableRound4(corr(col("v"), col("v_prev"))).as("lag1_autocorr"))
+      .orderBy(col("event_type"))
+  }
 }

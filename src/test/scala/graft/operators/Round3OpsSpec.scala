@@ -241,6 +241,71 @@ class Round3OpsSpec extends SparkTestBase {
     }
   }
 
+  test("groupZscore: per-language z-scores recompute; zero-mean per group") {
+    val rows = AnalyticsOps.groupZscore(spark, sf).collect()
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val x = rs.map(_.getLong(2).toDouble)
+      val mu = x.sum / x.length
+      val sd =
+        if (x.length < 2) 0.0
+        else math.sqrt(x.map(v => (v - mu) * (v - mu)).sum / (x.length - 1))
+      rs.foreach { r =>
+        val expected = if (sd > 0) (r.getLong(2) - mu) / sd else 0.0
+        assert(math.abs(r.getDouble(3) - expected) < 1e-3)
+      }
+      // standardized values are centered within each group
+      if (sd > 0) assert(math.abs(rs.map(_.getDouble(3)).sum / rs.length) < 1e-3)
+    }
+  }
+
+  test("benfordProfile: shares sum to 1; expected follows log10(1+1/d)") {
+    val rows = AnalyticsOps.benfordProfile(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == rows.map(_.getString(0)).toSeq.sorted)
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-2)
+    rows.foreach { r =>
+      val d = r.getString(0).toInt
+      assert(math.abs(r.getDouble(3) - math.log10(1.0 + 1.0 / d)) < 1e-4)
+      assert(math.abs(r.getDouble(4)
+        - math.abs(r.getDouble(2) - r.getDouble(3))) < 2e-4)
+    }
+  }
+
+  test("autocorrHourly: matches a hand-rolled Pearson on the hourly series") {
+    val out = EventOps.autocorrHourly(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val hourly = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(sum(col("value")).as("v"))
+      .collect()
+      .groupBy(_.getString(0))
+    hourly.foreach { case (tpe, rs) =>
+      val v = rs.sortBy(_.getTimestamp(1).getTime).map(_.getDouble(2))
+      val (x, y) = (v.dropRight(1), v.drop(1))
+      val n = x.length
+      val (mx, my) = (x.sum / n, y.sum / n)
+      val cov = x.zip(y).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val r = cov / math.sqrt(
+        x.map(a => (a - mx) * (a - mx)).sum * y.map(b => (b - my) * (b - my)).sum)
+      assert(out(tpe)._1 == n)
+      assert(math.abs(out(tpe)._2 - r) < 1e-3, s"$tpe: ${out(tpe)._2} vs $r")
+    }
+  }
+
+  test("nullProfile: one row per column; counts match direct queries") {
+    val rows = RelationalOps.nullProfile(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val ev = Tables.events(spark, sf)
+    val total = ev.count()
+    assert(rows.keySet == Set("event_id", "ts", "user_id", "event_type",
+      "value", "props"))
+    rows.foreach { case (c, (nRows, nNull, nDist)) =>
+      assert(nRows == total)
+      assert(nNull == ev.filter(col(c).isNull).count())
+      assert(nDist == ev.select(col(c)).distinct().count())
+    }
+  }
+
   test("labelBalance: shares sum to 1, weighted sample count averages to 1") {
     val rows = SimilarityOps.labelBalance(spark, sf).collect()
     val n = rows.map(_.getLong(1))
