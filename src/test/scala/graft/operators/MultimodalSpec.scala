@@ -71,6 +71,47 @@ class MultimodalSpec extends SparkTestBase {
       x.doc_id == y.doc_id && java.util.Arrays.equals(x.payload, y.payload) })
   }
 
+  test("parseHeaders reads true dimensions from genuine container bytes") {
+    import spark.implicits._
+    def be32(v: Int) = Array[Byte](
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def be16(v: Int) = Array[Byte]((v >>> 8).toByte, v.toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    def le32(v: Int) = Array[Byte](
+      v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    // minimal-but-genuine headers, exactly as the specs lay them out
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(640) ++ be32(480) ++ Array[Byte](8, 2)
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      // APP0 segment (16 bytes payload incl. the 2 length bytes), then SOF0
+      Array[Byte](0xff.toByte, 0xe0.toByte) ++ be16(16) ++ new Array[Byte](14) ++
+      Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(17) ++ Array[Byte](8) ++
+      be16(1080) ++ be16(1920) ++ Array[Byte](3)
+    val gif = "GIF89a".getBytes ++ le16(320) ++ le16(200) ++ new Array[Byte](3)
+    val bmp = "BM".getBytes ++ new Array[Byte](16) ++ le32(800) ++ le32(600) ++
+      new Array[Byte](4)
+    val junk = "just some text".getBytes
+    val rows = Seq(1L -> png, 2L -> jpeg, 3L -> gif, 4L -> bmp, 5L -> junk)
+      .toDF("doc_id", "payload")
+    // a pre-existing payload column is the REAL blob: not overwritten
+    val got = MultimodalOps.parseHeaders(rows)
+      .collect().map(h => h.doc_id -> h).toMap
+    assert(got(1L).format == "png" && got(1L).width == Some(640)
+      && got(1L).height == Some(480))
+    assert(got(2L).format == "jpeg" && got(2L).width == Some(1920)
+      && got(2L).height == Some(1080))
+    assert(got(3L).format == "gif" && got(3L).width == Some(320)
+      && got(3L).height == Some(200))
+    assert(got(4L).format == "bmp" && got(4L).width == Some(800)
+      && got(4L).height == Some(600))
+    assert(got(5L).format == "unknown" && got(5L).width.isEmpty)
+    assert(got(1L).n_bytes == png.length)
+    // the text stand-in path degrades to unknown on every doc, no throw
+    val onDocs = MultimodalOps.parseHeaders(
+      Tables.documents(spark, sf).filter(col("doc_id") < 20))
+    assert(onDocs.collect().forall(_.format == "unknown"))
+  }
+
   test("featurizeFrames yields an 8-dim vector per sampled frame") {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 5)
     val frames = MultimodalOps.sampleFrames(docs)
