@@ -131,6 +131,32 @@ class TaxiPipelineSpec extends SparkTestBase {
     assert(JsonSource(s"$tmp/json_orders").read(spark).count() == src.count())
   }
 
+  test("TextSource: line-per-doc and whole-file reads; doc ids survive repartition") {
+    val dir = s"$tmp/rawtext"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/a.txt"), "doc one\ndoc two\ndoc three\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/b.txt"), "doc four\n")
+    // line-delimited: one row per line across files
+    val lines = TextSource(dir).read(spark)
+    assert(lines.count() == 4)
+    assert(lines.columns.toSeq == Seq("value"))
+    // whole-file: one row per file, newlines preserved
+    val whole = TextSource(dir, wholeFile = true).read(spark)
+    assert(whole.count() == 2)
+    assert(whole.collect().exists(_.getString(0).contains("doc one\ndoc two")))
+    // ids are content+provenance hashes derived AT SCAN: identical across
+    // re-runs and unaffected by downstream repartitioning
+    val ids1 = TextSource.withDocIds(lines).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val ids2 = TextSource.withDocIds(TextSource(dir).read(spark))
+      .repartition(7).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(ids1.sameElements(ids2))
+    assert(ids1.map(_._1).distinct.length == 4)
+  }
+
   test("malformed records: PERMISSIVE degrades, DROPMALFORMED skips, FAILFAST aborts") {
     import org.apache.spark.sql.types._
     val p = s"$tmp/bad.jsonl"
