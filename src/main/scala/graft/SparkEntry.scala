@@ -154,6 +154,8 @@ object SparkEntry {
     "q_benford"        -> (AnalyticsOps.benfordProfile _),
     "q_autocorr"       -> (EventOps.autocorrHourly _),
     "q_null_profile"   -> (RelationalOps.nullProfile _),
+    "q_chi2"           -> (AnalyticsOps.chiSquareCrosstab _),
+    "q_percentile_profile" -> (AnalyticsOps.percentileProfile _),
     // rows-only: iterative k-means isn't SQL; DedupSpec pins the drop set
     // to exact all-pairs cosine ground truth
     "q_semdedup"       -> (DedupOps.semDedupQuery _),
@@ -1061,5 +1063,25 @@ object SparkEntry {
         "UNION ALL SELECT 'value', n_rows, null_value, dist_value FROM a " +
         "UNION ALL SELECT 'props', n_rows, null_props, dist_props FROM a) " +
         "ORDER BY column_name"),
+    "q_chi2" ->
+      ("WITH c AS (SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2), " +
+        "r AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS row_n FROM c GROUP BY lang), " +
+        "s AS (SELECT source, CAST(SUM(n) AS BIGINT) AS col_n FROM c GROUP BY source), " +
+        "g AS (SELECT CAST(SUM(n) AS DOUBLE) AS grand_n FROM c) " +
+        "SELECT c.lang, c.source, n, " +
+        "CAST(round(CAST(row_n * col_n / grand_n AS DECIMAL(20,8)), 4) AS DOUBLE) AS expected, " +
+        "CAST(round(CAST(pow(n - row_n * col_n / grand_n, 2.0) / (row_n * col_n / grand_n) AS DECIMAL(20,8)), 4) AS DOUBLE) AS chi2_cell " +
+        "FROM c JOIN r ON c.lang = r.lang JOIN s ON c.source = s.source CROSS JOIN g " +
+        "ORDER BY c.lang, c.source"),
+    "q_percentile_profile" ->
+      ("WITH p AS (SELECT lang, COUNT(*) AS n_docs, " +
+        "quantile_cont(n_chars, [0.1, 0.25, 0.5, 0.75, 0.9]) AS q FROM documents GROUP BY lang) " +
+        "SELECT lang, n_docs, " +
+        "CAST(round(CAST(q[1] AS DECIMAL(20,8)), 4) AS DOUBLE) AS p10, " +
+        "CAST(round(CAST(q[2] AS DECIMAL(20,8)), 4) AS DOUBLE) AS p25, " +
+        "CAST(round(CAST(q[3] AS DECIMAL(20,8)), 4) AS DOUBLE) AS p50, " +
+        "CAST(round(CAST(q[4] AS DECIMAL(20,8)), 4) AS DOUBLE) AS p75, " +
+        "CAST(round(CAST(q[5] AS DECIMAL(20,8)), 4) AS DOUBLE) AS p90 " +
+        "FROM p ORDER BY lang"),
   )
 }

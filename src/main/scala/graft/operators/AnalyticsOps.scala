@@ -610,6 +610,61 @@ object AnalyticsOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Chi-square contingency analysis of the (lang × source) crosstab —
+    * the independence test a corpus curator runs to see whether language
+    * mix drifts by source (large cell contributions = the cells driving
+    * the dependence). Expected counts are the classic
+    * row_total · col_total / grand_total.
+    *
+    * Scale shape: one partial-aggregated groupBy to |langs × sources|
+    * cells; the row/column/grand totals re-aggregate those few cells and
+    * broadcast back — after the first agg nothing exceeds the crosstab
+    * size, whatever the corpus size. */
+  def chiSquareCrosstab(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val cells = Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    val rowT = cells.groupBy(col("lang")).agg(sum(col("n")).as("row_n"))
+    val colT = cells.groupBy(col("source")).agg(sum(col("n")).as("col_n"))
+    val grand = cells.agg(sum(col("n")).cast("double").as("grand_n"))
+    val expected = col("row_n") * col("col_n") / col("grand_n")
+    cells
+      .join(broadcast(rowT), Seq("lang"))
+      .join(broadcast(colT), Seq("source"))
+      .crossJoin(broadcast(grand))
+      .select(col("lang"), col("source"), col("n"),
+        stableRound4(expected).as("expected"),
+        stableRound4(pow(col("n") - expected, 2.0) / expected)
+          .as("chi2_cell"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Per-language exact percentile profile of document length (p10 / p25 /
+    * p50 / p75 / p90) — the distribution fingerprint used to compare strata
+    * and pick truncation thresholds. One multi-quantile aggregate computes
+    * the whole profile (the sort happens once per group inside the
+    * aggregate, not once per percentile).
+    *
+    * Scale note: `percentile` is exact (buffers each group's values) —
+    * right for profiling runs; the streaming-friendly substitute at 100 TB
+    * is `approx_percentile`/t-digest in SketchOps, same query shape. */
+  def percentileProfile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val pct = expr(
+      "percentile(n_chars, array(0.1, 0.25, 0.5, 0.75, 0.9))")
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), pct.as("p"))
+      .select(col("lang"), col("n_docs"),
+        stableRound4(element_at(col("p"), 1)).as("p10"),
+        stableRound4(element_at(col("p"), 2)).as("p25"),
+        stableRound4(element_at(col("p"), 3)).as("p50"),
+        stableRound4(element_at(col("p"), 4)).as("p75"),
+        stableRound4(element_at(col("p"), 5)).as("p90"))
+      .orderBy(col("lang"))
+  }
+
   /** Benford first-digit profile of order totals — the distribution
     * data-quality check for detecting fabricated or truncated numeric
     * columns: observed share of each leading digit vs Benford's

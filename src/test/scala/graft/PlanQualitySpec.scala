@@ -303,6 +303,23 @@ class PlanQualitySpec extends SparkTestBase {
     assert("FileScan".r.findAllIn(p).size == 1, p)
   }
 
+  test("chiSquareCrosstab: margin sides broadcast onto the cell agg") {
+    val p = plan(AnalyticsOps.chiSquareCrosstab(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p) // totals never merge-join
+  }
+
+  test("percentileProfile: one multi-quantile aggregate, no per-percentile sort") {
+    val df = AnalyticsOps.percentileProfile(spark, sf)
+    val p = plan(df)
+    // percentile is a TypedImperativeAggregate → ObjectHashAggregate,
+    // partial-aggregated before the exchange; no Window, no global Sort
+    // other than the final orderBy
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_percentile") || p.contains("partial_"), p)
+    assert(!p.contains("WindowExec"), p)
+  }
+
   test("sql surface: same query via spark.sql yields same result") {
     GraftSession.openTables(spark, sf)
     val viaSql = GraftSession.sql(spark,

@@ -306,6 +306,42 @@ class Round3OpsSpec extends SparkTestBase {
     }
   }
 
+  test("chiSquareCrosstab: expected counts and cell contributions recompute") {
+    val rows = AnalyticsOps.chiSquareCrosstab(spark, sf).collect()
+    val n = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val rowT = n.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val colT = n.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val grand = n.values.sum.toDouble
+    rows.foreach { r =>
+      val e = rowT(r.getString(0)) * colT(r.getString(1)) / grand
+      assert(math.abs(r.getDouble(3) - e) < 1e-3)
+      val cell = math.pow(r.getLong(2) - e, 2) / e
+      assert(math.abs(r.getDouble(4) - cell) < 1e-3)
+    }
+    // expected mass ~= grand total up to the cells absent from the sparse
+    // fixture crosstab (expected is only emitted for observed cells)
+    assert(rows.map(_.getDouble(3)).sum <= grand + 1e-9)
+  }
+
+  test("percentileProfile: monotone profile; p50 matches interpolated median") {
+    val rows = AnalyticsOps.percentileProfile(spark, sf).collect()
+    val lens = Tables.documents(spark, sf)
+      .select(col("lang"), col("n_chars")).collect()
+      .groupBy(_.getString(0))
+    rows.foreach { r =>
+      val p = (2 to 6).map(r.getDouble)
+      assert(p.zip(p.tail).forall { case (a, b) => a <= b + 1e-9 },
+        s"${r.getString(0)}: $p")
+      // hand-computed linear-interpolation median
+      val v = lens(r.getString(0)).map(_.getLong(1).toDouble).sorted
+      val pos = 0.5 * (v.length - 1)
+      val med = v(pos.toInt) + (pos - pos.toInt) *
+        (v(math.min(pos.toInt + 1, v.length - 1)) - v(pos.toInt))
+      assert(math.abs(r.getDouble(4) - med) < 1e-3)
+      assert(r.getLong(1) == v.length)
+    }
+  }
+
   test("labelBalance: shares sum to 1, weighted sample count averages to 1") {
     val rows = SimilarityOps.labelBalance(spark, sf).collect()
     val n = rows.map(_.getLong(1))
