@@ -156,6 +156,10 @@ object SparkEntry {
     "q_null_profile"   -> (RelationalOps.nullProfile _),
     "q_chi2"           -> (AnalyticsOps.chiSquareCrosstab _),
     "q_percentile_profile" -> (AnalyticsOps.percentileProfile _),
+    "q_fuzzy_jw"       -> ((s, d) => AnalyticsOps.jaroWinklerPairs(s, d)),
+    // rows-only: BPE training is sequential in merge rank (no SQL oracle);
+    // CorpusOpsSpec pins the merges to hand-computed ground truth
+    "q_bpe_vocab"      -> ((s, d) => CorpusOps.bpeVocab(s, d)),
     // rows-only: iterative k-means isn't SQL; DedupSpec pins the drop set
     // to exact all-pairs cosine ground truth
     "q_semdedup"       -> (DedupOps.semDedupQuery _),
@@ -169,7 +173,7 @@ object SparkEntry {
     * columns are CAST explicitly because DuckDB widens (year()→BIGINT,
     * SUM(int)→HUGEINT, ROW_NUMBER()→BIGINT) where Spark keeps int/long.
     *
-    * Eleven queries are deliberately rows-only (no entry here), each with a
+    * Twelve queries are deliberately rows-only (no entry here), each with a
     * stronger ScalaTest invariant instead: q_dedup_minhash / q_dedup_simhash
     * / q_dedup_clusters / q_simhash_pairs depend on a hash family
     * (Murmur3/xxhash64 seeding) DuckDB cannot reproduce — DedupSpec pins
@@ -186,7 +190,8 @@ object SparkEntry {
     * bin packing (no SQL oracle) — CorpusOpsSpec pins it to a hand-rolled
     * reference packing; q_semdedup clusters with iterative k-means (not
     * SQL) — DedupSpec pins its drop set to exact all-pairs cosine ground
-    * truth. */
+    * truth; q_bpe_vocab trains BPE merges sequentially by rank (not SQL) —
+    * CorpusOpsSpec pins the merge sequence to hand-computed ground truth. */
   def oracleSql: Map[String, String] = Map(
     "q_scan_limit" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice LIMIT 100",
@@ -1083,5 +1088,16 @@ object SparkEntry {
         "CAST(round(CAST(q[4] AS DECIMAL(20,8)), 4) AS DOUBLE) AS p75, " +
         "CAST(round(CAST(q[5] AS DECIMAL(20,8)), 4) AS DOUBLE) AS p90 " +
         "FROM p ORDER BY lang"),
+    // the native JaroWinkler expression is pinned bit-identical to
+    // DuckDB's jaro_winkler_similarity — membership thresholds the
+    // ROUNDED score on both sides
+    "q_fuzzy_jw" ->
+      ("WITH p AS (SELECT doc_id, substr(lower(text), 1, 16) AS pref, " +
+        "substr(lower(text), 1, 2) AS blk FROM documents) " +
+        "SELECT a.doc_id AS da, b.doc_id AS db, " +
+        "CAST(round(CAST(jaro_winkler_similarity(a.pref, b.pref) AS DECIMAL(20,8)), 4) AS DOUBLE) AS jw " +
+        "FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
+        "WHERE CAST(round(CAST(jaro_winkler_similarity(a.pref, b.pref) AS DECIMAL(20,8)), 4) AS DOUBLE) >= 0.9 " +
+        "ORDER BY jw DESC, da, db LIMIT 50"),
   )
 }

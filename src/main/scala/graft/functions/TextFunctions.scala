@@ -34,6 +34,15 @@ object TextFunctions {
     GraftColumnBridge.toColumn(expressions.MinHashArray(
       GraftColumnBridge.toExpression(shingleArr), numHashes))
 
+  /** Jaro-Winkler similarity of two string columns — the fuzzy-match
+    * scoring companion to `levenshtein` (edit distance counts operations;
+    * Jaro-Winkler rewards shared prefixes, the right bias for names/titles).
+    * Backed by the compiled [[expressions.JaroWinkler]] expression;
+    * bit-identical to DuckDB's `jaro_winkler_similarity` (oracle-checked). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    GraftColumnBridge.toColumn(expressions.JaroWinkler(
+      GraftColumnBridge.toExpression(a), GraftColumnBridge.toExpression(b)))
+
   /** Scalar 64-bit SimHash over a token-array column — a narrow map (no
     * explode, no 64-column aggregation shuffle); see
     * [[expressions.SimHashArray]]. */

@@ -515,6 +515,36 @@ object AnalyticsOps {
       .limit(k)
   }
 
+  /** Jaro-Winkler fuzzy matching over the same 2-char blocking as
+    * [[editDistancePairs]] — the similarity-scored (not operation-counted)
+    * fuzzy join: prefix-boosted scoring favors strings that start alike,
+    * the usual bias for titles/names. Pairs at rounded similarity ≥ 0.9,
+    * top-k by (score desc, ids). The membership threshold compares the
+    * ROUNDED score so the row set is reproducible across engines.
+    *
+    * Scale shape: identical to the edit-distance query — candidates come
+    * from the selective block-equality join, the compiled
+    * [[graft.functions.expressions.JaroWinkler]] loop runs only inside
+    * blocks, and TakeOrderedAndProject keeps the top-k without a global
+    * sort. Same blocking dial (`blockChars`) at larger corpora. */
+  def jaroWinklerPairs(spark: SparkSession, dir: String, k: Int = 50,
+      blockChars: Int = 2): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    import graft.functions.TextFunctions.jaroWinkler
+    val pref = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        substring(lower(col("text")), 1, 16).as("pref"),
+        substring(lower(col("text")), 1, blockChars).as("blk"))
+    pref.as("a").join(pref.as("b"),
+      col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        stableRound4(jaroWinkler(col("a.pref"), col("b.pref"))).as("jw"))
+      .filter(col("jw") >= 0.9)
+      .orderBy(col("jw").desc, col("da"), col("db"))
+      .limit(k)
+  }
+
   /** Fixed-width histogram: order totals bucketed by integer division —
     * one partial-aggregatable groupBy over a derived integer key; the
     * distribution-analysis primitive (no sort, no window). */

