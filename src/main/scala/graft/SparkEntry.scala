@@ -160,6 +160,9 @@ object SparkEntry {
     // rows-only: BPE training is sequential in merge rank (no SQL oracle);
     // CorpusOpsSpec pins the merges to hand-computed ground truth
     "q_bpe_vocab"      -> ((s, d) => CorpusOps.bpeVocab(s, d)),
+    // rows-only: segmentation applies the trained merges (same reason);
+    // CorpusOpsSpec pins unseen-word segmentation to hand-derived pieces
+    "q_bpe_segment"    -> ((s, d) => CorpusOps.bpeSegmentTokens(s, d)),
     // rows-only: iterative k-means isn't SQL; DedupSpec pins the drop set
     // to exact all-pairs cosine ground truth
     "q_semdedup"       -> (DedupOps.semDedupQuery _),
@@ -173,7 +176,7 @@ object SparkEntry {
     * columns are CAST explicitly because DuckDB widens (year()→BIGINT,
     * SUM(int)→HUGEINT, ROW_NUMBER()→BIGINT) where Spark keeps int/long.
     *
-    * Twelve queries are deliberately rows-only (no entry here), each with a
+    * Thirteen queries are deliberately rows-only (no entry here), each with a
     * stronger ScalaTest invariant instead: q_dedup_minhash / q_dedup_simhash
     * / q_dedup_clusters / q_simhash_pairs depend on a hash family
     * (Murmur3/xxhash64 seeding) DuckDB cannot reproduce — DedupSpec pins
@@ -190,7 +193,7 @@ object SparkEntry {
     * bin packing (no SQL oracle) — CorpusOpsSpec pins it to a hand-rolled
     * reference packing; q_semdedup clusters with iterative k-means (not
     * SQL) — DedupSpec pins its drop set to exact all-pairs cosine ground
-    * truth; q_bpe_vocab trains BPE merges sequentially by rank (not SQL) —
+    * truth; q_bpe_vocab / q_bpe_segment train and apply BPE merges sequentially by rank (not SQL) —
     * CorpusOpsSpec pins the merge sequence to hand-computed ground truth. */
   def oracleSql: Map[String, String] = Map(
     "q_scan_limit" ->

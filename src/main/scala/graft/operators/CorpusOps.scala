@@ -617,6 +617,78 @@ object CorpusOps {
       .orderBy(col("rank"))
   }
 
+  /** Greedy BPE segmentation of one word under a learned merge table:
+    * repeatedly apply the LOWEST-RANK merge present (all non-overlapping
+    * occurrences, left to right) until none applies — the standard
+    * tokenizer-apply rule, so words unseen at training time still segment
+    * into learned subwords. Pure function; used per-row inside
+    * [[bpeSegmentTokens]]. */
+  def bpeApply(word: String, ranks: Map[(String, String), Int])
+      : Vector[String] = {
+    var syms = word.map(_.toString).toVector :+ "</w>"
+    var applying = true
+    while (applying && syms.length >= 2) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) applying = false
+      else {
+        val (l, r) = {
+          val e = ranks.collectFirst {
+            case (p, rk) if rk == best => p
+          }.get
+          e
+        }
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+            out += (l + r); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+      }
+    }
+    syms
+  }
+
+  /** Tokenizer application over the corpus: learn `numMerges` BPE merges
+    * ([[bpeVocab]] path), broadcast the rank table, and segment every
+    * DISTINCT corpus token — emitting its pieces and the piece count, the
+    * input for a compression-ratio report (chars per piece ≈ fertility).
+    *
+    * Scale shape: segmentation runs on the distinct-token table, not the
+    * token stream (a corpus has billions of tokens but a bounded surface
+    * vocabulary) — one partial-aggregated distinct, then a narrow
+    * mapPartitions with the broadcast rank map; re-join to the stream only
+    * if per-document fertility is needed. */
+  def bpeSegmentTokens(spark: SparkSession, dir: String, topWords: Int = 5000,
+      numMerges: Int = 30): DataFrame = {
+    import spark.implicits._
+    val wf = Tables.documents(spark, dir)
+      .select(explode(tokensLower(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val top = wf.orderBy(col("n").desc, col("tok")).limit(topWords)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val ranks = bpeTrainMerges(top, numMerges)
+      .map { case (rank, l, r, _) => (l, r) -> rank }.toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    wf.select(col("tok"), col("n")).as[(String, Long)]
+      .mapPartitions { it =>
+        val rk = bc.value
+        it.map { case (tok, n) =>
+          val pieces = bpeApply(tok, rk)
+          (tok, n, pieces.mkString(" "), pieces.length)
+        }
+      }
+      .toDF("tok", "n", "pieces", "n_pieces")
+      .orderBy(col("tok"))
+  }
+
   /** Temperature-scaled source sampling weights: w_i = n_i^τ / Σ n_j^τ over
     * per-source token counts, with τ = 0.7 — the multinomial-temperature
     * mixture used to up-sample low-resource sources when composing a

@@ -402,6 +402,38 @@ class CorpusOpsSpec extends SparkTestBase {
     a.foreach(r => assert(r.getLong(3) > 0))
   }
 
+  test("bpeApply segments an UNSEEN word into learned subwords") {
+    val wf = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val ranks = CorpusOps.bpeTrainMerges(wf, 6)
+      .map { case (r, l, rr, _) => (l, rr) -> r }.toMap
+    // "lowest" never appears in training; hand-applying the 6 merges in
+    // rank order gives exactly ["low", "est</w>"]
+    assert(CorpusOps.bpeApply("lowest", ranks) == Vector("low", "est</w>"))
+    // training words round-trip to their fully-merged forms
+    assert(CorpusOps.bpeApply("low", ranks) == Vector("low", "</w>"))
+    assert(CorpusOps.bpeApply("newest", ranks) == Vector("n", "ew", "est</w>"))
+    // no applicable merges: pure character fallback
+    assert(CorpusOps.bpeApply("xyz", ranks) == Vector("x", "y", "z", "</w>"))
+  }
+
+  test("bpeSegmentTokens: pieces reassemble each token; fertility >= 1") {
+    val out = CorpusOps.bpeSegmentTokens(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val tok = r.getString(0)
+      val pieces = r.getString(2).split(" ")
+      assert(r.getInt(3) == pieces.length)
+      assert(pieces.mkString("").stripSuffix("</w>") == tok, tok)
+    }
+    // high-frequency tokens merge further than rare ones on average
+    val (freq, rare) = out.partition(_.getLong(1) >= 50)
+    if (freq.nonEmpty && rare.nonEmpty) {
+      def fertility(rs: Array[org.apache.spark.sql.Row]) =
+        rs.map(_.getInt(3).toDouble).sum / rs.length
+      assert(fertility(freq) <= fertility(rare) + 0.5)
+    }
+  }
+
   test("temperatureMix: tempered shares sum to 1 and compress raw shares") {
     val rows = CorpusOps.temperatureMix(spark, sf).collect()
     val raw = rows.map(_.getDouble(2))
