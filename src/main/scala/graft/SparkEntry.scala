@@ -157,6 +157,7 @@ object SparkEntry {
     "q_chi2"           -> (AnalyticsOps.chiSquareCrosstab _),
     "q_percentile_profile" -> (AnalyticsOps.percentileProfile _),
     "q_fuzzy_jw"       -> ((s, d) => AnalyticsOps.jaroWinklerPairs(s, d)),
+    "q_embed_stats"    -> (SimilarityOps.embedDimStats _),
     // rows-only: BPE training is sequential in merge rank (no SQL oracle);
     // CorpusOpsSpec pins the merges to hand-computed ground truth
     "q_bpe_vocab"      -> ((s, d) => CorpusOps.bpeVocab(s, d)),
@@ -1102,5 +1103,14 @@ object SparkEntry {
         "FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
         "WHERE CAST(round(CAST(jaro_winkler_similarity(a.pref, b.pref) AS DECIMAL(20,8)), 4) AS DOUBLE) >= 0.9 " +
         "ORDER BY jw DESC, da, db LIMIT 50"),
+    "q_embed_stats" ->
+      ("WITH e AS (SELECT CAST(generate_subscripts(embedding, 1) AS INTEGER) AS dim, " +
+        "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings) " +
+        "SELECT dim, COUNT(*) AS n, " +
+        "CAST(round(CAST(AVG(x) AS DECIMAL(20,8)), 4) AS DOUBLE) AS mean, " +
+        "CAST(round(CAST(stddev_samp(x) AS DECIMAL(20,8)), 4) AS DOUBLE) AS std, " +
+        "CAST(round(CAST(MIN(x) AS DECIMAL(20,8)), 4) AS DOUBLE) AS min_x, " +
+        "CAST(round(CAST(MAX(x) AS DECIMAL(20,8)), 4) AS DOUBLE) AS max_x " +
+        "FROM e GROUP BY dim ORDER BY dim"),
   )
 }

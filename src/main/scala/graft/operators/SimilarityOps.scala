@@ -145,6 +145,28 @@ object SimilarityOps {
       .orderBy(col("vec_id"))
   }
 
+  /** Per-dimension embedding statistics — the feature-drift / health report
+    * for a vector corpus: count, mean, stddev, min, max of every dimension.
+    * Dead dimensions (std ≈ 0), saturated ones (|mean| near the range
+    * edge), and batch-to-batch drift all read directly off this table.
+    *
+    * Scale shape: one posexplode (narrow, dim× row multiplier) into a
+    * partial-aggregated groupBy on the dimension index — |dims| output rows
+    * whatever the corpus size; the classic sketchable rollup. */
+  def embedDimStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).as("dim"), col("x").cast("double").as("x"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        stableRound4(avg(col("x"))).as("mean"),
+        stableRound4(stddev_samp(col("x"))).as("std"),
+        stableRound4(min(col("x"))).as("min_x"),
+        stableRound4(max(col("x"))).as("max_x"))
+      .orderBy(col("dim"))
+  }
+
   /** Class-balance report over the labeled embeddings: per-label counts,
     * corpus share, and the standard inverse-frequency class weight
     * w = total / (k · n) (sklearn's "balanced" formula — weights average

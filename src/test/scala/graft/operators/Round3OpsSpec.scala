@@ -380,6 +380,24 @@ class Round3OpsSpec extends SparkTestBase {
     assert(jws.zip(jws.tail).forall { case (a, b) => a >= b })
   }
 
+  test("embedDimStats: per-dimension stats recompute from collected vectors") {
+    val rows = SimilarityOps.embedDimStats(spark, sf).collect()
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    assert(rows.length == vecs.head.length)
+    rows.foreach { r =>
+      val d = r.getInt(0) - 1
+      val x = vecs.map(_(d))
+      assert(r.getLong(1) == x.length)
+      val mu = x.sum / x.length
+      assert(math.abs(r.getDouble(2) - mu) < 1e-3)
+      val sd = math.sqrt(x.map(v => (v - mu) * (v - mu)).sum / (x.length - 1))
+      assert(math.abs(r.getDouble(3) - sd) < 1e-3)
+      assert(math.abs(r.getDouble(4) - x.min) < 1e-4)
+      assert(math.abs(r.getDouble(5) - x.max) < 1e-4)
+    }
+  }
+
   test("labelBalance: shares sum to 1, weighted sample count averages to 1") {
     val rows = SimilarityOps.labelBalance(spark, sf).collect()
     val n = rows.map(_.getLong(1))
