@@ -158,6 +158,7 @@ object SparkEntry {
     "q_percentile_profile" -> (AnalyticsOps.percentileProfile _),
     "q_fuzzy_jw"       -> ((s, d) => AnalyticsOps.jaroWinklerPairs(s, d)),
     "q_embed_stats"    -> (SimilarityOps.embedDimStats _),
+    "q_funnel3"        -> (EventOps.funnel3 _),
     // rows-only: BPE training is sequential in merge rank (no SQL oracle);
     // CorpusOpsSpec pins the merges to hand-computed ground truth
     "q_bpe_vocab"      -> ((s, d) => CorpusOps.bpeVocab(s, d)),
@@ -1112,5 +1113,23 @@ object SparkEntry {
         "CAST(round(CAST(MIN(x) AS DECIMAL(20,8)), 4) AS DOUBLE) AS min_x, " +
         "CAST(round(CAST(MAX(x) AS DECIMAL(20,8)), 4) AS DOUBLE) AS max_x " +
         "FROM e GROUP BY dim ORDER BY dim"),
+    "q_funnel3" ->
+      ("WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events), " +
+        "v AS (SELECT user_id, MIN(us) AS v_us FROM ev WHERE event_type = 'view' GROUP BY user_id), " +
+        "c AS (SELECT ev.user_id, MIN(us) AS c_us FROM ev JOIN v ON ev.user_id = v.user_id " +
+        "WHERE event_type = 'click' AND us > v_us GROUP BY ev.user_id), " +
+        "p AS (SELECT ev.user_id, MIN(us) AS p_us FROM ev JOIN c ON ev.user_id = c.user_id " +
+        "WHERE event_type = 'purchase' AND us > c_us GROUP BY ev.user_id), " +
+        "t AS (SELECT (SELECT COUNT(*) FROM v) AS n1, (SELECT COUNT(*) FROM c) AS n2, " +
+        "(SELECT COUNT(*) FROM p) AS n3) " +
+        "SELECT step, n_users, conv_from_prev, conv_from_start FROM (" +
+        "SELECT '1_view' AS step, n1 AS n_users, CAST(1.0 AS DOUBLE) AS conv_from_prev, CAST(1.0 AS DOUBLE) AS conv_from_start FROM t " +
+        "UNION ALL SELECT '2_click', n2, " +
+        "CASE WHEN n1 > 0 THEN CAST(round(CAST(CAST(n2 AS DOUBLE) / n1 AS DECIMAL(20,8)), 4) AS DOUBLE) ELSE 0.0 END, " +
+        "CASE WHEN n1 > 0 THEN CAST(round(CAST(CAST(n2 AS DOUBLE) / n1 AS DECIMAL(20,8)), 4) AS DOUBLE) ELSE 0.0 END FROM t " +
+        "UNION ALL SELECT '3_purchase', n3, " +
+        "CASE WHEN n2 > 0 THEN CAST(round(CAST(CAST(n3 AS DOUBLE) / n2 AS DECIMAL(20,8)), 4) AS DOUBLE) ELSE 0.0 END, " +
+        "CASE WHEN n1 > 0 THEN CAST(round(CAST(CAST(n3 AS DOUBLE) / n1 AS DECIMAL(20,8)), 4) AS DOUBLE) ELSE 0.0 END FROM t) " +
+        "ORDER BY step"),
   )
 }

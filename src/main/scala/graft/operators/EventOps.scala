@@ -315,6 +315,49 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
+  /** Three-step ordered funnel: earliest view → first click strictly after
+    * it → first purchase strictly after that, per user, reported as step
+    * counts with step-over-step and from-start conversion rates — the
+    * product-analytics staple generalizing [[viewToPurchase]] to ordered
+    * multi-step paths.
+    *
+    * Scale shape: each step is a partial-aggregated min per user joined to
+    * the previous step's (user, time) — three agg+join hops on user_id; at
+    * 100 TB all three reuse one hash partitioning of the event log and the
+    * final summary is three rows. Strict event-time ordering (not mere
+    * co-occurrence) is what makes this a funnel. */
+  def funnel3(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("us") > col("v_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("us") > col("c_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+    val totals = v.agg(count(lit(1)).as("n1"))
+      .crossJoin(c.agg(count(lit(1)).as("n2")))
+      .crossJoin(p.agg(count(lit(1)).as("n3")))
+    def rate(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      when(den > 0, stableRound4(num.cast("double") / den)).otherwise(0.0)
+    totals.select(
+      lit("1_view").as("step"), col("n1").as("n_users"),
+      lit(1.0).as("conv_from_prev"), lit(1.0).as("conv_from_start"))
+      .unionByName(totals.select(
+        lit("2_click").as("step"), col("n2").as("n_users"),
+        rate(col("n2"), col("n1")).as("conv_from_prev"),
+        rate(col("n2"), col("n1")).as("conv_from_start")))
+      .unionByName(totals.select(
+        lit("3_purchase").as("step"), col("n3").as("n_users"),
+        rate(col("n3"), col("n2")).as("conv_from_prev"),
+        rate(col("n3"), col("n1")).as("conv_from_start")))
+      .orderBy(col("step"))
+  }
+
   /** Lag-1 autocorrelation of the hourly value series per event type —
     * the time-series diagnostic behind seasonality detection and
     * forecasting-model choice (high lag-1 autocorrelation = smooth series;

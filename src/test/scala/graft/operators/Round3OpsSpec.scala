@@ -398,6 +398,36 @@ class Round3OpsSpec extends SparkTestBase {
     }
   }
 
+  test("funnel3: monotone step counts; recomputes from per-user event times") {
+    val rows = EventOps.funnel3(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val (n1, n2, n3) =
+      (rows("1_view")._1, rows("2_click")._1, rows("3_purchase")._1)
+    assert(n1 >= n2 && n2 >= n3 && n1 > 0)
+    // hand-recompute the strictly-ordered funnel from collected events
+    val byUser = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().groupBy(_.getLong(0))
+    var (v, c, p) = (0L, 0L, 0L)
+    byUser.values.foreach { es =>
+      def minAfter(tpe: String, after: Long): Option[Long] = {
+        val ts = es.filter(e => e.getString(1) == tpe && e.getLong(2) > after)
+          .map(_.getLong(2))
+        if (ts.isEmpty) None else Some(ts.min)
+      }
+      minAfter("view", Long.MinValue).foreach { vUs =>
+        v += 1
+        minAfter("click", vUs).foreach { cUs =>
+          c += 1
+          if (minAfter("purchase", cUs).isDefined) p += 1
+        }
+      }
+    }
+    assert((n1, n2, n3) == ((v, c, p)))
+    assert(math.abs(rows("2_click")._2 - c.toDouble / v) < 1e-3)
+    assert(math.abs(rows("3_purchase")._2 - p.toDouble / c) < 1e-3)
+  }
+
   test("labelBalance: shares sum to 1, weighted sample count averages to 1") {
     val rows = SimilarityOps.labelBalance(spark, sf).collect()
     val n = rows.map(_.getLong(1))
