@@ -320,6 +320,27 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("WindowExec"), p)
   }
 
+  test("embedDimStats: posexplode into partial agg, |dims| output rows") {
+    val p = plan(SimilarityOps.embedDimStats(spark, sf))
+    assert(p.contains("Generate"), p) // posexplode
+    assert(p.contains("partial_count") || p.contains("partial_avg"), p)
+    assert(!p.contains("WindowExec") && !p.contains("Cartesian"), p)
+  }
+
+  test("funnel3: per-step joins on user_id; only 1-row totals cross-join") {
+    val p = plan(EventOps.funnel3(spark, sf))
+    // the only nested-loop joins are the one-row step totals
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_min") || p.contains("partial_count"), p)
+  }
+
+  test("jaroWinklerPairs: block-equality candidates + ordered take, no cartesian") {
+    val p = plan(AnalyticsOps.jaroWinklerPairs(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("jaro_winkler"), p) // the native expression, not a UDF
+  }
+
   test("sql surface: same query via spark.sql yields same result") {
     GraftSession.openTables(spark, sf)
     val viaSql = GraftSession.sql(spark,
