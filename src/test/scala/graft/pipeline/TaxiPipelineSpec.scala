@@ -131,6 +131,21 @@ class TaxiPipelineSpec extends SparkTestBase {
     assert(JsonSource(s"$tmp/json_orders").read(spark).count() == src.count())
   }
 
+  test("CsvSink/CsvSource roundtrip: gzip parts, schema-pinned re-read") {
+    val src = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    CsvSink(s"$tmp/csv_orders").write(src)
+    val parts = new java.io.File(s"$tmp/csv_orders").listFiles()
+      .map(_.getName).filter(_.endsWith(".gz"))
+    assert(parts.nonEmpty, "expected .csv.gz part files")
+    val back = CsvSource(s"$tmp/csv_orders", schema = Some(src.schema))
+      .read(spark)
+    assert(back.schema == src.schema)
+    assert(back.count() == src.count())
+    assert(back.agg(sum(col("o_orderkey"))).head.getLong(0)
+      == src.agg(sum(col("o_orderkey"))).head.getLong(0))
+  }
+
   test("TextSource: line-per-doc and whole-file reads; doc ids survive repartition") {
     val dir = s"$tmp/rawtext"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
