@@ -159,6 +159,8 @@ object SparkEntry {
     "q_fuzzy_jw"       -> ((s, d) => AnalyticsOps.jaroWinklerPairs(s, d)),
     "q_embed_stats"    -> (SimilarityOps.embedDimStats _),
     "q_funnel3"        -> (EventOps.funnel3 _),
+    "q_quality_logistic" -> (TextOps.qualityLogistic _),
+    "q_chunk_stride"   -> ((s, d) => CorpusOps.chunkDocsStrided(s, d)),
     // rows-only: BPE training is sequential in merge rank (no SQL oracle);
     // CorpusOpsSpec pins the merges to hand-computed ground truth
     "q_bpe_vocab"      -> ((s, d) => CorpusOps.bpeVocab(s, d)),
@@ -1131,5 +1133,29 @@ object SparkEntry {
         "CASE WHEN n2 > 0 THEN CAST(round(CAST(CAST(n3 AS DOUBLE) / n2 AS DECIMAL(20,8)), 4) AS DOUBLE) ELSE 0.0 END, " +
         "CASE WHEN n1 > 0 THEN CAST(round(CAST(CAST(n3 AS DOUBLE) / n1 AS DECIMAL(20,8)), 4) AS DOUBLE) ELSE 0.0 END FROM t) " +
         "ORDER BY step"),
+    "q_quality_logistic" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_toks, " +
+        "CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\\s+')) AS awl, " +
+        "CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), " +
+        "x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and')) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\\s+')) AS swr " +
+        "FROM documents), " +
+        "d AS (SELECT doc_id, 1.0 - CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*) AS dupfrac FROM " +
+        "(SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok FROM documents) GROUP BY doc_id), " +
+        "z AS (SELECT t.doc_id, -1.0 + swr * 8.0 + least(n_toks / 100.0, 1.0) * 1.5 " +
+        "- dupfrac * 4.0 - abs(awl - 5.0) * 0.3 AS z FROM t JOIN d ON t.doc_id = d.doc_id) " +
+        "SELECT doc_id, " +
+        "CAST(round(CAST(1.0 / (1.0 + exp(-z)) AS DECIMAL(20,8)), 4) AS DOUBLE) AS p_keep, " +
+        "CAST(round(CAST(1.0 / (1.0 + exp(-z)) AS DECIMAL(20,8)), 4) AS DOUBLE) >= 0.5 AS keep " +
+        "FROM z ORDER BY doc_id"),
+    "q_chunk_stride" ->
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), " +
+        "e AS (SELECT doc_id, toks, len(toks) AS n_toks, " +
+        "unnest(generate_series(0, greatest(1, CAST(ceil((len(toks) - 32) / 32.0) AS BIGINT)) - 1)) AS i FROM t), " +
+        "w AS (SELECT doc_id, CAST(i AS INTEGER) AS win_id, CAST(i * 32 AS INTEGER) AS start, " +
+        "CAST(least(64, n_toks - i * 32) AS INTEGER) AS n_tokens, toks FROM e) " +
+        "SELECT doc_id, win_id, start, n_tokens, " +
+        "md5(array_to_string(list_slice(toks, start + 1, start + 64), ' ')) AS chunk_md5 " +
+        "FROM w WHERE n_tokens >= 16 ORDER BY doc_id, win_id"),
   )
 }

@@ -46,6 +46,37 @@ object CorpusOps {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Overlapping (strided) chunking — the sliding-window variant of
+    * [[chunkDocs]] used when downstream training or retrieval wants context
+    * continuity across chunk boundaries: windows of `window` tokens start
+    * every `stride` tokens (stride < window ⇒ overlap = window − stride),
+    * and a ragged tail shorter than `minTail` is dropped (it is fully
+    * contained in the previous window's overlap).
+    *
+    * Scale shape: same as chunkDocs — one narrow explode over a generated
+    * chunk-index sequence, slice + hash per window, no shuffle before the
+    * output sort. */
+  def chunkDocsStrided(spark: SparkSession, dir: String, window: Int = 64,
+      stride: Int = 32, minTail: Int = 16): DataFrame = {
+    val nWindows = greatest(lit(1),
+      ceil((col("n_toks") - lit(window - stride)) / lit(stride.toDouble))
+        .cast("int"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+      .select(col("doc_id"), col("toks"), col("n_toks"),
+        explode(sequence(lit(0), nWindows - 1)).as("win_id"))
+      .withColumn("start", col("win_id") * stride)
+      .withColumn("n_tokens",
+        least(lit(window), col("n_toks") - col("start")))
+      .filter(col("n_tokens") >= minTail)
+      .select(col("doc_id"), col("win_id"), col("start"), col("n_tokens"),
+        md5(array_join(
+          slice(col("toks"), col("start") + 1, lit(window)), " "))
+          .as("chunk_md5"))
+      .orderBy(col("doc_id"), col("win_id"))
+  }
+
   /** Deterministic ~10% sample: keep rows whose md5(doc_id) hex prefix is
     * below a fixed threshold. Unlike `df.sample`, the choice is a pure
     * function of the key — reproducible across runs, engines, partitionings,

@@ -265,6 +265,46 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Model-based quality scoring stand-in: a logistic classifier with
+    * FIXED, documented weights over the structural features this module
+    * already extracts (token count, average word length, stopword ratio,
+    * dup-word fraction) — the deterministic proxy for the fastText-style
+    * quality classifier every corpus pipeline runs. No learned weights ship
+    * with this repo by design; the plumbing (feature extraction → linear
+    * score → sigmoid → threshold on the ROUNDED probability) is exactly
+    * what a real classifier needs, and swapping in trained coefficients
+    * changes one constant list.
+    *
+    * Scale shape: feature extraction is narrow; the dup-word fraction adds
+    * the [[repetitionStats]] explode + two partial-aggregated hops; the
+    * join back to features is on doc_id. Nothing exceeds one corpus scan
+    * plus one agg pipeline. */
+  def qualityLogistic(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val toks = tokens(col("text"))
+    val feats = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks).cast("double").as("n_toks"),
+        (length(regexp_replace(col("text"), "\\s", "")).cast("double")
+          / size(toks)).as("awl"),
+        (tokenMatchCount(tokensLower(col("text")), EnWords).cast("double")
+          / size(toks)).as("swr"))
+    val dup = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokensLower(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((lit(1.0) - count(lit(1)) / sum(col("c"))).as("dupfrac"))
+    // fixed interpretable weights: reward stopword density and length,
+    // penalize repetition and extreme word lengths (documented stand-in)
+    val z = lit(-1.0) + col("swr") * 8.0 + least(col("n_toks") / 100.0, lit(1.0)) * 1.5 -
+      col("dupfrac") * 4.0 - abs(col("awl") - 5.0) * 0.3
+    feats.join(dup, Seq("doc_id"))
+      .select(col("doc_id"),
+        stableRound4(lit(1.0) / (lit(1.0) + exp(-z))).as("p_keep"))
+      .withColumn("keep", col("p_keep") >= 0.5)
+      .orderBy(col("doc_id"))
+  }
+
   /** Canonical md5 fingerprint of the normalized text (rolling-hash style
     * document identity for exact dedup across formatting noise). */
   def fingerprintDocs(spark: SparkSession, dir: String): DataFrame =

@@ -434,6 +434,37 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("chunkDocsStrided: consecutive windows overlap by window-stride tokens") {
+    val toks = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val out = CorpusOps.chunkDocsStrided(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    assert(out.keySet.subsetOf(toks.keySet))
+    out.foreach { case (doc, wins) =>
+      val n = toks(doc).length
+      wins.foreach { w =>
+        val (winId, start, nTok) = (w.getInt(1), w.getInt(2), w.getInt(3))
+        assert(start == winId * 32)
+        assert(nTok == math.min(64, n - start))
+        assert(nTok >= 16)
+        // hash is the md5 of exactly that token window
+        val expected = java.security.MessageDigest.getInstance("MD5")
+          .digest(toks(doc).slice(start, start + 64).mkString(" ")
+            .getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(w.getString(4) == expected)
+      }
+      // windows start every 32 tokens, from 0, no gaps
+      assert(wins.map(_.getInt(1)).sorted.sameElements(wins.indices))
+      // every token is covered by at least one window (tail >= 16 rule
+      // only drops tails fully inside the previous window)
+      val covered = wins.map(w => (w.getInt(2), w.getInt(2) + w.getInt(3)))
+        .sortBy(_._1)
+      assert(covered.head._1 == 0 && covered.last._2 == n)
+    }
+  }
+
   test("temperatureMix: tempered shares sum to 1 and compress raw shares") {
     val rows = CorpusOps.temperatureMix(spark, sf).collect()
     val raw = rows.map(_.getDouble(2))

@@ -108,6 +108,29 @@ class TextOpsSpec extends SparkTestBase {
     }
   }
 
+  test("qualityLogistic: p_keep recomputes from features; keep = p >= 0.5") {
+    val out = TextOps.qualityLogistic(spark, sf)
+      .filter(col("doc_id") < 30).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    val texts = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 30).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, text) =>
+      val toks = text.trim.split("\\s+").toSeq
+      val lower = text.trim.toLowerCase.split("\\s+").toSeq
+      val n = toks.length.toDouble
+      val awl = text.replaceAll("\\s", "").length / n
+      val swr = lower.count(Set("the", "a", "of", "and")) / n
+      val dup = 1.0 - lower.distinct.length / n
+      val z = -1.0 + swr * 8.0 + math.min(n / 100.0, 1.0) * 1.5 -
+        dup * 4.0 - math.abs(awl - 5.0) * 0.3
+      val p = 1.0 / (1.0 + math.exp(-z))
+      val (gotP, gotKeep) = out(id)
+      assert(math.abs(gotP - p) < 1e-3, s"doc $id")
+      assert(gotKeep == (gotP >= 0.5))
+    }
+  }
+
   test("tokenEntropy matches hand-computed Shannon entropy and TTR") {
     val out = TextOps.tokenEntropy(spark, sf)
       .filter(col("doc_id") < 20).collect()
