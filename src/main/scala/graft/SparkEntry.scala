@@ -161,6 +161,7 @@ object SparkEntry {
     "q_funnel3"        -> (EventOps.funnel3 _),
     "q_quality_logistic" -> (TextOps.qualityLogistic _),
     "q_chunk_stride"   -> ((s, d) => CorpusOps.chunkDocsStrided(s, d)),
+    "q_sparse_sim"     -> ((s, d) => SimilarityOps.sparseSimPairs(s, d)),
     // rows-only: BPE training is sequential in merge rank (no SQL oracle);
     // CorpusOpsSpec pins the merges to hand-computed ground truth
     "q_bpe_vocab"      -> ((s, d) => CorpusOps.bpeVocab(s, d)),
@@ -1157,5 +1158,23 @@ object SparkEntry {
         "SELECT doc_id, win_id, start, n_tokens, " +
         "md5(array_to_string(list_slice(toks, start + 1, start + 64), ' ')) AS chunk_md5 " +
         "FROM w WHERE n_tokens >= 16 ORDER BY doc_id, win_id"),
+    "q_sparse_sim" ->
+      ("WITH tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM " +
+        "(SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok FROM documents) " +
+        "GROUP BY doc_id, tok), " +
+        "dfc AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok), " +
+        "nd AS (SELECT COUNT(*) AS n_docs FROM documents), " +
+        "w AS (SELECT doc_id, tok, tf * ln((n_docs + 1.0) / (df + 1.0)) AS w " +
+        "FROM tf JOIN dfc USING (tok) CROSS JOIN nd), " +
+        "r AS (SELECT doc_id, tok, w, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY CAST(round(CAST(w AS DECIMAL(20,8)), 4) AS DOUBLE) DESC, tok) AS rn FROM w), " +
+        "top AS (SELECT doc_id, tok, w FROM r WHERE rn <= 10), " +
+        "nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM top GROUP BY doc_id), " +
+        "p AS (SELECT a.doc_id AS da, b.doc_id AS db, SUM(a.w * b.w) AS dot " +
+        "FROM top a JOIN top b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT da, db, CAST(round(CAST(dot / (x.nrm * y.nrm) AS DECIMAL(20,8)), 4) AS DOUBLE) AS sim " +
+        "FROM p JOIN nrm x ON p.da = x.doc_id JOIN nrm y ON p.db = y.doc_id " +
+        "WHERE CAST(round(CAST(dot / (x.nrm * y.nrm) AS DECIMAL(20,8)), 4) AS DOUBLE) >= 0.5 " +
+        "ORDER BY sim DESC, da, db LIMIT 50"),
   )
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.TextFunctions.tokensLower
 import graft.functions.VectorFunctions._
 
 /** Similarity search over the `embeddings` table (north-star ★).
@@ -165,6 +166,53 @@ object SimilarityOps {
         stableRound4(min(col("x"))).as("min_x"),
         stableRound4(max(col("x"))).as("max_x"))
       .orderBy(col("dim"))
+  }
+
+  /** Sparse TF-IDF cosine similarity via an INVERTED-INDEX join — the
+    * text-side complement of the dense embedding paths: each document is
+    * reduced to its `topTerms` highest-TF-IDF terms (its sparse signature),
+    * candidate pairs come from an equality join on shared terms, and cosine
+    * is computed over the signatures. Signature truncation is what bounds
+    * the join: high-IDF terms are rare by construction, so postings lists
+    * stay short and the pair fan-out is ≈ docs × topTerms², never docs².
+    * Term ranking and the membership threshold both use ROUNDED weights so
+    * the signature (and thus the row set) is reproducible across engines.
+    *
+    * Scale shape: two partial-aggregated count hops (tf, df), a per-doc
+    * WindowGroupLimit for the signature, one equality join on term, one
+    * pair aggregation — the standard sparse-similarity-join plan at any
+    * corpus size. */
+  def sparseSimPairs(spark: SparkSession, dir: String, topTerms: Int = 10,
+      simThreshold: Double = 0.5, k: Int = 50): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    import org.apache.spark.sql.expressions.Window
+    val tf = graft.operators.Materialize(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(tokensLower(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
+    val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val w = tf.join(broadcast(dfc), Seq("tok")).crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("tok"),
+        (col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0))).as("w"))
+    val rn = row_number().over(Window.partitionBy(col("doc_id"))
+      .orderBy(stableRound4(col("w")).desc, col("tok")))
+    val top = graft.operators.Materialize(
+      w.withColumn("rn", rn).filter(col("rn") <= topTerms)
+        .select(col("doc_id"), col("tok"), col("w")))
+    val nrm = top.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    top.as("a").join(top.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+      .join(nrm.select(col("doc_id").as("da"), col("nrm").as("na")), Seq("da"))
+      .join(nrm.select(col("doc_id").as("db"), col("nrm").as("nb")), Seq("db"))
+      .select(col("da"), col("db"),
+        stableRound4(col("dot") / (col("na") * col("nb"))).as("sim"))
+      .filter(col("sim") >= simThreshold)
+      .orderBy(col("sim").desc, col("da"), col("db"))
+      .limit(k)
   }
 
   /** Class-balance report over the labeled embeddings: per-label counts,

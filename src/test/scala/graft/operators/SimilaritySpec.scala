@@ -133,4 +133,30 @@ class SimilaritySpec extends SparkTestBase {
       assert(qNorm == levels.map(l => l * l).sum, s"vec $id q_norm")
     }
   }
+
+  test("sparseSimPairs: sims in (0,1]; identical docs score 1; self-pairs absent") {
+    val rows = SimilarityOps.sparseSimPairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.5 && r.getDouble(2) <= 1.0 + 1e-9)
+    }
+    // ordering: non-increasing similarity
+    val sims = rows.map(_.getDouble(2))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    // planted identical documents share identical signatures -> sim 1.0
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("sparsesim").toString
+    Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "totally different words here now"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$tmp/documents.parquet")
+    val planted = SimilarityOps.sparseSimPairs(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(planted((1L, 2L)) - 1.0) < 1e-9)
+    assert(!planted.contains((1L, 3L)) && !planted.contains((2L, 3L)))
+  }
 }
