@@ -162,6 +162,8 @@ object SparkEntry {
     "q_quality_logistic" -> (TextOps.qualityLogistic _),
     "q_chunk_stride"   -> ((s, d) => CorpusOps.chunkDocsStrided(s, d)),
     "q_sparse_sim"     -> ((s, d) => SimilarityOps.sparseSimPairs(s, d)),
+    "q_event_paths"    -> ((s, d) => EventOps.eventPaths(s, d)),
+    "q_zipf"           -> ((s, d) => CorpusOps.zipfFit(s, d)),
     // rows-only: BPE training is sequential in merge rank (no SQL oracle);
     // CorpusOpsSpec pins the merges to hand-computed ground truth
     "q_bpe_vocab"      -> ((s, d) => CorpusOps.bpeVocab(s, d)),
@@ -1176,5 +1178,22 @@ object SparkEntry {
         "FROM p JOIN nrm x ON p.da = x.doc_id JOIN nrm y ON p.db = y.doc_id " +
         "WHERE CAST(round(CAST(dot / (x.nrm * y.nrm) AS DECIMAL(20,8)), 4) AS DOUBLE) >= 0.5 " +
         "ORDER BY sim DESC, da, db LIMIT 50"),
+    "q_event_paths" ->
+      ("WITH s AS (SELECT user_id, " +
+        "list(event_type ORDER BY epoch_us(ts), event_id) AS evs FROM events GROUP BY user_id), " +
+        "p AS (SELECT array_to_string(list_slice(evs, 1, 5), '>') AS path FROM s) " +
+        "SELECT path, COUNT(*) AS n_users FROM p GROUP BY path " +
+        "ORDER BY n_users DESC, path LIMIT 20"),
+    "q_zipf" ->
+      ("WITH v AS (SELECT tok, COUNT(*) AS n FROM " +
+        "(SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok FROM documents) " +
+        "GROUP BY tok ORDER BY n DESC, tok LIMIT 1000), " +
+        "r AS (SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, tok) AS DOUBLE)) AS lr, " +
+        "ln(CAST(n AS DOUBLE)) AS lf FROM v) " +
+        "SELECT COUNT(*) AS n_tokens, " +
+        "CAST(round(CAST(regr_slope(lf, lr) AS DECIMAL(20,8)), 4) AS DOUBLE) AS slope, " +
+        "CAST(round(CAST(regr_intercept(lf, lr) AS DECIMAL(20,8)), 4) AS DOUBLE) AS intercept, " +
+        "CAST(round(CAST(regr_r2(lf, lr) AS DECIMAL(20,8)), 4) AS DOUBLE) AS r2 " +
+        "FROM r"),
   )
 }

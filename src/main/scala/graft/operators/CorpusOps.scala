@@ -77,6 +77,34 @@ object CorpusOps {
       .orderBy(col("doc_id"), col("win_id"))
   }
 
+  /** Zipf's-law fit over the vocabulary: OLS slope/intercept/R² of
+    * ln(freq) against ln(rank) for the top-`topK` tokens — the
+    * corpus-statistics diagnostic (natural language sits near slope −1;
+    * strong deviation flags synthetic, templated, or scrambled text).
+    *
+    * Scale shape: vocabulary rollup (partial-aggregated), TakeOrdered to
+    * the bounded top-K, then ranking + regression over only those K rows —
+    * the single-partition window is bounded by construction, same pattern
+    * as vocabCoverage. */
+  def zipfFit(spark: SparkSession, dir: String, topK: Int = 1000): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    import org.apache.spark.sql.expressions.Window
+    val top = Tables.documents(spark, dir)
+      .select(explode(tokensLower(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(topK)
+    // rank over the K retained rows only (bounded single partition)
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(col("n").desc, col("tok"))))
+      .select(log(col("rank").cast("double")).as("lr"),
+        log(col("n").cast("double")).as("lf"))
+    ranked.agg(
+      count(lit(1)).as("n_tokens"),
+      stableRound4(regr_slope(col("lf"), col("lr"))).as("slope"),
+      stableRound4(regr_intercept(col("lf"), col("lr"))).as("intercept"),
+      stableRound4(regr_r2(col("lf"), col("lr"))).as("r2"))
+  }
+
   /** Deterministic ~10% sample: keep rows whose md5(doc_id) hex prefix is
     * below a fixed threshold. Unlike `df.sample`, the choice is a pure
     * function of the key — reproducible across runs, engines, partitionings,

@@ -358,6 +358,33 @@ object EventOps {
       .orderBy(col("step"))
   }
 
+  /** Path mining: each user's chronological event-type sequence truncated
+    * to its first `pathLen` steps, rolled up to the most common paths —
+    * the "what do users actually do" sequence analysis behind onboarding
+    * and conversion work. The per-user sequence is built with
+    * collect_list(struct) + array_sort, NOT a bare collect_list (whose
+    * order is partition-dependent): sorting by (time, event_id) inside the
+    * row makes the path a pure function of the data.
+    *
+    * Scale shape: one groupBy per user (state bounded by truncating to
+    * `pathLen` AFTER sort — per-user arrays are event-count-bounded, so
+    * extremely active users should be pre-capped upstream at 100 TB), one
+    * partial-aggregated path rollup, TakeOrderedAndProject for the top-k. */
+  def eventPaths(spark: SparkSession, dir: String, pathLen: Int = 5,
+      k: Int = 20): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(
+        unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
+        col("event_type").as("tpe")))).as("evs"))
+      .select(array_join(
+        slice(expr("transform(evs, e -> e.tpe)"), 1, pathLen), ">")
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(k)
+  }
+
   /** Lag-1 autocorrelation of the hourly value series per event type —
     * the time-series diagnostic behind seasonality detection and
     * forecasting-model choice (high lag-1 autocorrelation = smooth series;

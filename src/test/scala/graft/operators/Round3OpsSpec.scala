@@ -428,6 +428,47 @@ class Round3OpsSpec extends SparkTestBase {
     assert(math.abs(rows("3_purchase")._2 - p.toDouble / c) < 1e-3)
   }
 
+  test("eventPaths: top paths recompute from per-user chronological replay") {
+    val out = EventOps.eventPaths(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val paths = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (_, es) =>
+        es.sortBy(e => (e.getLong(1), e.getLong(2))).take(5)
+          .map(_.getString(3)).mkString(">")
+      }
+    val counts = paths.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(out.toSeq == expected)
+  }
+
+  test("zipfFit: slope/intercept/r2 match a hand-rolled OLS on log-log ranks") {
+    val row = CorpusOps.zipfFit(spark, sf).head()
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.tokensLower(col("text")))
+        .as("tok"))
+      .groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .sortBy { case (t, n) => (-n, t) }.take(1000)
+    val pts = vocab.zipWithIndex.map { case ((_, n), i) =>
+      (math.log(i + 1.0), math.log(n.toDouble)) }
+    val (mx, my) = (pts.map(_._1).sum / pts.length, pts.map(_._2).sum / pts.length)
+    val sxy = pts.map { case (x, y) => (x - mx) * (y - my) }.sum
+    val sxx = pts.map { case (x, _) => (x - mx) * (x - mx) }.sum
+    val syy = pts.map { case (_, y) => (y - my) * (y - my) }.sum
+    val slope = sxy / sxx
+    assert(row.getLong(0) == pts.length)
+    assert(math.abs(row.getDouble(1) - slope) < 1e-3)
+    assert(math.abs(row.getDouble(2) - (my - slope * mx)) < 1e-3)
+    assert(math.abs(row.getDouble(3) - sxy * sxy / (sxx * syy)) < 1e-3)
+    // frequencies are rank-sorted, so the fitted slope must be <= 0; the
+    // synthetic near-uniform vocab gives a weak fit (low r2) by design —
+    // exactly the deviation-from-Zipf signal the diagnostic exists to flag
+    assert(row.getDouble(1) <= 0 && row.getDouble(3) >= 0)
+  }
+
   test("labelBalance: shares sum to 1, weighted sample count averages to 1") {
     val rows = SimilarityOps.labelBalance(spark, sf).collect()
     val n = rows.map(_.getLong(1))
