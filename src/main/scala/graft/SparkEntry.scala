@@ -164,6 +164,8 @@ object SparkEntry {
     "q_sparse_sim"     -> ((s, d) => SimilarityOps.sparseSimPairs(s, d)),
     "q_event_paths"    -> ((s, d) => EventOps.eventPaths(s, d)),
     "q_zipf"           -> ((s, d) => CorpusOps.zipfFit(s, d)),
+    "q_weekly_profile" -> (EventOps.weeklyProfile _),
+    "q_js_divergence"  -> ((s, d) => CorpusOps.jsDivergence(s, d)),
     // rows-only: BPE training is sequential in merge rank (no SQL oracle);
     // CorpusOpsSpec pins the merges to hand-computed ground truth
     "q_bpe_vocab"      -> ((s, d) => CorpusOps.bpeVocab(s, d)),
@@ -1195,5 +1197,27 @@ object SparkEntry {
         "CAST(round(CAST(regr_intercept(lf, lr) AS DECIMAL(20,8)), 4) AS DOUBLE) AS intercept, " +
         "CAST(round(CAST(regr_r2(lf, lr) AS DECIMAL(20,8)), 4) AS DOUBLE) AS r2 " +
         "FROM r"),
+    "q_weekly_profile" ->
+      ("WITH c AS (SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow, " +
+        "CAST(hour(ts) AS INTEGER) AS hr, COUNT(*) AS n_events " +
+        "FROM events GROUP BY 1, 2), " +
+        "t AS (SELECT dow, CAST(SUM(n_events) AS DOUBLE) AS day_total FROM c GROUP BY dow) " +
+        "SELECT c.dow, hr, n_events, " +
+        "CAST(round(CAST(n_events / day_total AS DECIMAL(20,8)), 4) AS DOUBLE) AS day_share " +
+        "FROM c JOIN t ON c.dow = t.dow ORDER BY c.dow, hr"),
+    "q_js_divergence" ->
+      ("WITH toks AS (SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok FROM documents), " +
+        "vocab AS (SELECT tok, COUNT(*) AS nc FROM toks GROUP BY tok ORDER BY nc DESC, tok LIMIT 200), " +
+        "ct AS (SELECT CAST(SUM(nc) AS DOUBLE) AS ct FROM vocab), " +
+        "q AS (SELECT tok, nc / ct AS q FROM vocab CROSS JOIN ct), " +
+        "sc AS (SELECT source, t.tok, COUNT(*) AS ns FROM toks t JOIN vocab v ON t.tok = v.tok GROUP BY source, t.tok), " +
+        "st AS (SELECT source, CAST(SUM(ns) AS DOUBLE) AS st FROM sc GROUP BY source), " +
+        "pq AS (SELECT sc.source, sc.tok, ns / st AS p, q FROM sc " +
+        "JOIN st ON sc.source = st.source JOIN q ON sc.tok = q.tok), " +
+        "kl AS (SELECT source, SUM(p * ln(p * 2.0 / (p + q))) AS kl_p, " +
+        "SUM(q * ln(q * 2.0 / (p + q))) AS kl_qp, 1.0 - SUM(q) AS qm FROM pq GROUP BY source) " +
+        "SELECT source, " +
+        "CAST(round(CAST((kl_p + kl_qp + qm * ln(2.0)) / 2.0 AS DECIMAL(20,8)), 4) AS DOUBLE) AS jsd " +
+        "FROM kl ORDER BY source"),
   )
 }

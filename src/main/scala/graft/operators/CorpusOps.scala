@@ -105,6 +105,52 @@ object CorpusOps {
       stableRound4(regr_r2(col("lf"), col("lr"))).as("r2"))
   }
 
+  /** Distribution drift per source: Jensen-Shannon divergence between each
+    * source's token distribution and the corpus distribution, over the
+    * corpus's top-`vocabK` tokens — the slice-drift detector a curator
+    * runs to find sources whose language diverges from the mix (0 =
+    * identical distribution, ln 2 ≈ 0.6931 = disjoint). Smoothing: tokens
+    * absent from a source contribute p = 0 and drop out of that KL term
+    * (0·ln 0 = 0), which is the standard JSD convention — M > 0 wherever
+    * either side is.
+    *
+    * Scale shape: token rollups are partial-aggregated; the top-K vocab is
+    * a TakeOrdered broadcast; per-source JSD aggregates ≤ |sources| × K
+    * joined rows. One corpus scan. */
+  def jsDivergence(spark: SparkSession, dir: String, vocabK: Int = 200)
+      : DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val toks = Materialize(Tables.documents(spark, dir)
+      .select(col("source"), explode(tokensLower(col("text"))).as("tok")))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("nc"))
+      .orderBy(col("nc").desc, col("tok")).limit(vocabK)
+    val corpusTotal = vocab.agg(sum(col("nc")).cast("double").as("ct"))
+    val q = vocab.crossJoin(broadcast(corpusTotal))
+      .select(col("tok"), (col("nc") / col("ct")).as("q"))
+    val srcCounts = toks.join(broadcast(vocab.select(col("tok"))), Seq("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("ns"))
+    val srcTotals = srcCounts.groupBy(col("source"))
+      .agg(sum(col("ns")).cast("double").as("st"))
+    // right join keeps vocab tokens absent from a source out (p=0 terms
+    // vanish); the q-side KL term needs all vocab tokens, so compute both
+    // halves from the joined (p, q) pairs plus the missing-q mass
+    val pq = srcCounts.join(srcTotals, Seq("source"))
+      .select(col("source"), col("tok"), (col("ns") / col("st")).as("p"))
+      .join(broadcast(q), Seq("tok"))
+    val kl = pq.groupBy(col("source")).agg(
+      sum(col("p") * log(col("p") * 2.0 / (col("p") + col("q"))))
+        .as("kl_p"),
+      sum(col("q") * log(col("q") * 2.0 / (col("p") + col("q"))))
+        .as("kl_q_present"),
+      (lit(1.0) - sum(col("q"))).as("q_missing"))
+    // vocab tokens missing from the source: p=0, so the q-side term is
+    // q·ln(2q/q) = q·ln 2 summed over the missing mass
+    kl.select(col("source"),
+      stableRound4((col("kl_p") + col("kl_q_present")
+        + col("q_missing") * math.log(2.0)) / 2.0).as("jsd"))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic ~10% sample: keep rows whose md5(doc_id) hex prefix is
     * below a fixed threshold. Unlike `df.sample`, the choice is a pure
     * function of the key — reproducible across runs, engines, partitionings,

@@ -385,6 +385,26 @@ object EventOps {
       .limit(k)
   }
 
+  /** Weekly seasonality profile: (day-of-week × hour-of-day) event counts
+    * with each cell's share of its day — the heatmap behind load planning
+    * and anomaly baselining. Day numbering follows Spark's `dayofweek`
+    * (1 = Sunday … 7 = Saturday).
+    *
+    * Scale shape: one partial-aggregated groupBy to ≤ 168 cells, then a
+    * 7-row day-total broadcast join; the event log is scanned once. */
+  def weeklyProfile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val cells = Tables.events(spark, dir)
+      .groupBy(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n_events"))
+    val dayTotals = cells.groupBy(col("dow"))
+      .agg(sum(col("n_events")).cast("double").as("day_total"))
+    cells.join(broadcast(dayTotals), Seq("dow"))
+      .select(col("dow"), col("hr"), col("n_events"),
+        stableRound4(col("n_events") / col("day_total")).as("day_share"))
+      .orderBy(col("dow"), col("hr"))
+  }
+
   /** Lag-1 autocorrelation of the hourly value series per event type —
     * the time-series diagnostic behind seasonality detection and
     * forecasting-model choice (high lag-1 autocorrelation = smooth series;

@@ -469,6 +469,41 @@ class Round3OpsSpec extends SparkTestBase {
     assert(row.getDouble(1) <= 0 && row.getDouble(3) >= 0)
   }
 
+  test("weeklyProfile: day shares sum to 1; counts cover all events") {
+    val rows = EventOps.weeklyProfile(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum == Tables.events(spark, sf).count())
+    rows.groupBy(_.getInt(0)).values.foreach { day =>
+      assert(math.abs(day.map(_.getDouble(3)).sum - 1.0) < 1e-2)
+    }
+    rows.foreach { r =>
+      assert(r.getInt(0) >= 1 && r.getInt(0) <= 7)
+      assert(r.getInt(1) >= 0 && r.getInt(1) <= 23)
+    }
+  }
+
+  test("jsDivergence: bounded in [0, ln2/2...]; identical-distribution source ~ small") {
+    val rows = CorpusOps.jsDivergence(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows.nonEmpty)
+    // JSD (natural log) is bounded by ln 2; all sources draw from the same
+    // synthetic vocabulary, so divergence is well inside the bound
+    rows.values.foreach(v => assert(v >= -1e-9 && v <= math.log(2.0) + 1e-9))
+    // a planted verbatim copy of the corpus distribution scores lower than
+    // a disjoint-vocab source
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("jsd").toString
+    val base = (1L to 40L).map(i => (i, "alpha beta gamma delta", "same"))
+    val diff = (41L to 60L).map(i => (i, "zeta eta theta iota", "diff"))
+    (base ++ diff).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$tmp/documents.parquet")
+    val planted = CorpusOps.jsDivergence(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(planted("same") < planted("diff"))
+    assert(planted("diff") > 0.2) // mostly-disjoint vocab diverges strongly
+  }
+
   test("labelBalance: shares sum to 1, weighted sample count averages to 1") {
     val rows = SimilarityOps.labelBalance(spark, sf).collect()
     val n = rows.map(_.getLong(1))
