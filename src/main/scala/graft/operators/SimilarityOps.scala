@@ -168,30 +168,42 @@ object SimilarityOps {
       .orderBy(col("dim"))
   }
 
-  /** Sparse TF-IDF cosine similarity via an INVERTED-INDEX join — the
-    * text-side complement of the dense embedding paths: each document is
-    * reduced to its `topTerms` highest-TF-IDF terms (its sparse signature),
-    * candidate pairs come from an equality join on shared terms, and cosine
-    * is computed over the signatures. Signature truncation is what bounds
-    * the join: high-IDF terms are rare by construction, so postings lists
-    * stay short and the pair fan-out is ≈ docs × topTerms², never docs².
-    * Term ranking and the membership threshold both use ROUNDED weights so
-    * the signature (and thus the row set) is reproducible across engines.
+  /** Sparse TF-IDF cosine similarity via an INVERTED-INDEX join over a
+    * deterministic hash-sample — the text-side complement of the dense
+    * embedding paths: each sampled document is reduced to its `topTerms`
+    * highest-TF-IDF terms (its sparse signature), candidate pairs come
+    * from an equality join on shared terms, and cosine is computed over
+    * the signatures. Term ranking and the membership threshold both use
+    * ROUNDED weights so the signature (and thus the row set) is
+    * reproducible across engines.
     *
-    * Scale shape: two partial-aggregated count hops (tf, df), a per-doc
-    * WindowGroupLimit for the signature, one equality join on term, one
-    * pair aggregation — the standard sparse-similarity-join plan at any
-    * corpus size. */
+    * Why a sample: on a NATURAL vocabulary, high-IDF signature terms are
+    * rare, postings lists stay short, and the join is ≈ docs × topTerms² —
+    * but on a degenerate common-vocabulary corpus (this fixture has 31
+    * distinct tokens, min df = 5% of docs) every postings list is the
+    * whole corpus and the join is inherently docs² (measured: 237 s at the
+    * sf1 gate unsampled). The declared query therefore scores a
+    * deterministic ~3% md5 sample — the audit-report formulation; the
+    * full-corpus near-dup tools remain MinHash/LSH and SimHash, which stay
+    * sub-quadratic by construction. `samplePrefix` widens the sample (or
+    * "ff..." ≈ full corpus) when the vocabulary is known to be natural.
+    *
+    * Scale shape: sample filter rides the scan; two partial-aggregated
+    * count hops (tf, df), a per-doc WindowGroupLimit for the signature,
+    * one equality join on term, one pair aggregation. */
   def sparseSimPairs(spark: SparkSession, dir: String, topTerms: Int = 10,
-      simThreshold: Double = 0.5, k: Int = 50): DataFrame = {
+      simThreshold: Double = 0.5, k: Int = 50,
+      samplePrefix: String = "08"): DataFrame = {
     import graft.functions.NumericFunctions.stableRound4
     import org.apache.spark.sql.expressions.Window
+    val sampled = Tables.documents(spark, dir)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < samplePrefix)
     val tf = graft.operators.Materialize(
-      Tables.documents(spark, dir)
+      sampled
         .select(col("doc_id"), explode(tokensLower(col("text"))).as("tok"))
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
     val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val nd = sampled.agg(count(lit(1)).as("n_docs"))
     val w = tf.join(broadcast(dfc), Seq("tok")).crossJoin(broadcast(nd))
       .select(col("doc_id"), col("tok"),
         (col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0))).as("w"))

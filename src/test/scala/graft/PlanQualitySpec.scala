@@ -341,6 +341,30 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("jaro_winkler"), p) // the native expression, not a UDF
   }
 
+  test("sparseSimPairs: term-equality candidates only; signature window per doc") {
+    val p = plan(SimilarityOps.sparseSimPairs(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // signature selection is a per-doc window, never a global one
+    assert(p.contains("doc_id"), p)
+  }
+
+  test("weeklyProfile / jsDivergence: bounded rollups, broadcast totals, no window") {
+    for (df <- Seq(EventOps.weeklyProfile(spark, sf),
+        CorpusOps.jsDivergence(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("Broadcast"), p)
+      assert(!p.contains("WindowExec") && !p.contains("CartesianProduct"), p)
+      assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    }
+  }
+
+  test("eventPaths: path rollup partial-aggregates into an ordered take") {
+    val p = plan(EventOps.eventPaths(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Cartesian"), p)
+  }
+
   test("sql surface: same query via spark.sql yields same result") {
     GraftSession.openTables(spark, sf)
     val viaSql = GraftSession.sql(spark,

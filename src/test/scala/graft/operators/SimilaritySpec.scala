@@ -154,7 +154,9 @@ class SimilaritySpec extends SparkTestBase {
       .withColumn("lang", lit("en")).withColumn("source", lit("t"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .write.parquet(s"$tmp/documents.parquet")
-    val planted = SimilarityOps.sparseSimPairs(spark, tmp).collect()
+    // samplePrefix "ff" ~= full corpus: the planted ids must all survive
+    val planted = SimilarityOps.sparseSimPairs(spark, tmp, samplePrefix = "ff")
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(math.abs(planted((1L, 2L)) - 1.0) < 1e-9)
     assert(!planted.contains((1L, 3L)) && !planted.contains((2L, 3L)))
