@@ -1161,7 +1161,7 @@ object SparkEntry {
         "CAST(least(64, n_toks - i * 32) AS INTEGER) AS n_tokens, toks FROM e) " +
         "SELECT doc_id, win_id, start, n_tokens, " +
         "md5(array_to_string(list_slice(toks, start + 1, start + 64), ' ')) AS chunk_md5 " +
-        "FROM w WHERE n_tokens >= 16 ORDER BY doc_id, win_id"),
+        "FROM w WHERE n_tokens >= 16 OR win_id = 0 ORDER BY doc_id, win_id"),
     // scores a deterministic ~3% md5 sample: on this common-vocabulary
     // fixture every postings list is the whole corpus, so the unsampled
     // inverted-index join is inherently docs^2 (see SimilarityOps scaladoc)

@@ -51,7 +51,9 @@ object CorpusOps {
     * continuity across chunk boundaries: windows of `window` tokens start
     * every `stride` tokens (stride < window ⇒ overlap = window − stride),
     * and a ragged tail shorter than `minTail` is dropped (it is fully
-    * contained in the previous window's overlap).
+    * contained in the previous window's overlap). Window 0 is always kept
+    * so a document shorter than `minTail` still yields its one chunk
+    * instead of silently vanishing from the corpus.
     *
     * Scale shape: same as chunkDocs — one narrow explode over a generated
     * chunk-index sequence, slice + hash per window, no shuffle before the
@@ -69,7 +71,7 @@ object CorpusOps {
       .withColumn("start", col("win_id") * stride)
       .withColumn("n_tokens",
         least(lit(window), col("n_toks") - col("start")))
-      .filter(col("n_tokens") >= minTail)
+      .filter(col("n_tokens") >= minTail || col("win_id") === 0)
       .select(col("doc_id"), col("win_id"), col("start"), col("n_tokens"),
         md5(array_join(
           slice(col("toks"), col("start") + 1, lit(window)), " "))
