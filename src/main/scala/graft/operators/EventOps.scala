@@ -366,20 +366,26 @@ object EventOps {
     * order is partition-dependent): sorting by (time, event_id) inside the
     * row makes the path a pure function of the data.
     *
-    * Scale shape: one groupBy per user (state bounded by truncating to
-    * `pathLen` AFTER sort — per-user arrays are event-count-bounded, so
-    * extremely active users should be pre-capped upstream at 100 TB), one
-    * partial-aggregated path rollup, TakeOrderedAndProject for the top-k. */
+    * Scale shape: a rank-filter pre-cap keeps only each user's first
+    * `pathLen` events BEFORE the collect — Spark plans it as
+    * WindowGroupLimit (bounded per-group heaps inside each task, no full
+    * sort), so per-user state is `pathLen` structs however active the
+    * user. Then one partial-aggregated path rollup and a
+    * TakeOrderedAndProject for the top-k. */
   def eventPaths(spark: SparkSession, dir: String, pathLen: Int = 5,
       k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
     Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= pathLen)
       .groupBy(col("user_id"))
       .agg(array_sort(collect_list(struct(
-        unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
+        col("us"), col("event_id").as("eid"),
         col("event_type").as("tpe")))).as("evs"))
-      .select(array_join(
-        slice(expr("transform(evs, e -> e.tpe)"), 1, pathLen), ">")
-        .as("path"))
+      .select(array_join(expr("transform(evs, e -> e.tpe)"), ">").as("path"))
       .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
       .orderBy(col("n_users").desc, col("path"))
       .limit(k)

@@ -359,9 +359,10 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
-  test("eventPaths: path rollup partial-aggregates into an ordered take") {
+  test("eventPaths: WindowGroupLimit pre-cap bounds per-user state") {
     val p = plan(EventOps.eventPaths(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("WindowGroupLimit"), p)
     assert(!p.contains("Cartesian"), p)
   }
 
