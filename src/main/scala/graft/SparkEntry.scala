@@ -166,6 +166,7 @@ object SparkEntry {
     "q_zipf"           -> ((s, d) => CorpusOps.zipfFit(s, d)),
     "q_weekly_profile" -> (EventOps.weeklyProfile _),
     "q_js_divergence"  -> ((s, d) => CorpusOps.jsDivergence(s, d)),
+    "q_markov"         -> (EventOps.transitionMatrix _),
     // rows-only: BPE training is sequential in merge rank (no SQL oracle);
     // CorpusOpsSpec pins the merges to hand-computed ground truth
     "q_bpe_vocab"      -> ((s, d) => CorpusOps.bpeVocab(s, d)),
@@ -1223,5 +1224,14 @@ object SparkEntry {
         "SELECT source, " +
         "CAST(round(CAST((kl_p + kl_qp + qm * ln(2.0)) / 2.0 AS DECIMAL(20,8)), 4) AS DOUBLE) AS jsd " +
         "FROM kl ORDER BY source"),
+    "q_markov" ->
+      ("WITH s AS (SELECT user_id, event_type AS cur, " +
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next " +
+        "FROM events), " +
+        "t AS (SELECT cur, next, COUNT(*) AS n FROM s WHERE next IS NOT NULL GROUP BY cur, next), " +
+        "tot AS (SELECT cur, CAST(SUM(n) AS DOUBLE) AS total FROM t GROUP BY cur) " +
+        "SELECT t.cur, next, n, " +
+        "CAST(round(CAST(n / total AS DECIMAL(20,8)), 4) AS DOUBLE) AS p " +
+        "FROM t JOIN tot ON t.cur = tot.cur ORDER BY t.cur, next"),
   )
 }

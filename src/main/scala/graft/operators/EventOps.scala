@@ -391,6 +391,34 @@ object EventOps {
       .limit(k)
   }
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * P(next = b | current = a) with transition counts — the behavioral
+    * model behind next-action prediction and funnel leak analysis
+    * (complements [[eventPaths]]: paths show whole journeys, transitions
+    * show the local dynamics).
+    *
+    * Scale shape: one hash partition + per-partition sort per user for the
+    * lead() (the same (user, time) window every sequence op here shares),
+    * then a partial-aggregated rollup to ≤ |types|² cells and a broadcast
+    * of per-state totals. */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        col("event_type").as("cur"), unix_micros(col("ts")).as("us"))
+      .withColumn("next", lead(col("cur"), 1).over(w))
+      .filter(col("next").isNotNull)
+      .groupBy(col("cur"), col("next")).agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("cur"))
+      .agg(sum(col("n")).cast("double").as("total"))
+    trans.join(broadcast(totals), Seq("cur"))
+      .select(col("cur"), col("next"), col("n"),
+        stableRound4(col("n") / col("total")).as("p"))
+      .orderBy(col("cur"), col("next"))
+  }
+
   /** Weekly seasonality profile: (day-of-week × hour-of-day) event counts
     * with each cell's share of its day — the heatmap behind load planning
     * and anomaly baselining. Day numbering follows Spark's `dayofweek`

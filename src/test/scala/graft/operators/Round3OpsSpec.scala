@@ -504,6 +504,27 @@ class Round3OpsSpec extends SparkTestBase {
     assert(planted("diff") > 0.2) // mostly-disjoint vocab diverges strongly
   }
 
+  test("transitionMatrix: rows are probability distributions; counts replay") {
+    val rows = EventOps.transitionMatrix(spark, sf).collect()
+    // each current-state row sums to probability ~1
+    rows.groupBy(_.getString(0)).values.foreach { rs =>
+      assert(math.abs(rs.map(_.getDouble(3)).sum - 1.0) < 1e-2)
+    }
+    // counts recompute from a per-user chronological replay
+    val replay = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect().groupBy(_.getLong(0))
+      .values.flatMap { es =>
+        val seq = es.sortBy(e => (e.getLong(1), e.getLong(2)))
+          .map(_.getString(3))
+        seq.zip(seq.tail)
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == replay)
+  }
+
   test("labelBalance: shares sum to 1, weighted sample count averages to 1") {
     val rows = SimilarityOps.labelBalance(spark, sf).collect()
     val n = rows.map(_.getLong(1))
