@@ -167,6 +167,7 @@ object SparkEntry {
     "q_weekly_profile" -> (EventOps.weeklyProfile _),
     "q_js_divergence"  -> ((s, d) => CorpusOps.jsDivergence(s, d)),
     "q_markov"         -> (EventOps.transitionMatrix _),
+    "q_changepoint"    -> (EventOps.changepoint _),
     // rows-only: BPE training is sequential in merge rank (no SQL oracle);
     // CorpusOpsSpec pins the merges to hand-computed ground truth
     "q_bpe_vocab"      -> ((s, d) => CorpusOps.bpeVocab(s, d)),
@@ -1233,5 +1234,22 @@ object SparkEntry {
         "SELECT t.cur, next, n, " +
         "CAST(round(CAST(n / total AS DECIMAL(20,8)), 4) AS DOUBLE) AS p " +
         "FROM t JOIN tot ON t.cur = tot.cur ORDER BY t.cur, next"),
+    "q_changepoint" ->
+      ("WITH h AS (SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr, " +
+        "SUM(value) AS v FROM events GROUP BY 1, 2), " +
+        "c AS (SELECT event_type, hr, row_number() OVER w AS i, " +
+        "SUM(v) OVER (PARTITION BY event_type ORDER BY hr " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s " +
+        "FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr)), " +
+        "t AS (SELECT event_type, SUM(v) AS st, COUNT(*) AS hn FROM h GROUP BY 1), " +
+        "sc AS (SELECT c.event_type, hr, i, hn, s / i AS ml, (st - s) / (hn - i) AS mr, " +
+        "CAST(round(CAST(abs(s / i - (st - s) / (hn - i)) AS DECIMAL(20,8)), 4) AS DOUBLE) AS gap " +
+        "FROM c JOIN t ON c.event_type = t.event_type WHERE i < hn), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY gap DESC, hr) AS rk FROM sc) " +
+        "SELECT event_type, hr AS split_hr, CAST(i AS BIGINT) AS n_left, " +
+        "CAST(hn - i AS BIGINT) AS n_right, " +
+        "CAST(round(CAST(ml AS DECIMAL(20,8)), 4) AS DOUBLE) AS mean_left, " +
+        "CAST(round(CAST(mr AS DECIMAL(20,8)), 4) AS DOUBLE) AS mean_right, gap " +
+        "FROM r WHERE rk = 1 ORDER BY event_type"),
   )
 }

@@ -391,6 +391,49 @@ object EventOps {
       .limit(k)
   }
 
+  /** Single changepoint detection per event type: the hour boundary that
+    * maximizes |mean-before − mean-after| of the hourly value series — the
+    * level-shift detector behind incident timelines and drift alarms,
+    * computed in closed form from prefix sums (no per-split rescan: the
+    * cumulative sum makes every candidate split O(1)). The argmax ranks
+    * the ROUNDED gap (ties broken by hour) so the chosen split is
+    * engine-reproducible.
+    *
+    * Scale shape: the window and ranking run over the POST-AGGREGATION
+    * hourly series (bounded by the time axis), partitioned by type; the
+    * rank-1 filter plans as WindowGroupLimit. One event-log scan. */
+  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(sum(col("value")).as("v"))
+    val wSeq = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val cum = hourly
+      .withColumn("i", row_number().over(wSeq))
+      .withColumn("s", sum(col("v")).over(
+        wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = hourly.groupBy(col("event_type"))
+      .agg(sum(col("v")).as("st"), count(lit(1)).as("h"))
+    val scored = cum.join(broadcast(totals), Seq("event_type"))
+      .filter(col("i") < col("h")) // a split needs a non-empty right side
+      .withColumn("mean_left", col("s") / col("i"))
+      .withColumn("mean_right",
+        (col("st") - col("s")) / (col("h") - col("i")))
+      .withColumn("gap",
+        stableRound4(abs(col("mean_left") - col("mean_right"))))
+    val best = Window.partitionBy(col("event_type"))
+      .orderBy(col("gap").desc, col("hr"))
+    scored.withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("hr").as("split_hr"),
+        col("i").cast("long").as("n_left"),
+        (col("h") - col("i")).as("n_right"),
+        stableRound4(col("mean_left")).as("mean_left"),
+        stableRound4(col("mean_right")).as("mean_right"),
+        col("gap"))
+      .orderBy(col("event_type"))
+  }
+
   /** First-order Markov transition matrix over per-user event sequences:
     * P(next = b | current = a) with transition counts — the behavioral
     * model behind next-action prediction and funnel leak analysis

@@ -525,6 +525,29 @@ class Round3OpsSpec extends SparkTestBase {
     assert(got == replay)
   }
 
+  test("changepoint: argmax split recomputes from a brute-force scan") {
+    val out = EventOps.changepoint(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getTimestamp(1), r.getLong(2), r.getDouble(6))).toMap
+    val hourly = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(sum(col("value")).as("v"))
+      .collect().groupBy(_.getString(0))
+    hourly.foreach { case (tpe, rs) =>
+      val v = rs.sortBy(_.getTimestamp(1).getTime).map(_.getDouble(2))
+      val best = (1 until v.length).map { i =>
+        val ml = v.take(i).sum / i
+        val mr = v.drop(i).sum / (v.length - i)
+        // mirror the operator: rank the ROUNDED gap, tie-break by hour
+        (i, BigDecimal(math.abs(ml - mr)).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.minBy { case (i, g) => (-g, i) }
+      val (_, nLeft, gap) = out(tpe)
+      assert(nLeft == best._1, s"$tpe: split ${nLeft} vs ${best._1}")
+      assert(math.abs(gap - best._2) < 1e-3, tpe)
+    }
+  }
+
   test("labelBalance: shares sum to 1, weighted sample count averages to 1") {
     val rows = SimilarityOps.labelBalance(spark, sf).collect()
     val n = rows.map(_.getLong(1))
