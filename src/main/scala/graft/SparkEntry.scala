@@ -168,6 +168,11 @@ object SparkEntry {
     "q_js_divergence"  -> ((s, d) => CorpusOps.jsDivergence(s, d)),
     "q_markov"         -> (EventOps.transitionMatrix _),
     "q_changepoint"    -> (EventOps.changepoint _),
+    "q_bm25"           -> ((s, d) => RetrievalOps.bm25TopK(s, d)),
+    "q_rrf"            -> ((s, d) => RetrievalOps.rrfFusion(s, d)),
+    "q_gopher_rules"   -> (TextOps.gopherRules _),
+    "q_readability"    -> (TextOps.readability _),
+    "q_ema"            -> ((s, d) => EventOps.emaValue(s, d)),
     // rows-only: BPE training is sequential in merge rank (no SQL oracle);
     // CorpusOpsSpec pins the merges to hand-computed ground truth
     "q_bpe_vocab"      -> ((s, d) => CorpusOps.bpeVocab(s, d)),
@@ -1251,5 +1256,96 @@ object SparkEntry {
         "CAST(round(CAST(ml AS DECIMAL(20,8)), 4) AS DOUBLE) AS mean_left, " +
         "CAST(round(CAST(mr AS DECIMAL(20,8)), 4) AS DOUBLE) AS mean_right, gap " +
         "FROM r WHERE rk = 1 ORDER BY event_type"),
+    // BM25 oracle mirrors the Spark float expression term by term: same
+    // literals (1.2 + 1.0, 0.25, 0.75), same left-assoc addition order
+    "q_bm25" ->
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(toks)) AS avgdl, " +
+        "CAST(SUM(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df_join, " +
+        "CAST(SUM(CASE WHEN list_contains(toks, 'hash') THEN 1 ELSE 0 END) AS DOUBLE) AS df_hash, " +
+        "CAST(SUM(CASE WHEN list_contains(toks, 'scan') THEN 1 ELSE 0 END) AS DOUBLE) AS df_scan FROM t), " +
+        "d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, " +
+        "CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf_join, " +
+        "CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tf_hash, " +
+        "CAST(len(list_filter(toks, x -> x = 'scan')) AS DOUBLE) AS tf_scan FROM t) " +
+        "SELECT doc_id, CAST(round(CAST(" +
+        "(ln((n_docs - df_join + 0.5) / (df_join + 0.5) + 1.0) * (tf_join * (1.2 + 1.0))) / (tf_join + 1.2 * (0.25 + 0.75 * dl / avgdl)) " +
+        "+ (ln((n_docs - df_hash + 0.5) / (df_hash + 0.5) + 1.0) * (tf_hash * (1.2 + 1.0))) / (tf_hash + 1.2 * (0.25 + 0.75 * dl / avgdl)) " +
+        "+ (ln((n_docs - df_scan + 0.5) / (df_scan + 0.5) + 1.0) * (tf_scan * (1.2 + 1.0))) / (tf_scan + 1.2 * (0.25 + 0.75 * dl / avgdl)) " +
+        "AS DECIMAL(20,8)), 4) AS DOUBLE) AS bm25 " +
+        "FROM d CROSS JOIN s WHERE (tf_join + tf_hash + tf_scan) > 0.0 " +
+        "ORDER BY bm25 DESC, doc_id LIMIT 20"),
+    "q_rrf" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e), " +
+        "q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = 0), " +
+        "p AS (SELECT c.vec_id AS id, " +
+        "round(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * c.v[i])) / (qn * c.nrm), 4) AS sim " +
+        "FROM n c CROSS JOIN q WHERE c.vec_id <> 0), " +
+        "dtop AS (SELECT id, sim FROM p ORDER BY sim DESC, id LIMIT 50), " +
+        "dr AS (SELECT id, CAST(row_number() OVER (ORDER BY sim DESC, id) AS INTEGER) AS rd FROM dtop), " +
+        "t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(toks)) AS avgdl, " +
+        "CAST(SUM(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df_join, " +
+        "CAST(SUM(CASE WHEN list_contains(toks, 'hash') THEN 1 ELSE 0 END) AS DOUBLE) AS df_hash, " +
+        "CAST(SUM(CASE WHEN list_contains(toks, 'scan') THEN 1 ELSE 0 END) AS DOUBLE) AS df_scan FROM t), " +
+        "d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, " +
+        "CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf_join, " +
+        "CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tf_hash, " +
+        "CAST(len(list_filter(toks, x -> x = 'scan')) AS DOUBLE) AS tf_scan FROM t), " +
+        "sc AS (SELECT doc_id, CAST(round(CAST(" +
+        "(ln((n_docs - df_join + 0.5) / (df_join + 0.5) + 1.0) * (tf_join * (1.2 + 1.0))) / (tf_join + 1.2 * (0.25 + 0.75 * dl / avgdl)) " +
+        "+ (ln((n_docs - df_hash + 0.5) / (df_hash + 0.5) + 1.0) * (tf_hash * (1.2 + 1.0))) / (tf_hash + 1.2 * (0.25 + 0.75 * dl / avgdl)) " +
+        "+ (ln((n_docs - df_scan + 0.5) / (df_scan + 0.5) + 1.0) * (tf_scan * (1.2 + 1.0))) / (tf_scan + 1.2 * (0.25 + 0.75 * dl / avgdl)) " +
+        "AS DECIMAL(20,8)), 4) AS DOUBLE) AS bm25 " +
+        "FROM d CROSS JOIN s WHERE (tf_join + tf_hash + tf_scan) > 0.0), " +
+        "stp AS (SELECT doc_id AS id, bm25 FROM sc ORDER BY bm25 DESC, id LIMIT 50), " +
+        "sr AS (SELECT id, CAST(row_number() OVER (ORDER BY bm25 DESC, id) AS INTEGER) AS rs FROM stp) " +
+        "SELECT coalesce(dr.id, sr.id) AS id, coalesce(rd, 0) AS rank_dense, " +
+        "coalesce(rs, 0) AS rank_sparse, " +
+        "CAST(round(CAST(coalesce(1.0 / (rd + 60), 0.0) + coalesce(1.0 / (rs + 60), 0.0) " +
+        "AS DECIMAL(20,8)), 6) AS DOUBLE) AS rrf " +
+        "FROM dr FULL OUTER JOIN sr ON dr.id = sr.id " +
+        "ORDER BY rrf DESC, id LIMIT 20"),
+    "q_gopher_rules" ->
+      ("WITH t AS (SELECT source, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks, " +
+        "CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS n_chars FROM documents), " +
+        "f AS (SELECT source, len(toks) AS n_words, n_chars / len(toks) AS mwl, " +
+        "len(list_filter(toks, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and')) AS sw_n, " +
+        "CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(toks) AS alpha_frac FROM t), " +
+        "fl AS (SELECT source, (n_words BETWEEN 20 AND 100000) AS p_wc, " +
+        "(mwl BETWEEN 3.0 AND 10.0) AS p_mwl, (sw_n >= 2) AS p_stop, " +
+        "(alpha_frac >= 0.8) AS p_alpha FROM f) " +
+        "SELECT source, COUNT(*) AS n_docs, " +
+        "CAST(SUM(CASE WHEN p_wc THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_wc, " +
+        "CAST(SUM(CASE WHEN p_mwl THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_mwl, " +
+        "CAST(SUM(CASE WHEN p_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_stop, " +
+        "CAST(SUM(CASE WHEN p_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_alpha, " +
+        "CAST(SUM(CASE WHEN p_wc AND p_mwl AND p_stop AND p_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all, " +
+        "CAST(round(CAST(CAST(SUM(CASE WHEN p_wc AND p_mwl AND p_stop AND p_alpha THEN 1 ELSE 0 END) AS DOUBLE) " +
+        "/ COUNT(*) AS DECIMAL(20,8)), 4) AS DOUBLE) AS pass_rate " +
+        "FROM fl GROUP BY source ORDER BY source"),
+    "q_readability" ->
+      ("WITH d AS (SELECT source, " +
+        "CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS DOUBLE) AS w, " +
+        "CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS DOUBLE) AS s, " +
+        "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE) AS y FROM documents), " +
+        "f AS (SELECT source, 206.835 - 1.015 * (w / s) - 84.6 * (y / w) AS flesch, " +
+        "y / w AS spw FROM d) " +
+        "SELECT source, COUNT(*) AS n_docs, " +
+        "CAST(round(CAST(avg(flesch) AS DECIMAL(20,8)), 4) AS DOUBLE) AS avg_flesch, " +
+        "CAST(round(CAST(avg(spw) AS DECIMAL(20,8)), 4) AS DOUBLE) AS avg_syll_per_word " +
+        "FROM f GROUP BY source ORDER BY source"),
+    // identical fold shape on both sides: seed = oldest value, then
+    // acc * 0.7 + x * 0.3 in (ts, event_id) order over the last-50 window
+    "q_ema" ->
+      ("WITH r AS (SELECT user_id, event_id, value, epoch_us(ts) AS us, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events), " +
+        "s AS (SELECT user_id, list(value ORDER BY us, event_id) AS vals " +
+        "FROM r WHERE rn <= 50 GROUP BY user_id) " +
+        "SELECT user_id, CAST(len(vals) AS INTEGER) AS n_events, " +
+        "CAST(round(CAST(list_reduce(vals, (acc, x) -> acc * 0.7 + x * 0.3) " +
+        "AS DECIMAL(20,8)), 4) AS DOUBLE) AS ema " +
+        "FROM s ORDER BY user_id"),
   )
 }

@@ -505,4 +505,44 @@ object EventOps {
         stableRound4(corr(col("v"), col("v_prev"))).as("lag1_autocorr"))
       .orderBy(col("event_type"))
   }
+
+  /** Exponential moving average of each user's event values (α = 0.3) —
+    * the classic smoothed-metric feature (per-entity engagement level,
+    * spend trend) a feature store materializes from an event log.
+    *
+    * State is BOUNDED: only the most recent `cap` events per user
+    * contribute (a deliberate EMA property — weights below α(1−α)^50 are
+    * ≈ 5e-9 and numerically irrelevant), and the recency cut plans as
+    * WindowGroupLimit (per-partition top-`cap` pre-filter before the
+    * shuffle), so per-user state is O(cap) regardless of history length.
+    * The fold itself is a narrow `aggregate` lambda over each user's
+    * ≤`cap`-element array, seeded with the OLDEST value and folded in
+    * fixed (ts, event_id) order so the float operation sequence is
+    * engine-reproducible. */
+  def emaValue(spark: SparkSession, dir: String, cap: Int = 50): DataFrame =
+    emaValueDf(Tables.events(spark, dir), cap)
+
+  private[operators] def emaValueDf(events: DataFrame,
+      cap: Int = 50): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    events
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(
+        col("us"), col("event_id").as("eid"), col("value").as("v"))))
+        .as("evs"))
+      .select(col("user_id"),
+        size(col("evs")).as("n_events"),
+        expr("transform(evs, e -> e.v)").as("vals"))
+      .select(col("user_id"), col("n_events"),
+        stableRound4(expr(
+          "aggregate(slice(vals, 2, size(vals)), vals[0], " +
+            "(acc, x) -> acc * 0.7 + x * 0.3)")).as("ema"))
+      .orderBy(col("user_id"))
+  }
 }

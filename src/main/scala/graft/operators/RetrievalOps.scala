@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions.tokensLower
+import graft.functions.NumericFunctions.stableRound4
+import graft.functions.VectorFunctions._
+
+/** Keyword and hybrid retrieval over the corpus — the query-side primitives
+  * a training-data pipeline uses to mine a corpus for topical documents
+  * (seed expansion, targeted-domain upsampling, eval-set mining).
+  *
+  * BM25 follows Robertson & Zaragoza (2009), "The Probabilistic Relevance
+  * Framework: BM25 and Beyond"; reciprocal-rank fusion follows Cormack,
+  * Clarke & Buettcher (SIGIR 2009).
+  *
+  * Scale shape: the query term set is tiny and FIXED, so per-document term
+  * frequencies are narrow `size(filter(tokens))` maps — no explode, no
+  * (doc, token) shuffle at all. Corpus statistics (N, avgdl, per-term df)
+  * collapse into ONE scalar aggregate row that is broadcast back onto the
+  * scan; scoring is then a pure per-row expression and the top-k is a
+  * TakeOrderedAndProject. Total cost at 100 TB: one corpus scan + one
+  * 1-row broadcast — the same plan a search engine's impact-ordered scan
+  * would hand-build.
+  */
+object RetrievalOps {
+
+  /** BM25 parameters (the Robertson defaults). */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Fixed keyword query used by the declared queries. */
+  val QueryTerms = Seq("join", "hash", "scan")
+
+  /** RRF rank-constant (the value used in the original SIGIR'09 paper). */
+  val RrfK = 60
+
+  /** Per-term tf as a narrow array expression — no explode. */
+  private def tf(toks: Column, term: String): Column =
+    size(filter(toks, t => t === term)).cast("double")
+
+  /** Per-document BM25 scores for `terms` (unordered; internal).
+    * Columns: doc_id, bm25 (4-decimal stable-rounded). The score is a
+    * chained sum in fixed term order so the oracle reproduces the float
+    * addition order exactly. */
+  def bm25Scores(spark: SparkSession, dir: String,
+      terms: Seq[String] = QueryTerms): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokensLower(col("text")).as("toks"))
+    // one scalar aggregate: corpus size, average doc length, per-term df
+    val statCols = Seq(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(size(col("toks"))).as("avgdl")) ++
+      terms.map(t => sum(when(array_contains(col("toks"), t), 1L)
+        .otherwise(0L)).cast("double").as(s"df_$t"))
+    val stats = docs.agg(statCols.head, statCols.tail: _*)
+    val scored = docs
+      .select(Seq(col("doc_id"), size(col("toks")).cast("double").as("dl")) ++
+        terms.map(t => tf(col("toks"), t).as(s"tf_$t")): _*)
+      .crossJoin(broadcast(stats))
+    val termScore: String => Column = t => {
+      val idf = log((col("n_docs") - col(s"df_$t") + 0.5) /
+        (col(s"df_$t") + 0.5) + 1.0)
+      val norm = col(s"tf_$t") +
+        lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))
+      idf * (col(s"tf_$t") * (K1 + 1.0)) / norm
+    }
+    scored
+      .filter(terms.map(t => col(s"tf_$t")).reduce(_ + _) > 0.0)
+      .select(col("doc_id"),
+        stableRound4(terms.map(termScore).reduce(_ + _)).as("bm25"))
+  }
+
+  /** Declared query: top-20 documents by BM25 for the fixed keyword query.
+    * Ranking key is the ROUNDED score (ties to doc_id) so the order is
+    * engine-reproducible. */
+  def bm25TopK(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    bm25Scores(spark, dir).orderBy(col("bm25").desc, col("doc_id")).limit(k)
+
+  /** Declared query: hybrid dense+sparse retrieval fused with reciprocal
+    * rank fusion. Dense side: exact cosine ranking of all vectors against
+    * the probe embedding (vec_id 0). Sparse side: BM25 ranking for the
+    * fixed keyword query. Each side is cut to its top-50 with a distributed
+    * TakeOrderedAndProject FIRST; the rank numbering then runs over ≤50
+    * rows (a deliberately tiny single-partition window — same pattern as
+    * vocabCoverage), so no full-table window appears anywhere. The fusion
+    * join is 50×50 rows. RRF score = Σ 1/(60+rank), 6-decimal rounded. */
+  def rrfFusion(spark: SparkSession, dir: String, perList: Int = 50,
+      k: Int = 20): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"), l2Norm(col("embedding")).as("q_nrm"))
+    val dense = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("id"),
+        round(cosine(dotProduct(col("q_emb"), col("embedding")),
+          col("q_nrm"), l2Norm(col("embedding"))), 4).as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(perList)
+      .withColumn("rd", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("sim").desc, col("id"))))
+      .select(col("id"), col("rd"))
+    val sparse = bm25Scores(spark, dir)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(perList)
+      .withColumn("rs", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id").as("id"), col("rs"))
+    dense.join(sparse, Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("rd"), lit(0)).as("rank_dense"),
+        coalesce(col("rs"), lit(0)).as("rank_sparse"),
+        round((coalesce(lit(1.0) / (col("rd") + RrfK), lit(0.0)) +
+          coalesce(lit(1.0) / (col("rs") + RrfK), lit(0.0)))
+          .cast("decimal(20,8)"), 6).cast("double").as("rrf"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(k)
+  }
+}

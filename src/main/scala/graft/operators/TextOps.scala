@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions._
+import graft.functions.NumericFunctions.stableRound4
 
 /** Text-analysis operators over the `documents` table (north-star ★ surface:
   * language-ID, quality scoring, token counting, fingerprinting). Everything
@@ -313,4 +314,74 @@ object TextOps {
         col("doc_id"),
         fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
+
+  /** Gopher-style quality-filter report: the repetition-free subset of the
+    * document heuristics published with Gopher (Rae et al. 2021, §A1.1 —
+    * word-count bounds, mean-word-length bounds, stopword presence,
+    * alphabetic-word fraction), evaluated per document and rolled up to a
+    * per-source pass-rate scorecard. This is the shape of every rule-based
+    * corpus filter: N narrow boolean expressions on one scan, then one
+    * small aggregation — at 100 TB it is scan-bound with a per-source
+    * (tiny-key) shuffle of one row per task. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesDf(Tables.documents(spark, dir))
+
+  private[operators] def gopherRulesDf(docs: DataFrame): DataFrame = {
+    val toks = tokensLower(col("text"))
+    val flags = docs
+      .select(col("source"), toks.as("toks"),
+        length(regexp_replace(col("text"), "\\s", "")).cast("double")
+          .as("n_chars"))
+      .select(col("source"),
+        size(col("toks")).as("n_words"),
+        (col("n_chars") / size(col("toks"))).as("mwl"),
+        tokenMatchCount(col("toks"), EnWords).as("sw_n"),
+        (size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("double")
+          / size(col("toks"))).as("alpha_frac"))
+      .select(col("source"),
+        col("n_words").between(20, 100000).as("p_wc"),
+        col("mwl").between(3.0, 10.0).as("p_mwl"),
+        (col("sw_n") >= 2).as("p_stop"),
+        (col("alpha_frac") >= 0.8).as("p_alpha"))
+    flags
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("p_wc").cast("long")).as("n_pass_wc"),
+        sum(col("p_mwl").cast("long")).as("n_pass_mwl"),
+        sum(col("p_stop").cast("long")).as("n_pass_stop"),
+        sum(col("p_alpha").cast("long")).as("n_pass_alpha"),
+        sum((col("p_wc") && col("p_mwl") && col("p_stop") && col("p_alpha"))
+          .cast("long")).as("n_pass_all"))
+      .withColumn("pass_rate",
+        stableRound4(col("n_pass_all").cast("double") / col("n_docs")))
+      .orderBy(col("source"))
+  }
+
+  /** Flesch reading-ease profile per source: syllables approximated as
+    * vowel-group runs (the standard dictionary-free heuristic), sentences
+    * as terminal-punctuation runs floored at 1. All three counts are
+    * narrow regexp expressions on one scan; the per-source average is one
+    * tiny-key aggregation. */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    readabilityDf(Tables.documents(spark, dir))
+
+  private[operators] def readabilityDf(docs: DataFrame): DataFrame = {
+    val nWords = size(tokensLower(col("text"))).cast("double")
+    val nSents = greatest(lit(1L), regexp_count(col("text"), lit("[.!?]+")))
+      .cast("double")
+    val nSylls = size(regexp_extract_all(lower(col("text")),
+      lit("[aeiouy]+"), lit(0))).cast("double")
+    docs
+      .select(col("source"), nWords.as("w"), nSents.as("s"), nSylls.as("y"))
+      .select(col("source"),
+        (lit(206.835) - lit(1.015) * (col("w") / col("s"))
+          - lit(84.6) * (col("y") / col("w"))).as("flesch"),
+        (col("y") / col("w")).as("spw"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        stableRound4(avg(col("flesch"))).as("avg_flesch"),
+        stableRound4(avg(col("spw"))).as("avg_syll_per_word"))
+      .orderBy(col("source"))
+  }
 }

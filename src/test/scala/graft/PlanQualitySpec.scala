@@ -366,6 +366,40 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("Cartesian"), p)
   }
 
+  test("bm25TopK: no explode, 1-row stats broadcast, ordered take") {
+    val p = plan(RetrievalOps.bm25TopK(spark, sf))
+    // per-term tfs are narrow array expressions — no (doc, token) explode,
+    // no (doc, token) shuffle; corpus stats come back as a broadcast
+    assert(!p.contains("Generate"), p)
+    assert(p.contains("Broadcast"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Cartesian"), p)
+  }
+
+  test("rrfFusion: both rankings cut with ordered takes before the windows") {
+    val p = plan(RetrievalOps.rrfFusion(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the only Window ops run over the ≤50-row post-limit sides
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("Cartesian") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("gopherRules / readability: single scan into a partial aggregate") {
+    Seq(TextOps.gopherRules(spark, sf), TextOps.readability(spark, sf))
+      .foreach { df =>
+        val p = plan(df)
+        assert(p.split("FileScan").length == 2, p) // exactly one scan
+        assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+        assert(!p.contains("WindowExec"), p)
+      }
+  }
+
+  test("emaValue: WindowGroupLimit caps per-user state before the fold") {
+    val p = plan(EventOps.emaValue(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("Cartesian"), p)
+  }
+
   test("sql surface: same query via spark.sql yields same result") {
     GraftSession.openTables(spark, sf)
     val viaSql = GraftSession.sql(spark,

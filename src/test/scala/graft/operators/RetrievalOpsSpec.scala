@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Ground-truth and invariant tests for the retrieval / quality-filter /
+  * smoothing operators added with q_bm25, q_rrf, q_gopher_rules,
+  * q_readability, q_ema. */
+class RetrievalOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bm25TopK on the fixture: scores positive, ordered, capped at k") {
+    val out = RetrievalOps.bm25TopK(spark, sf).collect()
+    assert(out.length <= 20 && out.nonEmpty)
+    val scores = out.map(_.getDouble(1))
+    assert(scores.forall(_ > 0.0))
+    assert(scores.sameElements(scores.sortBy(-_)), "not score-descending")
+  }
+
+  test("bm25 matches hand-computed Robertson scores on a crafted corpus") {
+    // N=4, avgdl=3.5, df(join)=df(hash)=df(scan)=2 -> idf=ln(2) each
+    val docs = Seq(
+      (1L, "join join hash x"), (2L, "scan y z"),
+      (3L, "a b c d"), (4L, "join hash scan"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = RetrievalOps.bm25Scores(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(1L -> 1.5711, 2L -> 0.7362, 4L -> 2.2085), s"got $out")
+  }
+
+  test("rrfFusion: ranks bounded, fused score is exactly the rank formula") {
+    val out = RetrievalOps.rrfFusion(spark, sf).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val (rd, rs) = (r.getInt(1), r.getInt(2))
+      assert(rd >= 0 && rd <= 50 && rs >= 0 && rs <= 50)
+      assert(rd > 0 || rs > 0, "row in neither ranking")
+      // mirror the operator's two-step rounding: decimal(20,8) then 6
+      val expect = BigDecimal(
+        (if (rd > 0) 1.0 / (rd + 60) else 0.0) +
+          (if (rs > 0) 1.0 / (rs + 60) else 0.0))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - expect) < 1e-9,
+        s"rrf mismatch at id ${r.get(0)}: ${r.getDouble(3)} vs $expect")
+    }
+    // descending by fused score
+    val rrfs = out.map(_.getDouble(3))
+    assert(rrfs.sameElements(rrfs.sortBy(-_)))
+  }
+
+  test("gopherRules flags the crafted pass/fail docs correctly") {
+    val longDoc = "the a of and " + Seq.fill(21)("data").mkString(" ")
+    val docs = Seq(
+      (1L, longDoc),                 // passes all four rules
+      (2L, "the of tiny doc here"))  // fails word-count only (5 < 20)
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s1"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val r = TextOps.gopherRulesDf(docs).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[String]("source") == "s1")
+    assert(row.getAs[Long]("n_docs") == 2L)
+    assert(row.getAs[Long]("n_pass_wc") == 1L)
+    assert(row.getAs[Long]("n_pass_mwl") == 2L)
+    assert(row.getAs[Long]("n_pass_stop") == 2L)
+    assert(row.getAs[Long]("n_pass_alpha") == 2L)
+    assert(row.getAs[Long]("n_pass_all") == 1L)
+    assert(row.getAs[Double]("pass_rate") == 0.5)
+  }
+
+  test("readability matches the hand-computed Flesch value") {
+    // 5 words, 2 sentence breaks, 6 vowel-group syllables:
+    // 206.835 - 1.015*(5/2) - 84.6*(6/5) = 102.7775 ; spw = 1.2
+    val docs = Seq((1L, "Hello world. This is fun!"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val row = TextOps.readabilityDf(docs).collect().head
+    assert(row.getAs[Long]("n_docs") == 1L)
+    assert(row.getAs[Double]("avg_flesch") == 102.7775)
+    assert(row.getAs[Double]("avg_syll_per_word") == 1.2)
+  }
+
+  test("emaValue folds oldest-first with alpha 0.3 and honors the cap") {
+    val events = Seq(
+      (1L, 1L, 1.0, "2024-01-01 00:00:00"),
+      (2L, 1L, 2.0, "2024-01-01 01:00:00"),
+      (3L, 1L, 4.0, "2024-01-01 02:00:00"),
+      (4L, 2L, 5.0, "2024-01-01 00:30:00"))
+      .toDF("event_id", "user_id", "value", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+      .withColumn("event_type", lit("view"))
+      .withColumn("props", lit("{}"))
+    // user 1: seed 1.0 -> 1*0.7+2*0.3 = 1.3 -> 1.3*0.7+4*0.3 = 2.11
+    val full = EventOps.emaValueDf(events)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(full == Map(1L -> ((3, 2.11)), 2L -> ((1, 5.0))), s"got $full")
+    // cap 2 keeps only the newest two events: seed 2.0 -> 2*0.7+4*0.3 = 2.6
+    val capped = EventOps.emaValueDf(events, cap = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(capped(1L) == 2.6, s"got $capped")
+  }
+}
