@@ -8,9 +8,13 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Textbook Jaro and Jaro-Winkler similarity, bit-identical to DuckDB's
   * `jaro_winkler_similarity` (verified against it in the oracle gate):
   * match window = max(len)/2 − 1, transposition count over matched
-  * characters, Winkler prefix boost p = 0.1 over a common prefix capped at
-  * 4, applied only when the Jaro score exceeds the 0.7 boost threshold.
-  * Either input empty → 0.0 (DuckDB convention).
+  * characters with the halved count FLOORED (integer `t / 2`, the
+  * rapidfuzz/DuckDB convention — an odd mismatch count contributes
+  * ⌊t/2⌋, not t/2.0; the two diverge on e.g. "spark spark part" vs
+  * "spark part spark": 0.9375 floored vs 0.9270833 exact), Winkler prefix
+  * boost p = 0.1 over a common prefix capped at 4, applied only when the
+  * Jaro score exceeds the 0.7 boost threshold. Either input empty → 0.0
+  * (DuckDB convention).
   *
   * Kept as a static Scala loop (object methods compile to static
   * forwarders) so the generated code calls straight into compiled JVM code
@@ -54,7 +58,7 @@ object StringSimilarity {
       }
       i += 1
     }
-    (m.toDouble / la + m.toDouble / lb + (m - t / 2.0) / m) / 3.0
+    (m.toDouble / la + m.toDouble / lb + (m - t / 2).toDouble / m) / 3.0
   }
 
   def jaroWinkler(a: String, b: String): Double = {

@@ -356,7 +356,11 @@ class Round3OpsSpec extends SparkTestBase {
       ("abc", "abc", 1.0),
       ("ab", "ba", 0.0),                     // window 0: no matches
       ("", "abc", 0.0),
-      ("", "", 0.0))
+      ("", "", 0.0),
+      // odd mismatch count: floored ⌊t/2⌋ (rapidfuzz/DuckDB), not t/2.0 —
+      // exact halving gives 0.95625 / 0.955 here (sf0.001 regression)
+      ("spark spark part", "spark part spark", 0.9625),
+      ("query hash row s", "query hash sort ", 0.9616666666666668))
     cases.foreach { case (a, b, expected) =>
       assert(math.abs(jaroWinkler(a, b) - expected) < 1e-15, s"($a, $b)")
       assert(math.abs(jaroWinkler(b, a) - expected) < 1e-15, s"($b, $a) sym")
