@@ -173,6 +173,9 @@ object SparkEntry {
     "q_gopher_rules"   -> (TextOps.gopherRules _),
     "q_readability"    -> (TextOps.readability _),
     "q_ema"            -> ((s, d) => EventOps.emaValue(s, d)),
+    "q_ttest"          -> (AnalyticsOps.welchTTest _),
+    "q_confusion"      -> ((s, d) => SimilarityOps.knnConfusion(s, d)),
+    "q_psi"            -> ((s, d) => CorpusOps.psiSource(s, d)),
     // rows-only: BPE training is sequential in merge rank (no SQL oracle);
     // CorpusOpsSpec pins the merges to hand-computed ground truth
     "q_bpe_vocab"      -> ((s, d) => CorpusOps.bpeVocab(s, d)),
@@ -1347,5 +1350,50 @@ object SparkEntry {
         "CAST(round(CAST(list_reduce(vals, (acc, x) -> acc * 0.7 + x * 0.3) " +
         "AS DECIMAL(20,8)), 4) AS DOUBLE) AS ema " +
         "FROM s ORDER BY user_id"),
+    "q_ttest" ->
+      ("WITH s AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n, " +
+        "AVG(value) AS mean, var_samp(value) AS s2 FROM events GROUP BY event_type) " +
+        "SELECT a.event_type AS type_a, b.event_type AS type_b, " +
+        "CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b, " +
+        "CAST(round(CAST(a.mean - b.mean AS DECIMAL(20,8)), 4) AS DOUBLE) AS mean_diff, " +
+        "CAST(round(CAST((a.mean - b.mean) / sqrt(a.s2 / a.n + b.s2 / b.n) " +
+        "AS DECIMAL(20,8)), 4) AS DOUBLE) AS t_stat, " +
+        "CAST(round(CAST((a.s2 / a.n + b.s2 / b.n) * (a.s2 / a.n + b.s2 / b.n) " +
+        "/ (a.s2 / a.n * (a.s2 / a.n) / (a.n - 1.0) + b.s2 / b.n * (b.s2 / b.n) / (b.n - 1.0)) " +
+        "AS DECIMAL(20,8)), 4) AS DOUBLE) AS df " +
+        "FROM s a JOIN s b ON a.event_type < b.event_type " +
+        "ORDER BY type_a, type_b"),
+    "q_confusion" ->
+      ("WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "n AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e), " +
+        "p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id, c.label AS label, " +
+        "round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 4) AS cos_sim " +
+        "FROM n q JOIN n c ON q.vec_id < 100 AND c.vec_id >= 100), " +
+        "r AS (SELECT q_id, label, " +
+        "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rn FROM p), " +
+        "v AS (SELECT q_id, label, COUNT(*) AS n_votes FROM r WHERE rn <= 10 GROUP BY q_id, label), " +
+        "m AS (SELECT q_id, label, n_votes, " +
+        "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY n_votes DESC, label) AS mr FROM v), " +
+        "pred AS (SELECT m.label AS pred_label, t.label AS true_label " +
+        "FROM m JOIN e t ON t.vec_id = m.q_id WHERE m.mr = 1), " +
+        "cells AS (SELECT true_label, pred_label, COUNT(*) AS n FROM pred GROUP BY 1, 2), " +
+        "rt AS (SELECT true_label, CAST(SUM(n) AS DOUBLE) AS row_total FROM cells GROUP BY 1) " +
+        "SELECT c.true_label, c.pred_label, c.n, " +
+        "CAST(round(CAST(c.n / rt.row_total AS DECIMAL(20,8)), 4) AS DOUBLE) AS row_share " +
+        "FROM cells c JOIN rt USING (true_label) " +
+        "ORDER BY true_label, pred_label"),
+    "q_psi" ->
+      ("WITH d AS (SELECT source, CAST(floor(n_chars / 50) AS BIGINT) AS bucket FROM documents), " +
+        "c AS (SELECT bucket, COUNT(*) AS ncb FROM d GROUP BY bucket), " +
+        "t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nbuckets, CAST(SUM(ncb) AS DOUBLE) AS ndocs FROM c), " +
+        "sc AS (SELECT source, bucket, COUNT(*) AS nsb FROM d GROUP BY source, bucket), " +
+        "st AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS ns FROM d GROUP BY source), " +
+        "g AS (SELECT st.source, st.ns, c.ncb, coalesce(sc.nsb, 0) AS nsb " +
+        "FROM st CROSS JOIN c LEFT JOIN sc ON sc.source = st.source AND sc.bucket = c.bucket), " +
+        "x AS (SELECT source, ns, (nsb + 1.0) / (ns + nbuckets) AS p, " +
+        "(ncb + 1.0) / (ndocs + nbuckets) AS q FROM g CROSS JOIN t) " +
+        "SELECT source, CAST(max(ns) AS BIGINT) AS n_docs, " +
+        "CAST(round(CAST(SUM((p - q) * ln(p / q)) AS DECIMAL(20,8)), 4) AS DOUBLE) AS psi " +
+        "FROM x GROUP BY source ORDER BY source"),
   )
 }

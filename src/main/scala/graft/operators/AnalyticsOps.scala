@@ -721,4 +721,39 @@ object AnalyticsOps {
           .as("abs_dev"))
       .orderBy(col("digit"))
   }
+
+  /** Welch's unequal-variance t-test between every pair of event types'
+    * value distributions — the A/B-comparison primitive (metric shift
+    * between variants, drift between cohorts). Everything reduces to ONE
+    * partial-aggregated pass computing per-type (n, mean, s²); the pair
+    * grid is a broadcast self-join of the tiny per-type summary, and the
+    * t statistic and Welch–Satterthwaite df are closed-form per-pair
+    * expressions. At 100 TB: one scan, one |types|-key shuffle, nothing
+    * else. */
+  def welchTTest(spark: SparkSession, dir: String): DataFrame =
+    welchTTestDf(Tables.events(spark, dir))
+
+  private[operators] def welchTTestDf(events: DataFrame): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val stats = events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        avg(col("value")).as("mean"),
+        var_samp(col("value")).as("s2"))
+    val a = stats.select(col("event_type").as("type_a"), col("n").as("na"),
+      col("mean").as("ma"), col("s2").as("va"))
+    val b = stats.select(col("event_type").as("type_b"), col("n").as("nb"),
+      col("mean").as("mb"), col("s2").as("vb"))
+    val sa = col("va") / col("na")
+    val sb = col("vb") / col("nb")
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        stableRound4(col("ma") - col("mb")).as("mean_diff"),
+        stableRound4((col("ma") - col("mb")) / sqrt(sa + sb)).as("t_stat"),
+        stableRound4((sa + sb) * (sa + sb) /
+          (sa * sa / (col("na") - 1.0) + sb * sb / (col("nb") - 1.0)))
+          .as("df"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
 }

@@ -153,6 +153,49 @@ object CorpusOps {
       .orderBy(col("source"))
   }
 
+  /** Population stability index of each source's document-length
+    * distribution against the whole corpus — the standard drift score ML
+    * monitoring applies to every feature (PSI < 0.1 stable, > 0.25 shifted).
+    * Lengths bucket by a fixed integer width (floor(n_chars / 50)), counts
+    * are Laplace-smoothed over the corpus bucket universe so empty buckets
+    * contribute finite terms: p_b = (n_sb + 1) / (n_s + B),
+    * q_b = (n_b + 1) / (N + B), psi = Σ (p_b − q_b)·ln(p_b / q_b).
+    *
+    * Scale shape: one scan into two bounded aggregations (per-bucket,
+    * per-source-bucket); the zero-fill grid is |sources| × |buckets| built
+    * from two broadcast tiny sides — no window, no explode, no big join. */
+  def psiSource(spark: SparkSession, dir: String, width: Int = 50)
+      : DataFrame =
+    psiSourceDf(Tables.documents(spark, dir), width)
+
+  private[operators] def psiSourceDf(docs: DataFrame,
+      width: Int = 50): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val d = docs
+      .select(col("source"),
+        floor(col("n_chars") / width).cast("long").as("bucket"))
+    val corpus = d.groupBy(col("bucket")).agg(count(lit(1)).as("ncb"))
+    val totals = corpus.agg(count(lit(1)).cast("double").as("nbuckets"),
+      sum(col("ncb")).cast("double").as("ndocs"))
+    val srcCounts = d.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("nsb"))
+    val srcTotals = d.groupBy(col("source"))
+      .agg(count(lit(1)).cast("double").as("ns"))
+    val grid = srcTotals
+      .crossJoin(broadcast(corpus))
+      .join(srcCounts, Seq("source", "bucket"), "left")
+      .select(col("source"), col("ns"), col("ncb"),
+        coalesce(col("nsb"), lit(0L)).as("nsb"))
+      .crossJoin(broadcast(totals))
+    val p = (col("nsb") + 1.0) / (col("ns") + col("nbuckets"))
+    val q = (col("ncb") + 1.0) / (col("ndocs") + col("nbuckets"))
+    grid
+      .groupBy(col("source"))
+      .agg(max(col("ns")).cast("long").as("n_docs"),
+        stableRound4(sum((p - q) * log(p / q))).as("psi"))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic ~10% sample: keep rows whose md5(doc_id) hex prefix is
     * below a fixed threshold. Unlike `df.sample`, the choice is a pure
     * function of the key — reproducible across runs, engines, partitionings,

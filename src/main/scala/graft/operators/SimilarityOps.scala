@@ -250,4 +250,23 @@ object SimilarityOps {
           .as("class_weight"))
       .orderBy(col("label"))
   }
+
+  /** Confusion matrix of the kNN auto-labeler over a 100-probe eval slice —
+    * the quality report run after every label-propagation pass (which
+    * classes bleed into which). Reuses [[knnLabel]] end to end; the matrix
+    * itself is one bounded aggregation over |probes| rows plus a broadcast
+    * of the per-true-label totals for recall shares. */
+  def knnConfusion(spark: SparkSession, dir: String,
+      nProbes: Int = 100): DataFrame = {
+    val preds = knnLabel(spark, dir, k = 10, nProbes = nProbes)
+    val cells = preds.groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+    val rowTotals = cells.groupBy(col("true_label"))
+      .agg(sum(col("n")).cast("double").as("row_total"))
+    cells.join(broadcast(rowTotals), Seq("true_label"))
+      .select(col("true_label"), col("pred_label"), col("n"),
+        graft.functions.NumericFunctions
+          .stableRound4(col("n") / col("row_total")).as("row_share"))
+      .orderBy(col("true_label"), col("pred_label"))
+  }
 }

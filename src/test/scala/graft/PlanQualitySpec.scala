@@ -400,6 +400,28 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("Cartesian"), p)
   }
 
+  test("welchTTest: one partial-agg scan, tiny pair grid via broadcast") {
+    val p = plan(AnalyticsOps.welchTTest(spark, sf))
+    assert(p.contains("partial_count") || p.contains("partial_avg")
+      || p.contains("HashAggregate"), p)
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("WindowExec") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("psiSource: bounded aggregations + broadcast grid, no window") {
+    val p = plan(CorpusOps.psiSource(spark, sf))
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("WindowExec"), p)
+    assert(!p.contains("Generate"), p) // no explode anywhere
+  }
+
+  test("knnConfusion: probe filter pushes to the scan; bounded window only") {
+    val p = plan(SimilarityOps.knnConfusion(spark, sf))
+    // probe/train split reaches the parquet scan as a pushed filter
+    assert(p.contains("PushedFilters"), p)
+    assert(!p.contains("Cartesian") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("sql surface: same query via spark.sql yields same result") {
     GraftSession.openTables(spark, sf)
     val viaSql = GraftSession.sql(spark,

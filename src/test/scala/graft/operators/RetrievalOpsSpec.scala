@@ -107,4 +107,52 @@ class RetrievalOpsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(capped(1L) == 2.6, s"got $capped")
   }
+
+  test("welchTTest matches hand-computed t statistic and Welch df") {
+    // A: [1,2,3] (mean 2, var 1), B: [2,4] (mean 3, var 2)
+    // t = -1/sqrt(1/3 + 1) = -0.8660 ; df = (4/3)^2/((1/9)/2 + 1) = 1.6842
+    val events = Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (4L, "b", 2.0), (5L, "b", 4.0))
+      .toDF("event_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+      .withColumn("user_id", lit(1L)).withColumn("props", lit("{}"))
+    val r = AnalyticsOps.welchTTestDf(events).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[String]("type_a") == "a" && row.getAs[String]("type_b") == "b")
+    assert(row.getAs[Long]("n_a") == 3L && row.getAs[Long]("n_b") == 2L)
+    assert(row.getAs[Double]("mean_diff") == -1.0)
+    assert(row.getAs[Double]("t_stat") == -0.866)
+    assert(row.getAs[Double]("df") == 1.6842)
+  }
+
+  test("knnConfusion: cells cover all probes, row shares sum to 1") {
+    val cells = SimilarityOps.knnConfusion(spark, sf).collect()
+    assert(cells.map(_.getAs[Long]("n")).sum == 100L)
+    val byTrue = cells.groupBy(_.getAs[Int]("true_label"))
+    byTrue.foreach { case (_, rows) =>
+      val shareSum = rows.map(_.getAs[Double]("row_share")).sum
+      assert(math.abs(shareSum - 1.0) < 1e-3, s"shares sum to $shareSum")
+    }
+  }
+
+  test("psi is 0 for an identical distribution and positive for a shifted one") {
+    def doc(id: Long, src: String, nChars: Long) =
+      (id, "x", "en", src, nChars)
+    // two sources with IDENTICAL length histograms -> each matches the
+    // corpus mix exactly -> psi = 0 for both
+    val same = (0L to 9L).map(i => doc(i, if (i < 5) "s1" else "s2", 100 + (i % 5) * 60))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ps = CorpusOps.psiSourceDf(same).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("psi")).toMap
+    assert(ps == Map("s1" -> 0.0, "s2" -> 0.0), s"got $ps")
+    // s2 shifted entirely into different buckets -> clearly positive psi
+    val shifted = ((0L to 4L).map(i => doc(i, "s1", 100)) ++
+      (5L to 9L).map(i => doc(i, "s2", 400)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ps2 = CorpusOps.psiSourceDf(shifted).collect()
+      .map(r => r.getAs[Double]("psi"))
+    assert(ps2.forall(_ > 0.5), s"got ${ps2.toSeq}")
+  }
 }
