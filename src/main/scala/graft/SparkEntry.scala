@@ -189,6 +189,11 @@ object SparkEntry {
     // proves union-of-group-sketches == direct global sketch exactly, and
     // bounds each estimate vs exact COUNT(DISTINCT)
     "q_hll_rollup"     -> (SketchOps.hllRollup _),
+    "q_graph_degree"   -> (GraphOps.graphDegree _),
+    "q_triangles"      -> ((s, d) => GraphOps.triangleTop(s, d)),
+    // rows-only: iterative rank propagation isn't SQL-expressible;
+    // GraphOpsSpec pins ranks to a driver-local reference implementation
+    "q_pagerank"       -> ((s, d) => GraphOps.pageRank(s, d)),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -1395,5 +1400,31 @@ object SparkEntry {
         "SELECT source, CAST(max(ns) AS BIGINT) AS n_docs, " +
         "CAST(round(CAST(SUM((p - q) * ln(p / q)) AS DECIMAL(20,8)), 4) AS DOUBLE) AS psi " +
         "FROM x GROUP BY source ORDER BY source"),
+    // co-purchase graph CTE shared by the graph oracles: distinct parts per
+    // order, basket-capped at 64, pairs with src < dst, deduplicated
+    "q_graph_degree" ->
+      ("WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem), " +
+        "ok AS (SELECT okey FROM op GROUP BY okey HAVING COUNT(*) <= 64), " +
+        "e AS (SELECT DISTINCT a.pkey AS src, b.pkey AS dst FROM op a " +
+        "JOIN op b ON a.okey = b.okey AND a.pkey < b.pkey " +
+        "WHERE a.okey IN (SELECT okey FROM ok)), " +
+        "d AS (SELECT node, COUNT(*) AS degree FROM " +
+        "(SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e) u GROUP BY node) " +
+        "SELECT degree, COUNT(*) AS n_nodes FROM d GROUP BY degree ORDER BY degree"),
+    // naive a<b<c triangle enumeration — same count as the degree-oriented
+    // Spark plan, tractable for DuckDB at oracle SF
+    "q_triangles" ->
+      ("WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem), " +
+        "ok AS (SELECT okey FROM op GROUP BY okey HAVING COUNT(*) <= 64), " +
+        "e AS (SELECT DISTINCT a.pkey AS src, b.pkey AS dst FROM op a " +
+        "JOIN op b ON a.okey = b.okey AND a.pkey < b.pkey " +
+        "WHERE a.okey IN (SELECT okey FROM ok)), " +
+        "t AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c FROM e e1 " +
+        "JOIN e e2 ON e2.src = e1.dst " +
+        "JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst) " +
+        "SELECT part_id, COUNT(*) AS n_triangles FROM " +
+        "(SELECT a AS part_id FROM t UNION ALL SELECT b AS part_id FROM t " +
+        "UNION ALL SELECT c AS part_id FROM t) x " +
+        "GROUP BY part_id ORDER BY n_triangles DESC, part_id LIMIT 20"),
   )
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Ground-truth tests for the co-purchase graph operators (q_graph_degree,
+  * q_triangles, q_pagerank). Triangle and PageRank results are pinned to
+  * driver-local reference implementations computed from the same edge set,
+  * so the oriented-wedge join and the distributed rank loop are both checked
+  * against naive exact algorithms. */
+class GraphOpsSpec extends SparkTestBase {
+
+  private lazy val edges: Array[(Long, Long)] =
+    GraphOps.copurchaseEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+  test("copurchase edges: src < dst, no duplicates, nonempty") {
+    assert(edges.nonEmpty)
+    assert(edges.forall { case (a, b) => a < b })
+    assert(edges.distinct.length == edges.length)
+  }
+
+  test("degree distribution sums to node count and total degree = 2|E|") {
+    val dist = GraphOps.graphDegree(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.length
+    assert(dist.map(_._2).sum == nodes)
+    assert(dist.map { case (d, n) => d * n }.sum == 2L * edges.length)
+  }
+
+  test("triangle counts match naive all-triples enumeration") {
+    val eset = edges.toSet
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    // naive: for each edge (a,b) a<b, common neighbors c > b close a triple
+    val triCount = scala.collection.mutable.HashMap.empty[Long, Long]
+      .withDefaultValue(0L)
+    for ((a, b) <- edges; c <- adj(a).intersect(adj(b)) if c > b) {
+      triCount(a) += 1; triCount(b) += 1; triCount(c) += 1
+    }
+    val expect = triCount.toSeq
+      .sortBy { case (id, n) => (-n, id) }.take(20)
+    val got = GraphOps.triangleTop(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect, s"got ${got.take(5)}… expect ${expect.take(5)}…")
+  }
+
+  test("pageRank matches a driver-local reference and conserves mass") {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.length
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 5) {
+      val inflow = scala.collection.mutable.HashMap.empty[Long, Double]
+        .withDefaultValue(0.0)
+      for (v <- nodes; w <- adj(v)) inflow(w) += rank(v) / adj(v).length
+      rank = nodes.map(v => v -> (0.15 / n + 0.85 * inflow(v))).toMap
+    }
+    assert(math.abs(rank.values.sum - 1.0) < 1e-9, "reference mass drift")
+    val got = GraphOps.pageRank(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == math.min(20, n))
+    // spark result is rounded to 4 decimals; compare with tolerance for the
+    // float-sum nondeterminism the rounding absorbs
+    got.foreach { case (id, r) =>
+      assert(math.abs(r - rank(id)) < 5e-4, s"rank mismatch at $id")
+    }
+    // descending
+    val rs = got.map(_._2)
+    assert(rs.sameElements(rs.sortBy(-(_: Double))))
+  }
+}
