@@ -194,6 +194,9 @@ object SparkEntry {
     // rows-only: iterative rank propagation isn't SQL-expressible;
     // GraphOpsSpec pins ranks to a driver-local reference implementation
     "q_pagerank"       -> ((s, d) => GraphOps.pageRank(s, d)),
+    "q_ks_test"        -> (StatOps.ksTest _),
+    "q_mannwhitney"    -> (StatOps.mannWhitney _),
+    "q_scd2"           -> (RelationalOps.scd2 _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -1426,5 +1429,61 @@ object SparkEntry {
         "(SELECT a AS part_id FROM t UNION ALL SELECT b AS part_id FROM t " +
         "UNION ALL SELECT c AS part_id FROM t) x " +
         "GROUP BY part_id ORDER BY n_triangles DESC, part_id LIMIT 20"),
+    // per-source KS vs rest-of-corpus over the value-compressed n_chars
+    // distribution; exact integer cumulatives, two final divisions
+    "q_ks_test" ->
+      ("WITH d AS (SELECT source, n_chars AS v FROM documents), " +
+        "bv AS (SELECT v, COUNT(*) AS n_v FROM d GROUP BY v), " +
+        "bsv AS (SELECT source, v, COUNT(*) AS n_sv FROM d GROUP BY source, v), " +
+        "bs AS (SELECT source, COUNT(*) AS n_s FROM d GROUP BY source), " +
+        "tot AS (SELECT SUM(n_v) AS n_total FROM bv), " +
+        "grid AS (SELECT bs.source, bv.v, bv.n_v, bs.n_s, " +
+        "coalesce(bsv.n_sv, 0) AS n_sv FROM bv CROSS JOIN bs " +
+        "LEFT JOIN bsv ON bsv.source = bs.source AND bsv.v = bv.v), " +
+        "c AS (SELECT source, n_s, " +
+        "SUM(n_sv) OVER (PARTITION BY source ORDER BY v) AS cum_sv, " +
+        "SUM(n_v) OVER (PARTITION BY source ORDER BY v) AS cum_v FROM grid) " +
+        "SELECT source, CAST(n_s AS BIGINT) AS n_docs, " +
+        "CAST(round(CAST(MAX(abs(CAST(cum_sv AS DOUBLE) / n_s " +
+        "- CAST(cum_v - cum_sv AS DOUBLE) / (n_total - n_s))) " +
+        "AS DECIMAL(20,8)), 4) AS DOUBLE) AS ks_stat " +
+        "FROM c CROSS JOIN tot GROUP BY source, n_s, n_total ORDER BY source"),
+    // per-source Mann-Whitney U with midrank ties + tie-corrected z
+    "q_mannwhitney" ->
+      ("WITH d AS (SELECT source, n_chars AS v FROM documents), " +
+        "bv AS (SELECT v, COUNT(*) AS n_v FROM d GROUP BY v), " +
+        "bsv AS (SELECT source, v, COUNT(*) AS n_sv FROM d GROUP BY source, v), " +
+        "bs AS (SELECT source, COUNT(*) AS n_s FROM d GROUP BY source), " +
+        "tot AS (SELECT SUM(n_v) AS n_total, " +
+        "SUM(n_v * n_v * n_v - n_v) AS tie_sum FROM bv), " +
+        "rk AS (SELECT v, CAST(coalesce(SUM(n_v) OVER (ORDER BY v " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) " +
+        "+ CAST(n_v + 1 AS DOUBLE) / 2.0 AS midrank FROM bv), " +
+        "rs AS (SELECT source, SUM(CAST(n_sv AS DOUBLE) * midrank) AS rank_sum " +
+        "FROM rk JOIN bsv USING (v) GROUP BY source) " +
+        "SELECT source, CAST(n_s AS BIGINT) AS n_docs, " +
+        "CAST(round(CAST(rank_sum - CAST(n_s AS DOUBLE) * (n_s + 1) / 2.0 " +
+        "AS DECIMAL(20,8)), 4) AS DOUBLE) AS u_stat, " +
+        "CAST(round(CAST((rank_sum - CAST(n_s AS DOUBLE) * (n_s + 1) / 2.0 " +
+        "- CAST(n_s AS DOUBLE) * (n_total - n_s) / 2.0) " +
+        "/ sqrt(CAST(n_s AS DOUBLE) * (n_total - n_s) / 12.0 " +
+        "* (CAST(n_total + 1 AS DOUBLE) - CAST(tie_sum AS DOUBLE) " +
+        "/ (CAST(n_total AS DOUBLE) * (n_total - 1)))) " +
+        "AS DECIMAL(20,8)), 4) AS DOUBLE) AS z_stat " +
+        "FROM rs JOIN bs USING (source) CROSS JOIN tot ORDER BY source"),
+    // SCD-2: runs of identical per-user states -> versioned validity ranges
+    "q_scd2" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us " +
+        "FROM events), " +
+        "ch AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id " +
+        "ORDER BY us, event_id) AS prev FROM e), " +
+        "f AS (SELECT * FROM ch WHERE prev IS NULL OR prev <> event_type) " +
+        "SELECT user_id, CAST(ROW_NUMBER() OVER (PARTITION BY user_id " +
+        "ORDER BY us, event_id) AS INTEGER) AS version, " +
+        "event_type AS state, us AS valid_from, " +
+        "lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to, " +
+        "CAST(CASE WHEN lead(us) OVER (PARTITION BY user_id " +
+        "ORDER BY us, event_id) IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current " +
+        "FROM f ORDER BY user_id, version"),
   )
 }

@@ -178,4 +178,36 @@ object RelationalOps {
         col("n_distinct"))
       .orderBy(col("column_name"))
   }
+
+  /** q_scd2: Slowly-Changing-Dimension Type-2 build from the events change
+    * stream — the dimension-table maintenance pattern behind every
+    * warehouse user/account dimension. Per user, consecutive runs of the
+    * same event_type collapse to one VERSION row with half-open
+    * [valid_from, valid_to) bounds; the open version has valid_to NULL and
+    * is_current = 1.
+    *
+    * Two windows, both partitioned by the dimension key (user_id) — the
+    * natural parallelism of the problem; no global window anywhere. Change
+    * detection is lag(), bound closing is lead() over the surviving change
+    * rows — lead runs AFTER the filter so the closing bound skips over the
+    * collapsed run, landing on the next real state change. Time bounds are
+    * pinned to the µs epoch on both engines (the events table's ns
+    * timestamps truncate differently otherwise — see latestEvent). */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("us"), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .select(col("user_id"), col("version").cast("int").as("version"),
+        col("event_type").as("state"),
+        col("us").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.cast("int").as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
 }

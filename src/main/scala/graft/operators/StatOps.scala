@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.NumericFunctions.stableRound4
+
+/** Two-sample distribution tests, each run per source against the rest of
+  * the corpus — the statistical backbone of per-source drift monitoring in
+  * a training-data pipeline (is THIS crawl slice length-distributed like
+  * the corpus it feeds?). Complements the parametric q_ttest (Welch) with
+  * distribution-free tests: Kolmogorov-Smirnov on the full ECDF and
+  * Mann-Whitney U on ranks.
+  *
+  * Scale shape: both tests are computed on the VALUE-COMPRESSED
+  * distribution — one aggregation shuffle collapses the corpus to
+  * (value → count) rows, and every window below runs over that aggregate,
+  * never the raw rows. The windows are therefore bounded by the value
+  * cardinality of an integer document length (≤ max doc length, ~10³–10⁶
+  * distinct values at any corpus size), not by corpus row count: the same
+  * trick that makes exact medians feasible on 100 TB when the domain is
+  * discrete. The per-source ECDF window partitions by source (parallel
+  * across sources); the global rank window is a single partition over the
+  * compressed values — bounded by the domain, and documented as such.
+  */
+object StatOps {
+
+  /** (source, v=n_chars) row set plus the shared compressed marginals. */
+  private def compressed(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").as("v"))
+    val byValue = d.groupBy(col("v")).agg(count(lit(1)).as("n_v"))
+    val bySourceValue = d.groupBy(col("source"), col("v"))
+      .agg(count(lit(1)).as("n_sv"))
+    val bySource = d.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    (byValue, bySourceValue, bySource)
+  }
+
+  /** q_ks_test: per-source two-sample Kolmogorov-Smirnov statistic of the
+    * doc-length distribution, source vs rest-of-corpus:
+    * D = max_v |F_src(v) − F_rest(v)|, evaluated on the full grid of
+    * (source × distinct value) so jump points of EITHER sample are seen.
+    * Exact integer counts until the final two divisions. */
+  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    val (byValue, bySourceValue, bySource) = compressed(spark, dir)
+    val total = byValue.agg(sum(col("n_v")).as("n_total"))
+    // grid: every source × every distinct value; sources are the small
+    // side (broadcast), values the compressed distribution
+    val grid = byValue
+      .crossJoin(broadcast(bySource))
+      .join(bySourceValue, Seq("source", "v"), "left")
+      .select(col("source"), col("v"), col("n_v"), col("n_s"),
+        coalesce(col("n_sv"), lit(0L)).as("n_sv"))
+    val w = Window.partitionBy(col("source")).orderBy(col("v"))
+    grid
+      .withColumn("cum_sv", sum(col("n_sv")).over(w))
+      .withColumn("cum_v", sum(col("n_v")).over(w))
+      .crossJoin(broadcast(total))
+      .groupBy(col("source"), col("n_s"))
+      .agg(max(abs(
+        col("cum_sv").cast("double") / col("n_s")
+          - (col("cum_v") - col("cum_sv")).cast("double")
+            / (col("n_total") - col("n_s")))).as("d"))
+      .select(col("source"), col("n_s").as("n_docs"),
+        stableRound4(col("d")).as("ks_stat"))
+      .orderBy(col("source"))
+  }
+
+  /** q_mannwhitney: per-source Mann-Whitney U (source sample vs rest of
+    * corpus) with midrank tie handling and the tie-corrected normal
+    * approximation z = (U − n₁n₂/2) / σ,
+    * σ² = n₁n₂/12 · ((N+1) − Σ(t³−t)/(N(N−1))).
+    *
+    * Midranks come from ONE global cumulative over the compressed value
+    * distribution (single-partition window over ≤ domain-cardinality rows —
+    * see class doc), shared by every source; rank sums are then a plain
+    * aggregation join, so adding sources adds no new windows. */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val (byValue, bySourceValue, bySource) = compressed(spark, dir)
+    // midrank r(v) = (#strictly-below) + (n_v + 1)/2, exact in halves —
+    // keep it as DOUBLE (halves are exact in binary floating point)
+    val wAll = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byValue
+      .withColumn("below", coalesce(sum(col("n_v")).over(wAll), lit(0L)))
+      .withColumn("midrank",
+        col("below").cast("double") + (col("n_v") + 1).cast("double") / 2.0)
+    // scalars: N and the tie correction Σ(t³−t)
+    val totals = byValue.agg(
+      sum(col("n_v")).as("n_total"),
+      sum(col("n_v") * col("n_v") * col("n_v") - col("n_v")).as("tie_sum"))
+    ranked.join(bySourceValue, "v")
+      .groupBy(col("source"))
+      .agg(sum(col("n_sv").cast("double") * col("midrank")).as("rank_sum"))
+      .join(broadcast(bySource), "source")
+      .crossJoin(broadcast(totals))
+      .select(col("source"), col("n_s").as("n_docs"),
+        stableRound4(col("rank_sum")
+          - col("n_s").cast("double") * (col("n_s") + 1).cast("double") / 2.0)
+          .as("u_stat"),
+        stableRound4(
+          (col("rank_sum")
+            - col("n_s").cast("double") * (col("n_s") + 1).cast("double") / 2.0
+            - col("n_s").cast("double") * (col("n_total") - col("n_s")).cast("double") / 2.0)
+          / sqrt(
+            col("n_s").cast("double") * (col("n_total") - col("n_s")).cast("double") / 12.0
+              * ((col("n_total") + 1).cast("double")
+                - col("tie_sum").cast("double")
+                  / (col("n_total").cast("double") * (col("n_total") - 1).cast("double")))))
+          .as("z_stat"))
+      .orderBy(col("source"))
+  }
+}

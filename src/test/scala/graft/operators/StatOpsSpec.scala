@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Ground-truth tests for the two-sample tests (q_ks_test, q_mannwhitney)
+  * and the SCD-2 dimension build (q_scd2), pinned to hand-computable
+  * crafted fixtures plus definitional recomputation on the real fixture. */
+class StatOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def writeDocs(rows: Seq[(Long, String, Long)]): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stat").toString
+    rows.toDF("doc_id", "source", "n_chars")
+      .withColumn("text", lit("x")).withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("ksTest matches the definitional ECDF max-gap on a crafted table") {
+    // source a: lengths 1,2,3 ; source b: lengths 3,4,5,6
+    val tmp = writeDocs(Seq(
+      (1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L),
+      (4L, "b", 3L), (5L, "b", 4L), (6L, "b", 5L), (7L, "b", 6L)))
+    val out = StatOps.ksTest(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // for source a vs rest(b): max gap at v=3 (F_a=1, F_b=1/4) -> D=0.75;
+    // the KS statistic is symmetric under swapping the samples
+    assert(out == Seq(("a", 3L, 0.75), ("b", 4L, 0.75)), s"got $out")
+  }
+
+  test("mannWhitney matches hand-computed midranks on a crafted table") {
+    // combined sorted: 1,2,3,3,4,5,6 -> midranks 1,2,3.5,3.5,5,6,7
+    // source a = {1,2,3}: R=6.5, U = 6.5 - 3*4/2 = 0.5
+    val tmp = writeDocs(Seq(
+      (1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L),
+      (4L, "b", 3L), (5L, "b", 4L), (6L, "b", 5L), (7L, "b", 6L)))
+    val out = StatOps.mannWhitney(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val a = out.find(_._1 == "a").get
+    assert(a._3 == 0.5, s"U_a = ${a._3}")
+    // z = (0.5 - 6)/sqrt(12/12*(8 - 6/42)) = -5.5/sqrt(7.857142857) = -1.9621
+    assert(math.abs(a._4 - -1.9621) < 1e-4, s"z_a = ${a._4}")
+    // U_a + U_b = n_a * n_b
+    val b = out.find(_._1 == "b").get
+    assert(a._3 + b._3 == 12.0)
+  }
+
+  test("ks/mw invariants on the real fixture: bounds and U symmetry") {
+    val ks = StatOps.ksTest(spark, sf).collect()
+    assert(ks.nonEmpty)
+    ks.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    val mw = StatOps.mannWhitney(spark, sf).collect()
+    val n = mw.map(_.getLong(1)).sum
+    mw.foreach { r =>
+      val (ns, u) = (r.getLong(1), r.getDouble(2))
+      assert(u >= 0.0 && u <= ns.toDouble * (n - ns), s"U out of range: $r")
+    }
+  }
+
+  test("scd2 collapses runs and closes bounds on a crafted change stream") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scd2").toString
+    Seq(
+      (1L, 1L, "view", 1000000L), (2L, 1L, "view", 2000000L),
+      (3L, 1L, "click", 3000000L), (4L, 1L, "view", 4000000L),
+      (5L, 2L, "signup", 1500000L))
+      .toDF("event_id", "user_id", "event_type", "us")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = RelationalOps.scd2(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4), r.getInt(5)))
+    assert(out.toSeq == Seq(
+      (1L, 1, "view", 1000000L, 3000000L, 0),
+      (1L, 2, "click", 3000000L, 4000000L, 0),
+      (1L, 3, "view", 4000000L, -1L, 1),
+      (2L, 1, "signup", 1500000L, -1L, 1)), s"got ${out.toSeq}")
+  }
+}
