@@ -197,6 +197,9 @@ object SparkEntry {
     "q_ks_test"        -> (StatOps.ksTest _),
     "q_mannwhitney"    -> (StatOps.mannWhitney _),
     "q_scd2"           -> (RelationalOps.scd2 _),
+    "q_hard_negative"  -> ((s, d) => SimilarityOps.hardNegatives(s, d)),
+    "q_frame_sample"   -> (MultimodalOps.frameSample _),
+    "q_zorder"         -> (RelationalOps.zorderLayout _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -1485,5 +1488,42 @@ object SparkEntry {
         "CAST(CASE WHEN lead(us) OVER (PARTITION BY user_id " +
         "ORDER BY us, event_id) IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current " +
         "FROM f ORDER BY user_id, version"),
+    // top-3 highest-cosine different-label neighbors per probe vector
+    "q_hard_negative" ->
+      ("WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "n AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e), " +
+        "p AS (SELECT q.vec_id AS q_id, q.label AS q_label, " +
+        "c.vec_id AS cand_id, c.label AS neg_label, " +
+        "round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) " +
+        "/ (q.nrm * c.nrm), 4) AS cos_sim " +
+        "FROM n q JOIN n c ON q.vec_id < 20 AND q.label <> c.label), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id " +
+        "ORDER BY cos_sim DESC, cand_id) AS rn FROM p) " +
+        "SELECT q_id, CAST(rn AS INTEGER) AS rn, cand_id, q_label, " +
+        "neg_label, cos_sim FROM r WHERE rn <= 3 ORDER BY q_id, rn"),
+    // every 4th 16-byte frame slice; ASCII corpus -> char slicing == byte
+    // slicing, so substring+md5 reproduces the Spark binary digests
+    "q_frame_sample" ->
+      ("WITH x AS (SELECT doc_id, text, " +
+        "unnest(range(0, CAST(floor(length(text) / 16) AS BIGINT))) AS i FROM documents) " +
+        "SELECT doc_id, CAST(i AS INTEGER) AS frame_idx, " +
+        "CAST(16 AS INTEGER) AS n_bytes, " +
+        "md5(substring(text, CAST(i * 16 + 1 AS INTEGER), 16)) AS frame_hash " +
+        "FROM x WHERE i % 4 = 0 ORDER BY doc_id, frame_idx"),
+    // Morton-interleave of the two 8-bit bucket ids, expanded to plain bit
+    // arithmetic (generated: bit i of bx -> z bit 2i, bit i of by -> 2i+1)
+    "q_zorder" ->
+      ("WITH b AS (SELECT CAST(least(floor(o_totalprice / 2000), 255) AS INTEGER) AS bx, " +
+        "CAST(((date_diff('day', TIMESTAMP '1992-01-01 00:00:00', o_orderdate) % 256) + 256) % 256 AS INTEGER) AS by " +
+        "FROM orders), " +
+        "z AS (SELECT bx, by, " +
+        (0 until 8).map(i =>
+          s"((bx >> $i) & 1) * ${1 << (2 * i)} + ((by >> $i) & 1) * ${1 << (2 * i + 1)}")
+          .mkString(" + ") +
+        " AS zkey FROM b) " +
+        "SELECT CAST(zkey // 64 AS INTEGER) AS zrange, COUNT(*) AS n, " +
+        "MIN(bx) AS min_price_bucket, MAX(bx) AS max_price_bucket, " +
+        "MIN(by) AS min_day_bucket, MAX(by) AS max_day_bucket " +
+        "FROM z GROUP BY zrange ORDER BY zrange"),
   )
 }

@@ -217,4 +217,18 @@ object MultimodalOps {
         pmod(ascii(col("text")), lit(4)).as("format_id"),
         md5(col("payload")).as("content_hash"))
       .orderBy(col("doc_id"))
+
+  /** q_frame_sample: the declared face of [[sampleFrames]] — every 4th
+    * 16-byte "frame" of each payload, reported as (frame_idx, size, md5).
+    * The frame digest is what a real video pipeline ships downstream
+    * (frame-level dedup, perceptual-hash joins); the md5 here doubles as
+    * the oracle handle, since the payload is the UTF-8 text and the corpus
+    * is pure ASCII, so DuckDB's substring+md5 reproduces the byte slices
+    * exactly. Narrow scan + bounded explode — no shuffle at any size. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("frame_idx"),
+        octet_length(col("frame")).as("n_bytes"),
+        md5(col("frame")).as("frame_hash"))
+      .orderBy(col("doc_id"), col("frame_idx"))
 }

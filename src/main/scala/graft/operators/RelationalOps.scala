@@ -210,4 +210,35 @@ object RelationalOps {
         col("valid_to").isNull.cast("int").as("is_current"))
       .orderBy(col("user_id"), col("version"))
   }
+
+  /** q_zorder: Morton (Z-order) clustering-key layout diagnostic. Orders
+    * are bucketized on two dimensions (price band, order-day), the two
+    * 8-bit bucket ids are bit-interleaved into a 16-bit Z-key, and the
+    * query reports per-Z-range (64 consecutive keys ≈ one target file)
+    * row counts and min/max of BOTH dimensions — exactly the footer stats
+    * a lakehouse writer would persist after `.repartitionByRange(zkey)`.
+    * Tight per-range min/max spans are what make 2-D data skipping work:
+    * a predicate on EITHER dimension prunes files, which neither
+    * single-column sort order can offer. The key derivation is pure
+    * codegen'd bit arithmetic on the scan — no shuffle (the real write
+    * path adds one range-repartition by zkey). */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = Tables.orders(spark, dir).select(
+      least(floor(col("o_totalprice") / 2000), lit(255)).cast("int").as("bx"),
+      pmod(datediff(col("o_orderdate"), lit("1992-01-01").cast("date")),
+        lit(256)).cast("int").as("by"))
+    val zkey = (0 until 8).map(i =>
+      shiftright(col("bx"), i).bitwiseAND(lit(1)) * lit(1 << (2 * i))
+        + shiftright(col("by"), i).bitwiseAND(lit(1)) * lit(1 << (2 * i + 1)))
+      .reduce(_ + _)
+    buckets
+      .withColumn("zrange", (zkey / 64).cast("int"))
+      .groupBy(col("zrange"))
+      .agg(count(lit(1)).as("n"),
+        min(col("bx")).as("min_price_bucket"),
+        max(col("bx")).as("max_price_bucket"),
+        min(col("by")).as("min_day_bucket"),
+        max(col("by")).as("max_day_bucket"))
+      .orderBy(col("zrange"))
+  }
 }

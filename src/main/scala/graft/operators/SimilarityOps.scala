@@ -269,4 +269,40 @@ object SimilarityOps {
           .stableRound4(col("n") / col("row_total")).as("row_share"))
       .orderBy(col("true_label"), col("pred_label"))
   }
+
+  /** q_hard_negative: hard-negative mining for contrastive training — for
+    * each probe vector, the `k` most-similar vectors carrying a DIFFERENT
+    * label. These highest-cosine cross-label pairs are exactly the
+    * negatives a contrastive loss (InfoNCE/triplet) learns most from;
+    * mining them is a standard corpus-prep pass for embedding-model
+    * training.
+    *
+    * Scale shape: broadcast the (small) probe set against one narrow
+    * candidate scan — O(|Q|·n) codegen'd dot products, no shuffle of the
+    * corpus; the per-probe rank filter collapses to WindowGroupLimit
+    * (bounded heap per partition). For probe sets too large to broadcast,
+    * the same ranking runs over LSH/IVF candidates instead
+    * ([[annTopK]] / IvfOps) — the mining logic is unchanged. */
+  def hardNegatives(spark: SparkSession, dir: String, k: Int = 3,
+      nProbes: Int = 20): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"), l2Norm(col("embedding")).as("q_nrm"))
+    val c = emb.select(col("vec_id").as("cand_id"),
+      col("label").as("neg_label"),
+      col("embedding").as("c_emb"), l2Norm(col("embedding")).as("c_nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    broadcast(q)
+      .join(c, col("q_label") =!= col("neg_label"))
+      .select(col("q_id"), col("q_label"), col("cand_id"), col("neg_label"),
+        round(cosine(dotProduct(col("q_emb"), col("c_emb")),
+          col("q_nrm"), col("c_nrm")), 4).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("cand_id"), col("q_label"),
+        col("neg_label"), col("cos_sim"))
+      .orderBy(col("q_id"), col("rn"))
+  }
 }

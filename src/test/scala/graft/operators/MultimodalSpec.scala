@@ -122,4 +122,18 @@ class MultimodalSpec extends SparkTestBase {
       assert(f.feature.forall(v => v >= 0f && v <= 1f))
     }
   }
+
+  test("frameSample digests equal direct md5 of the byte slices") {
+    val out = MultimodalOps.frameSample(spark, sf).collect()
+    assert(out.nonEmpty)
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.take(50).foreach { r =>
+      val (id, idx, hash) = (r.getLong(0), r.getInt(1), r.getString(3))
+      assert(idx % 4 == 0 && r.getInt(2) == 16)
+      val bytes = texts(id).getBytes("UTF-8").slice(idx * 16, idx * 16 + 16)
+      val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      assert(md.map("%02x".format(_)).mkString == hash, s"digest at $id/$idx")
+    }
+  }
 }

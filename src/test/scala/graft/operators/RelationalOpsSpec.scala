@@ -73,4 +73,32 @@ class RelationalOpsSpec extends SparkTestBase {
       .orderBy(col("k")).collect().map(_.getLong(0)).toSeq
     assert(got2 == Seq(2L, 9L))
   }
+
+  test("zorderLayout: morton key derivation matches a reference interleave") {
+    def morton(bx: Int, by: Int): Int =
+      (0 until 8).map(i =>
+        (((bx >> i) & 1) << (2 * i)) | (((by >> i) & 1) << (2 * i + 1))).sum
+    // reference buckets straight from the table
+    val rows = Tables.orders(spark, sf)
+      .select(col("o_totalprice"), col("o_orderdate")).collect()
+    val expect = rows.map { r =>
+      val bx = math.min(math.floor(r.getDouble(0) / 2000).toInt, 255)
+      val days = java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.of(1992, 1, 1),
+        r.getAs[java.time.LocalDateTime](1).toLocalDate).toInt
+      val by = ((days % 256) + 256) % 256
+      (morton(bx, by) / 64, bx, by)
+    }
+    val expectAgg = expect.groupBy(_._1).map { case (z, g) =>
+      z -> (g.length.toLong, g.map(_._2).min, g.map(_._2).max,
+        g.map(_._3).min, g.map(_._3).max)
+    }
+    val got = RelationalOps.zorderLayout(spark, sf).collect()
+    assert(got.length == expectAgg.size)
+    got.foreach { r =>
+      val e = expectAgg(r.getInt(0))
+      assert((r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getInt(5)) == e, s"zrange ${r.getInt(0)}")
+    }
+  }
 }

@@ -161,4 +161,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(math.abs(planted((1L, 2L)) - 1.0) < 1e-9)
     assert(!planted.contains((1L, 3L)) && !planted.contains((2L, 3L)))
   }
+
+  test("hardNegatives: labels always differ, ranks dense, cosine descending") {
+    val out = SimilarityOps.hardNegatives(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.sameElements(1 to rows.length))
+      val sims = rows.sortBy(_.getInt(1)).map(_.getDouble(5))
+      assert(sims.sameElements(sims.sortBy(-(_: Double))))
+      rows.foreach(r => assert(r.getInt(3) != r.getInt(4), s"same label: $r"))
+    }
+    // each mined negative must beat every unmined different-label candidate:
+    // spot-check q 0 against the exact different-label ranking
+    val emb = graft.Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val (q, qv, ql) = emb.find(_._1 == 0L).get
+    def cos(a: Array[Float], b: Array[Float]) = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+        * math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val expect = emb.filter(e => e._3 != ql && e._1 != q)
+      .map(e => (e._1, BigDecimal(cos(qv, e._2))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSeq
+    val got = byQ(0L).sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+    assert(got == expect, s"got $got expect $expect")
+  }
 }
