@@ -200,6 +200,9 @@ object SparkEntry {
     "q_hard_negative"  -> ((s, d) => SimilarityOps.hardNegatives(s, d)),
     "q_frame_sample"   -> (MultimodalOps.frameSample _),
     "q_zorder"         -> (RelationalOps.zorderLayout _),
+    // rows-only: PQ codebook training is iterative k-means (no SQL oracle);
+    // PqSpec pins recall@10 vs the exact baseline and re-rank exactness
+    "q_pq_ann"         -> ((s, d) => PqOps.pqTopK(s, d)),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Product-quantization ANN (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011 — the PQ stage this time, cf. the
+  * IVF coarse stage in [[IvfOps]]): the 64-dim embedding splits into
+  * `m`=8 contiguous 8-dim subvectors, each quantized to one of 16
+  * per-subspace centroids, so a vector compresses to 8 four-bit codes —
+  * 4 bytes against 256 for the raw floats, a 64× memory reduction. That
+  * compression is the entire point at 100 TB: the coded corpus of a
+  * billion vectors fits in ~4 GB, scannable in memory on every executor,
+  * while the raw vectors stay in parquet for the final re-rank only.
+  *
+  * All vectors are L2-normalized first, so the asymmetric-distance (ADC)
+  * L2² ranking is monotone in cosine and comparable with the exact
+  * cosine baseline ([[SimilarityOps.bruteForceTopK]]).
+  *
+  * Scale shape: training mirrors [[IvfOps]] — the model (8×16×8 doubles)
+  * lives on the driver, each Lloyd round is ONE narrow scan (all 8
+  * subspace argmins in the same codegen'd projection) feeding ONE
+  * aggregation over the ×8-exploded (subspace, code, subvector) rows;
+  * encoding is a pure scan; search is a per-query distance-table lookup
+  * (8 array reads + 8 adds per candidate, no floating dot products), then
+  * an exact re-rank of only the ADC shortlist. Nothing ever shuffles the
+  * corpus; nothing all-pairs. */
+object PqOps {
+
+  /** subspace -> (code -> centroid); code index IS the array index. */
+  type Model = Array[Array[Array[Double]]]
+
+  val M = 8           // subspaces
+  val SubDim = 8      // dims per subspace
+  val Codes = 16      // centroids per subspace (4-bit code)
+
+  /** (vec_id, vec: array<double>) L2-normalized. */
+  private def normalized(emb: DataFrame): DataFrame = {
+    val nrm = l2Norm(col("embedding"))
+    emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double") / nrm).as("vec"))
+  }
+
+  private def sub(j: Int): Column =
+    slice(col("vec"), j * SubDim + 1, SubDim)
+
+  /** All-subspace code projection for a driver-held model: one narrow
+    * codegen'd select — codes[j] = argmin cell of subvector j. */
+  private def withCodes(vecs: DataFrame, model: Model): DataFrame =
+    vecs.select(col("vec_id"), col("vec"),
+      array((0 until M).map(j =>
+        nearestCentroid(sub(j), Array.range(0, Codes), model(j))): _*)
+        .as("codes"))
+
+  /** Deterministic init: subspace j's 16 centroids are the j-th subvectors
+    * of the first 16 vectors by id (one ordered-take job for all spaces). */
+  private def initModel(vecs: DataFrame): Model = {
+    val seed = vecs.orderBy(col("vec_id")).limit(Codes)
+      .select(col("vec_id"), col("vec")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    Array.tabulate(M)(j =>
+      seed.map(v => v.slice(j * SubDim, (j + 1) * SubDim)))
+  }
+
+  /** `rounds` Lloyd passes; each is ONE scan + ONE bounded-explode
+    * aggregation (M rows per vector, each carrying one SubDim-subvector),
+    * whose ≤ M·Codes-row result updates the driver model. Empty cells keep
+    * their previous centroid. */
+  private def train(vecs: DataFrame, rounds: Int): Model = {
+    (1 to rounds).foldLeft(initModel(vecs)) { (model, _) =>
+      val coded = withCodes(vecs, model)
+        .select(posexplode(
+          arrays_zip(col("codes"),
+            array((0 until M).map(sub): _*).as("subs"))))
+        .select(col("pos").as("j"), col("col.codes").as("code"),
+          col("col.subs").as("subv"))
+      val next = coded.groupBy(col("j"), col("code"))
+        .agg(vectorAvg(col("subv"), SubDim).as("centroid"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+        .toMap
+      Array.tabulate(M)(j => Array.tabulate(Codes)(c =>
+        next.getOrElse((j, c), model(j)(c))))
+    }
+  }
+
+  /** q_pq_ann: PQ-coded ANN for probe vectors vec_id < 5 — ADC shortlist
+    * of `shortlist` candidates per query from the 4-byte codes, exact
+    * cosine re-rank of the shortlist down to top-`k`. Output shape matches
+    * the other ANN queries: (q_id, rn, cand_id, cos_sim). Rows-only in the
+    * oracle (k-means isn't SQL); PqSpec pins recall vs the exact baseline
+    * and ADC-vs-true-distance error bounds. */
+  def pqTopK(spark: SparkSession, dir: String, k: Int = 10,
+      shortlist: Int = 50, iters: Int = 3, nProbes: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = Materialize(normalized(Tables.embeddings(spark, dir)))
+    val model = train(vecs, iters)
+    // the coded corpus: vec_id + M small ints — the compressed index
+    val coded = Materialize(withCodes(vecs, model)
+      .select(col("vec_id"), col("codes")))
+    val probes = vecs.filter(col("vec_id") < nProbes)
+      .select(col("vec_id"), col("vec")).collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // per query: flat 128-double distance table dt[j*Codes + c] =
+    // ||q_j − centroid_{j,c}||², then score = Σ_j dt[j*Codes + codes[j]]
+    val adc = probes.map { case (qid, q) =>
+      val dt = Array.tabulate(M * Codes) { i =>
+        val (j, c) = (i / Codes, i % Codes)
+        val cen = model(j)(c)
+        var s = 0.0; var d = 0
+        while (d < SubDim) {
+          val diff = q(j * SubDim + d) - cen(d); s += diff * diff; d += 1
+        }
+        s
+      }
+      val dtLit = typedlit(dt.toSeq)
+      // 0-based get(): dt[j*Codes + codes[j]] — 8 array reads + 8 adds per
+      // candidate, zero floating-point multiplies in the scan
+      val score = aggregate(
+        sequence(lit(0), lit(M - 1)),
+        lit(0.0),
+        (acc, j) => acc + get(dtLit, j * Codes + get(col("codes"), j)))
+      coded.filter(col("vec_id") =!= qid)
+        .select(lit(qid).as("q_id"), col("vec_id").as("cand_id"),
+          score.as("adc"))
+        .orderBy(col("adc"), col("cand_id"))
+        .limit(shortlist)
+    }.reduce(_.unionAll(_))
+    // exact re-rank of the shortlist only: join back the raw vectors
+    val qv = vecs.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    adc
+      .join(vecs.select(col("vec_id").as("cand_id"), col("vec").as("c_vec")),
+        "cand_id")
+      .join(broadcast(qv), "q_id")
+      .select(col("q_id"), col("cand_id"),
+        round(dotProduct(col("q_vec"), col("c_vec")), 4).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("cand_id"), col("cos_sim"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+}

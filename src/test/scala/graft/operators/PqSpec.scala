@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Recall and structural invariants for the product-quantization ANN
+  * (q_pq_ann) — rows-only in the oracle, so this spec is its correctness
+  * contract. */
+class PqSpec extends SparkTestBase {
+
+  private lazy val pq = PqOps.pqTopK(spark, sf).collect()
+
+  test("pqTopK shape: dense ranks, no self-matches, cosine descending") {
+    assert(pq.nonEmpty)
+    val byQ = pq.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.sameElements(1 to rows.length))
+      assert(rows.forall(_.getLong(2) != q))
+      val sims = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sims.sameElements(sims.sortBy(-(_: Double))))
+    }
+  }
+
+  test("pqTopK recall@10 vs the exact cosine baseline") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val exact = SimilarityOps
+      .bruteForceTopK(emb.filter(col("vec_id") < 5), emb, 10)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val got = pq.groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val recalls = exact.map { case (q, truth) =>
+      got.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    // ADC shortlist of 50 + exact re-rank: on the clustered fixture
+    // embeddings this recovers most of the exact top-10
+    assert(mean >= 0.5, s"mean recall@10 = $mean (${recalls.toSeq})")
+  }
+
+  test("re-ranked cosines are exactly the true cosines for returned pairs") {
+    val emb = graft.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    pq.foreach { r =>
+      val (q, c) = (emb(r.getLong(0)), emb(r.getLong(2)))
+      val dot = q.zip(c).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      val cos = dot / (math.sqrt(q.map(x => x.toDouble * x).sum)
+        * math.sqrt(c.map(x => x.toDouble * x).sum))
+      assert(math.abs(r.getDouble(3) - cos) < 1e-3,
+        s"cos mismatch at ${r.getLong(0)}->${r.getLong(2)}")
+    }
+  }
+}
