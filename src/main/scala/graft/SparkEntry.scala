@@ -203,6 +203,8 @@ object SparkEntry {
     // rows-only: PQ codebook training is iterative k-means (no SQL oracle);
     // PqSpec pins recall@10 vs the exact baseline and re-rank exactness
     "q_pq_ann"         -> ((s, d) => PqOps.pqTopK(s, d)),
+    "q_lift"           -> ((s, d) => GraphOps.liftPairs(s, d)),
+    "q_abtest"         -> (StatOps.abTest _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -1528,5 +1530,44 @@ object SparkEntry {
         "MIN(bx) AS min_price_bucket, MAX(bx) AS max_price_bucket, " +
         "MIN(by) AS min_day_bucket, MAX(by) AS max_day_bucket " +
         "FROM z GROUP BY zrange ORDER BY zrange"),
+    // market-basket support/confidence/lift over the capped baskets
+    "q_lift" ->
+      ("WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem), " +
+        "ok AS (SELECT okey FROM op GROUP BY okey HAVING COUNT(*) <= 64), " +
+        "o AS (SELECT * FROM op WHERE okey IN (SELECT okey FROM ok)), " +
+        "t AS (SELECT CAST(COUNT(DISTINCT okey) AS DOUBLE) AS n_orders FROM o), " +
+        "item AS (SELECT pkey, COUNT(*) AS n_item FROM o GROUP BY pkey), " +
+        "p AS (SELECT a.pkey AS src, b.pkey AS dst, COUNT(*) AS n_pair " +
+        "FROM o a JOIN o b ON a.okey = b.okey AND a.pkey < b.pkey " +
+        "GROUP BY 1, 2 HAVING COUNT(*) >= 2) " +
+        "SELECT src, dst, n_pair, i1.n_item AS n_src, i2.n_item AS n_dst, " +
+        "CAST(round(CAST(n_pair / n_orders AS DECIMAL(20,8)), 4) AS DOUBLE) AS support, " +
+        "CAST(round(CAST(CAST(n_pair AS DOUBLE) / i1.n_item AS DECIMAL(20,8)), 4) AS DOUBLE) AS confidence, " +
+        "CAST(round(CAST(n_pair * n_orders / (CAST(i1.n_item AS DOUBLE) * i2.n_item) " +
+        "AS DECIMAL(20,8)), 4) AS DOUBLE) AS lift " +
+        "FROM p JOIN item i1 ON i1.pkey = src JOIN item i2 ON i2.pkey = dst " +
+        "CROSS JOIN t ORDER BY lift DESC, src, dst LIMIT 20"),
+    // two-proportion z on the parity split (conversion = first event is a
+    // purchase); HUGEINT sums cast back; z NULL when all-or-nothing
+    "q_abtest" ->
+      ("WITH f AS (SELECT user_id, event_type, ROW_NUMBER() OVER " +
+        "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn FROM events), " +
+        "pu AS (SELECT user_id % 2 AS variant, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS converted " +
+        "FROM f WHERE rn = 1), " +
+        "bv AS (SELECT variant, COUNT(*) AS n, SUM(converted) AS conv FROM pu GROUP BY variant), " +
+        "w AS (SELECT CAST(SUM(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n_a, " +
+        "CAST(SUM(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n_b, " +
+        "CAST(SUM(CASE WHEN variant = 0 THEN conv END) AS BIGINT) AS conv_a, " +
+        "CAST(SUM(CASE WHEN variant = 1 THEN conv END) AS BIGINT) AS conv_b FROM bv) " +
+        "SELECT n_a, n_b, conv_a, conv_b, " +
+        "CAST(round(CAST(CAST(conv_a AS DOUBLE) / n_a AS DECIMAL(20,8)), 4) AS DOUBLE) AS rate_a, " +
+        "CAST(round(CAST(CAST(conv_b AS DOUBLE) / n_b AS DECIMAL(20,8)), 4) AS DOUBLE) AS rate_b, " +
+        "CAST(round(CAST(CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b THEN " +
+        "(CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) " +
+        "/ sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) " +
+        "* (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) " +
+        "* (1.0 / n_a + 1.0 / n_b)) END AS DECIMAL(20,8)), 4) AS DOUBLE) AS z_stat " +
+        "FROM w"),
   )
 }

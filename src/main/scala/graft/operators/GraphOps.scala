@@ -166,4 +166,48 @@ object GraphOps {
       .orderBy(col("rank").desc, col("part_id"))
       .limit(k)
   }
+
+  /** q_lift: association-rule mining over the same co-purchase baskets —
+    * top-20 part pairs by lift with a minimum pair support, the
+    * support/confidence/lift triple of classic market-basket analysis.
+    * Exact integer counts until the three final divisions.
+    *
+    * Scale shape: identical to [[copurchaseEdges]] (bounded per-basket
+    * pair join + one aggregation) — pair support is the aggregation COUNT
+    * instead of a distinct; item supports are one more groupBy on the
+    * (order, part) set; N is a scalar. The min-support filter runs BEFORE
+    * the item-support join, so only surviving pairs join. */
+  def liftPairs(spark: SparkSession, dir: String, k: Int = 20,
+      minPair: Long = 2, maxBasket: Int = 64): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val op = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
+      .distinct()
+    val sized = op
+      .withColumn("basket",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("okey"))))
+      .where(col("basket") <= maxBasket)
+      .drop("basket")
+    val o = Materialize(sized)
+    val nOrders = o.select(col("okey")).distinct().count()
+    val item = o.groupBy(col("pkey")).agg(count(lit(1)).as("n_item"))
+    val pairs = o.as("a")
+      .join(o.as("b"),
+        col("a.okey") === col("b.okey") && col("a.pkey") < col("b.pkey"))
+      .groupBy(col("a.pkey").as("src"), col("b.pkey").as("dst"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPair)
+    pairs
+      .join(item.select(col("pkey").as("src"), col("n_item").as("n_src")), "src")
+      .join(item.select(col("pkey").as("dst"), col("n_item").as("n_dst")), "dst")
+      .select(col("src"), col("dst"), col("n_pair"), col("n_src"), col("n_dst"),
+        stableRound4(col("n_pair").cast("double") / nOrders).as("support"),
+        stableRound4(col("n_pair").cast("double") / col("n_src"))
+          .as("confidence"),
+        stableRound4(col("n_pair").cast("double") * nOrders
+          / (col("n_src").cast("double") * col("n_dst"))).as("lift"))
+      .orderBy(col("lift").desc, col("src"), col("dst"))
+      .limit(k)
+  }
 }

