@@ -74,18 +74,28 @@ object GraphOps {
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("degree"))
 
-  /** q_triangles: top-20 parts by triangle participation. Orientation makes
-    * the wedge join bounded (see class doc); the final per-node attribution
-    * explodes each found triangle to its 3 corners and aggregates.
+  /** q_triangles: top-20 parts by triangle participation, via the
+    * edge-⋈-adjacency-intersection formulation: orient every edge from the
+    * lower-(degree, id) endpoint (Cohen / Suri-Vassilvitskii), group the
+    * oriented out-neighborhoods into per-node sorted arrays, then for each
+    * oriented edge (u, v) the triangles through it are exactly
+    * |adj(u) ∩ adj(v)| — one codegen'd array intersection per edge.
     *
-    * Join shapes: `orient` is |E| rows; wedges = orient ⋈ orient on the apex
-    * (sort-merge, fan-out Σ d_out²); closure check is one more equality join
-    * back to the oriented edge set. No step is ever all-pairs. */
+    * Why not the textbook wedge self-join: this graph is near-regular
+    * (basket-bounded), so Σ d_out² wedges ≈ 40–80 M rows at bench SF —
+    * materializing them through a shuffle is the whole cost. Here NOTHING
+    * wedge-sized ever shuffles: the big operands are |E| edge rows joined
+    * twice with |V| adjacency rows, and the intersection happens inside
+    * the join projection. The adjacency array is bounded by the max
+    * ORIENTED out-degree ≤ √(2·|E|) (the orientation's arboricity bound),
+    * which is what keeps rows bounded on power-law graphs too.
+    *
+    * Per-node attribution: edge (u, v) with common out-neighbors W adds
+    * |W| to u and v, and 1 to each w ∈ W (explode of the intersection —
+    * bounded by 3 · #triangles, the output's own size). */
   def triangleTop(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val edges = Materialize(copurchaseEdges(spark, dir))
     val deg = degrees(edges)
-    // orient: lower (degree, id) endpoint -> higher. Ties on degree break
-    // by id, so orientation is a strict total order and acyclic.
     val oriented = edges
       .join(deg.withColumnRenamed("node", "src")
         .withColumnRenamed("degree", "dsrc"), "src")
@@ -99,26 +109,27 @@ object GraphOps {
           .as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
     val o = Materialize(oriented)
-    // wedges at the low-degree apex u: (u -> v), (u -> w), v < w in the
-    // orientation order is not needed — (v, w) pairs from distinct out-
-    // neighbors, dedup'd by requiring v's id < w's id would MISS closures
-    // oriented the other way; instead check closure against the oriented
-    // edge (v -> w) directly, which exists in exactly one direction.
-    val wedges = o.as("e1").join(o.as("e2"),
-        col("e1.u") === col("e2.u") && col("e1.v") =!= col("e2.v"))
-      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
-    // closure: oriented edge b -> c closes wedge (a; b, c). Each triangle is
-    // counted exactly twice this way (the two wedge orderings (b,c),(c,b) at
-    // the apex — only one has the closing oriented edge), so no /2 needed:
-    // apex a generates wedge {b,c} in both orders, but (b -> c) exists in
-    // exactly one orientation, so each triangle closes exactly once.
-    val tris = wedges.join(o,
-        col("b") === col("u") && col("c") === col("v"))
-      .select(col("a"), col("b"), col("c"))
-    tris
-      .select(explode(array(col("a"), col("b"), col("c"))).as("part_id"))
+    val adj = Materialize(o.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("nbrs")))
+    val common = o
+      .join(adj, "u")
+      .join(adj.select(col("u").as("v"), col("nbrs").as("nbrs_v")), "v")
+      .select(col("u"), col("v"),
+        array_intersect(col("nbrs"), col("nbrs_v")).as("common"))
+      .select(col("u"), col("v"), col("common"),
+        size(col("common")).as("n_common"))
+      .filter(col("n_common") > 0)
+    // u and v each gain n_common triangles via this edge; each common w
+    // gains exactly 1 — a weighted union, re-aggregated per node
+    val mat = Materialize(common)
+    mat.select(col("u").as("part_id"),
+        col("n_common").cast("long").as("n_raw"))
+      .unionAll(mat.select(col("v").as("part_id"),
+        col("n_common").cast("long").as("n_raw")))
+      .unionAll(mat.select(explode(col("common")).as("part_id"),
+        lit(1L).as("n_raw")))
       .groupBy(col("part_id"))
-      .agg(count(lit(1)).as("n_triangles"))
+      .agg(sum(col("n_raw")).as("n_triangles"))
       .orderBy(col("n_triangles").desc, col("part_id"))
       .limit(k)
   }
@@ -139,27 +150,33 @@ object GraphOps {
       damping: Double = 0.85, k: Int = 20): DataFrame = {
     import graft.functions.NumericFunctions.stableRound4
     val edges = Materialize(copurchaseEdges(spark, dir))
-    // both directions: undirected rank flow
-    val directed = Materialize(
+    // adjacency-grouped edges: ONE |V|-row table, built once — per
+    // iteration the |E|-sized row set exists only inside the explode of a
+    // joined projection, so edges are never re-shuffled (the round-4
+    // rewrite: the per-iteration edge⋈rank join shuffled |E| rows × iters)
+    val adj = Materialize(
       edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-        .select(col("src"), col("dst")))
-    val outDeg = directed.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
-    val withDeg = Materialize(directed.join(outDeg, "src"))
-    val nodes = Materialize(directed.select(col("src").as("node")).distinct())
-    val n = nodes.count()
+        .groupBy(col("src"))
+        .agg(collect_list(col("dst")).as("nbrs")))
+    val n = adj.count()
     val teleport = (1.0 - damping) / n
-    var ranks = Materialize(nodes.withColumn("rank", lit(1.0 / n)))
+    // the rank chain is LINEAR — each iteration's output feeds exactly the
+    // next — so no per-iteration checkpoint is needed: the whole loop is
+    // one job of iters×(join + aggregate) stages over the materialized adj
+    var ranks = adj.select(col("src").as("node"), lit(1.0 / n).as("rank"))
     for (_ <- 1 to iters) {
-      val contrib = withDeg
-        .join(ranks, withDeg("src") === ranks("node"))
-        .select(col("dst").as("node"), (col("rank") / col("odeg")).as("c"))
+      // |V|⋈|V| join (tiny vs |E|), explode distributes rank/odeg to each
+      // neighbor, map-side partial sums shrink the shuffle to |V| rows
+      val contrib = adj
+        .join(ranks, adj("src") === ranks("node"))
+        .select(explode(col("nbrs")).as("node"),
+          (col("rank") / size(col("nbrs"))).as("c"))
         .groupBy(col("node"))
         .agg(sum(col("c")).as("inflow"))
-      ranks = Materialize(
-        nodes.join(contrib, Seq("node"), "left")
-          .select(col("node"),
-            (lit(teleport)
-              + lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank")))
+      // undirected ⇒ no isolated or dangling nodes: every node has degree
+      // ≥ 1, so contrib covers the full node set (inner shape, no left)
+      ranks = contrib.select(col("node"),
+        (lit(teleport) + lit(damping) * col("inflow")).as("rank"))
     }
     ranks
       .select(col("node").as("part_id"), stableRound4(col("rank")).as("rank"))
