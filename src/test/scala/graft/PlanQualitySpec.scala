@@ -432,4 +432,56 @@ class PlanQualitySpec extends SparkTestBase {
       .select("l_returnflag", "l_linestatus", "sum_qty").collect()
     assert(viaSql.sameElements(viaApi))
   }
+
+  test("graph family: no wedge shuffle in triangles, no cartesian anywhere") {
+    val pt = plan(GraphOps.triangleTop(spark, sf))
+    // the adjacency-intersection plan: pair explode (Generate) + joins on
+    // u/v keys — never a CartesianProduct or BroadcastNestedLoopJoin
+    assert(!pt.contains("CartesianProduct"), pt)
+    assert(!pt.contains("BroadcastNestedLoop"), pt)
+    assert(pt.contains("Generate"), pt)
+    val pp = plan(GraphOps.pageRank(spark, sf))
+    assert(!pp.contains("CartesianProduct"), pp)
+    // lineitem scan prunes to the two graph columns (checked on the edge
+    // builder — the downstream plans sit behind Materialize boundaries)
+    val pe = plan(GraphOps.copurchaseEdges(spark, sf))
+    assert(pe.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>"), pe)
+  }
+
+  test("ks/mannwhitney: value-compressed windows, no raw-row window") {
+    val p = plan(StatOps.ksTest(spark, sf))
+    // the Window must sit ABOVE an aggregation (value-compressed), and the
+    // documents scan prunes to (source, n_chars)
+    assert(p.contains("ReadSchema: struct<source:string,n_chars:bigint>"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("scd2 windows partition by the dimension key (no global window)") {
+    val p = plan(RelationalOps.scd2(spark, sf))
+    assert(p.contains("Window"), p)
+    // every window partitions by user_id — no empty partition spec
+    assert(!p.matches("(?s).*Window \\[[^\\]]*windowspecdefinition\\(unix[^,]*, event_id.*"), p)
+  }
+
+  test("hardNegatives broadcasts the probe side of the non-equi join") {
+    val p = plan(SimilarityOps.hardNegatives(spark, sf))
+    // label≠label is a non-equi join: the correct shape is a nested-loop
+    // with the (tiny) probe side broadcast — never a CartesianProduct of
+    // two unbroadcast sides
+    assert(p.contains("BroadcastNestedLoopJoin BuildLeft"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("frameSample is a narrow scan + generate (no exchange before sort)") {
+    val p = plan(MultimodalOps.frameSample(spark, sf))
+    assert(p.contains("Generate"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("zorder derives keys on the scan and partial-aggregates") {
+    val p = plan(RelationalOps.zorderLayout(spark, sf))
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("ReadSchema: struct<o_totalprice:double,o_orderdate:timestamp"), p)
+  }
 }
