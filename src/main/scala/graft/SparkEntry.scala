@@ -205,6 +205,9 @@ object SparkEntry {
     "q_pq_ann"         -> ((s, d) => PqOps.pqTopK(s, d)),
     "q_lift"           -> ((s, d) => GraphOps.liftPairs(s, d)),
     "q_abtest"         -> (StatOps.abTest _),
+    // rows-only: transitive closure is iterative (no SQL oracle); DedupSpec
+    // pins clusters to a driver union-find over the same scored edges
+    "q_entity_match"   -> ((s, d) => DedupOps.entityMatch(s, d)),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived

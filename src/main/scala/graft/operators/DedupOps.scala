@@ -788,4 +788,42 @@ object DedupOps {
       .filter(col("cos_sim") >= threshold)
       .orderBy(col("va"), col("vb"))
   }
+
+  /** q_entity_match: end-to-end entity resolution — the record-linkage
+    * pipeline (Fellegi-Sunter shape): BLOCK candidate pairs by a cheap key
+    * (2-char lowercase prefix), SCORE each candidate with Jaro-Winkler on
+    * the 16-char name prefix, LINK pairs scoring ≥ `thr` into an edge
+    * list, and CLUSTER transitively with [[connectedComponents]]. Output
+    * is one row per multi-member entity cluster: the min-id representative
+    * label, member count, and the sorted member list.
+    *
+    * This composes three primitives the library already proves separately
+    * (blocked fuzzy pairs = q_fuzzy_jw; transitive closure = the
+    * dedup-cluster CC; min-id survivorship = exact dedup) into the
+    * deduplicate-customers / merge-author-profiles capability. Scale
+    * shape: the block join is an equality join on the block key — never
+    * all-pairs (a production run adds more blocking passes, not a wider
+    * join); CC state stays distributed. Rows-only (iterative CC is not
+    * SQL); DedupSpec pins clusters to a driver union-find on the same
+    * scored edges. */
+  def entityMatch(spark: SparkSession, dir: String, thr: Double = 0.92,
+      blockChars: Int = 2, k: Int = 20): DataFrame = {
+    val recs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        substring(lower(col("text")), 1, 16).as("name"),
+        substring(lower(col("text")), 1, blockChars).as("blk"))
+    val edges = recs.as("a").join(recs.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .filter(jaroWinkler(col("a.name"), col("b.name")) >= thr)
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+    connectedComponents(edges)
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_members"),
+        sort_array(collect_list(col("node"))).as("members"))
+      .filter(col("n_members") >= 2)
+      .select(col("comp").as("entity_id"), col("n_members"),
+        concat_ws(",", col("members").cast("array<string>")).as("members"))
+      .orderBy(col("n_members").desc, col("entity_id"))
+      .limit(k)
+  }
 }

@@ -169,4 +169,38 @@ class DedupSpec extends SparkTestBase {
     assert(out.count() == Tables.documents(spark, sf).count())
     assert(out.filter(col("cluster_rep") > col("doc_id")).count() == 0)
   }
+
+  test("entityMatch clusters equal a driver union-find over the same edges") {
+    import org.apache.spark.sql.functions._
+    val recs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), substring(lower(col("text")), 1, 16).as("name"),
+        substring(lower(col("text")), 1, 2).as("blk"))
+    val edges = recs.as("a").join(recs.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .filter(graft.functions.TextFunctions.jaroWinkler(
+        col("a.name"), col("b.name")) >= 0.92)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // driver union-find
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r)
+      parent.getOrElseUpdate(x, r); if (parent(x) != r) parent(x) = r; r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // full path compression pass, then group
+    val groups = parent.keys.toSeq.map(n => find(n) -> n)
+      .groupBy(_._1).map { case (c, ms) => c -> ms.map(_._2).sorted }
+      .filter(_._2.size >= 2)
+    val expect = groups.toSeq
+      .sortBy { case (c, ms) => (-ms.size, c) }.take(20)
+      .map { case (c, ms) => (c, ms.size.toLong, ms.mkString(",")) }
+    val got = DedupOps.entityMatch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == expect, s"got ${got.take(3)} expect ${expect.take(3)}")
+  }
 }
