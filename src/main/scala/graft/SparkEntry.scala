@@ -208,6 +208,7 @@ object SparkEntry {
     // rows-only: transitive closure is iterative (no SQL oracle); DedupSpec
     // pins clusters to a driver union-find over the same scored edges
     "q_entity_match"   -> ((s, d) => DedupOps.entityMatch(s, d)),
+    "q_debounce"       -> ((s, d) => EventOps.debounce(s, d)),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -1572,5 +1573,15 @@ object SparkEntry {
         "* (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) " +
         "* (1.0 / n_a + 1.0 / n_b)) END AS DECIMAL(20,8)), 4) AS DOUBLE) AS z_stat " +
         "FROM w"),
+    // gap-based debounce: drop events within 60 min of the same user's
+    // previous same-type event, report the per-type keep funnel
+    "q_debounce" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events), " +
+        "l AS (SELECT event_type, CASE WHEN lag(us) OVER (PARTITION BY user_id, event_type " +
+        "ORDER BY us, event_id) IS NULL OR us - lag(us) OVER (PARTITION BY user_id, event_type " +
+        "ORDER BY us, event_id) > 3600000000 THEN 1 ELSE 0 END AS kept FROM e) " +
+        "SELECT event_type, COUNT(*) AS n_total, CAST(SUM(kept) AS BIGINT) AS n_kept, " +
+        "CAST(round(CAST(CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS DECIMAL(20,8)), 4) AS DOUBLE) AS kept_share " +
+        "FROM l GROUP BY event_type ORDER BY event_type"),
   )
 }

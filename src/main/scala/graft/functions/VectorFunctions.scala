@@ -27,6 +27,13 @@ object VectorFunctions {
     GraftColumnBridge.toColumn(expressions.VectorL2Norm(
       GraftColumnBridge.toExpression(a)))
 
+  /** Linear-merge intersection of two SORTED, duplicate-free bigint arrays
+    * (codegen'd [[expressions.SortedLongIntersect]] — no per-row hash set;
+    * the triangle-counting hot path runs this once per edge). */
+  def sortedIntersect(a: Column, b: Column): Column =
+    GraftColumnBridge.toColumn(expressions.SortedLongIntersect(
+      GraftColumnBridge.toExpression(a), GraftColumnBridge.toExpression(b)))
+
   /** Element-wise mean of a fixed-dim vector column as one partial-friendly
     * aggregate (see [[expressions.VectorAverage]]). */
   def vectorAvg(a: Column, dim: Int): Column =

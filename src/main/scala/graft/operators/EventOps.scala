@@ -434,6 +434,39 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
+  /** q_debounce: gap-based event debouncing — drop any event arriving
+    * within `gapMinutes` of the SAME user's previous event of the same
+    * type (the duplicate-click / retry-storm filter every event pipeline
+    * runs at ingest). Keeps the lag-based formulation (gap to the
+    * previous RAW event) precisely because it is parallel-window
+    * expressible; the stateful keep-anchored variant lives in the
+    * streaming suite where per-key state is the natural engine. Reports
+    * the per-type funnel: total, kept, and kept share.
+    *
+    * One hash partition + sort per (user, type) — the same window shape
+    * every sequence op here shares — then a partial-aggregated rollup to
+    * |types| rows. */
+  def debounce(spark: SparkSession, dir: String,
+      gapMinutes: Int = 60): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .select(col("event_type"),
+        (col("prev").isNull
+          || col("us") - col("prev") > gapMinutes * 60L * 1000000L)
+          .cast("int").as("kept"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"))
+      .select(col("event_type"), col("n_total"), col("n_kept"),
+        stableRound4(col("n_kept").cast("double") / col("n_total"))
+          .as("kept_share"))
+      .orderBy(col("event_type"))
+  }
+
   /** First-order Markov transition matrix over per-user event sequences:
     * P(next = b | current = a) with transition counts — the behavioral
     * model behind next-action prediction and funnel leak analysis

@@ -61,5 +61,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("jaro_winkler"),
       info("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity (prefix-boosted, DuckDB-identical)"),
       (args: Seq[Expression]) => JaroWinkler(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("sorted_intersect"),
+      info("sorted_intersect", "sorted_intersect(a, b) - linear-merge intersection of two sorted bigint arrays (no per-row hash set)"),
+      (args: Seq[Expression]) => SortedLongIntersect(args(0), args(1))))
   }
 }

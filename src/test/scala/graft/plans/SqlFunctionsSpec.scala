@@ -90,4 +90,41 @@ class SqlFunctionsSpec extends SparkTestBase {
     assert(e.getMessage.contains("integer literal")
       || e.getMessage.toLowerCase.contains("cannot resolve"))
   }
+
+  test("sorted_intersect equals array_intersect on random sorted arrays") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(200) { i =>
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong)
+        .distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong)
+        .distinct.sorted
+      (i, a, b)
+    }
+    val df = rows.toDF("i", "a", "b")
+    val got = df.select(col("i"),
+      graft.functions.VectorFunctions.sortedIntersect(col("a"), col("b"))
+        .as("x")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    rows.foreach { case (i, a, b) =>
+      val expect = a.intersect(b)
+      assert(got(i) == expect, s"row $i: ${got(i)} vs $expect")
+    }
+    // SQL registration and empty-input behavior
+    df.createOrReplaceTempView("si_t")
+    val viaSql = spark.sql(
+      "SELECT sorted_intersect(a, b) FROM si_t WHERE i = 0").collect()
+    assert(viaSql.head.getSeq[Long](0) == rows.head._2.intersect(rows.head._3))
+    assert(spark.sql("SELECT sorted_intersect(array(1L,2L), CAST(array() AS ARRAY<BIGINT>))")
+      .collect().head.getSeq[Long](0).isEmpty)
+  }
+
+  test("sorted_intersect rejects non-bigint arrays at analysis time") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT sorted_intersect(array('a'), array('b'))").collect()
+    }
+    assert(e.getMessage.contains("array<bigint>")
+      || e.getMessage.contains("DATATYPE_MISMATCH"))
+  }
 }
