@@ -209,6 +209,11 @@ object SparkEntry {
     // pins clusters to a driver union-find over the same scored edges
     "q_entity_match"   -> ((s, d) => DedupOps.entityMatch(s, d)),
     "q_debounce"       -> ((s, d) => EventOps.debounce(s, d)),
+    // rows-only: frequencies-sketch internals are engine-specific;
+    // SketchSpec pins the no-purge regime to exact counts and the purge
+    // regime to its provable bounds
+    "q_heavy_hitters"  -> ((s, d) => SketchOps.heavyHitters(s, d)),
+    "q_bootstrap"      -> ((s, d) => StatOps.bootstrapMean(s, d)),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -1583,5 +1588,27 @@ object SparkEntry {
         "SELECT event_type, COUNT(*) AS n_total, CAST(SUM(kept) AS BIGINT) AS n_kept, " +
         "CAST(round(CAST(CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS DECIMAL(20,8)), 4) AS DOUBLE) AS kept_share " +
         "FROM l GROUP BY event_type ORDER BY event_type"),
+    // Poisson bootstrap: weights from the SAME md5-hex thresholds as the
+    // Spark side (StatOps.PoissonCdfHex), replicate means are exact-integer
+    // ratios, CI from interpolated percentiles over the replicate means
+    "q_bootstrap" ->
+      ("WITH r AS (SELECT lang, doc_id, n_chars, " +
+        "unnest(range(1, 201)) AS b FROM documents), " +
+        "wts AS (SELECT lang, b, n_chars, CASE " +
+        StatOps.PoissonCdfHex.zipWithIndex.map { case (h, k) =>
+          s"WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 6) < '$h' THEN $k "
+        }.mkString +
+        "ELSE 7 END AS w FROM r), " +
+        "m AS (SELECT lang, b, CAST(SUM(w * n_chars) AS DOUBLE) / SUM(w) AS m " +
+        "FROM wts GROUP BY lang, b HAVING SUM(w) > 0), " +
+        "ci AS (SELECT lang, " +
+        "CAST(round(CAST(quantile_cont(m, 0.025) AS DECIMAL(20,8)), 4) AS DOUBLE) AS ci_lo, " +
+        "CAST(round(CAST(quantile_cont(m, 0.975) AS DECIMAL(20,8)), 4) AS DOUBLE) AS ci_hi " +
+        "FROM m GROUP BY lang), " +
+        "base AS (SELECT lang, COUNT(*) AS n_docs, " +
+        "CAST(round(CAST(AVG(n_chars) AS DECIMAL(20,8)), 4) AS DOUBLE) AS mean_len " +
+        "FROM documents GROUP BY lang) " +
+        "SELECT lang, n_docs, mean_len, ci_lo, ci_hi " +
+        "FROM ci JOIN base USING (lang) ORDER BY lang"),
   )
 }

@@ -53,4 +53,34 @@ object SketchOps {
       .unionByName(global)
       .orderBy(col("o_orderstatus"))
   }
+
+  /** q_heavy_hitters: frequent corpus tokens via the DataSketches
+    * frequencies ItemsSketch ([[graft.functions.expressions.FreqItems]]) —
+    * fixed-memory heavy-hitter detection where the exact vocabulary
+    * aggregation (vocabTopK) needs a vocab-sized shuffle. One narrow
+    * explode + ONE sketch aggregate whose per-partition binaries merge on
+    * the partial-aggregate path; the declared map size (2¹⁵) exceeds the
+    * fixture vocabulary at every SF, so the output here is the exact
+    * frequency table and fully deterministic (bounds collapse, est = lb =
+    * ub); at web scale the same query purges gracefully to provable
+    * bounds. Rows-only: sketch internals are engine-specific; SketchSpec
+    * pins the no-purge regime to exact counts and the purge regime to its
+    * error bounds on a crafted heavy-tail stream. */
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 30,
+      maxMapSize: Int = 1 << 15): DataFrame = {
+    import graft.functions.TextFunctions.tokensLower
+    import org.apache.spark.sql.GraftColumnBridge
+    val freq = GraftColumnBridge.toColumn(
+      graft.functions.expressions.FreqItems(
+        GraftColumnBridge.toExpression(col("tok")), maxMapSize)
+        .toAggregateExpression())
+    Tables.documents(spark, dir)
+      .select(explode(tokensLower(col("text"))).as("tok"))
+      .agg(freq.as("items"))
+      .select(explode(col("items")).as("f"))
+      .select(col("f.item").as("token"), col("f.est").as("est"),
+        col("f.lb").as("lb"), col("f.ub").as("ub"))
+      .orderBy(col("est").desc, col("token"))
+      .limit(k)
+  }
 }

@@ -114,6 +114,63 @@ object StatOps {
       .orderBy(col("source"))
   }
 
+  /** Poisson(1) inverse-CDF thresholds as 6-hex-char strings: replicate
+    * weight w = k iff the doc's 6-hex md5 prefix sorts below the k-th
+    * threshold (first below wins). Shared verbatim by the Spark expression
+    * and the generated oracle SQL, so both engines draw IDENTICAL weights.
+    * floor(cdf·16⁶) as lowercase hex; md5 output is lowercase hex, and hex
+    * strings compare consistently in both engines (ASCII order). */
+  val PoissonCdfHex: Seq[String] = {
+    val probs = Iterator.iterate((0, math.exp(-1.0))) { case (k, p) =>
+      (k + 1, p / (k + 1))
+    }.map(_._2).take(7).toSeq
+    probs.scanLeft(0.0)(_ + _).tail
+      .map(c => f"${math.floor(c * (1 << 24)).toLong}%06x")
+  }
+
+  /** q_bootstrap: Poisson-bootstrap confidence interval for the mean doc
+    * length per language — the distributed bootstrap (Chamandy et al.,
+    * "Estimating Uncertainty for Massive Data Streams", 2012): instead of
+    * resampling n rows WITH replacement (which needs global coordination),
+    * each row independently draws a Poisson(1) weight per replicate, which
+    * converges to multinomial resampling and needs only a deterministic
+    * per-(row, replicate) hash. `reps` replicates explode off the scan
+    * (bounded ×reps, no shuffle until the aggregate); replicate means are
+    * exact-integer-sum ratios, so both engines compute bit-identical
+    * means, and the 2.5/97.5 interpolated percentiles over them give the
+    * CI. Replicates whose total weight is zero (possible only on tiny
+    * groups) are dropped identically on both sides. */
+  def bootstrapMean(spark: SparkSession, dir: String,
+      reps: Int = 200): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+    val u6 = substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+      col("b").cast("string"))), 1, 6)
+    val w = PoissonCdfHex.zipWithIndex.reverse
+      .foldLeft(lit(7): org.apache.spark.sql.Column) {
+        case (acc, (h, k)) => when(u6 < lit(h), lit(k)).otherwise(acc)
+      }
+    val means = docs
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        explode(sequence(lit(1), lit(reps))).as("b"))
+      .select(col("lang"), col("b"), col("n_chars"), w.as("w"))
+      .groupBy(col("lang"), col("b"))
+      .agg(sum(col("w") * col("n_chars")).as("sn"), sum(col("w")).as("sw"))
+      .filter(col("sw") > 0)
+      .select(col("lang"), (col("sn").cast("double") / col("sw")).as("m"))
+    val base = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        stableRound4(avg(col("n_chars"))).as("mean_len"))
+    means.groupBy(col("lang"))
+      .agg(
+        stableRound4(expr("percentile(m, 0.025)")).as("ci_lo"),
+        stableRound4(expr("percentile(m, 0.975)")).as("ci_hi"))
+      .join(base, "lang")
+      .select(col("lang"), col("n_docs"), col("mean_len"),
+        col("ci_lo"), col("ci_hi"))
+      .orderBy(col("lang"))
+  }
+
   /** q_abtest: two-proportion z-test on a deterministic hash split — users
     * are assigned variant A/B by id parity, "conversion" is the user's
     * FIRST event (by time, tie-broken by event_id) being a purchase — the

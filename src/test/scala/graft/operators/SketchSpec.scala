@@ -53,4 +53,55 @@ class SketchSpec extends SparkTestBase {
     assert(a.map(r => (r.getString(0), r.getLong(1)))
       .sameElements(b.map(r => (r.getString(0), r.getLong(1)))))
   }
+
+  test("heavyHitters equals the exact frequency table when nothing purges") {
+    import org.apache.spark.sql.functions._
+    val got = SketchOps.heavyHitters(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // exact reference from the same tokenization
+    val exact = graft.Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.tokensLower(col("text")))
+        .as("tok"))
+      .groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (tok, est, lb, ub) =>
+      assert(est == exact(tok) && lb == est && ub == est,
+        s"bounds did not collapse for $tok: ($est, $lb, $ub) vs ${exact(tok)}")
+    }
+    // top-k ordering matches the exact ordering
+    val expectTop = exact.toSeq.sortBy { case (t, n) => (-n, t) }
+      .take(got.length).map(_._1)
+    assert(got.map(_._1).toSeq == expectTop)
+  }
+
+  test("freq sketch purge regime: bounds contain true counts, no false negatives") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.GraftColumnBridge
+    // heavy-tail stream: 3 heavy items + 5000 singletons, tiny map
+    val rows = (Seq.fill(400)("hot1") ++ Seq.fill(300)("hot2")
+      ++ Seq.fill(200)("hot3") ++ (1 to 5000).map(i => s"cold$i"))
+    val freq = GraftColumnBridge.toColumn(
+      graft.functions.expressions.FreqItems(
+        GraftColumnBridge.toExpression(col("tok")), 64)
+        .toAggregateExpression())
+    val out = rows.toDF("tok").repartition(8)
+      .agg(freq.as("items"))
+      .select(explode(col("items")).as("f"))
+      .select(col("f.item"), col("f.est"), col("f.lb"), col("f.ub"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val truth = Map("hot1" -> 400L, "hot2" -> 300L, "hot3" -> 200L)
+    // every true heavy item is present (NO_FALSE_NEGATIVES) with bounds
+    // containing its true count
+    truth.foreach { case (item, n) =>
+      val hit = out.find(_._1 == item)
+      assert(hit.isDefined, s"missing heavy hitter $item in $out")
+      val (_, est, lb, ub) = hit.get
+      assert(lb <= n && n <= ub && lb <= est && est <= ub,
+        s"bounds violated for $item: ($est, $lb, $ub) truth $n")
+    }
+  }
 }

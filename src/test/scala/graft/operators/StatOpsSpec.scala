@@ -100,4 +100,22 @@ class StatOpsSpec extends SparkTestBase {
     // p=1/4, z = 0.5 / sqrt(0.25*0.75*(0.5+0.5)) = 1.1547
     assert(math.abs(r.getDouble(6) - 1.1547) < 1e-4, s"z=${r.getDouble(6)}")
   }
+
+  test("bootstrap: thresholds well-formed, CI brackets the point mean") {
+    val hx = StatOps.PoissonCdfHex
+    assert(hx.length == 7 && hx == hx.sorted && hx.distinct == hx)
+    // cdf(1) for Poisson(1) is 0.7357...: the k=1 threshold in hex
+    assert(hx(1) == f"${math.floor(0.7357588823428847 * (1 << 24)).toLong}%06x")
+    val out = StatOps.bootstrapMean(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (lo, hi, mean) = (r.getDouble(3), r.getDouble(4), r.getDouble(2))
+      assert(lo <= hi, s"inverted CI: $r")
+      // the bootstrap CI must bracket the point estimate for any
+      // reasonably-sized group (n >= 5 in the smallest fixture lang)
+      assert(lo <= mean && mean <= hi, s"CI misses the mean: $r")
+    }
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(out.map(_.getLong(1)).sum == nDocs)
+  }
 }
