@@ -145,6 +145,35 @@ object EventStreamOps {
       }
   }
 
+  /** Stateful KEEP-ANCHORED debounce per (user, type): an event survives
+    * iff it arrives more than `gapMinutes` after the last KEPT event — the
+    * genuinely sequential variant of the batch q_debounce (whose lag-based
+    * gap is window-parallel). Keeping the anchor in GroupState is exactly
+    * what makes this a streaming-native operator: state per key is ONE
+    * timestamp, carried across micro-batches, so a retry storm spanning
+    * batch boundaries still collapses to one kept event. */
+  def debounceKeepAnchored(events: Dataset[Event],
+      gapMinutes: Long = 60): Dataset[Event] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[Long, Event](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Long, String), it: Iterator[Event], state: GroupState[Long]) =>
+          val sorted = it.toList.sortBy(e => (e.ts.getTime, e.event_id))
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val kept = sorted.filter { e =>
+            val keep = last == Long.MinValue || e.ts.getTime - last > gapMs
+            if (keep) last = e.ts.getTime
+            keep
+          }
+          if (last != Long.MinValue) state.update(last)
+          kept.iterator
+      }
+  }
+
   /** Flush any open sessions held in state (batch-replay epilogue). */
   def finalSessions(events: Dataset[Event], gapMinutes: Long = 30): Dataset[SessionSummary] = {
     val spark = events.sparkSession

@@ -186,4 +186,29 @@ class EventStreamSpec extends SparkTestBase {
     q.stop()
     assert(spark.table("empty_windows").count() == 0)
   }
+
+  test("stateful keep-anchored debounce: anchors persist, output is a maximal gap-respecting subset") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreamOps.Event]
+    val kept = EventStreamOps.debounceKeepAnchored(events, 60).collect()
+    // reference: greedy anchored debounce per (user, type) on the driver
+    val all = events.collect()
+      .groupBy(e => (e.user_id, e.event_type))
+    val expect = all.toSeq.flatMap { case (_, es) =>
+      var last = Long.MinValue
+      es.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).filter { e =>
+        val keep = last == Long.MinValue || e.ts.getTime - last > 3600000L
+        if (keep) last = e.ts.getTime
+        keep
+      }
+    }.map(_.event_id).toSet
+    assert(kept.map(_.event_id).toSet == expect)
+    // anchored debounce keeps at most as many events as the lag-based
+    // batch variant (the anchor can only extend suppression runs)
+    val lagKept = graft.operators.EventOps.debounce(spark, sf)
+      .agg(sum("n_kept")).collect().head.getLong(0)
+    assert(kept.length <= lagKept)
+  }
 }
