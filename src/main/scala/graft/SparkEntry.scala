@@ -214,6 +214,7 @@ object SparkEntry {
     // regime to its provable bounds
     "q_heavy_hitters"  -> ((s, d) => SketchOps.heavyHitters(s, d)),
     "q_bootstrap"      -> ((s, d) => StatOps.bootstrapMean(s, d)),
+    "q_incr_rollup"    -> (RelationalOps.incrRollup _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -1610,5 +1611,13 @@ object SparkEntry {
         "FROM documents GROUP BY lang) " +
         "SELECT lang, n_docs, mean_len, ci_lo, ci_hi " +
         "FROM ci JOIN base USING (lang) ORDER BY lang"),
+    // the incremental-merge result must equal the full recompute — the
+    // oracle IS the full recompute
+    "q_incr_rollup" ->
+      ("SELECT CAST(o_orderdate AS DATE) AS day, " +
+        "round(SUM(o_totalprice), 4) AS revenue, " +
+        "COUNT(*) AS n_orders, " +
+        "CAST(round(CAST(SUM(o_totalprice) / COUNT(*) AS DECIMAL(20,8)), 4) AS DOUBLE) AS avg_order " +
+        "FROM orders GROUP BY 1 ORDER BY day"),
   )
 }

@@ -211,6 +211,40 @@ object RelationalOps {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** q_incr_rollup: incremental materialized-rollup maintenance — the
+    * Delta/Iceberg MERGE pattern for keeping a daily revenue rollup fresh
+    * without rescanning history. The "stored" rollup is the aggregate of
+    * everything before the cutover month; the "delta" is the new data; the
+    * refreshed view = re-aggregating the UNION OF PARTIAL STATES (sum/count
+    * partials merge associatively; avg is derived at read time, never
+    * stored). The oracle is the full recompute over all rows — equality IS
+    * the correctness claim: merging state with a delta gives byte-identical
+    * results to rescanning history.
+    *
+    * Scale shape: history is aggregated ONCE into |days| rows of state;
+    * each refresh touches only the delta scan plus a |days|-row merge —
+    * the 100 TB rollup cost becomes proportional to new data, not total
+    * data. (Here both sides read the same table with complementary pushed
+    * filters; in production the state side is a stored table.) */
+  def incrRollup(spark: SparkSession, dir: String): DataFrame = {
+    val cutover = lit("1997-01-01").cast("timestamp")
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice")).as("rev"), count(lit(1)).as("n"))
+    val stored = partial(
+      Tables.orders(spark, dir).filter(col("o_orderdate") < cutover))
+    val delta = partial(
+      Tables.orders(spark, dir).filter(col("o_orderdate") >= cutover))
+    stored.unionAll(delta)
+      .groupBy(col("day"))
+      .agg(sum(col("rev")).as("rev"), sum(col("n")).as("n_orders"))
+      .select(col("day"), round(col("rev"), 4).as("revenue"),
+        col("n_orders"),
+        graft.functions.NumericFunctions
+          .stableRound4(col("rev") / col("n_orders")).as("avg_order"))
+      .orderBy(col("day"))
+  }
+
   /** q_zorder: Morton (Z-order) clustering-key layout diagnostic. Orders
     * are bucketized on two dimensions (price band, order-day), the two
     * 8-bit bucket ids are bit-interleaved into a 16-bit Z-key, and the

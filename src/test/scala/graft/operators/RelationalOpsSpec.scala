@@ -101,4 +101,18 @@ class RelationalOpsSpec extends SparkTestBase {
         r.getInt(5)) == e, s"zrange ${r.getInt(0)}")
     }
   }
+
+  test("incrRollup merge equals the single-pass full recompute") {
+    import graft.functions.NumericFunctions.stableRound4
+    val full = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(round(sum(col("o_totalprice")), 4).as("revenue"),
+        count(lit(1)).as("n_orders"),
+        stableRound4(sum(col("o_totalprice")) / count(lit(1)))
+          .as("avg_order"))
+      .orderBy(col("day"))
+      .collect()
+    val merged = RelationalOps.incrRollup(spark, sf).collect()
+    assert(merged.sameElements(full))
+  }
 }
