@@ -222,4 +222,47 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("property: KS and Mann-Whitney invariants on random two-source tables") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-prop-stat").toString
+    val lens = sample(Gen.choose(1L, 60L), 240)
+    val rows = lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, if (i % 3 == 0) "a" else "b", n)
+    }
+    rows.toDF("doc_id", "source", "n_chars")
+      .withColumn("text", lit("x")).withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val ks = graft.operators.StatOps.ksTest(spark, tmp).collect()
+    assert(ks.length == 2)
+    // KS is symmetric in the two samples: a-vs-rest == b-vs-rest here
+    assert(ks(0).getDouble(2) == ks(1).getDouble(2))
+    assert(ks.forall(r => r.getDouble(2) >= 0 && r.getDouble(2) <= 1))
+    val mw = graft.operators.StatOps.mannWhitney(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val (na, ua, za) = mw("a"); val (nb, ub, zb) = mw("b")
+    // U_a + U_b = n_a * n_b exactly (midranks cancel)
+    assert(ua + ub == na.toDouble * nb, s"$ua + $ub != ${na * nb}")
+    // the z statistics are antisymmetric up to the 4-decimal rounding
+    assert(math.abs(za + zb) <= 0.0002, s"z not antisymmetric: $za $zb")
+  }
+
+  test("property: sorted_intersect is commutative, idempotent, bounded") {
+    val arrGen = Gen.listOf(Gen.choose(0L, 50L)).map(_.distinct.sorted)
+    val pairs = sample(Gen.zip(arrGen, arrGen), 120)
+    val df = pairs.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("i", "a", "b")
+    import graft.functions.VectorFunctions.sortedIntersect
+    val out = df.select(col("i"),
+        sortedIntersect(col("a"), col("b")).as("ab"),
+        sortedIntersect(col("b"), col("a")).as("ba"),
+        sortedIntersect(col("a"), col("a")).as("aa"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1), r.getSeq[Long](2),
+        r.getSeq[Long](3))).toSeq
+    out.foreach { case (i, ab, ba, aa) =>
+      val (a, b) = pairs(i)
+      assert(ab == ba, s"not commutative at $i")
+      assert(aa == a, s"not idempotent at $i")
+      assert(ab == a.intersect(b), s"wrong intersection at $i")
+    }
+  }
 }
