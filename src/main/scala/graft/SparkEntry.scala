@@ -215,6 +215,9 @@ object SparkEntry {
     "q_heavy_hitters"  -> ((s, d) => SketchOps.heavyHitters(s, d)),
     "q_bootstrap"      -> ((s, d) => StatOps.bootstrapMean(s, d)),
     "q_incr_rollup"    -> (RelationalOps.incrRollup _),
+    "q_anova"          -> (StatOps.anova _),
+    "q_k_anonymity"    -> ((s, d) => StatOps.kAnonymity(s, d)),
+    "q_link_predict"   -> ((s, d) => GraphOps.linkPredict(s, d)),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -1619,5 +1622,42 @@ object SparkEntry {
         "COUNT(*) AS n_orders, " +
         "CAST(round(CAST(SUM(o_totalprice) / COUNT(*) AS DECIMAL(20,8)), 4) AS DOUBLE) AS avg_order " +
         "FROM orders GROUP BY 1 ORDER BY day"),
+    // one-way ANOVA from per-group sufficient statistics
+    "q_anova" ->
+      ("WITH g AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n, " +
+        "SUM(value) AS s, SUM(value * value) AS ss FROM events GROUP BY event_type), " +
+        "t AS (SELECT COUNT(*) AS k, SUM(n) AS n_total, SUM(s) AS s_all, " +
+        "SUM(s * s / n) AS sb_raw, SUM(ss - s * s / n) AS ssw FROM g) " +
+        "SELECT CAST(k AS INTEGER) AS k_groups, CAST(n_total AS BIGINT) AS n_rows, " +
+        "CAST(round(CAST(((sb_raw - s_all * s_all / n_total) / (k - 1)) " +
+        "/ (ssw / (n_total - k)) AS DECIMAL(20,8)), 4) AS DOUBLE) AS f_stat FROM t"),
+    // k-anonymity audit: QI equivalence classes below k
+    "q_k_anonymity" ->
+      ("SELECT c_nationkey AS nation, c_mktsegment AS segment, " +
+        "CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band, " +
+        "COUNT(*) AS class_size FROM customer " +
+        "GROUP BY 1, 2, 3 HAVING COUNT(*) < 5 " +
+        "ORDER BY class_size, nation, segment, bal_band"),
+    // neighborhood-Jaccard link prediction over the top-100-degree batch
+    "q_link_predict" ->
+      ("WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem), " +
+        "ok AS (SELECT okey FROM op GROUP BY okey HAVING COUNT(*) <= 64), " +
+        "e AS (SELECT DISTINCT a.pkey AS src, b.pkey AS dst FROM op a " +
+        "JOIN op b ON a.okey = b.okey AND a.pkey < b.pkey " +
+        "WHERE a.okey IN (SELECT okey FROM ok)), " +
+        "d AS (SELECT node, COUNT(*) AS degree FROM " +
+        "(SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e) u GROUP BY node), " +
+        "top AS (SELECT node, degree FROM d ORDER BY degree DESC, node LIMIT 100), " +
+        "nb AS (SELECT src AS node, dst AS nbr FROM e UNION ALL SELECT dst AS node, src AS nbr FROM e), " +
+        "hn AS (SELECT nb.node, nb.nbr FROM nb JOIN top ON top.node = nb.node), " +
+        "c AS (SELECT x.node AS a, y.node AS b, COUNT(*) AS n_common " +
+        "FROM hn x JOIN hn y ON x.nbr = y.nbr AND x.node < y.node GROUP BY 1, 2), " +
+        "nc AS (SELECT a, b, n_common FROM c WHERE NOT EXISTS " +
+        "(SELECT 1 FROM e WHERE e.src = c.a AND e.dst = c.b)) " +
+        "SELECT a, b, n_common, " +
+        "CAST(round(CAST(CAST(n_common AS DOUBLE) / (ta.degree + tb.degree - n_common) " +
+        "AS DECIMAL(20,8)), 4) AS DOUBLE) AS jaccard " +
+        "FROM nc JOIN top ta ON ta.node = a JOIN top tb ON tb.node = b " +
+        "ORDER BY jaccard DESC, a, b LIMIT 20"),
   )
 }

@@ -114,6 +114,54 @@ object StatOps {
       .orderBy(col("source"))
   }
 
+  /** q_anova: one-way ANOVA F-test of event value across the event types —
+    * the k-group generalization of the pairwise Welch t-tests (q_ttest):
+    * F = (SSB/(k−1)) / (SSW/(N−k)) from the standard per-group
+    * (n, Σx, Σx²) sufficient statistics. ONE partial-aggregated pass to k
+    * rows, then closed-form arithmetic on the driver-sized aggregate —
+    * the cheapest possible shape at any scale. */
+  def anova(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("value")).as("s"),
+        sum(col("value") * col("value")).as("ss"))
+    g.agg(
+        count(lit(1)).as("k"),
+        sum(col("n")).as("n_total"),
+        sum(col("s")).as("s_all"),
+        sum(col("s") * col("s") / col("n")).as("sb_raw"),
+        sum(col("ss") - col("s") * col("s") / col("n")).as("ssw"))
+      .select(
+        col("k").cast("int").as("k_groups"),
+        col("n_total").cast("long").as("n_rows"),
+        stableRound4(
+          ((col("sb_raw") - col("s_all") * col("s_all") / col("n_total"))
+            / (col("k") - 1))
+          / (col("ssw") / (col("n_total") - col("k")))).as("f_stat"))
+  }
+
+  /** q_k_anonymity: privacy-audit the customer table against quasi-
+    * identifier re-identification — group by the QI tuple (nation, market
+    * segment, account-balance band) and report every equivalence class
+    * smaller than `k`: the rows a release of this table would expose.
+    * The standard k-anonymity check (Sweeney 2002) as one partial-
+    * aggregated groupBy; the violating classes are by definition the
+    * SMALL groups, so the report output is bounded by k × #classes. */
+  def kAnonymity(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val qi = Tables.customer(spark, dir)
+      .select(col("c_nationkey").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      .groupBy(col("nation"), col("segment"), col("bal_band"))
+      .agg(count(lit(1)).as("class_size"))
+    qi.filter(col("class_size") < k)
+      .select(col("nation"), col("segment"), col("bal_band"),
+        col("class_size"))
+      .orderBy(col("class_size"), col("nation"), col("segment"),
+        col("bal_band"))
+  }
+
   /** Poisson(1) inverse-CDF thresholds as 6-hex-char strings: replicate
     * weight w = k iff the doc's 6-hex md5 prefix sorts below the k-th
     * threshold (first below wins). Shared verbatim by the Spark expression

@@ -82,4 +82,23 @@ class GraphOpsSpec extends SparkTestBase {
       assert(lifts.sameElements(lifts.sortBy(-(_: Double))))
     }
   }
+
+  test("linkPredict: pairs are non-adjacent hubs, jaccard matches adjacency sets") {
+    val out = GraphOps.linkPredict(spark, sf).collect()
+    assert(out.nonEmpty)
+    val eset = edges.toSet
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (kk, v) => kk -> v.map(_._2).toSet }
+    out.foreach { r =>
+      val (a, b, nc, j) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))
+      assert(!eset.contains((a, b)), s"existing edge returned: ($a,$b)")
+      val common = adj(a).intersect(adj(b)).size
+      assert(common == nc, s"common mismatch at ($a,$b): $nc vs $common")
+      val expect = BigDecimal(common.toDouble
+        / (adj(a).size + adj(b).size - common))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(j - expect) < 1e-9, s"jaccard at ($a,$b)")
+    }
+  }
 }

@@ -118,4 +118,32 @@ class StatOpsSpec extends SparkTestBase {
     val nDocs = graft.Tables.documents(spark, sf).count()
     assert(out.map(_.getLong(1)).sum == nDocs)
   }
+
+  test("anova matches the hand-computed F on a crafted two-group table") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-anova").toString
+    // group a: 1,2,3 (mean 2); group b: 5,6,7 (mean 6); grand mean 4
+    // SSB = 3*4 + 3*4 = 24, SSW = 2 + 2 = 4, F = (24/1)/(4/4) = 24
+    Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (4L, "b", 5.0), (5L, "b", 6.0), (6L, "b", 7.0))
+      .toDF("event_id", "event_type", "value")
+      .select(col("event_id"), lit(1L).as("user_id"), col("event_type"),
+        timestamp_micros(col("event_id") * 1000000).as("ts"),
+        col("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = StatOps.anova(spark, tmp).collect().head
+    assert(r.getInt(0) == 2 && r.getLong(1) == 6L)
+    assert(r.getDouble(2) == 24.0, s"F=${r.getDouble(2)}")
+  }
+
+  test("kAnonymity reports exactly the sub-k classes") {
+    val out = StatOps.kAnonymity(spark, sf).collect()
+    // recompute class sizes directly
+    val sizes = graft.Tables.customer(spark, sf)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long"))
+      .count().collect()
+    val expectViolations = sizes.count(_.getLong(3) < 5)
+    assert(out.length == expectViolations)
+    out.foreach(r => assert(r.getLong(3) < 5 && r.getLong(3) >= 1))
+  }
 }
