@@ -802,12 +802,17 @@ object DedupOps {
     * dedup-cluster CC; min-id survivorship = exact dedup) into the
     * deduplicate-customers / merge-author-profiles capability. Scale
     * shape: the block join is an equality join on the block key — never
-    * all-pairs (a production run adds more blocking passes, not a wider
-    * join); CC state stays distributed. Rows-only (iterative CC is not
-    * SQL); DedupSpec pins clusters to a driver union-find on the same
-    * scored edges. */
+    * all-pairs — and the key must be WIDE enough that block cardinality
+    * grows with the data (an 8-char prefix here: the 2-char key's ~30
+    * fixed blocks made candidates quadratic in corpus size, 42M pairs at
+    * sf1 vs 3.2M with 8). Winkler's prefix boost means a ≥0.92 score
+    * almost always implies a long shared prefix, so the recall cost is
+    * small; a production run unions several blocking passes (prefix,
+    * token-signature, phonetic) rather than widening one block. CC state
+    * stays distributed. Rows-only (iterative CC is not SQL); DedupSpec
+    * pins clusters to a driver union-find on the same scored edges. */
   def entityMatch(spark: SparkSession, dir: String, thr: Double = 0.92,
-      blockChars: Int = 2, k: Int = 20): DataFrame = {
+      blockChars: Int = 8, k: Int = 20): DataFrame = {
     val recs = Tables.documents(spark, dir)
       .select(col("doc_id"),
         substring(lower(col("text")), 1, 16).as("name"),

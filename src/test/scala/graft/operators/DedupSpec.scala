@@ -174,7 +174,7 @@ class DedupSpec extends SparkTestBase {
     import org.apache.spark.sql.functions._
     val recs = graft.Tables.documents(spark, sf)
       .select(col("doc_id"), substring(lower(col("text")), 1, 16).as("name"),
-        substring(lower(col("text")), 1, 2).as("blk"))
+        substring(lower(col("text")), 1, 8).as("blk"))
     val edges = recs.as("a").join(recs.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
       .filter(graft.functions.TextFunctions.jaroWinkler(
