@@ -218,6 +218,8 @@ object SparkEntry {
     "q_anova"          -> (StatOps.anova _),
     "q_k_anonymity"    -> ((s, d) => StatOps.kAnonymity(s, d)),
     "q_link_predict"   -> ((s, d) => GraphOps.linkPredict(s, d)),
+    "q_tpch_q3"        -> (JoinOps.tpchQ3 _),
+    "q_tpch_q18"       -> ((s, d) => JoinOps.tpchQ18(s, d)),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -1659,5 +1661,23 @@ object SparkEntry {
         "AS DECIMAL(20,8)), 4) AS DOUBLE) AS jaccard " +
         "FROM nc JOIN top ta ON ta.node = a JOIN top tb ON tb.node = b " +
         "ORDER BY jaccard DESC, a, b LIMIT 20"),
+    "q_tpch_q3" ->
+      ("SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, " +
+        "o_orderpriority, " +
+        "round(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE o_orderdate < TIMESTAMP '1995-03-15 00:00:00' " +
+        "AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00' " +
+        "GROUP BY 1, 2, 3 ORDER BY revenue DESC, o_orderkey LIMIT 10"),
+    "q_tpch_q18" ->
+      ("WITH big AS (SELECT l_orderkey, SUM(l_quantity) AS total_qty " +
+        "FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300) " +
+        "SELECT c_custkey, c_name, o_orderkey, " +
+        "CAST(o_orderdate AS DATE) AS order_date, " +
+        "round(o_totalprice, 4) AS o_totalprice, " +
+        "round(total_qty, 4) AS total_qty " +
+        "FROM big JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
   )
 }

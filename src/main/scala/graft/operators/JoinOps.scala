@@ -218,4 +218,57 @@ object JoinOps {
       .select(col("o_orderkey"), col("status_key"), col("grp_n"))
       .orderBy(col("o_orderkey"))
   }
+
+  /** q_tpch_q3: the TPC-H Q3 "shipping priority" shape — filter both fact
+    * sides BEFORE the join (date predicates reach both parquet scans),
+    * join on the order key, aggregate revenue per order, top-10 by
+    * revenue. The canonical filter-pushdown + shuffle-join + TakeOrdered
+    * pattern every OLAP engine is judged on; the customer side of the real
+    * Q3 folds into the orders filter here (no mktsegment column on
+    * orders, so the date predicates carry the selectivity). */
+  def tpchQ3(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1995-03-15").cast("timestamp")
+    val orders = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val lineitem = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_date"),
+        col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+        4).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** q_tpch_q18: the TPC-H Q18 "large volume customer" shape — a HAVING
+    * aggregate over the fact feeds a semi-filter back onto itself, joined
+    * out to the order/customer dims. The aggregate-then-self-semi-join
+    * pattern (find the keys whose SUM crosses a threshold, then return
+    * their detail) is the classic two-pass OLAP idiom; the first pass
+    * collapses to one partial-aggregated shuffle, the second joins only
+    * the qualifying keys (broadcast at this selectivity). */
+  def tpchQ18(spark: SparkSession, dir: String, minQty: Double = 300)
+      : DataFrame = {
+    val lineitem = Tables.lineitem(spark, dir)
+    val big = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    val orders = Tables.orders(spark, dir)
+    big
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_date"),
+        round(col("o_totalprice"), 4).as("o_totalprice"),
+        round(col("total_qty"), 4).as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
 }

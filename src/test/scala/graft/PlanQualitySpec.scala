@@ -484,4 +484,20 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("HashAggregate"), p)
     assert(p.contains("ReadSchema: struct<o_totalprice:double,o_orderdate:timestamp"), p)
   }
+
+  test("tpchQ3: date predicates push into BOTH fact scans; ordered limit") {
+    val p = plan(JoinOps.tpchQ3(spark, sf))
+    // both scans carry a pushed timestamp filter
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate")
+      || p.contains("LessThan(o_orderdate"), p)
+    assert(p.contains("GreaterThan(l_shipdate"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("tpchQ18: first pass partial-aggregates; dims broadcast") {
+    val p = plan(JoinOps.tpchQ18(spark, sf))
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
