@@ -220,6 +220,7 @@ object SparkEntry {
     "q_link_predict"   -> ((s, d) => GraphOps.linkPredict(s, d)),
     "q_tpch_q3"        -> (JoinOps.tpchQ3 _),
     "q_tpch_q18"       -> ((s, d) => JoinOps.tpchQ18(s, d)),
+    "q_resize_meta"    -> (MultimodalOps.resizeMeta _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -1679,5 +1680,12 @@ object SparkEntry {
         "FROM big JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey " +
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+    // fake resize: output byte i = input byte (i*len)//1024; ASCII corpus
+    // makes the byte-picking reproducible as character substring picks
+    "q_resize_meta" ->
+      ("SELECT doc_id, CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height, " +
+        "md5(array_to_string(list_transform(range(0, 1024), " +
+        "i -> substring(text, CAST(i * length(text) // 1024 AS INTEGER) + 1, 1)), '')) AS payload_hash " +
+        "FROM documents WHERE n_chars > 0 ORDER BY doc_id"),
   )
 }

@@ -231,4 +231,22 @@ object MultimodalOps {
         octet_length(col("frame")).as("n_bytes"),
         md5(col("frame")).as("frame_hash"))
       .orderBy(col("doc_id"), col("frame_idx"))
+
+  /** q_resize_meta: the declared face of [[resize]] — every payload
+    * deterministically resampled to a fixed 32×32 "pixel" budget, reported
+    * as (dims, content digest). The digest doubles as the oracle handle:
+    * the fake resample picks byte (i·len)/1024 for output position i, which
+    * DuckDB reproduces with substring arithmetic on the ASCII corpus, so
+    * the partition-parallel mapPartitions path is hash-checked end-to-end
+    * (empty payloads are excluded on both sides — the zero-fill branch has
+    * no string representation in SQL). */
+  def resizeMeta(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    resize(Tables.documents(spark, dir).filter(col("n_chars") > 0))
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        md5(col("payload")).as("payload_hash"))
+      .orderBy(col("doc_id"))
+  }
 }
