@@ -221,6 +221,10 @@ object SparkEntry {
     "q_tpch_q3"        -> (JoinOps.tpchQ3 _),
     "q_tpch_q18"       -> ((s, d) => JoinOps.tpchQ18(s, d)),
     "q_resize_meta"    -> (MultimodalOps.resizeMeta _),
+    // rows-only: the fake frame encoder hashes bytes JVM-side (no SQL
+    // counterpart); MultimodalSpec pins shape/determinism/range and the
+    // sampling underneath is hash-checked by q_frame_sample
+    "q_frame_features" -> (MultimodalOps.frameFeatures _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived

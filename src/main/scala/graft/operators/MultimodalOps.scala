@@ -240,6 +240,24 @@ object MultimodalOps {
     * the partition-parallel mapPartitions path is hash-checked end-to-end
     * (empty payloads are excluded on both sides — the zero-fill branch has
     * no string representation in SQL). */
+  /** q_frame_features: the declared face of [[featurizeFrames]] — sampled
+    * frames through the per-partition featurizer, 8-dim vectors flattened
+    * to columns. Rows-only: the fake encoder derives features from a
+    * JVM-specific byte hash with no SQL counterpart; MultimodalSpec pins
+    * shape, determinism and range, and the frame sampling underneath is
+    * the same path q_frame_sample hash-checks. */
+  def frameFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val outCols = Seq(col("doc_id"), col("frame_idx")) ++
+      (0 until 8).map(d =>
+        round(element_at(col("feature"), d + 1), 4).as(s"f$d"))
+    featurizeFrames(sampleFrames(Tables.documents(spark, dir)))
+      .toDF()
+      .select(outCols: _*)
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   def resizeMeta(spark: SparkSession, dir: String): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
