@@ -225,6 +225,8 @@ object SparkEntry {
     // counterpart); MultimodalSpec pins shape/determinism/range and the
     // sampling underneath is hash-checked by q_frame_sample
     "q_frame_features" -> (MultimodalOps.frameFeatures _),
+    "q_augment"        -> (CorpusOps.augmentDropout _),
+    "q_dp_noise"       -> (StatOps.dpNoisyCounts _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -1691,5 +1693,25 @@ object SparkEntry {
         "md5(array_to_string(list_transform(range(0, 1024), " +
         "i -> substring(text, CAST(i * length(text) // 1024 AS INTEGER) + 1, 1)), '')) AS payload_hash " +
         "FROM documents WHERE n_chars > 0 ORDER BY doc_id"),
+    // deterministic token dropout: token at 0-based position i survives iff
+    // md5(doc_id:i) 2-hex prefix >= '20' (drop p = 32/256)
+    "q_augment" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents), " +
+        "k AS (SELECT doc_id, len(l) AS n_orig, " +
+        "list_filter(list_transform(range(0, len(l)), " +
+        "i -> CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 2) >= '20' " +
+        "THEN l[CAST(i + 1 AS INTEGER)] END), x -> x IS NOT NULL) AS kept FROM t) " +
+        "SELECT doc_id, CAST(n_orig AS INTEGER) AS n_orig, " +
+        "CAST(len(kept) AS INTEGER) AS n_kept, " +
+        "md5(array_to_string(kept, ' ')) AS aug_hash FROM k ORDER BY doc_id"),
+    // Laplace mechanism with a derived (md5-uniform) noise draw
+    "q_dp_noise" ->
+      ("WITH g AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source), " +
+        "u AS (SELECT source, n_docs, " +
+        "(CAST(('0x' || substring(md5('dp:' || source), 1, 6)) AS BIGINT) + 0.5) / 16777216.0 AS uu FROM g) " +
+        "SELECT source, n_docs, " +
+        "CAST(round(CAST(n_docs + (CASE WHEN uu - 0.5 > 0 THEN -1.0 WHEN uu - 0.5 < 0 THEN 1.0 ELSE 0.0 END) " +
+        "* ln(1.0 - 2.0 * abs(uu - 0.5)) AS DECIMAL(20,8)), 4) AS DOUBLE) AS noisy_count " +
+        "FROM u ORDER BY source"),
   )
 }

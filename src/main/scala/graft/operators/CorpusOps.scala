@@ -510,6 +510,28 @@ object CorpusOps {
       .orderBy(col("n").desc, col("token"))
   }
 
+  /** q_augment: deterministic token-dropout augmentation — the text-side
+    * data-augmentation pass (EDA-style random deletion) with the
+    * randomness derived from md5(doc_id:position), so every engine, run
+    * and executor drops EXACTLY the same tokens. Drop probability ≈ 1/8
+    * via a 2-hex-char threshold ('20' = 32/256). Reports the original and
+    * surviving token counts plus a digest of the augmented text — the
+    * provenance record an augmentation stage ships so downstream dedup
+    * can trace synthetic docs to their source. Narrow scan + bounded
+    * higher-order filter, no shuffle before the output sort. */
+  def augmentDropout(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val kept = filter(toks, (_, i) =>
+      substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+        i.cast("string"))), 1, 2) >= "20")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks).as("n_orig"),
+        size(kept).as("n_kept"),
+        md5(concat_ws(" ", kept)).as("aug_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Segment size (whitespace tokens) for [[segmentDedup]] — the paragraph
     * stand-in on the single-line fixture corpus. */
   val SegTokens = 20

@@ -219,6 +219,27 @@ object StatOps {
       .orderBy(col("lang"))
   }
 
+  /** q_dp_noise: differential-privacy-style noisy release of per-source
+    * document counts — Laplace mechanism with sensitivity 1 and ε = 1
+    * (scale b = 1), the standard count-release recipe. The noise draw is
+    * DERIVED, not sampled: u = (md5-prefix + ½)/16⁶ through the Laplace
+    * inverse CDF −b·sign(u−½)·ln(1−2|u−½|), so the release is reproducible
+    * across engines and runs (a real deployment would use a sampled seed
+    * per release; the mechanism arithmetic is identical). One aggregation
+    * to |sources| rows, noise applied post-aggregation as closed-form
+    * column arithmetic. */
+  def dpNoisyCounts(spark: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("dp:"), col("source"))), 1, 6),
+      16, 10).cast("double") + 0.5) / (1 << 24).toDouble
+    val lap = -signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        stableRound4(col("n_docs") + lap).as("noisy_count"))
+      .orderBy(col("source"))
+  }
+
   /** q_abtest: two-proportion z-test on a deterministic hash split — users
     * are assigned variant A/B by id parity, "conversion" is the user's
     * FIRST event (by time, tie-broken by event_id) being a purchase — the

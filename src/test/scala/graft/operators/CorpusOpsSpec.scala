@@ -501,4 +501,29 @@ class CorpusOpsSpec extends SparkTestBase {
     val again = CorpusOps.splitReport(spark, "/root/testdata/sf0.01").collect()
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
+
+  test("augmentDropout drops ~1/8 of tokens and hashes the surviving text") {
+    val out = CorpusOps.augmentDropout(spark, sf).collect()
+    assert(out.nonEmpty)
+    val (orig, kept) = (out.map(_.getInt(1).toLong).sum,
+      out.map(_.getInt(2).toLong).sum)
+    val dropRate = 1.0 - kept.toDouble / orig
+    assert(dropRate > 0.08 && dropRate < 0.17, s"drop rate $dropRate")
+    // spot-check one doc against a direct recomputation
+    val r = out.head
+    val text = graft.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === r.getLong(0))
+      .collect().head.getAs[String]("text")
+    val toks = text.trim.split("\\s+")
+    val keptToks = toks.zipWithIndex.filter { case (_, i) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${r.getLong(0)}:$i".getBytes("UTF-8"))
+      val hex = md.take(1).map("%02x".format(_)).mkString
+      hex >= "20"
+    }.map(_._1)
+    assert(r.getInt(2) == keptToks.length)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(keptToks.mkString(" ").getBytes("UTF-8"))
+    assert(r.getString(3) == md.map("%02x".format(_)).mkString)
+  }
 }

@@ -146,4 +146,16 @@ class StatOpsSpec extends SparkTestBase {
     assert(out.length == expectViolations)
     out.foreach(r => assert(r.getLong(3) < 5 && r.getLong(3) >= 1))
   }
+
+  test("dpNoisyCounts: noise is bounded, nonzero, and reproducible") {
+    val a = StatOps.dpNoisyCounts(spark, sf).collect()
+    val b = StatOps.dpNoisyCounts(spark, sf).collect()
+    assert(a.sameElements(b), "noise draw not reproducible")
+    a.foreach { r =>
+      val noise = r.getDouble(2) - r.getLong(1)
+      // Laplace(b=1) from a 24-bit uniform: |noise| <= ln(16^6) ~ 16.6
+      assert(math.abs(noise) <= 17.0, s"noise out of range: $r")
+      assert(noise != 0.0, s"degenerate zero noise: $r")
+    }
+  }
 }
