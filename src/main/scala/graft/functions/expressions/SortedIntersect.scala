@@ -9,7 +9,8 @@ import org.apache.spark.sql.types._
 /** Intersection of two SORTED long arrays by linear merge —
   * `sorted_intersect(a, b)` with both inputs ascending and duplicate-free
   * (the caller's contract; adjacency lists from `sort_array(collect_list)`
-  * over distinct edges satisfy it by construction).
+  * over distinct edges satisfy it by construction). Null ELEMENTS are
+  * skipped, never matched — a SQL caller can pass arrays with null slots.
   *
   * Exists because the built-in `array_intersect` allocates and fills an
   * OpenHashSet per ROW — fine for occasional calls, ruinous for the
@@ -41,15 +42,23 @@ case class SortedLongIntersect(left: Expression, right: Expression)
           s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
+  // Null ELEMENTS are skipped (an absent value intersects with nothing) —
+  // the function is SQL-registered, so inputs are not guaranteed the
+  // containsNull=false arrays the internal callers build; reading a null
+  // slot as 0 would fabricate intersection elements.
   private def merge(x: ArrayData, y: ArrayData): ArrayData = {
     val (nx, ny) = (x.numElements(), y.numElements())
     val out = new Array[Long](math.min(nx, ny))
     var i = 0; var j = 0; var k = 0
     while (i < nx && j < ny) {
-      val a = x.getLong(i); val b = y.getLong(j)
-      if (a < b) i += 1
-      else if (a > b) j += 1
-      else { out(k) = a; k += 1; i += 1; j += 1 }
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val a = x.getLong(i); val b = y.getLong(j)
+        if (a < b) i += 1
+        else if (a > b) j += 1
+        else { out(k) = a; k += 1; i += 1; j += 1 }
+      }
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, k))
   }
@@ -70,11 +79,15 @@ case class SortedLongIntersect(left: Expression, right: Expression)
          |long[] $buf = new long[$nx < $ny ? $nx : $ny];
          |int $i = 0, $j = 0, $k = 0;
          |while ($i < $nx && $j < $ny) {
-         |  long $va = $a.getLong($i);
-         |  long $vb = $b.getLong($j);
-         |  if ($va < $vb) { $i++; }
-         |  else if ($va > $vb) { $j++; }
-         |  else { $buf[$k++] = $va; $i++; $j++; }
+         |  if ($a.isNullAt($i)) { $i++; }
+         |  else if ($b.isNullAt($j)) { $j++; }
+         |  else {
+         |    long $va = $a.getLong($i);
+         |    long $vb = $b.getLong($j);
+         |    if ($va < $vb) { $i++; }
+         |    else if ($va > $vb) { $j++; }
+         |    else { $buf[$k++] = $va; $i++; $j++; }
+         |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
          |  java.util.Arrays.copyOf($buf, $k));

@@ -791,7 +791,8 @@ object DedupOps {
 
   /** q_entity_match: end-to-end entity resolution — the record-linkage
     * pipeline (Fellegi-Sunter shape): BLOCK candidate pairs by a cheap key
-    * (2-char lowercase prefix), SCORE each candidate with Jaro-Winkler on
+    * (`blockChars`-char lowercase prefix, default 8 — see the scale note
+    * below), SCORE each candidate with Jaro-Winkler on
     * the 16-char name prefix, LINK pairs scoring ≥ `thr` into an edge
     * list, and CLUSTER transitively with [[connectedComponents]]. Output
     * is one row per multi-member entity cluster: the min-id representative

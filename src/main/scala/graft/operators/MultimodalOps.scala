@@ -232,14 +232,6 @@ object MultimodalOps {
         md5(col("frame")).as("frame_hash"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
-  /** q_resize_meta: the declared face of [[resize]] — every payload
-    * deterministically resampled to a fixed 32×32 "pixel" budget, reported
-    * as (dims, content digest). The digest doubles as the oracle handle:
-    * the fake resample picks byte (i·len)/1024 for output position i, which
-    * DuckDB reproduces with substring arithmetic on the ASCII corpus, so
-    * the partition-parallel mapPartitions path is hash-checked end-to-end
-    * (empty payloads are excluded on both sides — the zero-fill branch has
-    * no string representation in SQL). */
   /** q_frame_features: the declared face of [[featurizeFrames]] — sampled
     * frames through the per-partition featurizer, 8-dim vectors flattened
     * to columns. Rows-only: the fake encoder derives features from a
@@ -258,6 +250,14 @@ object MultimodalOps {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** q_resize_meta: the declared face of [[resize]] — every payload
+    * deterministically resampled to a fixed 32×32 "pixel" budget, reported
+    * as (dims, content digest). The digest doubles as the oracle handle:
+    * the fake resample picks byte (i·len)/1024 for output position i, which
+    * DuckDB reproduces with substring arithmetic on the ASCII corpus, so
+    * the partition-parallel mapPartitions path is hash-checked end-to-end
+    * (empty payloads are excluded on both sides — the zero-fill branch has
+    * no string representation in SQL). */
   def resizeMeta(spark: SparkSession, dir: String): DataFrame = {
     val spark2 = spark
     import spark2.implicits._

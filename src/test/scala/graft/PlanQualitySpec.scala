@@ -487,10 +487,10 @@ class PlanQualitySpec extends SparkTestBase {
 
   test("tpchQ3: date predicates push into BOTH fact scans; ordered limit") {
     val p = plan(JoinOps.tpchQ3(spark, sf))
-    // both scans carry a pushed timestamp filter
-    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate")
-      || p.contains("LessThan(o_orderdate"), p)
-    assert(p.contains("GreaterThan(l_shipdate"), p)
+    // both scans carry a pushed timestamp filter INSIDE PushedFilters —
+    // a post-scan Filter mentioning the predicate must not satisfy this
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 

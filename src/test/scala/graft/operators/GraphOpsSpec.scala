@@ -78,9 +78,9 @@ class GraphOpsSpec extends SparkTestBase {
     out.foreach { r =>
       val (np, ns, nd) = (r.getLong(2), r.getLong(3), r.getLong(4))
       assert(np >= 2 && np <= math.min(ns, nd))
-      val lifts = out.map(_.getDouble(7))
-      assert(lifts.sameElements(lifts.sortBy(-(_: Double))))
     }
+    val lifts = out.map(_.getDouble(7))
+    assert(lifts.sameElements(lifts.sortBy(-(_: Double))))
   }
 
   test("linkPredict: pairs are non-adjacent hubs, jaccard matches adjacency sets") {

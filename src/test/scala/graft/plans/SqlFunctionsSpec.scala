@@ -127,4 +127,11 @@ class SqlFunctionsSpec extends SparkTestBase {
     assert(e.getMessage.contains("array<bigint>")
       || e.getMessage.contains("DATATYPE_MISMATCH"))
   }
+
+  test("sorted_intersect skips null elements instead of reading them as 0") {
+    val r = spark.sql(
+      "SELECT sorted_intersect(array(CAST(NULL AS BIGINT), 2L), array(0L, 2L))")
+      .collect().head.getSeq[Long](0)
+    assert(r == Seq(2L), s"got $r")
+  }
 }
