@@ -119,6 +119,22 @@ final case class ParquetSink(path: String, compression: String = "gzip",
   }
 }
 
+/** Clustered parquet writer: range-partition on a clustering-key column
+  * (e.g. the Morton key from `RelationalOps.zorderLayout`) and sort within
+  * each partition before writing, so every output file covers a TIGHT
+  * contiguous key range and the parquet min/max footer stats actually
+  * prune. `numFiles` sizes the layout (one range partition → one file).
+  * This is the write half of the Z-order story: computing interleaved keys
+  * is pointless unless the layout clusters on them. */
+final case class ClusteredParquetSink(path: String, clusterCol: String,
+    numFiles: Int = 8, compression: String = "snappy") extends Sink {
+  override def write(df: DataFrame): Unit =
+    df.repartitionByRange(numFiles, org.apache.spark.sql.functions.col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.option("compression", compression)
+      .mode(SaveMode.Overwrite).parquet(path)
+}
+
 /** Columnar interchange beyond parquet: ORC (built into spark-sql —
   * vectorized reader, predicate pushdown and column pruning work the same
   * way). Same codec + partition-layout options as [[ParquetSink]], so a
