@@ -227,6 +227,7 @@ object SparkEntry {
     "q_frame_features" -> (MultimodalOps.frameFeatures _),
     "q_augment"        -> (CorpusOps.augmentDropout _),
     "q_dp_noise"       -> (StatOps.dpNoisyCounts _),
+    "q_holt"           -> ((s, d) => EventOps.holtSmooth(s, d)),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -1713,5 +1714,23 @@ object SparkEntry {
         "CAST(round(CAST(n_docs + (CASE WHEN uu - 0.5 > 0 THEN -1.0 WHEN uu - 0.5 < 0 THEN 1.0 ELSE 0.0 END) " +
         "* ln(1.0 - 2.0 * abs(uu - 0.5)) AS DECIMAL(20,8)), 4) AS DOUBLE) AS noisy_count " +
         "FROM u ORDER BY source"),
+    // Holt double-exponential smoothing: identical sequential fold via
+    // list_reduce (the l' expression is spelled twice — same arithmetic)
+    "q_holt" ->
+      ("WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr, SUM(value) AS v " +
+        "FROM events GROUP BY 1, 2), " +
+        "s AS (SELECT event_type, list(v ORDER BY hr) AS vs FROM h GROUP BY event_type), " +
+        "r AS (SELECT event_type, len(vs) AS n_hours, " +
+        "CASE WHEN len(vs) = 1 THEN [vs[1], 0.0::DOUBLE] ELSE " +
+        "list_reduce(list_prepend([vs[1], 0.0::DOUBLE], " +
+        "list_transform(vs[2:], x -> [x, 0.0::DOUBLE])), " +
+        "(a, x) -> [0.5 * x[1] + 0.5 * (a[1] + a[2]), " +
+        "0.3 * ((0.5 * x[1] + 0.5 * (a[1] + a[2])) - a[1]) + 0.7 * a[2]]) END AS lb " +
+        "FROM s) " +
+        "SELECT event_type, CAST(n_hours AS INTEGER) AS n_hours, " +
+        "CAST(round(CAST(lb[1] AS DECIMAL(20,8)), 4) AS DOUBLE) AS level, " +
+        "CAST(round(CAST(lb[2] AS DECIMAL(20,8)), 4) AS DOUBLE) AS trend, " +
+        "CAST(round(CAST(lb[1] + lb[2] AS DECIMAL(20,8)), 4) AS DOUBLE) AS forecast " +
+        "FROM r ORDER BY event_type"),
   )
 }

@@ -434,6 +434,47 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
+  /** q_holt: Holt double-exponential smoothing (level + trend) of each
+    * event type's hourly volume series — the classic short-horizon
+    * forecaster for capacity planning. Genuinely SEQUENTIAL (each step
+    * feeds the next), which is exactly why it's expressed as a
+    * higher-order `aggregate` fold over the per-type collected series:
+    * the series is bounded (one element per hour — thousands of entries
+    * at any corpus size, since the time axis doesn't grow with row
+    * count), so collecting it per key is the scale-correct shape, and the
+    * engine parallelizes ACROSS keys. α = 0.5, β = 0.3, init l = v₀,
+    * b = 0, folding from the second observation; forecast = l + b. The
+    * DuckDB oracle reproduces the identical fold with `list_reduce`, so
+    * the recurrence is hash-checked end to end. */
+  def holtSmooth(spark: SparkSession, dir: String, alpha: Double = 0.5,
+      beta: Double = 0.3): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val vs = transform(
+      sort_array(collect_list(struct(col("hr"), col("v")))),
+      s => s.getField("v"))
+    val series = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(sum(col("value")).as("v"))
+      .groupBy(col("event_type"))
+      .agg(vs.as("vs"))
+    val lb = aggregate(
+      slice(col("vs"), lit(2), greatest(size(col("vs")) - 1, lit(0))),
+      struct(element_at(col("vs"), 1).as("l"), lit(0.0).as("b")),
+      (a, x) => {
+        val lp = lit(alpha) * x + lit(1 - alpha) * (a.getField("l") + a.getField("b"))
+        struct(lp.as("l"),
+          (lit(beta) * (lp - a.getField("l"))
+            + lit(1 - beta) * a.getField("b")).as("b"))
+      })
+    series
+      .select(col("event_type"), size(col("vs")).as("n_hours"), lb.as("lb"))
+      .select(col("event_type"), col("n_hours"),
+        stableRound4(col("lb.l")).as("level"),
+        stableRound4(col("lb.b")).as("trend"),
+        stableRound4(col("lb.l") + col("lb.b")).as("forecast"))
+      .orderBy(col("event_type"))
+  }
+
   /** q_debounce: gap-based event debouncing — drop any event arriving
     * within `gapMinutes` of the SAME user's previous event of the same
     * type (the duplicate-click / retry-storm filter every event pipeline

@@ -158,4 +158,21 @@ class StatOpsSpec extends SparkTestBase {
       assert(noise != 0.0, s"degenerate zero noise: $r")
     }
   }
+
+  test("holtSmooth matches the hand-computed recurrence on a crafted series") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-holt").toString
+    // one type, three hours with totals 10, 12, 14:
+    // l0=10 b0=0; x=12: l=11, b=0.3; x=14: l=12.65, b=0.705; fc=13.355
+    Seq((1L, 1L, "click", 0L, 10.0), (2L, 1L, "click", 3600000000L, 12.0),
+      (3L, 2L, "click", 7200000000L, 14.0))
+      .toDF("event_id", "user_id", "event_type", "us", "value")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"), col("value"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = graft.operators.EventOps.holtSmooth(spark, tmp).collect().head
+    assert(r.getString(0) == "click" && r.getInt(1) == 3)
+    assert(r.getDouble(2) == 12.65 && r.getDouble(3) == 0.705
+      && r.getDouble(4) == 13.355, s"got $r")
+  }
 }
