@@ -228,6 +228,7 @@ object SparkEntry {
     "q_augment"        -> (CorpusOps.augmentDropout _),
     "q_dp_noise"       -> (StatOps.dpNoisyCounts _),
     "q_holt"           -> ((s, d) => EventOps.holtSmooth(s, d)),
+    "q_seasonal_naive" -> ((s, d) => EventOps.seasonalNaive(s, d)),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -1732,5 +1733,15 @@ object SparkEntry {
         "CAST(round(CAST(lb[2] AS DECIMAL(20,8)), 4) AS DOUBLE) AS trend, " +
         "CAST(round(CAST(lb[1] + lb[2] AS DECIMAL(20,8)), 4) AS DOUBLE) AS forecast " +
         "FROM r ORDER BY event_type"),
+    // weekly seasonal-naive backtest: predict = same hour last week
+    "q_seasonal_naive" ->
+      ("WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr, SUM(value) AS v " +
+        "FROM events GROUP BY 1, 2), " +
+        "p AS (SELECT event_type, v, lag(v, 168) OVER " +
+        "(PARTITION BY event_type ORDER BY hr) AS pred FROM h) " +
+        "SELECT event_type, COUNT(*) AS n_hours, " +
+        "CAST(round(CAST(SUM(abs(v - pred)) / COUNT(*) AS DECIMAL(20,8)), 4) AS DOUBLE) AS mae, " +
+        "CAST(round(CAST(SUM(v - pred) / COUNT(*) AS DECIMAL(20,8)), 4) AS DOUBLE) AS bias " +
+        "FROM p WHERE pred IS NOT NULL GROUP BY event_type ORDER BY event_type"),
   )
 }

@@ -434,6 +434,33 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
+  /** q_seasonal_naive: backtest of the weekly seasonal-naive forecaster —
+    * predict each hour's volume as the SAME HOUR LAST WEEK (lag 168 on the
+    * hourly series) and report per-type MAE and bias over the overlapping
+    * span. This is the baseline every real forecaster must beat, and the
+    * backtest is the metric pipeline that proves it. One bounded window
+    * (per-type hourly series — the time axis doesn't grow with row count)
+    * over the pre-aggregated rollup, then a partial-aggregated rollup to
+    * |types| rows. */
+  def seasonalNaive(spark: SparkSession, dir: String,
+      lagHours: Int = 168): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(sum(col("value")).as("v"))
+      .withColumn("pred", lag(col("v"), lagHours).over(w))
+      .filter(col("pred").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(abs(col("v") - col("pred"))).as("sae"),
+        sum(col("v") - col("pred")).as("sbias"))
+      .select(col("event_type"), col("n_hours"),
+        stableRound4(col("sae") / col("n_hours")).as("mae"),
+        stableRound4(col("sbias") / col("n_hours")).as("bias"))
+      .orderBy(col("event_type"))
+  }
+
   /** q_holt: Holt double-exponential smoothing (level + trend) of each
     * event type's hourly volume series — the classic short-horizon
     * forecaster for capacity planning. Genuinely SEQUENTIAL (each step
