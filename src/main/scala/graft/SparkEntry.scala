@@ -229,6 +229,8 @@ object SparkEntry {
     "q_dp_noise"       -> (StatOps.dpNoisyCounts _),
     "q_holt"           -> ((s, d) => EventOps.holtSmooth(s, d)),
     "q_seasonal_naive" -> ((s, d) => EventOps.seasonalNaive(s, d)),
+    "q_pareto"         -> (AnalyticsOps.paretoConcentration _),
+    "q_order_gaps"     -> (AnalyticsOps.orderGaps _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -1743,5 +1745,31 @@ object SparkEntry {
         "CAST(round(CAST(SUM(abs(v - pred)) / COUNT(*) AS DECIMAL(20,8)), 4) AS DOUBLE) AS mae, " +
         "CAST(round(CAST(SUM(v - pred) / COUNT(*) AS DECIMAL(20,8)), 4) AS DOUBLE) AS bias " +
         "FROM p WHERE pred IS NOT NULL GROUP BY event_type ORDER BY event_type"),
+    // revenue concentration above exact spend percentiles (rounded revs)
+    "q_pareto" ->
+      ("WITH pc AS (SELECT o_custkey, " +
+        "CAST(round(CAST(SUM(o_totalprice) AS DECIMAL(20,8)), 4) AS DOUBLE) AS rev " +
+        "FROM orders GROUP BY o_custkey), " +
+        "s AS (SELECT SUM(rev) AS total_rev, COUNT(*) AS n_cust, " +
+        "quantile_cont(rev, 0.5) AS p50, quantile_cont(rev, 0.8) AS p80, " +
+        "quantile_cont(rev, 0.95) AS p95 FROM pc) " +
+        "SELECT CAST(MAX(n_cust) AS BIGINT) AS n_cust, " +
+        "CAST(round(CAST(SUM(CASE WHEN rev >= p50 THEN rev ELSE 0.0 END) / MAX(total_rev) " +
+        "AS DECIMAL(20,8)), 4) AS DOUBLE) AS share_top50, " +
+        "CAST(round(CAST(SUM(CASE WHEN rev >= p80 THEN rev ELSE 0.0 END) / MAX(total_rev) " +
+        "AS DECIMAL(20,8)), 4) AS DOUBLE) AS share_top20, " +
+        "CAST(round(CAST(SUM(CASE WHEN rev >= p95 THEN rev ELSE 0.0 END) / MAX(total_rev) " +
+        "AS DECIMAL(20,8)), 4) AS DOUBLE) AS share_top5 " +
+        "FROM pc CROSS JOIN s"),
+    // inter-order day gaps per customer, global cadence profile
+    "q_order_gaps" ->
+      ("WITH o AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS day FROM orders), " +
+        "g AS (SELECT day - lag(day) OVER (PARTITION BY o_custkey " +
+        "ORDER BY day, o_orderkey) AS gap FROM o) " +
+        "SELECT COUNT(*) AS n_gaps, " +
+        "CAST(round(CAST(AVG(gap) AS DECIMAL(20,8)), 4) AS DOUBLE) AS avg_gap_days, " +
+        "CAST(round(CAST(quantile_cont(gap, 0.5) AS DECIMAL(20,8)), 4) AS DOUBLE) AS med_gap_days, " +
+        "CAST(round(CAST(quantile_cont(gap, 0.9) AS DECIMAL(20,8)), 4) AS DOUBLE) AS p90_gap_days " +
+        "FROM g WHERE gap IS NOT NULL"),
   )
 }

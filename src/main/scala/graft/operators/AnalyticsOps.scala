@@ -545,6 +545,60 @@ object AnalyticsOps {
       .limit(k)
   }
 
+  /** q_pareto: revenue-concentration report — what share of total revenue
+    * comes from customers above each spend percentile (p50/p80/p95), the
+    * "80/20" diagnostic. Thresholds come from ONE exact-percentile pass
+    * over the per-customer aggregate (|customers| rows, partial-
+    * aggregated), broadcast back as a 1-row scalar join — never a global
+    * rank/ntile sort of the customer population. */
+  def paretoConcentration(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    // per-customer revenue rounded to 4 decimals BEFORE thresholding: the
+    // raw double sum's last ulp is summation-order dependent, and a
+    // customer sitting exactly on a percentile threshold must compare
+    // identically in both engines
+    val perCust = Materialize(
+      Tables.orders(spark, dir)
+        .groupBy(col("o_custkey"))
+        .agg(stableRound4(sum(col("o_totalprice"))).as("rev")))
+    val scalars = perCust.agg(
+      sum(col("rev")).as("total_rev"),
+      count(lit(1)).as("n_cust"),
+      expr("percentile(rev, 0.5)").as("p50"),
+      expr("percentile(rev, 0.8)").as("p80"),
+      expr("percentile(rev, 0.95)").as("p95"))
+    perCust.crossJoin(broadcast(scalars))
+      .agg(
+        max(col("n_cust")).as("n_cust"),
+        stableRound4(sum(when(col("rev") >= col("p50"), col("rev"))
+          .otherwise(0.0)) / max(col("total_rev"))).as("share_top50"),
+        stableRound4(sum(when(col("rev") >= col("p80"), col("rev"))
+          .otherwise(0.0)) / max(col("total_rev"))).as("share_top20"),
+        stableRound4(sum(when(col("rev") >= col("p95"), col("rev"))
+          .otherwise(0.0)) / max(col("total_rev"))).as("share_top5"))
+  }
+
+  /** q_order_gaps: inter-purchase cadence — the day gaps between each
+    * customer's consecutive orders, rolled up to count / mean / exact
+    * median / p90. The lag window partitions by customer (the natural
+    * parallelism); gaps are integer day counts, so the exact percentiles
+    * aggregate over a value-compressed domain. The RFM/churn feature
+    * every lifecycle model starts from. */
+  def orderGaps(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("day"))
+      .withColumn("gap", datediff(col("day"), lag(col("day"), 1).over(w)))
+      .filter(col("gap").isNotNull)
+      .agg(count(lit(1)).as("n_gaps"),
+        stableRound4(avg(col("gap"))).as("avg_gap_days"),
+        stableRound4(expr("percentile(gap, 0.5)")).as("med_gap_days"),
+        stableRound4(expr("percentile(gap, 0.9)")).as("p90_gap_days"))
+  }
+
   /** Fixed-width histogram: order totals bucketed by integer division —
     * one partial-aggregatable groupBy over a derived integer key; the
     * distribution-analysis primitive (no sort, no window). */
