@@ -231,6 +231,7 @@ object SparkEntry {
     "q_seasonal_naive" -> ((s, d) => EventOps.seasonalNaive(s, d)),
     "q_pareto"         -> (AnalyticsOps.paretoConcentration _),
     "q_order_gaps"     -> (AnalyticsOps.orderGaps _),
+    "q_lang_purity"    -> (CorpusOps.langPurity _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -1771,5 +1772,14 @@ object SparkEntry {
         "CAST(round(CAST(quantile_cont(gap, 0.5) AS DECIMAL(20,8)), 4) AS DOUBLE) AS med_gap_days, " +
         "CAST(round(CAST(quantile_cont(gap, 0.9) AS DECIMAL(20,8)), 4) AS DOUBLE) AS p90_gap_days " +
         "FROM g WHERE gap IS NOT NULL"),
+    // majority language per source, ties to the smaller lang
+    "q_lang_purity" ->
+      ("WITH c AS (SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2), " +
+        "t AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs FROM c GROUP BY source), " +
+        "r AS (SELECT source, lang, n, ROW_NUMBER() OVER " +
+        "(PARTITION BY source ORDER BY n DESC, lang) AS rk FROM c) " +
+        "SELECT r.source, t.n_docs, r.lang AS major_lang, " +
+        "CAST(round(CAST(CAST(r.n AS DOUBLE) / t.n_docs AS DECIMAL(20,8)), 4) AS DOUBLE) AS major_share " +
+        "FROM r JOIN t ON t.source = r.source WHERE rk = 1 ORDER BY r.source"),
   )
 }

@@ -510,6 +510,28 @@ object CorpusOps {
       .orderBy(col("n").desc, col("token"))
   }
 
+  /** q_lang_purity: per-source language-mix audit — each source's majority
+    * language and its share, the "is this crawl slice monolingual" check
+    * run before assigning per-language processing pipelines. Two partial-
+    * aggregated hops ((source, lang) then source) plus an argmax struct —
+    * no window, no join. Ties break to the lexicographically smaller
+    * language via the struct ordering. */
+  def langPurity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"),
+        min(struct((-col("n")).as("neg_n"), col("lang").as("lang")))
+          .as("top"))
+      .select(col("source"), col("n_docs"),
+        col("top.lang").as("major_lang"),
+        stableRound4((-col("top.neg_n")).cast("double") / col("n_docs"))
+          .as("major_share"))
+      .orderBy(col("source"))
+  }
+
   /** q_augment: deterministic token-dropout augmentation — the text-side
     * data-augmentation pass (EDA-style random deletion) with the
     * randomness derived from md5(doc_id:position), so every engine, run
