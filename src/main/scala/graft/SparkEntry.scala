@@ -232,6 +232,7 @@ object SparkEntry {
     "q_pareto"         -> (AnalyticsOps.paretoConcentration _),
     "q_order_gaps"     -> (AnalyticsOps.orderGaps _),
     "q_lang_purity"    -> (CorpusOps.langPurity _),
+    "q_dedup_report"   -> (CorpusOps.dedupReport _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -1781,5 +1782,16 @@ object SparkEntry {
         "SELECT r.source, t.n_docs, r.lang AS major_lang, " +
         "CAST(round(CAST(CAST(r.n AS DOUBLE) / t.n_docs AS DECIMAL(20,8)), 4) AS DOUBLE) AS major_share " +
         "FROM r JOIN t ON t.source = r.source WHERE rk = 1 ORDER BY r.source"),
+    // per-source exact-dedup scorecard: global min-id survivors + within-
+    // source distinct texts
+    "q_dedup_report" ->
+      ("WITH s AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text) " +
+        "SELECT d.source, COUNT(*) AS n_docs, " +
+        "CAST(SUM(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors, " +
+        "COUNT(DISTINCT d.text) AS n_distinct_texts, " +
+        "CAST(round(CAST(1.0 - CAST(SUM(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) " +
+        "/ COUNT(*) AS DECIMAL(20,8)), 4) AS DOUBLE) AS dup_rate " +
+        "FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id " +
+        "GROUP BY d.source ORDER BY d.source"),
   )
 }

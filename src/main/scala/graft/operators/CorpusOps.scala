@@ -510,6 +510,37 @@ object CorpusOps {
       .orderBy(col("n").desc, col("token"))
   }
 
+  /** q_dedup_report: the dedup-impact scorecard per source — how many docs
+    * each source contributes, how many survive GLOBAL exact dedup (min-id
+    * survivor per distinct text, so a source "loses" docs that first
+    * appeared elsewhere), how many texts are distinct WITHIN the source,
+    * and the resulting duplicate rate. This is the report a corpus curator
+    * reads before deciding which sources to down-weight; it composes the
+    * exact-dedup survivor rule the library already proves (q_dedup_exact)
+    * into the per-source accounting view. Two aggregation shuffles (text
+    * survivor, then source rollup). */
+  def dedupReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val survivors = docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    docs
+      .join(survivors.withColumn("is_survivor", lit(1)), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_survivor"), lit(0))).cast("long")
+          .as("n_survivors"),
+        countDistinct(col("text")).as("n_distinct_texts"))
+      .select(col("source"), col("n_docs"), col("n_survivors"),
+        col("n_distinct_texts"),
+        stableRound4(lit(1.0)
+          - col("n_survivors").cast("double") / col("n_docs"))
+          .as("dup_rate"))
+      .orderBy(col("source"))
+  }
+
   /** q_lang_purity: per-source language-mix audit — each source's majority
     * language and its share, the "is this crawl slice monolingual" check
     * run before assigning per-language processing pipelines. Two partial-
