@@ -441,7 +441,15 @@ object EventOps {
     * backtest is the metric pipeline that proves it. One bounded window
     * (per-type hourly series — the time axis doesn't grow with row count)
     * over the pre-aggregated rollup, then a partial-aggregated rollup to
-    * |types| rows. */
+    * |types| rows.
+    *
+    * Dense-series assumption: `lag(v, 168)` counts ROWS of the hourly
+    * aggregate, which equals "same hour last week" only when every hour of
+    * the span has ≥ 1 event (true for this event log, where each type has
+    * thousands of events/hour). On a sparse series the lag would silently
+    * mean "168 non-empty hours back" — gap-fill the hourly grid first
+    * (sequence + left join, as [[interpolateSeries]] does) before applying
+    * this backtest to sparse data. */
   def seasonalNaive(spark: SparkSession, dir: String,
       lagHours: Int = 168): DataFrame = {
     import graft.functions.NumericFunctions.stableRound4

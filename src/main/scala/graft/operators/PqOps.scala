@@ -62,6 +62,12 @@ object PqOps {
       .select(col("vec_id"), col("vec")).collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).toArray)
+    // train's empty-cell fallback indexes model(j)(c) for every c < Codes,
+    // so a short seed would surface later as an opaque AIOOBE; fail fast
+    // with the real cause instead (PQ needs ≥ Codes training vectors)
+    require(seed.length >= Codes,
+      s"PQ training needs at least $Codes vectors to seed the codebook; " +
+        s"got ${seed.length}")
     Array.tabulate(M)(j =>
       seed.map(v => v.slice(j * SubDim, (j + 1) * SubDim)))
   }

@@ -156,17 +156,22 @@ object EventStreamOps {
       gapMinutes: Long = 60): Dataset[Event] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapMs = gapMinutes * 60000L
+    // MICROSECOND precision, matching the batch q_debounce (which gaps on
+    // unix_micros): java.sql.Timestamp.getTime truncates to ms, so two
+    // events 500 µs apart would order/gap differently between the twins
+    val gapUs = gapMinutes * 60000000L
+    def epochUs(ts: java.sql.Timestamp): Long =
+      ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
     events
       .groupByKey(e => (e.user_id, e.event_type))
       .flatMapGroupsWithState[Long, Event](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: (Long, String), it: Iterator[Event], state: GroupState[Long]) =>
-          val sorted = it.toList.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = it.toList.sortBy(e => (epochUs(e.ts), e.event_id))
           var last = state.getOption.getOrElse(Long.MinValue)
           val kept = sorted.filter { e =>
-            val keep = last == Long.MinValue || e.ts.getTime - last > gapMs
-            if (keep) last = e.ts.getTime
+            val keep = last == Long.MinValue || epochUs(e.ts) - last > gapUs
+            if (keep) last = epochUs(e.ts)
             keep
           }
           if (last != Long.MinValue) state.update(last)
