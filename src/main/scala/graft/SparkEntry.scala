@@ -239,9 +239,14 @@ object SparkEntry {
     * columns are CAST explicitly because DuckDB widens (year()→BIGINT,
     * SUM(int)→HUGEINT, ROW_NUMBER()→BIGINT) where Spark keeps int/long.
     *
-    * Thirteen queries are deliberately rows-only (no entry here), each with a
+    * Iterative fixpoints are NOT a reason to skip an oracle: q_pagerank
+    * unrolls its 5 rank iterations as chained CTEs, and q_entity_match /
+    * q_dedup_clusters express the connected-components min-label fixpoint
+    * as MIN over a recursive-CTE transitive closure.
+    *
+    * Fifteen queries are deliberately rows-only (no entry here), each with a
     * stronger ScalaTest invariant instead: q_dedup_minhash / q_dedup_simhash
-    * / q_dedup_clusters / q_simhash_pairs depend on a hash family
+    * / q_simhash_pairs depend on a hash family
     * (Murmur3/xxhash64 seeding) DuckDB cannot reproduce — DedupSpec pins
     * them to exact all-pairs Jaccard (subset + recall ≥ 0.9) or Hamming
     * (exact equality — the 4×16 banding is lossless for Hamming ≤ 3)
@@ -257,7 +262,12 @@ object SparkEntry {
     * reference packing; q_semdedup clusters with iterative k-means (not
     * SQL) — DedupSpec pins its drop set to exact all-pairs cosine ground
     * truth; q_bpe_vocab / q_bpe_segment train and apply BPE merges sequentially by rank (not SQL) —
-    * CorpusOpsSpec pins the merge sequence to hand-computed ground truth. */
+    * CorpusOpsSpec pins the merge sequence to hand-computed ground truth;
+    * q_pq_ann trains k-means codebooks iteratively (not SQL) — PqSpec pins
+    * recall vs the exact baseline plus ADC error bounds; q_heavy_hitters is
+    * a Misra-Gries/CMS sketch — SketchSpec proves exactness when unpurged;
+    * q_frame_features exercises the stubbed decode path — its spec pins
+    * shape and determinism. */
   def oracleSql: Map[String, String] = Map(
     "q_scan_limit" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice LIMIT 100",
@@ -1465,6 +1475,30 @@ object SparkEntry {
         "(SELECT a AS part_id FROM t UNION ALL SELECT b AS part_id FROM t " +
         "UNION ALL SELECT c AS part_id FROM t) x " +
         "GROUP BY part_id ORDER BY n_triangles DESC, part_id LIMIT 20"),
+    // fixed-iteration PageRank unrolled as 5 chained CTEs over the same
+    // co-purchase edges; constants routed through CAST(… AS DOUBLE) so
+    // both engines compute the identical IEEE teleport/damping values
+    "q_pagerank" -> {
+      val iters = (1 to 5).map { i =>
+        s"r$i AS (SELECT u.dst AS node, " +
+          "(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn) " +
+          "+ CAST(0.85 AS DOUBLE) * SUM(r.rank / d.degree) AS rank " +
+          s"FROM und u JOIN r${i - 1} r ON u.src = r.node " +
+          "JOIN d ON u.src = d.node GROUP BY u.dst)"
+      }.mkString(", ")
+      "WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem), " +
+        "ok AS (SELECT okey FROM op GROUP BY okey HAVING COUNT(*) <= 64), " +
+        "e AS (SELECT DISTINCT a.pkey AS src, b.pkey AS dst FROM op a " +
+        "JOIN op b ON a.okey = b.okey AND a.pkey < b.pkey " +
+        "WHERE a.okey IN (SELECT okey FROM ok)), " +
+        "und AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e), " +
+        "d AS (SELECT src AS node, COUNT(*) AS degree FROM und GROUP BY src), " +
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM d), " +
+        "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM d), " +
+        iters + " " +
+        "SELECT node AS part_id, CAST(round(CAST(rank AS DECIMAL(20,8)), 4) AS DOUBLE) AS rank " +
+        "FROM r5 ORDER BY rank DESC, part_id LIMIT 20"
+    },
     // per-source KS vs rest-of-corpus over the value-compressed n_chars
     // distribution; exact integer cumulatives, two final divisions
     "q_ks_test" ->
@@ -1674,6 +1708,45 @@ object SparkEntry {
         "AS DECIMAL(20,8)), 4) AS DOUBLE) AS jaccard " +
         "FROM nc JOIN top ta ON ta.node = a JOIN top tb ON tb.node = b " +
         "ORDER BY jaccard DESC, a, b LIMIT 20"),
+    // entity resolution: the blocked Jaro-Winkler edge set is plain SQL
+    // (the native expression is pinned bit-identical to DuckDB's
+    // jaro_winkler_similarity), and the connected-components min-label
+    // fixpoint equals MIN(r) over the transitive closure computed by a
+    // recursive CTE (UNION dedup terminates it)
+    "q_entity_match" ->
+      ("WITH RECURSIVE p AS (SELECT doc_id, substr(lower(text), 1, 16) AS name, " +
+        "substr(lower(text), 1, 8) AS blk FROM documents), " +
+        "e AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM p a " +
+        "JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
+        "WHERE jaro_winkler_similarity(a.name, b.name) >= 0.92), " +
+        "und AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e), " +
+        "reach AS (SELECT src AS node, src AS r FROM und " +
+        "UNION SELECT reach.node, u.dst FROM reach JOIN und u ON reach.r = u.src), " +
+        "comp AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node) " +
+        "SELECT comp AS entity_id, COUNT(*) AS n_members, " +
+        "string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members " +
+        "FROM comp GROUP BY comp HAVING COUNT(*) >= 2 " +
+        "ORDER BY n_members DESC, entity_id LIMIT 20"),
+    // transitive near-dup clustering: recall-1 candidates (pairs sharing a
+    // word-3-gram shingle), exact-Jaccard edges, then min-label CC via the
+    // recursive transitive closure seeded with EVERY doc (singletons label
+    // themselves)
+    "q_dedup_clusters" ->
+      ("WITH RECURSIVE t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM t), " +
+        "x AS (SELECT doc_id, unnest(sh) AS shingle FROM s), " +
+        "c AS (SELECT doc_id, COUNT(*) AS n FROM x GROUP BY doc_id), " +
+        "pr AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared FROM x a " +
+        "JOIN x b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "e AS (SELECT da, db FROM pr JOIN c ca ON pr.da = ca.doc_id " +
+        "JOIN c cb ON pr.db = cb.doc_id " +
+        "WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.5), " +
+        "und AS (SELECT da AS src, db AS dst FROM e UNION ALL SELECT db AS src, da AS dst FROM e), " +
+        "reach AS (SELECT doc_id AS node, doc_id AS r FROM documents " +
+        "UNION SELECT reach.node, u.dst FROM reach JOIN und u ON reach.r = u.src) " +
+        "SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node " +
+        "ORDER BY doc_id"),
     "q_tpch_q3" ->
       ("SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, " +
         "o_orderpriority, " +

@@ -403,12 +403,69 @@ object DedupOps {
         col("comp").cast(keyType).as("comp"))
   }
 
-  /** Declared query: full transitive near-dup clustering over the corpus
-    * (rows-only — iterative CC isn't SQL-expressible). One row per doc with
-    * its cluster id; survivors = rows where doc_id == cluster_id. */
+  /** Recall-1 verified near-dup pairs: candidates are pairs sharing ≥ 1
+    * word-3-gram shingle — any pair with Jaccard > 0 shares a shingle, so
+    * (unlike MinHash banding) NO true pair above any positive threshold can
+    * be missed — verified with exact Jaccard over the distinct shingle
+    * sets. Deterministic and engine-independent, which is what lets the
+    * full clustering query carry a DuckDB oracle.
+    *
+    * Same plan shape as [[ngramJaccardTopPairs]] (materialized hashed
+    * shingle explode + shuffle-hash equality self-join + one aggregation):
+    * candidate volume is Σ_shingle df(shingle)², bounded in practice
+    * because 3-gram shingles are highly selective; a corpus with
+    * pathological boilerplate shingles would cap shingle document
+    * frequency first (the same guard the basket cap provides in
+    * [[GraphOps.copurchaseEdges]]). The MinHash-banded
+    * [[minhashVerifiedPairs]] remains the tunable-cost path when even the
+    * shingle join is too hot. */
+  def shingleVerifiedPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val ex = Materialize(
+      spread(docs)
+        .select(col("doc_id"),
+          shingles(tokensLower(col("text"))).as("sh"))
+        .select(col("doc_id"), size(col("sh")).as("n"),
+          explode(col("sh")).as("shingle"))
+        .select(col("doc_id"), col("n"),
+          xxhash64(col("shingle")).as("shingle")))
+    ex.as("a").hint("shuffle_hash")
+      .join(ex.as("b"),
+        col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("shared"),
+        max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
+      // one IEEE double division on both engines — bit-identical, so the
+      // threshold cut needs no rounding to agree with the oracle
+      .filter(col("shared").cast("double")
+        / (col("na") + col("nb") - col("shared")) >= threshold)
+      .select(col("da"), col("db"))
+  }
+
+  /** Declared query: full transitive near-dup clustering over the corpus.
+    * One row per doc with its cluster id; survivors = rows where doc_id ==
+    * cluster_id. Oracle-checked end to end: the recall-1
+    * [[shingleVerifiedPairs]] edge set is plain SQL, and the min-label
+    * fixpoint of [[connectedComponents]] equals the min reachable id — in
+    * DuckDB, `min(r)` over the transitive closure computed by a recursive
+    * CTE. The MinHash-LSH clustering ([[dedupClusters]]) stays the
+    * bounded-cost variant for corpora where exact candidates run hot, with
+    * its recall pinned differentially in ClusterDedupSpec. */
   def dedupClustersQuery(spark: SparkSession, dir: String): DataFrame =
-    dedupClusters(Tables.documents(spark, dir), 0.5)
+    dedupClustersExact(Tables.documents(spark, dir), 0.5)
       .orderBy(col("doc_id"))
+
+  /** [[dedupClusters]] with the recall-1 exact candidate generator —
+    * identical output contract, engine-independent edge set. */
+  def dedupClustersExact(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val pairs = shingleVerifiedPairs(docs, threshold)
+      .select(col("da").as("src"), col("db").as("dst"))
+    val comps = connectedComponents(pairs)
+    docs.select(col("doc_id"))
+      .join(comps, docs("doc_id") === comps("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+  }
 
   /** Full near-dup clustering: MinHash+LSH candidate pairs, exact-Jaccard
     * verification, then connected components so transitive chains (A≈B,
@@ -810,8 +867,11 @@ object DedupOps {
     * almost always implies a long shared prefix, so the recall cost is
     * small; a production run unions several blocking passes (prefix,
     * token-signature, phonetic) rather than widening one block. CC state
-    * stays distributed. Rows-only (iterative CC is not SQL); DedupSpec
-    * pins clusters to a driver union-find on the same scored edges. */
+    * stays distributed. Oracle-checked end to end: JaroWinkler is pinned
+    * bit-identical to DuckDB's `jaro_winkler_similarity`, so the edge set
+    * is plain SQL, and the CC min-label fixpoint equals `min(r)` over the
+    * transitive closure of a recursive CTE; DedupSpec additionally pins
+    * clusters to a driver union-find on the same scored edges. */
   def entityMatch(spark: SparkSession, dir: String, thr: Double = 0.92,
       blockChars: Int = 8, k: Int = 20): DataFrame = {
     val recs = Tables.documents(spark, dir)
