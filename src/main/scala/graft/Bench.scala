@@ -63,13 +63,33 @@ object Bench {
       "\"" + k + "\":\"" + jsonEscape(m) + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":2,"agg":"min","queries":$qs,"errors":$errs,"warm_failures":$warmFailures,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","reps":2,"agg":"min","queries":$qs,"errors":$errs,"warm_failures":$warmFailures,"sf":"$sfDir"}"""
+    println(fullLine)
     // The full line above is ~4 KB (one entry per query) and has outrun the
     // driver's captured output tail every round (BENCH_r01..r03 all record
     // "parsed": null). Emit a compact summary LAST so it always survives
     // tail truncation and the 2x-of-baseline perf gate can actually evaluate.
     val nErr = results.count(_._3.isDefined)
     println(s"""{"metric":"total_compact","value":$total,"unit":"sec","reps":2,"agg":"min","n_queries":${results.size},"n_err":$nErr,"warm_failures":$warmFailures,"sf":"$sfDir"}""")
+    // Third compact line: the ~20 slowest queries. The full per-query map
+    // above is what regression tracking wants, but it has been truncated by
+    // the driver's output tail cap every round; the slow tail is the part
+    // that matters for perf triage, so give it its own always-survives line.
+    val slowest = results.collect { case (k, v, None) => (k, v) }
+      .sortBy(-_._2).take(20)
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"slowest","n":20,"unit":"sec","reps":2,"agg":"min","queries":$slowest,"sf":"$sfDir"}""")
+    // And persist the complete per-query JSON as a file so round-over-round
+    // deltas never depend on how much of stdout the driver kept. The forked
+    // JVM's cwd is the sbt base directory, so the default lands in-repo and
+    // is committed each round.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"bench: could not write $outPath: $e")
+    }
     spark.stop()
   }
 }
