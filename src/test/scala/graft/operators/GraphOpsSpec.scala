@@ -21,6 +21,14 @@ class GraphOpsSpec extends SparkTestBase {
     assert(edges.distinct.length == edges.length)
   }
 
+  test("shared edge build is cached per session/dir and equals the uncached build") {
+    val a = GraphOps.copurchaseEdgesShared(spark, sf)
+    val b = GraphOps.copurchaseEdgesShared(spark, sf)
+    assert(a eq b, "second call must return the same materialized table")
+    val shared = a.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(shared.toSeq == edges.sorted.toSeq)
+  }
+
   test("degree distribution sums to node count and total degree = 2|E|") {
     val dist = GraphOps.graphDegree(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
