@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf10-equivalent spot gate (dev tool; results recorded in SCALE.md).
+  *
+  * The sf1 gate ([[ScaleGate]]) proves the surface at 10× the shipped data;
+  * the 100 TB claim for the SUPERLINEAR-RISK operators otherwise rests on
+  * documented bounds (arboricity-bounded adjacency, banding cardinality,
+  * blocking width). This gate turns those arguments into measurements: it
+  * synthesizes 10× and 100× corpora with ONE consistent scheme and measures
+  * each risk query at both scales, reporting the empirical scaling exponent
+  * e = log10(t₁₀₀/t₁₀) — e ≈ 1 is linear, e ≈ 2 quadratic.
+  *
+  * Covered queries and why they carry superlinear risk:
+  *   - q_triangles     — triangle counting is worst-case |E|^1.5
+  *   - q_entity_match  — in-block pairs are quadratic in block size
+  *   - q_simhash_pairs — band buckets over a FIXED 4·2¹⁶ key space fill up
+  *   - q_dedup_ngram   — shingle-bucket pairs are quadratic in bucket size
+  *
+  * Synthesis scheme (deliberately different from ScaleGate's where the
+  * regimes differ):
+  *   - lineitem copies shift BOTH l_orderkey and l_partkey, so each copy is
+  *     a disjoint co-purchase subgraph — the realistic bigger-catalog
+  *     regime where |V| and |E| grow linearly with data. (ScaleGate keeps
+  *     partkeys fixed, which collapses cross-copy edges to the same pairs
+  *     and turns the graph queries into a pure scan test.)
+  *   - document copies tag the FIRST token with the copy id (new distinct
+  *     prefixes — entity blocks grow in NUMBER, as a real corpus's prefix
+  *     diversity grows with size) and every 4th token after it (cross-copy
+  *     texts are not near-duplicates, so shingle/simhash candidates grow
+  *     ~linearly instead of every doc gaining 99 identical twins).
+  *
+  * Besides wall time, the gate prints the candidate-pair volume Σ n(n-1)/2
+  * per blocking family — the quantity whose growth exponent actually
+  * decides whether the operator survives another 100×.
+  *
+  * The session is sized to the data, the same dials a real cluster turns:
+  * 128 shuffle partitions (local[32]'s default 32 leaves >1.5M-row
+  * aggregation partitions at 100×, which overruns a 32-way-shared 8 GiB
+  * execution pool) and `SPARK_DRIVER_MEM=24g` recommended.
+  *
+  *   SPARK_DRIVER_MEM=24g sbt "runMain graft.ScaleSpot"   # reuse data if present
+  *   SPARK_DRIVER_MEM=24g sbt "runMain graft.ScaleSpot regen"  # re-synthesize
+  */
+object ScaleSpot {
+  val Targets = Seq("q_triangles", "q_entity_match", "q_simhash_pairs",
+    "q_dedup_ngram")
+  val Scales = Seq(10, 100)
+
+  def outDir(copies: Int) = s"/tmp/graft_spot_${copies}x"
+
+  private def synthesize(spark: SparkSession, src: String, copies: Int): Unit = {
+    val out = outDir(copies)
+    def union(base: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until copies).map(i => shift(base, i)).reduce(_ union _)
+
+    union(Tables.lineitem(spark, src)) { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L))
+        .withColumn("l_partkey", col("l_partkey") + lit(i.toLong * 10000000L))
+    }.repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    union(Tables.documents(spark, src)) { (df, i) =>
+      val txt =
+        if (i == 0) col("text")
+        else array_join(expr(
+          s"transform(split(text, ' '), (x, j) -> IF(j = 0 OR j % 4 = 3, concat('c$i', x), x))"),
+          " ")
+      df.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L))
+        .withColumn("text", txt)
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+  }
+
+  /** Σ n(n-1)/2 over bucket sizes: the candidate-join output volume. */
+  private def pairVolume(buckets: DataFrame): Long =
+    buckets.groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .agg(sum((col("n") * (col("n") - 1) / 2).cast("double")).as("p"))
+      .head().getDouble(0).toLong
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder("graft-scale-spot", shufflePartitions = 128)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+
+    Scales.foreach { c =>
+      if (args.contains("regen")
+          || !new java.io.File(s"${outDir(c)}/lineitem.parquet").exists()) {
+        println(s"synthesizing ${c}x ...")
+        synthesize(spark, src, c)
+      }
+    }
+
+    println("\n== candidate-pair volumes (Σ n(n-1)/2 per blocking family) ==")
+    import graft.functions.TextFunctions.{shingles, tokensLower}
+    Scales.foreach { c =>
+      val docs = Tables.documents(spark, outDir(c))
+      val blk = pairVolume(
+        docs.select(substring(lower(col("text")), 1, 8).as("k")))
+      val shingle = pairVolume(
+        docs.select(explode(shingles(tokensLower(col("text")))).as("k")))
+      val nDocs = docs.count()
+      val nEdges = Tables.lineitem(spark, outDir(c))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+        .filter(size(col("parts")).between(2, 64))
+        .select(explode(expr(
+          "flatten(transform(parts, (x, i) -> transform(slice(parts, i + 2, size(parts)), y -> struct(x as src, y as dst))))")))
+        .distinct().count()
+      println(f"${c}%3dx: docs=$nDocs%8d  entity-block pairs=$blk%12d  " +
+        f"shingle pairs=$shingle%12d  graph |E|=$nEdges%10d")
+    }
+
+    // warm pass: plan compilation + janino at tiny SF
+    Targets.foreach { n =>
+      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.01").count()
+      catch { case _: Throwable => () }
+    }
+
+    def timed(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    println("\n== timings (run1 = cold incl. shared-build, run2 = warm) ==")
+    val results = for (c <- Scales; name <- Targets) yield {
+      val fn = SparkEntry.queries(name)
+      val (t1, n1) = timed(fn(spark, outDir(c)).count())
+      val (t2, n2) = timed(fn(spark, outDir(c)).count())
+      require(n1 == n2, s"$name nondeterministic row count at ${c}x: $n1 vs $n2")
+      println(f"${c}%3dx $name%-16s run1 $t1%8.2f s  run2 $t2%8.2f s  ($n1%7d rows)")
+      ((c, name), (t1, t2))
+    }
+    val byKey = results.toMap
+
+    println("\n== scaling exponents e = log10(t100/t10), warm runs ==")
+    Targets.foreach { name =>
+      val t10 = byKey((10, name))._2
+      val t100 = byKey((100, name))._2
+      val e = math.log10(t100 / t10)
+      println(f"$name%-16s t10 $t10%7.2f s  t100 $t100%8.2f s  exponent $e%5.2f")
+    }
+    spark.stop()
+  }
+}

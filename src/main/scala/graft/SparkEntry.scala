@@ -240,11 +240,15 @@ object SparkEntry {
     * SUM(int)→HUGEINT, ROW_NUMBER()→BIGINT) where Spark keeps int/long.
     *
     * Iterative fixpoints are NOT a reason to skip an oracle: q_pagerank
-    * unrolls its 5 rank iterations as chained CTEs, and q_entity_match /
+    * unrolls its 5 rank iterations as chained CTEs, q_entity_match /
     * q_dedup_clusters express the connected-components min-label fixpoint
-    * as MIN over a recursive-CTE transitive closure.
+    * as MIN over a recursive-CTE transitive closure, q_pack replays the
+    * sequential greedy packing as a one-row-per-step recursive CTE carrying
+    * (seq_id, used) per bin, and q_heavy_hitters — exact whenever the
+    * sketch never purges, which its declared 2^15 map guarantees at every
+    * shipped SF — oracles against the plain token-frequency table.
     *
-    * Fifteen queries are deliberately rows-only (no entry here), each with a
+    * Thirteen queries are deliberately rows-only (no entry here), each with a
     * stronger ScalaTest invariant instead: q_dedup_minhash / q_dedup_simhash
     * / q_simhash_pairs depend on a hash family
     * (Murmur3/xxhash64 seeding) DuckDB cannot reproduce — DedupSpec pins
@@ -257,15 +261,13 @@ object SparkEntry {
     * hash-match); q_approx_stats is a sketch (HLL++/quantile) whose exact
     * counterparts differ by construction — SketchSpec bounds its error
     * against exact COUNT(DISTINCT)/quantiles, and proves q_hll_rollup's
-    * sketch-union row equals the direct global sketch; q_pack is sequential greedy
-    * bin packing (no SQL oracle) — CorpusOpsSpec pins it to a hand-rolled
-    * reference packing; q_semdedup clusters with iterative k-means (not
+    * sketch-union row equals the direct global sketch;
+    * q_semdedup clusters with iterative k-means (not
     * SQL) — DedupSpec pins its drop set to exact all-pairs cosine ground
     * truth; q_bpe_vocab / q_bpe_segment train and apply BPE merges sequentially by rank (not SQL) —
     * CorpusOpsSpec pins the merge sequence to hand-computed ground truth;
     * q_pq_ann trains k-means codebooks iteratively (not SQL) — PqSpec pins
-    * recall vs the exact baseline plus ADC error bounds; q_heavy_hitters is
-    * a Misra-Gries/CMS sketch — SketchSpec proves exactness when unpurged;
+    * recall vs the exact baseline plus ADC error bounds;
     * q_frame_features exercises the stubbed decode path — its spec pins
     * shape and determinism. */
   def oracleSql: Map[String, String] = Map(
@@ -548,6 +550,35 @@ object SparkEntry {
         "x AS (SELECT unnest(toks) AS token FROM t) " +
         "SELECT token, COUNT(*) AS doc_freq FROM x GROUP BY token " +
         "ORDER BY doc_freq DESC, token LIMIT 50"),
+    // exact BECAUSE the sketch never purges at shipped SFs (distinct tokens
+    // << the declared 2^15 map): est = lb = ub = the true count, so the
+    // oracle is the plain frequency table
+    "q_heavy_hitters" ->
+      ("WITH t AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "x AS (SELECT unnest(toks) AS token FROM t), " +
+        "c AS (SELECT token, COUNT(*) AS n FROM x GROUP BY token) " +
+        "SELECT token, n AS est, n AS lb, n AS ub FROM c " +
+        "ORDER BY est DESC, token LIMIT 30"),
+    // the sequential greedy packing replayed one row per recursion step:
+    // each bin's state (seq_id, used) advances down its doc_id-ordered
+    // stream; the final grouping recovers per-sequence doc counts and spans
+    "q_pack" ->
+      ("WITH RECURSIVE d AS (SELECT CAST(doc_id % 32 AS INTEGER) AS bin, doc_id, " +
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_toks FROM documents), " +
+        "r AS (SELECT bin, doc_id, n_toks, " +
+        "CAST(row_number() OVER (PARTITION BY bin ORDER BY doc_id) AS INTEGER) AS rn " +
+        "FROM d WHERE n_toks BETWEEN 1 AND 256), " +
+        "s AS (SELECT bin, rn, doc_id, n_toks, 0 AS seq_id, n_toks AS used " +
+        "FROM r WHERE rn = 1 " +
+        "UNION ALL " +
+        "SELECT r.bin, r.rn, r.doc_id, r.n_toks, " +
+        "CASE WHEN s.used + r.n_toks > 256 THEN s.seq_id + 1 ELSE s.seq_id END, " +
+        "CASE WHEN s.used + r.n_toks > 256 THEN r.n_toks ELSE s.used + r.n_toks END " +
+        "FROM s JOIN r ON r.bin = s.bin AND r.rn = s.rn + 1) " +
+        "SELECT bin, seq_id, CAST(COUNT(*) AS INTEGER) AS n_docs, " +
+        "CAST(SUM(n_toks) AS INTEGER) AS total_tokens, " +
+        "MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc " +
+        "FROM s GROUP BY bin, seq_id ORDER BY bin, seq_id"),
     "q_explode_tokens" ->
       ("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), " +
         "e AS (SELECT doc_id, toks, " +

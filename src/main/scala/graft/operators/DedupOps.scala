@@ -177,6 +177,59 @@ object DedupOps {
   def dedupNgram(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardTopPairs(Tables.documents(spark, dir))
 
+  /** N-gram Jaccard near-dup with a shingle DOCUMENT-FREQUENCY cap — the
+    * production dial the sf10 spot gate measured (SCALE.md round-5): the
+    * candidate self-join's output is Σ df(s)² over shingles s, so shared
+    * boilerplate (headers, licenses, templates) with df in the thousands
+    * dominates the join at large corpora even though it carries no dedup
+    * signal. Dropping shingles with corpus df > `dfCap` bounds every
+    * bucket at dfCap docs — candidates become ≤ dfCap · |distinct
+    * shingles| instead of quadratic in the hottest bucket. Standard
+    * practice in MinHash-LSH and suffix-array dedup pipelines (mask
+    * ultra-frequent grams before candidate generation).
+    *
+    * Jaccard is computed over the SURVIVING shingle sets (|A|, |B|
+    * recounted after the cap) so the score is internally consistent:
+    * boilerplate stops generating candidates AND stops inflating the
+    * union. Relative to [[ngramJaccardTopPairs]] this costs one extra
+    * aggregation + equality join on the already-shuffled shingle key (the
+    * df table) and one doc-keyed recount; both partial-aggregate friendly.
+    * (Distinct from the rejected df>1 LOWER-bound pre-filter documented
+    * above, which saved nothing because unique shingles already join to
+    * nothing — the UPPER bound removes real quadratic work.) */
+  def ngramJaccardTopPairsCapped(docs: DataFrame, k: Int = 20,
+      dfCap: Int = 16): DataFrame = {
+    val ex = Materialize(
+      spread(docs)
+        .select(col("doc_id"),
+          explode(shingles(tokensLower(col("text")))).as("shingle"))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("shingle")))
+    // shingles are distinct within a doc, so COUNT(*) per shingle is its
+    // document frequency; keep only rare shingles
+    val rare = ex.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select(col("shingle"))
+    val surv = Materialize(ex.hint("shuffle_hash").join(rare, "shingle"))
+    val perDoc = surv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val sx = surv.join(perDoc, "doc_id")
+    sx.as("a").hint("shuffle_hash")
+      .join(sx.as("b"),
+        col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("shared"),
+        max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
+      .select(col("da"), col("db"),
+        round(col("shared").cast("double")
+          / (col("na") + col("nb") - col("shared")), 4).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("da"), col("db"))
+      .limit(k)
+  }
+
+  def dedupNgramCapped(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardTopPairsCapped(Tables.documents(spark, dir))
+
   /** MinHash signatures: `numHashes` independent hash functions simulated as
     * xxhash64 with distinct salts; signature_i = min over the shingle set.
     * One groupBy with `numHashes` min-aggregates — map-side partial agg keeps
