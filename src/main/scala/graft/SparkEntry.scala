@@ -233,6 +233,16 @@ object SparkEntry {
     "q_order_gaps"     -> (AnalyticsOps.orderGaps _),
     "q_lang_purity"    -> (CorpusOps.langPurity _),
     "q_dedup_report"   -> (CorpusOps.dedupReport _),
+    // df-capped variant of q_dedup_ngram — the production dial the round-5
+    // sf10 spot gate measured (SCALE.md: uncapped candidates grow e=1.65;
+    // the cap bounds every shingle bucket)
+    "q_dedup_ngram_capped" -> ((s, d) => DedupOps.dedupNgramCapped(s, d)),
+    "q_dedup_survivor" -> (DedupOps.dedupSurvivor _),
+    "q_dup_span_frac"  -> ((s, d) => CorpusOps.dupSpanFrac(s, d)),
+    "q_source_overlap" -> ((s, d) => CorpusOps.sourceOverlap(s, d)),
+    "q_lang_confusion" -> (TextOps.langConfusion _),
+    "q_ppl_buckets"    -> (TextOps.pplBuckets _),
+    "q_embed_drift"    -> (SimilarityOps.embedDrift _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -1897,5 +1907,119 @@ object SparkEntry {
         "/ COUNT(*) AS DECIMAL(20,8)), 4) AS DOUBLE) AS dup_rate " +
         "FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id " +
         "GROUP BY d.source ORDER BY d.source"),
+    // q_dedup_ngram with a shingle document-frequency cap (df <= 16);
+    // Jaccard recomputed over the SURVIVING shingle sets
+    "q_dedup_ngram_capped" ->
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM t), " +
+        "x AS (SELECT doc_id, unnest(sh) AS shingle FROM s), " +
+        "f AS (SELECT shingle FROM x GROUP BY shingle HAVING count(*) <= 16), " +
+        "xs AS (SELECT x.doc_id, x.shingle FROM x JOIN f USING (shingle)), " +
+        "c AS (SELECT doc_id, count(*) AS n FROM xs GROUP BY doc_id), " +
+        "p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared FROM xs a " +
+        "JOIN xs b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT da, db, round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 4) AS jaccard " +
+        "FROM p JOIN c ca ON p.da = ca.doc_id JOIN c cb ON p.db = cb.doc_id " +
+        "ORDER BY jaccard DESC, da, db LIMIT 20"),
+    // survivor = argmax (quality_score, -doc_id) within each normalized-md5
+    // fingerprint group; quality formula identical to q_quality_score
+    "q_dedup_survivor" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tokens, " +
+        "length(regexp_replace(text, '\\s', '', 'g')) AS n_letter_chars, " +
+        "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), " +
+        "t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) AS sw_n " +
+        "FROM documents), " +
+        "d AS (SELECT doc_id, n_tokens, CAST(n_letter_chars AS DOUBLE) / n_tokens AS awl, " +
+        "CAST(sw_n AS DOUBLE) / n_tokens AS swr FROM t), " +
+        "q AS (SELECT doc_id, CAST(round(CAST(least(1.0, n_tokens / 50.0) * 0.5 " +
+        "+ CASE WHEN awl BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END " +
+        "+ least(0.2, swr) AS DECIMAL(20,8)), 4) AS DOUBLE) AS quality_score FROM d), " +
+        "f AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp FROM documents), " +
+        "s AS (SELECT f.doc_id, f.fp, q.quality_score FROM f JOIN q USING (doc_id)), " +
+        "w AS (SELECT doc_id, quality_score, COUNT(*) OVER (PARTITION BY fp) AS n_copies, " +
+        "row_number() OVER (PARTITION BY fp ORDER BY quality_score DESC, doc_id) AS rn FROM s) " +
+        "SELECT doc_id, n_copies, quality_score FROM w WHERE rn = 1 ORDER BY doc_id"),
+    // per-doc share of distinct 5-grams occurring in >= 2 documents
+    "q_dup_span_frac" ->
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 3, 1)), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS sh FROM t), " +
+        "x AS (SELECT doc_id, unnest(sh) AS shingle FROM s), " +
+        "f AS (SELECT shingle, COUNT(*) AS df FROM x GROUP BY shingle), " +
+        "p AS (SELECT doc_id, COUNT(*) AS n_shingles, " +
+        "CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup " +
+        "FROM x JOIN f USING (shingle) GROUP BY doc_id) " +
+        "SELECT d.doc_id, COALESCE(n_shingles, 0) AS n_shingles, COALESCE(n_dup, 0) AS n_dup, " +
+        "CAST(round(CAST(COALESCE(CAST(n_dup AS DOUBLE) / n_shingles, 0.0) AS DECIMAL(20,8)), 4) AS DOUBLE) AS dup_frac " +
+        "FROM documents d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id"),
+    // full source-pair grid with zero-filled 5-gram-set Jaccard overlap
+    "q_source_overlap" ->
+      ("WITH t AS (SELECT source, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "s AS (SELECT source, list_distinct(list_transform(range(1, greatest(len(toks) - 3, 1)), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS sh FROM t), " +
+        "x AS (SELECT DISTINCT source, shingle FROM (SELECT source, unnest(sh) AS shingle FROM s)), " +
+        "per AS (SELECT source, COUNT(*) AS n_sh FROM x GROUP BY source), " +
+        "sh2 AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS shared FROM x a " +
+        "JOIN x b ON a.shingle = b.shingle AND a.source < b.source GROUP BY 1, 2), " +
+        "g AS (SELECT pa.source AS sa, pa.n_sh AS na, pb.source AS sb, pb.n_sh AS nb " +
+        "FROM per pa CROSS JOIN per pb WHERE pa.source < pb.source) " +
+        "SELECT g.sa, g.sb, g.na, g.nb, COALESCE(shared, 0) AS shared, " +
+        "CAST(round(CAST(CAST(COALESCE(shared, 0) AS DOUBLE) / (na + nb - COALESCE(shared, 0)) " +
+        "AS DECIMAL(20,8)), 4) AS DOUBLE) AS jaccard " +
+        "FROM g LEFT JOIN sh2 ON g.sa = sh2.sa AND g.sb = sh2.sb ORDER BY g.sa, g.sb"),
+    // declared-vs-detected confusion matrix; detector identical to q_lang_id
+    "q_lang_confusion" ->
+      ("WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "c AS (SELECT doc_id, lang, " +
+        "CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) AS INTEGER) AS en_n, " +
+        "CAST(len(list_filter(toks, t -> t = 'der' OR t = 'die' OR t = 'das' OR t = 'und')) AS INTEGER) AS de_n, " +
+        "CAST(len(list_filter(toks, t -> t = 'el' OR t = 'los' OR t = 'las' OR t = 'y')) AS INTEGER) AS es_n, " +
+        "CAST(len(list_filter(toks, t -> t = 'le' OR t = 'les' OR t = 'des' OR t = 'et')) AS INTEGER) AS fr_n " +
+        "FROM t), " +
+        "p AS (SELECT lang, CASE WHEN en_n >= de_n AND en_n >= es_n AND en_n >= fr_n THEN 'en' " +
+        "WHEN de_n >= es_n AND de_n >= fr_n THEN 'de' " +
+        "WHEN es_n >= fr_n THEN 'es' ELSE 'fr' END AS lang_pred FROM c), " +
+        "m AS (SELECT lang, lang_pred, COUNT(*) AS n_docs FROM p GROUP BY 1, 2), " +
+        "tot AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_lang FROM m GROUP BY lang) " +
+        "SELECT m.lang, m.lang_pred, m.n_docs, " +
+        "CAST(round(CAST(CAST(m.n_docs AS DOUBLE) / t2.n_lang AS DECIMAL(20,8)), 4) AS DOUBLE) AS share " +
+        "FROM m JOIN tot t2 ON m.lang = t2.lang ORDER BY m.lang, m.lang_pred"),
+    // CCNet-style per-language logp terciles; LM identical to q_unigram_logprob
+    "q_ppl_buckets" ->
+      ("WITH e AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token FROM documents), " +
+        "v AS (SELECT token, COUNT(*) AS n FROM e GROUP BY token), " +
+        "tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM v), " +
+        "s AS (SELECT e.doc_id, COUNT(*) AS n_tokens, " +
+        "CAST(round(CAST(AVG(log10(CAST(v.n AS DOUBLE) / tot.total)) AS DECIMAL(20,8)), 4) AS DOUBLE) AS mean_logp " +
+        "FROM e JOIN v USING (token) CROSS JOIN tot GROUP BY e.doc_id), " +
+        "d AS (SELECT s.doc_id, s.n_tokens, s.mean_logp, doc.lang FROM s JOIN documents doc USING (doc_id)), " +
+        "c AS (SELECT lang, quantile_cont(mean_logp, [1.0/3, 2.0/3]) AS cuts FROM d GROUP BY lang), " +
+        "b AS (SELECT d.lang, d.mean_logp, d.n_tokens, " +
+        "CAST(len(list_filter(c.cuts, x -> d.mean_logp > CAST(round(CAST(x AS DECIMAL(20,8)), 4) AS DOUBLE))) AS INTEGER) AS bn " +
+        "FROM d JOIN c ON d.lang = c.lang) " +
+        "SELECT lang, CASE WHEN bn = 2 THEN 'head' WHEN bn = 1 THEN 'middle' ELSE 'tail' END AS bucket, " +
+        "COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, " +
+        "CAST(round(CAST(MIN(mean_logp) AS DECIMAL(20,8)), 4) AS DOUBLE) AS lo, " +
+        "CAST(round(CAST(MAX(mean_logp) AS DECIMAL(20,8)), 4) AS DOUBLE) AS hi " +
+        "FROM b GROUP BY 1, 2 ORDER BY lang, bucket"),
+    // centroids stabilized to 4 decimals then scaled to exact BIGINT
+    // coordinates, so the cosine is integer arithmetic on both engines
+    "q_embed_drift" ->
+      ("WITH e AS (SELECT label, CAST(vec_id % 2 AS INTEGER) AS half, " +
+        "CAST(generate_subscripts(embedding, 1) AS INTEGER) AS dim, " +
+        "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), " +
+        "c AS (SELECT label, half, dim, " +
+        "CAST(round(CAST(round(CAST(AVG(x) AS DECIMAL(20,8)), 4) AS DOUBLE) * 10000) AS BIGINT) AS mi " +
+        "FROM e GROUP BY 1, 2, 3), " +
+        "j AS (SELECT a.label, SUM(a.mi * b.mi) AS dot, SUM(a.mi * a.mi) AS na2, SUM(b.mi * b.mi) AS nb2 " +
+        "FROM c a JOIN c b ON a.label = b.label AND a.dim = b.dim AND a.half = 0 AND b.half = 1 GROUP BY 1), " +
+        "n AS (SELECT label, CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even, " +
+        "CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_odd FROM embeddings GROUP BY label) " +
+        "SELECT n.label, n.n_even, n.n_odd, " +
+        "CAST(round(CAST(CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) " +
+        "AS DECIMAL(20,8)), 4) AS DOUBLE) AS centroid_cos " +
+        "FROM n JOIN j ON n.label = j.label ORDER BY n.label"),
   )
 }

@@ -651,6 +651,89 @@ object CorpusOps {
       .orderBy(col("n_docs").desc, col("shingle"))
       .limit(k)
 
+  /** Per-document duplicated-span fraction: the share of a document's
+    * distinct word 5-grams that occur in at least `minDocs` documents — the
+    * per-document form of the exact-substring duplication signal of Lee et
+    * al. 2022 ("Deduplicating Training Data Makes Language Models Better");
+    * [[repeatedNgrams]] ranks the spans corpus-wide, this scores every
+    * document so a cleaning pipeline can filter or down-weight on it.
+    * Shingles are distinct within a document ([[shingles]]), so the
+    * per-shingle row count IS its document frequency.
+    *
+    * Scale shape: one explode, one df aggregation, one equality join back
+    * on the xxhash64'd shingle key (hashed to shrink shuffle bytes — the
+    * join is what moves data), one per-doc aggregation — all
+    * partial-aggregated, no windows, no pairwise join. Documents shorter
+    * than 5 tokens have no 5-grams and report zero shingles. */
+  def dupSpanFrac(spark: SparkSession, dir: String, n: Int = 5,
+      minDocs: Int = 2): DataFrame =
+    dupSpanFracDocs(Tables.documents(spark, dir), n, minDocs)
+
+  /** Core of [[dupSpanFrac]] over any (doc_id, text) frame. */
+  def dupSpanFracDocs(docs: DataFrame, n: Int = 5,
+      minDocs: Int = 2): DataFrame = {
+    val sh = Materialize(
+      docs
+        .select(col("doc_id"),
+          explode(shingles(tokensLower(col("text")), n)).as("shingle"))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("shingle")))
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val frac = sh.hint("shuffle_hash").join(df, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= minDocs, 1L).otherwise(0L)).as("n_dup"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(frac, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        graft.functions.NumericFunctions.stableRound4(
+          coalesce(col("n_dup") / col("n_shingles"), lit(0.0))).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Pairwise cross-source contamination audit: for every pair of corpus
+    * sources, the Jaccard overlap of their distinct word 5-gram sets — the
+    * leakage check run before treating sources as independent mixture
+    * components (high overlap means double-counted text or one source
+    * scraping another; the same shape with an eval-benchmark side is the
+    * decontamination audit). Output is the full source-pair grid with
+    * zero-filled overlap so absent pairs are visible.
+    *
+    * Scale shape: the candidate join fans out at most C(#sources, 2) rows
+    * per shingle (sources are a handful; shingles are hashed before the
+    * join), the per-source set sizes are one aggregation, and the grid is
+    * a crossJoin of two #sources-row aggregates — broadcast by size. */
+  def sourceOverlap(spark: SparkSession, dir: String, n: Int = 5): DataFrame =
+    sourceOverlapDocs(Tables.documents(spark, dir), n)
+
+  /** Core of [[sourceOverlap]] over any (source, text) frame. */
+  def sourceOverlapDocs(docs: DataFrame, n: Int = 5): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val sh = Materialize(
+      docs
+        .select(col("source"),
+          explode(shingles(tokensLower(col("text")), n)).as("shingle"))
+        .select(col("source"), xxhash64(col("shingle")).as("shingle"))
+        .distinct())
+    val per = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val shared = sh.as("a").hint("shuffle_hash")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle")
+        && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+      .agg(count(lit(1)).as("shared"))
+    val grid = per.select(col("source").as("sa"), col("n_sh").as("na"))
+      .crossJoin(per.select(col("source").as("sb"), col("n_sh").as("nb")))
+      .filter(col("sa") < col("sb"))
+    grid.join(shared, Seq("sa", "sb"), "left")
+      .select(col("sa"), col("sb"), col("na"), col("nb"),
+        coalesce(col("shared"), lit(0L)).as("shared"),
+        stableRound4(coalesce(col("shared"), lit(0L)) /
+          (col("na") + col("nb") - coalesce(col("shared"), lit(0L))))
+          .as("jaccard"))
+      .orderBy(col("sa"), col("sb"))
+  }
+
   /** Deterministic output sharding: assign every document to one of 16
     * shards by the first hex digit of md5(doc_id), and report per-shard
     * volume — the write-side layout step of a training pipeline (each

@@ -230,6 +230,31 @@ object DedupOps {
   def dedupNgramCapped(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardTopPairsCapped(Tables.documents(spark, dir))
 
+  /** Quality-aware exact dedup: group documents by whitespace-normalized
+    * md5 fingerprint and keep the HIGHEST-quality copy (ties → lowest
+    * doc_id) instead of [[dedupExact]]'s min-id survivor — the production
+    * choice when duplicates differ in upstream cleanliness (the same text
+    * scraped by two sources keeps whichever copy scores better, preserving
+    * the better metadata chain). The argmax is one
+    * `max(struct(score, -doc_id))` aggregation — no window over data, so
+    * the per-group state is a single struct regardless of group size.
+    * Quality is [[TextOps.qualityScore]]'s structural score, joined on
+    * doc_id (one shuffle each side of the fingerprint agg). */
+  def dedupSurvivor(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.documents(spark, dir).select(col("doc_id"),
+      md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+    val scored = TextOps.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    fp.join(scored, Seq("doc_id"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_copies"),
+        max(struct(col("quality_score").as("qs"),
+          (-col("doc_id")).as("neg_id"))).as("best"))
+      .select((-col("best.neg_id")).as("doc_id"), col("n_copies"),
+        col("best.qs").as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** MinHash signatures: `numHashes` independent hash functions simulated as
     * xxhash64 with distinct salts; signature_i = min over the shingle set.
     * One groupBy with `numHashes` min-aggregates — map-side partial agg keeps

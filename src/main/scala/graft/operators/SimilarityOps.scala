@@ -305,4 +305,50 @@ object SimilarityOps {
         col("neg_label"), col("cos_sim"))
       .orderBy(col("q_id"), col("rn"))
   }
+
+  /** Batch-drift audit of the embedding space: split vectors into two
+    * pseudo-batches by vec_id parity, compute per-label centroids of each
+    * half, and report the cosine similarity between a label's two
+    * centroids — the monitoring query that catches an embedding-model or
+    * featurization change between ingest batches (a healthy pipeline shows
+    * cos ≈ 1 per label; a re-trained encoder shows a uniform drop, a data
+    * bug shows one label diverging).
+    *
+    * Determinism: centroid means are 4-decimal-stabilized and then scaled
+    * to exact BIGINT coordinates (×10⁴) before the dot product, so the
+    * cosine is integer arithmetic over engine-reproducible values — no
+    * float summation-order sensitivity between Spark partial aggregates
+    * and the oracle.
+    *
+    * Scale shape: one posexplode (n·dim narrow rows) feeding a
+    * labels×2×dim-bounded aggregation, then joins/aggs over that bounded
+    * centroid set — no joins over data, no windows, no driver data. */
+  def embedDrift(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val emb = Tables.embeddings(spark, dir)
+    val cent = emb
+      .select(col("label"), (col("vec_id") % 2).cast("int").as("half"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("half"), col("dim"))
+      .agg(round(stableRound4(avg(col("x").cast("double"))) * 10000)
+        .cast("long").as("mi"))
+    val cos = cent.filter(col("half") === 0)
+      .select(col("label"), col("dim"), col("mi").as("ma"))
+      .join(cent.filter(col("half") === 1)
+        .select(col("label"), col("dim"), col("mi").as("mb")),
+        Seq("label", "dim"))
+      .groupBy(col("label"))
+      .agg(sum(col("ma") * col("mb")).as("dot"),
+        sum(col("ma") * col("ma")).as("na2"),
+        sum(col("mb") * col("mb")).as("nb2"))
+      .select(col("label"), stableRound4(col("dot") /
+        (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))))
+        .as("centroid_cos"))
+    emb.groupBy(col("label"))
+      .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_even"),
+        sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_odd"))
+      .join(cos, Seq("label"))
+      .select(col("label"), col("n_even"), col("n_odd"), col("centroid_cos"))
+      .orderBy(col("label"))
+  }
 }

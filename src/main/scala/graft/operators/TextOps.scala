@@ -75,6 +75,61 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Declared-vs-detected language confusion matrix — the metadata-validation
+    * audit a pipeline runs before trusting a corpus's `lang` tags (mislabeled
+    * documents poison per-language sampling weights, decontamination scopes,
+    * and eval splits). Cells are row-normalized: `share` is the fraction of
+    * documents DECLARED as `lang` that the n-gram heuristic ([[langId]])
+    * assigns to `lang_pred`, so the diagonal reads as per-language label
+    * agreement. One aggregation over the langId scan plus a broadcast join
+    * of the per-language totals (≤ #languages rows) — scan speed at 100 TB. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cells = langId(spark, dir)
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = cells.groupBy(col("lang")).agg(sum(col("n_docs")).as("n_lang"))
+    cells.join(broadcast(totals), Seq("lang"))
+      .select(col("lang"), col("lang_pred"), col("n_docs"),
+        stableRound4(col("n_docs") / col("n_lang")).as("share"))
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al., LREC 2020): score
+    * every document with the corpus's own unigram LM
+    * ([[unigramLogprobDocs]]) and cut each language at its own logp
+    * terciles into head / middle / tail quality tiers — the standard
+    * pre-training split for per-tier sampling weights. Buckets are
+    * assigned by comparing against broadcast per-language tercile
+    * cut-points (a #languages-row aggregate), never a data-sized ntile
+    * window, so the assignment is a narrow map at 100 TB (a real
+    * deployment would swap the exact percentile for approx_percentile;
+    * the exact form keeps the oracle sharp at test SF). Cut comparison
+    * uses the 4-decimal-stabilized boundary so the bucket edges are
+    * engine-reproducible. */
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = graft.operators.Materialize(
+      unigramLogprobDocs(docs)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")))
+    val cuts = scored.groupBy(col("lang"))
+      .agg(expr("percentile(mean_logp, array(1.0D/3, 2.0D/3))").as("cuts"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .select(col("lang"), col("mean_logp"), col("n_tokens"), expr(
+        "aggregate(cuts, 0, (acc, c) -> acc + " +
+          "IF(mean_logp > CAST(round(CAST(c AS DECIMAL(20,8)), 4) AS DOUBLE), 1, 0))")
+        .as("b"))
+      .withColumn("bucket",
+        when(col("b") === 2, "head")
+          .when(col("b") === 1, "middle")
+          .otherwise("tail"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        stableRound4(min(col("mean_logp"))).as("lo"),
+        stableRound4(max(col("mean_logp"))).as("hi"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
   /** Document quality score from structural signals: token volume, average
     * word length, stopword ratio. Score ∈ [0, 1]; all arithmetic in double
     * so the oracle reproduces it bit-for-bit. */
