@@ -13,14 +13,28 @@ import org.apache.spark.sql.functions.expr
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    // Spark only reads as raw long nanos (spark.sql.legacy.parquet.nanosAsLong
-    // — set by Verify/Bench/tests). Normalize to a proper TimestampType
-    // (microsecond precision) so every downstream operator sees a timestamp.
-    if (name == "events" &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    // The events table's `ts` has varied across testdata generations:
+    // TIMESTAMP(NANOS) (readable only as raw long nanos via
+    // spark.sql.legacy.parquet.nanosAsLong, set by Verify/Bench/tests) or
+    // plain timestamp[us] without timezone (read as TIMESTAMP_NTZ).
+    // Normalize both to TimestampType so every downstream operator sees the
+    // same type; sessions pin spark.sql.session.timeZone=UTC, so the NTZ
+    // cast is value-preserving and matches the DuckDB oracle's naive read.
+    val nanosFixed =
+      if (name == "events" &&
+          df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else df
+    // Belt-and-braces: sessions set spark.sql.parquet.inferTimestampNTZ
+    // .enabled=false so naive parquet timestamps scan directly as
+    // TimestampType (keeps filter pushdown). If a caller-built session
+    // misses that config, normalize here; the cast is value-preserving
+    // because every session pins spark.sql.session.timeZone=UTC.
+    nanosFixed.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.TimestampNTZType)
+      .foldLeft(nanosFixed) { (acc, f) =>
+        acc.withColumn(f.name, expr(s"cast(${f.name} as timestamp)"))
+      }
   }
 
   def region(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "region")

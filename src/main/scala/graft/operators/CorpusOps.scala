@@ -682,7 +682,7 @@ object CorpusOps {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") >= minDocs, 1L).otherwise(0L)).as("n_dup"))
-    Tables.documents(spark, dir).select(col("doc_id"))
+    docs.select(col("doc_id"))
       .join(frac, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),

@@ -83,9 +83,12 @@ class RelationalOpsSpec extends SparkTestBase {
       .select(col("o_totalprice"), col("o_orderdate")).collect()
     val expect = rows.map { r =>
       val bx = math.min(math.floor(r.getDouble(0) / 2000).toInt, 255)
+      val localDate = r.get(1) match {
+        case t: java.sql.Timestamp => t.toLocalDateTime.toLocalDate
+        case d: java.time.LocalDateTime => d.toLocalDate
+      }
       val days = java.time.temporal.ChronoUnit.DAYS.between(
-        java.time.LocalDate.of(1992, 1, 1),
-        r.getAs[java.time.LocalDateTime](1).toLocalDate).toInt
+        java.time.LocalDate.of(1992, 1, 1), localDate).toInt
       val by = ((days % 256) + 256) % 256
       (morton(bx, by) / 64, bx, by)
     }
