@@ -46,7 +46,8 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSpot {
   val Targets = Seq("q_triangles", "q_entity_match", "q_simhash_pairs",
-    "q_dedup_ngram")
+    "q_dedup_ngram", "q_dedup_ngram_capped", "q_edit_distance",
+    "q_edit_distance_blocked")
   val Scales = Seq(10, 100)
 
   def outDir(copies: Int) = s"/tmp/graft_spot_${copies}x"
@@ -80,6 +81,13 @@ object ScaleSpot {
       .head().getDouble(0).toLong
 
   def main(args: Array[String]): Unit = {
+    // args other than "regen" select a subset of Targets (already-recorded
+    // exponents in SCALE.md don't need re-paying; the 100x uncapped ngram
+    // run alone is ~190 s)
+    val selected = args.filterNot(_ == "regen") match {
+      case sel if sel.nonEmpty => Targets.filter(sel.contains)
+      case _                   => Targets
+    }
     val spark = GraftSession.builder("graft-scale-spot", shufflePartitions = 128)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -114,7 +122,7 @@ object ScaleSpot {
     }
 
     // warm pass: plan compilation + janino at tiny SF
-    Targets.foreach { n =>
+    selected.foreach { n =>
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.01").count()
       catch { case _: Throwable => () }
     }
@@ -126,7 +134,7 @@ object ScaleSpot {
     }
 
     println("\n== timings (run1 = cold incl. shared-build, run2 = warm) ==")
-    val results = for (c <- Scales; name <- Targets) yield {
+    val results = for (c <- Scales; name <- selected) yield {
       val fn = SparkEntry.queries(name)
       val (t1, n1) = timed(fn(spark, outDir(c)).count())
       val (t2, n2) = timed(fn(spark, outDir(c)).count())
@@ -137,7 +145,7 @@ object ScaleSpot {
     val byKey = results.toMap
 
     println("\n== scaling exponents e = log10(t100/t10), warm runs ==")
-    Targets.foreach { name =>
+    selected.foreach { name =>
       val t10 = byKey((10, name))._2
       val t100 = byKey((100, name))._2
       val e = math.log10(t100 / t10)

@@ -101,6 +101,11 @@ object SparkEntry {
     "q_date_spine"     -> (AnalyticsOps.dateSpine _),
     "q_lambda_funcs"   -> (AnalyticsOps.lambdaFuncs _),
     "q_edit_distance"  -> ((s, d) => AnalyticsOps.editDistancePairs(s, d)),
+    // 4-char blocking variant — the documented scale dial for the 2-char
+    // declared query (SCALE.md: blocks shrink ~quadratically in candidate
+    // pairs as the prefix widens; recall tradeoff is edits in chars 3-4)
+    "q_edit_distance_blocked" ->
+      ((s, d) => AnalyticsOps.editDistancePairs(s, d, blockChars = 4)),
     "q_histogram"      -> (AnalyticsOps.histogram _),
     "q_normalize"      -> (AnalyticsOps.normalize _),
     "q_session_window" -> (EventOps.sessionWindowAgg _),
@@ -239,6 +244,9 @@ object SparkEntry {
     "q_dedup_ngram_capped" -> ((s, d) => DedupOps.dedupNgramCapped(s, d)),
     "q_dedup_survivor" -> (DedupOps.dedupSurvivor _),
     "q_dup_span_frac"  -> ((s, d) => CorpusOps.dupSpanFrac(s, d)),
+    // acting counterpart of the span audit: delete the duplicated spans,
+    // keep the rest of the document (Lee et al. 2022 exact-substring dedup)
+    "q_dedup_spans"    -> ((s, d) => CorpusOps.removeDupSpans(s, d)),
     "q_source_overlap" -> ((s, d) => CorpusOps.sourceOverlap(s, d)),
     "q_lang_confusion" -> (TextOps.langConfusion _),
     "q_ppl_buckets"    -> (TextOps.pplBuckets _),
@@ -719,6 +727,14 @@ object SparkEntry {
     "q_edit_distance" ->
       ("WITH p AS (SELECT doc_id, substring(lower(text), 1, 16) AS pref, " +
         "substring(lower(text), 1, 2) AS blk FROM documents) " +
+        "SELECT a.doc_id AS da, b.doc_id AS db, " +
+        "CAST(levenshtein(a.pref, b.pref) AS INTEGER) AS dist " +
+        "FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
+        "WHERE levenshtein(a.pref, b.pref) <= 5 " +
+        "ORDER BY dist, da, db LIMIT 20"),
+    "q_edit_distance_blocked" ->
+      ("WITH p AS (SELECT doc_id, substring(lower(text), 1, 16) AS pref, " +
+        "substring(lower(text), 1, 4) AS blk FROM documents) " +
         "SELECT a.doc_id AS da, b.doc_id AS db, " +
         "CAST(levenshtein(a.pref, b.pref) AS INTEGER) AS dist " +
         "FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
@@ -1954,6 +1970,20 @@ object SparkEntry {
         "SELECT d.doc_id, COALESCE(n_shingles, 0) AS n_shingles, COALESCE(n_dup, 0) AS n_dup, " +
         "CAST(round(CAST(COALESCE(CAST(n_dup AS DOUBLE) / n_shingles, 0.0) AS DECIMAL(20,8)), 4) AS DOUBLE) AS dup_frac " +
         "FROM documents d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id"),
+    "q_dedup_spans" ->
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "g AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 4)) AS s FROM t), " +
+        "gr AS (SELECT g.doc_id, s, t.toks[s] || ' ' || t.toks[s+1] || ' ' || t.toks[s+2] || ' ' || t.toks[s+3] || ' ' || t.toks[s+4] AS gram " +
+        "FROM g JOIN t USING (doc_id)), " +
+        "f AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM gr) GROUP BY gram HAVING COUNT(*) >= 2), " +
+        "dp AS (SELECT DISTINCT doc_id, pos FROM (SELECT doc_id, s + unnest(generate_series(0, 4)) AS pos " +
+        "FROM gr WHERE gram IN (SELECT gram FROM f))), " +
+        "pl AS (SELECT doc_id, list(pos) AS pl FROM dp GROUP BY doc_id) " +
+        "SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens, " +
+        "CAST(COALESCE(len(pl.pl), 0) AS BIGINT) AS n_removed, " +
+        // COALESCE: DuckDB array_to_string([]) is NULL, Spark array_join([]) is ''
+        "COALESCE(array_to_string(list_filter(t.toks, (x, i) -> pl.pl IS NULL OR NOT list_contains(pl.pl, i)), ' '), '') AS clean_text " +
+        "FROM t LEFT JOIN pl USING (doc_id) ORDER BY t.doc_id"),
     // full source-pair grid with zero-filled 5-gram-set Jaccard overlap
     "q_source_overlap" ->
       ("WITH t AS (SELECT source, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +

@@ -501,12 +501,27 @@ object AnalyticsOps {
     // threshold form = banded DP: O(threshold·len) per pair instead of
     // O(len²), and pairs above the bound bail out early with -1 (dropped
     // by the >= 0 filter). Same kept rows and distances as the full DP.
-    // sort-merge, NOT shuffle_hash: the 2-char block key is heavily skewed
-    // (few dozen distinct prefixes), and AQE's skew-split only rescues the
-    // sort-merge form — hinting shuffle_hash pinned every giant block to a
-    // single task and cost 10× at the sf1 gate (141 s vs 13 s)
-    pref.as("a").join(pref.as("b"),
-      col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+    //
+    // Salted pair generation: a bare equality join on the block key caps
+    // parallelism at the number of DISTINCT blocks — with 2-char blocks
+    // that is a few dozen, and the sf10 spot gate watched the 100× run sit
+    // on ~9 active tasks while every other core idled (AQE's skew-split
+    // only divides the sort-merge STREAM side; the buffered side of each
+    // giant block still serializes its DP loop). Salting restores
+    // data-sized parallelism without changing the pair set: the b-side gets
+    // a deterministic salt = hash(doc_id) mod S, the a-side is replicated
+    // once per salt value (S× a small projection — doc_id/pref/blk rows,
+    // not documents), and the join key becomes (blk, salt). Every block now
+    // fans out into S independent tasks, so the quadratic DP work spreads
+    // across the cluster even when one prefix dominates the corpus. The
+    // pair predicate (a.doc_id < b.doc_id) and the DP are untouched —
+    // identical rows, identical distances, same oracle.
+    val S = spark.sparkContext.defaultParallelism
+    val bSide = pref.withColumn("salt", pmod(xxhash64(col("doc_id")), lit(S.toLong)))
+    val aSide = pref.withColumn("salt", explode(sequence(lit(0L), lit(S.toLong - 1))))
+    aSide.as("a").join(bSide.as("b"),
+      col("a.blk") === col("b.blk") && col("a.salt") === col("b.salt")
+        && col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         levenshtein(col("a.pref"), col("b.pref"), 5).as("dist"))
@@ -526,7 +541,9 @@ object AnalyticsOps {
     * from the selective block-equality join, the compiled
     * [[graft.functions.expressions.JaroWinkler]] loop runs only inside
     * blocks, and TakeOrderedAndProject keeps the top-k without a global
-    * sort. Same blocking dial (`blockChars`) at larger corpora. */
+    * sort. Same blocking dial (`blockChars`) at larger corpora, and the
+    * same salt fan-out as [[editDistancePairs]] so a dominant prefix
+    * cannot serialize the scoring loop onto a handful of tasks. */
   def jaroWinklerPairs(spark: SparkSession, dir: String, k: Int = 50,
       blockChars: Int = 2): DataFrame = {
     import graft.functions.NumericFunctions.stableRound4
@@ -535,8 +552,12 @@ object AnalyticsOps {
       .select(col("doc_id"),
         substring(lower(col("text")), 1, 16).as("pref"),
         substring(lower(col("text")), 1, blockChars).as("blk"))
-    pref.as("a").join(pref.as("b"),
-      col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+    val S = spark.sparkContext.defaultParallelism
+    val bSide = pref.withColumn("salt", pmod(xxhash64(col("doc_id")), lit(S.toLong)))
+    val aSide = pref.withColumn("salt", explode(sequence(lit(0L), lit(S.toLong - 1))))
+    aSide.as("a").join(bSide.as("b"),
+      col("a.blk") === col("b.blk") && col("a.salt") === col("b.salt")
+        && col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         stableRound4(jaroWinkler(col("a.pref"), col("b.pref"))).as("jw"))

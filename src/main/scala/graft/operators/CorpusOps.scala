@@ -692,6 +692,63 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Span-level duplicate REMOVAL — the acting counterpart of the
+    * [[dupSpanFrac]] audit and the per-span form of Lee et al. 2022's
+    * exact-substring dedup: instead of dropping whole documents, delete the
+    * token positions covered by any word `n`-gram that occurs in at least
+    * `minDocs` documents (boilerplate headers, license blocks, templated
+    * intros), and keep the rest of the document intact. Output is the
+    * cleaned text plus the removal accounting a mixture pipeline tracks
+    * (tokens before / removed).
+    *
+    * Plan shape (all linear, no pairwise join): posexplode the n-gram
+    * starts, df-aggregate the grams (distinct per doc first, so the count
+    * is document frequency), semi-join the positional grams against the
+    * duplicated subset on the hashed gram key, expand each surviving start
+    * to its `n` covered positions (bounded explode: ≤ n rows per dup
+    * gram), collect the per-doc dup-position set (bounded by the doc's own
+    * token count), and rebuild the text with a codegen'd higher-order
+    * `filter` over the token array. Two shuffles total (gram df, per-doc
+    * position agg) on high-cardinality keys. */
+  def removeDupSpans(spark: SparkSession, dir: String, n: Int = 5,
+      minDocs: Int = 2): DataFrame =
+    removeDupSpansDocs(Tables.documents(spark, dir), n, minDocs)
+
+  /** Core of [[removeDupSpans]] over any (doc_id, text) frame. */
+  def removeDupSpansDocs(input: DataFrame, n: Int = 5,
+      minDocs: Int = 2): DataFrame = {
+    val docs = input
+      .select(col("doc_id"), tokensLower(col("text")).as("toks"))
+    // positional grams: (doc_id, start i, hashed gram) for i in 0..m-n
+    // the CASE guards short docs: sequence(0, m-n) DESCENDS when m < n
+    // (negative starts), so emit an empty gram array instead
+    val grams = Materialize(
+      docs.select(col("doc_id"),
+          posexplode(expr(
+            s"CASE WHEN size(toks) >= $n THEN " +
+            s"transform(sequence(0, size(toks) - $n), i -> " +
+            s"array_join(slice(toks, i + 1, $n), ' ')) " +
+            s"ELSE CAST(array() AS ARRAY<STRING>) END"))
+            .as(Seq("start", "gram")))
+        .select(col("doc_id"), col("start"), xxhash64(col("gram")).as("gh")))
+    val dupGrams = grams.select(col("doc_id"), col("gh")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs).select(col("gh"))
+    val dupPos = grams.hint("shuffle_hash").join(dupGrams, Seq("gh"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + lit(n - 1))).as("pos"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("pos")).as("dup_pos"))
+    docs.join(dupPos, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("dup_pos")), lit(0)).cast("long").as("n_removed"),
+        array_join(filter(col("toks"),
+          (t, i) => coalesce(!array_contains(col("dup_pos"), i), lit(true))),
+          " ").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Pairwise cross-source contamination audit: for every pair of corpus
     * sources, the Jaccard overlap of their distinct word 5-gram sets — the
     * leakage check run before treating sources as independent mixture

@@ -526,4 +526,40 @@ class CorpusOpsSpec extends SparkTestBase {
       .digest(keptToks.mkString(" ").getBytes("UTF-8"))
     assert(r.getString(3) == md.map("%02x".format(_)).mkString)
   }
+
+  test("removeDupSpans deletes exactly the positions covered by shared 5-grams") {
+    // docs 1 and 2 share the 5-gram "a b c d e" (doc 2 shifted by one
+    // token); doc 3 is unique; doc 4 is shorter than 5 tokens.
+    val docs = Seq(
+      (1L, "a b c d e x y z"),
+      (2L, "q a b c d e w"),
+      (3L, "p r s t u v"),
+      (4L, "tiny doc here")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.removeDupSpansDocs(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // doc 1: positions 0-4 covered -> "x y z" survives
+    assert(got(1L) == ((8L, 5L, "x y z")))
+    // doc 2: positions 1-5 covered -> "q w" survives
+    assert(got(2L) == ((7L, 5L, "q w")))
+    // doc 3: nothing shared
+    assert(got(3L) == ((6L, 0L, "p r s t u v")))
+    // doc 4: no 5-grams at all
+    assert(got(4L) == ((3L, 0L, "tiny doc here")))
+  }
+
+  test("removeDupSpans overlapping shared grams union their positions") {
+    // both docs contain "a b c d e f": grams (a..e) and (b..f) both have
+    // df=2; covered positions are the union 0..5
+    val docs = Seq(
+      (1L, "a b c d e f tail1"),
+      (2L, "a b c d e f tail2")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.removeDupSpansDocs(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((7L, 6L, "tail1")))
+    assert(got(2L) == ((7L, 6L, "tail2")))
+  }
 }
