@@ -47,7 +47,7 @@ import org.apache.spark.sql.functions._
 object ScaleSpot {
   val Targets = Seq("q_triangles", "q_entity_match", "q_simhash_pairs",
     "q_dedup_ngram", "q_dedup_ngram_capped", "q_edit_distance",
-    "q_edit_distance_blocked")
+    "q_edit_distance_blocked", "q_dedup_spans")
   val Scales = Seq(10, 100)
 
   def outDir(copies: Int) = s"/tmp/graft_spot_${copies}x"

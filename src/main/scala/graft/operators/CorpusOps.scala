@@ -734,7 +734,10 @@ object CorpusOps {
     val dupGrams = grams.select(col("doc_id"), col("gh")).distinct()
       .groupBy(col("gh")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocs).select(col("gh"))
-    val dupPos = grams.hint("shuffle_hash").join(dupGrams, Seq("gh"), "left_semi")
+    // hint the RIGHT side: a left-semi join builds on the right, so a
+    // left-side shuffle_hash hint is unsatisfiable and falls back to
+    // sort-merge (caught in the EXPLAIN audit)
+    val dupPos = grams.join(dupGrams.hint("shuffle_hash"), Seq("gh"), "left_semi")
       .select(col("doc_id"),
         explode(sequence(col("start"), col("start") + lit(n - 1))).as("pos"))
       .groupBy(col("doc_id"))
