@@ -191,9 +191,10 @@ object DedupOps {
     * Jaccard is computed over the SURVIVING shingle sets (|A|, |B|
     * recounted after the cap) so the score is internally consistent:
     * boilerplate stops generating candidates AND stops inflating the
-    * union. Relative to [[ngramJaccardTopPairs]] this costs one extra
-    * aggregation + equality join on the already-shuffled shingle key (the
-    * df table) and one doc-keyed recount; both partial-aggregate friendly.
+    * union. Relative to [[ngramJaccardTopPairs]] this costs one df
+    * aggregation (partial-aggregated on the already-exploded shingle key),
+    * a broadcast anti-probe of the small heavy-shingle set riding the
+    * exploded scan, and one doc-keyed recount.
     * (Distinct from the rejected df>1 LOWER-bound pre-filter documented
     * above, which saved nothing because unique shingles already join to
     * nothing — the UPPER bound removes real quadratic work.) */
@@ -205,12 +206,16 @@ object DedupOps {
           explode(shingles(tokensLower(col("text")))).as("shingle"))
         .select(col("doc_id"), xxhash64(col("shingle")).as("shingle")))
     // shingles are distinct within a doc, so COUNT(*) per shingle is its
-    // document frequency; keep only rare shingles
-    val rare = ex.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap)
-      .select(col("shingle"))
-    val surv = Materialize(ex.hint("shuffle_hash").join(rare, "shingle"))
+    // document frequency. The cap is applied as a broadcast ANTI-join
+    // against the HEAVY set (df > cap), not an equality join against the
+    // rare set: heavy shingles are by construction the few shared
+    // boilerplate grams (the df histogram's tail above the cap), so the
+    // exploded fact table is filtered with a broadcast probe instead of
+    // being shuffled a second time against a rare-set as large as itself.
+    // At 100 TB the heavy set stays bounded by distinct-boilerplate volume,
+    // not corpus size; if it ever outgrew the broadcast threshold the
+    // rare-side equality join is the documented fallback.
+    val surv = Materialize(capHeavyShingles(ex, dfCap))
     val perDoc = surv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val sx = surv.join(perDoc, "doc_id")
     sx.as("a").hint("shuffle_hash")
@@ -225,6 +230,17 @@ object DedupOps {
           / (col("na") + col("nb") - col("shared")), 4).as("jaccard"))
       .orderBy(col("jaccard").desc, col("da"), col("db"))
       .limit(k)
+  }
+
+  /** The df-cap step of [[ngramJaccardTopPairsCapped]], exposed for the
+    * plan audit: drop rows whose shingle has document frequency > `dfCap`
+    * via a broadcast anti-probe of the (small) heavy set. */
+  private[graft] def capHeavyShingles(ex: DataFrame, dfCap: Int): DataFrame = {
+    val heavy = ex.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap)
+      .select(col("shingle"))
+    ex.join(broadcast(heavy), Seq("shingle"), "left_anti")
   }
 
   def dedupNgramCapped(spark: SparkSession, dir: String): DataFrame =

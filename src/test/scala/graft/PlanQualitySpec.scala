@@ -500,4 +500,41 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("removeDupSpans caps the gram semi-join with a shuffled hash build") {
+    val df = CorpusOps.removeDupSpans(spark, sf)
+    val p = plan(df)
+    // the dup-gram set builds on the right of the semi join (a left-side
+    // build is unsatisfiable for LeftSemi and silently degrades to SMJ);
+    // at test SF the tiny dup set may broadcast instead - both are fine,
+    // sort-merge is not
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin LeftSemi"), p)
+    // no pairwise/cartesian shape anywhere in the span cleaner
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ngramJaccardTopPairsCapped probes the heavy set as a broadcast anti-join") {
+    // the capped operator materializes the surviving shingles (self-join
+    // lineage), which hides the cap step from the final lazy plan - audit
+    // the exposed cap step directly: the df-cap must ride the exploded
+    // scan as a broadcast probe, not re-shuffle the exploded fact table
+    // against a rare-set as large as itself
+    import spark.implicits._
+    val ex = Seq((1L, 10L), (2L, 10L), (3L, 11L)).toDF("doc_id", "shingle")
+    val p = plan(DedupOps.capHeavyShingles(ex, 16))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    // and the final pair join stays a shuffled hash join, never cartesian
+    val pf = plan(DedupOps.dedupNgramCapped(spark, sf))
+    assert(pf.contains("ShuffledHashJoin"), pf)
+    assert(!pf.contains("CartesianProduct"), pf)
+  }
+
+  test("salted editDistancePairs keeps TakeOrdered and gains the salt key") {
+    val df = AnalyticsOps.editDistancePairs(spark, sf)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("salt"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
