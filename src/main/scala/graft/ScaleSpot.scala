@@ -47,7 +47,8 @@ import org.apache.spark.sql.functions._
 object ScaleSpot {
   val Targets = Seq("q_triangles", "q_entity_match", "q_simhash_pairs",
     "q_dedup_ngram", "q_dedup_ngram_capped", "q_edit_distance",
-    "q_edit_distance_blocked", "q_dedup_spans")
+    "q_edit_distance_blocked", "q_dedup_spans", "q_dup_span_frac",
+    "q_source_overlap", "q_dedup_incr")
   val Scales = Seq(10, 100)
 
   def outDir(copies: Int) = s"/tmp/graft_spot_${copies}x"

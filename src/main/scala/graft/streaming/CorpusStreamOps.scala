@@ -1,9 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types.StructType
 
 import graft.functions.TextFunctions
@@ -22,6 +22,89 @@ import graft.functions.TextFunctions
   * the transform is a plain DataFrame function so both variants share it.
   */
 object CorpusStreamOps {
+
+  /** One (band, bucket) row of a banded MinHash signature. */
+  final case class SigDoc(doc_id: Long, band: Int, bkey: Int, sig: Seq[Long])
+  /** A signature retained in bucket state. */
+  final case class SigEntry(doc_id: Long, sig: Seq[Long])
+  /** Per-band verdict: `dup_of` = lowest earlier doc_id whose signature
+    * agreed at ≥ threshold in this bucket, None if the doc is new here. */
+  final case class BandVerdict(doc_id: Long, band: Int, dup_of: Option[Long])
+
+  /** Streaming MinHash+LSH NEAR-dup — the stateful twin of the batch
+    * [[graft.operators.DedupOps.dedupMinhash]] path, and the step up from
+    * [[clean]]'s exact dedup: an arriving document is flagged when its
+    * MinHash signature agrees with an ALREADY-SEEN document's signature on
+    * ≥ `threshold` of positions, across micro-batch boundaries — the
+    * continuous-crawl near-dup gate that batch pipelines can only
+    * approximate with full re-runs.
+    *
+    * Shape: signatures are a narrow scan (scalar
+    * [[graft.functions.TextFunctions.minhashArray]], no explode/agg), the
+    * stream is keyed by LSH (band, band-hash) bucket, and
+    * `flatMapGroupsWithState` holds per-bucket state = the signatures seen
+    * in that bucket (capped at `maxPerBucket`; full buckets stop absorbing
+    * new state but still match against it — the same df-cap philosophy as
+    * the batch shingle cap). Per-band verdicts are emitted append-mode;
+    * [[resolveNearDups]] folds them into one per-doc verdict. State per
+    * bucket is `maxPerBucket` × numHashes longs, bounded and checkpointed;
+    * the bucket keyspace is high-cardinality so state shards evenly.
+    *
+    * Determinism: micro-batch rows are processed in doc_id order and match
+    * against the lowest-id qualifying signature, so replays emit identical
+    * verdicts. */
+  def nearDupFlags(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, maxPerBucket: Int = 64): Dataset[BandVerdict] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val r = numHashes / bands
+    val sigs = docs.select(col("doc_id"),
+        TextFunctions.minhashArray(
+          TextFunctions.shingles(TextFunctions.tokensLower(col("text"))),
+          numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+    val bandStructs = (0 until bands).map { j =>
+      struct(lit(j).as("band"), hash(slice(col("sig"), j * r + 1, r)).as("bkey"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"),
+        col("sig"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bkey").as("bkey"), col("sig"))
+      .as[SigDoc]
+      .groupByKey(d => (d.band, d.bkey))
+      .flatMapGroupsWithState[List[SigEntry], BandVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Int, Int), it: Iterator[SigDoc], state: GroupState[List[SigEntry]]) =>
+          def sim(a: Seq[Long], b: Seq[Long]): Double =
+            a.iterator.zip(b.iterator).count { case (x, y) => x == y }
+              .toDouble / numHashes
+          var seen = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[BandVerdict]
+          it.toList.sortBy(_.doc_id).foreach { d =>
+            val hit = seen.iterator
+              .filter(e => sim(e.sig, d.sig) >= threshold)
+              .map(_.doc_id)
+              .minOption
+            if (hit.isEmpty && seen.size < maxPerBucket)
+              seen = seen :+ SigEntry(d.doc_id, d.sig)
+            out += BandVerdict(d.doc_id, key._1, hit)
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+  }
+
+  /** Fold [[nearDupFlags]]' per-band verdicts into one per-doc verdict: a
+    * doc is a near-dup iff ANY band flagged it; `dup_of` is the lowest
+    * flagged partner. A plain batch aggregation, run on the sink output
+    * (or as a second stage where multiple stateful operators are
+    * acceptable). */
+  def resolveNearDups(verdicts: DataFrame): DataFrame =
+    verdicts.groupBy(col("doc_id"))
+      .agg(min(col("dup_of")).as("dup_of"))
+      .withColumn("is_dup", col("dup_of").isNotNull)
+      .orderBy(col("doc_id"))
 
   /** Batch/stream-shared cleaning transform: fingerprint, length gate,
     * first-seen-wins exact dedup on the fingerprint. */

@@ -92,4 +92,99 @@ class CorpusStreamSpec extends SparkTestBase {
     val hits = batch.count { case (id, (lp, _)) => exact(id) == lp }
     assert(hits == batch.size, s"only $hits/${batch.size} match the exact twin")
   }
+
+  test("streaming MinHash near-dup flags exact re-sends across micro-batches") {
+    val base = Files.createTempDirectory("graft-neardup")
+    val in = Files.createDirectories(base.resolve("in"))
+    val out = base.resolve("out").toString
+    val cp = base.resolve("cp").toString
+
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val schema = docs.schema
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmpDir = Files.createTempDirectory("graft-land")
+      df.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+      val part = Files.list(tmpDir).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, in.resolve(name))
+    }
+
+    // batch 1: the corpus; batch 2: 40 byte-identical re-sends with
+    // shifted ids - near-dups only cross-batch state can catch
+    land(docs, "001.parquet")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in.toString)
+    val q = CorpusStreamOps.nearDupFlags(stream)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    land(docs.filter(col("doc_id") < 40)
+      .withColumn("doc_id", col("doc_id") + 1000000L), "002.parquet")
+    q.processAllAvailable()
+    q.stop()
+
+    val verdicts = CorpusStreamOps.resolveNearDups(spark.read.parquet(out))
+    val resent = verdicts.filter(col("doc_id") >= 1000000L).collect()
+    // every re-send whose original produced a signature must be flagged,
+    // and against an EARLIER (batch-1) doc
+    val signed = docs.filter(col("doc_id") < 40)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.minhashArray(
+          graft.functions.TextFunctions.shingles(
+            graft.functions.TextFunctions.tokensLower(col("text"))), 32)
+          .as("sig"))
+      .filter(col("sig").isNotNull).count()
+    assert(resent.length == signed)
+    assert(resent.forall(_.getBoolean(2)), "all exact re-sends flagged")
+    assert(resent.forall(_.getLong(1) < 1000000L), "flagged against batch-1 docs")
+  }
+
+  test("streaming near-dup matches the batch minhash verdict within one batch") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-neardup2")
+    val in = Files.createDirectories(base.resolve("in"))
+    val out = base.resolve("out").toString
+    val cp = base.resolve("cp").toString
+
+    // hand corpus: 2 identical docs (1,2), a perturbed copy (3) sharing
+    // most shingles, and an unrelated doc (4)
+    // perturb ONLY the last token: 1 of 38 shingles differs (J ~= 0.95),
+    // far above the 0.5 threshold so the fixed hash family must both
+    // band-match and sim-match
+    val txt = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val perturbed = ((1 to 39).map(i => s"tok$i") :+ "ptok40").mkString(" ")
+    val docs = Seq(
+      (1L, txt), (2L, txt), (3L, perturbed),
+      (4L, (1 to 40).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmpDir = Files.createTempDirectory("graft-land")
+      df.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+      val part = Files.list(tmpDir).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, in.resolve(name))
+    }
+    land(docs, "001.parquet")
+    val q = CorpusStreamOps.nearDupFlags(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(in.toString))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val v = CorpusStreamOps.resolveNearDups(spark.read.parquet(out))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getBoolean(2))).toMap
+    assert(v(1L) == ((-1L, false)))      // first seen, kept
+    assert(v(2L) == ((1L, true)))        // identical twin flagged against 1
+    assert(v(4L)._2 == false)            // unrelated doc kept
+    // the perturbed copy shares >=90% of shingles; at threshold 0.5 with
+    // 32 hashes it must flag against doc 1 in at least one band
+    assert(v(3L) == ((1L, true)))
+  }
 }
