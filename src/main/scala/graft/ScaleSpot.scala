@@ -48,7 +48,8 @@ object ScaleSpot {
   val Targets = Seq("q_triangles", "q_entity_match", "q_simhash_pairs",
     "q_dedup_ngram", "q_dedup_ngram_capped", "q_edit_distance",
     "q_edit_distance_blocked", "q_dedup_spans", "q_dup_span_frac",
-    "q_source_overlap", "q_dedup_incr")
+    "q_source_overlap", "q_dedup_incr",
+    "q_sim_lsh", "q_sim_ivf", "q_pq_ann", "q_dedup_embed_lsh", "q_semdedup")
   val Scales = Seq(10, 100)
 
   def outDir(copies: Int) = s"/tmp/graft_spot_${copies}x"
@@ -73,6 +74,17 @@ object ScaleSpot {
         .withColumn("text", txt)
         .withColumn("n_chars", length(col("text")).cast("long"))
     }.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    // embeddings: per-copy offset (no artificial exact-dup vector ties),
+    // same scheme as ScaleGate — the ANN family's risk is candidate-bucket
+    // growth, which the offset preserves realistically
+    union(Tables.embeddings(spark, src)) { (df, i) =>
+      val emb =
+        if (i == 0) col("embedding")
+        else expr(s"transform(embedding, x -> x + cast(${i * 0.001} as float))")
+      df.withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000L))
+        .withColumn("embedding", emb)
+    }.repartition(16).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 
   /** Σ n(n-1)/2 over bucket sizes: the candidate-join output volume. */
@@ -96,7 +108,8 @@ object ScaleSpot {
 
     Scales.foreach { c =>
       if (args.contains("regen")
-          || !new java.io.File(s"${outDir(c)}/lineitem.parquet").exists()) {
+          || !new java.io.File(s"${outDir(c)}/lineitem.parquet").exists()
+          || !new java.io.File(s"${outDir(c)}/embeddings.parquet").exists()) {
         println(s"synthesizing ${c}x ...")
         synthesize(spark, src, c)
       }

@@ -25,10 +25,18 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => subset.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      // one retry per query: a transient (GC pause mid-checkpoint, a lost
+      // shuffle block under memory pressure) must not zero a gate row when
+      // the recomputation is deterministic anyway
+      def attempt(): Unit = fn(spark, sfDir).coalesce(1).write
+        .mode("overwrite").parquet(s"$outDir/$name")
+      try attempt()
+      catch { case e1: Throwable =>
+        System.err.println(s"[verify] retrying $name after: ${e1.getMessage}")
+        try attempt()
+        catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e2.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
