@@ -49,7 +49,8 @@ object ScaleSpot {
     "q_dedup_ngram", "q_dedup_ngram_capped", "q_edit_distance",
     "q_edit_distance_blocked", "q_dedup_spans", "q_dup_span_frac",
     "q_source_overlap", "q_dedup_incr",
-    "q_sim_lsh", "q_sim_ivf", "q_pq_ann", "q_dedup_embed_lsh", "q_semdedup")
+    "q_sim_lsh", "q_sim_ivf", "q_pq_ann", "q_dedup_embed_lsh", "q_semdedup",
+    "q_sessionize", "q_session_window", "q_event_paths", "q_markov")
   val Scales = Seq(10, 100)
 
   def outDir(copies: Int) = s"/tmp/graft_spot_${copies}x"
@@ -74,6 +75,15 @@ object ScaleSpot {
         .withColumn("text", txt)
         .withColumn("n_chars", length(col("text")).cast("long"))
     }.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    // events: user_id-shifted copies — more users, same per-user history
+    // (the realistic bigger-audience regime; per-user windows stay
+    // constant-sized, so the window family should scale with partition
+    // parallelism, not per-key state)
+    union(Tables.events(spark, src)) { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i.toLong * 10000000L))
+        .withColumn("user_id", col("user_id") + lit(i.toLong * 1000000L))
+    }.repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
 
     // embeddings: per-copy offset (no artificial exact-dup vector ties),
     // same scheme as ScaleGate — the ANN family's risk is candidate-bucket
@@ -109,7 +119,8 @@ object ScaleSpot {
     Scales.foreach { c =>
       if (args.contains("regen")
           || !new java.io.File(s"${outDir(c)}/lineitem.parquet").exists()
-          || !new java.io.File(s"${outDir(c)}/embeddings.parquet").exists()) {
+          || !new java.io.File(s"${outDir(c)}/embeddings.parquet").exists()
+          || !new java.io.File(s"${outDir(c)}/events.parquet").exists()) {
         println(s"synthesizing ${c}x ...")
         synthesize(spark, src, c)
       }
