@@ -49,7 +49,8 @@ object ScaleSpot {
     "q_dedup_ngram", "q_dedup_ngram_capped", "q_edit_distance",
     "q_edit_distance_blocked", "q_dedup_spans", "q_dup_span_frac",
     "q_source_overlap", "q_dedup_incr",
-    "q_sim_lsh", "q_sim_ivf", "q_pq_ann", "q_dedup_embed_lsh", "q_semdedup",
+    "q_sim_lsh", "q_sim_ivf", "q_pq_ann", "q_dedup_embed_lsh",
+    "q_dedup_embed_rep", "q_semdedup",
     "q_sessionize", "q_session_window", "q_event_paths", "q_markov")
   val Scales = Seq(10, 100)
 

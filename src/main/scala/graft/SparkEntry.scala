@@ -75,6 +75,9 @@ object SparkEntry {
     "q_approx_stats"   -> (SketchOps.approxStats _),
     "q_dedup_clusters" -> (DedupOps.dedupClustersQuery _),
     "q_dedup_embed_lsh" -> (DedupOps.dedupEmbedLsh _),
+    // per-item representative output on the same LSH buckets - the scale
+    // fix for pair enumeration's output-bound quadratic (SCALE.md r6)
+    "q_dedup_embed_rep" -> (DedupOps.dedupEmbedRep _),
     "q_grouping_sets"  -> (AnalyticsOps.groupingSetsAgg _),
     "q_skew_join"      -> (JoinOps.skewJoinAgg _),
     "q_chunk_docs"     -> (CorpusOps.chunkDocs _),
@@ -272,7 +275,7 @@ object SparkEntry {
     * (Murmur3/xxhash64 seeding) DuckDB cannot reproduce — DedupSpec pins
     * them to exact all-pairs Jaccard (subset + recall ≥ 0.9) or Hamming
     * (exact equality — the 4×16 banding is lossless for Hamming ≤ 3)
-    * ground truth; q_dedup_embed_lsh / q_sim_lsh / q_sim_ivf are
+    * ground truth; q_dedup_embed_lsh / q_dedup_embed_rep / q_sim_lsh / q_sim_ivf are
     * bucketed-candidate approximations whose bucket structure isn't SQL —
     * ScaleSpec/SimilaritySpec/IvfSpec prove subset-of-brute-force and
     * recall vs the EXACT oracles (q_dedup_embed, q_sim_topk, which both

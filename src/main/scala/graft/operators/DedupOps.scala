@@ -940,6 +940,47 @@ object DedupOps {
       .orderBy(col("va"), col("vb"))
   }
 
+  /** Per-item REPRESENTATIVE form of [[embeddingNearDupLsh]] — the
+    * round-6 spot gate measured the pair-emitting form at e=2.0
+    * OUTPUT-BOUND (SCALE.md): when true near-dup cluster sizes grow with
+    * the corpus, enumerating pairs is inherently quadratic even though the
+    * bucketed plan is sound. This variant aggregates inside the same
+    * stage: per vector, the LOWEST earlier same-bucket neighbor at cosine
+    * ≥ `threshold` (else itself) plus the earlier-dup count — |V| output
+    * rows always. The map-side partial aggregation collapses pair rows
+    * before the shuffle, so neither the shuffle nor the result scales with
+    * pair count — the per-item SemDeDup output contract on the LSH path. */
+  def embeddingNearDupRep(emb: DataFrame, threshold: Double,
+      numPlanes: Int = 8): DataFrame = {
+    val planes = graft.functions.VectorFunctions.hyperplanes(
+      numPlanes, SimilarityOps.EmbeddingDim)
+    val e = emb.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"),
+      graft.functions.VectorFunctions
+        .lshSignature(col("embedding"), planes).as("bucket"))
+    val earlier = e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("earlier"),
+        round(cosine(dotProduct(col("a.embedding"), col("b.embedding")),
+          col("a.nrm"), col("b.nrm")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(min(col("earlier")).as("rep"),
+        count(lit(1)).as("n_earlier_dups"))
+    emb.select(col("vec_id"))
+      .join(earlier, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("rep"), col("vec_id")).as("rep"),
+        coalesce(col("n_earlier_dups"), lit(0L)).as("n_earlier_dups"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Declared rows-only query for [[embeddingNearDupRep]]; DedupSpec pins
+    * it to a brute-force same-bucket reference. */
+  def dedupEmbedRep(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDupRep(Tables.embeddings(spark, dir), 0.25, numPlanes = 6)
+
   /** q_entity_match: end-to-end entity resolution — the record-linkage
     * pipeline (Fellegi-Sunter shape): BLOCK candidate pairs by a cheap key
     * (`blockChars`-char lowercase prefix, default 8 — see the scale note

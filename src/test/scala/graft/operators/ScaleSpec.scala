@@ -96,6 +96,24 @@ class ScaleSpec extends SparkTestBase {
       .filter(col("cos_sim") < thr).count() == 0)
   }
 
+  test("embed-rep equals the per-vector fold of the LSH pair set") {
+    // the representative form must be EXACTLY what folding the pair-
+    // emitting form per vector gives: rep = min earlier same-bucket
+    // neighbor at threshold, count = number of such neighbors
+    val emb = Tables.embeddings(spark, sf)
+    val pairs = DedupOps.embeddingNearDupLsh(emb, 0.25, numPlanes = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expectRep = pairs.groupBy(_._2).map { case (vb, g) =>
+      vb -> ((g.map(_._1).min, g.length.toLong)) }
+    val got = DedupOps.dedupEmbedRep(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size == emb.count())
+    expectRep.foreach { case (v, (rep, n)) => assert(got(v) == ((rep, n)), s"vec $v") }
+    // vectors with no earlier near-dup keep themselves
+    got.filterNot { case (v, _) => expectRep.contains(v) }
+      .foreach { case (v, (rep, n)) => assert(rep == v && n == 0L, s"vec $v") }
+  }
+
   test("ClusteredParquetSink: per-file zkey ranges are tight and disjoint") {
     // write orders clustered on the morton key, then measure per-file
     // key spans via input_file_name — the data-skipping property is that
