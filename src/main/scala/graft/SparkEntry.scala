@@ -165,6 +165,10 @@ object SparkEntry {
     "q_chi2"           -> (AnalyticsOps.chiSquareCrosstab _),
     "q_percentile_profile" -> (AnalyticsOps.percentileProfile _),
     "q_fuzzy_jw"       -> ((s, d) => AnalyticsOps.jaroWinklerPairs(s, d)),
+    // 4-char blocking variant - the same measured scale dial as
+    // q_edit_distance_blocked (blocks grow in number, not size)
+    "q_fuzzy_jw_blocked" ->
+      ((s, d) => AnalyticsOps.jaroWinklerPairs(s, d, blockChars = 4)),
     "q_embed_stats"    -> (SimilarityOps.embedDimStats _),
     "q_funnel3"        -> (EventOps.funnel3 _),
     "q_quality_logistic" -> (TextOps.qualityLogistic _),
@@ -1230,6 +1234,14 @@ object SparkEntry {
     "q_fuzzy_jw" ->
       ("WITH p AS (SELECT doc_id, substr(lower(text), 1, 16) AS pref, " +
         "substr(lower(text), 1, 2) AS blk FROM documents) " +
+        "SELECT a.doc_id AS da, b.doc_id AS db, " +
+        "CAST(round(CAST(jaro_winkler_similarity(a.pref, b.pref) AS DECIMAL(20,8)), 4) AS DOUBLE) AS jw " +
+        "FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
+        "WHERE CAST(round(CAST(jaro_winkler_similarity(a.pref, b.pref) AS DECIMAL(20,8)), 4) AS DOUBLE) >= 0.9 " +
+        "ORDER BY jw DESC, da, db LIMIT 50"),
+    "q_fuzzy_jw_blocked" ->
+      ("WITH p AS (SELECT doc_id, substr(lower(text), 1, 16) AS pref, " +
+        "substr(lower(text), 1, 4) AS blk FROM documents) " +
         "SELECT a.doc_id AS da, b.doc_id AS db, " +
         "CAST(round(CAST(jaro_winkler_similarity(a.pref, b.pref) AS DECIMAL(20,8)), 4) AS DOUBLE) AS jw " +
         "FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
