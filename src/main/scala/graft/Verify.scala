@@ -22,6 +22,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => subset.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -33,9 +34,20 @@ object Verify {
       try attempt()
       catch { case e1: Throwable =>
         System.err.println(s"[verify] retrying $name after: ${e1.getMessage}")
+        // a session-cached localCheckpoint whose blocks were lost is
+        // unrecoverable by recomputation of the SAME frame — drop the
+        // cache so the retry rebuilds from the parquet scan
+        graft.operators.GraphOps.clearCache()
         try attempt()
         catch { case e2: Throwable =>
           System.err.println(s"[verify] $name failed: ${e2.getMessage}")
+          failed(name) = Option(e2.getMessage).getOrElse(e2.getClass.getName)
+          // explicit on-disk failure marker: the driver must see a RED row,
+          // never an absent one (round-6 lost the graph family silently)
+          val d = new java.io.File(s"$outDir/$name")
+          d.mkdirs()
+          Files.writeString(Paths.get(s"$outDir/$name/_FAILED"),
+            failed(name) + "\n")
         }
       }
     }
@@ -55,6 +67,15 @@ object Verify {
       .filter { case (k, _) => subset.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // errors.json: every twice-failed query, explicitly. Always written
+    // (possibly "{}") so the driver can distinguish "no failures" from
+    // "harness died before finishing".
+    val errJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} queries FAILED: " +
+        failed.keys.mkString(", "))
     spark.stop()
   }
 }

@@ -516,7 +516,12 @@ object AnalyticsOps {
     // across the cluster even when one prefix dominates the corpus. The
     // pair predicate (a.doc_id < b.doc_id) and the DP are untouched —
     // identical rows, identical distances, same oracle.
-    val S = spark.sparkContext.defaultParallelism
+    // Capped at 64: the a-side is replicated S×, so an uncapped
+    // S = cores would make total join-input volume O(cores · docs) — a
+    // bigger cluster doing strictly MORE work. 64-way fan-out already
+    // spreads a dominant prefix across 64 tasks; beyond that the DP cost
+    // per task is small enough that AQE balances the rest.
+    val S = math.min(spark.sparkContext.defaultParallelism, 64)
     val bSide = pref.withColumn("salt", pmod(xxhash64(col("doc_id")), lit(S.toLong)))
     val aSide = pref.withColumn("salt", explode(sequence(lit(0L), lit(S.toLong - 1))))
     aSide.as("a").join(bSide.as("b"),
@@ -552,7 +557,12 @@ object AnalyticsOps {
       .select(col("doc_id"),
         substring(lower(col("text")), 1, 16).as("pref"),
         substring(lower(col("text")), 1, blockChars).as("blk"))
-    val S = spark.sparkContext.defaultParallelism
+    // Capped at 64: the a-side is replicated S×, so an uncapped
+    // S = cores would make total join-input volume O(cores · docs) — a
+    // bigger cluster doing strictly MORE work. 64-way fan-out already
+    // spreads a dominant prefix across 64 tasks; beyond that the DP cost
+    // per task is small enough that AQE balances the rest.
+    val S = math.min(spark.sparkContext.defaultParallelism, 64)
     val bSide = pref.withColumn("salt", pmod(xxhash64(col("doc_id")), lit(S.toLong)))
     val aSide = pref.withColumn("salt", explode(sequence(lit(0L), lit(S.toLong - 1))))
     aSide.as("a").join(bSide.as("b"),

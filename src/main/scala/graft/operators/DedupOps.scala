@@ -213,8 +213,8 @@ object DedupOps {
     // exploded fact table is filtered with a broadcast probe instead of
     // being shuffled a second time against a rare-set as large as itself.
     // At 100 TB the heavy set stays bounded by distinct-boilerplate volume,
-    // not corpus size; if it ever outgrew the broadcast threshold the
-    // rare-side equality join is the documented fallback.
+    // not corpus size; if it outgrows the broadcast row budget,
+    // capHeavyShingles automatically degrades to a shuffled anti-join.
     val surv = Materialize(capHeavyShingles(ex, dfCap))
     val perDoc = surv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val sx = surv.join(perDoc, "doc_id")
@@ -235,12 +235,21 @@ object DedupOps {
   /** The df-cap step of [[ngramJaccardTopPairsCapped]], exposed for the
     * plan audit: drop rows whose shingle has document frequency > `dfCap`
     * via a broadcast anti-probe of the (small) heavy set. */
-  private[graft] def capHeavyShingles(ex: DataFrame, dfCap: Int): DataFrame = {
-    val heavy = ex.groupBy(col("shingle"))
+  private[graft] def capHeavyShingles(ex: DataFrame, dfCap: Int,
+      maxBroadcastRows: Long = 4_000_000L): DataFrame = {
+    // The heavy set's size is DATA-dependent (a boilerplate-heavy corpus or
+    // a low dfCap can blow it up), and a forced broadcast of an oversized
+    // frame OOMs the driver instead of degrading. Materialize once (it is
+    // needed for the probe anyway), count the checkpointed blocks (cheap),
+    // and only hint broadcast under a row budget — beyond it the same
+    // anti-join runs as a shuffled join, slower but never fatal.
+    val heavy = Materialize(ex.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap)
-      .select(col("shingle"))
-    ex.join(broadcast(heavy), Seq("shingle"), "left_anti")
+      .select(col("shingle")))
+    val probe =
+      if (heavy.count() <= maxBroadcastRows) broadcast(heavy) else heavy
+    ex.join(probe, Seq("shingle"), "left_anti")
   }
 
   def dedupNgramCapped(spark: SparkSession, dir: String): DataFrame =

@@ -233,19 +233,28 @@ object TextOps {
   /** Core of [[unigramLogprob]] over any (doc_id, text) frame. */
   def unigramLogprobDocs(docs: DataFrame): DataFrame = {
     import graft.functions.NumericFunctions.stableRound4
-    // materialized: the token stream feeds both the vocab aggregation and
-    // the per-doc join — without it the scan+tokenize+explode runs twice
+    // Pre-aggregated to (doc_id, token, cnt) BEFORE materializing: the
+    // checkpoint and the vocab join then scale with DISTINCT tokens per
+    // doc, not token occurrences — smaller by the corpus's repetition
+    // factor at zero semantic cost (the per-doc mean is re-weighted by
+    // cnt below, so repeated tokens contribute exactly as before).
+    // Materialized because the per-doc counts feed both the vocab
+    // aggregation and the per-doc join — without it the
+    // scan+tokenize+explode+agg runs twice.
     val toks = Materialize(
-      docs.select(col("doc_id"), explode(tokensLower(col("text"))).as("token")))
-    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      docs.select(col("doc_id"), explode(tokensLower(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("cnt")))
+    val vocab = toks.groupBy(col("token")).agg(sum(col("cnt")).as("n"))
     val total = vocab.agg(sum(col("n")).as("total"))
     toks.join(vocab, Seq("token"))
       .crossJoin(broadcast(total))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("cnt"),
         log10(col("n").cast("double") / col("total")).as("logp"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        stableRound4(avg(col("logp"))).as("mean_logp"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        stableRound4(sum(col("logp") * col("cnt")) / sum(col("cnt")))
+          .as("mean_logp"))
       .select(col("doc_id"), col("n_tokens"), col("mean_logp"),
         (col("mean_logp") < -3.5).as("low_quality"))
       .orderBy(col("doc_id"))

@@ -50,6 +50,21 @@ object CorpusStreamOps {
     * bucket is `maxPerBucket` × numHashes longs, bounded and checkpointed;
     * the bucket keyspace is high-cardinality so state shards evenly.
     *
+    * State-growth bound, precisely: PER-BUCKET state is capped, but the
+    * NUMBER of buckets is not — on a continuous stream total state grows
+    * with distinct (band, band-hash) buckets touched, worst-case
+    * O(docs × bands) with `NoTimeout`. A production deployment over an
+    * unbounded stream should swap in a `ProcessingTimeTimeout` and let
+    * cold buckets expire (trading recall against far-apart duplicates for
+    * bounded state), or periodically rebase against a batch-deduped
+    * corpus via [[graft.operators.DedupOps.dedupIncremental]]'s pattern.
+    * Saturation is observable: once a bucket hits `maxPerBucket`, later
+    * first-seen docs are matched against but never stored, so their own
+    * future near-dups go unflagged — every such uncached signature is
+    * counted in the `graft.neardup.dropped_signatures` accumulator
+    * (visible in the Spark UI / `sparkContext` metrics), so recall loss
+    * from bucket saturation is a number, not a silent behavior.
+    *
     * Determinism: micro-batch rows are processed in doc_id order and match
     * against the lowest-id qualifying signature, so replays emit identical
     * verdicts. */
@@ -59,6 +74,8 @@ object CorpusStreamOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val r = numHashes / bands
+    val dropped =
+      spark.sparkContext.longAccumulator("graft.neardup.dropped_signatures")
     val sigs = docs.select(col("doc_id"),
         TextFunctions.minhashArray(
           TextFunctions.shingles(TextFunctions.tokensLower(col("text"))),
@@ -86,8 +103,11 @@ object CorpusStreamOps {
               .filter(e => sim(e.sig, d.sig) >= threshold)
               .map(_.doc_id)
               .minOption
-            if (hit.isEmpty && seen.size < maxPerBucket)
-              seen = seen :+ SigEntry(d.doc_id, d.sig)
+            if (hit.isEmpty) {
+              if (seen.size < maxPerBucket)
+                seen = seen :+ SigEntry(d.doc_id, d.sig)
+              else dropped.add(1L) // saturated bucket: recall loss, counted
+            }
             out += BandVerdict(d.doc_id, key._1, hit)
           }
           state.update(seen)

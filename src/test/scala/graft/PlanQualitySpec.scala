@@ -219,8 +219,10 @@ class PlanQualitySpec extends SparkTestBase {
     // (the materialized token stream hides the FileScan from this plan, so
     // no ReadSchema assert — scan pruning is covered by repetitionStats,
     // which tokenizes the same columns without a Materialize boundary)
+    // post-rewrite the materialized stream is pre-aggregated (doc_id,
+    // token, cnt), so every visible agg hop is a partial_sum over counts
     val p = plan(TextOps.unigramLogprob(spark, sf))
-    assert(p.contains("partial_count"), p)
+    assert(p.contains("partial_sum"), p)
     assert(!p.contains("Cartesian"), p)
   }
 

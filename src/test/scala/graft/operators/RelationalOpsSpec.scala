@@ -84,7 +84,11 @@ class RelationalOpsSpec extends SparkTestBase {
     val expect = rows.map { r =>
       val bx = math.min(math.floor(r.getDouble(0) / 2000).toInt, 255)
       val localDate = r.get(1) match {
-        case t: java.sql.Timestamp => t.toLocalDateTime.toLocalDate
+        // interpret the instant in UTC (the pinned Spark session zone) —
+        // toLocalDateTime would use the JVM default TZ and shift dates
+        // near midnight on a non-UTC machine
+        case t: java.sql.Timestamp =>
+          t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
         case d: java.time.LocalDateTime => d.toLocalDate
       }
       val days = java.time.temporal.ChronoUnit.DAYS.between(
