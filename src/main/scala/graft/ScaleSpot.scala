@@ -104,6 +104,25 @@ object ScaleSpot {
       .agg(sum((col("n") * (col("n") - 1) / 2).cast("double")).as("p"))
       .head().getDouble(0).toLong
 
+  /** Sums executor spill across all tasks — the signal that separates
+    * "the algorithm is superlinear" from "the executors are undersized
+    * for the data" (q_triangles at 100× measured e=1.35 under spill;
+    * the exponent question is whether it returns to ~1 when the
+    * execution pool fits the orientation joins). */
+  private class SpillListener extends org.apache.spark.scheduler.SparkListener {
+    val mem = new java.util.concurrent.atomic.AtomicLong()
+    val disk = new java.util.concurrent.atomic.AtomicLong()
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        mem.addAndGet(m.memoryBytesSpilled)
+        disk.addAndGet(m.diskBytesSpilled)
+      }
+    }
+    def snapshot: (Long, Long) = (mem.get(), disk.get())
+  }
+
   def main(args: Array[String]): Unit = {
     // args other than "regen" select a subset of Targets (already-recorded
     // exponents in SCALE.md don't need re-paying; the 100x uncapped ngram
@@ -112,9 +131,15 @@ object ScaleSpot {
       case sel if sel.nonEmpty => Targets.filter(sel.contains)
       case _                   => Targets
     }
-    val spark = GraftSession.builder("graft-scale-spot", shufflePartitions = 128)
+    // partition dial: the same spark.sql.shuffle.partitions a real cluster
+    // sizes to its data; 128 is the recorded gate default
+    val parts = sys.env.getOrElse("SPARK_SPOT_PARTITIONS", "128").toInt
+    val spark = GraftSession.builder("graft-scale-spot", shufflePartitions = parts)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val spill = new SpillListener
+    spark.sparkContext.addSparkListener(spill)
+    println(s"shuffle.partitions=$parts  driver-Xmx=${Runtime.getRuntime.maxMemory() / (1L << 20)} MiB")
     val src = "/root/testdata/sf0.1"
 
     Scales.foreach { c =>
@@ -163,9 +188,14 @@ object ScaleSpot {
     val results = for (c <- Scales; name <- selected) yield {
       val fn = SparkEntry.queries(name)
       val (t1, n1) = timed(fn(spark, outDir(c)).count())
+      val (m0, d0) = spill.snapshot
       val (t2, n2) = timed(fn(spark, outDir(c)).count())
+      val (m1, d1) = spill.snapshot
       require(n1 == n2, s"$name nondeterministic row count at ${c}x: $n1 vs $n2")
-      println(f"${c}%3dx $name%-16s run1 $t1%8.2f s  run2 $t2%8.2f s  ($n1%7d rows)")
+      val spillNote =
+        if (m1 - m0 == 0 && d1 - d0 == 0) "no spill"
+        else f"spill mem ${(m1 - m0) / 1e9}%.1f GB disk ${(d1 - d0) / 1e9}%.1f GB"
+      println(f"${c}%3dx $name%-16s run1 $t1%8.2f s  run2 $t2%8.2f s  ($n1%7d rows, warm: $spillNote)")
       ((c, name), (t1, t2))
     }
     val byKey = results.toMap

@@ -44,6 +44,8 @@ object SparkEntry {
     "q_quality_score"  -> (TextOps.qualityScore _),
     "q_fingerprint"    -> (TextOps.fingerprintDocs _),
     "q_dedup_exact"    -> (DedupOps.dedupExact _),
+    // CONTRAST DIAL: uncapped shingle buckets grow with boilerplate volume
+    // (SCALE.md: e=1.65 at 100×); q_dedup_ngram_capped is the primary form.
     "q_dedup_ngram"    -> (DedupOps.dedupNgram _),
     "q_dedup_minhash"  -> (DedupOps.dedupMinhash _),
     "q_dedup_simhash"  -> (DedupOps.dedupSimhash _),
@@ -74,9 +76,12 @@ object SparkEntry {
     "q_interval_join"  -> (EventOps.viewToPurchase _),
     "q_approx_stats"   -> (SketchOps.approxStats _),
     "q_dedup_clusters" -> (DedupOps.dedupClustersQuery _),
+    // CONTRAST DIAL: pair-enumerating output is inherently quadratic in
+    // cluster size (SCALE.md: e=2.0 output-bound); q_dedup_embed_rep is
+    // the primary form.
     "q_dedup_embed_lsh" -> (DedupOps.dedupEmbedLsh _),
-    // per-item representative output on the same LSH buckets - the scale
-    // fix for pair enumeration's output-bound quadratic (SCALE.md r6)
+    // PRIMARY form of embedding near-dup: per-item representative output
+    // on the same LSH buckets — flat output size, no pair enumeration.
     "q_dedup_embed_rep" -> (DedupOps.dedupEmbedRep _),
     "q_grouping_sets"  -> (AnalyticsOps.groupingSetsAgg _),
     "q_skew_join"      -> (JoinOps.skewJoinAgg _),
@@ -103,10 +108,15 @@ object SparkEntry {
     "q_corr_stats"     -> (AnalyticsOps.corrStats _),
     "q_date_spine"     -> (AnalyticsOps.dateSpine _),
     "q_lambda_funcs"   -> (AnalyticsOps.lambdaFuncs _),
+    // CONTRAST DIAL, not the production shape: 2-char blocks are fixed in
+    // number, so candidate pairs grow quadratically with corpus size
+    // (SCALE.md: e=1.93 salted). Kept as a measured-limit variant for
+    // recall comparison; q_edit_distance_blocked below is the primary form.
     "q_edit_distance"  -> ((s, d) => AnalyticsOps.editDistancePairs(s, d)),
-    // 4-char blocking variant — the documented scale dial for the 2-char
-    // declared query (SCALE.md: blocks shrink ~quadratically in candidate
-    // pairs as the prefix widens; recall tradeoff is edits in chars 3-4)
+    // PRIMARY form of the edit-distance fuzzy join: 4-char blocking keys
+    // grow in NUMBER with the corpus (blocks stay bounded in size), so
+    // candidates scale ~linearly (SCALE.md e≈1.0); recall tradeoff is
+    // edits inside chars 3-4 only.
     "q_edit_distance_blocked" ->
       ((s, d) => AnalyticsOps.editDistancePairs(s, d, blockChars = 4)),
     "q_histogram"      -> (AnalyticsOps.histogram _),
@@ -164,9 +174,11 @@ object SparkEntry {
     "q_null_profile"   -> (RelationalOps.nullProfile _),
     "q_chi2"           -> (AnalyticsOps.chiSquareCrosstab _),
     "q_percentile_profile" -> (AnalyticsOps.percentileProfile _),
+    // CONTRAST DIAL (same quadratic 2-char-block limit as q_edit_distance;
+    // SCALE.md). q_fuzzy_jw_blocked below is the primary form.
     "q_fuzzy_jw"       -> ((s, d) => AnalyticsOps.jaroWinklerPairs(s, d)),
-    // 4-char blocking variant - the same measured scale dial as
-    // q_edit_distance_blocked (blocks grow in number, not size)
+    // PRIMARY form of the Jaro-Winkler fuzzy join: 4-char blocks grow in
+    // number, not size, so candidates scale ~linearly with the corpus.
     "q_fuzzy_jw_blocked" ->
       ((s, d) => AnalyticsOps.jaroWinklerPairs(s, d, blockChars = 4)),
     "q_embed_stats"    -> (SimilarityOps.embedDimStats _),
@@ -245,9 +257,9 @@ object SparkEntry {
     "q_order_gaps"     -> (AnalyticsOps.orderGaps _),
     "q_lang_purity"    -> (CorpusOps.langPurity _),
     "q_dedup_report"   -> (CorpusOps.dedupReport _),
-    // df-capped variant of q_dedup_ngram — the production dial the round-5
-    // sf10 spot gate measured (SCALE.md: uncapped candidates grow e=1.65;
-    // the cap bounds every shingle bucket)
+    // PRIMARY form of n-gram Jaccard near-dup: the df≤16 cap bounds every
+    // shingle bucket, so candidate pairs scale sub-linearly (SCALE.md
+    // e=0.55 at 100× vs e=1.65 uncapped — see q_dedup_ngram contrast dial)
     "q_dedup_ngram_capped" -> ((s, d) => DedupOps.dedupNgramCapped(s, d)),
     "q_dedup_survivor" -> (DedupOps.dedupSurvivor _),
     "q_dup_span_frac"  -> ((s, d) => CorpusOps.dupSpanFrac(s, d)),
@@ -258,6 +270,18 @@ object SparkEntry {
     "q_lang_confusion" -> (TextOps.langConfusion _),
     "q_ppl_buckets"    -> (TextOps.pplBuckets _),
     "q_embed_drift"    -> (SimilarityOps.embedDrift _),
+    "q_token_fertility" -> (TextOps.tokenFertility _),
+    "q_ttr"            -> (TextOps.typeTokenRatio _),
+    // l-diversity audit — the homogeneity-attack companion to q_k_anonymity
+    "q_l_diversity"    -> ((s, d) => StatOps.lDiversity(s, d)),
+    // asymmetric containment near-dup (excerpt/superset detection) on the
+    // df-capped shingle machinery — capped-primary from day one
+    "q_ngram_containment" -> ((s, d) => DedupOps.dedupContainment(s, d)),
+    // cross-split contamination audit over q_split's hash assignment
+    "q_split_leakage"  -> ((s, d) => CorpusOps.splitLeakage(s, d)),
+    // PCA spectrum of the embedding corpus (rows-only: driver eigensolver;
+    // SimilaritySpec pins it to exact small-case + trace/ratio invariants)
+    "q_embed_pca"      -> ((s, d) => SimilarityOps.embedPca(s, d)),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -273,7 +297,7 @@ object SparkEntry {
     * sketch never purges, which its declared 2^15 map guarantees at every
     * shipped SF — oracles against the plain token-frequency table.
     *
-    * Thirteen queries are deliberately rows-only (no entry here), each with a
+    * Fifteen queries are deliberately rows-only (no entry here), each with a
     * stronger ScalaTest invariant instead: q_dedup_minhash / q_dedup_simhash
     * / q_simhash_pairs depend on a hash family
     * (Murmur3/xxhash64 seeding) DuckDB cannot reproduce — DedupSpec pins
@@ -294,7 +318,9 @@ object SparkEntry {
     * q_pq_ann trains k-means codebooks iteratively (not SQL) — PqSpec pins
     * recall vs the exact baseline plus ADC error bounds;
     * q_frame_features exercises the stubbed decode path — its spec pins
-    * shape and determinism. */
+    * shape and determinism; q_embed_pca eigendecomposes the covariance on
+    * the driver (Jacobi, not SQL) — SimilaritySpec pins it to an exact
+    * small-case spectrum plus trace-conservation/ordering invariants. */
   def oracleSql: Map[String, String] = Map(
     "q_scan_limit" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice LIMIT 100",
@@ -2066,5 +2092,65 @@ object SparkEntry {
         "CAST(round(CAST(CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) " +
         "AS DECIMAL(20,8)), 4) AS DOUBLE) AS centroid_cos " +
         "FROM n JOIN j ON n.label = j.label ORDER BY n.label"),
+    // per-language tokenizer fertility (BPE-ish vs whitespace segmentation)
+    "q_token_fertility" ->
+      ("WITH t AS (SELECT lang, " +
+        "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS b, " +
+        "len(regexp_split_to_array(trim(text), '\\s+')) AS w, " +
+        "length(regexp_replace(text, '\\s', '', 'g')) AS c FROM documents) " +
+        "SELECT lang, COUNT(*) AS n_docs, " +
+        "CAST(round(CAST(CAST(SUM(b) AS DOUBLE) / SUM(w) AS DECIMAL(20,8)), 4) AS DOUBLE) AS fertility, " +
+        "CAST(round(CAST(CAST(SUM(c) AS DOUBLE) / SUM(b) AS DECIMAL(20,8)), 4) AS DOUBLE) AS chars_per_token " +
+        "FROM t GROUP BY lang ORDER BY lang"),
+    // per-source type-token ratio + hapax fraction
+    "q_ttr" ->
+      ("WITH x AS (SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token FROM documents), " +
+        "c AS (SELECT source, token, COUNT(*) AS cnt FROM x GROUP BY 1, 2) " +
+        "SELECT source, COUNT(*) AS n_types, CAST(SUM(cnt) AS BIGINT) AS n_tokens, " +
+        "CAST(round(CAST(CAST(COUNT(*) AS DOUBLE) / SUM(cnt) AS DECIMAL(20,8)), 4) AS DOUBLE) AS ttr, " +
+        "CAST(round(CAST(CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS DECIMAL(20,8)), 4) AS DOUBLE) AS hapax_frac " +
+        "FROM c GROUP BY source ORDER BY source"),
+    // l-diversity audit: distinct sensitive values per QI class
+    "q_l_diversity" ->
+      ("SELECT c_nationkey AS nation, c_mktsegment AS segment, " +
+        "COUNT(*) AS class_size, " +
+        "COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS n_sensitive, " +
+        "COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) >= 3 AS diverse " +
+        "FROM customer GROUP BY 1, 2 ORDER BY nation, segment"),
+    // shingle containment top pairs over the df<=16 surviving shingle sets
+    "q_ngram_containment" ->
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM t), " +
+        "x AS (SELECT doc_id, unnest(sh) AS shingle FROM s), " +
+        "keep AS (SELECT shingle FROM x GROUP BY shingle HAVING COUNT(*) <= 16), " +
+        "sv AS (SELECT x.doc_id, x.shingle FROM x JOIN keep USING (shingle)), " +
+        "c AS (SELECT doc_id, COUNT(*) AS n FROM sv GROUP BY doc_id), " +
+        "p AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared FROM sv a " +
+        "JOIN sv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT da, db, CAST(shared AS BIGINT) AS shared, " +
+        "round(CAST(shared AS DOUBLE) / least(ca.n, cb.n), 4) AS containment " +
+        "FROM p JOIN c ca ON p.da = ca.doc_id JOIN c cb ON p.db = cb.doc_id " +
+        "ORDER BY containment DESC, da, db LIMIT 20"),
+    // cross-split near-dup contamination: eval docs sharing >=3 df-capped
+    // shingles with any train doc, per split
+    "q_split_leakage" ->
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks, " +
+        "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train' " +
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val' " +
+        "ELSE 'test' END AS split FROM documents), " +
+        "s AS (SELECT doc_id, split, list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM t), " +
+        "x AS (SELECT doc_id, split, unnest(sh) AS shingle FROM s), " +
+        "keep AS (SELECT shingle FROM x GROUP BY shingle HAVING COUNT(*) <= 16), " +
+        "sv AS (SELECT x.doc_id, x.split, x.shingle FROM x JOIN keep USING (shingle)), " +
+        "pr AS (SELECT e.split, e.doc_id, tr.doc_id AS train_id, COUNT(*) AS shared " +
+        "FROM sv e JOIN sv tr ON e.shingle = tr.shingle " +
+        "WHERE e.split <> 'train' AND tr.split = 'train' GROUP BY 1, 2, 3), " +
+        "lk AS (SELECT split, COUNT(DISTINCT doc_id) AS n_leaked FROM pr WHERE shared >= 3 GROUP BY split), " +
+        "tot AS (SELECT split, COUNT(*) AS n_docs FROM t WHERE split <> 'train' GROUP BY split) " +
+        "SELECT tot.split, tot.n_docs, CAST(coalesce(lk.n_leaked, 0) AS BIGINT) AS n_leaked, " +
+        "round(CAST(coalesce(lk.n_leaked, 0) AS DOUBLE) / tot.n_docs, 4) AS leak_rate " +
+        "FROM tot LEFT JOIN lk ON tot.split = lk.split ORDER BY tot.split"),
   )
 }

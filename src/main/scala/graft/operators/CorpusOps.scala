@@ -1098,6 +1098,58 @@ object CorpusOps {
     * Scale shape: the split key is a narrow per-row expression riding the
     * scan; one partial-aggregated groupBy + a 3-row broadcast of split
     * totals. No shuffle of document text, ever. */
+  /** q_split_leakage: cross-split contamination audit — after the
+    * hash-based train/val/test assignment of [[splitReport]], how many
+    * eval-side documents are near-duplicates of a TRAIN document? A val
+    * set contaminated by train twins overstates model quality exactly
+    * like benchmark contamination does (the decontamination literature's
+    * n-gram-overlap criterion, applied between a corpus's own splits —
+    * the audit every pipeline should run after splitting, because
+    * doc-level hash splitting guarantees doc disjointness but NOT
+    * near-dup disjointness).
+    *
+    * Leak criterion: an eval doc sharing ≥ `minShared` df-capped 3-gram
+    * shingles with any train doc. Shape: one exploded+hashed shingle
+    * table, the df≤`dfCap` anti-probe bounding every bucket (the measured
+    * sub-quadratic dial, SCALE.md), then ONE train⋈eval equality join on
+    * the shingle hash — train-side rows probe eval-side buckets; no
+    * eval×eval or train×train pairs are ever formed. Output is the
+    * two-row per-split report. */
+  def splitLeakage(spark: SparkSession, dir: String,
+      minShared: Int = 3, dfCap: Int = 16): DataFrame = {
+    // split is a pure function of doc_id (same hash rule as splitReport),
+    // so it is recomputed wherever needed instead of joined back
+    val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val splitCol =
+      when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test")
+    val withSplit = Tables.documents(spark, dir).withColumn("split", splitCol)
+    val ex = Materialize(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          explode(shingles(tokensLower(col("text")))).as("shingle"))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("shingle")))
+    val surv = DedupOps.capHeavyShingles(ex, dfCap)
+      .withColumn("split", splitCol)
+    val train = surv.filter(col("split") === "train")
+      .select(col("doc_id").as("train_id"), col("shingle"))
+    val eval_ = surv.filter(col("split") =!= "train")
+    val leaked = eval_.hint("shuffle_hash")
+      .join(train, "shingle")
+      .groupBy(col("split"), col("doc_id"), col("train_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("split"), col("doc_id")).distinct()
+      .groupBy(col("split")).agg(count(lit(1)).as("n_leaked"))
+    withSplit.filter(col("split") =!= "train")
+      .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+      .join(leaked, Seq("split"), "left")
+      .select(col("split"), col("n_docs"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        round(coalesce(col("n_leaked"), lit(0L)).cast("double")
+          / col("n_docs"), 4).as("leak_rate"))
+      .orderBy(col("split"))
+  }
+
   def splitReport(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.NumericFunctions.stableRound4
     val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)

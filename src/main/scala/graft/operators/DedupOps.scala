@@ -232,6 +232,46 @@ object DedupOps {
       .limit(k)
   }
 
+  /** q_ngram_containment: shingle CONTAINMENT top pairs — the asymmetric
+    * companion to Jaccard. C(A,B) = |A∩B| / min(|A|,|B|) scores how fully
+    * the smaller shingle set sits inside the larger one, which is the
+    * right lens for quote/excerpt/superset duplication: a paragraph pasted
+    * into a 100× longer page scores near 1.0 here while its Jaccard is
+    * diluted to ~0.01 by the union. (Broder 1997 distinguishes resemblance
+    * from containment for exactly this case.)
+    *
+    * Same candidate machinery as [[ngramJaccardTopPairsCapped]] — hashed
+    * shingles, df≤`dfCap` broadcast anti-probe bounding every bucket, one
+    * shuffle_hash self-join with map-side pair aggregation — so the scale
+    * posture is the capped one (SCALE.md e≈0.55), not the uncapped
+    * quadratic. Only the final scoring differs. */
+  def ngramContainmentTopPairs(docs: DataFrame, k: Int = 20,
+      dfCap: Int = 16): DataFrame = {
+    val ex = Materialize(
+      spread(docs)
+        .select(col("doc_id"),
+          explode(shingles(tokensLower(col("text")))).as("shingle"))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("shingle")))
+    val surv = Materialize(capHeavyShingles(ex, dfCap))
+    val perDoc = surv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val sx = surv.join(perDoc, "doc_id")
+    sx.as("a").hint("shuffle_hash")
+      .join(sx.as("b"),
+        col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("shared"),
+        max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
+      .select(col("da"), col("db"), col("shared"),
+        round(col("shared").cast("double")
+          / least(col("na"), col("nb")), 4).as("containment"))
+      .orderBy(col("containment").desc, col("da"), col("db"))
+      .limit(k)
+  }
+
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    ngramContainmentTopPairs(Tables.documents(spark, dir))
+
   /** The df-cap step of [[ngramJaccardTopPairsCapped]], exposed for the
     * plan audit: drop rows whose shingle has document frequency > `dfCap`
     * via a broadcast anti-probe of the (small) heavy set. */

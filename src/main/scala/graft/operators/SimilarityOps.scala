@@ -351,4 +351,96 @@ object SimilarityOps {
       .select(col("label"), col("n_even"), col("n_odd"), col("centroid_cos"))
       .orderBy(col("label"))
   }
+
+  /** q_embed_pca: principal-component spectrum of the embedding corpus —
+    * explained-variance ratio per top component plus the cumulative share.
+    * The standard embedding-health diagnostic (anisotropy / effective
+    * dimensionality): a healthy space spreads variance across many
+    * components; a collapsed or poorly-normalized one concentrates it in
+    * one or two, and whitening/recentering decisions hang off this
+    * spectrum.
+    *
+    * Scale shape: cov = E[xxᵀ] − μμᵀ. Both expectations are ONE scan with
+    * partial-friendly vector aggregates — the flattened upper-triangle
+    * outer product (dim(dim+1)/2 doubles per row, built by a codegen'd
+    * nested transform) and the raw vector each feed [[vectorAvg]], so the
+    * shuffle carries one fixed-size buffer per partition and only the
+    * dim×dim moment matrix ever reaches the driver. The cyclic-Jacobi
+    * eigensolver then runs on a 64×64 symmetric matrix — O(dim³) driver
+    * work, independent of corpus size (the same bounded-model budget as
+    * the k-means/PQ trainers). */
+  def embedPca(spark: SparkSession, dir: String, topK: Int = 8): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val dim = EmbeddingDim
+    val nUp = dim * (dim + 1) / 2
+    val upper = expr(
+      s"flatten(transform(sequence(0, ${dim - 1}), i -> " +
+        s"transform(sequence(i, ${dim - 1}), j -> " +
+        "cast(embedding[i] as double) * cast(embedding[j] as double))))")
+    val m = Tables.embeddings(spark, dir)
+      .select(col("embedding"), upper.as("up"))
+      .agg(vectorAvg(col("embedding"), dim).as("mu"),
+        vectorAvg(col("up"), nUp).as("moment"))
+      .head()
+    val mu = m.getSeq[Double](0).toArray
+    val moment = m.getSeq[Double](1).toArray
+    val cov = Array.ofDim[Double](dim, dim)
+    var idx = 0
+    for (i <- 0 until dim; j <- i until dim) {
+      val c = moment(idx) - mu(i) * mu(j)
+      cov(i)(j) = c; cov(j)(i) = c
+      idx += 1
+    }
+    val eigs = jacobiEigenvalues(cov).sorted(Ordering[Double].reverse)
+    val total = eigs.sum
+    val rows = eigs.take(topK).zipWithIndex.map { case (ev, k) =>
+      (k, ev, ev / total, eigs.take(k + 1).sum / total)
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("component", "eigenvalue", "var_ratio", "cum_ratio")
+      .select(col("component"),
+        stableRound4(col("eigenvalue")).as("eigenvalue"),
+        stableRound4(col("var_ratio")).as("var_ratio"),
+        stableRound4(col("cum_ratio")).as("cum_ratio"))
+      .orderBy(col("component"))
+  }
+
+  /** Cyclic Jacobi eigenvalue sweep for a symmetric matrix (driver-side,
+    * deterministic: fixed (p,q) sweep order, fixed convergence threshold).
+    * Textbook Golub & Van Loan 8.4; adequate for the ≤64×64 moment
+    * matrices this module ever builds. */
+  private[operators] def jacobiEigenvalues(a0: Array[Array[Double]])
+      : Array[Double] = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    def offDiag(): Double = {
+      var s = 0.0
+      for (p <- 0 until n; q <- p + 1 until n) s += a(p)(q) * a(p)(q)
+      s
+    }
+    var sweep = 0
+    while (offDiag() > 1e-18 && sweep < 64) {
+      for (p <- 0 until n; q <- p + 1 until n if math.abs(a(p)(q)) > 1e-15) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val t =
+          if (theta == 0.0) 1.0
+          else math.signum(theta) /
+            (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        for (k <- 0 until n) {
+          val akp = a(k)(p); val akq = a(k)(q)
+          a(k)(p) = c * akp - s * akq
+          a(k)(q) = s * akp + c * akq
+        }
+        for (k <- 0 until n) {
+          val apk = a(p)(k); val aqk = a(q)(k)
+          a(p)(k) = c * apk - s * aqk
+          a(q)(k) = s * apk + c * aqk
+        }
+      }
+      sweep += 1
+    }
+    (0 until n).map(i => a(i)(i)).toArray
+  }
 }

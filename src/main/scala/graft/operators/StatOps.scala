@@ -162,6 +162,28 @@ object StatOps {
         col("bal_band"))
   }
 
+  /** q_l_diversity: the companion audit k-anonymity misses — an
+    * equivalence class can be large (k-anonymous) yet still leak when
+    * every member shares the SAME sensitive value (Machanavajjhala 2007's
+    * homogeneity attack). Group by the QI tuple (nation, segment) and
+    * report classes whose sensitive attribute (account-balance band)
+    * takes fewer than `l` distinct values. Emits EVERY class with its
+    * distinct-sensitive count and pass/fail flag (the auditor's full
+    * report; QI-class cardinality is bounded by the QI domain, not the
+    * table). Distinct-count per group is a two-level partial aggregate
+    * (groupBy QI+sensitive, then QI) — both shuffles carry
+    * pre-aggregated rows. */
+  def lDiversity(spark: SparkSession, dir: String, l: Int = 3): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_nationkey").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      .groupBy(col("nation"), col("segment"))
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col("bal_band")).as("n_sensitive"))
+      .withColumn("diverse", col("n_sensitive") >= l)
+      .orderBy(col("nation"), col("segment"))
+
   /** Poisson(1) inverse-CDF thresholds as 6-hex-char strings: replicate
     * weight w = k iff the doc's 6-hex md5 prefix sorts below the k-th
     * threshold (first below wins). Shared verbatim by the Spark expression

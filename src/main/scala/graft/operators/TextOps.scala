@@ -430,6 +430,54 @@ object TextOps {
   def readability(spark: SparkSession, dir: String): DataFrame =
     readabilityDf(Tables.documents(spark, dir))
 
+  /** q_token_fertility: per-language tokenizer-efficiency profile — the
+    * metric a training pipeline tracks when one tokenizer serves a
+    * multilingual corpus. Fertility = subword tokens per whitespace word
+    * (BPE-ish segmentation vs whitespace); chars-per-subword is the
+    * bytes-per-token proxy that sets context-window economics. A language
+    * whose fertility drifts high is paying more sequence length per word —
+    * the standard signal for re-training or re-weighting the tokenizer.
+    *
+    * Scale shape: two narrow per-row regex counts + one groupBy(lang) —
+    * one shuffle of |langs| partial buffers, no explode, no join. */
+  def tokenFertility(spark: SparkSession, dir: String): DataFrame = {
+    val nBpe = size(bpeishTokens(col("text"))).cast("double")
+    val nWs = size(tokens(col("text"))).cast("double")
+    val nChars = length(regexp_replace(col("text"), "\\s", "")).cast("double")
+    Tables.documents(spark, dir)
+      .select(col("lang"), nBpe.as("b"), nWs.as("w"), nChars.as("c"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        stableRound4(sum(col("b")) / sum(col("w"))).as("fertility"),
+        stableRound4(sum(col("c")) / sum(col("b"))).as("chars_per_token"))
+      .orderBy(col("lang"))
+  }
+
+  /** q_ttr: per-source vocabulary richness — type-token ratio (distinct
+    * words / word occurrences) and hapax fraction (share of the vocabulary
+    * seen exactly once). Template-generated or boilerplate-heavy sources
+    * show low TTR and low hapax; scraped natural text shows high hapax.
+    * Complements [[graft.operators.CorpusOps]]'s vocab-coverage (which
+    * measures coverage OF a fixed top-k vocab, not richness).
+    *
+    * Scale shape: explode to (source, token), ONE groupBy(source, token)
+    * with map-side combine collapses occurrences to counts, then a
+    * |vocab|-sized groupBy(source) rollup. No join, no window; both
+    * shuffles carry pre-aggregated rows. */
+  def typeTokenRatio(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(tokensLower(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("cnt")).as("n_tokens"),
+        stableRound4(count(lit(1)).cast("double") / sum(col("cnt")))
+          .as("ttr"),
+        stableRound4(sum(when(col("cnt") === 1, 1).otherwise(0))
+          .cast("double") / count(lit(1))).as("hapax_frac"))
+      .orderBy(col("source"))
+
   private[operators] def readabilityDf(docs: DataFrame): DataFrame = {
     val nWords = size(tokensLower(col("text"))).cast("double")
     val nSents = greatest(lit(1L), regexp_count(col("text"), lit("[.!?]+")))

@@ -562,4 +562,35 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got(1L) == ((7L, 6L, "tail1")))
     assert(got(2L) == ((7L, 6L, "tail2")))
   }
+
+  test("splitLeakage counts eval docs sharing >=3 shingles with train") {
+    import spark.implicits._
+    // recompute the operator's hash-split rule to pick ids per split
+    def splitOf(id: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 2)
+      if (hex < "cc") "train" else if (hex < "e6") "val" else "test"
+    }
+    val ids = (1L to 400L)
+    val tA = ids.find(splitOf(_) == "train").get
+    val Seq(vA, vB) = ids.filter(splitOf(_) == "val").take(2)
+    val sA = ids.find(splitOf(_) == "test").get
+    // tA/vA/sA share a 6-token text -> 4 shared shingles (>= 3): leaked;
+    // vB is unique text: clean
+    val sharedTxt = "w1 w2 w3 w4 w5 w6"
+    val docs = Seq(
+      (tA, sharedTxt), (vA, sharedTxt), (sA, sharedTxt),
+      (vB, "z1 z2 z3 z4 z5 z6"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("leak").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+    val out = CorpusOps.splitLeakage(spark, tmp).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("val") == ((2L, 1L, 0.5)), s"got ${out("val")}")
+    assert(out("test") == ((1L, 1L, 1.0)), s"got ${out("test")}")
+  }
 }

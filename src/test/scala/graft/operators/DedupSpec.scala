@@ -48,6 +48,26 @@ class DedupSpec extends SparkTestBase {
     assert(top((0L, 100000L)) > 0.7)
   }
 
+  test("ngram containment scores an embedded excerpt 1.0 where Jaccard dilutes") {
+    import spark.implicits._
+    // doc 1 ("p q r s") has shingles {pqr, qrs}; both sit inside doc 2's
+    // set of 6 — containment 2/min(2,6)=1.0 while jaccard is only 2/6
+    val docs = Seq(
+      (1L, "p q r s"),
+      (2L, "p q r s t u v w"),
+      (3L, "x1 x2 x3 x4 x5")).toDF("doc_id", "text")
+    val top = DedupOps.ngramContainmentTopPairs(docs, 5)
+      .collect().map(r =>
+        ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+    assert(top.head == (((1L, 2L), (2L, 1.0))), s"got ${top.head}")
+    // no pair involves the disjoint doc 3
+    assert(top.forall { case ((a, b), _) => a != 3L && b != 3L })
+    // and the Jaccard form scores the same pair far below 1
+    val jac = DedupOps.ngramJaccardTopPairs(docs, 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(jac((1L, 2L)) - 2.0 / 6.0) < 1e-3)
+  }
+
   test("simhash: identical texts get identical signatures; near-dup is close") {
     val sigs = DedupOps.simhashSignatures(planted)
       .filter(col("doc_id").isin(0L, 1L, 100000L, 100001L))

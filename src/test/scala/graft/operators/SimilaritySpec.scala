@@ -189,4 +189,48 @@ class SimilaritySpec extends SparkTestBase {
     val got = byQ(0L).sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
     assert(got == expect, s"got $got expect $expect")
   }
+
+  test("jacobiEigenvalues matches the closed-form 2x2 spectrum") {
+    val eig = SimilarityOps.jacobiEigenvalues(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0))).sorted(Ordering[Double].reverse)
+    assert(math.abs(eig(0) - 3.0) < 1e-12 && math.abs(eig(1) - 1.0) < 1e-12,
+      s"got ${eig.toSeq}")
+  }
+
+  test("embedPca recovers an exact planted 2-component spectrum") {
+    import spark.implicits._
+    // variance only in dims 0 (var 4) and 1 (var 1), uncorrelated:
+    // eigenvalues 4, 1, 0... -> ratios 0.8, 0.2; cumulative 0.8, 1.0
+    def v(a: Float, b: Float): Array[Float] =
+      Array(a, b) ++ Array.fill(62)(0f)
+    val tmp = java.nio.file.Files.createTempDirectory("pca").toString
+    Seq((1L, v(2f, 1f), 0), (2L, v(2f, -1f), 0),
+      (3L, v(-2f, 1f), 1), (4L, v(-2f, -1f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$tmp/embeddings.parquet")
+    val out = SimilarityOps.embedPca(spark, tmp).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.length == 8)
+    assert(out(0) == ((0, 4.0, 0.8, 0.8)), s"got ${out(0)}")
+    assert(out(1) == ((1, 1.0, 0.2, 1.0)), s"got ${out(1)}")
+    out.drop(2).foreach { case (_, ev, ratio, cum) =>
+      assert(math.abs(ev) < 1e-6 && math.abs(ratio) < 1e-6
+        && math.abs(cum - 1.0) < 1e-6)
+    }
+  }
+
+  test("embedPca spectrum invariants on the real fixture") {
+    val out = SimilarityOps.embedPca(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == (0 until 8))
+    // PSD: eigenvalues nonnegative (4-dp rounding floor), sorted descending
+    assert(out.forall(_._2 >= -1e-4))
+    assert(out.map(_._2).toSeq == out.map(_._2).sorted(
+      Ordering[Double].reverse).toSeq)
+    // ratios in [0,1], cumulative non-decreasing and <= 1
+    assert(out.forall(r => r._3 >= -1e-4 && r._3 <= 1.0001))
+    val cums = out.map(_._4).toSeq
+    assert(cums.zip(cums.tail).forall { case (a, b) => b >= a - 1e-9 })
+    assert(cums.last <= 1.0001)
+  }
 }

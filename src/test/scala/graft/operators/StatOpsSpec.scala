@@ -175,4 +175,22 @@ class StatOpsSpec extends SparkTestBase {
     assert(r.getDouble(2) == 12.65 && r.getDouble(3) == 0.705
       && r.getDouble(4) == 13.355, s"got $r")
   }
+
+  test("lDiversity flags homogeneous QI classes on a crafted customer set") {
+    // (1,A): bands {0,0,2} -> 2 distinct < 3 -> not diverse
+    // (1,B): bands {0,1,2} -> 3 distinct     -> diverse
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ldiv").toString
+    Seq(
+      (1L, "c1", 1, 100.0, "A"), (2L, "c2", 1, 200.0, "A"),
+      (3L, "c3", 1, 2100.0, "A"),
+      (4L, "c4", 1, 0.0, "B"), (5L, "c5", 1, 1000.0, "B"),
+      (6L, "c6", 1, 2000.0, "B"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    val out = StatOps.lDiversity(spark, tmp).collect()
+      .map(r => (r.getInt(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out((1, "A")) == ((3L, 2L, false)), s"got ${out((1, "A"))}")
+    assert(out((1, "B")) == ((3L, 3L, true)), s"got ${out((1, "B"))}")
+  }
 }

@@ -161,4 +161,40 @@ class TextOpsSpec extends SparkTestBase {
     assert(e(1L) == ((0.25, 0.0)))
     assert(e(2L) == ((1.0, 2.0)))
   }
+
+  test("tokenFertility matches hand-computed subword/word/char ratios") {
+    // "ab cd": bpeish [ab][cd]=2, ws=2, non-ws chars=4
+    // "a-b x9y": bpeish [a][-][b][x][9][y]=6, ws=2, non-ws chars=6
+    //   en: fertility (2+6)/(2+2)=2.0, chars_per_token (4+6)/(2+6)=1.25
+    // "uv wx": de: fertility 2/2=1.0, chars_per_token 4/2=2.0
+    val docs = Seq((1L, "ab cd", "en"), (2L, "a-b x9y", "en"),
+      (3L, "uv wx", "de"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("fert").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+    val out = TextOps.tokenFertility(spark, tmp).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out("en") == ((2L, 2.0, 1.25)), s"got ${out("en")}")
+    assert(out("de") == ((1L, 1.0, 2.0)), s"got ${out("de")}")
+  }
+
+  test("typeTokenRatio matches hand-computed TTR and hapax fraction") {
+    // source s: tokens a,a,b | a,c -> counts a=3,b=1,c=1:
+    //   types=3, tokens=5, ttr=0.6, hapax 2/3=0.6667
+    val docs = Seq((1L, "a a b", "s"), (2L, "a c", "s"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("ttr").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+    val out = TextOps.typeTokenRatio(spark, tmp).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getString(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3), r.getDouble(4)) == (("s", 3L, 5L, 0.6, 0.6667)),
+      s"got $r")
+  }
 }
