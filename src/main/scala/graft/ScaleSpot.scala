@@ -51,7 +51,10 @@ object ScaleSpot {
     "q_source_overlap", "q_dedup_incr",
     "q_sim_lsh", "q_sim_ivf", "q_pq_ann", "q_dedup_embed_lsh",
     "q_dedup_embed_rep", "q_semdedup",
-    "q_sessionize", "q_session_window", "q_event_paths", "q_markov")
+    "q_sessionize", "q_session_window", "q_event_paths", "q_markov",
+    // round-7 additions: the two new df-capped shingle joins (same risk
+    // family as q_dedup_ngram_capped) and the one-scan PCA moment pass
+    "q_ngram_containment", "q_split_leakage", "q_embed_pca")
   val Scales = Seq(10, 100)
 
   def outDir(copies: Int) = s"/tmp/graft_spot_${copies}x"

@@ -539,4 +539,57 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("salt"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("ngramContainment: shuffled-hash pair join, top-k without global sort") {
+    val pf = plan(DedupOps.dedupContainment(spark, sf))
+    assert(pf.contains("ShuffledHashJoin"), pf)
+    assert(pf.contains("TakeOrderedAndProject"), pf)
+    assert(!pf.contains("CartesianProduct"), pf)
+  }
+
+  test("splitLeakage: one train-eval equality join, no eval-eval pairing") {
+    val pf = plan(CorpusOps.splitLeakage(spark, sf))
+    // exactly one shuffled-hash shingle join (train x eval); the report
+    // joins are tiny (per-split aggregates, broadcastable)
+    assert(pf.contains("ShuffledHashJoin"), pf)
+    assert(!pf.contains("CartesianProduct"), pf)
+  }
+
+  test("tokenFertility prunes to (lang, text) and partial-aggregates") {
+    val p = plan(TextOps.tokenFertility(spark, sf))
+    assert(p.contains("ReadSchema: struct<text:string,lang:string>")
+      || p.contains("ReadSchema: struct<lang:string,text:string>"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("typeTokenRatio: both aggregation hops partial-aggregate") {
+    val p = plan(TextOps.typeTokenRatio(spark, sf))
+    assert(p.contains("ReadSchema: struct<text:string,source:string>")
+      || p.contains("ReadSchema: struct<source:string,text:string>"), p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Exchange rangepartitioning") ||
+      p.indexOf("Exchange rangepartitioning") >
+        p.indexOf("HashAggregate"), p) // only the final orderBy range-sorts
+  }
+
+  test("embedPca: the moment pass is one scan-side partial aggregate") {
+    // audit the distributed half (the eigensolve is driver-side by
+    // design): one FileScan, vector_average partials before the exchange
+    val emb = graft.Tables.embeddings(spark, sf)
+    val dim = SimilarityOps.EmbeddingDim
+    val nUp = dim * (dim + 1) / 2
+    val upper = expr(
+      s"flatten(transform(sequence(0, ${dim - 1}), i -> " +
+        s"transform(sequence(i, ${dim - 1}), j -> " +
+        "cast(embedding[i] as double) * cast(embedding[j] as double))))")
+    val agg = emb.select(col("embedding"), upper.as("up"))
+      .agg(graft.functions.VectorFunctions.vectorAvg(col("embedding"), dim)
+        .as("mu"),
+        graft.functions.VectorFunctions.vectorAvg(col("up"), nUp).as("moment"))
+    val p = plan(agg)
+    assert(p.contains("partial_vector_average")
+      || p.contains("partial vector_average")
+      || (p.contains("vector_average") && p.contains("Exchange SinglePartition")), p)
+    assert(p.contains("ReadSchema: struct<embedding:array<float>>"), p)
+  }
 }
