@@ -282,6 +282,9 @@ object SparkEntry {
     // PCA spectrum of the embedding corpus (rows-only: driver eigensolver;
     // SimilaritySpec pins it to exact small-case + trace/ratio invariants)
     "q_embed_pca"      -> ((s, d) => SimilarityOps.embedPca(s, d)),
+    // Cavnar-Trenkle char-trigram lang classification, corpus-trained
+    // rank profiles, integer scoring (exactly reproducible argmax)
+    "q_lang_trigram"   -> ((s, d) => TextOps.langTrigram(s, d)),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -2152,5 +2155,22 @@ object SparkEntry {
         "SELECT tot.split, tot.n_docs, CAST(coalesce(lk.n_leaked, 0) AS BIGINT) AS n_leaked, " +
         "round(CAST(coalesce(lk.n_leaked, 0) AS DOUBLE) / tot.n_docs, 4) AS leak_rate " +
         "FROM tot LEFT JOIN lk ON tot.split = lk.split ORDER BY tot.split"),
+    // Cavnar-Trenkle trigram profiles: top-64 per lang by (count desc, g),
+    // rank weight 65-rank, presence scoring, argmax with lang tiebreak
+    "q_lang_trigram" ->
+      ("WITH d AS (SELECT doc_id, lang, regexp_replace(lower(text), '\\s+', ' ', 'g') AS s FROM documents), " +
+        "g AS (SELECT doc_id, lang, unnest(list_transform(range(1, length(s) - 1), i -> s[i:i+2])) AS g " +
+        "FROM d WHERE length(s) >= 3), " +
+        "dg AS (SELECT DISTINCT doc_id, g FROM g), " +
+        "pc AS (SELECT lang AS plang, g, COUNT(*) AS c FROM g GROUP BY 1, 2), " +
+        "pr AS (SELECT plang, g, 65 - CAST(row_number() OVER (PARTITION BY plang ORDER BY c DESC, g) AS BIGINT) AS w " +
+        "FROM pc QUALIFY row_number() OVER (PARTITION BY plang ORDER BY c DESC, g) <= 64), " +
+        "sc AS (SELECT dg.doc_id, pr.plang, SUM(pr.w) AS score FROM dg JOIN pr USING (g) GROUP BY 1, 2), " +
+        "best AS (SELECT doc_id, plang FROM (SELECT doc_id, plang, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn FROM sc) WHERE rn = 1), " +
+        "ml AS (SELECT min(lang) AS min_lang FROM documents) " +
+        "SELECT d2.lang, coalesce(b.plang, ml.min_lang) AS lang_pred, COUNT(*) AS n_docs " +
+        "FROM documents d2 LEFT JOIN best b USING (doc_id) CROSS JOIN ml " +
+        "GROUP BY 1, 2 ORDER BY lang, lang_pred"),
   )
 }

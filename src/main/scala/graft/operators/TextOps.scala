@@ -478,6 +478,66 @@ object TextOps {
           .cast("double") / count(lit(1))).as("hapax_frac"))
       .orderBy(col("source"))
 
+  /** q_lang_trigram: character-trigram language classification — the
+    * profile method of Cavnar & Trenkle (1994), the standard upgrade over
+    * the stopword heuristic of [[langId]] (robust to short docs and
+    * unseen words because it models sub-word orthography). Profiles are
+    * trained FROM THE CORPUS ITSELF per declared lang (top-`topK`
+    * trigrams by frequency, rank-weighted w = topK+1−rank), then every
+    * document is scored against every profile by the sum of rank weights
+    * over its distinct trigrams and assigned the argmax lang. Output is
+    * the declared-vs-predicted confusion matrix.
+    *
+    * All weights and scores are INTEGERS (rank positions, not float
+    * frequencies), so the argmax is exactly reproducible — no
+    * float-sum-order ties between engines. Scale shape: one trigram
+    * explode (≈ n_chars rows/doc, the same order as tokenize+explode),
+    * two partial-aggregated groupBys, a per-lang top-K window over the
+    * |langs|·|distinct trigrams| profile table (small), and ONE broadcast
+    * join of the ≤ langs·topK profile against the distinct doc-trigram
+    * set. No doc×doc work anywhere; the model never leaves the cluster. */
+  def langTrigram(spark: SparkSession, dir: String, topK: Int = 64)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), norm.as("s"))
+    val grams = docs.filter(length(col("s")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        explode(expr(
+          "transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))"))
+          .as("g"))
+    val docG = grams.select(col("doc_id"), col("g")).distinct()
+    val prof = grams.groupBy(col("lang"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("c").desc, col("g"))))
+      .filter(col("rk") <= topK)
+      .select(col("lang").as("plang"), col("g"),
+        (lit(topK + 1) - col("rk")).cast("long").as("w"))
+    val scores = docG.join(broadcast(prof), Seq("g"))
+      .groupBy(col("doc_id"), col("plang"))
+      .agg(sum(col("w")).as("score"))
+    val best = scores
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("plang"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("plang"))
+    // docs too short to produce a trigram (or with zero profile overlap)
+    // deterministically fall back to the alphabetically-first lang
+    val minLang = Tables.documents(spark, dir)
+      .agg(min(col("lang")).as("min_lang"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      .join(best, Seq("doc_id"), "left")
+      .crossJoin(broadcast(minLang))
+      .select(col("lang"),
+        coalesce(col("plang"), col("min_lang")).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+
   private[operators] def readabilityDf(docs: DataFrame): DataFrame = {
     val nWords = size(tokensLower(col("text"))).cast("double")
     val nSents = greatest(lit(1L), regexp_count(col("text"), lit("[.!?]+")))

@@ -181,6 +181,25 @@ class TextOpsSpec extends SparkTestBase {
     assert(out("de") == ((1L, 1.0, 2.0)), s"got ${out("de")}")
   }
 
+  test("langTrigram classifies disjoint-alphabet langs perfectly; short doc falls back") {
+    // lang aa writes only 'a'-words, lang bb only 'b'-words: their trigram
+    // inventories are disjoint, so every doc overlaps only its own profile
+    // and the confusion matrix must be exactly diagonal. doc 5 ("x") is too
+    // short for a trigram -> deterministic fallback to min(lang) = "aa".
+    val docs = Seq(
+      (1L, "aaa aaaa aa a aaa", "aa"), (2L, "aa aaa a aaaa", "aa"),
+      (3L, "bbb bbbb bb b bbb", "bb"), (4L, "bb bbb b bbbb", "bb"),
+      (5L, "x", "aa"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("tri").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+    val out = TextOps.langTrigram(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(("aa", "aa", 3L), ("bb", "bb", 2L)), s"got $out")
+  }
+
   test("typeTokenRatio matches hand-computed TTR and hapax fraction") {
     // source s: tokens a,a,b | a,c -> counts a=3,b=1,c=1:
     //   types=3, tokens=5, ttr=0.6, hapax 2/3=0.6667
