@@ -285,6 +285,10 @@ object SparkEntry {
     // Cavnar-Trenkle char-trigram lang classification, corpus-trained
     // rank profiles, integer scoring (exactly reproducible argmax)
     "q_lang_trigram"   -> ((s, d) => TextOps.langTrigram(s, d)),
+    // acting counterpart of q_temperature_mix: per-source sampling plan
+    // (target tokens, epochs, sample rate, over-repetition flag) for a
+    // 2x-corpus token budget
+    "q_data_recipe"    -> ((s, d) => CorpusOps.dataRecipe(s, d)),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -2172,5 +2176,19 @@ object SparkEntry {
         "SELECT d2.lang, coalesce(b.plang, ml.min_lang) AS lang_pred, COUNT(*) AS n_docs " +
         "FROM documents d2 LEFT JOIN best b USING (doc_id) CROSS JOIN ml " +
         "GROUP BY 1, 2 ORDER BY lang, lang_pred"),
+    // sampling plan for a 2x token budget under tau=0.7 tempered shares;
+    // expression order mirrors the Spark side exactly (floor/compare on
+    // the same raw doubles)
+    "q_data_recipe" ->
+      ("WITH c AS (SELECT source, CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_tokens FROM documents GROUP BY source), " +
+        "t AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tot_tokens, " +
+        "SUM(pow(CAST(n_tokens AS DOUBLE), 0.7)) AS tot_pow FROM c) " +
+        "SELECT source, n_tokens, " +
+        "CAST(round(CAST(pow(CAST(n_tokens AS DOUBLE), 0.7) / tot_pow AS DECIMAL(20,8)), 4) AS DOUBLE) AS temp_share, " +
+        "CAST(floor(2.0 * tot_tokens * (pow(CAST(n_tokens AS DOUBLE), 0.7) / tot_pow)) AS BIGINT) AS target_tokens, " +
+        "CAST(round(CAST(2.0 * tot_tokens * (pow(CAST(n_tokens AS DOUBLE), 0.7) / tot_pow) / n_tokens AS DECIMAL(20,8)), 4) AS DOUBLE) AS epochs, " +
+        "CAST(round(CAST(least(1.0, 2.0 * tot_tokens * (pow(CAST(n_tokens AS DOUBLE), 0.7) / tot_pow) / n_tokens) AS DECIMAL(20,8)), 4) AS DOUBLE) AS sample_rate, " +
+        "(2.0 * tot_tokens * (pow(CAST(n_tokens AS DOUBLE), 0.7) / tot_pow) / n_tokens > 4.0) AS over_repeated " +
+        "FROM c CROSS JOIN t ORDER BY source"),
   )
 }

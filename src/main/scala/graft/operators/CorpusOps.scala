@@ -1088,6 +1088,42 @@ object CorpusOps {
       .orderBy(col("source"))
   }
 
+  /** q_data_recipe: the acting counterpart of [[temperatureMix]] — turn
+    * the tempered target shares into an executable sampling plan for a
+    * total training-token budget of `budgetX` × the corpus. Per source:
+    * target_tokens = budget · temp_share, epochs = target_tokens /
+    * available (how many passes over that source the plan implies), and
+    * sample_rate = min(1, epochs) (the per-doc keep probability when the
+    * source must be DOWN-sampled; epochs > 1 means up-sampling /
+    * repetition, the quantity the data-repetition literature tracks —
+    * repeated epochs decay in value, so the report also flags
+    * upsampled > 4 epochs as `over_repeated`). Same single-aggregation
+    * shape as temperatureMix: one groupBy(source) + a broadcast totals
+    * row; |sources| output rows at any corpus size. */
+  def dataRecipe(spark: SparkSession, dir: String, tau: Double = 0.7,
+      budgetX: Double = 2.0): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), size(tokens(col("text"))).as("n_toks"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_toks")).cast("bigint").as("n_tokens"))
+    val totals = counts.agg(
+      sum(col("n_tokens")).cast("double").as("tot_tokens"),
+      sum(pow(col("n_tokens").cast("double"), tau)).as("tot_pow"))
+    val tempShare = pow(col("n_tokens").cast("double"), tau) / col("tot_pow")
+    val targetToks = lit(budgetX) * col("tot_tokens") * tempShare
+    val epochs = targetToks / col("n_tokens")
+    counts.crossJoin(broadcast(totals))
+      .select(
+        col("source"), col("n_tokens"),
+        stableRound4(tempShare).as("temp_share"),
+        floor(targetToks).cast("bigint").as("target_tokens"),
+        stableRound4(epochs).as("epochs"),
+        stableRound4(least(lit(1.0), epochs)).as("sample_rate"),
+        (epochs > 4.0).as("over_repeated"))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic train/val/test split report: md5(doc_id) prefix buckets
     * the corpus ~80/10/10 (hex prefix < "cc" = 204/256 → train, < "e6" =
     * 230/256 → val, else test), reported per (split, lang) with each

@@ -563,6 +563,41 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got(2L) == ((7L, 6L, "tail2")))
   }
 
+  test("dataRecipe matches a hand-rolled tempered sampling plan") {
+    import spark.implicits._
+    // source a: 12 tokens, source b: 3 tokens; tau=0.7, budget = 2x corpus
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6", "a"), (2L, "t1 t2 t3 t4 t5 t6", "a"),
+      (3L, "u1 u2 u3", "b"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("recipe").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val tot = 15.0
+    val pw = Map("a" -> math.pow(12.0, 0.7), "b" -> math.pow(3.0, 0.7))
+    val totPow = pw.values.sum
+    val out = CorpusOps.dataRecipe(spark, tmp).collect()
+      .map(r => r.getString(0) -> r).toMap
+    for ((src, n) <- Seq(("a", 12L), ("b", 3L))) {
+      val share = pw(src) / totPow
+      val target = 2.0 * tot * share
+      val epochs = target / n
+      val row = out(src)
+      assert(row.getLong(1) == n)
+      assert(row.getDouble(2) == r4(share), s"$src temp_share")
+      assert(row.getLong(3) == math.floor(target).toLong, s"$src target")
+      assert(row.getDouble(4) == r4(epochs), s"$src epochs")
+      assert(row.getDouble(5) == r4(math.min(1.0, epochs)), s"$src rate")
+      assert(row.getBoolean(6) == (epochs > 4.0), s"$src over_repeated")
+    }
+    // at a 2x budget every source averages 2 epochs; tempering must push
+    // the big source BELOW 2 and the small one ABOVE 2 (the tau<1 boost)
+    assert(out("a").getDouble(4) < 2.0 && out("b").getDouble(4) > 2.0)
+  }
+
   test("splitLeakage counts eval docs sharing >=3 shingles with train") {
     import spark.implicits._
     // recompute the operator's hash-split rule to pick ids per split
