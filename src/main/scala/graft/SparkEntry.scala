@@ -289,6 +289,9 @@ object SparkEntry {
     // (target tokens, epochs, sample rate, over-repetition flag) for a
     // 2x-corpus token budget
     "q_data_recipe"    -> ((s, d) => CorpusOps.dataRecipe(s, d)),
+    // data-valuation twin of q_dup_span_frac: per-doc fraction of 5-grams
+    // first contributed by that doc (min-doc_id ownership)
+    "q_gram_novelty"   -> ((s, d) => CorpusOps.gramNovelty(s, d)),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -2190,5 +2193,18 @@ object SparkEntry {
         "CAST(round(CAST(least(1.0, 2.0 * tot_tokens * (pow(CAST(n_tokens AS DOUBLE), 0.7) / tot_pow) / n_tokens) AS DECIMAL(20,8)), 4) AS DOUBLE) AS sample_rate, " +
         "(2.0 * tot_tokens * (pow(CAST(n_tokens AS DOUBLE), 0.7) / tot_pow) / n_tokens > 4.0) AS over_repeated " +
         "FROM c CROSS JOIN t ORDER BY source"),
+    // per-doc novel-5-gram fraction (first occurrence = min doc_id)
+    "q_gram_novelty" ->
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 3, 1)), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS sh FROM t), " +
+        "x AS (SELECT doc_id, unnest(sh) AS shingle FROM s), " +
+        "f AS (SELECT shingle, MIN(doc_id) AS fd FROM x GROUP BY shingle), " +
+        "p AS (SELECT doc_id, COUNT(*) AS n_grams, " +
+        "CAST(SUM(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel " +
+        "FROM x JOIN f USING (shingle) GROUP BY doc_id) " +
+        "SELECT d.doc_id, COALESCE(n_grams, 0) AS n_grams, COALESCE(n_novel, 0) AS n_novel, " +
+        "CAST(round(CAST(COALESCE(CAST(n_novel AS DOUBLE) / n_grams, 0.0) AS DECIMAL(20,8)), 4) AS DOUBLE) AS novelty_frac " +
+        "FROM documents d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id"),
   )
 }

@@ -35,9 +35,10 @@ object Verify {
       catch { case e1: Throwable =>
         System.err.println(s"[verify] retrying $name after: ${e1.getMessage}")
         // a session-cached localCheckpoint whose blocks were lost is
-        // unrecoverable by recomputation of the SAME frame — drop the
-        // cache so the retry rebuilds from the parquet scan
+        // unrecoverable by recomputation of the SAME frame — drop every
+        // shared cache so the retry rebuilds from the parquet scan
         graft.operators.GraphOps.clearCache()
+        graft.operators.DedupOps.clearCache()
         try attempt()
         catch { case e2: Throwable =>
           System.err.println(s"[verify] $name failed: ${e2.getMessage}")

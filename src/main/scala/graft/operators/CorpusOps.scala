@@ -1088,6 +1088,43 @@ object CorpusOps {
       .orderBy(col("source"))
   }
 
+  /** q_gram_novelty: each document's marginal novelty contribution — the
+    * fraction of its distinct word 5-grams whose FIRST corpus occurrence
+    * (by doc_id order) is this document. The data-valuation twin of
+    * [[dupSpanFracDocs]]: dup_frac asks "how much of this doc exists
+    * elsewhere", novelty asks "how much did this doc add when it
+    * arrived" — the signal curriculum/selection pipelines use to rank
+    * ingestion order and prune low-contribution sources. Deterministic
+    * because "first" is min(doc_id), not arrival time.
+    *
+    * Same scale shape as the span audit: one materialized exploded
+    * shingle table (hashed to 8-byte keys), a min-per-gram aggregation
+    * instead of a df count, one shuffle_hash join back, per-doc rollup.
+    * Everything partial-aggregates; no doc×doc work. */
+  def gramNovelty(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val docs = Tables.documents(spark, dir)
+    val sh = Materialize(
+      docs
+        .select(col("doc_id"),
+          explode(shingles(tokensLower(col("text")), n)).as("shingle"))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("shingle")))
+    val first = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("fd"))
+    val per = sh.hint("shuffle_hash").join(first, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        stableRound4(coalesce(col("n_novel") / col("n_grams"), lit(0.0)))
+          .as("novelty_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q_data_recipe: the acting counterpart of [[temperatureMix]] — turn
     * the tempered target shares into an executable sampling plan for a
     * total training-token budget of `budgetX` × the corpus. Per source:
@@ -1159,12 +1196,9 @@ object CorpusOps {
     val splitCol =
       when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test")
     val withSplit = Tables.documents(spark, dir).withColumn("split", splitCol)
-    val ex = Materialize(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"),
-          explode(shingles(tokensLower(col("text")))).as("shingle"))
-        .select(col("doc_id"), xxhash64(col("shingle")).as("shingle")))
-    val surv = DedupOps.capHeavyShingles(ex, dfCap)
+    // same (dir, dfCap) survivor table as the capped Jaccard/containment
+    // queries — served from DedupOps' session-shared cache, built once
+    val surv = DedupOps.cappedSurvivorsShared(spark, dir, dfCap)
       .withColumn("split", splitCol)
     val train = surv.filter(col("split") === "train")
       .select(col("doc_id").as("train_id"), col("shingle"))

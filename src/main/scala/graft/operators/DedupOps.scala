@@ -199,23 +199,61 @@ object DedupOps {
     * above, which saved nothing because unique shingles already join to
     * nothing — the UPPER bound removes real quadratic work.) */
   def ngramJaccardTopPairsCapped(docs: DataFrame, k: Int = 20,
-      dfCap: Int = 16): DataFrame = {
+      dfCap: Int = 16): DataFrame =
+    jaccardFromSurvivors(cappedSurvivors(docs, dfCap), k)
+
+  /** The shared candidate build of the capped shingle family: exploded
+    * hashed 3-gram shingles with the df≤`dfCap` cap applied.
+    *
+    * Shingles are distinct within a doc, so COUNT(*) per shingle is its
+    * document frequency. The cap is applied as a broadcast ANTI-join
+    * against the HEAVY set (df > cap), not an equality join against the
+    * rare set: heavy shingles are by construction the few shared
+    * boilerplate grams (the df histogram's tail above the cap), so the
+    * exploded fact table is filtered with a broadcast probe instead of
+    * being shuffled a second time against a rare-set as large as itself.
+    * At 100 TB the heavy set stays bounded by distinct-boilerplate volume,
+    * not corpus size; if it outgrows the broadcast row budget,
+    * capHeavyShingles automatically degrades to a shuffled anti-join. */
+  private def cappedSurvivors(docs: DataFrame, dfCap: Int): DataFrame = {
     val ex = Materialize(
       spread(docs)
         .select(col("doc_id"),
           explode(shingles(tokensLower(col("text")))).as("shingle"))
         .select(col("doc_id"), xxhash64(col("shingle")).as("shingle")))
-    // shingles are distinct within a doc, so COUNT(*) per shingle is its
-    // document frequency. The cap is applied as a broadcast ANTI-join
-    // against the HEAVY set (df > cap), not an equality join against the
-    // rare set: heavy shingles are by construction the few shared
-    // boilerplate grams (the df histogram's tail above the cap), so the
-    // exploded fact table is filtered with a broadcast probe instead of
-    // being shuffled a second time against a rare-set as large as itself.
-    // At 100 TB the heavy set stays bounded by distinct-boilerplate volume,
-    // not corpus size; if it outgrows the broadcast row budget,
-    // capHeavyShingles automatically degrades to a shuffled anti-join.
-    val surv = Materialize(capHeavyShingles(ex, dfCap))
+    Materialize(capHeavyShingles(ex, dfCap))
+  }
+
+  // session-scoped survivor cache: three declared queries (capped Jaccard,
+  // containment, split leakage) consume the IDENTICAL capped shingle table
+  // for a given (dir, dfCap) — build it once per session, like
+  // GraphOps.basketsShared. Same get/putIfAbsent shape (no computeIfAbsent:
+  // nothing nests here today, but the map must stay safe if it ever does).
+  private val sharedCapped =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, Int), DataFrame]()
+
+  private[graft] def cappedSurvivorsShared(spark: SparkSession, dir: String,
+      dfCap: Int = 16): DataFrame = {
+    val key = (spark, dir, dfCap)
+    val cur = sharedCapped.get(key)
+    if (cur != null) cur
+    else {
+      val built = cappedSurvivors(Tables.documents(spark, dir), dfCap)
+      val prev = sharedCapped.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
+
+  /** Drop the shared survivor cache — same contract as
+    * [[GraphOps.clearCache]]: a lost `localCheckpoint` block makes every
+    * cached consumer fail together, so retry harnesses must clear before
+    * the second attempt. */
+  def clearCache(): Unit = sharedCapped.clear()
+
+  /** Pair candidates + set sizes from a (doc_id, shingle) survivor table:
+    * one shuffle_hash self-join with map-side pair aggregation. */
+  private def pairStats(surv: DataFrame): DataFrame = {
     val perDoc = surv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val sx = surv.join(perDoc, "doc_id")
     sx.as("a").hint("shuffle_hash")
@@ -225,12 +263,23 @@ object DedupOps {
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("shared"),
         max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
+  }
+
+  private def jaccardFromSurvivors(surv: DataFrame, k: Int): DataFrame =
+    pairStats(surv)
       .select(col("da"), col("db"),
         round(col("shared").cast("double")
           / (col("na") + col("nb") - col("shared")), 4).as("jaccard"))
       .orderBy(col("jaccard").desc, col("da"), col("db"))
       .limit(k)
-  }
+
+  private def containmentFromSurvivors(surv: DataFrame, k: Int): DataFrame =
+    pairStats(surv)
+      .select(col("da"), col("db"), col("shared"),
+        round(col("shared").cast("double")
+          / least(col("na"), col("nb")), 4).as("containment"))
+      .orderBy(col("containment").desc, col("da"), col("db"))
+      .limit(k)
 
   /** q_ngram_containment: shingle CONTAINMENT top pairs — the asymmetric
     * companion to Jaccard. C(A,B) = |A∩B| / min(|A|,|B|) scores how fully
@@ -246,31 +295,12 @@ object DedupOps {
     * posture is the capped one (SCALE.md e≈0.55), not the uncapped
     * quadratic. Only the final scoring differs. */
   def ngramContainmentTopPairs(docs: DataFrame, k: Int = 20,
-      dfCap: Int = 16): DataFrame = {
-    val ex = Materialize(
-      spread(docs)
-        .select(col("doc_id"),
-          explode(shingles(tokensLower(col("text")))).as("shingle"))
-        .select(col("doc_id"), xxhash64(col("shingle")).as("shingle")))
-    val surv = Materialize(capHeavyShingles(ex, dfCap))
-    val perDoc = surv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val sx = surv.join(perDoc, "doc_id")
-    sx.as("a").hint("shuffle_hash")
-      .join(sx.as("b"),
-        col("a.shingle") === col("b.shingle")
-          && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("shared"),
-        max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
-      .select(col("da"), col("db"), col("shared"),
-        round(col("shared").cast("double")
-          / least(col("na"), col("nb")), 4).as("containment"))
-      .orderBy(col("containment").desc, col("da"), col("db"))
-      .limit(k)
-  }
+      dfCap: Int = 16): DataFrame =
+    containmentFromSurvivors(cappedSurvivors(docs, dfCap), k)
 
+  /** Declared-query wrapper on the session-shared survivor cache. */
   def dedupContainment(spark: SparkSession, dir: String): DataFrame =
-    ngramContainmentTopPairs(Tables.documents(spark, dir))
+    containmentFromSurvivors(cappedSurvivorsShared(spark, dir), 20)
 
   /** The df-cap step of [[ngramJaccardTopPairsCapped]], exposed for the
     * plan audit: drop rows whose shingle has document frequency > `dfCap`
@@ -292,8 +322,9 @@ object DedupOps {
     ex.join(probe, Seq("shingle"), "left_anti")
   }
 
+  /** Declared-query wrapper on the session-shared survivor cache. */
   def dedupNgramCapped(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccardTopPairsCapped(Tables.documents(spark, dir))
+    jaccardFromSurvivors(cappedSurvivorsShared(spark, dir), 20)
 
   /** Quality-aware exact dedup: group documents by whitespace-normalized
     * md5 fingerprint and keep the HIGHEST-quality copy (ties → lowest

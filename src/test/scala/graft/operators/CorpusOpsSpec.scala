@@ -563,6 +563,28 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got(2L) == ((7L, 6L, "tail2")))
   }
 
+  test("gramNovelty assigns first-occurrence ownership by min doc_id") {
+    import spark.implicits._
+    // doc1 owns both its 5-grams; doc2 repeats doc1 (novelty 0); doc3
+    // shares one gram with doc1 and owns one (novelty 0.5); doc4 is too
+    // short for a 5-gram (0 grams, novelty 0.0)
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"),
+      (3L, "a b c d e z"), (4L, "x y"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("novel").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+    val out = CorpusOps.gramNovelty(spark, tmp).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 2L, 1.0)), s"got ${out(1L)}")
+    assert(out(2L) == ((2L, 0L, 0.0)), s"got ${out(2L)}")
+    assert(out(3L) == ((2L, 1L, 0.5)), s"got ${out(3L)}")
+    assert(out(4L) == ((0L, 0L, 0.0)), s"got ${out(4L)}")
+  }
+
   test("dataRecipe matches a hand-rolled tempered sampling plan") {
     import spark.implicits._
     // source a: 12 tokens, source b: 3 tokens; tau=0.7, budget = 2x corpus
