@@ -53,8 +53,11 @@ object ScaleSpot {
     "q_dedup_embed_rep", "q_semdedup",
     "q_sessionize", "q_session_window", "q_event_paths", "q_markov",
     // round-7 additions: the two new df-capped shingle joins (same risk
-    // family as q_dedup_ngram_capped) and the one-scan PCA moment pass
-    "q_ngram_containment", "q_split_leakage", "q_embed_pca")
+    // family as q_dedup_ngram_capped), the one-scan PCA moment pass, the
+    // min-ownership novelty join, and the trigram-profile classifier
+    // (char-level explode is ~6x the token explode's row count)
+    "q_ngram_containment", "q_split_leakage", "q_embed_pca",
+    "q_gram_novelty", "q_lang_trigram")
   val Scales = Seq(10, 100)
 
   def outDir(copies: Int) = s"/tmp/graft_spot_${copies}x"
