@@ -292,6 +292,9 @@ object SparkEntry {
     // data-valuation twin of q_dup_span_frac: per-doc fraction of 5-grams
     // first contributed by that doc (min-doc_id ownership)
     "q_gram_novelty"   -> ((s, d) => CorpusOps.gramNovelty(s, d)),
+    // cross-modal curation: embedding near-dup pairs whose captions
+    // DIVERGE (vec_id = doc_id as the media<->caption key stand-in)
+    "q_caption_dedup"  -> ((s, d) => MultimodalOps.captionDedup(s, d)),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -2206,5 +2209,24 @@ object SparkEntry {
         "SELECT d.doc_id, COALESCE(n_grams, 0) AS n_grams, COALESCE(n_novel, 0) AS n_novel, " +
         "CAST(round(CAST(COALESCE(CAST(n_novel AS DOUBLE) / n_grams, 0.0) AS DECIMAL(20,8)), 4) AS DOUBLE) AS novelty_frac " +
         "FROM documents d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id"),
+    // top-20 exact-cosine embed pairs (the q_dedup_embed CTE) joined to
+    // both captions' 3-gram shingle sets; set-Jaccard + mismatch flag
+    "q_caption_dedup" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e), " +
+        "p AS (SELECT a.vec_id AS va, b.vec_id AS vb, " +
+        "round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS cos_sim " +
+        "FROM n a JOIN n b ON a.vec_id < b.vec_id ORDER BY cos_sim DESC, va, vb LIMIT 20), " +
+        "t AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh " +
+        "FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents)), " +
+        "j AS (SELECT va, vb, cos_sim, " +
+        "CASE WHEN len(list_distinct(list_concat(ta.sh, tb.sh))) = 0 THEN 0.0 " +
+        "ELSE round(CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE) " +
+        "/ len(list_distinct(list_concat(ta.sh, tb.sh))), 4) END AS text_jaccard " +
+        "FROM p JOIN t ta ON p.va = ta.doc_id JOIN t tb ON p.vb = tb.doc_id) " +
+        "SELECT va, vb, cos_sim, text_jaccard, " +
+        "(cos_sim >= 0.3 AND text_jaccard < 0.5) AS caption_mismatch " +
+        "FROM j ORDER BY cos_sim DESC, va, vb"),
   )
 }

@@ -267,4 +267,39 @@ object MultimodalOps {
         md5(col("payload")).as("payload_hash"))
       .orderBy(col("doc_id"))
   }
+
+  /** q_caption_dedup: cross-modal curation — find item pairs whose
+    * EMBEDDINGS near-duplicate while their TEXTS do not: the "same image,
+    * different caption" (or paraphrase) inventory an image-text or
+    * instruction corpus mines for caption consolidation, and the
+    * complement of what shingle dedup can see. `vec_id = doc_id` is the
+    * container's stand-in for the media↔caption key a real pipeline
+    * carries.
+    *
+    * Shape: the top-k exact cosine pairs come from
+    * [[DedupOps.embeddingTopPairs]] (blocked distributed pass; the LSH
+    * path is the declared scale sibling there), then ONE broadcast-sized
+    * join back to `documents` per side fetches the two shingle sets, and
+    * the text-side Jaccard is computed per pair with codegen'd
+    * array_intersect/array_union — k rows of narrow work, no text×text
+    * join anywhere. */
+  def captionDedup(spark: SparkSession, dir: String, k: Int = 20)
+      : DataFrame = {
+    import graft.functions.TextFunctions.{shingles, tokensLower}
+    val pairs = DedupOps.embeddingTopPairs(Tables.embeddings(spark, dir), k)
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        shingles(tokensLower(col("text"))).as("sh"))
+    val inter = size(array_intersect(col("a.sh"), col("b.sh")))
+    val uni = size(array_union(col("a.sh"), col("b.sh")))
+    pairs
+      .join(sh.as("a"), col("va") === col("a.doc_id"))
+      .join(sh.as("b"), col("vb") === col("b.doc_id"))
+      .select(col("va"), col("vb"), col("cos_sim"),
+        round(when(uni === 0, 0.0)
+          .otherwise(inter.cast("double") / uni), 4).as("text_jaccard"))
+      .withColumn("caption_mismatch",
+        col("cos_sim") >= 0.3 && col("text_jaccard") < lit(0.5))
+      .orderBy(col("cos_sim").desc, col("va"), col("vb"))
+  }
 }

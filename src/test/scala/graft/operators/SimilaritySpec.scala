@@ -190,6 +190,31 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == expect, s"got $got expect $expect")
   }
 
+  test("captionDedup flags same-embedding different-caption pairs only") {
+    import spark.implicits._
+    def v(i: Int): Array[Float] = {
+      val a = Array.fill(64)(0f); a(i) = 1f; a
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("capdd").toString
+    Seq((1L, v(0), 0), (2L, v(0), 0), (3L, v(1), 1), (4L, v(1), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$tmp/embeddings.parquet")
+    Seq((1L, "p q r s t"), (2L, "x y z w u"),       // same vec, diff text
+      (3L, "m n o p q"), (4L, "m n o p q"))          // same vec, same text
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$tmp/documents.parquet")
+    val out = graft.operators.MultimodalOps.captionDedup(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out((1L, 2L)) == ((1.0, 0.0, true)), s"got ${out((1L, 2L))}")
+    assert(out((3L, 4L)) == ((1.0, 1.0, false)), s"got ${out((3L, 4L))}")
+    // orthogonal cross pairs are below the cosine bar: never flagged
+    assert(out.forall { case (k, v) =>
+      k == (1L, 2L) || k == (3L, 4L) || !v._3 })
+  }
+
   test("jacobiEigenvalues matches the closed-form 2x2 spectrum") {
     val eig = SimilarityOps.jacobiEigenvalues(
       Array(Array(2.0, 1.0), Array(1.0, 2.0))).sorted(Ordering[Double].reverse)
