@@ -295,6 +295,9 @@ object SparkEntry {
     // cross-modal curation: embedding near-dup pairs whose captions
     // DIVERGE (vec_id = doc_id as the media<->caption key stand-in)
     "q_caption_dedup"  -> ((s, d) => MultimodalOps.captionDedup(s, d)),
+    // IVF index health: per-cell population, imbalance factor, empty
+    // cells (rows-only: k-means cells aren't SQL; IvfSpec pins totals)
+    "q_ivf_balance"    -> ((s, d) => IvfOps.ivfBalance(s, d)),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -310,7 +313,7 @@ object SparkEntry {
     * sketch never purges, which its declared 2^15 map guarantees at every
     * shipped SF — oracles against the plain token-frequency table.
     *
-    * Fifteen queries are deliberately rows-only (no entry here), each with a
+    * Sixteen queries are deliberately rows-only (no entry here), each with a
     * stronger ScalaTest invariant instead: q_dedup_minhash / q_dedup_simhash
     * / q_simhash_pairs depend on a hash family
     * (Murmur3/xxhash64 seeding) DuckDB cannot reproduce — DedupSpec pins
@@ -333,7 +336,9 @@ object SparkEntry {
     * q_frame_features exercises the stubbed decode path — its spec pins
     * shape and determinism; q_embed_pca eigendecomposes the covariance on
     * the driver (Jacobi, not SQL) — SimilaritySpec pins it to an exact
-    * small-case spectrum plus trace-conservation/ordering invariants. */
+    * small-case spectrum plus trace-conservation/ordering invariants;
+    * q_ivf_balance reports k-means cell health (not SQL) — IvfSpec pins
+    * partition totals, factor consistency, and determinism. */
   def oracleSql: Map[String, String] = Map(
     "q_scan_limit" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice LIMIT 100",

@@ -192,4 +192,31 @@ object IvfOps {
     val (centroids, assigned) = trainIndex(emb, k = 16, iters = 3)
     searchAssigned(emb.filter(col("vec_id") < 5), assigned, centroids)
   }
+
+  /** q_ivf_balance: index-health report for the IVF coarse quantizer —
+    * per-cell population, share, and the two numbers an ANN operator
+    * watches: the imbalance factor (max cell / mean cell; probe latency is
+    * bounded by the LARGEST cell scanned, so a factor of f means worst-case
+    * probes run f× the balanced cost) and empty-cell count (wasted
+    * centroids = lost recall per nprobe). One groupBy over the assignment
+    * scan plus a broadcast of the k-row totals; deterministic because the
+    * k-means in [[trainIndex]] is. */
+  def ivfBalance(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val emb = Materialize(Tables.embeddings(spark, dir))
+    val (_, assigned) = trainIndex(emb, k = k, iters = 3)
+    val cells = assigned.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val totals = cells.agg(
+      sum(col("n_vecs")).cast("double").as("n_total"),
+      max(col("n_vecs")).cast("double").as("n_max"),
+      count(lit(1)).cast("double").as("n_cells"))
+    cells.crossJoin(broadcast(totals))
+      .select(col("centroid_id"), col("n_vecs"),
+        stableRound4(col("n_vecs") / col("n_total")).as("share"),
+        stableRound4(col("n_max") / (col("n_total") / col("n_cells")))
+          .as("imbalance_factor"),
+        (lit(k.toLong) - col("n_cells").cast("long")).as("n_empty_cells"))
+      .orderBy(col("centroid_id"))
+  }
 }

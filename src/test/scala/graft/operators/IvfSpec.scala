@@ -74,4 +74,23 @@ class IvfSpec extends SparkTestBase {
     val hits = exact.keySet.count(ivf.contains)
     assert(hits >= 15, s"recall too low: $hits/50")
   }
+
+  test("ivfBalance cells partition the corpus; factors consistent") {
+    val n = graft.Tables.embeddings(spark, sf).count()
+    val rows = IvfOps.ivfBalance(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == n) // cells partition the vectors
+    assert(rows.length <= 16)
+    val nonEmpty = rows.length.toDouble
+    val maxCell = rows.map(_.getLong(1)).max.toDouble
+    val factor = BigDecimal(maxCell / (n / nonEmpty))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      assert(r.getDouble(3) == factor, s"imbalance ${r.getDouble(3)} != $factor")
+      assert(r.getLong(4) == 16L - rows.length)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+    // determinism: a second build yields the identical report
+    val again = IvfOps.ivfBalance(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
