@@ -502,6 +502,14 @@ object TextOps {
     val norm = regexp_replace(lower(col("text")), "\\s+", " ")
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), norm.as("s"))
+    // Two passes over the scan+explode, NOT a shared pre-aggregated
+    // materialization: the unigram-logprob rewrite (pre-agg to counts,
+    // checkpoint, fan out) was tried here and measured ~20% SLOWER
+    // (BenchOne sf0.1 min 4.10 s vs 3.39 s) — char trigrams repeat only
+    // ~1.7× within a doc, so the (doc, gram) groupBy shuffles nearly the
+    // whole exploded stream and the checkpoint write outweighs one extra
+    // codegen'd scan+explode. Don't re-apply that pattern without
+    // re-measuring.
     val grams = docs.filter(length(col("s")) >= 3)
       .select(col("doc_id"), col("lang"),
         explode(expr(
