@@ -43,6 +43,25 @@ object EventStreamOps {
   def hourlyWindowedCounts(events: DataFrame): DataFrame =
     windowedCounts(events.withWatermark("ts", "2 hours"))
 
+  /** Declarative session aggregation via the BUILT-IN `session_window`
+    * (gap-merged event-time sessions) — the preferred path when the
+    * per-session output is expressible as standard aggregates, versus
+    * [[sessionize]]'s `flatMapGroupsWithState` which exists for semantics
+    * aggregates can't express (emit-on-close with custom payload). Same
+    * session boundaries as the batch q_session_window
+    * (graft.operators.EventOps.sessionWindowAgg, the oracle-checked
+    * form); the 2-hour watermark closes sessions and bounds state. */
+  def sessionWindowCounts(events: DataFrame,
+      gap: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"),
+        org.apache.spark.sql.functions.session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("sess_start"),
+        col("n_events"), col("sum_value"))
+
   /** Stream-stream interval join: purchases within 30 minutes after a view
     * by the same user. Watermarks bound both join-state buffers (views held
     * 1h, purchases 2h) so state can't grow without bound on an unbounded

@@ -213,4 +213,28 @@ class EventStreamSpec extends SparkTestBase {
       .agg(sum("n_kept")).collect().head.getLong(0)
     assert(kept.length >= lagKept)
   }
+
+  test("streaming session_window counts equal the batch session aggregate") {
+    // the built-in declarative path: gap-merged sessions as a streaming
+    // aggregate must reproduce the batch q_session_window boundaries
+    val batch = Tables.events(spark, sf)
+    val expected = EventStreamOps.sessionWindowCounts(batch)
+      .orderBy("user_id", "sess_start").collect()
+    assert(expected.nonEmpty)
+
+    val schema = spark.read.parquet(s"$stagingDir/events").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$stagingDir/events")
+    val q = EventStreamOps.sessionWindowCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sess_win")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_win")
+      .orderBy("user_id", "sess_start").collect()
+    assert(got.sameElements(expected))
+  }
 }
