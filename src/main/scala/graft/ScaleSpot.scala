@@ -57,7 +57,10 @@ object ScaleSpot {
     // min-ownership novelty join, and the trigram-profile classifier
     // (char-level explode is ~6x the token explode's row count)
     "q_ngram_containment", "q_split_leakage", "q_embed_pca",
-    "q_gram_novelty", "q_lang_trigram")
+    "q_gram_novelty", "q_lang_trigram",
+    // blocked exact top-k pairs (contrast to the LSH scale path) and the
+    // k-means index-health report
+    "q_caption_dedup", "q_ivf_balance")
   val Scales = Seq(10, 100)
 
   def outDir(copies: Int) = s"/tmp/graft_spot_${copies}x"

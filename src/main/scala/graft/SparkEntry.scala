@@ -244,6 +244,7 @@ object SparkEntry {
     "q_link_predict"   -> ((s, d) => GraphOps.linkPredict(s, d)),
     "q_tpch_q3"        -> (JoinOps.tpchQ3 _),
     "q_tpch_q18"       -> ((s, d) => JoinOps.tpchQ18(s, d)),
+    "q_tpch_q10"       -> ((s, d) => JoinOps.tpchQ10(s, d)),
     "q_resize_meta"    -> (MultimodalOps.resizeMeta _),
     // rows-only: the fake frame encoder hashes bytes JVM-side (no SQL
     // counterpart); MultimodalSpec pins shape/determinism/range and the
@@ -293,8 +294,13 @@ object SparkEntry {
     // first contributed by that doc (min-doc_id ownership)
     "q_gram_novelty"   -> ((s, d) => CorpusOps.gramNovelty(s, d)),
     // cross-modal curation: embedding near-dup pairs whose captions
-    // DIVERGE (vec_id = doc_id as the media<->caption key stand-in)
+    // DIVERGE (vec_id = doc_id as the media<->caption key stand-in).
+    // CONTRAST BASELINE: the exact top-k cosine core is quadratic
+    // (SCALE.md e=1.63); q_caption_dedup_lsh below is the scale path.
     "q_caption_dedup"  -> ((s, d) => MultimodalOps.captionDedup(s, d)),
+    // PRIMARY scale form: same caption join on LSH sign-bucket candidate
+    // pairs (rows-only — bucket structure isn't SQL; spec-pinned subset)
+    "q_caption_dedup_lsh" -> ((s, d) => MultimodalOps.captionDedupLsh(s, d)),
     // IVF index health: per-cell population, imbalance factor, empty
     // cells (rows-only: k-means cells aren't SQL; IvfSpec pins totals)
     "q_ivf_balance"    -> ((s, d) => IvfOps.ivfBalance(s, d)),
@@ -313,7 +319,7 @@ object SparkEntry {
     * sketch never purges, which its declared 2^15 map guarantees at every
     * shipped SF — oracles against the plain token-frequency table.
     *
-    * Sixteen queries are deliberately rows-only (no entry here), each with a
+    * Seventeen queries are deliberately rows-only (no entry here), each with a
     * stronger ScalaTest invariant instead: q_dedup_minhash / q_dedup_simhash
     * / q_simhash_pairs depend on a hash family
     * (Murmur3/xxhash64 seeding) DuckDB cannot reproduce — DedupSpec pins
@@ -338,7 +344,9 @@ object SparkEntry {
     * the driver (Jacobi, not SQL) — SimilaritySpec pins it to an exact
     * small-case spectrum plus trace-conservation/ordering invariants;
     * q_ivf_balance reports k-means cell health (not SQL) — IvfSpec pins
-    * partition totals, factor consistency, and determinism. */
+    * partition totals, factor consistency, and determinism;
+    * q_caption_dedup_lsh rides the LSH bucket join — SimilaritySpec pins
+    * subset-of-exact agreement with q_caption_dedup. */
   def oracleSql: Map[String, String] = Map(
     "q_scan_limit" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice LIMIT 100",
@@ -1881,6 +1889,19 @@ object SparkEntry {
         "FROM big JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey " +
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+    // Q10 returned-item reporting over one quarter, adapted columns
+    "q_tpch_q10" ->
+      ("SELECT c_custkey, c_name, " +
+        "round(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue, " +
+        "round(c_acctbal, 4) AS c_acctbal, n_name " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE o_orderdate >= TIMESTAMP '1995-10-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND l_returnflag = 'R' " +
+        "GROUP BY c_custkey, c_name, c_acctbal, n_name " +
+        "ORDER BY revenue DESC, c_custkey LIMIT 20"),
     // fake resize: output byte i = input byte (i*len)//1024; ASCII corpus
     // makes the byte-picking reproducible as character substring picks
     "q_resize_meta" ->

@@ -271,4 +271,36 @@ object JoinOps {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(100)
   }
+
+  /** q_tpch_q10 (returned-item reporting, adapted to the synthetic
+    * schema's columns): revenue lost to returns per customer in one
+    * quarter. Plan shape at 100 TB: both date predicates and the
+    * returnflag filter push to the fact scans, the orders⋈lineitem join
+    * shuffles on the order key, the customer join shuffles on custkey
+    * (broadcast below the threshold via AQE), and nation broadcasts
+    * always. Top-20 plans as TakeOrderedAndProject, no global sort. */
+  def tpchQ10(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1995-10-01").cast("timestamp")
+    val hi = lit("1996-01-01").cast("timestamp")
+    val orders = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val returned = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    returned
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+        4).as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        round(col("c_acctbal"), 4).as("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
 }

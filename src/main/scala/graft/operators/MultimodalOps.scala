@@ -284,9 +284,29 @@ object MultimodalOps {
     * array_intersect/array_union — k rows of narrow work, no text×text
     * join anywhere. */
   def captionDedup(spark: SparkSession, dir: String, k: Int = 20)
-      : DataFrame = {
+      : DataFrame =
+    captionJoin(spark, dir,
+      DedupOps.embeddingTopPairs(Tables.embeddings(spark, dir), k))
+      .orderBy(col("cos_sim").desc, col("va"), col("vb"))
+
+  /** The scale sibling of [[captionDedup]] (the measured convention:
+    * q_caption_dedup's exact top-k core is the quadratic contrast
+    * baseline, SCALE.md e=1.63 at 100× vectors) — same caption join, but
+    * candidate pairs come from the LSH sign-bucket join, so only same-
+    * bucket pairs are ever scored and the plan scales with bucket
+    * populations, not |V|². Rows-only (bucket structure isn't SQL);
+    * SimilaritySpec pins subset-of-exact agreement. */
+  def captionDedupLsh(spark: SparkSession, dir: String,
+      threshold: Double = 0.25, numPlanes: Int = 6): DataFrame =
+    captionJoin(spark, dir,
+      DedupOps.embeddingNearDupLsh(
+        Tables.embeddings(spark, dir), threshold, numPlanes))
+      .orderBy(col("va"), col("vb"))
+
+  /** Caption shingle-Jaccard over any (va, vb, cos_sim) pair frame. */
+  private def captionJoin(spark: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame = {
     import graft.functions.TextFunctions.{shingles, tokensLower}
-    val pairs = DedupOps.embeddingTopPairs(Tables.embeddings(spark, dir), k)
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"),
         shingles(tokensLower(col("text"))).as("sh"))
@@ -300,6 +320,5 @@ object MultimodalOps {
           .otherwise(inter.cast("double") / uni), 4).as("text_jaccard"))
       .withColumn("caption_mismatch",
         col("cos_sim") >= 0.3 && col("text_jaccard") < lit(0.5))
-      .orderBy(col("cos_sim").desc, col("va"), col("vb"))
   }
 }

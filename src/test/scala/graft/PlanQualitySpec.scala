@@ -540,6 +540,16 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("tpchQ10: predicates push to both fact scans; nation broadcasts; ordered limit") {
+    val p = plan(JoinOps.tpchQ10(spark, sf))
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("IsNotNull(l_returnflag)")
+      || p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("ngramContainment: shuffled-hash pair join, top-k without global sort") {
     val pf = plan(DedupOps.dedupContainment(spark, sf))
     assert(pf.contains("ShuffledHashJoin"), pf)

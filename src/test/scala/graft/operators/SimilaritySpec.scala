@@ -213,6 +213,15 @@ class SimilaritySpec extends SparkTestBase {
     // orthogonal cross pairs are below the cosine bar: never flagged
     assert(out.forall { case (k, v) =>
       k == (1L, 2L) || k == (3L, 4L) || !v._3 })
+    // the LSH scale sibling: every pair it emits appears in the exact
+    // report with the identical scores and flag, and the two planted
+    // identical-vector pairs (same sign bucket by construction) are found
+    val lsh = graft.operators.MultimodalOps.captionDedupLsh(spark, tmp)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    lsh.foreach { case (k, v) => assert(out(k) == v, s"$k: $v vs ${out(k)}") }
+    assert(lsh.contains((1L, 2L)) && lsh.contains((3L, 4L)))
   }
 
   test("jacobiEigenvalues matches the closed-form 2x2 spectrum") {
