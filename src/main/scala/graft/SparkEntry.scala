@@ -304,6 +304,10 @@ object SparkEntry {
     // IVF index health: per-cell population, imbalance factor, empty
     // cells (rows-only: k-means cells aren't SQL; IvfSpec pins totals)
     "q_ivf_balance"    -> ((s, d) => IvfOps.ivfBalance(s, d)),
+    // out-of-order arrival audit (the watermark-sizing number)
+    "q_event_lag"      -> (EventOps.eventLag _),
+    // pairwise event-type audience Jaccard
+    "q_audience_overlap" -> (EventOps.audienceOverlap _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -1902,6 +1906,25 @@ object SparkEntry {
         "AND l_returnflag = 'R' " +
         "GROUP BY c_custkey, c_name, c_acctbal, n_name " +
         "ORDER BY revenue DESC, c_custkey LIMIT 20"),
+    // out-of-order-arrival audit: per-user consecutive pairs in event_id
+    // order whose event time goes backward
+    "q_event_lag" ->
+      ("WITH x AS (SELECT event_type, " +
+        "CASE WHEN ts < lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY event_id) THEN 1 ELSE 0 END AS inv, " +
+        "lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS pts FROM events) " +
+        "SELECT event_type, COUNT(*) AS n_pairs, CAST(SUM(inv) AS BIGINT) AS n_inversions, " +
+        "CAST(round(CAST(CAST(SUM(inv) AS DOUBLE) / COUNT(*) AS DECIMAL(20,8)), 4) AS DOUBLE) AS inversion_frac " +
+        "FROM x WHERE pts IS NOT NULL GROUP BY event_type ORDER BY event_type"),
+    // pairwise event-type audience Jaccard over distinct (type, user)
+    "q_audience_overlap" ->
+      ("WITH tu AS (SELECT DISTINCT event_type, user_id FROM events), " +
+        "s AS (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY 1), " +
+        "p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_shared " +
+        "FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type GROUP BY 1, 2) " +
+        "SELECT type_a, type_b, n_shared, " +
+        "CAST(round(CAST(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS DECIMAL(20,8)), 4) AS DOUBLE) AS jaccard " +
+        "FROM p JOIN s sa ON type_a = sa.event_type JOIN s sb ON type_b = sb.event_type " +
+        "ORDER BY type_a, type_b"),
     // fake resize: output byte i = input byte (i*len)//1024; ASCII corpus
     // makes the byte-picking reproducible as character substring picks
     "q_resize_meta" ->

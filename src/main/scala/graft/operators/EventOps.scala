@@ -654,4 +654,53 @@ object EventOps {
             "(acc, x) -> acc * 0.7 + x * 0.3)")).as("ema"))
       .orderBy(col("user_id"))
   }
+
+  /** q_event_lag: out-of-order-arrival audit — per event type, the
+    * fraction of per-user consecutive event pairs (in event_id order, the
+    * ingestion-order proxy) whose event time goes BACKWARD. The number
+    * that sizes streaming watermarks: a type with high inversion fraction
+    * needs a wider allowed-lateness window before its windowed aggregates
+    * are trustworthy.
+    *
+    * Scale shape: the lag window partitions by (user_id, event_type) —
+    * high-cardinality keys, so no single-partition window anywhere — and
+    * the rollup is one partial-aggregated groupBy(event_type). */
+  def eventLag(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        (col("ts") < lag(col("ts"), 1).over(w)).cast("int").as("inv"))
+      .filter(col("inv").isNotNull) // first event per (user, type) has no pair
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("inv")).cast("bigint").as("n_inversions"),
+        stableRound4(sum(col("inv")) / count(lit(1)))
+          .as("inversion_frac"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q_audience_overlap: pairwise event-type audience Jaccard — which
+    * event types are reaching the same users. One distinct pass over
+    * (type, user), a user-keyed self-join (bucket size = event types per
+    * user, bounded by the type vocabulary), and a |types|² rollup. */
+  def audienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val tu = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val sizes = tu.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    tu.as("a").join(tu.as("b"),
+        col("a.user_id") === col("b.user_id")
+          && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes).as("sa"), col("type_a") === col("sa.event_type"))
+      .join(broadcast(sizes).as("sb"), col("type_b") === col("sb.event_type"))
+      .select(col("type_a"), col("type_b"), col("n_shared"),
+        stableRound4(col("n_shared").cast("double")
+          / (col("sa.n") + col("sb.n") - col("n_shared"))).as("jaccard"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
 }

@@ -561,4 +561,47 @@ class Round3OpsSpec extends SparkTestBase {
     val weighted = rows.map(r => r.getLong(1) * r.getDouble(3)).sum
     assert(math.abs(weighted - n.sum) / n.sum < 1e-3)
   }
+
+  test("eventLag counts exactly the backward-time consecutive pairs") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lag").toString
+    // user 1 "click": ids 1,2,3 with times 10,30,20 -> pairs (1,2) ok,
+    // (2,3) INVERTED; user 2 "click": ids 4,5 in order -> 0 of 1;
+    // "view": single event -> no pairs, absent from output
+    Seq(
+      (1L, 1L, "click", 10L), (2L, 1L, "click", 30L), (3L, 1L, "click", 20L),
+      (4L, 2L, "click", 40L), (5L, 2L, "click", 50L),
+      (6L, 3L, "view", 60L))
+      .toDF("event_id", "user_id", "event_type", "us")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(col("us") * 1000000L).as("ts"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = EventOps.eventLag(spark, tmp).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("click") == ((3L, 1L, 0.3333)), s"got ${out.get("click")}")
+    assert(!out.contains("view"))
+  }
+
+  test("audienceOverlap matches hand-computed user-set Jaccard") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-aud").toString
+    // click users {1,2,3}, view users {2,3}, buy users {9}
+    // click-view: shared 2, jaccard 2/3; *-buy: no shared users -> absent
+    Seq(
+      (1L, 1L, "click"), (2L, 2L, "click"), (3L, 3L, "click"),
+      (4L, 2L, "click"), // duplicate (user, type) must not double-count
+      (5L, 2L, "view"), (6L, 3L, "view"),
+      (7L, 9L, "buy"))
+      .toDF("event_id", "user_id", "event_type")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(col("event_id") * 1000000L).as("ts"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = EventOps.audienceOverlap(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(("click", "view") -> ((2L, 0.6667))), s"got $out")
+  }
 }
