@@ -29,6 +29,25 @@ def main(sf_dir: str, out_dir: str) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
+    # surface Verify's explicit failure markers FIRST: pyarrow silently
+    # ignores underscore-prefixed files, so without this check a query
+    # whose run failed twice (dir contains only _FAILED) would surface as
+    # "output unreadable" for oracle queries but pass unnoticed for
+    # rows-only queries
+    import os
+    for name in sorted(os.listdir(out_dir)):
+        marker = os.path.join(out_dir, name, "_FAILED")
+        if os.path.isdir(os.path.join(out_dir, name)) and os.path.exists(marker):
+            print(f"FAIL {name}: Verify recorded failure: "
+                  f"{open(marker).read().strip()}")
+            failures += 1
+    try:
+        errs = json.load(open(f"{out_dir}/errors.json"))
+        for name, msg in sorted(errs.items()):
+            print(f"FAIL {name}: errors.json: {msg}")
+    except FileNotFoundError:
+        print("WARN: errors.json missing - Verify died before finishing")
+        failures += 1
     for name, sql in sorted(oracle.items()):
         try:
             # pandas/pyarrow read (NOT duckdb): parquet DECIMAL columns

@@ -60,7 +60,9 @@ object ScaleSpot {
     "q_gram_novelty", "q_lang_trigram",
     // blocked exact top-k pairs (contrast to the LSH scale path) and the
     // k-means index-health report
-    "q_caption_dedup", "q_ivf_balance")
+    "q_caption_dedup", "q_ivf_balance",
+    // event-stream audits: per-user lag window + user-keyed audience join
+    "q_event_lag", "q_audience_overlap")
   val Scales = Seq(10, 100)
 
   def outDir(copies: Int) = s"/tmp/graft_spot_${copies}x"
@@ -130,6 +132,22 @@ object ScaleSpot {
       }
     }
     def snapshot: (Long, Long) = (mem.get(), disk.get())
+
+    /** Listener events are delivered asynchronously after a job returns;
+      * reading the counters immediately would misattribute late TaskEnd
+      * events to the next measurement. Poll until the counters are stable
+      * for two consecutive 100 ms ticks (bounded at 2 s). */
+    def quiesce(): (Long, Long) = {
+      var prev = snapshot
+      var stable = 0
+      var waited = 0
+      while (stable < 2 && waited < 2000) {
+        Thread.sleep(100); waited += 100
+        val cur = snapshot
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+      prev
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -194,18 +212,24 @@ object ScaleSpot {
     }
 
     println("\n== timings (run1 = cold incl. shared-build, run2 = warm) ==")
-    val results = for (c <- Scales; name <- selected) yield {
-      val fn = SparkEntry.queries(name)
-      val (t1, n1) = timed(fn(spark, outDir(c)).count())
-      val (m0, d0) = spill.snapshot
-      val (t2, n2) = timed(fn(spark, outDir(c)).count())
-      val (m1, d1) = spill.snapshot
-      require(n1 == n2, s"$name nondeterministic row count at ${c}x: $n1 vs $n2")
-      val spillNote =
-        if (m1 - m0 == 0 && d1 - d0 == 0) "no spill"
-        else f"spill mem ${(m1 - m0) / 1e9}%.1f GB disk ${(d1 - d0) / 1e9}%.1f GB"
-      println(f"${c}%3dx $name%-16s run1 $t1%8.2f s  run2 $t2%8.2f s  ($n1%7d rows, warm: $spillNote)")
-      ((c, name), (t1, t2))
+    val results = Scales.flatMap { c =>
+      // release the previous scale's session-cached localCheckpoint
+      // blocks (shared shingle survivors, graph edge tables) so the next
+      // scale is not measured under pinned storage from the last one
+      graft.operators.SessionCache.clearAll()
+      selected.map { name =>
+        val fn = SparkEntry.queries(name)
+        val (t1, n1) = timed(fn(spark, outDir(c)).count())
+        val (m0, d0) = spill.quiesce()
+        val (t2, n2) = timed(fn(spark, outDir(c)).count())
+        val (m1, d1) = spill.quiesce()
+        require(n1 == n2, s"$name nondeterministic row count at ${c}x: $n1 vs $n2")
+        val spillNote =
+          if (m1 - m0 == 0 && d1 - d0 == 0) "no spill"
+          else f"spill mem ${(m1 - m0) / 1e9}%.1f GB disk ${(d1 - d0) / 1e9}%.1f GB"
+        println(f"${c}%3dx $name%-16s run1 $t1%8.2f s  run2 $t2%8.2f s  ($n1%7d rows, warm: $spillNote)")
+        ((c, name), (t1, t2))
+      }
     }
     val byKey = results.toMap
 

@@ -31,20 +31,32 @@ object Verify {
       // the recomputation is deterministic anyway
       def attempt(): Unit = fn(spark, sfDir).coalesce(1).write
         .mode("overwrite").parquet(s"$outDir/$name")
+      // a query can fail BEFORE its write overwrites anything (eager
+      // Materialize/head() in the builder), so stale output from a prior
+      // run in a reused outDir would read as a green row for a failed
+      // query — delete first, then a failure leaves only the marker
+      def rmTree(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+        f.delete()
+      }
+      def wipe(): Unit = rmTree(new java.io.File(s"$outDir/$name"))
+      wipe()
       try attempt()
       catch { case e1: Throwable =>
         System.err.println(s"[verify] retrying $name after: ${e1.getMessage}")
         // a session-cached localCheckpoint whose blocks were lost is
-        // unrecoverable by recomputation of the SAME frame — drop every
-        // shared cache so the retry rebuilds from the parquet scan
-        graft.operators.GraphOps.clearCache()
-        graft.operators.DedupOps.clearCache()
+        // unrecoverable by recomputation of the SAME frame — drop EVERY
+        // registered operator cache so the retry rebuilds from the
+        // parquet scan (clearAll covers caches added later too)
+        graft.operators.SessionCache.clearAll()
+        wipe()
         try attempt()
         catch { case e2: Throwable =>
           System.err.println(s"[verify] $name failed: ${e2.getMessage}")
           failed(name) = Option(e2.getMessage).getOrElse(e2.getClass.getName)
           // explicit on-disk failure marker: the driver must see a RED row,
           // never an absent one (round-6 lost the graph family silently)
+          wipe()
           val d = new java.io.File(s"$outDir/$name")
           d.mkdirs()
           Files.writeString(Paths.get(s"$outDir/$name/_FAILED"),

@@ -227,28 +227,20 @@ object DedupOps {
   // session-scoped survivor cache: three declared queries (capped Jaccard,
   // containment, split leakage) consume the IDENTICAL capped shingle table
   // for a given (dir, dfCap) — build it once per session, like
-  // GraphOps.basketsShared. Same get/putIfAbsent shape (no computeIfAbsent:
-  // nothing nests here today, but the map must stay safe if it ever does).
+  // GraphOps.basketsShared. Per-query bench times are therefore
+  // first-payer-attributed (the first consumer pays the build), the same
+  // established contract as the graph family.
   private val sharedCapped =
-    new java.util.concurrent.ConcurrentHashMap[
-      (SparkSession, String, Int), DataFrame]()
+    new SessionCache[(SparkSession, String, Int)]()
 
   private[graft] def cappedSurvivorsShared(spark: SparkSession, dir: String,
-      dfCap: Int = 16): DataFrame = {
-    val key = (spark, dir, dfCap)
-    val cur = sharedCapped.get(key)
-    if (cur != null) cur
-    else {
-      val built = cappedSurvivors(Tables.documents(spark, dir), dfCap)
-      val prev = sharedCapped.putIfAbsent(key, built)
-      if (prev != null) prev else built
-    }
-  }
+      dfCap: Int = 16): DataFrame =
+    sharedCapped.getOrBuild((spark, dir, dfCap))(
+      cappedSurvivors(Tables.documents(spark, dir), dfCap))
 
-  /** Drop the shared survivor cache — same contract as
-    * [[GraphOps.clearCache]]: a lost `localCheckpoint` block makes every
-    * cached consumer fail together, so retry harnesses must clear before
-    * the second attempt. */
+  /** Drop the shared survivor cache — same lost-localCheckpoint retry
+    * contract as [[GraphOps.clearCache]]; [[SessionCache.clearAll]]
+    * covers both. */
   def clearCache(): Unit = sharedCapped.clear()
 
   /** Pair candidates + set sizes from a (doc_id, shingle) survivor table:

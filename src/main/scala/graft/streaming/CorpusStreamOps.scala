@@ -63,7 +63,11 @@ object CorpusStreamOps {
     * future near-dups go unflagged — every such uncached signature is
     * counted in the `graft.neardup.dropped_signatures` accumulator
     * (visible in the Spark UI / `sparkContext` metrics), so recall loss
-    * from bucket saturation is a number, not a silent behavior.
+    * from bucket saturation is observable instead of silent. Accumulator
+    * caveat: inside a stateful operator Spark guarantees only
+    * at-least-once accounting — task retries and micro-batch
+    * re-executions re-add their partition's drops — so treat the counter
+    * as an upper bound / saturation alarm, not an exact count.
     *
     * Determinism: micro-batch rows are processed in doc_id order and match
     * against the lowest-id qualifying signature, so replays emit identical
