@@ -245,6 +245,10 @@ object SparkEntry {
     "q_tpch_q3"        -> (JoinOps.tpchQ3 _),
     "q_tpch_q18"       -> ((s, d) => JoinOps.tpchQ18(s, d)),
     "q_tpch_q10"       -> ((s, d) => JoinOps.tpchQ10(s, d)),
+    "q_tpch_q6"        -> (JoinOps.tpchQ6 _),
+    "q_tpch_q14"       -> (JoinOps.tpchQ14 _),
+    "q_tpch_q22"       -> ((s, d) => JoinOps.tpchQ22(s, d)),
+    "q_theta_audience" -> ((s, d) => SketchOps.thetaAudience(s, d)),
     "q_resize_meta"    -> (MultimodalOps.resizeMeta _),
     // rows-only: the fake frame encoder hashes bytes JVM-side (no SQL
     // counterpart); MultimodalSpec pins shape/determinism/range and the
@@ -1906,6 +1910,51 @@ object SparkEntry {
         "AND l_returnflag = 'R' " +
         "GROUP BY c_custkey, c_name, c_acctbal, n_name " +
         "ORDER BY revenue DESC, c_custkey LIMIT 20"),
+    // Q6 forecasting-revenue-change: pure pushed-predicate scan aggregate
+    "q_tpch_q6" ->
+      ("SELECT round(SUM(l_extendedprice * l_discount), 4) AS revenue, " +
+        "COUNT(*) AS n_items FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
+    // Q14 promotion effect: conditional-aggregate revenue share
+    "q_tpch_q14" ->
+      ("SELECT " +
+        "round(SUM(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 4) AS promo_revenue, " +
+        "round(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue, " +
+        "round(SUM(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 100.0 " +
+        "/ SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'"),
+    // Q22 dormant prospects: above-average positive balance, no order
+    // since the cutoff
+    "q_tpch_q22" ->
+      ("WITH t AS (SELECT AVG(c_acctbal) AS threshold FROM customer " +
+        "WHERE c_acctbal > 0) " +
+        "SELECT c_nationkey, COUNT(*) AS n_custs, " +
+        "round(SUM(c_acctbal), 4) AS total_acctbal " +
+        "FROM customer, t WHERE c_acctbal > t.threshold " +
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00') " +
+        "GROUP BY c_nationkey ORDER BY c_nationkey"),
+    // theta sketches stay in the no-purge (exact) regime on the fixture,
+    // so every estimate equals the exact pairwise distinct-user algebra
+    "q_theta_audience" ->
+      ("WITH tu AS (SELECT DISTINCT event_type, user_id FROM events), " +
+        "s AS (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY 1), " +
+        "grid AS (SELECT sa.event_type AS type_a, sb.event_type AS type_b, " +
+        "sa.n AS na, sb.n AS nb FROM s sa JOIN s sb ON sa.event_type < sb.event_type), " +
+        "p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_inter " +
+        "FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type GROUP BY 1, 2) " +
+        "SELECT g.type_a, g.type_b, COALESCE(p.n_inter, 0) AS n_inter, " +
+        "g.na - COALESCE(p.n_inter, 0) AS only_a, " +
+        "g.nb - COALESCE(p.n_inter, 0) AS only_b, " +
+        "g.na + g.nb - COALESCE(p.n_inter, 0) AS n_union, " +
+        "CAST(round(CAST(CAST(COALESCE(p.n_inter, 0) AS DOUBLE) " +
+        "/ (g.na + g.nb - COALESCE(p.n_inter, 0)) AS DECIMAL(20,8)), 4) AS DOUBLE) AS jaccard " +
+        "FROM grid g LEFT JOIN p ON g.type_a = p.type_a AND g.type_b = p.type_b " +
+        "ORDER BY g.type_a, g.type_b"),
     // out-of-order-arrival audit: per-user consecutive pairs in event_id
     // order whose event time goes backward
     "q_event_lag" ->

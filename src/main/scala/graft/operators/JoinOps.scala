@@ -303,4 +303,72 @@ object JoinOps {
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
   }
+
+  /** q_tpch_q6 (forecasting revenue change): the pure predicate-pushdown
+    * showcase — a single fact scan with three range predicates and a
+    * two-column projection, collapsing to one row with NO join and NO
+    * shuffle beyond the final 1-row partial-agg merge. At 100 TB this is
+    * the query whose entire cost is decided by the scan: all three
+    * predicates reach parquet (`PushedFilters` in EXPLAIN.md), only
+    * (l_extendedprice, l_discount, l_quantity, l_shipdate) are read, and
+    * with date-partitioned or min/max-zoned layout (q_zorder) most files
+    * never open at all. */
+  def tpchQ6(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+        && col("l_discount").between(0.05, 0.07)
+        && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** q_tpch_q14 (promotion effect): conditional-aggregate share over a
+    * fact⋈dim join — what fraction of one month's revenue came from promo
+    * parts. The part side broadcasts (it is a dimension); the month
+    * predicate pushes into the fact scan, so the join input is one month
+    * of lineitem, not the table. The promo/total ratio is a single
+    * conditional sum — no second pass, no self-join. */
+  def tpchQ14(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    li.join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))),
+          4).as("promo_revenue"),
+        round(sum(rev), 4).as("total_revenue"),
+        round(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))
+          * 100.0 / sum(rev), 4).as("promo_pct"))
+  }
+
+  /** q_tpch_q22 (global sales opportunity): scalar-subquery threshold +
+    * anti-join composite — customers with above-average positive account
+    * balance and no order since the cutoff, grouped by nation. Plan
+    * shape: the AVG collapses to one broadcast row (no per-row
+    * recompute); the anti-join is the only shuffle, and its build side is
+    * pre-shrunk by the cutoff predicate (pushed to the orders scan) plus
+    * column pruning to o_custkey alone — at 100 TB the "recent orders"
+    * slice is a fraction of the order history, so the dormant-customer
+    * audit never pays for the full fact table. */
+  def tpchQ22(spark: SparkSession, dir: String,
+      cutoff: String = "2000-01-01"): DataFrame = {
+    val customer = Tables.customer(spark, dir)
+    val avgBal = customer.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("threshold"))
+    val prospects = customer
+      .join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("threshold"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit(cutoff).cast("timestamp"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+    prospects
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_custs"),
+        round(sum(col("c_acctbal")), 4).as("total_acctbal"))
+      .orderBy(col("c_nationkey"))
+  }
 }

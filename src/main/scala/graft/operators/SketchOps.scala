@@ -83,4 +83,50 @@ object SketchOps {
       .orderBy(col("est").desc, col("token"))
       .limit(k)
   }
+
+  /** q_theta_audience: the full audience set-algebra grid from MERGEABLE
+    * sketches — per-event-type theta sketches of user_id, then pairwise
+    * intersection / A-not-B / union estimates evaluated on the aggregated
+    * sketch table alone ([[graft.functions.expressions.ThetaPairStats]]).
+    * This closes the set-operation gap HLL leaves open (q_hll_rollup can
+    * union but never intersect): at 100 TB the facts are scanned ONCE into
+    * |types| fixed-size binaries riding the partial-aggregate shuffle, and
+    * every overlap/exclusive-audience question — including ones not known
+    * at scan time — is answered from the sketch table in O(|types|²·2^lgK),
+    * where the exact twin (q_audience_overlap) re-shuffles distinct
+    * (type, user) pairs for each question. Oracle-checked: the fixture's
+    * per-type audiences stay far below the 2^12 nominal capacity, so the
+    * sketches never enter estimation mode and every estimate is the exact
+    * distinct count (see ThetaSketchAgg's contract; ThetaSketchSpec pins
+    * the estimation regime separately). */
+  def thetaAudience(spark: SparkSession, dir: String, lgK: Int = 12)
+      : DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import graft.functions.NumericFunctions.stableRound4
+    val sk = GraftColumnBridge.toColumn(
+      graft.functions.expressions.ThetaSketchAgg(
+        GraftColumnBridge.toExpression(col("user_id")), lgK)
+        .toAggregateExpression())
+    val perType = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(sk.as("sk"))
+    val pairs = perType.as("a")
+      .join(broadcast(perType.as("b")),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        GraftColumnBridge.toColumn(
+          graft.functions.expressions.ThetaPairStats(
+            GraftColumnBridge.toExpression(col("a.sk")),
+            GraftColumnBridge.toExpression(col("b.sk")))).as("st"))
+    pairs
+      .select(col("type_a"), col("type_b"),
+        col("st.n_inter").as("n_inter"),
+        col("st.only_a").as("only_a"),
+        col("st.only_b").as("only_b"),
+        col("st.n_union").as("n_union"),
+        stableRound4(col("st.n_inter").cast("double") / col("st.n_union"))
+          .as("jaccard"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
 }

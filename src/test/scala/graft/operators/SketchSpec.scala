@@ -104,4 +104,74 @@ class SketchSpec extends SparkTestBase {
         s"bounds violated for $item: ($est, $lb, $ub) truth $n")
     }
   }
+
+  test("thetaAudience equals exact pairwise set algebra in the no-purge regime") {
+    val got = SketchOps.thetaAudience(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // exact reference recomputed from distinct (type, user) pairs
+    val tu = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id")).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSet }
+    val types = tu.keys.toSeq.sorted
+    for (a <- types; b <- types if a < b) {
+      val (sa, sb) = (tu(a), tu(b))
+      val inter = (sa & sb).size.toLong
+      val expect = (inter, (sa.size - inter), (sb.size - inter),
+        (sa | sb).size.toLong)
+      assert(got((a, b)) == expect, s"($a,$b): ${got((a, b))} vs $expect")
+    }
+    assert(got.size == types.combinations(2).size)
+  }
+
+  test("theta sketches are partition-order stable in the exact regime") {
+    import org.apache.spark.sql.GraftColumnBridge
+    def sketchOf(parts: Int): Array[Long] = {
+      val sk = GraftColumnBridge.toColumn(
+        graft.functions.expressions.ThetaSketchAgg(
+          GraftColumnBridge.toExpression(col("user_id")), 12)
+          .toAggregateExpression())
+      Tables.events(spark, sf).repartition(parts)
+        .groupBy(col("event_type")).agg(sk.as("sk"))
+        .select(col("event_type"),
+          GraftColumnBridge.toColumn(
+            graft.functions.expressions.ThetaPairStats(
+              GraftColumnBridge.toExpression(col("sk")),
+              GraftColumnBridge.toExpression(col("sk")))).as("st"))
+        .orderBy(col("event_type"))
+        .collect().map(_.getStruct(1).getLong(3)) // n_union of self-pair
+    }
+    assert(sketchOf(2).sameElements(sketchOf(16)))
+  }
+
+  test("theta estimation regime: estimates track truth within sketch error") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge
+    // two overlapping 6k-element sets through a 2^8-entry sketch — deep in
+    // estimation mode (purged well below the distinct count)
+    val rows = ((1 to 6000).map(i => ("a", i.toLong))
+      ++ (2001 to 8000).map(i => ("b", i.toLong)))
+    val sk = GraftColumnBridge.toColumn(
+      graft.functions.expressions.ThetaSketchAgg(
+        GraftColumnBridge.toExpression(col("id")), 8)
+        .toAggregateExpression())
+    val perSet = rows.toDF("s", "id").repartition(8)
+      .groupBy(col("s")).agg(sk.as("sk"))
+    val st = perSet.as("a").join(perSet.as("b"),
+        col("a.s") < col("b.s"))
+      .select(GraftColumnBridge.toColumn(
+        graft.functions.expressions.ThetaPairStats(
+          GraftColumnBridge.toExpression(col("a.sk")),
+          GraftColumnBridge.toExpression(col("b.sk")))).as("st"))
+      .head().getStruct(0)
+    val (inter, union) = (st.getLong(0), st.getLong(3))
+    // truth: |A∩B| = 4000, |A∪B| = 10000; 2^8 nominal entries give ~1/16
+    // relative error on the union and larger on the intersection — assert
+    // loose 3σ-ish envelopes, not exactness
+    assert(math.abs(union - 10000) < 3000, s"union est $union")
+    assert(math.abs(inter - 4000) < 2000, s"inter est $inter")
+    assert(inter < union)
+  }
 }
