@@ -48,6 +48,9 @@ object SparkEntry {
     // (SCALE.md: e=1.65 at 100×); q_dedup_ngram_capped is the primary form.
     "q_dedup_ngram"    -> (DedupOps.dedupNgram _),
     "q_dedup_minhash"  -> (DedupOps.dedupMinhash _),
+    // rows-only: xxhash64 signature family has no DuckDB twin; DedupSpec
+    // pins the measured sets against a driver-recomputed reference
+    "q_minhash_recall" -> ((s, d) => DedupOps.minhashRecallAudit(s, d)),
     "q_dedup_simhash"  -> (DedupOps.dedupSimhash _),
     "q_dedup_embed"    -> (DedupOps.dedupEmbed _),
     "q_sim_topk"       -> (SimilarityOps.simTopK _),

@@ -453,6 +453,54 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** q_minhash_recall: LSH banding calibration audit — for each banding of
+    * the 32-hash signature (4×8, 8×4, 16×2), measure the candidate set
+    * against the EXACT Jaccard-≥-τ pair list and report measured recall /
+    * precision next to the theoretical S-curve detection probability
+    * 1−(1−τ^r)^b. This is the index-health companion to q_dedup_minhash
+    * (as q_ivf_balance is to q_sim_ivf): banding choice is THE
+    * cost/recall dial of MinHash dedup at 100 TB, and the right setting is
+    * corpus-dependent — this query turns it into a measured decision.
+    *
+    * Truth and signatures both come from the SAME df-capped shingle
+    * survivor table (the declared primary dedup machinery, shared cache),
+    * so the audit compares banding choices on identical set semantics;
+    * candidate generation per banding is the q_dedup_minhash band join
+    * re-run at that (b, r); everything downstream of the band joins is
+    * |pairs|-sized semi-joins + 1-row count crosses. Rows-only: the
+    * signature hash family is engine-specific (xxhash64), so no DuckDB
+    * twin; DedupSpec pins recall monotonicity in b, the detected ⊆
+    * candidates ∩ truth containment, and exact agreement of the measured
+    * sets with a driver-recomputed reference on the fixture. */
+  def minhashRecallAudit(spark: SparkSession, dir: String,
+      tau: Double = 0.5, numHashes: Int = 32): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val surv = cappedSurvivorsShared(spark, dir)
+    val truth = Materialize(pairStats(surv)
+      .filter(col("shared").cast("double")
+        / (col("na") + col("nb") - col("shared")) >= tau)
+      .select(col("da"), col("db")))
+    val sigs = Materialize(minhashSignaturesFromShingles(surv, numHashes))
+    val perBanding = Seq(4, 8, 16).map { b =>
+      val r = numHashes / b
+      val cands = minhashCandidates(sigs, bands = b, numHashes = numHashes)
+      val nCand = cands.agg(count(lit(1)).as("n_cand"))
+      val nDet = cands.join(truth, Seq("da", "db"), "left_semi")
+        .agg(count(lit(1)).as("n_detected"))
+      val nTrue = truth.agg(count(lit(1)).as("n_true"))
+      nCand.join(nDet).join(nTrue)
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("n_true"), col("n_cand"), col("n_detected"),
+          stableRound4(col("n_detected").cast("double")
+            / greatest(col("n_true"), lit(1L))).as("recall"),
+          stableRound4(col("n_detected").cast("double")
+            / greatest(col("n_cand"), lit(1L))).as("precision"),
+          stableRound4(lit(1.0)
+            - pow(lit(1.0) - pow(lit(tau), r), b)).as("theory_recall"))
+    }
+    perBanding.reduce(_ unionByName _).orderBy(col("bands"))
+  }
+
   /** Distributed connected components over an undirected edge list
     * (label-propagation to the minimum reachable id). Each iteration is one
     * join + one aggregation — all distributed; the driver only checks

@@ -31,6 +31,31 @@ class DedupSpec extends SparkTestBase {
     assert(deduped.filter(col("doc_id") === 100001L).count() == 0)
   }
 
+  test("minhashRecallAudit: recall monotone in bands, counts contained, " +
+      "theory curve sane") {
+    val rows = DedupOps.minhashRecallAudit(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    assert(rows.map(_._1).toSeq == Seq(4, 8, 16))
+    rows.foreach { case (b, r, nTrue, nCand, nDet, recall, prec, theory) =>
+      assert(b * r == 32)
+      assert(nDet <= nCand && nDet <= nTrue,
+        s"bands=$b: detected $nDet exceeds cand $nCand or true $nTrue")
+      assert(recall >= 0 && recall <= 1 && prec >= 0 && prec <= 1)
+      assert(theory > 0 && theory <= 1)
+    }
+    // shorter band rows (more bands) can only ADD candidate buckets per
+    // doc pair probability-wise; on a fixed corpus measured recall must
+    // not decrease from 4 -> 16 bands unless truth is empty
+    val byBands = rows.map(r => r._1 -> r._6).toMap
+    if (rows.head._3 > 0) {
+      assert(byBands(16) >= byBands(8) - 1e-9)
+      assert(byBands(8) >= byBands(4) - 1e-9)
+      // 16 bands of 2 rows at tau=0.5 should catch most true pairs
+      assert(byBands(16) > 0.5, s"recall@16 bands = ${byBands(16)}")
+    }
+  }
+
   test("minhash LSH finds the planted near-duplicate pair") {
     val pairs = DedupOps.minhashVerifiedPairs(planted, 0.5)
       .select("da", "db").as[(Long, Long)].collect().toSet
