@@ -249,6 +249,7 @@ object SparkEntry {
     "q_tpch_q18"       -> ((s, d) => JoinOps.tpchQ18(s, d)),
     "q_tpch_q10"       -> ((s, d) => JoinOps.tpchQ10(s, d)),
     "q_tpch_q6"        -> (JoinOps.tpchQ6 _),
+    "q_tpch_q7"        -> (JoinOps.tpchQ7 _),
     "q_tpch_q14"       -> (JoinOps.tpchQ14 _),
     "q_tpch_q22"       -> ((s, d) => JoinOps.tpchQ22(s, d)),
     "q_theta_audience" -> ((s, d) => SketchOps.thetaAudience(s, d)),
@@ -287,6 +288,10 @@ object SparkEntry {
     "q_ngram_containment" -> ((s, d) => DedupOps.dedupContainment(s, d)),
     // cross-split contamination audit over q_split's hash assignment
     "q_split_leakage"  -> ((s, d) => CorpusOps.splitLeakage(s, d)),
+    "q_dataset_card"   -> (CorpusOps.datasetCard _),
+    // rows-only: cell membership depends on the k-means model geometry;
+    // IvfSpec pins determinism, containment, and the ALL-row arithmetic
+    "q_cluster_purity" -> ((s, d) => IvfOps.clusterPurity(s, d)),
     // PCA spectrum of the embedding corpus (rows-only: driver eigensolver;
     // SimilaritySpec pins it to exact small-case + trace/ratio invariants)
     "q_embed_pca"      -> ((s, d) => SimilarityOps.embedPca(s, d)),
@@ -1920,6 +1925,22 @@ object SparkEntry {
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
         "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
         "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
+    // Q7 volume shipping: nation joined twice under two roles; year()
+    // widens to BIGINT in DuckDB -> cast to match Spark's INT
+    "q_tpch_q7" ->
+      ("SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation, " +
+        "CAST(year(l_shipdate) AS INTEGER) AS l_year, " +
+        "round(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue, " +
+        "COUNT(*) AS n_items " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ns ON s_nationkey = ns.n_nationkey " +
+        "JOIN nation nc ON c_nationkey = nc.n_nationkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' " +
+        "AND ns.n_name <> nc.n_name " +
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
     // Q14 promotion effect: conditional-aggregate revenue share
     "q_tpch_q14" ->
       ("SELECT " +
@@ -2266,6 +2287,20 @@ object SparkEntry {
         "SELECT tot.split, tot.n_docs, CAST(coalesce(lk.n_leaked, 0) AS BIGINT) AS n_leaked, " +
         "round(CAST(coalesce(lk.n_leaked, 0) AS DOUBLE) / tot.n_docs, 4) AS leak_rate " +
         "FROM tot LEFT JOIN lk ON tot.split = lk.split ORDER BY tot.split"),
+    // one-row dataset card: counts, sizes, dup rate, token stats, en share
+    "q_dataset_card" ->
+      ("WITH d AS (SELECT lang, source, length(text) AS n_chars_exact, " +
+        "len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_toks, " +
+        "md5(text) AS fp FROM documents) " +
+        "SELECT COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources, " +
+        "COUNT(DISTINCT lang) AS n_langs, " +
+        "CAST(SUM(n_chars_exact) AS BIGINT) AS total_chars, " +
+        "CAST(SUM(n_toks) AS BIGINT) AS total_tokens, " +
+        "CAST(round(CAST(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*) AS DECIMAL(20,8)), 4) AS DOUBLE) AS dup_rate, " +
+        "CAST(round(CAST(AVG(n_toks) AS DECIMAL(20,8)), 4) AS DOUBLE) AS mean_toks, " +
+        "CAST(round(CAST(quantile_cont(n_toks, 0.5) AS DECIMAL(20,8)), 4) AS DOUBLE) AS p50_toks, " +
+        "CAST(round(CAST(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS DECIMAL(20,8)), 4) AS DOUBLE) AS en_share " +
+        "FROM d"),
     // Cavnar-Trenkle trigram profiles: top-64 per lang by (count desc, g),
     // rank weight 65-rank, presence scoring, argmax with lang tiebreak
     "q_lang_trigram" ->

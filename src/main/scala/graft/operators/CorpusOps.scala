@@ -1238,4 +1238,42 @@ object CorpusOps {
         stableRound4(col("n_docs") / col("split_docs")).as("lang_share"))
       .orderBy(col("split"), col("lang"))
   }
+
+  /** q_dataset_card: the one-row "dataset card" summary every corpus
+    * release ships — doc/source/lang counts, size in chars and whitespace
+    * tokens, exact duplicate rate, mean and exact-median tokens per doc,
+    * and the English share. One scan + one exact-distinct on the text
+    * fingerprint; at 100 TB the distinct goes over md5(text) (fingerprint
+    * width, not document width) and the median comes from the same
+    * two-pass exact-percentile machinery as q_stats_agg — or its
+    * one-pass approx_percentile sibling when a sketch suffices
+    * (q_approx_stats). */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    import graft.functions.TextFunctions.tokensLower
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        length(col("text")).as("n_chars_exact"),
+        size(tokensLower(col("text"))).as("n_toks"),
+        md5(col("text")).as("fp"))
+    d.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars_exact").cast("long")).as("total_chars"),
+        sum(col("n_toks").cast("long")).as("total_tokens"),
+        countDistinct(col("fp")).as("n_unique_docs"),
+        avg(col("n_toks")).as("mean_toks_raw"),
+        expr("percentile(n_toks, 0.5)").as("p50_toks_raw"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+      .select(col("n_docs"), col("n_sources"), col("n_langs"),
+        col("total_chars"), col("total_tokens"),
+        stableRound4(lit(1.0)
+          - col("n_unique_docs").cast("double") / col("n_docs"))
+          .as("dup_rate"),
+        stableRound4(col("mean_toks_raw")).as("mean_toks"),
+        stableRound4(col("p50_toks_raw")).as("p50_toks"),
+        stableRound4(col("n_en").cast("double") / col("n_docs"))
+          .as("en_share"))
+  }
 }

@@ -219,4 +219,40 @@ object IvfOps {
         (lit(k.toLong) - col("n_cells").cast("long")).as("n_empty_cells"))
       .orderBy(col("centroid_id"))
   }
+
+  /** q_cluster_purity: label purity of the k-means cells — the
+    * cluster-based curation audit (are the learned cells semantically
+    * coherent?). Per cell: size, majority label (integer-count argmax,
+    * ties to the smaller label — the cross-engine-safe argmax rule), and
+    * purity = majority share; an ALL row carries the corpus-weighted
+    * purity Σ n_top / Σ n, the single number cluster-curation recipes
+    * (SemDeDup/DataComp-style) gate on. Everything after the assignment
+    * scan is |k·labels|-sized. Rows-only: cell geometry depends on the
+    * k-means model; IvfSpec pins determinism, the containment invariants,
+    * and the ALL row's arithmetic against a recomputation. */
+  def clusterPurity(spark: SparkSession, dir: String, k: Int = 16)
+      : DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val emb = Materialize(Tables.embeddings(spark, dir))
+    val (_, assigned) = trainIndex(emb, k = k, iters = 3)
+    val labeled = assigned.select(col("vec_id"), col("centroid_id"))
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+    val cellLabel = labeled.groupBy(col("centroid_id"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+    val perCell = cellLabel.groupBy(col("centroid_id"))
+      .agg(sum(col("cnt")).as("n_vecs"),
+        max(struct(col("cnt"), (-col("label")).as("neg_label"))).as("top"))
+      .select(col("centroid_id"), col("n_vecs"),
+        (-col("top.neg_label")).as("top_label"),
+        col("top.cnt").as("n_top"),
+        stableRound4(col("top.cnt").cast("double") / col("n_vecs"))
+          .as("purity"))
+    val all = perCell
+      .agg(sum(col("n_vecs")).as("n_vecs"), sum(col("n_top")).as("n_top"))
+      .select(lit(-1).as("centroid_id"), col("n_vecs"),
+        lit(-1).as("top_label"), col("n_top"),
+        stableRound4(col("n_top").cast("double") / col("n_vecs"))
+          .as("purity"))
+    perCell.unionByName(all).orderBy(col("centroid_id"))
+  }
 }

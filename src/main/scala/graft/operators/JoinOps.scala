@@ -344,6 +344,39 @@ object JoinOps {
           * 100.0 / sum(rev), 4).as("promo_pct"))
   }
 
+  /** q_tpch_q7 (volume shipping): the two-role dimension topology — the
+    * SAME nation table joins twice under different roles (supplier nation
+    * vs customer nation), which exercises alias resolution and double
+    * broadcast of one dimension. Fact side: lineitem⋈orders is the only
+    * big-big shuffle; supplier/customer/nation all broadcast; the ship-year
+    * band predicate pushes into the fact scan. Output is |nations|²×years,
+    * partial-aggregated before the final exchange. */
+  def tpchQ7(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    li
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+        4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
   /** q_tpch_q22 (global sales opportunity): scalar-subquery threshold +
     * anti-join composite — customers with above-average positive account
     * balance and no order since the cutoff, grouped by nation. Plan

@@ -93,4 +93,31 @@ class IvfSpec extends SparkTestBase {
     val again = IvfOps.ivfBalance(spark, sf).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("clusterPurity: containment, ALL-row arithmetic, determinism") {
+    val n = graft.Tables.embeddings(spark, sf).count()
+    val rows = IvfOps.clusterPurity(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4)))
+    val (all, cells) = rows.partition(_._1 == -1)
+    assert(all.length == 1 && cells.nonEmpty)
+    assert(cells.map(_._2).sum == n) // cells partition the vectors
+    cells.foreach { case (_, nv, top, nTop, purity) =>
+      assert(nTop >= 1 && nTop <= nv)
+      assert(top >= 0) // real label, not the ALL sentinel
+      assert(purity > 0.0 && purity <= 1.0)
+      assert(math.abs(purity - BigDecimal(nTop.toDouble / nv)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+    // ALL row aggregates the per-cell majorities
+    val (_, allN, _, allTop, allPurity) = all.head
+    assert(allN == n && allTop == cells.map(_._4).sum)
+    assert(math.abs(allPurity - BigDecimal(allTop.toDouble / allN)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // determinism: a second build yields the identical report
+    val again = IvfOps.clusterPurity(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.toSeq == again.toSeq)
+  }
 }
