@@ -62,7 +62,12 @@ object ScaleSpot {
     // k-means index-health report
     "q_caption_dedup", "q_ivf_balance",
     // event-stream audits: per-user lag window + user-keyed audience join
-    "q_event_lag", "q_audience_overlap")
+    "q_event_lag", "q_audience_overlap",
+    // round-7 late additions: the 3-banding candidate-join audit (risk =
+    // the band joins themselves), the theta-sketch agg (should be flat —
+    // fixed-size binaries), and the k-means purity join (q_ivf_balance
+    // family plus one vec_id-keyed label join)
+    "q_minhash_recall", "q_theta_audience", "q_cluster_purity")
   val Scales = Seq(10, 100)
 
   def outDir(copies: Int) = s"/tmp/graft_spot_${copies}x"

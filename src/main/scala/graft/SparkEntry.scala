@@ -289,6 +289,7 @@ object SparkEntry {
     // cross-split contamination audit over q_split's hash assignment
     "q_split_leakage"  -> ((s, d) => CorpusOps.splitLeakage(s, d)),
     "q_dataset_card"   -> (CorpusOps.datasetCard _),
+    "q_compaction_plan" -> ((s, d) => RelationalOps.compactionPlan(s, d)),
     // rows-only: cell membership depends on the k-means model geometry;
     // IvfSpec pins determinism, containment, and the ALL-row arithmetic
     "q_cluster_purity" -> ((s, d) => IvfOps.clusterPurity(s, d)),
@@ -2287,6 +2288,16 @@ object SparkEntry {
         "SELECT tot.split, tot.n_docs, CAST(coalesce(lk.n_leaked, 0) AS BIGINT) AS n_leaked, " +
         "round(CAST(coalesce(lk.n_leaked, 0) AS DOUBLE) / tot.n_docs, 4) AS leak_rate " +
         "FROM tot LEFT JOIN lk ON tot.split = lk.split ORDER BY tot.split"),
+    // compaction planner: per-month rows/bytes/target files + layout flags
+    "q_compaction_plan" ->
+      ("SELECT CAST(year(l_shipdate) AS INTEGER) AS yr, " +
+        "CAST(month(l_shipdate) AS INTEGER) AS mon, " +
+        "COUNT(*) AS n_rows, " +
+        "CAST(SUM(64 + length(l_returnflag) + length(l_linestatus)) AS BIGINT) AS est_bytes, " +
+        "CAST(ceil(CAST(COUNT(*) AS DOUBLE) / 50000) AS BIGINT) AS target_files, " +
+        "COUNT(*) > 50000 AS needs_compact, " +
+        "COUNT(*) < 5000 AS small_partition " +
+        "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"),
     // one-row dataset card: counts, sizes, dup rate, token stats, en share
     "q_dataset_card" ->
       ("WITH d AS (SELECT lang, source, length(text) AS n_chars_exact, " +

@@ -275,4 +275,39 @@ object RelationalOps {
         max(col("by")).as("max_day_bucket"))
       .orderBy(col("zrange"))
   }
+
+  /** q_compaction_plan: the table-maintenance planner for the small-files
+    * problem — per (year, month) partition of the fact, row count, an
+    * estimated on-disk size from the measured per-partition byte widths
+    * (lineitem payload columns concatenated — a deterministic proxy both
+    * engines compute identically), the target file count at
+    * `targetRowsPerFile`, and flags for the two layout pathologies:
+    * `needs_compact` (partition would produce more, smaller files than
+    * one per `targetRowsPerFile`) and `small_partition` (the whole
+    * partition is under a tenth of one target file — a merge-up
+    * candidate). This is the planning half of OPTIMIZE/compaction in
+    * table formats; the execution half is a partition-pruned rewrite of
+    * exactly the flagged partitions (same write path as R15's
+    * partitioned layout). One scan + one partial-aggregated shuffle of
+    * |partitions| rows. */
+  def compactionPlan(spark: SparkSession, dir: String,
+      targetRowsPerFile: Long = 50000L): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(year(col("l_shipdate")).as("yr"),
+        month(col("l_shipdate")).as("mon"),
+        // deterministic byte-width proxy: numeric cols as fixed-width,
+        // flags as their string lengths
+        (lit(8 * 4) + lit(8 * 4)
+          + length(col("l_returnflag")) + length(col("l_linestatus")))
+          .cast("long").as("row_bytes"))
+    li.groupBy(col("yr"), col("mon"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("row_bytes")).as("est_bytes"))
+      .select(col("yr"), col("mon"), col("n_rows"), col("est_bytes"),
+        ceil(col("n_rows").cast("double") / targetRowsPerFile)
+          .cast("long").as("target_files"),
+        (col("n_rows") > targetRowsPerFile).as("needs_compact"),
+        (col("n_rows") < targetRowsPerFile / 10).as("small_partition"))
+      .orderBy(col("yr"), col("mon"))
+  }
 }

@@ -107,9 +107,13 @@ object SketchOps {
       graft.functions.expressions.ThetaSketchAgg(
         GraftColumnBridge.toExpression(col("user_id")), lgK)
         .toAggregateExpression())
-    val perType = Tables.events(spark, dir)
-      .groupBy(col("event_type"))
-      .agg(sk.as("sk"))
+    // materialized: the pair grid reads BOTH sides of the self-join from
+    // this |types|-row table — without it each side would re-run the full
+    // fact scan + sketch aggregation
+    val perType = Materialize(
+      Tables.events(spark, dir)
+        .groupBy(col("event_type"))
+        .agg(sk.as("sk")))
     val pairs = perType.as("a")
       .join(broadcast(perType.as("b")),
         col("a.event_type") < col("b.event_type"))

@@ -602,4 +602,67 @@ class PlanQualitySpec extends SparkTestBase {
       || (p.contains("vector_average") && p.contains("Exchange SinglePartition")), p)
     assert(p.contains("ReadSchema: struct<embedding:array<float>>"), p)
   }
+
+  test("tpchQ6: all three predicates push to the scan; no join, no sort") {
+    // formatted explain keeps the full PushedFilters list (plain toString
+    // truncates it)
+    val p = JoinOps.tpchQ6(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate")
+      && p.contains("LessThan(l_shipdate"), p)
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)")
+      && p.contains("LessThanOrEqual(l_discount,0.07)"), p)
+    assert(p.contains("LessThan(l_quantity,24.0)"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Sort "), p)
+    // only the four needed columns are read
+    assert(p.contains("ReadSchema: struct<l_quantity:double," +
+      "l_extendedprice:double,l_discount:double,l_shipdate:timestamp"), p)
+  }
+
+  test("tpchQ7: nation broadcasts twice; ship-year band reaches the scan") {
+    val p = plan(JoinOps.tpchQ7(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p) // supp/cust/n1/n2
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("partial"), p) // partial agg before the exchange
+  }
+
+  test("tpchQ22: anti join with the cutoff pushed into the orders scan") {
+    val p = JoinOps.tpchQ22(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,2000-01-01"), p)
+    // orders side pruned to the join key + the filter column (the scan
+    // needs o_orderdate to evaluate the pushed cutoff; everything else
+    // is pruned)
+    assert(p.contains("ReadSchema: struct<o_custkey:bigint,o_orderdate:timestamp"), p)
+  }
+
+  test("thetaAudience: sketch agg partial-aggregates over a pruned scan; " +
+      "pair grid reads the materialized sketch table, not the facts") {
+    // the aggregation stage (what actually touches the facts)
+    import org.apache.spark.sql.GraftColumnBridge
+    val sk = GraftColumnBridge.toColumn(
+      graft.functions.expressions.ThetaSketchAgg(
+        GraftColumnBridge.toExpression(col("user_id")), 12)
+        .toAggregateExpression())
+    val aggPlan = plan(graft.Tables.events(spark, sf)
+      .groupBy(col("event_type")).agg(sk.as("sk")))
+    assert(aggPlan.contains("theta_sketch"), aggPlan)
+    assert(aggPlan.contains("partial"), aggPlan) // binaries merge post-shuffle
+    assert(aggPlan.contains("ReadSchema: struct<user_id:bigint,event_type:string>")
+      || aggPlan.contains("ReadSchema: struct<event_type:string,user_id:bigint>"),
+      aggPlan)
+    // the full query's pair grid must NOT re-scan the fact table: the
+    // materialized per-type sketch table feeds both self-join sides
+    val p = plan(SketchOps.thetaAudience(spark, sf))
+    assert(!p.contains("FileScan"), p)
+  }
+
+  test("datasetCard: single scan, partial aggregation, no shuffle-heavy ops") {
+    val p = plan(CorpusOps.datasetCard(spark, sf))
+    assert("FileScan".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial"), p)
+    assert(!p.contains("Join"), p)
+  }
 }
