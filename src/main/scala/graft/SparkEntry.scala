@@ -252,6 +252,13 @@ object SparkEntry {
     "q_tpch_q7"        -> (JoinOps.tpchQ7 _),
     "q_tpch_q14"       -> (JoinOps.tpchQ14 _),
     "q_tpch_q22"       -> ((s, d) => JoinOps.tpchQ22(s, d)),
+    "q_tpch_q1"        -> ((s, d) => JoinOps.tpchQ1(s, d)),
+    "q_tpch_q5"        -> ((s, d) => JoinOps.tpchQ5(s, d)),
+    "q_tpch_q8"        -> ((s, d) => JoinOps.tpchQ8(s, d)),
+    "q_tpch_q13"       -> (JoinOps.tpchQ13 _),
+    "q_tpch_q15"       -> ((s, d) => JoinOps.tpchQ15(s, d)),
+    "q_tpch_q17"       -> ((s, d) => JoinOps.tpchQ17(s, d)),
+    "q_tpch_q19"       -> (JoinOps.tpchQ19 _),
     "q_theta_audience" -> ((s, d) => SketchOps.thetaAudience(s, d)),
     "q_resize_meta"    -> (MultimodalOps.resizeMeta _),
     // rows-only: the fake frame encoder hashes bytes JVM-side (no SQL
@@ -1963,6 +1970,101 @@ object SparkEntry {
         "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
         "AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00') " +
         "GROUP BY c_nationkey ORDER BY c_nationkey"),
+    // Q1 pricing summary: one fact pass, eight aggregates, ~6 groups
+    "q_tpch_q1" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "round(SUM(l_quantity), 4) AS sum_qty, " +
+        "round(SUM(l_extendedprice), 4) AS sum_base_price, " +
+        "round(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price, " +
+        "round(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge, " +
+        "round(AVG(l_quantity), 4) AS avg_qty, " +
+        "round(AVG(l_extendedprice), 4) AS avg_price, " +
+        "round(AVG(l_discount), 4) AS avg_disc, " +
+        "COUNT(*) AS count_order " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00' " +
+        "GROUP BY l_returnflag, l_linestatus " +
+        "ORDER BY l_returnflag, l_linestatus"),
+    // Q5 local supplier volume: customer and supplier share a nation,
+    // one region, one order year
+    "q_tpch_q5" ->
+      ("SELECT n_name, " +
+        "round(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue, " +
+        "COUNT(*) AS n_items " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' " +
+        "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "GROUP BY n_name ORDER BY revenue DESC, n_name"),
+    // Q8 national market share: NATION_2's share of ASIA ECONOMY-part
+    // revenue per order year
+    "q_tpch_q8" ->
+      ("SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, " +
+        "round(SUM(CASE WHEN ns.n_name = 'NATION_2' " +
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) " +
+        "/ SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share, " +
+        "round(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_volume " +
+        "FROM lineitem " +
+        "JOIN part ON l_partkey = p_partkey " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation nc ON c_nationkey = nc.n_nationkey " +
+        "JOIN region ON nc.n_regionkey = r_regionkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ns ON s_nationkey = ns.n_nationkey " +
+        "WHERE p_type = 'ECONOMY' AND r_name = 'ASIA' " +
+        "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
+        "GROUP BY 1 ORDER BY 1"),
+    // Q13 customer distribution (adapted: no o_comment in the synthetic
+    // schema, so no comment-exclusion predicate); zero bucket included
+    "q_tpch_q13" ->
+      ("WITH pc AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count " +
+        "FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey " +
+        "GROUP BY c_custkey) " +
+        "SELECT c_count, COUNT(*) AS custdist FROM pc " +
+        "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"),
+    // Q15 top supplier: argmax over one quarter's per-supplier revenue
+    "q_tpch_q15" ->
+      ("WITH revenue AS (SELECT l_suppkey, " +
+        "round(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue " +
+        "FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' " +
+        "GROUP BY l_suppkey) " +
+        "SELECT s_suppkey, s_name, total_revenue " +
+        "FROM revenue JOIN supplier ON l_suppkey = s_suppkey " +
+        "WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue) " +
+        "ORDER BY s_suppkey"),
+    // Q17 small-quantity-order revenue (adapted: brand+size segment in
+    // place of brand+container)
+    "q_tpch_q17" ->
+      ("WITH seg AS (SELECT p_partkey FROM part " +
+        "WHERE p_brand = 'Brand#3' AND p_size <= 10), " +
+        "si AS (SELECT l_partkey, l_quantity, l_extendedprice " +
+        "FROM lineitem JOIN seg ON l_partkey = p_partkey), " +
+        "pa AS (SELECT l_partkey AS ap_key, AVG(l_quantity) AS avg_qty " +
+        "FROM si GROUP BY 1) " +
+        "SELECT round(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly, " +
+        "COUNT(*) AS n_small " +
+        "FROM si JOIN pa ON l_partkey = ap_key " +
+        "WHERE l_quantity < 0.2 * avg_qty"),
+    // Q19 discounted revenue (adapted: brand+size+quantity disjuncts in
+    // place of container/shipmode) — OR-of-ANDs over one equi-join
+    "q_tpch_q19" ->
+      ("SELECT round(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue, " +
+        "COUNT(*) AS n_items " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE l_quantity >= 1 AND l_quantity <= 40 AND (" +
+        "(p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 " +
+        "AND l_quantity BETWEEN 1 AND 11) OR " +
+        "(p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 " +
+        "AND l_quantity BETWEEN 10 AND 20) OR " +
+        "(p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15 " +
+        "AND l_quantity BETWEEN 20 AND 40))"),
     // theta sketches stay in the no-purge (exact) regime on the fixture,
     // so every estimate equals the exact pairwise distinct-user algebra
     "q_theta_audience" ->

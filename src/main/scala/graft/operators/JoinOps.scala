@@ -404,4 +404,205 @@ object JoinOps {
         round(sum(col("c_acctbal")), 4).as("total_acctbal"))
       .orderBy(col("c_nationkey"))
   }
+
+  /** q_tpch_q1 (pricing summary report): the canonical scan-and-aggregate —
+    * one fact pass, a single shipdate cutoff pushed to parquet, eight
+    * aggregates over a 2-column group whose cardinality is ~6 rows. At
+    * 100 TB the ENTIRE cost is the scan: partial aggregation reduces each
+    * input partition to ≤6 rows before the one tiny exchange, so no
+    * shuffle, memory, or skew concern exists at any scale. Averages are
+    * recomputed as sum/count by the engine (algebraic), never buffered. */
+  def tpchQ1(spark: SparkSession, dir: String,
+      cutoff: String = "2000-09-02"): DataFrame = {
+    val disc   = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val charge = disc * (lit(1) + col("l_tax"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit(cutoff).cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(disc), 4).as("sum_disc_price"),
+        round(sum(charge), 4).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** q_tpch_q5 (local supplier volume): revenue from orders where the
+    * customer and the supplier share a nation, restricted to one region
+    * and one order year. The defining feature is the NON-join-key
+    * residual `c_nationkey = s_nationkey` — it cannot drive a hash join
+    * (customer arrives via orders, supplier via lineitem), so it is a
+    * post-join filter; everything dimension-shaped (customer, supplier,
+    * nation⋈region) broadcasts and the only shuffle is lineitem⋈orders on
+    * orderkey, with the year predicate pre-shrinking the orders side. */
+  def tpchQ5(spark: SparkSession, dir: String,
+      region: String = "ASIA", year0: String = "1996-01-01",
+      year1: String = "1997-01-01"): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)
+          .filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit(year0).cast("timestamp")
+            && col("o_orderdate") < lit(year1).cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+        4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** q_tpch_q8 (national market share): what share of one region's revenue
+    * in a part-type segment is supplied by one nation, per order year.
+    * Two nation roles again (customer's nation gates the REGION, the
+    * supplier's nation is the SHARE numerator) — but unlike Q7 the share
+    * is a conditional sum over one joined stream, not a self-join: one
+    * fact pass, numerator and denominator in the same partial aggregate.
+    * The p_type filter broadcasts a pre-shrunk part dim, so at 100 TB the
+    * lineitem⋈part broadcast-probe discards non-segment rows before the
+    * one orderkey shuffle. */
+  def tpchQ8(spark: SparkSession, dir: String,
+      shareNation: String = "NATION_2", region: String = "ASIA",
+      ptype: String = "ECONOMY"): DataFrame = {
+    val custNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)
+          .filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cn_key"))
+    val suppNations = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_type") === ptype).select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNations), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNations), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === shareNation, vol)
+          .otherwise(lit(0.0))) / sum(vol), 6).as("mkt_share"),
+        round(sum(vol), 4).as("total_volume"))
+      .orderBy(col("o_year"))
+  }
+
+  /** q_tpch_q13 (customer distribution; adapted — the synthetic orders
+    * table has no o_comment, so the comment-exclusion predicate is
+    * dropped): how many customers placed exactly k orders, INCLUDING the
+    * zero bucket — which is why this is a left outer join from customer,
+    * not an inner groupBy of orders. Two aggregations: per-customer count
+    * (shuffle on custkey, partial-agg'd), then the tiny k-histogram.
+    * At 100 TB the first agg is the cost and it is the minimal one — the
+    * orders scan reads o_custkey alone. */
+  def tpchQ13(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(Tables.orders(spark, dir).select(col("o_custkey"),
+          col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** q_tpch_q15 (top supplier): per-supplier revenue over one quarter,
+    * returning the supplier(s) achieving the maximum — the "argmax via
+    * scalar subquery" shape. The quarter's revenue table is computed ONCE
+    * ([[graft.operators.Materialize]]) and reused for both the max (one
+    * broadcast row) and the equality probe, so the fact table is scanned
+    * exactly once; TPC-H's CREATE VIEW + re-read would scan twice. */
+  def tpchQ15(spark: SparkSession, dir: String,
+      q0: String = "1996-01-01", q1: String = "1996-04-01"): DataFrame = {
+    val revenue = Materialize(
+      Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") >= lit(q0).cast("timestamp")
+          && col("l_shipdate") < lit(q1).cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          4).as("total_revenue")))
+    val top = revenue.agg(max(col("total_revenue")).as("mx"))
+    revenue
+      .join(broadcast(top), col("total_revenue") === col("mx"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** q_tpch_q17 (small-quantity-order revenue; adapted — no p_container
+    * in the synthetic part table, so the segment is brand ⋀ size-band):
+    * revenue from orders so small they fall under 20% of the part's own
+    * average order quantity. The correlated scalar subquery becomes a
+    * per-part aggregate joined back — and because BOTH the probe rows and
+    * the per-part averages are restricted to the same tiny part segment,
+    * the aggregate is computed over the broadcast-pruned fact slice, not
+    * the whole table, then broadcast back (a few thousand rows): two
+    * passes over the SLICE, zero shuffles of the full fact table. */
+  def tpchQ17(spark: SparkSession, dir: String,
+      brand: String = "Brand#3", maxSize: Int = 10): DataFrame = {
+    val seg = broadcast(Tables.part(spark, dir)
+      .filter(col("p_brand") === brand && col("p_size") <= maxSize)
+      .select(col("p_partkey")))
+    val segItems = Materialize(
+      Tables.lineitem(spark, dir)
+        .join(seg, col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice")))
+    val perPartAvg = segItems
+      .groupBy(col("l_partkey"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+      .select(col("l_partkey").as("ap_key"), col("avg_qty"))
+    segItems
+      .join(broadcast(perPartAvg), col("l_partkey") === col("ap_key"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 4).as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+  }
+
+  /** q_tpch_q19 (discounted revenue; adapted — no l_shipmode /
+    * l_shipinstruct / p_container, so each disjunct is brand ⋀ size-band
+    * ⋀ quantity-band): the OR-of-ANDs join showcase. All three disjuncts
+    * share the equi-join on partkey, so Spark runs ONE broadcast hash
+    * join with the disjunction as a residual filter — not three joins
+    * unioned. The quantity bounds ( ≥1, ≤40 across disjuncts ) are
+    * implied predicates pushable to the fact scan. */
+  def tpchQ19(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 40)
+    val p = broadcast(Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size")))
+    val d1 = col("p_brand") === "Brand#12" &&
+      col("p_size").between(1, 5) && col("l_quantity").between(1, 11)
+    val d2 = col("p_brand") === "Brand#23" &&
+      col("p_size").between(1, 10) && col("l_quantity").between(10, 20)
+    val d3 = col("p_brand") === "Brand#24" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(20, 40)
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(d1 || d2 || d3)
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+        4).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
 }

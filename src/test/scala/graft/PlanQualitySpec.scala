@@ -665,4 +665,79 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("partial"), p)
     assert(!p.contains("Join"), p)
   }
+
+  test("tpchQ1: cutoff pushes to the scan; partial agg; no join") {
+    val p = JoinOps.tpchQ1(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p)
+    assert(p.contains("partial"), p)
+    assert(!p.contains("Join"), p)
+    // exactly the 7 needed columns reach the scan (no l_orderkey etc.)
+    assert(p.contains("ReadSchema: struct<l_quantity:double," +
+      "l_extendedprice:double,l_discount:double,l_tax:double," +
+      "l_returnflag:string,l_linestatus:string,l_shipdate:timestamp"), p)
+  }
+
+  test("tpchQ5: only lineitem⋈orders shuffles; four broadcasts; year band pushed") {
+    val p = plan(JoinOps.tpchQ5(spark, sf))
+    // customer, supplier, nation⋈region all broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the c_nationkey = s_nationkey residual must ride a hash join (as key
+    // or condition), not degrade the whole topology to nested-loop
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("tpchQ8: part filter broadcasts pre-shrunk; share is one conditional agg") {
+    val p = plan(JoinOps.tpchQ8(spark, sf))
+    assert(p.contains("EqualTo(p_type,ECONOMY)"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    // numerator+denominator in ONE aggregate: no self-join of the fact side
+    assert("SortMergeJoin".r.findAllIn(p).size
+      + "ShuffledHashJoin".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("partial"), p)
+  }
+
+  test("tpchQ13: orders scan pruned to (custkey, orderkey); both aggs partial") {
+    val p = plan(JoinOps.tpchQ13(spark, sf))
+    assert(p.contains("ReadSchema: struct<o_custkey:bigint,o_orderkey:bigint>")
+      || p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>"), p)
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint>"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("tpchQ15: the quarter revenue table materializes once — the final " +
+      "plan reads the cached table, not the fact file") {
+    val df = JoinOps.tpchQ15(spark, sf)
+    val p = plan(df)
+    // both the max subquery and the probe consume the materialized revenue
+    // table; lineitem must not be re-scanned in the final plan
+    assert(!p.contains("FileScan parquet") ||
+      !p.contains("lineitem"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("tpchQ17: per-part averages come from the broadcast-pruned slice; " +
+      "no shuffle of the full fact table") {
+    val p = plan(JoinOps.tpchQ17(spark, sf))
+    // the slice is materialized; the final plan joins it against the tiny
+    // per-part aggregate via broadcast — no sort-merge anywhere
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("tpchQ19: ONE broadcast join carries all three disjuncts as a residual") {
+    val df = JoinOps.tpchQ19(spark, sf)
+    // sparkPlan for operator counting (formatted explain lists each node
+    // twice: once in the tree, once in the numbered detail section)
+    val p = plan(df)
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Union"), p)
+    // implied quantity bounds push into the fact scan
+    val pf = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(pf.contains("GreaterThanOrEqual(l_quantity,1.0)")
+      && pf.contains("LessThanOrEqual(l_quantity,40.0)"), pf)
+  }
 }
