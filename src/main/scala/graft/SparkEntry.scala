@@ -244,6 +244,9 @@ object SparkEntry {
     "q_incr_rollup"    -> (RelationalOps.incrRollup _),
     "q_anova"          -> (StatOps.anova _),
     "q_k_anonymity"    -> ((s, d) => StatOps.kAnonymity(s, d)),
+    "q_entropy_ldiv"   -> ((s, d) => StatOps.entropyLDiversity(s, d)),
+    "q_graph_cc"       -> ((s, d) => GraphOps.brandComponents(s, d)),
+    "q_stl_decompose"  -> (EventOps.stlDecompose _),
     "q_link_predict"   -> ((s, d) => GraphOps.linkPredict(s, d)),
     "q_tpch_q3"        -> (JoinOps.tpchQ3 _),
     "q_tpch_q18"       -> ((s, d) => JoinOps.tpchQ18(s, d)),
@@ -1835,6 +1838,59 @@ object SparkEntry {
         "COUNT(*) AS class_size FROM customer " +
         "GROUP BY 1, 2, 3 HAVING COUNT(*) < 5 " +
         "ORDER BY class_size, nation, segment, bal_band"),
+    // entropy l-diversity audit: H(sensitive|group) vs ln l per QI group
+    // (DuckDB ln = Spark log; SUM(bigint) is HUGEINT, cast back)
+    "q_entropy_ldiv" ->
+      ("WITH b AS (SELECT c_nationkey AS nation, c_mktsegment AS segment, " +
+        "floor(c_acctbal / 1000) AS band, COUNT(*) AS n_band " +
+        "FROM customer GROUP BY 1, 2, 3) " +
+        "SELECT nation, segment, " +
+        "CAST(SUM(n_band) AS BIGINT) AS group_n, " +
+        "COUNT(*) AS l_distinct, " +
+        "round(ln(CAST(SUM(n_band) AS DOUBLE)) " +
+        "- SUM(CAST(n_band AS DOUBLE) * ln(CAST(n_band AS DOUBLE))) " +
+        "/ CAST(SUM(n_band) AS DOUBLE), 4) AS entropy, " +
+        "COUNT(*) < 3 AS at_risk " +
+        "FROM b GROUP BY 1, 2 ORDER BY 1, 2"),
+    // strong-tie (≥2 co-baskets, same brand) connected components via the
+    // recursive min-label transitive closure; components are threshold-
+    // bounded small, which keeps `reach` tractable
+    "q_graph_cc" ->
+      ("WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem), " +
+        "ok AS (SELECT okey FROM op GROUP BY okey HAVING COUNT(*) <= 64), " +
+        "e AS (SELECT a.pkey AS src, b.pkey AS dst FROM op a " +
+        "JOIN op b ON a.okey = b.okey AND a.pkey < b.pkey " +
+        "JOIN part pa ON a.pkey = pa.p_partkey " +
+        "JOIN part pb ON b.pkey = pb.p_partkey AND pa.p_brand = pb.p_brand " +
+        "WHERE a.okey IN (SELECT okey FROM ok) " +
+        "GROUP BY 1, 2 HAVING COUNT(*) >= 2), " +
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+        "und AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e), " +
+        "reach AS (SELECT node, node AS r FROM nodes " +
+        "UNION SELECT reach.node, u.dst FROM reach JOIN und u ON reach.r = u.src) " +
+        "SELECT node AS part_id, MIN(r) AS component_id FROM reach " +
+        "GROUP BY node ORDER BY part_id"),
+    // STL skeleton: centered 7-row MA trend over 1e-4-scaled longs (sum of
+    // longs is order-independent), per-weekday seasonal means, residual.
+    // DuckDB dayofweek() is 0-6 vs Spark 1-7 — used only as an internal
+    // join key, consistently within each engine, never output.
+    "q_stl_decompose" ->
+      ("WITH d AS (SELECT CAST(ts AS DATE) AS day, round(SUM(value), 4) AS total " +
+        "FROM events GROUP BY 1), " +
+        "d2 AS (SELECT day, total, CAST(round(total * 10000) AS BIGINT) AS total_l FROM d), " +
+        "t AS (SELECT day, total, total_l, " +
+        "COUNT(*) OVER w AS n_win, SUM(total_l) OVER w AS trend_l FROM d2 " +
+        "WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), " +
+        "t2 AS (SELECT day, total, " +
+        "round(CAST(trend_l AS DOUBLE) / 7.0 / 10000.0, 4) AS trend, " +
+        "total_l - CAST(round(round(CAST(trend_l AS DOUBLE) / 7.0 / 10000.0, 4) * 10000) AS BIGINT) AS detr_l " +
+        "FROM t WHERE n_win = 7), " +
+        "s AS (SELECT dayofweek(day) AS dow, " +
+        "round(CAST(SUM(detr_l) AS DOUBLE) / COUNT(*) / 10000.0, 4) AS seasonal " +
+        "FROM t2 GROUP BY 1) " +
+        "SELECT day, total, trend, seasonal, " +
+        "round(total - trend - seasonal, 4) AS residual " +
+        "FROM t2 JOIN s ON dayofweek(day) = dow ORDER BY day"),
     // neighborhood-Jaccard link prediction over the top-100-degree batch
     "q_link_predict" ->
       ("WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem), " +

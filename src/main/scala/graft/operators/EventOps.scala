@@ -703,4 +703,51 @@ object EventOps {
           / (col("sa.n") + col("sb.n") - col("n_shared"))).as("jaccard"))
       .orderBy(col("type_a"), col("type_b"))
   }
+
+  /** q_stl_decompose: additive trend/seasonal/residual decomposition of the
+    * daily event-value series (the moving-average STL skeleton):
+    * trend = centered 7-row moving average (full windows only),
+    * seasonal = per-day-of-week mean of the detrended series,
+    * residual = value − trend − seasonal.
+    *
+    * Scale: the fact-table pass is the ONE daily aggregation (partial-agg'd
+    * to |days| rows); everything after operates on the tiny day series, so
+    * the unpartitioned ordered window is |days| rows on one task — by
+    * design, not an accident (document the contract: per-series windows
+    * would partition by series key). The seasonal table is 7 rows,
+    * broadcast back.
+    *
+    * Cross-engine determinism: the moving average and the day-of-week mean
+    * are computed over 10⁻⁴-SCALED LONGS (sum of longs is
+    * order-independent; a double sum is not), divided exactly once at the
+    * end — the same trick as the verify-harness integer-argmax rule. */
+  def stlDecompose(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")), 4).as("total"))
+      .withColumn("total_l", round(col("total") * 10000).cast("long"))
+    val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("n_win", count(lit(1)).over(w7))
+      .withColumn("trend_l", sum(col("total_l")).over(w7))
+      .filter(col("n_win") === 7)
+      .withColumn("trend",
+        stableRound4(col("trend_l").cast("double") / 7.0 / 10000.0))
+      .withColumn("detr_l",
+        col("total_l") - round(col("trend") * 10000).cast("long"))
+    val mat = graft.operators.Materialize(trended)
+    val seasonal = mat
+      .groupBy(dayofweek(col("day")).as("dow"))
+      .agg(sum(col("detr_l")).as("s_l"), count(lit(1)).as("s_n"))
+      .select(col("dow"),
+        stableRound4(col("s_l").cast("double") / col("s_n") / 10000.0)
+          .as("seasonal"))
+    mat
+      .join(broadcast(seasonal), dayofweek(col("day")) === col("dow"))
+      .select(col("day"), col("total"), col("trend"), col("seasonal"),
+        stableRound4(col("total") - col("trend") - col("seasonal"))
+          .as("residual"))
+      .orderBy(col("day"))
+  }
 }

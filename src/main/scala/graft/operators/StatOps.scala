@@ -304,4 +304,42 @@ object StatOps {
             * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))))
           .as("z_stat"))
   }
+
+  /** q_entropy_ldiv: ENTROPY l-diversity — the strictly stronger variant
+    * of [[lDiversity]] from the same Machanavajjhala 2007 paper. Distinct-
+    * count l-diversity passes a group where 10 bands appear but one holds
+    * 99% of members (probabilistic disclosure); entropy l-diversity
+    * requires H(sensitive | group) ≥ ln l, which a skewed distribution
+    * fails. Same QI tuple and sensitive band as the distinct-count audit,
+    * so the two reports line up row-for-row.
+    *
+    * Plan: two aggregations — (qi, band) counts, then per-qi rollup with
+    * an integer-weighted entropy H = ln N − (Σ n·ln n)/N (the ln applies
+    * per distinct band, so the sum runs over ≤ |bands| exact integer
+    * weights). Both partial-aggregate; nothing exceeds |qi-groups| rows
+    * after the first shuffle. */
+  def entropyLDiversity(spark: SparkSession, dir: String,
+      l: Int = 3): DataFrame = {
+    val banded = Tables.customer(spark, dir)
+      .select(col("c_nationkey").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000).as("band"))
+      .groupBy(col("nation"), col("segment"), col("band"))
+      .agg(count(lit(1)).as("n_band"))
+    banded
+      .groupBy(col("nation"), col("segment"))
+      .agg(
+        sum(col("n_band")).as("group_n"),
+        count(lit(1)).as("l_distinct"),
+        // H = ln N − (Σ n·ln n)/N over exact integer counts — one pass,
+        // deterministic across engines up to the final rounded division
+        sum(col("n_band").cast("double") * log(col("n_band").cast("double")))
+          .as("sum_nlogn"))
+      .select(col("nation"), col("segment"), col("group_n"),
+        col("l_distinct"),
+        stableRound4(log(col("group_n").cast("double"))
+          - col("sum_nlogn") / col("group_n")).as("entropy"),
+        (col("l_distinct") < l).as("at_risk"))
+      .orderBy(col("nation"), col("segment"))
+  }
 }

@@ -604,4 +604,36 @@ class Round3OpsSpec extends SparkTestBase {
         ((r.getLong(2), r.getDouble(3)))).toMap
     assert(out == Map(("click", "view") -> ((2L, 0.6667))), s"got $out")
   }
+
+  test("stlDecompose: trend is the hand-computed centered 7-day MA, " +
+      "seasonal means sum consistently, identity holds at round-4") {
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // reference series: daily totals (round-4), day-ordered
+    val daily = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")), 4).as("total"))
+      .orderBy(col("day")).collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(1)))
+    val out = EventOps.stlDecompose(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    // full 7-row windows only: first and last 3 days trimmed
+    assert(out.length == daily.length - 6, s"${out.length} vs ${daily.length}")
+    val totals = daily.map(t => math.round(t._2 * 10000))
+    val trendAt = daily.indices.drop(3).dropRight(3).map { i =>
+      daily(i)._1 -> r4((i - 3 to i + 3).map(totals).sum / 7.0 / 10000.0)
+    }.toMap
+    out.foreach { case (day, total, trend, seasonal, resid) =>
+      assert(math.abs(trend - trendAt(day)) < 1e-9, s"trend at $day")
+      assert(math.abs(resid - r4(total - trend - seasonal)) < 1e-9,
+        s"identity at $day")
+    }
+    // seasonal: one value per weekday, equal across weeks
+    val byDow = out.groupBy(t => java.time.LocalDate.parse(t._1).getDayOfWeek)
+      .view.mapValues(_.map(_._4))
+    byDow.foreach { case (dow, vals) =>
+      assert(vals.distinct.length == 1, s"seasonal not constant for $dow")
+    }
+  }
 }

@@ -193,4 +193,36 @@ class StatOpsSpec extends SparkTestBase {
     assert(out((1, "A")) == ((3L, 2L, false)), s"got ${out((1, "A"))}")
     assert(out((1, "B")) == ((3L, 3L, true)), s"got ${out((1, "B"))}")
   }
+
+  test("entropyLDiversity matches hand-computed entropy and lines up with " +
+      "the distinct-count audit") {
+    val out = StatOps.entropyLDiversity(spark, sf).collect()
+    // recompute H = ln N − (Σ n·ln n)/N from raw band counts per QI group
+    val bands = graft.Tables.customer(spark, sf)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000))
+      .count().collect()
+      .groupBy(r => (r.getInt(0), r.getString(1)))
+      .view.mapValues(_.map(_.getLong(3))).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val key = (r.getInt(0), r.getString(1))
+      val ns = bands(key)
+      val n = ns.sum.toDouble
+      val h = math.log(n) - ns.map(x => x * math.log(x.toDouble)).sum / n
+      assert(r.getLong(2) == ns.sum && r.getLong(3) == ns.length.toLong, s"$r")
+      assert(math.abs(r.getDouble(4) - h) < 5e-4, s"entropy mismatch: $r vs $h")
+      assert(r.getBoolean(5) == (ns.length < 3), s"$r")
+      // entropy l-diversity is the stricter criterion: H ≤ ln(l_distinct)
+      // (5e-5 headroom: the output is round-4ed, and a uniform group hits
+      // the bound exactly)
+      assert(r.getDouble(4) <= math.log(ns.length.toDouble) + 5e-5, s"$r")
+    }
+    // row-for-row alignment with the distinct-count audit
+    val distinct = StatOps.lDiversity(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(3)).toMap
+    out.foreach { r =>
+      assert(distinct((r.getInt(0), r.getString(1))) == r.getLong(3), s"$r")
+    }
+  }
 }
