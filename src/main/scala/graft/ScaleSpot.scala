@@ -67,7 +67,11 @@ object ScaleSpot {
     // the band joins themselves), the theta-sketch agg (should be flat —
     // fixed-size binaries), and the k-means purity join (q_ivf_balance
     // family plus one vec_id-keyed label join)
-    "q_minhash_recall", "q_theta_audience", "q_cluster_purity")
+    "q_minhash_recall", "q_theta_audience", "q_cluster_purity",
+    // strong-tie components (risk = pair-count aggregation over the basket
+    // explosion + CC label propagation rounds) and the STL day-series
+    // decomposition (should be flat: one daily agg, then |days| rows)
+    "q_graph_cc", "q_stl_decompose")
   val Scales = Seq(10, 100)
 
   def outDir(copies: Int) = s"/tmp/graft_spot_${copies}x"
@@ -92,6 +96,14 @@ object ScaleSpot {
         .withColumn("text", txt)
         .withColumn("n_chars", length(col("text")).cast("long"))
     }.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    // part: partkey-shifted copies with brands KEPT — each lineitem copy is
+    // a disjoint subgraph over its own partkey range, so the same-brand
+    // strong-tie structure repeats per copy (components grow in NUMBER with
+    // the catalog, the realistic regime)
+    union(Tables.part(spark, src)) { (df, i) =>
+      df.withColumn("p_partkey", col("p_partkey") + lit(i.toLong * 10000000L))
+    }.repartition(8).write.mode("overwrite").parquet(s"$out/part.parquet")
 
     // events: user_id-shifted copies — more users, same per-user history
     // (the realistic bigger-audience regime; per-user windows stay
@@ -178,7 +190,8 @@ object ScaleSpot {
       if (args.contains("regen")
           || !new java.io.File(s"${outDir(c)}/lineitem.parquet").exists()
           || !new java.io.File(s"${outDir(c)}/embeddings.parquet").exists()
-          || !new java.io.File(s"${outDir(c)}/events.parquet").exists()) {
+          || !new java.io.File(s"${outDir(c)}/events.parquet").exists()
+          || !new java.io.File(s"${outDir(c)}/part.parquet").exists()) {
         println(s"synthesizing ${c}x ...")
         synthesize(spark, src, c)
       }

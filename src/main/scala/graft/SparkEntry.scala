@@ -245,6 +245,8 @@ object SparkEntry {
     "q_anova"          -> (StatOps.anova _),
     "q_k_anonymity"    -> ((s, d) => StatOps.kAnonymity(s, d)),
     "q_entropy_ldiv"   -> ((s, d) => StatOps.entropyLDiversity(s, d)),
+    "q_skyline"        -> (AnalyticsOps.skyline _),
+    "q_mutual_info"    -> (CorpusOps.mutualInfo _),
     "q_graph_cc"       -> ((s, d) => GraphOps.brandComponents(s, d)),
     "q_stl_decompose"  -> (EventOps.stlDecompose _),
     "q_link_predict"   -> ((s, d) => GraphOps.linkPredict(s, d)),
@@ -1838,6 +1840,40 @@ object SparkEntry {
         "COUNT(*) AS class_size FROM customer " +
         "GROUP BY 1, 2, 3 HAVING COUNT(*) < 5 " +
         "ORDER BY class_size, nation, segment, bal_band"),
+    // 2-D skyline via the distinct-point sort sweep: a point survives iff
+    // its size strictly exceeds the running max over all (cheaper-or-
+    // equal) preceding points
+    "q_skyline" ->
+      ("WITH pts AS (SELECT round(p_retailprice, 4) AS price, p_size, " +
+        "COUNT(*) AS n_parts, MIN(p_partkey) AS sample_part " +
+        "FROM part GROUP BY 1, 2), " +
+        "sw AS (SELECT price, p_size, n_parts, sample_part, " +
+        "MAX(p_size) OVER (ORDER BY price ASC, p_size DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prev " +
+        "FROM pts) " +
+        "SELECT price, p_size AS size, n_parts, sample_part " +
+        "FROM sw WHERE max_prev IS NULL OR p_size > max_prev " +
+        "ORDER BY price"),
+    // lang×source mutual information from the integer contingency table;
+    // DuckDB ln = Spark log
+    "q_mutual_info" ->
+      ("WITH c AS (SELECT lang, source, COUNT(*) AS n_ls FROM documents GROUP BY 1, 2), " +
+        "nl AS (SELECT lang, CAST(SUM(n_ls) AS BIGINT) AS n_l FROM c GROUP BY 1), " +
+        "ns AS (SELECT source, CAST(SUM(n_ls) AS BIGINT) AS n_s FROM c GROUP BY 1), " +
+        "agg AS (SELECT CAST(SUM(n_ls) AS BIGINT) AS n_total, COUNT(*) AS n_cells, " +
+        "SUM(CAST(n_ls AS DOUBLE) * ln(CAST(n_ls AS DOUBLE) " +
+        "/ (CAST(n_l AS DOUBLE) * CAST(n_s AS DOUBLE)))) AS mi_raw " +
+        "FROM c JOIN nl USING (lang) JOIN ns USING (source)), " +
+        "ml AS (SELECT SUM(CAST(n_l AS DOUBLE) * ln(CAST(n_l AS DOUBLE))) AS sum_l_logl FROM nl), " +
+        "ms AS (SELECT SUM(CAST(n_s AS DOUBLE) * ln(CAST(n_s AS DOUBLE))) AS sum_s_logs FROM ns) " +
+        "SELECT n_total, n_cells, " +
+        "round(mi_raw / n_total + ln(CAST(n_total AS DOUBLE)), 4) AS mi_nats, " +
+        "round(ln(CAST(n_total AS DOUBLE)) - sum_l_logl / n_total, 4) AS h_lang, " +
+        "round(ln(CAST(n_total AS DOUBLE)) - sum_s_logs / n_total, 4) AS h_source, " +
+        "round((mi_raw / n_total + ln(CAST(n_total AS DOUBLE))) " +
+        "/ sqrt((ln(CAST(n_total AS DOUBLE)) - sum_l_logl / n_total) " +
+        "* (ln(CAST(n_total AS DOUBLE)) - sum_s_logs / n_total)), 4) AS nmi " +
+        "FROM agg, ml, ms"),
     // entropy l-diversity audit: H(sensitive|group) vs ln l per QI group
     // (DuckDB ln = Spark log; SUM(bigint) is HUGEINT, cast back)
     "q_entropy_ldiv" ->

@@ -841,4 +841,35 @@ object AnalyticsOps {
           .as("df"))
       .orderBy(col("type_a"), col("type_b"))
   }
+
+  /** q_skyline: the 2-D Pareto frontier (skyline operator) of the part
+    * catalog — points not dominated on (minimize p_retailprice, maximize
+    * p_size): no other part is both cheaper-or-equal and
+    * larger-or-equal with one strict. The classic multi-criteria
+    * shortlist query (Börzsönyi et al., ICDE 2001).
+    *
+    * Two-phase plan, which is what makes it scale: phase 1 reduces the
+    * fact table to DISTINCT (price, size) points with multiplicity — a
+    * partial-aggregated shuffle bounded by the VALUE DOMAIN, not the row
+    * count. Phase 2 runs the sort-based sweep on the reduced set: order
+    * by (price asc, size desc) and keep a point iff its size strictly
+    * exceeds the running max over all preceding points — every preceding
+    * point has lower price (or equal price and larger size), so "running
+    * max size ≥ mine" is exactly dominance. The sweep's unpartitioned
+    * window is deliberate and safe: it sees only the domain-reduced
+    * points (here ≤ |prices|×|sizes|); a domain too large for one task
+    * would take the standard grid-partition pre-filter first. */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.part(spark, dir)
+      .groupBy(round(col("p_retailprice"), 4).as("price"), col("p_size"))
+      .agg(count(lit(1)).as("n_parts"), min(col("p_partkey")).as("sample_part"))
+    val sweep = Window.orderBy(col("price").asc, col("p_size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts
+      .withColumn("max_prev", max(col("p_size")).over(sweep))
+      .filter(col("max_prev").isNull || col("p_size") > col("max_prev"))
+      .select(col("price"), col("p_size").as("size"), col("n_parts"),
+        col("sample_part"))
+      .orderBy(col("price"))
+  }
 }

@@ -1276,4 +1276,53 @@ object CorpusOps {
         stableRound4(col("n_en").cast("double") / col("n_docs"))
           .as("en_share"))
   }
+
+  /** q_mutual_info: mutual information between the corpus's lang and
+    * source labels — the dependence audit behind "is my language mix
+    * confounded with my source mix?" (a stratified sampler that ignores a
+    * high-MI confound shifts the language distribution when it rebalances
+    * sources). I(L;S) = Σ (n_ls/N)·ln(N·n_ls / (n_l·n_s)) from the integer
+    * contingency table; also H(L), H(S), and the normalized
+    * NMI = I/√(H_L·H_S) (0 = independent, 1 = one determines the other).
+    *
+    * Plan: ONE fact-table aggregation to the |L|×|S| contingency cells;
+    * marginals are rollups OF THE CELLS (never a second fact scan), joined
+    * back by broadcast; every entropy/MI term is computed from exact
+    * integer counts, summed over ≤ |L|×|S| values. */
+  def mutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val cells = Materialize(
+      Tables.documents(spark, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_ls")))
+    val nl = cells.groupBy(col("lang")).agg(sum(col("n_ls")).as("n_l"))
+    val ns = cells.groupBy(col("source")).agg(sum(col("n_ls")).as("n_s"))
+    val joined = cells
+      .join(broadcast(nl), "lang")
+      .join(broadcast(ns), "source")
+    val n = col("n_total").cast("double")
+    joined
+      .agg(sum(col("n_ls")).as("n_total"),
+        count(lit(1)).as("n_cells"),
+        sum(col("n_ls").cast("double")
+          * log(col("n_ls").cast("double")
+            / (col("n_l").cast("double") * col("n_s").cast("double"))))
+          .as("mi_raw"))
+      // marginal entropies come from the marginal tables (one row each,
+      // joined as broadcast scalars), not from re-walking the cells
+      .join(broadcast(nl.agg(
+        sum(col("n_l").cast("double") * log(col("n_l").cast("double")))
+          .as("sum_l_logl"))))
+      .join(broadcast(ns.agg(
+        sum(col("n_s").cast("double") * log(col("n_s").cast("double")))
+          .as("sum_s_logs"))))
+      .select(col("n_total"), col("n_cells"),
+        // I = (Σ n_ls ln n_ls/(n_l n_s))/N + ln N
+        stableRound4(col("mi_raw") / n + log(n)).as("mi_nats"),
+        stableRound4(log(n) - col("sum_l_logl") / n).as("h_lang"),
+        stableRound4(log(n) - col("sum_s_logs") / n).as("h_source"),
+        stableRound4((col("mi_raw") / n + log(n))
+          / sqrt((log(n) - col("sum_l_logl") / n)
+            * (log(n) - col("sum_s_logs") / n))).as("nmi"))
+  }
 }

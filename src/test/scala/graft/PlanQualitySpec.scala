@@ -666,6 +666,24 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("Join"), p)
   }
 
+  test("skyline: distinct-point reduction aggregates BEFORE the sweep window") {
+    val p = plan(AnalyticsOps.skyline(spark, sf))
+    // phase 1 (domain reduction) must appear below the Window in the plan:
+    // the sweep sees aggregated points, never raw part rows
+    assert(p.contains("Window") && p.contains("HashAggregate"), p)
+    assert(p.indexOf("Window") < p.indexOf("HashAggregate"), p)
+    assert(p.contains("ReadSchema: struct<p_partkey:bigint,p_size:int," +
+      "p_retailprice:double>"), p)
+  }
+
+  test("mutualInfo: marginals derive from the materialized cells — the " +
+      "final plan never re-scans the documents table") {
+    val p = plan(CorpusOps.mutualInfo(spark, sf))
+    assert(!p.contains("FileScan"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("tpchQ1: cutoff pushes to the scan; partial agg; no join") {
     val p = JoinOps.tpchQ1(spark, sf).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

@@ -198,4 +198,24 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(out.map(_.getLong(1)).sum == li.count())
     out.foreach(r => assert(r.getDouble(3) > 0 && r.getDouble(4) > 0))
   }
+
+  test("skyline equals the brute-force dominance filter over distinct points") {
+    val out = AnalyticsOps.skyline(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getInt(1)))
+    // brute force: keep (p, s) iff no other point (p2, s2) has p2 <= p,
+    // s2 >= s with one strict
+    val pts = Tables.part(spark, sf)
+      .groupBy(round(col("p_retailprice"), 4), col("p_size"))
+      .count().collect().map(r => (r.getDouble(0), r.getInt(1)))
+    val expect = pts.filter { case (p, s) =>
+      !pts.exists { case (p2, s2) =>
+        p2 <= p && s2 >= s && (p2 < p || s2 > s) }
+    }.sortBy(_._1)
+    assert(out.toSeq == expect.toSeq,
+      s"skyline mismatch: got ${out.length}, expect ${expect.length}")
+    // frontier is strictly monotone: price up, size up
+    out.sliding(2).foreach { case Array((p1, s1), (p2, s2)) =>
+      assert(p1 < p2 && s1 < s2, s"not monotone: ($p1,$s1) -> ($p2,$s2)")
+    case _ => () }
+  }
 }

@@ -650,4 +650,28 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out("val") == ((2L, 1L, 0.5)), s"got ${out("val")}")
     assert(out("test") == ((1L, 1L, 1.0)), s"got ${out("test")}")
   }
+
+  test("mutualInfo matches a driver recompute and respects MI bounds") {
+    val r = CorpusOps.mutualInfo(spark, sf).collect().head
+    val (nTotal, mi, hl, hs, nmi) = (r.getLong(0), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    // recompute from the raw contingency table
+    val cells = graft.Tables.documents(spark, sf)
+      .groupBy(col("lang"), col("source")).count().collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    val n = cells.map(_._3).sum.toDouble
+    val nl = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val ns = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val miX = cells.map { case (l, s, c) =>
+      c / n * math.log(c * n / (nl(l) * ns(s)).toDouble) }.sum
+    def h(m: Map[String, Long]) =
+      -m.values.map(c => c / n * math.log(c / n)).sum
+    assert(nTotal == n.toLong)
+    assert(math.abs(mi - miX) < 5e-4, s"MI $mi vs $miX")
+    assert(math.abs(hl - h(nl)) < 5e-4 && math.abs(hs - h(ns)) < 5e-4)
+    // 0 ≤ I ≤ min(H_L, H_S); NMI in [0, 1]
+    assert(mi >= -1e-9 && mi <= math.min(hl, hs) + 1e-4)
+    assert(nmi >= 0.0 && nmi <= 1.0 + 1e-9, s"nmi $nmi")
+    assert(math.abs(nmi - mi / math.sqrt(hl * hs)) < 5e-4)
+  }
 }
