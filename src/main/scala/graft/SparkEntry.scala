@@ -247,6 +247,7 @@ object SparkEntry {
     "q_entropy_ldiv"   -> ((s, d) => StatOps.entropyLDiversity(s, d)),
     "q_skyline"        -> (AnalyticsOps.skyline _),
     "q_mutual_info"    -> (CorpusOps.mutualInfo _),
+    "q_snapshot_diff"  -> (RelationalOps.snapshotDiff _),
     "q_graph_cc"       -> ((s, d) => GraphOps.brandComponents(s, d)),
     "q_stl_decompose"  -> (EventOps.stlDecompose _),
     "q_link_predict"   -> ((s, d) => GraphOps.linkPredict(s, d)),
@@ -1840,6 +1841,25 @@ object SparkEntry {
         "COUNT(*) AS class_size FROM customer " +
         "GROUP BY 1, 2, 3 HAVING COUNT(*) < 5 " +
         "ORDER BY class_size, nation, segment, bal_band"),
+    // CDC snapshot diff: keys %97 deleted, %13 repriced x1.05, %101
+    // re-inserted under key+1e9; classify via full-outer null pattern
+    "q_snapshot_diff" ->
+      ("WITH old AS (SELECT o_orderkey AS key, o_totalprice AS price, " +
+        "o_orderstatus AS status FROM orders), " +
+        "neu AS (SELECT key, CASE WHEN key % 13 = 0 " +
+        "THEN round(price * 1.05, 4) ELSE price END AS price, status " +
+        "FROM old WHERE key % 97 <> 0 " +
+        "UNION ALL SELECT key + 1000000000 AS key, price, status " +
+        "FROM old WHERE key % 101 = 0) " +
+        "SELECT CASE WHEN o.key IS NULL THEN 'insert' " +
+        "WHEN n.key IS NULL THEN 'delete' " +
+        "WHEN o.price <> n.price OR o.status <> n.status THEN 'update' " +
+        "ELSE 'unchanged' END AS change_type, " +
+        "COUNT(*) AS n_rows, " +
+        "round(SUM(CASE WHEN o.key IS NOT NULL AND n.key IS NOT NULL " +
+        "THEN abs(n.price - o.price) ELSE 0.0 END), 4) AS abs_price_drift " +
+        "FROM old o FULL OUTER JOIN neu n ON o.key = n.key " +
+        "GROUP BY 1 ORDER BY 1"),
     // 2-D skyline via the distinct-point sort sweep: a point survives iff
     // its size strictly exceeds the running max over all (cheaper-or-
     // equal) preceding points

@@ -310,4 +310,53 @@ object RelationalOps {
         (col("n_rows") < targetRowsPerFile / 10).as("small_partition"))
       .orderBy(col("yr"), col("mon"))
   }
+
+  /** q_snapshot_diff: the CDC diff between two table snapshots — every key
+    * classified insert / delete / update / unchanged, with row counts and
+    * the update family's absolute value drift. The companion to
+    * [[upsertOrders]] (which APPLIES changes) and [[scd2]] (which
+    * HISTORIZES them): this one AUDITS what changed between versions —
+    * the "what did last night's load actually do" report.
+    *
+    * The "new" snapshot is derived deterministically from the shipped
+    * orders table (no second snapshot exists in the fixture; the dials
+    * are documented): keys ≡0 (mod 97) deleted, keys ≡0 (mod 13)
+    * repriced ×1.05, keys ≡0 (mod 101) re-inserted under key+10⁹.
+    *
+    * Plan: one full-outer join on the key — each side shuffles exactly
+    * once, pre-projected to (key, compared columns); classification is a
+    * null-pattern CASE on the joined row, then a 4-row aggregate. At
+    * production scale both snapshots would be bucketed by key, turning
+    * the diff into a zipper merge with NO shuffle (ScaleSpec holds the
+    * bucketed-join-elides-exchange proof for this layout). */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val old = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("key"),
+        col("o_totalprice").as("price"), col("o_orderstatus").as("status"))
+    val neu = old
+      .filter(col("key") % 97 =!= 0)
+      .withColumn("price",
+        when(col("key") % 13 === 0, round(col("price") * 1.05, 4))
+          .otherwise(col("price")))
+      .unionByName(old.filter(col("key") % 101 === 0)
+        .withColumn("key", col("key") + 1000000000L))
+    val diff = old.select(col("key").as("k_old"), col("price").as("p_old"),
+        col("status").as("s_old"))
+      .join(neu.select(col("key").as("k_new"), col("price").as("p_new"),
+        col("status").as("s_new")),
+        col("k_old") === col("k_new"), "full_outer")
+      .select(
+        when(col("k_old").isNull, "insert")
+          .when(col("k_new").isNull, "delete")
+          .when(col("p_old") =!= col("p_new")
+            || col("s_old") =!= col("s_new"), "update")
+          .otherwise("unchanged").as("change_type"),
+        when(col("k_old").isNotNull && col("k_new").isNotNull,
+          abs(col("p_new") - col("p_old"))).otherwise(lit(0.0)).as("drift"))
+    diff.groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        stableRound4(sum(col("drift"))).as("abs_price_drift"))
+      .orderBy(col("change_type"))
+  }
 }

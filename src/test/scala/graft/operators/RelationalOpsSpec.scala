@@ -122,4 +122,25 @@ class RelationalOpsSpec extends SparkTestBase {
     val merged = RelationalOps.incrRollup(spark, sf).collect()
     assert(merged.sameElements(full))
   }
+
+  test("snapshotDiff counts match a driver replay of the change dials") {
+    val out = RelationalOps.snapshotDiff(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val rows = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val deletes = rows.count(_._1 % 97 == 0)
+    val inserts = rows.count(_._1 % 101 == 0)
+    val updated = rows.filter { case (k, p) =>
+      k % 97 != 0 && k % 13 == 0 && r4(p * 1.05) != p }
+    val unchanged = rows.length - deletes - updated.length
+    assert(out("delete")._1 == deletes && out("insert")._1 == inserts)
+    assert(out("update")._1 == updated.length)
+    assert(out("unchanged")._1 == unchanged)
+    val drift = updated.map { case (_, p) => r4(p * 1.05) - p }.sum
+    assert(math.abs(out("update")._2 - drift) < 1e-3, s"drift vs $drift")
+    assert(out("insert")._2 == 0.0 && out("delete")._2 == 0.0)
+  }
 }
