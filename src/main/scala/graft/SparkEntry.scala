@@ -248,6 +248,7 @@ object SparkEntry {
     "q_skyline"        -> (AnalyticsOps.skyline _),
     "q_mutual_info"    -> (CorpusOps.mutualInfo _),
     "q_snapshot_diff"  -> (RelationalOps.snapshotDiff _),
+    "q_attribution"    -> ((s, d) => EventOps.attribution(s, d)),
     "q_graph_cc"       -> ((s, d) => GraphOps.brandComponents(s, d)),
     "q_stl_decompose"  -> (EventOps.stlDecompose _),
     "q_link_predict"   -> ((s, d) => GraphOps.linkPredict(s, d)),
@@ -1841,6 +1842,22 @@ object SparkEntry {
         "COUNT(*) AS class_size FROM customer " +
         "GROUP BY 1, 2, 3 HAVING COUNT(*) < 5 " +
         "ORDER BY class_size, nation, segment, bal_band"),
+    // last-touch attribution: per-purchase argmax over the 7-day banded
+    // user join, integer event_id tiebreak; zero-touch purchases = direct
+    "q_attribution" ->
+      ("WITH p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts, " +
+        "value AS revenue FROM events WHERE event_type = 'purchase'), " +
+        "t AS (SELECT event_id AS t_id, user_id AS t_user, ts AS t_ts, " +
+        "event_type AS channel FROM events WHERE event_type <> 'purchase'), " +
+        "c AS (SELECT p.p_id, p.revenue, t.channel, t.t_ts, t.t_id, " +
+        "row_number() OVER (PARTITION BY p.p_id " +
+        "ORDER BY t.t_ts DESC NULLS LAST, t.t_id DESC NULLS LAST) AS rn " +
+        "FROM p LEFT OUTER JOIN t ON p.p_user = t.t_user " +
+        "AND t.t_ts <= p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 7 DAY) " +
+        "SELECT COALESCE(channel, 'direct') AS channel, " +
+        "COUNT(*) AS n_conversions, " +
+        "round(SUM(revenue), 4) AS attributed_revenue " +
+        "FROM c WHERE rn = 1 GROUP BY 1 ORDER BY 1"),
     // CDC snapshot diff: keys %97 deleted, %13 repriced x1.05, %101
     // re-inserted under key+1e9; classify via full-outer null pattern
     "q_snapshot_diff" ->

@@ -704,6 +704,47 @@ object EventOps {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** q_attribution: last-touch attribution — every purchase is credited to
+    * the user's most recent non-purchase touch within a 7-day lookback;
+    * purchases with no touch in the window credit the "direct" channel.
+    * The product-analytics composite that q_interval_join (banded join)
+    * and q_latest_event (argmax) are the building blocks of.
+    *
+    * Plan: purchases ⋈ touches is a USER-keyed equi-join with the
+    * lookback band as a residual — one shuffle each side on user_id, and
+    * candidate volume is bounded by per-user history inside the band,
+    * not |events|². The per-purchase argmax is a (purchase-keyed) window
+    * over those candidates with an integer tiebreak (event_id) so the
+    * credited touch is unique; the left join keeps zero-touch purchases
+    * for the direct bucket. */
+  def attribution(spark: SparkSession, dir: String,
+      lookbackDays: Int = 7): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("revenue"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("event_id").as("t_id"), col("user_id").as("t_user"),
+        col("ts").as("t_ts"), col("event_type").as("channel"))
+    val credited = purchases
+      .join(touches,
+        col("p_user") === col("t_user")
+          && col("t_ts") <= col("p_ts")
+          && col("t_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackDays DAYS"),
+        "left_outer")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("p_id"))
+          .orderBy(col("t_ts").desc_nulls_last, col("t_id").desc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select(coalesce(col("channel"), lit("direct")).as("channel"),
+        col("revenue"))
+    credited.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        stableRound4(sum(col("revenue"))).as("attributed_revenue"))
+      .orderBy(col("channel"))
+  }
+
   /** q_stl_decompose: additive trend/seasonal/residual decomposition of the
     * daily event-value series (the moving-average STL skeleton):
     * trend = centered 7-row moving average (full windows only),

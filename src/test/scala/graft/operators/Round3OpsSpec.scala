@@ -605,6 +605,38 @@ class Round3OpsSpec extends SparkTestBase {
     assert(out == Map(("click", "view") -> ((2L, 0.6667))), s"got $out")
   }
 
+  test("attribution: last touch wins, ties break on event_id, " +
+      "out-of-window and zero-touch purchases go direct") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-attr").toString
+    val day = 86400L
+    // user 1: click(t=100) then view(t=200) then purchase(t=250, rev 10)
+    //   -> view (last touch)
+    // user 2: two touches at the SAME ts (t=300: click id=20, view id=21)
+    //   then purchase(t=310, rev 20) -> view (higher event_id wins)
+    // user 3: click 8 days before purchase(rev 30) -> outside 7d -> direct
+    // user 4: purchase(rev 40) with no touches at all -> direct
+    Seq(
+      (10L, 1L, "click", 100L, 0.0), (11L, 1L, "view", 200L, 0.0),
+      (12L, 1L, "purchase", 250L, 10.0),
+      (20L, 2L, "click", 300L, 0.0), (21L, 2L, "view", 300L, 0.0),
+      (22L, 2L, "purchase", 310L, 20.0),
+      (30L, 3L, "click", 1000L, 0.0),
+      (31L, 3L, "purchase", 1000L + 8 * day, 30.0),
+      (40L, 4L, "purchase", 500L, 40.0))
+      .toDF("event_id", "user_id", "event_type", "t", "value")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(col("t") * 1000000L).as("ts"),
+        col("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = EventOps.attribution(spark, tmp).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == Map(
+      "view" -> ((2L, 30.0)),     // users 1 and 2
+      "direct" -> ((2L, 70.0))),  // users 3 (out of window) and 4
+      s"got $out")
+  }
+
   test("stlDecompose: trend is the hand-computed centered 7-day MA, " +
       "seasonal means sum consistently, identity holds at round-4") {
     def r4(x: Double): Double =
