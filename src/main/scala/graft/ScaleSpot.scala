@@ -71,7 +71,10 @@ object ScaleSpot {
     // strong-tie components (risk = pair-count aggregation over the basket
     // explosion + CC label propagation rounds) and the STL day-series
     // decomposition (should be flat: one daily agg, then |days| rows)
-    "q_graph_cc", "q_stl_decompose")
+    "q_graph_cc", "q_stl_decompose",
+    // banded-join argmax (risk = per-user candidate volume inside the
+    // lookback band) and the full-outer CDC diff (scan/shuffle-bound)
+    "q_attribution", "q_snapshot_diff")
   val Scales = Seq(10, 100)
 
   def outDir(copies: Int) = s"/tmp/graft_spot_${copies}x"
@@ -104,6 +107,13 @@ object ScaleSpot {
     union(Tables.part(spark, src)) { (df, i) =>
       df.withColumn("p_partkey", col("p_partkey") + lit(i.toLong * 10000000L))
     }.repartition(8).write.mode("overwrite").parquet(s"$out/part.parquet")
+
+    // orders: orderkey+custkey-shifted copies — a bigger order history
+    // (the snapshot-diff / order-analytics regime)
+    union(Tables.orders(spark, src)) { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 100000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(i.toLong * 10000000L))
+    }.repartition(16).write.mode("overwrite").parquet(s"$out/orders.parquet")
 
     // events: user_id-shifted copies — more users, same per-user history
     // (the realistic bigger-audience regime; per-user windows stay
@@ -191,7 +201,8 @@ object ScaleSpot {
           || !new java.io.File(s"${outDir(c)}/lineitem.parquet").exists()
           || !new java.io.File(s"${outDir(c)}/embeddings.parquet").exists()
           || !new java.io.File(s"${outDir(c)}/events.parquet").exists()
-          || !new java.io.File(s"${outDir(c)}/part.parquet").exists()) {
+          || !new java.io.File(s"${outDir(c)}/part.parquet").exists()
+          || !new java.io.File(s"${outDir(c)}/orders.parquet").exists()) {
         println(s"synthesizing ${c}x ...")
         synthesize(spark, src, c)
       }
