@@ -227,6 +227,12 @@ object SparkEntry {
     "q_hard_negative"  -> ((s, d) => SimilarityOps.hardNegatives(s, d)),
     "q_frame_sample"   -> (MultimodalOps.frameSample _),
     "q_zorder"         -> (RelationalOps.zorderLayout _),
+    "q_skip_audit"     -> (RelationalOps.skipAudit _),
+    "q_dp_topk"        -> ((s, d) => StatOps.dpTopK(s, d)),
+    "q_calibration"    -> (TextOps.calibration _),
+    // rows-only: hyperplane LSH + k-means IVF shortlists aren't
+    // SQL-expressible; AnnRecallSpec pins recall floors and determinism
+    "q_ann_recall"     -> ((s, d) => SimilarityOps.annRecall(s, d)),
     // rows-only: PQ codebook training is iterative k-means (no SQL oracle);
     // PqSpec pins recall@10 vs the exact baseline and re-rank exactness
     "q_pq_ann"         -> ((s, d) => PqOps.pqTopK(s, d)),
@@ -1372,6 +1378,36 @@ object SparkEntry {
         "CAST(round(CAST(1.0 / (1.0 + exp(-z)) AS DECIMAL(20,8)), 4) AS DOUBLE) AS p_keep, " +
         "CAST(round(CAST(1.0 / (1.0 + exp(-z)) AS DECIMAL(20,8)), 4) AS DOUBLE) >= 0.5 AS keep " +
         "FROM z ORDER BY doc_id"),
+    // logistic p_keep (rounded, as declared) binned against the per-doc
+    // all-four-Gopher-rules outcome: the reliability diagram
+    "q_calibration" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_toks, " +
+        "CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\\s+')) AS awl, " +
+        "CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), " +
+        "x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and')) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\\s+')) AS swr " +
+        "FROM documents), " +
+        "d AS (SELECT doc_id, 1.0 - CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*) AS dupfrac FROM " +
+        "(SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok FROM documents) GROUP BY doc_id), " +
+        "z AS (SELECT t.doc_id, -1.0 + swr * 8.0 + least(n_toks / 100.0, 1.0) * 1.5 " +
+        "- dupfrac * 4.0 - abs(awl - 5.0) * 0.3 AS z FROM t JOIN d ON t.doc_id = d.doc_id), " +
+        "p AS (SELECT doc_id, CAST(round(CAST(1.0 / (1.0 + exp(-z)) AS DECIMAL(20,8)), 4) AS DOUBLE) AS p_keep FROM z), " +
+        "gt AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks, " +
+        "CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS n_chars FROM documents), " +
+        "gf AS (SELECT doc_id, len(toks) AS n_words, n_chars / len(toks) AS mwl, " +
+        "len(list_filter(toks, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and')) AS sw_n, " +
+        "CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(toks) AS alpha_frac FROM gt), " +
+        "gp AS (SELECT doc_id, CASE WHEN (n_words BETWEEN 20 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0) " +
+        "AND sw_n >= 2 AND alpha_frac >= 0.8 THEN 1.0 ELSE 0.0 END AS pass FROM gf), " +
+        "j AS (SELECT CAST(least(floor(p_keep * 10), 9) AS INTEGER) AS bin, p_keep, pass " +
+        "FROM p JOIN gp USING (doc_id)), " +
+        "agg AS (SELECT bin, COUNT(*) AS n_docs, " +
+        "CAST(round(CAST(avg(p_keep) AS DECIMAL(20,8)), 4) AS DOUBLE) AS mean_pred, " +
+        "CAST(round(CAST(avg(pass) AS DECIMAL(20,8)), 4) AS DOUBLE) AS frac_pass " +
+        "FROM j GROUP BY bin) " +
+        "SELECT bin, n_docs, mean_pred, frac_pass, " +
+        "CAST(round(CAST(abs(mean_pred - frac_pass) AS DECIMAL(20,8)), 4) AS DOUBLE) AS gap " +
+        "FROM agg ORDER BY bin"),
     "q_chunk_stride" ->
       ("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), " +
         "e AS (SELECT doc_id, toks, len(toks) AS n_toks, " +
@@ -1747,6 +1783,32 @@ object SparkEntry {
         "MIN(bx) AS min_price_bucket, MAX(bx) AS max_price_bucket, " +
         "MIN(by) AS min_day_bucket, MAX(by) AS max_day_bucket " +
         "FROM z GROUP BY zrange ORDER BY zrange"),
+    // same bucketization + zkey as q_zorder; three layout keys over one
+    // scan, footer-style min/max pruning test per 64-key range
+    "q_skip_audit" ->
+      ("WITH b AS (SELECT CAST(least(floor(o_totalprice / 2000), 255) AS INTEGER) AS bx, " +
+        "CAST(((date_diff('day', TIMESTAMP '1992-01-01 00:00:00', o_orderdate) % 256) + 256) % 256 AS INTEGER) AS by " +
+        "FROM orders), " +
+        "z AS (SELECT bx, by, " +
+        (0 until 8).map(i =>
+          s"((bx >> $i) & 1) * ${1 << (2 * i)} + ((by >> $i) & 1) * ${1 << (2 * i + 1)}")
+          .mkString(" + ") +
+        " AS zkey FROM b), " +
+        "t AS (SELECT 'price_day' AS layout, CAST((bx * 256 + by) // 64 AS INTEGER) AS rng, bx, by FROM z " +
+        "UNION ALL SELECT 'day_price', CAST((by * 256 + bx) // 64 AS INTEGER), bx, by FROM z " +
+        "UNION ALL SELECT 'zorder', CAST(zkey // 64 AS INTEGER), bx, by FROM z), " +
+        "r AS (SELECT layout, rng, COUNT(*) AS n, MIN(bx) AS minx, MAX(bx) AS maxx, " +
+        "MIN(by) AS miny, MAX(by) AS maxy, " +
+        "SUM(CASE WHEN bx BETWEEN 10 AND 25 AND by BETWEEN 40 AND 90 THEN 1 ELSE 0 END) AS n_match " +
+        "FROM t GROUP BY layout, rng) " +
+        "SELECT layout, COUNT(*) AS n_ranges, " +
+        "CAST(SUM(CASE WHEN maxx >= 10 AND minx <= 25 AND maxy >= 40 AND miny <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned_ranges, " +
+        "CAST(SUM(n) AS BIGINT) AS rows_total, " +
+        "CAST(SUM(CASE WHEN maxx >= 10 AND minx <= 25 AND maxy >= 40 AND miny <= 90 THEN n ELSE 0 END) AS BIGINT) AS rows_scanned, " +
+        "CAST(SUM(n_match) AS BIGINT) AS rows_matching, " +
+        "CAST(round(CAST(CAST(SUM(CASE WHEN maxx >= 10 AND minx <= 25 AND maxy >= 40 AND miny <= 90 THEN n ELSE 0 END) AS DOUBLE) " +
+        "/ SUM(n) AS DECIMAL(20,8)), 4) AS DOUBLE) AS scan_frac " +
+        "FROM r GROUP BY layout ORDER BY layout"),
     // market-basket support/confidence/lift over the capped baskets
     "q_lift" ->
       ("WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem), " +
@@ -2257,6 +2319,17 @@ object SparkEntry {
         "CAST(round(CAST(n_docs + (CASE WHEN uu - 0.5 > 0 THEN -1.0 WHEN uu - 0.5 < 0 THEN 1.0 ELSE 0.0 END) " +
         "* ln(1.0 - 2.0 * abs(uu - 0.5)) AS DECIMAL(20,8)), 4) AS DOUBLE) AS noisy_count " +
         "FROM u ORDER BY source"),
+    // noisy-top-k-with-threshold: Laplace b=2 derived from md5(token)
+    "q_dp_topk" ->
+      ("WITH c AS (SELECT tok, COUNT(*) AS n FROM " +
+        "(SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok FROM documents) GROUP BY tok), " +
+        "u AS (SELECT tok, n, " +
+        "(CAST(('0x' || substring(md5('dptopk:' || tok), 1, 6)) AS BIGINT) + 0.5) / 16777216.0 AS uu FROM c), " +
+        "r AS (SELECT tok, n, " +
+        "CAST(round(CAST(n + (-2.0) * (CASE WHEN uu - 0.5 > 0 THEN 1.0 WHEN uu - 0.5 < 0 THEN -1.0 ELSE 0.0 END) " +
+        "* ln(1.0 - 2.0 * abs(uu - 0.5)) AS DECIMAL(20,8)), 4) AS DOUBLE) AS noisy_count FROM u) " +
+        "SELECT tok, n, noisy_count, noisy_count >= 50.0 AS released " +
+        "FROM r ORDER BY noisy_count DESC, tok LIMIT 20"),
     // Holt double-exponential smoothing: identical sequential fold via
     // list_reduce (the l' expression is spelled twice — same arithmetic)
     "q_holt" ->

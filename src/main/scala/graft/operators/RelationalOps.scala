@@ -359,4 +359,67 @@ object RelationalOps {
         stableRound4(sum(col("drift"))).as("abs_price_drift"))
       .orderBy(col("change_type"))
   }
+
+  /** q_skip_audit: quantifies what the [[zorderLayout]] layout actually
+    * buys — for one fixed 2-D predicate (price bucket ∈ [10,25] AND day
+    * bucket ∈ [40,90]), how much of the table would each of three
+    * physical layouts let a reader SKIP using only per-file min/max
+    * footer stats? "Files" are modeled as equal-key-width ranges of 64
+    * consecutive layout keys: lexicographic (price, day), lexicographic
+    * (day, price), and the interleaved Morton key — the two single-column
+    * sort orders a warehouse DBA would reach for first, and the Z-order
+    * alternative. A range is scanned iff its [min,max] box intersects the
+    * predicate on BOTH dimensions (exactly the footer-pruning test); the
+    * report per layout: non-empty ranges, ranges scanned, rows scanned,
+    * rows actually matching (identical across layouts — the invariant
+    * that makes the comparison honest), and the scanned-row fraction.
+    * At 100 TB this is the audit run BEFORE committing to a re-cluster:
+    * one scan (the three layout keys are codegen'd arithmetic on the same
+    * bucketized row), one partial-aggregated shuffle keyed by
+    * (layout, range) — ≤ 3·1024 groups — then a 3-group rollup. */
+  def skipAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val base = Tables.orders(spark, dir).select(
+      least(floor(col("o_totalprice") / 2000), lit(255)).cast("int").as("bx"),
+      pmod(datediff(col("o_orderdate"), lit("1992-01-01").cast("date")),
+        lit(256)).cast("int").as("by"))
+    val zkey = (0 until 8).map(i =>
+      shiftright(col("bx"), i).bitwiseAND(lit(1)) * lit(1 << (2 * i))
+        + shiftright(col("by"), i).bitwiseAND(lit(1)) * lit(1 << (2 * i + 1)))
+      .reduce(_ + _)
+    // one row per (layout, range): the same bucketized scan feeds all
+    // three layout keys — no re-read, the explode is 3× fan-out of a
+    // 2-int row
+    val tagged = base.select(col("bx"), col("by"),
+      explode(array(
+        struct(lit("price_day").as("layout"),
+          ((col("bx") * 256 + col("by")) / 64).cast("int").as("rng")),
+        struct(lit("day_price").as("layout"),
+          ((col("by") * 256 + col("bx")) / 64).cast("int").as("rng")),
+        struct(lit("zorder").as("layout"),
+          (zkey / 64).cast("int").as("rng")))).as("t"))
+      .select(col("t.layout").as("layout"), col("t.rng").as("rng"),
+        col("bx"), col("by"))
+    val matches = col("bx").between(10, 25) && col("by").between(40, 90)
+    val ranges = tagged.groupBy(col("layout"), col("rng"))
+      .agg(count(lit(1)).as("n"),
+        min(col("bx")).as("minx"), max(col("bx")).as("maxx"),
+        min(col("by")).as("miny"), max(col("by")).as("maxy"),
+        sum(matches.cast("long")).as("n_match"))
+    // footer-pruning test: scan iff the range's min/max box intersects
+    // the predicate box on both dimensions
+    val scanned = col("maxx") >= 10 && col("minx") <= 25 &&
+      col("maxy") >= 40 && col("miny") <= 90
+    ranges.groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_ranges"),
+        sum(scanned.cast("long")).as("n_scanned_ranges"),
+        sum(col("n")).as("rows_total"),
+        sum(when(scanned, col("n")).otherwise(lit(0L))).as("rows_scanned"),
+        sum(col("n_match")).as("rows_matching"))
+      .select(col("layout"), col("n_ranges"), col("n_scanned_ranges"),
+        col("rows_total"), col("rows_scanned"), col("rows_matching"),
+        stableRound4(col("rows_scanned").cast("double") / col("rows_total"))
+          .as("scan_frac"))
+      .orderBy(col("layout"))
+  }
 }

@@ -119,6 +119,53 @@ object SimilarityOps {
     annTopK(emb.filter(col("vec_id") < 5), emb, 10)
   }
 
+  /** q_ann_recall: recall@k audit of BOTH dense ANN indexes against the
+    * exact baseline — the acceptance gate an index must clear before it
+    * replaces brute force in production. For `nProbes` probe vectors the
+    * exact top-k from [[bruteForceTopK]] is ground truth; each method's
+    * recall@k is |ann ∩ exact| / k averaged over probes (a probe whose
+    * shortlist misses everything still counts — the left join keeps its
+    * zero). `avg_returned` reports how many of the k requested neighbors
+    * the index produced at all (an LSH bucket smaller than k returns
+    * fewer — visible recall ceiling, not silent). Companion to
+    * [[DedupOps.minHashRecall]], which audits the MinHash banding the
+    * same way. Rows-only: hyperplane signatures and the k-means quantizer
+    * aren't SQL-expressible; ScalaTest pins the recall floor and
+    * determinism. Scale shape: the exact side is the one O(|Q|·n) pass
+    * (|Q| fixed and broadcast); everything downstream is
+    * (probes × k)-sized. */
+  def annRecall(spark: SparkSession, dir: String, k: Int = 10,
+      nProbes: Int = 50): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val emb = Materialize(Tables.embeddings(spark, dir))
+    val probes = emb.filter(col("vec_id") < nProbes)
+    val exact = Materialize(
+      bruteForceTopK(probes, emb, k).select(col("q_id"), col("cand_id")))
+    val (centroids, assigned) = IvfOps.trainIndex(emb, k = 16, iters = 3)
+    def recallOf(method: String, ann: DataFrame): DataFrame = {
+      val short = ann.select(col("q_id"), col("cand_id"))
+      val hits = exact.join(short, Seq("q_id", "cand_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+      val returned = short.groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_ret"))
+      exact.select(col("q_id")).distinct()
+        .join(hits, Seq("q_id"), "left")
+        .join(returned, Seq("q_id"), "left")
+        .agg(count(lit(1)).as("n_probes"),
+          (sum(coalesce(col("n_hit"), lit(0L))).cast("double")
+            / (count(lit(1)) * k)).as("recall"),
+          (sum(coalesce(col("n_ret"), lit(0L))).cast("double")
+            / count(lit(1))).as("avg_ret"))
+        .select(lit(method).as("method"),
+          col("n_probes"),
+          stableRound4(col("recall")).as("recall_at_k"),
+          stableRound4(col("avg_ret")).as("avg_returned"))
+    }
+    recallOf("ivf", IvfOps.searchAssigned(probes, assigned, centroids, k = k))
+      .unionAll(recallOf("lsh", annTopK(probes, emb, k)))
+      .orderBy(col("method"))
+  }
+
   /** Int8 scalar quantization of the embedding column — the 4× storage /
     * bandwidth compression an ANN index applies before it ships vectors:
     * per vector, scale = max|vᵢ|/127 and levelᵢ = ⌊vᵢ/scale + ½⌋ ∈

@@ -262,6 +262,38 @@ object StatOps {
       .orderBy(col("source"))
   }
 
+  /** q_dp_topk: differentially-private top-k vocabulary release — the
+    * noisy-top-k-with-threshold recipe used to publish frequent n-grams
+    * from a private corpus (each token count gets Laplace noise at scale
+    * b = 2, i.e. ε = ½ per count with sensitivity 1; the top `k` by NOISY
+    * count are ranked; only entries whose noisy count clears the release
+    * threshold τ are marked released — the thresholding is what bounds
+    * the probability of ever surfacing a rare, potentially identifying
+    * token). As in [[dpNoisyCounts]], the noise draw is DERIVED from the
+    * token's md5 through the Laplace inverse CDF so both engines compute
+    * the identical release (a deployment would swap in a sampled seed;
+    * the mechanism arithmetic is unchanged). The raw count rides along
+    * for the audit (a real release would drop it). One explode + one
+    * partial-aggregated count shuffle, then a top-k ordered limit —
+    * vocabulary-sized, never corpus-sized, after the first agg. */
+  def dpTopK(spark: SparkSession, dir: String, k: Int = 20,
+      threshold: Double = 50.0): DataFrame = {
+    import graft.functions.TextFunctions.tokensLower
+    val counts = Tables.documents(spark, dir)
+      .select(explode(tokensLower(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val u = (conv(substring(md5(concat(lit("dptopk:"), col("tok"))), 1, 6),
+      16, 10).cast("double") + 0.5) / (1 << 24).toDouble
+    val lap = lit(-2.0) * signum(u - 0.5) *
+      log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    counts
+      .select(col("tok"), col("n"),
+        stableRound4(col("n") + lap).as("noisy_count"))
+      .withColumn("released", col("noisy_count") >= threshold)
+      .orderBy(col("noisy_count").desc, col("tok"))
+      .limit(k)
+  }
+
   /** q_abtest: two-proportion z-test on a deterministic hash split — users
     * are assigned variant A/B by id parity, "conversion" is the user's
     * FIRST event (by time, tie-broken by event_id) being a purchase — the

@@ -344,17 +344,24 @@ object TextOps {
     * the [[repetitionStats]] explode + two partial-aggregated hops; the
     * join back to features is on doc_id. Nothing exceeds one corpus scan
     * plus one agg pipeline. */
-  def qualityLogistic(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.NumericFunctions.stableRound4
+  def qualityLogistic(spark: SparkSession, dir: String): DataFrame =
+    logisticPKeepDf(Tables.documents(spark, dir))
+      .withColumn("keep", col("p_keep") >= 0.5)
+      .orderBy(col("doc_id"))
+
+  /** Per-doc (doc_id, p_keep) from the fixed-weight logistic — shared by
+    * the declared query and the calibration audit. p_keep is ROUNDED to
+    * 4 dp here so every consumer bins/compares the same value. */
+  private[operators] def logisticPKeepDf(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    val feats = Tables.documents(spark, dir)
+    val feats = docs
       .select(col("doc_id"),
         size(toks).cast("double").as("n_toks"),
         (length(regexp_replace(col("text"), "\\s", "")).cast("double")
           / size(toks)).as("awl"),
         (tokenMatchCount(tokensLower(col("text")), EnWords).cast("double")
           / size(toks)).as("swr"))
-    val dup = Tables.documents(spark, dir)
+    val dup = docs
       .select(col("doc_id"), explode(tokensLower(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
@@ -366,8 +373,36 @@ object TextOps {
     feats.join(dup, Seq("doc_id"))
       .select(col("doc_id"),
         stableRound4(lit(1.0) / (lit(1.0) + exp(-z))).as("p_keep"))
-      .withColumn("keep", col("p_keep") >= 0.5)
-      .orderBy(col("doc_id"))
+  }
+
+  /** q_calibration: reliability diagram for the [[qualityLogistic]]
+    * classifier — does a predicted keep-probability of 0.8 actually mean
+    * ~80% of those documents clear an independent quality bar? The
+    * outcome variable is the document passing all four Gopher rules
+    * (a rule family the logistic's weights never saw — the standard
+    * proxy-label trick when no human labels exist). Documents are binned
+    * by ⌊10·p⌋ on the ROUNDED probability (top bin closed), and each bin
+    * reports count, mean predicted probability, empirical pass rate, and
+    * the |gap| whose doc-weighted sum is the expected calibration error.
+    * Scale shape: the two per-doc passes (logistic features + rule
+    * flags) are scans the module already runs; the calibration rollup
+    * adds one doc_id join and a ≤10-group aggregation — nothing wider
+    * than the classifier itself. */
+  def calibration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pass = gopherDocFlags(docs)
+      .select(col("doc_id"),
+        (col("p_wc") && col("p_mwl") && col("p_stop") && col("p_alpha"))
+          .cast("double").as("pass"))
+    logisticPKeepDf(docs).join(pass, Seq("doc_id"))
+      .select(least(floor(col("p_keep") * 10), lit(9)).cast("int").as("bin"),
+        col("p_keep"), col("pass"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        stableRound4(avg(col("p_keep"))).as("mean_pred"),
+        stableRound4(avg(col("pass"))).as("frac_pass"))
+      .withColumn("gap", stableRound4(abs(col("mean_pred") - col("frac_pass"))))
+      .orderBy(col("bin"))
   }
 
   /** Canonical md5 fingerprint of the normalized text (rolling-hash style
@@ -390,24 +425,29 @@ object TextOps {
   def gopherRules(spark: SparkSession, dir: String): DataFrame =
     gopherRulesDf(Tables.documents(spark, dir))
 
-  private[operators] def gopherRulesDf(docs: DataFrame): DataFrame = {
+  /** Per-doc Gopher rule booleans (keyed by doc_id, source riding along)
+    * — shared by the per-source scorecard and the calibration audit. */
+  private[operators] def gopherDocFlags(docs: DataFrame): DataFrame = {
     val toks = tokensLower(col("text"))
-    val flags = docs
-      .select(col("source"), toks.as("toks"),
+    docs
+      .select(col("doc_id"), col("source"), toks.as("toks"),
         length(regexp_replace(col("text"), "\\s", "")).cast("double")
           .as("n_chars"))
-      .select(col("source"),
+      .select(col("doc_id"), col("source"),
         size(col("toks")).as("n_words"),
         (col("n_chars") / size(col("toks"))).as("mwl"),
         tokenMatchCount(col("toks"), EnWords).as("sw_n"),
         (size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("double")
           / size(col("toks"))).as("alpha_frac"))
-      .select(col("source"),
+      .select(col("doc_id"), col("source"),
         col("n_words").between(20, 100000).as("p_wc"),
         col("mwl").between(3.0, 10.0).as("p_mwl"),
         (col("sw_n") >= 2).as("p_stop"),
         (col("alpha_frac") >= 0.8).as("p_alpha"))
-    flags
+  }
+
+  private[operators] def gopherRulesDf(docs: DataFrame): DataFrame = {
+    gopherDocFlags(docs)
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),

@@ -143,4 +143,34 @@ class RelationalOpsSpec extends SparkTestBase {
     assert(math.abs(out("update")._2 - drift) < 1e-3, s"drift vs $drift")
     assert(out("insert")._2 == 0.0 && out("delete")._2 == 0.0)
   }
+
+  test("skipAudit: layouts agree on totals, pruning is sound, zorder helps both dims") {
+    val out = RelationalOps.skipAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("day_price", "price_day", "zorder"))
+    val nOrders = graft.Tables.orders(spark, sf).count()
+    // the matching-row count is a property of the DATA, not the layout —
+    // recompute it directly from the bucketization
+    val expMatch = graft.Tables.orders(spark, sf)
+      .select(
+        least(floor(col("o_totalprice") / 2000), lit(255)).cast("int").as("bx"),
+        pmod(datediff(col("o_orderdate"), lit("1992-01-01").cast("date")),
+          lit(256)).cast("int").as("by"))
+      .filter(col("bx").between(10, 25) && col("by").between(40, 90))
+      .count()
+    out.values.foreach { r =>
+      assert(r.getLong(3) == nOrders, s"rows_total: $r")
+      assert(r.getLong(5) == expMatch, s"rows_matching: $r")
+      // pruning soundness: every matching row is inside a scanned range
+      assert(r.getLong(4) >= r.getLong(5), s"scanned < matching: $r")
+      assert(r.getLong(2) <= r.getLong(1), s"scanned ranges > ranges: $r")
+      assert(r.getDouble(6) > 0.0 && r.getDouble(6) <= 1.0, s"scan_frac: $r")
+    }
+    // the 2-D point of Z-order: it must beat the layout whose LEADING
+    // dimension the predicate does not constrain tightly — i.e. it never
+    // scans more than the WORSE of the two single-dimension layouts
+    val worst = math.max(out("price_day").getLong(4), out("day_price").getLong(4))
+    assert(out("zorder").getLong(4) <= worst,
+      s"zorder scanned ${out("zorder").getLong(4)} > worst single-dim $worst")
+  }
 }

@@ -225,4 +225,30 @@ class StatOpsSpec extends SparkTestBase {
       assert(distinct((r.getInt(0), r.getString(1))) == r.getLong(3), s"$r")
     }
   }
+
+  test("dpTopK: noise matches the closed-form draw; ranking and release are consistent") {
+    val out = StatOps.dpTopK(spark, sf).collect()
+    assert(out.length == 20)
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // hand-replay the derived Laplace draw per token: md5 prefix → u →
+    // inverse CDF at scale b=2 (max |noise| = 2·ln(2^24·2) ≈ 34.7)
+    def lap(tok: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dptopk:$tok".getBytes("UTF-8"))
+        .take(3).map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(md, 16) + 0.5) / (1 << 24).toDouble
+      -2.0 * math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+    }
+    out.foreach { r =>
+      val (tok, n, noisy, released) =
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))
+      assert(noisy == r4(n + lap(tok)), s"noise replay mismatch: $r")
+      assert(math.abs(noisy - n) < 35.0, s"noise beyond Laplace tail bound: $r")
+      assert(released == (noisy >= 50.0), s"release flag: $r")
+    }
+    // ranked by noisy count, ties to the token
+    val ranks = out.map(r => (-r.getDouble(2), r.getString(0))).toSeq
+    assert(ranks == ranks.sorted, "not ordered by noisy count desc")
+  }
 }

@@ -216,4 +216,34 @@ class TextOpsSpec extends SparkTestBase {
       r.getDouble(3), r.getDouble(4)) == (("s", 3L, 5L, 0.6, 0.6667)),
       s"got $r")
   }
+
+  test("calibration: bins partition the corpus; per-bin stats are self-consistent") {
+    val out = TextOps.calibration(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    val bins = out.map(_.getInt(0)).toSeq
+    assert(bins == bins.sorted && bins.forall(b => b >= 0 && b <= 9))
+    // every document lands in exactly one bin
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(out.map(_.getLong(1)).sum == nDocs)
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.foreach { r =>
+      val (bin, mean, frac, gap) =
+        (r.getInt(0), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      // the mean prediction must lie inside its own bin (4-dp slack; the
+      // top bin is closed at 1.0)
+      assert(mean >= bin / 10.0 - 1e-4 &&
+        mean <= (bin + 1) / 10.0 + (if (bin == 9) 1e-4 else 1e-4),
+        s"mean_pred outside bin: $r")
+      assert(frac >= 0.0 && frac <= 1.0, s"frac_pass: $r")
+      assert(gap == r4(math.abs(mean - frac)), s"gap: $r")
+    }
+    // the outcome variable is the Gopher all-rules pass: corpus-wide the
+    // two totals must reconcile with the per-source scorecard
+    val passAll = TextOps.gopherRules(spark, sf).collect()
+      .map(_.getLong(6)).sum
+    val weighted = out.map(r => r.getLong(1) * r.getDouble(3)).sum
+    assert(math.abs(weighted - passAll) < 0.5 + 1e-4 * nDocs,
+      s"weighted pass $weighted vs scorecard $passAll")
+  }
 }
