@@ -74,7 +74,15 @@ object ScaleSpot {
     "q_graph_cc", "q_stl_decompose",
     // banded-join argmax (risk = per-user candidate volume inside the
     // lookback band) and the full-outer CDC diff (scan/shuffle-bound)
-    "q_attribution", "q_snapshot_diff")
+    "q_attribution", "q_snapshot_diff",
+    // session additions: three-layout skipping audit (bounded-group agg —
+    // should be scan-flat), DP top-k (vocab-agg family), calibration
+    // (doc-scan + doc_id join family), and the ANN recall audit (exact
+    // baseline is the O(|Q|·n) term; probes fixed)
+    "q_skip_audit", "q_dp_topk", "q_calibration", "q_ann_recall",
+    // LPA: risk = the per-round |E|-sized vote aggregation (same family
+    // as q_graph_cc's pair counts; rounds are a constant factor)
+    "q_graph_lpa")
   val Scales = Seq(10, 100)
 
   def outDir(copies: Int) = s"/tmp/graft_spot_${copies}x"

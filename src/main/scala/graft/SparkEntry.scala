@@ -218,9 +218,10 @@ object SparkEntry {
     "q_hll_rollup"     -> (SketchOps.hllRollup _),
     "q_graph_degree"   -> (GraphOps.graphDegree _),
     "q_triangles"      -> ((s, d) => GraphOps.triangleTop(s, d)),
-    // rows-only: iterative rank propagation isn't SQL-expressible;
-    // GraphOpsSpec pins ranks to a driver-local reference implementation
+    // fixed-iteration rank loop: 5 unrolled CTEs oracle it; GraphOpsSpec
+    // additionally pins ranks to a driver-local reference implementation
     "q_pagerank"       -> ((s, d) => GraphOps.pageRank(s, d)),
+    "q_graph_lpa"      -> ((s, d) => GraphOps.labelPropagation(s, d)),
     "q_ks_test"        -> (StatOps.ksTest _),
     "q_mannwhitney"    -> (StatOps.mannWhitney _),
     "q_scd2"           -> (RelationalOps.scd2 _),
@@ -1689,6 +1690,26 @@ object SparkEntry {
         iters + " " +
         "SELECT node AS part_id, CAST(round(CAST(rank AS DECIMAL(20,8)), 4) AS DOUBLE) AS rank " +
         "FROM r5 ORDER BY rank DESC, part_id LIMIT 20"
+    },
+    // synchronous LPA, 3 unrolled (votes, argmax) CTE pairs; integer-count
+    // argmax with ties to the smallest label on both engines
+    "q_graph_lpa" -> {
+      val roundsSql = (1 to 3).map { i =>
+        s"v$i AS (SELECT u.dst AS node, l.label, COUNT(*) AS n " +
+          s"FROM und u JOIN l${i - 1} l ON u.src = l.node GROUP BY 1, 2), " +
+          s"l$i AS (SELECT node, label FROM (SELECT node, label, " +
+          s"row_number() OVER (PARTITION BY node ORDER BY n DESC, label) AS rn FROM v$i) WHERE rn = 1)"
+      }.mkString(", ")
+      "WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem), " +
+        "ok AS (SELECT okey FROM op GROUP BY okey HAVING COUNT(*) <= 64), " +
+        "e AS (SELECT DISTINCT a.pkey AS src, b.pkey AS dst FROM op a " +
+        "JOIN op b ON a.okey = b.okey AND a.pkey < b.pkey " +
+        "WHERE a.okey IN (SELECT okey FROM ok)), " +
+        "und AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e), " +
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM und), " +
+        roundsSql + " " +
+        "SELECT label AS community, COUNT(*) AS n_members FROM l3 " +
+        "GROUP BY label ORDER BY n_members DESC, community LIMIT 50"
     },
     // per-source KS vs rest-of-corpus over the value-compressed n_chars
     // distribution; exact integer cumulatives, two final divisions

@@ -154,4 +154,45 @@ class GraphOpsSpec extends SparkTestBase {
       assert(out(n) == c, s"label mismatch at $n: ${out(n)} vs $c")
     }
   }
+
+  /** Driver-local synchronous LPA with the same min-label tie rule. */
+  private def referenceLpa(es: Array[(Long, Long)], rounds: Int)
+      : Map[Long, Long] = {
+    val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var labels = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      labels = adj.map { case (n, nbrs) =>
+        val votes = nbrs.groupBy(labels).map { case (l, v) => l -> v.length }
+        // max count, ties to smallest label
+        n -> votes.toSeq.maxBy { case (l, c) => (c, -l) }._1
+      }
+    }
+    labels
+  }
+
+  test("labelPropagation community sizes match the driver-local reference") {
+    val expect = referenceLpa(edges, 3).values
+      .groupBy(identity).map { case (l, v) => l -> v.size.toLong }
+    val top = expect.toSeq.sortBy { case (c, n) => (-n, c) }.take(50)
+    val out = GraphOps.labelPropagation(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == top, s"got ${out.take(5)}... want ${top.take(5)}...")
+  }
+
+  test("labelPropagation resolves two bridged triangles into two communities") {
+    import spark.implicits._
+    // baskets {1,2,3} and {4,5,6} are triangles; basket {3,4} bridges them
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lpa").toString
+    Seq((10L, 1L), (10L, 2L), (10L, 3L),
+        (20L, 4L), (20L, 5L), (20L, 6L),
+        (30L, 3L), (30L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$tmp/lineitem.parquet")
+    val out = GraphOps.labelPropagation(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // hand-traced 3 sync rounds with min-tie: {1,2,3}→1, {4,5,6}→3;
+    // the bridge edge does NOT merge the triangles
+    assert(out == Seq((1L, 3L), (3L, 3L)), s"got $out")
+  }
 }
