@@ -107,6 +107,8 @@ object SparkEntry {
     "q_cross_grid"     -> (AnalyticsOps.crossGrid _),
     "q_tfidf"          -> (CorpusOps.tfidfTop _),
     "q_latest_event"   -> (EventOps.latestEvent _),
+    "q_ohlc"           -> (EventOps.ohlc _),
+    "q_skew_audit"     -> ((s, d) => JoinOps.skewAudit(s, d)),
     "q_unpivot"        -> (AnalyticsOps.unpivotStatus _),
     "q_corr_stats"     -> (AnalyticsOps.corrStats _),
     "q_date_spine"     -> (AnalyticsOps.dateSpine _),
@@ -451,6 +453,29 @@ object SparkEntry {
     "q_json_extract" ->
       ("SELECT event_id, CAST(props->>'k' AS INTEGER) AS k_val, event_type " +
         "FROM events ORDER BY event_id"),
+    // OHLC bars: open/close via an ordered list over the same (us,
+    // event_id) total order Spark's struct min/max compares
+    "q_ohlc" ->
+      ("WITH e AS (SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr, " +
+        "epoch_us(ts) AS us, event_id, value FROM events), " +
+        "b AS (SELECT event_type, hr, COUNT(*) AS n_events, " +
+        "list(value ORDER BY us, event_id) AS vs, " +
+        "MAX(value) AS high, MIN(value) AS low FROM e GROUP BY 1, 2) " +
+        "SELECT event_type, hr, n_events, round(vs[1], 4) AS open, " +
+        "round(high, 4) AS high, round(low, 4) AS low, round(vs[-1], 4) AS close " +
+        "FROM b ORDER BY event_type, hr"),
+    // per-key counts → 32 hash buckets → bucket-level skew dials
+    "q_skew_audit" ->
+      ("WITH k AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id), " +
+        "pb AS (SELECT user_id % 32 AS bucket, SUM(n) AS n_rows, COUNT(*) AS n_keys, " +
+        "MAX(n) AS max_key_rows FROM k GROUP BY 1), " +
+        "t AS (SELECT CAST(SUM(n_rows) AS DOUBLE) AS n_total, CAST(COUNT(*) AS DOUBLE) AS n_buckets FROM pb) " +
+        "SELECT bucket, CAST(n_rows AS BIGINT) AS n_rows, n_keys, " +
+        "CAST(max_key_rows AS BIGINT) AS max_key_rows, " +
+        "CAST(round(CAST(n_rows / n_total AS DECIMAL(20,8)), 4) AS DOUBLE) AS share, " +
+        "CAST(round(CAST(n_rows / (n_total / n_buckets) AS DECIMAL(20,8)), 4) AS DOUBLE) AS skew_factor, " +
+        "CAST(round(CAST(CAST(max_key_rows AS DOUBLE) / n_rows AS DECIMAL(20,8)), 4) AS DOUBLE) AS single_key_share " +
+        "FROM pb CROSS JOIN t ORDER BY bucket"),
     "q_text_stats" ->
       ("SELECT lang, COUNT(*) AS n_docs, CAST(round(CAST(AVG(n_chars) AS DECIMAL(20,8)), 4) AS DOUBLE) AS avg_chars, " +
         "CAST(round(CAST(AVG(len(regexp_split_to_array(trim(text), '\\s+'))) AS DECIMAL(20,8)), 4) AS DOUBLE) AS avg_tokens " +

@@ -29,6 +29,30 @@ object EventOps {
           .as("avg_value"))
       .orderBy(col("hr"), col("event_type"))
 
+  /** q_ohlc: hourly OHLC resample of the value stream per event type —
+    * the classic time-series bar aggregation (open/high/low/close). Open
+    * and close are the values at the bar's FIRST and LAST event by the
+    * µs-epoch + event_id total order (same precision pinning as
+    * [[latestEvent]]); high/low are plain extremes. The argmin/argmax
+    * rides a struct min/max — (us, event_id, value) compares
+    * lexicographically and (us, event_id) is unique — so the whole bar is
+    * ONE partial-aggregated groupBy, no window, no per-bar sort shuffle:
+    * at 100 TB this is a map-side-combined agg to |types·hours| rows. */
+  def ohlc(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"),
+        struct(unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
+          col("value").as("v")).as("k"),
+        col("value"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(min(col("k")).getField("v"), 4).as("open"),
+        round(max(col("value")), 4).as("high"),
+        round(min(col("value")), 4).as("low"),
+        round(max(col("k")).getField("v"), 4).as("close"))
+      .orderBy(col("event_type"), col("hr"))
+
   /** Time-range window frame: per-user moving 1-hour sum of `value` —
     * `RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW` over epoch seconds.
     * Unlike a ROWS frame, the range frame covers all rows at equal epoch,

@@ -605,4 +605,44 @@ object JoinOps {
         4).as("revenue"),
         count(lit(1)).as("n_items"))
   }
+
+  /** q_skew_audit: shuffle-key skew diagnostic for a prospective join or
+    * aggregation key — the measurement that decides between plain SMJ,
+    * AQE skew-split, and explicit salting (the trade quantified in
+    * SCALE.md's salted-vs-AQE experiment). The key stream (events per
+    * user) is hashed into 32 buckets (`user_id % 32`, a deterministic
+    * stand-in for the shuffle partitioner) and each bucket reports: row
+    * count, distinct keys, the LARGEST single key's row count, the
+    * bucket's share of the table, `skew_factor` (bucket rows / mean
+    * bucket rows — AQE's split criterion watches this), and
+    * `single_key_share` (largest key / bucket rows — the number AQE
+    * CANNOT fix: a partition dominated by one key cannot be split by
+    * re-partitioning, only by salting the key itself). Two
+    * partial-aggregated shuffles — per-key then per-bucket — so the audit
+    * costs one pass over the fact at any scale. */
+  def skewAudit(spark: SparkSession, dir: String,
+      buckets: Int = 32): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val perKey = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(pmod(col("user_id"), lit(buckets.toLong)).as("bucket"),
+        col("n"))
+    val perBucket = perKey.groupBy(col("bucket"))
+      .agg(sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("n")).as("max_key_rows"))
+    val totals = perBucket.agg(
+      sum(col("n_rows")).cast("double").as("n_total"),
+      count(lit(1)).cast("double").as("n_buckets"))
+    perBucket.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_rows"), col("n_keys"),
+        col("max_key_rows"),
+        stableRound4(col("n_rows") / col("n_total")).as("share"),
+        stableRound4(col("n_rows") / (col("n_total") / col("n_buckets")))
+          .as("skew_factor"),
+        stableRound4(col("max_key_rows").cast("double") / col("n_rows"))
+          .as("single_key_share"))
+      .orderBy(col("bucket"))
+  }
 }

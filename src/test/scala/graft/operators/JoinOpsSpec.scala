@@ -84,4 +84,35 @@ class JoinOpsSpec extends SparkTestBase {
       s"bloom probe should sit below the join: join@$joinLine probe@$probeLine\n"
         + lines.take(40).mkString("\n"))
   }
+
+  test("skewAudit reconciles with a driver-local key histogram") {
+    val out = JoinOps.skewAudit(spark, sf).collect()
+    val keyCounts = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id")).count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val total = keyCounts.map(_._2).sum
+    val byBucket = keyCounts.groupBy { case (u, _) =>
+      ((u % 32) + 32) % 32 }
+    assert(out.map(_.getLong(1)).sum == total, "bucket rows must sum to table rows")
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.foreach { r =>
+      val (b, nRows, nKeys, maxKey) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val exp = byBucket(b)
+      assert(nRows == exp.map(_._2).sum, s"bucket $b rows")
+      assert(nKeys == exp.length.toLong, s"bucket $b keys")
+      assert(maxKey == exp.map(_._2).max, s"bucket $b max key")
+      assert(r.getDouble(4) == r4(nRows.toDouble / total), s"bucket $b share")
+      assert(r.getDouble(6) == r4(maxKey.toDouble / nRows),
+        s"bucket $b single_key_share")
+    }
+    // skew_factor is share normalized by the NON-EMPTY bucket count
+    val nBuckets = out.length
+    out.foreach { r =>
+      assert(r.getDouble(5) ==
+        r4(r.getLong(1).toDouble / (total.toDouble / nBuckets)),
+        s"bucket ${r.getLong(0)} skew_factor")
+    }
+  }
 }

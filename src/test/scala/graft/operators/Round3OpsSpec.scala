@@ -11,6 +11,34 @@ import graft.{SparkTestBase, Tables}
   * bigram frequencies, vocabulary coverage, normalized-key dedup. */
 class Round3OpsSpec extends SparkTestBase {
 
+  test("ohlc bars match a driver-local replay of the (us, event_id) order") {
+    val out = EventOps.ohlc(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[java.time.LocalDateTime](1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    val raw = Tables.events(spark, sf)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[java.time.LocalDateTime](1),
+        r.getLong(2), r.getLong(3), r.getDouble(4)))
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = raw.groupBy(e => (e._1, e._2)).map { case (k, es) =>
+      val ordered = es.sortBy(e => (e._3, e._4)).map(_._5)
+      k -> ((es.length.toLong, r4(ordered.head), r4(es.map(_._5).max),
+        r4(es.map(_._5).min), r4(ordered.last)))
+    }
+    assert(out.keySet == expect.keySet)
+    expect.foreach { case (k, v) =>
+      assert(out(k) == v, s"bar $k: ${out(k)} vs $v")
+    }
+    // bar sanity: low <= open, close <= high
+    out.values.foreach { case (_, o, h, l, c) =>
+      assert(l <= o && o <= h && l <= c && c <= h)
+    }
+  }
+
   test("interpolateSeries: full spine, observed values exact, fills bounded by neighbors") {
     val ev = graft.Tables.events(spark, sf)
     val out = EventOps.interpolateSeries(spark, sf).collect()
