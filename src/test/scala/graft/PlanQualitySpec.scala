@@ -758,4 +758,41 @@ class PlanQualitySpec extends SparkTestBase {
     assert(pf.contains("GreaterThanOrEqual(l_quantity,1.0)")
       && pf.contains("LessThanOrEqual(l_quantity,40.0)"), pf)
   }
+
+  test("skipAudit: ONE pruned scan feeds all three layout keys; no window") {
+    val df = RelationalOps.skipAudit(spark, sf)
+    val p = plan(df)
+    assert("Scan parquet".r.findAllIn(p).size <= 1
+      && "FileScan parquet".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("ReadSchema: struct<o_totalprice:double,o_orderdate:timestamp"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("ohlc: single-pass partial aggregate, no window, no join") {
+    val p = plan(EventOps.ohlc(spark, sf))
+    assert(p.contains("partial_min") && p.contains("partial_max"), p)
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    assert(p.contains("ReadSchema: struct<event_id:bigint,ts:timestamp"), p)
+  }
+
+  test("skewAudit: per-key and per-bucket aggregates both partial-aggregate") {
+    val p = plan(JoinOps.skewAudit(spark, sf))
+    assert("partial_count|partial_sum".r.findAllIn(p).nonEmpty, p)
+    assert(p.contains("BroadcastNestedLoopJoin")
+      || p.contains("BroadcastExchange"), p) // 1-row totals broadcast
+    assert(!p.contains("Window"), p)
+  }
+
+  test("dpTopK: ordered limit is a TakeOrderedAndProject over the vocab agg") {
+    val p = plan(StatOps.dpTopK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("ReadSchema: struct<text:string>"), p)
+  }
+
+  test("labelPropagation: no per-round window; edges grouped once") {
+    val p = plan(GraphOps.labelPropagation(spark, sf))
+    assert(!p.contains("Window"), p)
+    // the vote argmax is a struct max aggregate, not a rank window
+    assert(p.contains("max(top") || p.contains("partial_max"), p)
+  }
 }
