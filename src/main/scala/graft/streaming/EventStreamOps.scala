@@ -43,6 +43,27 @@ object EventStreamOps {
   def hourlyWindowedCounts(events: DataFrame): DataFrame =
     windowedCounts(events.withWatermark("ts", "2 hours"))
 
+  /** Streaming OHLC bars: the micro-batch twin of the batch `q_ohlc`
+    * (graft.operators.EventOps.ohlc, the oracle-checked form). Open and
+    * close ride the same struct-min/max over the (µs, event_id) total
+    * order that keeps the batch plan a single aggregation — here it keeps
+    * the per-(type, window) streaming state to two structs + three
+    * scalars, so state size is bar-count-bounded, not event-bounded; the
+    * 2-hour watermark closes bars. */
+  def ohlcBars(events: DataFrame): DataFrame = {
+    val k = struct(unix_micros(col("ts")).as("us"),
+      col("event_id").as("eid"), col("value").as("v"))
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(k).as("o"), max(col("value")).as("hi"),
+        min(col("value")).as("lo"), max(k).as("c"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), round(col("o.v"), 4).as("open"),
+        round(col("hi"), 4).as("high"), round(col("lo"), 4).as("low"),
+        round(col("c.v"), 4).as("close"))
+  }
+
   /** Declarative session aggregation via the BUILT-IN `session_window`
     * (gap-merged event-time sessions) — the preferred path when the
     * per-session output is expressible as standard aggregates, versus

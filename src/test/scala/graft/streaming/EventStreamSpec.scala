@@ -38,6 +38,31 @@ class EventStreamSpec extends SparkTestBase {
     assert(got.sameElements(expected))
   }
 
+  test("streaming OHLC bars equal the oracle-checked batch q_ohlc") {
+    val schema = spark.read.parquet(s"$stagingDir/events").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$stagingDir/events")
+    val q = EventStreamOps.ohlcBars(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ohlc_bars")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ohlc_bars")
+      .orderBy("event_type", "window_start")
+      .select("event_type", "window_start", "n_events",
+        "open", "high", "low", "close").collect()
+    // strongest parity claim: equality against the DECLARED batch query
+    // (window(ts, 1h).start == date_trunc(hour, ts) for hour bars)
+    val expected = graft.operators.EventOps.ohlc(spark, sf)
+      .select(col("event_type"), col("hr").as("window_start"),
+        col("n_events"), col("open"), col("high"), col("low"), col("close"))
+      .orderBy("event_type", "window_start").collect()
+    assert(got.sameElements(expected))
+  }
+
   test("streaming dedup: a replayed file emits every event exactly once") {
     // stage the stream as the same file twice -> every event arrives twice
     val dir = Files.createTempDirectory("graft-dedup-stream").toString
