@@ -233,6 +233,7 @@ object SparkEntry {
     "q_skip_audit"     -> (RelationalOps.skipAudit _),
     "q_dp_topk"        -> ((s, d) => StatOps.dpTopK(s, d)),
     "q_calibration"    -> (TextOps.calibration _),
+    "q_quality_train"  -> ((s, d) => TextOps.qualityTrain(s, d)),
     // rows-only: hyperplane LSH + k-means IVF shortlists aren't
     // SQL-expressible; AnnRecallSpec pins recall floors and determinism
     "q_ann_recall"     -> ((s, d) => SimilarityOps.annRecall(s, d)),
@@ -1434,6 +1435,52 @@ object SparkEntry {
         "SELECT bin, n_docs, mean_pred, frac_pass, " +
         "CAST(round(CAST(abs(mean_pred - frac_pass) AS DECIMAL(20,8)), 4) AS DOUBLE) AS gap " +
         "FROM agg ORDER BY bin"),
+    // full-batch logistic GD, 3 steps unrolled: each iteration's weights
+    // are a 1-row CTE cross-joined into the next sigmoid; identical
+    // left-associated z arithmetic on both engines
+    "q_quality_train" -> {
+      val z = "((((wb + x1 * wx1) + x2 * wx2) + x3 * wx3) + x4 * wx4)"
+      val steps = (1 to 25).map { i =>
+        s"g$i AS MATERIALIZED (SELECT avg(e) AS gb, avg(e * x1) AS g1, avg(e * x2) AS g2, " +
+          s"avg(e * x3) AS g3, avg(e * x4) AS g4 FROM " +
+          s"(SELECT 1.0 / (1.0 + exp(-$z)) - y AS e, x1, x2, x3, x4 " +
+          s"FROM f CROSS JOIN w${i - 1})), " +
+          s"w$i AS MATERIALIZED (SELECT wb - 5.0 * gb AS wb, wx1 - 5.0 * g1 AS wx1, " +
+          s"wx2 - 5.0 * g2 AS wx2, wx3 - 5.0 * g3 AS wx3, wx4 - 5.0 * g4 AS wx4 " +
+          s"FROM w${i - 1} CROSS JOIN g$i)"
+      }.mkString(", ")
+      "WITH t AS (SELECT doc_id, " +
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_toks, " +
+        "CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\\s+')) AS awl, " +
+        "CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), " +
+        "x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and')) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\\s+')) AS swr " +
+        "FROM documents), " +
+        "d AS (SELECT doc_id, 1.0 - CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*) AS dupfrac FROM " +
+        "(SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok FROM documents) GROUP BY doc_id), " +
+        "gt AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks, " +
+        "CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS n_chars FROM documents), " +
+        "gf AS (SELECT doc_id, len(toks) AS n_words, n_chars / len(toks) AS mwl, " +
+        "len(list_filter(toks, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and')) AS sw_n, " +
+        "CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(toks) AS alpha_frac FROM gt), " +
+        "gp AS (SELECT doc_id, CASE WHEN (n_words BETWEEN 20 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0) " +
+        "AND sw_n >= 2 AND alpha_frac >= 0.8 THEN 1.0 ELSE 0.0 END AS y FROM gf), " +
+        "f AS MATERIALIZED (SELECT t.doc_id, swr AS x1, least(n_toks / 100.0, 1.0) AS x2, " +
+        "dupfrac AS x3, abs(awl - 5.0) AS x4, y FROM t JOIN d USING (doc_id) JOIN gp USING (doc_id)), " +
+        "w0 AS (SELECT CAST(0.0 AS DOUBLE) AS wb, CAST(0.0 AS DOUBLE) AS wx1, " +
+        "CAST(0.0 AS DOUBLE) AS wx2, CAST(0.0 AS DOUBLE) AS wx3, CAST(0.0 AS DOUBLE) AS wx4), " +
+        steps + " " +
+        "SELECT 25 AS iters, COUNT(*) AS n_docs, " +
+        "CAST(round(CAST(avg(y) AS DECIMAL(20,8)), 4) AS DOUBLE) AS base_rate, " +
+        "CAST(round(CAST(avg(CASE WHEN (CASE WHEN " +
+        s"CAST(round(CAST(1.0 / (1.0 + exp(-$z)) AS DECIMAL(20,8)), 4) AS DOUBLE) >= 0.5 " +
+        "THEN 1.0 ELSE 0.0 END) = y THEN 1.0 ELSE 0.0 END) AS DECIMAL(20,8)), 4) AS DOUBLE) AS train_acc, " +
+        "CAST(round(CAST(any_value(wb) AS DECIMAL(20,8)), 4) AS DOUBLE) AS w_bias, " +
+        "CAST(round(CAST(any_value(wx1) AS DECIMAL(20,8)), 4) AS DOUBLE) AS w_swr, " +
+        "CAST(round(CAST(any_value(wx2) AS DECIMAL(20,8)), 4) AS DOUBLE) AS w_len, " +
+        "CAST(round(CAST(any_value(wx3) AS DECIMAL(20,8)), 4) AS DOUBLE) AS w_dup, " +
+        "CAST(round(CAST(any_value(wx4) AS DECIMAL(20,8)), 4) AS DOUBLE) AS w_awl " +
+        "FROM f CROSS JOIN w25"
+    },
     "q_chunk_stride" ->
       ("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), " +
         "e AS (SELECT doc_id, toks, len(toks) AS n_toks, " +

@@ -349,10 +349,12 @@ object TextOps {
       .withColumn("keep", col("p_keep") >= 0.5)
       .orderBy(col("doc_id"))
 
-  /** Per-doc (doc_id, p_keep) from the fixed-weight logistic — shared by
-    * the declared query and the calibration audit. p_keep is ROUNDED to
-    * 4 dp here so every consumer bins/compares the same value. */
-  private[operators] def logisticPKeepDf(docs: DataFrame): DataFrame = {
+  /** Per-doc structural features for the logistic family: token count,
+    * average word length, stopword ratio, dup-word fraction. One narrow
+    * scan + the dup explode's two partial-aggregated hops + a doc_id
+    * join — shared by the fixed-weight scorer, the calibration audit,
+    * and the trained variant. */
+  private[operators] def logisticFeaturesDf(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val feats = docs
       .select(col("doc_id"),
@@ -366,13 +368,80 @@ object TextOps {
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg((lit(1.0) - count(lit(1)) / sum(col("c"))).as("dupfrac"))
+    feats.join(dup, Seq("doc_id"))
+  }
+
+  /** Per-doc (doc_id, p_keep) from the fixed-weight logistic — shared by
+    * the declared query and the calibration audit. p_keep is ROUNDED to
+    * 4 dp here so every consumer bins/compares the same value. */
+  private[operators] def logisticPKeepDf(docs: DataFrame): DataFrame = {
     // fixed interpretable weights: reward stopword density and length,
     // penalize repetition and extreme word lengths (documented stand-in)
     val z = lit(-1.0) + col("swr") * 8.0 + least(col("n_toks") / 100.0, lit(1.0)) * 1.5 -
       col("dupfrac") * 4.0 - abs(col("awl") - 5.0) * 0.3
-    feats.join(dup, Seq("doc_id"))
+    logisticFeaturesDf(docs)
       .select(col("doc_id"),
         stableRound4(lit(1.0) / (lit(1.0) + exp(-z))).as("p_keep"))
+  }
+
+  /** q_quality_train: TRAIN the quality classifier instead of shipping
+    * fixed weights — full-batch logistic-regression gradient descent on
+    * the structural features, labeled by the per-doc Gopher all-rules
+    * outcome (the same proxy-label trick as [[calibration]]). `iters`
+    * deterministic steps of w ← w − lr·∇: each step is ONE scan-and-
+    * aggregate job producing the 5-component mean gradient; the model —
+    * five doubles — lives on the driver between steps (the same bounded-
+    * driver-model budget as the k-means quantizers; nothing row-sized
+    * ever crosses). Features are the classifier's own: bias, stopword
+    * ratio, capped length, dup-word fraction, |awl−5|. Output: one row of
+    * trained weights plus training accuracy at the 0.5 threshold (on the
+    * 4-dp-rounded probability — the engine-safe comparison) and the label
+    * base rate. Oracle: the full unroll — each iteration's weights become
+    * a 1-row CTE cross-joined into the next iteration's sigmoid.
+    *
+    * Scale shape: (iters + 1) scan+agg jobs over the feature pass — at
+    * 100 TB this is iters× the cost of [[qualityLogistic]], still
+    * scan-bound with |1|-row shuffles. */
+  def qualityTrain(spark: SparkSession, dir: String, iters: Int = 25,
+      lr: Double = 5.0): DataFrame = {
+    val feats = graft.operators.Materialize(
+      logisticFeaturesDf(Tables.documents(spark, dir))
+        .join(gopherDocFlags(Tables.documents(spark, dir))
+          .select(col("doc_id"),
+            (col("p_wc") && col("p_mwl") && col("p_stop") && col("p_alpha"))
+              .cast("double").as("y")),
+          Seq("doc_id"))
+        .select(col("doc_id"),
+          col("swr").as("x1"),
+          least(col("n_toks") / 100.0, lit(1.0)).as("x2"),
+          col("dupfrac").as("x3"),
+          abs(col("awl") - 5.0).as("x4"),
+          col("y")))
+    var w = Array(0.0, 0.0, 0.0, 0.0, 0.0)
+    def zCol = lit(w(0)) + col("x1") * w(1) + col("x2") * w(2) +
+      col("x3") * w(3) + col("x4") * w(4)
+    for (_ <- 1 to iters) {
+      val err = (lit(1.0) / (lit(1.0) + exp(-zCol)) - col("y")).as("e")
+      val g = feats.select(err, col("x1"), col("x2"), col("x3"), col("x4"))
+        .agg(avg(col("e")), avg(col("e") * col("x1")),
+          avg(col("e") * col("x2")), avg(col("e") * col("x3")),
+          avg(col("e") * col("x4")))
+        .head()
+      w = w.indices.map(i => w(i) - lr * g.getDouble(i)).toArray
+    }
+    val p4 = stableRound4(lit(1.0) / (lit(1.0) + exp(-zCol)))
+    feats.agg(
+      count(lit(1)).as("n_docs"),
+      stableRound4(avg(col("y"))).as("base_rate"),
+      stableRound4(avg(((p4 >= 0.5).cast("double") === col("y"))
+        .cast("double"))).as("train_acc"))
+      .select(lit(iters).as("iters"), col("n_docs"), col("base_rate"),
+        col("train_acc"),
+        stableRound4(lit(w(0))).as("w_bias"),
+        stableRound4(lit(w(1))).as("w_swr"),
+        stableRound4(lit(w(2))).as("w_len"),
+        stableRound4(lit(w(3))).as("w_dup"),
+        stableRound4(lit(w(4))).as("w_awl"))
   }
 
   /** q_calibration: reliability diagram for the [[qualityLogistic]]

@@ -246,4 +246,49 @@ class TextOpsSpec extends SparkTestBase {
     assert(math.abs(weighted - passAll) < 0.5 + 1e-4 * nDocs,
       s"weighted pass $weighted vs scorecard $passAll")
   }
+
+  test("qualityTrain matches a driver-local GD replay and beats the base rate") {
+    val r = TextOps.qualityTrain(spark, sf).collect().head
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // replay: collect the features, run the same 25 full-batch steps
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, sf)
+    val feats = TextOps.logisticFeaturesDf(docs)
+      .join(TextOps.gopherDocFlags(docs).select(col("doc_id"),
+        (col("p_wc") && col("p_mwl") && col("p_stop") && col("p_alpha"))
+          .cast("double").as("y")), Seq("doc_id"))
+      .collect().map { row =>
+        val swr = row.getDouble(row.fieldIndex("swr"))
+        val nt = row.getDouble(row.fieldIndex("n_toks"))
+        val dup = row.getDouble(row.fieldIndex("dupfrac"))
+        val awl = row.getDouble(row.fieldIndex("awl"))
+        (Array(1.0, swr, math.min(nt / 100.0, 1.0), dup, math.abs(awl - 5.0)),
+          row.getDouble(row.fieldIndex("y")))
+      }
+    var w = Array.fill(5)(0.0)
+    for (_ <- 1 to 25) {
+      val g = Array.fill(5)(0.0)
+      feats.foreach { case (x, y) =>
+        val p = 1.0 / (1.0 + math.exp(-x.indices.map(i => x(i) * w(i)).sum))
+        for (i <- 0 until 5) g(i) += (p - y) * x(i)
+      }
+      w = w.indices.map(i => w(i) - 5.0 * g(i) / feats.length).toArray
+    }
+    val acc = feats.count { case (x, y) =>
+      val p = r4(1.0 / (1.0 + math.exp(-x.indices.map(i => x(i) * w(i)).sum)))
+      (if (p >= 0.5) 1.0 else 0.0) == y
+    }.toDouble / feats.length
+    val base = feats.count(_._2 == 1.0).toDouble / feats.length
+    assert(r.getLong(1) == feats.length.toLong)
+    assert(r.getDouble(2) == r4(base), s"base_rate ${r.getDouble(2)} vs $base")
+    assert(r.getDouble(3) == r4(acc), s"train_acc ${r.getDouble(3)} vs $acc")
+    val ws = (4 to 8).map(r.getDouble)
+    ws.zip(w).foreach { case (got, want) =>
+      assert(math.abs(got - r4(want)) <= 1e-4, s"weights $ws vs ${w.toSeq}")
+    }
+    // the point of training: meaningfully above the majority-class rate
+    assert(r.getDouble(3) > r.getDouble(2) + 0.05,
+      s"train_acc ${r.getDouble(3)} should beat base ${r.getDouble(2)}")
+  }
 }
