@@ -108,6 +108,8 @@ object SparkEntry {
     "q_tfidf"          -> (CorpusOps.tfidfTop _),
     "q_latest_event"   -> (EventOps.latestEvent _),
     "q_ohlc"           -> (EventOps.ohlc _),
+    "q_theil_sen"      -> (EventOps.theilSen _),
+    "q_watermark_sim"  -> ((s, d) => EventOps.watermarkSim(s, d)),
     "q_skew_audit"     -> ((s, d) => JoinOps.skewAudit(s, d)),
     "q_unpivot"        -> (AnalyticsOps.unpivotStatus _),
     "q_corr_stats"     -> (AnalyticsOps.corrStats _),
@@ -465,6 +467,42 @@ object SparkEntry {
         "SELECT event_type, hr, n_events, round(vs[1], 4) AS open, " +
         "round(high, 4) AS high, round(low, 4) AS low, round(vs[-1], 4) AS close " +
         "FROM b ORDER BY event_type, hr"),
+    // median of pairwise slopes over the hourly series (x = hour offset)
+    "q_theil_sen" ->
+      ("WITH h AS (SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr, " +
+        "SUM(value) AS v FROM events GROUP BY 1, 2), " +
+        "h0 AS (SELECT event_type, MIN(hr) AS hr0 FROM h GROUP BY 1), " +
+        "p AS (SELECT h.event_type, CAST(epoch(hr) - epoch(hr0) AS DOUBLE) / 3600 AS x, v " +
+        "FROM h JOIN h0 USING (event_type)), " +
+        "s AS (SELECT a.event_type, (b.v - a.v) / (b.x - a.x) AS s " +
+        "FROM p a JOIN p b ON a.event_type = b.event_type AND a.x < b.x), " +
+        "m AS (SELECT event_type, quantile_cont(s, 0.5) AS slope FROM s GROUP BY 1), " +
+        "r AS (SELECT p.event_type, slope, v - slope * x AS r FROM p JOIN m USING (event_type)) " +
+        "SELECT event_type, COUNT(*) AS n_hours, " +
+        "CAST(round(CAST(any_value(slope) AS DECIMAL(20,8)), 4) AS DOUBLE) AS slope, " +
+        "CAST(round(CAST(quantile_cont(r, 0.5) AS DECIMAL(20,8)), 4) AS DOUBLE) AS intercept " +
+        "FROM r GROUP BY event_type ORDER BY event_type"),
+    // simulated md5-uniform 0-30min ingestion delay; 10-min arrival-window
+    // micro-batches; watermark = strict-predecessor max event time
+    "q_watermark_sim" -> {
+      val delays = Seq(0L, 60L, 300L, 900L, 3600L)
+      val sums = delays.map(d =>
+        s"coalesce(CAST(SUM(CASE WHEN us < wm_us - ${d * 1000000L} THEN 1 END) AS BIGINT), 0) AS d$d")
+        .mkString(", ")
+      val rows = delays.map(d =>
+        s"SELECT CAST($d AS BIGINT) AS delay_s, n_events, d$d AS n_dropped, " +
+          s"CAST(round(CAST(CAST(d$d AS DOUBLE) / n_events AS DECIMAL(20,8)), 4) AS DOUBLE) AS drop_frac FROM a")
+        .mkString(" UNION ALL ")
+      "WITH e AS (SELECT epoch_us(ts) AS us, " +
+        "epoch_us(ts) + (CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR) || ':wm'), 1, 6)) AS BIGINT) % 1800) * 1000000 AS arrival_us " +
+        "FROM events), " +
+        "eb AS (SELECT CAST(arrival_us // 600000000 AS BIGINT) AS batch, us FROM e), " +
+        "bm AS (SELECT batch, MAX(us) AS mx FROM eb GROUP BY batch), " +
+        "w AS (SELECT batch, MAX(mx) OVER (ORDER BY batch ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_us FROM bm), " +
+        "j AS (SELECT us, wm_us FROM eb JOIN w USING (batch)), " +
+        s"a AS (SELECT COUNT(*) AS n_events, $sums FROM j) " +
+        rows + " ORDER BY delay_s"
+    },
     // per-key counts → 32 hash buckets → bucket-level skew dials
     "q_skew_audit" ->
       ("WITH k AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id), " +

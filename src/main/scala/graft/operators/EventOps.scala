@@ -705,6 +705,99 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
+  /** q_theil_sen: Theil-Sen robust trend per event type over the hourly
+    * value series — the median of all pairwise slopes, immune to the
+    * outlier hours that wreck an OLS fit (the robust companion to
+    * q_zipf's regr_slope). x is the hour offset from the type's first
+    * hour, so gaps in the series keep their true spacing. The pair join
+    * is per-type over the HOURLY aggregate: C(\|hours\|, 2) pairs —
+    * bounded by the series length squared, never by event count — and the
+    * median is an exact interpolated percentile over that bounded set.
+    * Intercept = median(v − slope·x), the standard Theil-Sen second pass.
+    * Scale shape: one partial-aggregated hourly rollup (the only
+    * event-count-sized stage), then everything is \|types·hours\|². */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val hourly = Materialize(
+      Tables.events(spark, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(sum(col("value")).as("v")))
+    val firstHr = hourly.groupBy(col("event_type"))
+      .agg(min(col("hr")).as("hr0"))
+    val pts = hourly.join(broadcast(firstHr), Seq("event_type"))
+      .select(col("event_type"),
+        ((unix_timestamp(col("hr")) - unix_timestamp(col("hr0"))) / 3600L)
+          .cast("double").as("x"),
+        col("v"))
+    val slopes = pts.as("a").join(pts.as("b"),
+        col("a.event_type") === col("b.event_type")
+          && col("a.x") < col("b.x"))
+      .select(col("a.event_type").as("event_type"),
+        ((col("b.v") - col("a.v")) / (col("b.x") - col("a.x"))).as("s"))
+    val slopeMed = slopes.groupBy(col("event_type"))
+      .agg(expr("percentile(s, 0.5)").as("slope"))
+    pts.join(broadcast(slopeMed), Seq("event_type"))
+      .select(col("event_type"), col("slope"),
+        (col("v") - col("slope") * col("x")).as("r"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        stableRound4(first(col("slope"))).as("slope"),
+        stableRound4(expr("percentile(r, 0.5)")).as("intercept"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q_watermark_sim: how much data would each watermark delay drop?
+    * The fixture's event_id sequence is exactly event-time-ordered (the
+    * [[eventLag]] audit proves zero inversions), so arrival disorder is
+    * SIMULATED the way capacity planning does it when only event time is
+    * logged: each event gets a deterministic ingestion delay (md5-derived
+    * uniform 0–30 min — a device buffering its upload), arrival time =
+    * event time + delay. Micro-batches are 10-minute arrival windows (the
+    * trigger proxy); the watermark in force while batch b arrives is the
+    * max event-time seen in batches < b, minus the configured delay. An
+    * event is dropped iff its event time is older than that. The report —
+    * drop count/fraction across the delay ladder — is the curve that
+    * SIZES the `withWatermark` in every streaming twin in
+    * `graft.streaming` (it must hit zero by the simulated 30-min bound).
+    * Scale shape: per-batch maxima are \|arrival windows\| rows (bounded
+    * by the time span, not data); the running max is a window over THAT
+    * set; events broadcast-join their batch's watermark — one scan, one
+    * bounded window, no event-sized shuffle. */
+  def watermarkSim(spark: SparkSession, dir: String,
+      triggerSecs: Long = 600L, maxJitterSecs: Long = 1800L): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val delayUs = (conv(substring(md5(concat(col("event_id").cast("string"),
+      lit(":wm"))), 1, 6), 16, 10).cast("long") % maxJitterSecs) * 1000000L
+    val ev = Tables.events(spark, dir)
+      .select(unix_micros(col("ts")).as("us"),
+        (unix_micros(col("ts")) + delayUs).as("arrival_us"))
+      .select(((col("arrival_us") / (triggerSecs * 1000000L))
+        .cast("long")).as("batch"), col("us"))
+    val batchMax = ev.groupBy(col("batch")).agg(max(col("us")).as("mx"))
+    // running max over batches STRICTLY BEFORE b — |batches| rows, so the
+    // single-partition frame is bounded by the trigger count, not data
+    val w = Window.orderBy(col("batch"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wm = batchMax.select(col("batch"), max(col("mx")).over(w).as("wm_us"))
+    val delays = Seq(0L, 60L, 300L, 900L, 3600L)
+    // ONE pass: all five delay ladders as conditional sums in a single
+    // aggregate (events in the first batch have no watermark yet — the
+    // null comparison excludes them from every drop count), then the
+    // 1-row result unpivots to the 5-row report
+    val aggCols = delays.map(d =>
+      coalesce(sum((col("us") < col("wm_us") - lit(d * 1000000L))
+        .cast("long")), lit(0L)).as(s"d$d"))
+    val agg = ev.join(broadcast(wm), Seq("batch"))
+      .agg(count(lit(1)).as("n_events"), aggCols: _*)
+    agg.select(explode(array(delays.map(d =>
+        struct(lit(d).as("delay_s"), col("n_events"),
+          col(s"d$d").as("n_dropped"))): _*)).as("t"))
+      .select(col("t.delay_s"), col("t.n_events"), col("t.n_dropped"),
+        stableRound4(col("t.n_dropped").cast("double") / col("t.n_events"))
+          .as("drop_frac"))
+      .orderBy(col("delay_s"))
+  }
+
   /** q_audience_overlap: pairwise event-type audience Jaccard — which
     * event types are reaching the same users. One distinct pass over
     * (type, user), a user-keyed self-join (bucket size = event types per

@@ -11,6 +11,73 @@ import graft.{SparkTestBase, Tables}
   * bigram frequencies, vocabulary coverage, normalized-key dedup. */
 class Round3OpsSpec extends SparkTestBase {
 
+  test("theilSen: exact on a linear series; robust to an outlier OLS would chase") {
+    import spark.implicits._
+    // type a: v = 2x + 3 over hours 0..6, except hour 3 spiked to 100.
+    // Hand-computed: median pairwise slope = 2 (15 clean pairs straddle
+    // the 6 outlier pairs), median residual = 3 — the outlier moves
+    // Theil-Sen not at all, while OLS slope would be far off.
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (0 to 6).map { h =>
+      val v = if (h == 3) 100.0 else 2.0 * h + 3.0
+      (new java.sql.Timestamp(base.getTime + h * 3600L * 1000L), "a", v)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ts").toString
+    rows.toDF("ts", "event_type", "value")
+      .write.parquet(s"$tmp/events.parquet")
+    val out = EventOps.theilSen(spark, tmp).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+      == (("a", 7L, 2.0, 3.0)), s"got $r")
+  }
+
+  test("theilSen on the fixture: every type, full series, finite estimates") {
+    val out = EventOps.theilSen(spark, sf).collect()
+    val types = Tables.events(spark, sf).select("event_type")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(out.map(_.getString(0)).toSet == types)
+    out.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(!r.getDouble(2).isNaN && !r.getDouble(3).isNaN)
+    }
+  }
+
+  test("watermarkSim matches a driver-local replay of the arrival simulation") {
+    val out = EventOps.watermarkSim(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def jitterUs(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:wm".getBytes("UTF-8"))
+        .take(3).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(md, 16) % 1800L) * 1000000L
+    }
+    val batched = ev.map { case (id, us) =>
+      ((us + jitterUs(id)) / 600000000L, us) }
+    val batchMax = batched.groupBy(_._1).map { case (b, xs) =>
+      b -> xs.map(_._2).max }
+    val sortedB = batchMax.keys.toSeq.sorted
+    val prefix = sortedB.zipWithIndex.map { case (b, i) =>
+      b -> (if (i == 0) None else Some(sortedB.take(i).map(batchMax).max))
+    }.toMap
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq(0L, 60L, 300L, 900L, 3600L).foreach { d =>
+      val dropped = batched.count { case (b, us) =>
+        prefix(b).exists(wm => us < wm - d * 1000000L) }
+      val (n, nd, frac) = out(d)
+      assert(n == ev.length.toLong, s"delay $d n")
+      assert(nd == dropped.toLong, s"delay $d dropped: $nd vs $dropped")
+      assert(frac == r4(dropped.toDouble / ev.length), s"delay $d frac")
+    }
+    // the ladder is monotone and exhausts the simulated 30-min jitter
+    assert(out(0L)._2 >= out(900L)._2 && out(3600L)._2 == 0L)
+  }
+
   test("ohlc bars match a driver-local replay of the (us, event_id) order") {
     val out = EventOps.ohlc(spark, sf).collect()
       .map(r => (r.getString(0), r.getAs[java.time.LocalDateTime](1)) ->
