@@ -82,7 +82,12 @@ object ScaleSpot {
     "q_skip_audit", "q_dp_topk", "q_calibration", "q_ann_recall",
     // LPA: risk = the per-round |E|-sized vote aggregation (same family
     // as q_graph_cc's pair counts; rounds are a constant factor)
-    "q_graph_lpa")
+    "q_graph_lpa",
+    // late-session additions: 26 scan+agg GD jobs (linear by design),
+    // |hours|²-bounded pair join (flat: time span fixed as data grows),
+    // bounded-window watermark sim, OHLC scan-agg, skew-audit double agg
+    "q_quality_train", "q_theil_sen", "q_watermark_sim", "q_ohlc",
+    "q_skew_audit")
   val Scales = Seq(10, 100)
 
   def outDir(copies: Int) = s"/tmp/graft_spot_${copies}x"

@@ -111,6 +111,7 @@ object SparkEntry {
     "q_theil_sen"      -> (EventOps.theilSen _),
     "q_watermark_sim"  -> ((s, d) => EventOps.watermarkSim(s, d)),
     "q_skew_audit"     -> ((s, d) => JoinOps.skewAudit(s, d)),
+    "q_card_est"       -> ((s, d) => JoinOps.cardEst(s, d)),
     "q_unpivot"        -> (AnalyticsOps.unpivotStatus _),
     "q_corr_stats"     -> (AnalyticsOps.corrStats _),
     "q_date_spine"     -> (AnalyticsOps.dateSpine _),
@@ -515,6 +516,16 @@ object SparkEntry {
         "CAST(round(CAST(n_rows / (n_total / n_buckets) AS DECIMAL(20,8)), 4) AS DOUBLE) AS skew_factor, " +
         "CAST(round(CAST(CAST(max_key_rows AS DOUBLE) / n_rows AS DECIMAL(20,8)), 4) AS DOUBLE) AS single_key_share " +
         "FROM pb CROSS JOIN t ORDER BY bucket"),
+    // exact self-join pair counts vs the uniform-within-bucket estimate
+    "q_card_est" ->
+      ("WITH k AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id), " +
+        "pb AS (SELECT user_id % 32 AS bucket, SUM(c) AS n_rows, COUNT(*) AS n_keys, " +
+        "SUM(c * c) AS exact_pairs FROM k GROUP BY 1) " +
+        "SELECT bucket, CAST(n_rows AS BIGINT) AS n_rows, n_keys, " +
+        "CAST(exact_pairs AS BIGINT) AS exact_pairs, " +
+        "CAST(round(CAST(CAST(n_rows AS DOUBLE) * n_rows / n_keys AS DECIMAL(20,8)), 4) AS DOUBLE) AS est_pairs, " +
+        "CAST(round(CAST(exact_pairs / (CAST(n_rows AS DOUBLE) * n_rows / n_keys) AS DECIMAL(20,8)), 4) AS DOUBLE) AS err_ratio " +
+        "FROM pb ORDER BY bucket"),
     "q_text_stats" ->
       ("SELECT lang, COUNT(*) AS n_docs, CAST(round(CAST(AVG(n_chars) AS DECIMAL(20,8)), 4) AS DOUBLE) AS avg_chars, " +
         "CAST(round(CAST(AVG(len(regexp_split_to_array(trim(text), '\\s+'))) AS DECIMAL(20,8)), 4) AS DOUBLE) AS avg_tokens " +

@@ -620,6 +620,41 @@ object JoinOps {
     * re-partitioning, only by salting the key itself). Two
     * partial-aggregated shuffles — per-key then per-bucket — so the audit
     * costs one pass over the fact at any scale. */
+  /** q_card_est: join-cardinality estimation audit — how wrong would a
+    * histogram-based planner estimate be on this key distribution? For
+    * the events-on-user self-join (the worst case every optimizer
+    * guards: output = Σ c(u)², quadratic in per-key counts), each of 32
+    * key-hash buckets reports the EXACT pair count Σ c² against the
+    * textbook uniform-within-bucket estimate n²/d (rows² / distinct
+    * keys — what an equi-depth histogram with per-bucket distinct counts
+    * would predict). `err_ratio` > 1 means real skew the histogram
+    * hides — exactly the buckets where a static plan under-provisions
+    * and AQE/salting must step in (companion to [[skewAudit]], which
+    * measures the same phenomenon for shuffle sizing). Two
+    * partial-aggregated hops (per-key, then per-bucket); nothing wider
+    * than the key count ever shuffles. */
+  def cardEst(spark: SparkSession, dir: String,
+      buckets: Int = 32): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val perKey = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .select(pmod(col("user_id"), lit(buckets.toLong)).as("bucket"),
+        col("c"))
+    perKey.groupBy(col("bucket"))
+      .agg(sum(col("c")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        sum(col("c") * col("c")).as("exact_pairs"))
+      .select(col("bucket"), col("n_rows"), col("n_keys"),
+        col("exact_pairs"),
+        stableRound4(col("n_rows").cast("double") * col("n_rows")
+          / col("n_keys")).as("est_pairs"),
+        stableRound4(col("exact_pairs")
+          / (col("n_rows").cast("double") * col("n_rows") / col("n_keys")))
+          .as("err_ratio"))
+      .orderBy(col("bucket"))
+  }
+
   def skewAudit(spark: SparkSession, dir: String,
       buckets: Int = 32): DataFrame = {
     import graft.functions.NumericFunctions.stableRound4

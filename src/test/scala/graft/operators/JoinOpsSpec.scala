@@ -85,6 +85,40 @@ class JoinOpsSpec extends SparkTestBase {
         + lines.take(40).mkString("\n"))
   }
 
+  test("cardEst: exact pair counts replay; estimate is exact when keys are uniform") {
+    val out = JoinOps.cardEst(spark, sf).collect()
+    val keyCounts = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id")).count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byBucket = keyCounts.groupBy { case (u, _) => ((u % 32) + 32) % 32 }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.foreach { r =>
+      val (b, nRows, nKeys, exact) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val cs = byBucket(b).map(_._2)
+      assert(nRows == cs.sum && nKeys == cs.length.toLong)
+      assert(exact == cs.map(c => c * c).sum, s"bucket $b exact pairs")
+      val est = nRows.toDouble * nRows / nKeys
+      assert(r.getDouble(4) == r4(est), s"bucket $b est")
+      assert(r.getDouble(5) == r4(exact / est), s"bucket $b ratio")
+      // Cauchy-Schwarz: the uniform estimate is a LOWER bound on Σc²
+      assert(exact.toDouble >= est - 1e-6, s"bucket $b bound")
+    }
+    // crafted uniform keys: estimate must be exact (err_ratio 1.0)
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-card").toString
+    (1L to 64L).flatMap(u => Seq.fill(3)(u))
+      .map(u => (u, u)).toDF("event_id", "user_id")
+      .withColumn("ts",
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .write.parquet(s"$tmp/events.parquet")
+    val uni = JoinOps.cardEst(spark, tmp).collect()
+    uni.foreach { r =>
+      assert(r.getDouble(5) == 1.0, s"uniform keys must estimate exactly: $r")
+    }
+  }
+
   test("skewAudit reconciles with a driver-local key histogram") {
     val out = JoinOps.skewAudit(spark, sf).collect()
     val keyCounts = graft.Tables.events(spark, sf)
