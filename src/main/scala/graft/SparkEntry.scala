@@ -56,6 +56,7 @@ object SparkEntry {
     "q_sim_topk"       -> (SimilarityOps.simTopK _),
     "q_sim_lsh"        -> (SimilarityOps.simLsh _),
     "q_multimodal_meta" -> (MultimodalOps.multimodalMeta _),
+    "q_audio_trim"     -> ((s, d) => MultimodalOps.audioTrim(s, d)),
     "q_union"          -> (SetOps.unionOrders _),
     "q_intersect"      -> (SetOps.intersectCustomers _),
     "q_except"         -> (SetOps.exceptCustomers _),
@@ -596,6 +597,27 @@ object SparkEntry {
       ("SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes, " +
         "CAST(ascii(text) % 4 AS INTEGER) AS format_id, md5(text) AS content_hash " +
         "FROM documents ORDER BY doc_id"),
+    // token-length sample stream (the documented decode stand-in), 16-wide
+    // RMS windows, silence threshold 4.5, first/last voiced trim pointers
+    "q_audio_trim" ->
+      ("WITH t AS (SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\\s+'), " +
+        "x -> length(x)) AS s FROM documents), " +
+        "b AS (SELECT doc_id, CAST(len(s) AS INTEGER) AS n_samples, " +
+        "CAST(len(s) // 16 AS INTEGER) AS nw, s FROM t), " +
+        "r AS (SELECT doc_id, n_samples, nw, CASE WHEN nw > 0 THEN " +
+        "list_transform(range(0, nw), w -> sqrt(CAST(list_sum(" +
+        "list_transform(list_slice(s, CAST(w * 16 + 1 AS INTEGER), CAST(w * 16 + 16 AS INTEGER)), " +
+        "x -> CAST(x AS BIGINT) * x)) AS DOUBLE) / 16)) " +
+        "ELSE CAST([] AS DOUBLE[]) END AS rms FROM b), " +
+        "v AS (SELECT doc_id, n_samples, nw, CASE WHEN nw > 0 THEN " +
+        "list_filter(range(0, nw), w -> rms[CAST(w + 1 AS INTEGER)] >= 4.5) " +
+        "ELSE CAST([] AS BIGINT[]) END AS voiced FROM r) " +
+        "SELECT doc_id, n_samples, nw AS n_windows, " +
+        "CAST(round(CAST(CASE WHEN nw > 0 THEN CAST(nw - len(voiced) AS DOUBLE) / nw " +
+        "ELSE 0.0 END AS DECIMAL(20,8)), 4) AS DOUBLE) AS silence_frac, " +
+        "CAST(CASE WHEN len(voiced) > 0 THEN voiced[1] ELSE -1 END AS INTEGER) AS trim_start, " +
+        "CAST(CASE WHEN len(voiced) > 0 THEN voiced[-1] ELSE -1 END AS INTEGER) AS trim_end " +
+        "FROM v ORDER BY doc_id"),
     "q_union" ->
       ("SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 200000 " +
         "UNION SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT' " +

@@ -303,6 +303,52 @@ object MultimodalOps {
         Tables.embeddings(spark, dir), threshold, numPlanes))
       .orderBy(col("va"), col("vb"))
 
+  /** q_audio_trim: windowed-energy silence trimming — the audio-pipeline
+    * pass that drops leading/trailing silence and reports how much of a
+    * clip is silent (VAD's cheap cousin, run before any ASR/captioning
+    * stage). As with [[FakeDecoder]], the PCM decode is the documented
+    * offline stand-in — the "sample stream" is the token-length sequence
+    * of the payload text (a real build decodes the blob to amplitudes
+    * here; every downstream expression is unchanged). The analysis is
+    * real: non-overlapping 16-sample windows, RMS energy per window
+    * (exact integer sum of squares → one sqrt), a silence threshold, the
+    * silent-window fraction, and first/last non-silent window as the trim
+    * pointers (−1 sentinels when the clip is all-silent or shorter than
+    * one window). Everything is higher-order array functions on ONE
+    * narrow scan — no explode, no shuffle, no window function; at 100 TB
+    * this runs at parquet-scan speed. */
+  def audioTrim(spark: SparkSession, dir: String, windowSize: Int = 16,
+      silenceRms: Double = 4.5): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val samples = transform(tokens(col("text")), t => length(t))
+    val df = Tables.documents(spark, dir)
+      .select(col("doc_id"), samples.as("s"))
+      .select(col("doc_id"), size(col("s")).as("n_samples"),
+        (size(col("s")) / windowSize).cast("int").as("nw"), col("s"))
+      .select(col("doc_id"), col("n_samples"), col("nw"),
+        when(col("nw") > 0, transform(sequence(lit(0), col("nw") - 1),
+          w => sqrt(
+            aggregate(slice(col("s"), w * windowSize + 1, lit(windowSize)),
+              lit(0L), (acc, x) => acc + x.cast("long") * x)
+              .cast("double") / windowSize)))
+          .otherwise(array().cast("array<double>")).as("rms"))
+      .select(col("doc_id"), col("n_samples"), col("nw").as("n_windows"),
+        when(col("nw") > 0,
+          filter(sequence(lit(0), col("nw") - 1),
+            w => element_at(col("rms"), w + 1) >= silenceRms))
+          .otherwise(array().cast("array<int>")).as("voiced"))
+    df.select(col("doc_id"), col("n_samples"), col("n_windows"),
+      graft.functions.NumericFunctions.stableRound4(
+        when(col("n_windows") > 0,
+          (col("n_windows") - size(col("voiced"))).cast("double")
+            / col("n_windows")).otherwise(0.0)).as("silence_frac"),
+      when(size(col("voiced")) > 0, element_at(col("voiced"), 1))
+        .otherwise(lit(-1)).as("trim_start"),
+      when(size(col("voiced")) > 0, element_at(col("voiced"), -1))
+        .otherwise(lit(-1)).as("trim_end"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Caption shingle-Jaccard over any (va, vb, cos_sim) pair frame. */
   private def captionJoin(spark: SparkSession, dir: String,
       pairs: DataFrame): DataFrame = {

@@ -136,4 +136,40 @@ class MultimodalSpec extends SparkTestBase {
       assert(md.map("%02x".format(_)).mkString == hash, s"digest at $id/$idx")
     }
   }
+
+  test("audioTrim: hand-computed windows, trim pointers, and edge sentinels") {
+    import org.apache.spark.sql.functions.{col, length, lit}
+    import spark.implicits._
+    // doc 1: 16 quiet (len-2) samples then 16 loud (len-6) ones →
+    //   windows rms = [2, 6]; threshold 4.5 → silence 0.5, trim [1, 1]
+    // doc 2: 32 quiet samples → all silent, -1 sentinels
+    // doc 3: 5 samples (< one window) → zero windows, -1 sentinels
+    val docs = Seq(
+      (1L, (Seq.fill(16)("ab") ++ Seq.fill(16)("abcdef")).mkString(" ")),
+      (2L, Seq.fill(32)("ab").mkString(" ")),
+      (3L, Seq.fill(5)("abcdef").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-audio").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+    val out = MultimodalOps.audioTrim(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3),
+        r.getInt(4), r.getInt(5)))).toMap
+    assert(out(1L) == ((32, 2, 0.5, 1, 1)), s"got ${out(1L)}")
+    assert(out(2L) == ((32, 2, 1.0, -1, -1)), s"got ${out(2L)}")
+    assert(out(3L) == ((5, 0, 0.0, -1, -1)), s"got ${out(3L)}")
+  }
+
+  test("audioTrim on the fixture: fractions bounded, pointers ordered") {
+    val out = MultimodalOps.audioTrim(spark, sf).collect()
+    assert(out.length == graft.Tables.documents(spark, sf).count())
+    out.foreach { r =>
+      val (nw, frac, a, b) =
+        (r.getInt(2), r.getDouble(3), r.getInt(4), r.getInt(5))
+      assert(frac >= 0.0 && frac <= 1.0)
+      if (a >= 0) assert(b >= a && b < nw)
+      else assert(b == -1 && (nw == 0 || frac == 1.0))
+    }
+  }
 }
