@@ -87,7 +87,9 @@ object ScaleSpot {
     // |hours|²-bounded pair join (flat: time span fixed as data grows),
     // bounded-window watermark sim, OHLC scan-agg, skew-audit double agg
     "q_quality_train", "q_theil_sen", "q_watermark_sim", "q_ohlc",
-    "q_skew_audit", "q_card_est", "q_audio_trim")
+    "q_skew_audit", "q_card_est", "q_audio_trim",
+    // PIT join: risk = per-user version fan-out in the interval residual
+    "q_pit_join")
   val Scales = Seq(10, 100)
 
   def outDir(copies: Int) = s"/tmp/graft_spot_${copies}x"

@@ -235,6 +235,7 @@ object SparkEntry {
     "q_frame_sample"   -> (MultimodalOps.frameSample _),
     "q_zorder"         -> (RelationalOps.zorderLayout _),
     "q_skip_audit"     -> (RelationalOps.skipAudit _),
+    "q_pit_join"       -> ((s, d) => RelationalOps.pitJoin(s, d)),
     "q_dp_topk"        -> ((s, d) => StatOps.dpTopK(s, d)),
     "q_calibration"    -> (TextOps.calibration _),
     "q_quality_train"  -> ((s, d) => TextOps.qualityTrain(s, d)),
@@ -1910,6 +1911,26 @@ object SparkEntry {
         "CAST(CASE WHEN lead(us) OVER (PARTITION BY user_id " +
         "ORDER BY us, event_id) IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current " +
         "FROM f ORDER BY user_id, version"),
+    // point-in-time join: the scd2 CTE + a 1h-lookback interval left join
+    "q_pit_join" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us " +
+        "FROM events), " +
+        "ch AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id " +
+        "ORDER BY us, event_id) AS prev FROM e), " +
+        "f AS (SELECT * FROM ch WHERE prev IS NULL OR prev <> event_type), " +
+        "dim AS (SELECT user_id, CAST(ROW_NUMBER() OVER (PARTITION BY user_id " +
+        "ORDER BY us, event_id) AS INTEGER) AS version, " +
+        "event_type AS state, us AS valid_from, " +
+        "lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to FROM f), " +
+        "obs AS (SELECT event_id, user_id, us, us - 3600000000 AS asof_us " +
+        "FROM e WHERE event_type = 'purchase') " +
+        "SELECT obs.event_id, obs.user_id, obs.us AS label_us, " +
+        "coalesce(dim.state, 'none') AS state_asof, " +
+        "coalesce(dim.version, -1) AS dim_version " +
+        "FROM obs LEFT JOIN dim ON obs.user_id = dim.user_id " +
+        "AND dim.valid_from <= obs.asof_us " +
+        "AND (dim.valid_to IS NULL OR obs.asof_us < dim.valid_to) " +
+        "ORDER BY obs.event_id"),
     // top-3 highest-cosine different-label neighbors per probe vector
     "q_hard_negative" ->
       ("WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +

@@ -211,6 +211,44 @@ object RelationalOps {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** q_pit_join: point-in-time correct dimension join — the feature-store
+    * staple that prevents label leakage. For every purchase event (the
+    * "label" observation), look up the user's [[scd2]] dimension version
+    * that was valid ONE HOUR BEFORE the purchase — features must come
+    * from strictly before the label's as-of time, never from the future
+    * or the label's own instant. Interval semantics follow the SCD2
+    * contract: valid_from ≤ as-of < valid_to, open version matches
+    * everything after its valid_from; purchases whose as-of precedes the
+    * user's first version (a brand-new user) resolve to state 'none' /
+    * version −1 — the honest "no feature yet" row a training pipeline
+    * must emit rather than silently leak the first state backwards.
+    *
+    * Scale shape: equality join on the high-cardinality user key with the
+    * interval containment as a residual — per user the version list is
+    * change-count-sized, so the join fan-out is bounded by state changes,
+    * not events²; at most one version matches (the intervals partition
+    * the timeline). No window beyond the ones [[scd2]] already runs. */
+  def pitJoin(spark: SparkSession, dir: String,
+      lookbackUs: Long = 3600L * 1000000L): DataFrame = {
+    val dim = scd2(spark, dir)
+      .select(col("user_id"), col("version"), col("state"),
+        col("valid_from"), col("valid_to"))
+    val obs = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("asof_us", col("us") - lookbackUs)
+    obs.join(dim,
+        obs("user_id") === dim("user_id")
+          && dim("valid_from") <= obs("asof_us")
+          && (dim("valid_to").isNull || obs("asof_us") < dim("valid_to")),
+        "left")
+      .select(obs("event_id"), obs("user_id"), obs("us").as("label_us"),
+        coalesce(col("state"), lit("none")).as("state_asof"),
+        coalesce(col("version"), lit(-1)).as("dim_version"))
+      .orderBy(col("event_id"))
+  }
+
   /** q_incr_rollup: incremental materialized-rollup maintenance — the
     * Delta/Iceberg MERGE pattern for keeping a daily revenue rollup fresh
     * without rescanning history. The "stored" rollup is the aggregate of

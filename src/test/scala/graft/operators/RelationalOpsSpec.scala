@@ -144,6 +144,35 @@ class RelationalOpsSpec extends SparkTestBase {
     assert(out("insert")._2 == 0.0 && out("delete")._2 == 0.0)
   }
 
+  test("pitJoin: as-of state replays from raw events; no future leakage; new users get 'none'") {
+    val out = RelationalOps.pitJoin(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3), r.getInt(4)))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val purchases = ev.filter(_._3 == "purchase")
+    assert(out.size == purchases.length, "one row per purchase, exactly")
+    val byUser = ev.groupBy(_._1)
+    purchases.foreach { case (u, eid, _, us) =>
+      val asof = us - 3600L * 1000000L
+      // ground truth: the user's event-type state at the as-of instant is
+      // the type of the latest event at or before it (state only changes
+      // at events, so the SCD2 interval lookup must agree)
+      val before = byUser(u).filter(e => e._4 <= asof)
+      val expState =
+        if (before.isEmpty) "none"
+        else before.maxBy(e => (e._4, e._2))._3
+      val (gotU, _, gotState, gotVer) = out(eid)
+      assert(gotU == u)
+      assert(gotState == expState, s"purchase $eid: $gotState vs $expState")
+      // anti-leakage: a resolved version must never start after the as-of
+      if (expState == "none") assert(gotVer == -1, s"purchase $eid version")
+      else assert(gotVer >= 1, s"purchase $eid version")
+    }
+  }
+
   test("skipAudit: layouts agree on totals, pruning is sound, zorder helps both dims") {
     val out = RelationalOps.skipAudit(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
