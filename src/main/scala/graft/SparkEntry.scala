@@ -236,6 +236,7 @@ object SparkEntry {
     "q_zorder"         -> (RelationalOps.zorderLayout _),
     "q_skip_audit"     -> (RelationalOps.skipAudit _),
     "q_pit_join"       -> ((s, d) => RelationalOps.pitJoin(s, d)),
+    "q_incr_join"      -> (RelationalOps.incrJoinRollup _),
     "q_dp_topk"        -> ((s, d) => StatOps.dpTopK(s, d)),
     "q_calibration"    -> (TextOps.calibration _),
     "q_quality_train"  -> ((s, d) => TextOps.qualityTrain(s, d)),
@@ -1931,6 +1932,18 @@ object SparkEntry {
         "AND dim.valid_from <= obs.asof_us " +
         "AND (dim.valid_to IS NULL OR obs.asof_us < dim.valid_to) " +
         "ORDER BY obs.event_id"),
+    // the ORACLE recomputes the v2 join from scratch; the declared query
+    // merges stored state with signed deltas — equality IS the IVM claim
+    "q_incr_join" ->
+      ("WITH v1 AS (SELECT o_orderkey AS key, o_custkey AS cust, o_totalprice AS price FROM orders), " +
+        "v2 AS (SELECT key, cust, CASE WHEN key % 13 = 0 THEN round(price * 1.05, 4) ELSE price END AS price " +
+        "FROM v1 WHERE key % 97 <> 0 " +
+        "UNION ALL SELECT key + 1000000000, cust, price FROM v1 WHERE key % 101 = 0) " +
+        "SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+        "CAST(round(CAST(CAST(SUM(CAST(round(price * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 " +
+        "AS DECIMAL(20,8)), 4) AS DOUBLE) AS revenue " +
+        "FROM v2 JOIN customer ON cust = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY seg"),
     // top-3 highest-cosine different-label neighbors per probe vector
     "q_hard_negative" ->
       ("WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +

@@ -398,6 +398,58 @@ object RelationalOps {
       .orderBy(col("change_type"))
   }
 
+  /** q_incr_join: incremental maintenance of a JOINED rollup under a CDC
+    * batch — the signed-delta (differential) processing at the core of
+    * every incremental-view-maintenance engine, exercised on the join
+    * path that [[incrRollup]]'s single-table case doesn't cover. The view
+    * is revenue-by-market-segment over orders ⋈ customer; the change
+    * batch is [[snapshotDiff]]'s synthetic CDC (deletes %97, +5% price
+    * updates %13, key-shifted inserts %101). Maintenance touches ONLY the
+    * delta: deletes contribute (−price, −1), updates (Δprice, 0), inserts
+    * (+price, +1), each routed to its segment through the same broadcast
+    * dimension join the view uses; merged = stored partials ∪ deltas,
+    * re-aggregated. The declared result is the MERGED view; the oracle
+    * recomputes the v2 join from scratch — equality IS the correctness
+    * claim, as in incrRollup. Revenue flows as exact 10⁻⁴-unit integers
+    * so merge order cannot produce float-association drift between the
+    * incremental and recomputed sides.
+    *
+    * Scale shape: the stored side is |segments| partials maintained from
+    * history ONCE; each refresh costs the delta scan + broadcast dim join
+    * + a |segments|-row merge — at 100 TB the joined view's refresh cost
+    * is proportional to the change batch, never the fact table. */
+  def incrJoinRollup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val cust = broadcast(Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val units = round(col("price") * 10000).cast("long")
+    val v1 = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("key"), col("o_custkey").as("cust"),
+        col("o_totalprice").as("price"))
+    def segmented(df: DataFrame): DataFrame =
+      df.join(cust, col("cust") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("du"), col("dn"))
+    // stored: the view's partial state from history (rev units + counts)
+    val stored = segmented(v1.select(col("cust"), units.as("du"),
+      lit(1L).as("dn")))
+    // signed deltas straight from the CDC rules — no v2 rescan anywhere
+    val deletes = v1.filter(col("key") % 97 === 0)
+      .select(col("cust"), (-units).as("du"), lit(-1L).as("dn"))
+    val updates = v1.filter(col("key") % 97 =!= 0 && col("key") % 13 === 0)
+      .select(col("cust"),
+        (round(round(col("price") * 1.05, 4) * 10000).cast("long")
+          - units).as("du"), lit(0L).as("dn"))
+    val inserts = v1.filter(col("key") % 101 === 0)
+      .select(col("cust"), units.as("du"), lit(1L).as("dn"))
+    stored
+      .unionAll(segmented(deletes.unionAll(updates).unionAll(inserts)))
+      .groupBy(col("seg"))
+      .agg(sum(col("du")).as("u"), sum(col("dn")).as("n_orders"))
+      .select(col("seg"), col("n_orders"),
+        stableRound4(col("u").cast("double") / 10000.0).as("revenue"))
+      .orderBy(col("seg"))
+  }
+
   /** q_skip_audit: quantifies what the [[zorderLayout]] layout actually
     * buys — for one fixed 2-D predicate (price bucket ∈ [10,25] AND day
     * bucket ∈ [40,90]), how much of the table would each of three

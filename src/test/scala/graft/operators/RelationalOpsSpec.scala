@@ -144,6 +144,34 @@ class RelationalOpsSpec extends SparkTestBase {
     assert(out("insert")._2 == 0.0 && out("delete")._2 == 0.0)
   }
 
+  test("incrJoinRollup: merged deltas equal a Spark-side from-scratch v2 recompute") {
+    val merged = RelationalOps.incrJoinRollup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // independent recompute: build v2 by the same CDC rules, join, roll up
+    val v1 = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("key"), col("o_custkey").as("cust"),
+        col("o_totalprice").as("price"))
+    val v2 = v1.filter(col("key") % 97 =!= 0)
+      .withColumn("price",
+        when(col("key") % 13 === 0, round(col("price") * 1.05, 4))
+          .otherwise(col("price")))
+      .unionByName(v1.filter(col("key") % 101 === 0)
+        .withColumn("key", col("key") + 1000000000L))
+    val full = v2.join(Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("cust") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("price") * 10000).cast("long")).as("u"))
+      .select(col("seg"), col("n_orders"),
+        graft.functions.NumericFunctions.stableRound4(
+          col("u").cast("double") / 10000.0).as("revenue"))
+      .orderBy(col("seg")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(merged == full,
+      s"incremental merge diverged from recompute:\n$merged\n$full")
+  }
+
   test("pitJoin: as-of state replays from raw events; no future leakage; new users get 'none'") {
     val out = RelationalOps.pitJoin(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
