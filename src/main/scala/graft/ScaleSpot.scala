@@ -88,8 +88,9 @@ object ScaleSpot {
     // bounded-window watermark sim, OHLC scan-agg, skew-audit double agg
     "q_quality_train", "q_theil_sen", "q_watermark_sim", "q_ohlc",
     "q_skew_audit", "q_card_est", "q_audio_trim",
-    // PIT join: risk = per-user version fan-out in the interval residual
-    "q_pit_join")
+    // PIT join: risk = per-user version fan-out in the interval residual;
+    // incr-join: delta routing through the broadcast dim join
+    "q_pit_join", "q_incr_join")
   val Scales = Seq(10, 100)
 
   def outDir(copies: Int) = s"/tmp/graft_spot_${copies}x"
@@ -129,6 +130,13 @@ object ScaleSpot {
       df.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 100000000L))
         .withColumn("o_custkey", col("o_custkey") + lit(i.toLong * 10000000L))
     }.repartition(16).write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    // customer: custkey-shifted copies matching the orders shift, so the
+    // dim join keeps its match rate as the fact grows (bigger-audience
+    // regime for the customer dimension too)
+    union(Tables.customer(spark, src)) { (df, i) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(i.toLong * 10000000L))
+    }.repartition(8).write.mode("overwrite").parquet(s"$out/customer.parquet")
 
     // events: user_id-shifted copies — more users, same per-user history
     // (the realistic bigger-audience regime; per-user windows stay
@@ -217,7 +225,8 @@ object ScaleSpot {
           || !new java.io.File(s"${outDir(c)}/embeddings.parquet").exists()
           || !new java.io.File(s"${outDir(c)}/events.parquet").exists()
           || !new java.io.File(s"${outDir(c)}/part.parquet").exists()
-          || !new java.io.File(s"${outDir(c)}/orders.parquet").exists()) {
+          || !new java.io.File(s"${outDir(c)}/orders.parquet").exists()
+          || !new java.io.File(s"${outDir(c)}/customer.parquet").exists()) {
         println(s"synthesizing ${c}x ...")
         synthesize(spark, src, c)
       }
