@@ -237,6 +237,7 @@ object SparkEntry {
     "q_skip_audit"     -> (RelationalOps.skipAudit _),
     "q_pit_join"       -> ((s, d) => RelationalOps.pitJoin(s, d)),
     "q_incr_join"      -> (RelationalOps.incrJoinRollup _),
+    "q_rank_eval"      -> ((s, d) => RetrievalOps.rankEval(s, d)),
     "q_dp_topk"        -> ((s, d) => StatOps.dpTopK(s, d)),
     "q_calibration"    -> (TextOps.calibration _),
     "q_quality_train"  -> ((s, d) => TextOps.qualityTrain(s, d)),
@@ -1669,6 +1670,44 @@ object SparkEntry {
         "AS DECIMAL(20,8)), 4) AS DOUBLE) AS bm25 " +
         "FROM d CROSS JOIN s WHERE (tf_join + tf_hash + tf_scan) > 0.0 " +
         "ORDER BY bm25 DESC, doc_id LIMIT 20"),
+    // nDCG@10 / MRR for the BM25 top-20: term-coverage graded relevance;
+    // log2 spelled ln(x)/ln(2) to match Spark's Logarithm bit-for-bit
+    "q_rank_eval" ->
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(toks)) AS avgdl, " +
+        "CAST(SUM(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df_join, " +
+        "CAST(SUM(CASE WHEN list_contains(toks, 'hash') THEN 1 ELSE 0 END) AS DOUBLE) AS df_hash, " +
+        "CAST(SUM(CASE WHEN list_contains(toks, 'scan') THEN 1 ELSE 0 END) AS DOUBLE) AS df_scan FROM t), " +
+        "d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, " +
+        "CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf_join, " +
+        "CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tf_hash, " +
+        "CAST(len(list_filter(toks, x -> x = 'scan')) AS DOUBLE) AS tf_scan FROM t), " +
+        "bm AS (SELECT doc_id, CAST(round(CAST(" +
+        "(ln((n_docs - df_join + 0.5) / (df_join + 0.5) + 1.0) * (tf_join * (1.2 + 1.0))) / (tf_join + 1.2 * (0.25 + 0.75 * dl / avgdl)) " +
+        "+ (ln((n_docs - df_hash + 0.5) / (df_hash + 0.5) + 1.0) * (tf_hash * (1.2 + 1.0))) / (tf_hash + 1.2 * (0.25 + 0.75 * dl / avgdl)) " +
+        "+ (ln((n_docs - df_scan + 0.5) / (df_scan + 0.5) + 1.0) * (tf_scan * (1.2 + 1.0))) / (tf_scan + 1.2 * (0.25 + 0.75 * dl / avgdl)) " +
+        "AS DECIMAL(20,8)), 4) AS DOUBLE) AS bm25 " +
+        "FROM d CROSS JOIN s WHERE (tf_join + tf_hash + tf_scan) > 0.0 " +
+        "ORDER BY bm25 DESC, doc_id LIMIT 20), " +
+        "rl AS (SELECT doc_id, CASE WHEN cnt >= 10 THEN 3 WHEN cnt >= 6 THEN 2 " +
+        "WHEN cnt >= 3 THEN 1 ELSE 0 END AS rel FROM " +
+        "(SELECT doc_id, len(list_filter(toks, x -> x = 'join')) " +
+        "+ len(list_filter(toks, x -> x = 'hash')) " +
+        "+ len(list_filter(toks, x -> x = 'scan')) AS cnt FROM t)), " +
+        "rk AS (SELECT bm.doc_id, rel, bm25, " +
+        "ROW_NUMBER() OVER (ORDER BY bm25 DESC, bm.doc_id) AS rank FROM bm JOIN rl USING (doc_id)), " +
+        "r10 AS (SELECT * FROM rk WHERE rank <= 10), " +
+        "dc AS (SELECT SUM((pow(2.0, rel) - 1.0) / (ln(rank + 1.0) / ln(2.0))) AS dcg, " +
+        "MIN(CASE WHEN rel >= 2 THEN rank END) AS first_rel, COUNT(*) AS n_ranked FROM r10), " +
+        "ideal AS (SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS rank " +
+        "FROM (SELECT doc_id, rel FROM rl ORDER BY rel DESC, doc_id LIMIT 10)), " +
+        "ic AS (SELECT SUM((pow(2.0, rel) - 1.0) / (ln(rank + 1.0) / ln(2.0))) AS idcg FROM ideal) " +
+        "SELECT 10 AS k, CAST(n_ranked AS BIGINT) AS n_ranked, " +
+        "CAST(round(CAST(dcg AS DECIMAL(20,8)), 4) AS DOUBLE) AS dcg_at_k, " +
+        "CAST(round(CAST(idcg AS DECIMAL(20,8)), 4) AS DOUBLE) AS idcg_at_k, " +
+        "CAST(round(CAST(dcg / idcg AS DECIMAL(20,8)), 4) AS DOUBLE) AS ndcg_at_k, " +
+        "CAST(round(CAST(coalesce(1.0 / first_rel, 0.0) AS DECIMAL(20,8)), 4) AS DOUBLE) AS mrr " +
+        "FROM dc CROSS JOIN ic"),
     "q_rrf" ->
       ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
         "n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e), " +

@@ -120,4 +120,56 @@ object RetrievalOps {
       .orderBy(col("rrf").desc, col("id"))
       .limit(k)
   }
+
+  /** q_rank_eval: ranking-quality metrics for the BM25 ranker — the IR
+    * eval pass (nDCG@10, MRR) a retrieval-backed curation pipeline runs
+    * before trusting a ranker to mine training data. Graded relevance is
+    * a pseudo-relevance proxy when no judgments exist: occurrence-volume
+    * tiers over the query terms (total tf ≥ 10 → rel 3, ≥ 6 → 2, ≥ 3 →
+    * 1, else 0 — term coverage alone saturates on this common-vocabulary
+    * fixture, so the grade discriminates on volume, which BM25's length
+    * normalization deliberately does NOT maximize — making the metric a
+    * real comparison, not a tautology).
+    * DCG@10 discounts the BM25 top-10 by log₂(rank+1); IDCG@10 is the
+    * same sum over the collection-wide ideal ordering (top-10 by rel);
+    * MRR is 1/rank of the first result with rel ≥ 2 (0 when none lands
+    * in the top 10). One row out.
+    *
+    * Scale shape: relevance is a narrow per-row expression on the same
+    * scan BM25 already makes; both top-10s are TakeOrderedAndProject;
+    * the only window runs over the ≤ 20-row ranked frame (bounded by k,
+    * not data). */
+  def rankEval(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rel = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokensLower(col("text")).as("toks"))
+      .select(col("doc_id"),
+        QueryTerms.map(t => size(filter(col("toks"), x => x === t)))
+          .reduce(_ + _).as("cnt"))
+      .select(col("doc_id"),
+        when(col("cnt") >= 10, 3).when(col("cnt") >= 6, 2)
+          .when(col("cnt") >= 3, 1).otherwise(0).as("rel"))
+    def dcgTerm = (pow(lit(2.0), col("rel")) - 1.0) /
+      log(2.0, col("rank") + 1.0)
+    val ranked = bm25TopK(spark, dir, 20)
+      .join(rel, Seq("doc_id"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+    val dcg = ranked.agg(
+      sum(dcgTerm).as("dcg"),
+      min(when(col("rel") >= 2, col("rank"))).as("first_rel"),
+      count(lit(1)).as("n_ranked"))
+    val idcg = rel.orderBy(col("rel").desc, col("doc_id")).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rel").desc, col("doc_id"))))
+      .agg(sum(dcgTerm).as("idcg"))
+    dcg.crossJoin(idcg)
+      .select(lit(k).as("k"), col("n_ranked"),
+        stableRound4(col("dcg")).as("dcg_at_k"),
+        stableRound4(col("idcg")).as("idcg_at_k"),
+        stableRound4(col("dcg") / col("idcg")).as("ndcg_at_k"),
+        stableRound4(coalesce(lit(1.0) / col("first_rel"), lit(0.0)))
+          .as("mrr"))
+  }
 }

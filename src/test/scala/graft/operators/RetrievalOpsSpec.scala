@@ -155,4 +155,41 @@ class RetrievalOpsSpec extends SparkTestBase {
       .map(r => r.getAs[Double]("psi"))
     assert(ps2.forall(_ > 0.5), s"got ${ps2.toSeq}")
   }
+
+  test("rankEval: nDCG/MRR replay from the ranking and relevance primitives") {
+    val out = RetrievalOps.rankEval(spark, sf).collect().head
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // independent replay: the BM25 ranking and the tiered relevance,
+    // metrics recomputed in plain Scala
+    val ranking = RetrievalOps.bm25TopK(spark, sf, 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, s) => (-s, id) }
+    val texts = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def rel(id: Long): Int = {
+      val toks = texts(id).trim.toLowerCase.split("\\s+")
+      val cnt = RetrievalOps.QueryTerms.map(t => toks.count(_ == t)).sum
+      if (cnt >= 10) 3 else if (cnt >= 6) 2 else if (cnt >= 3) 1 else 0
+    }
+    def dcgOf(rels: Seq[Int]): Double =
+      rels.zipWithIndex.map { case (g, i) =>
+        (math.pow(2.0, g) - 1.0) / (math.log(i + 2.0) / math.log(2.0)) }.sum
+    val top10 = ranking.take(10).map { case (id, _) => rel(id) }
+    val ideal = texts.keys.toSeq.map(rel).sorted.reverse.take(10)
+    val dcg = dcgOf(top10)
+    val idcg = dcgOf(ideal)
+    val mrr = top10.indexWhere(_ >= 2) match {
+      case -1 => 0.0
+      case i  => 1.0 / (i + 1)
+    }
+    assert(out.getLong(1) == 10L)
+    assert(out.getDouble(2) == r4(dcg), s"dcg ${out.getDouble(2)} vs $dcg")
+    assert(out.getDouble(3) == r4(idcg), s"idcg ${out.getDouble(3)} vs $idcg")
+    assert(out.getDouble(4) == r4(dcg / idcg), "ndcg")
+    assert(out.getDouble(5) == r4(mrr), "mrr")
+    // bounds: dcg can never beat the ideal
+    assert(out.getDouble(4) > 0.0 && out.getDouble(4) <= 1.0)
+  }
 }
