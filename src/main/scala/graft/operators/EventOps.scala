@@ -363,9 +363,12 @@ object EventOps {
     val p = ev.filter(col("event_type") === "purchase")
       .join(c, Seq("user_id")).filter(col("us") > col("c_us"))
       .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+    // explicit broadcast on the 1-row aggregates: AQE picks BNLJ here
+    // anyway, but the hint keeps the plan deterministic across configs
+    // (same contract as the scalar-subquery crosses in StatOps)
     val totals = v.agg(count(lit(1)).as("n1"))
-      .crossJoin(c.agg(count(lit(1)).as("n2")))
-      .crossJoin(p.agg(count(lit(1)).as("n3")))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n2"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("n3"))))
     def rate(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
       when(den > 0, stableRound4(num.cast("double") / den)).otherwise(0.0)
     totals.select(

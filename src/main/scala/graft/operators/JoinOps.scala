@@ -606,20 +606,6 @@ object JoinOps {
         count(lit(1)).as("n_items"))
   }
 
-  /** q_skew_audit: shuffle-key skew diagnostic for a prospective join or
-    * aggregation key — the measurement that decides between plain SMJ,
-    * AQE skew-split, and explicit salting (the trade quantified in
-    * SCALE.md's salted-vs-AQE experiment). The key stream (events per
-    * user) is hashed into 32 buckets (`user_id % 32`, a deterministic
-    * stand-in for the shuffle partitioner) and each bucket reports: row
-    * count, distinct keys, the LARGEST single key's row count, the
-    * bucket's share of the table, `skew_factor` (bucket rows / mean
-    * bucket rows — AQE's split criterion watches this), and
-    * `single_key_share` (largest key / bucket rows — the number AQE
-    * CANNOT fix: a partition dominated by one key cannot be split by
-    * re-partitioning, only by salting the key itself). Two
-    * partial-aggregated shuffles — per-key then per-bucket — so the audit
-    * costs one pass over the fact at any scale. */
   /** q_card_est: join-cardinality estimation audit — how wrong would a
     * histogram-based planner estimate be on this key distribution? For
     * the events-on-user self-join (the worst case every optimizer
@@ -655,6 +641,20 @@ object JoinOps {
       .orderBy(col("bucket"))
   }
 
+  /** q_skew_audit: shuffle-key skew diagnostic for a prospective join or
+    * aggregation key — the measurement that decides between plain SMJ,
+    * AQE skew-split, and explicit salting (the trade quantified in
+    * SCALE.md's salted-vs-AQE experiment). The key stream (events per
+    * user) is hashed into 32 buckets (`user_id % 32`, a deterministic
+    * stand-in for the shuffle partitioner) and each bucket reports: row
+    * count, distinct keys, the LARGEST single key's row count, the
+    * bucket's share of the table, `skew_factor` (bucket rows / mean
+    * bucket rows — AQE's split criterion watches this), and
+    * `single_key_share` (largest key / bucket rows — the number AQE
+    * CANNOT fix: a partition dominated by one key cannot be split by
+    * re-partitioning, only by salting the key itself). Two
+    * partial-aggregated shuffles — per-key then per-bucket — so the audit
+    * costs one pass over the fact at any scale. */
   def skewAudit(spark: SparkSession, dir: String,
       buckets: Int = 32): DataFrame = {
     import graft.functions.NumericFunctions.stableRound4

@@ -164,7 +164,9 @@ object RetrievalOps {
       .withColumn("rank",
         row_number().over(Window.orderBy(col("rel").desc, col("doc_id"))))
       .agg(sum(dcgTerm).as("idcg"))
-    dcg.crossJoin(idcg)
+    // broadcast the 1-row idcg aggregate explicitly (deterministic plan
+    // across configs; cf. the hinted scalar crosses in StatOps)
+    dcg.crossJoin(broadcast(idcg))
       .select(lit(k).as("k"), col("n_ranked"),
         stableRound4(col("dcg")).as("dcg_at_k"),
         stableRound4(col("idcg")).as("idcg_at_k"),

@@ -331,9 +331,18 @@ class PlanQualitySpec extends SparkTestBase {
 
   test("funnel3: per-step joins on user_id; only 1-row totals cross-join") {
     val p = plan(EventOps.funnel3(spark, sf))
-    // the only nested-loop joins are the one-row step totals
+    // the only nested-loop joins are the one-row step totals, and they are
+    // explicitly broadcast (hinted, not AQE-rescued) — no shuffle on the
+    // 1-row side and never a CartesianProduct
     assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("partial_min") || p.contains("partial_count"), p)
+  }
+
+  test("rankEval: dcg × idcg is a hinted 1-row broadcast cross, no cartesian") {
+    val p = plan(RetrievalOps.rankEval(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("jaroWinklerPairs: block-equality candidates + ordered take, no cartesian") {
