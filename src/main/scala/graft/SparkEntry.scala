@@ -395,6 +395,70 @@ object SparkEntry {
     * partition totals, factor consistency, and determinism;
     * q_caption_dedup_lsh rides the LSH bucket join — SimilaritySpec pins
     * subset-of-exact agreement with q_caption_dedup. */
+  /** Unrolled-Lloyd CTE prefix replicating [[graft.operators.IvfOps]]'s
+    * deterministic k-means trainer in DuckDB SQL — the same technique as
+    * q_quality_train's 25 unrolled GD steps and q_pagerank's 5 rank
+    * iterations. Mirrors `trainIndex(k, iters)`: `c0` = first `k` vectors
+    * by vec_id cast to double (exact — no rounding needed), then
+    * `iters − 1` Lloyd updates, each an argmin assignment on the L2 proxy
+    * score |c|²−2⟨v,c⟩ (ties to the lower cid, exactly NearestCentroid's
+    * strict-< loop) followed by per-dimension means rounded through
+    * DECIMAL(20,8) to 6 decimals (the stable6 contract in IvfOps — the
+    * rounding barrier that makes Spark's partial-aggregated VectorAverage
+    * and DuckDB's avg agree bit-for-bit despite float summation order),
+    * with empty cells carrying the previous centroid (COALESCE). Ends in
+    * `cf` (final centroids) and `af` (the inverted list: final assignment
+    * under cf — computed under exactly the centroids search probes with,
+    * matching trainIndex). Dot products use the sequential
+    * list_sum(list_transform(range…)) fold that is bit-identical to the
+    * codegen'd VectorDotProduct (cf. q_sim_topk's oracle). */
+  private def lloydCtes(k: Int = 16, dim: Int = 64, updates: Int = 2): String = {
+    def argmin(src: String, cents: String) =
+      s"(SELECT vec_id, v, acid AS cid FROM (" +
+        s"SELECT $src.vec_id, $src.v, c.cid AS acid, " +
+        s"row_number() OVER (PARTITION BY $src.vec_id ORDER BY " +
+        "list_sum(list_transform(c.c, y -> y * y)) - 2 * " +
+        s"list_sum(list_transform(range(1, ${dim + 1}), i -> c.c[i] * $src.v[i])), c.cid) AS rn " +
+        s"FROM $src CROSS JOIN $cents c) WHERE rn = 1)"
+    val sb = new StringBuilder
+    sb ++= "WITH e AS (SELECT vec_id, label, " +
+      "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+    sb ++= s"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, " +
+      s"v AS c FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)), "
+    var prev = "c0"
+    for (t <- 0 until updates) {
+      sb ++= s"a$t AS ${argmin("e", prev)}, "
+      sb ++= s"u$t AS (SELECT cid, list(m ORDER BY i) AS c FROM (" +
+        s"SELECT cid, i, CAST(round(CAST(avg(v[CAST(i AS INTEGER)]) AS DECIMAL(20,8)), 6) AS DOUBLE) AS m " +
+        s"FROM a$t, range(1, ${dim + 1}) t(i) GROUP BY cid, i) GROUP BY cid), "
+      sb ++= s"c${t + 1} AS (SELECT p.cid, COALESCE(u.c, p.c) AS c " +
+        s"FROM $prev p LEFT JOIN u$t u ON p.cid = u.cid), "
+      prev = s"c${t + 1}"
+    }
+    sb ++= s"cf AS (SELECT cid, c FROM $prev), "
+    sb ++= s"af AS ${argmin("e", "cf")}"
+    sb.toString
+  }
+
+  /** IVF probe-and-rank suffix shared by the q_sim_ivf oracle: rank cells
+    * per probe by the same L2 proxy score (ties to lower cid), take
+    * `nprobe`, rank in-cell candidates by rounded cosine. */
+  private def ivfSearchSql(nprobe: Int, topk: Int, nq: Int, dim: Int = 64): String =
+    lloydCtes() +
+      ", n AS (SELECT vec_id, v, cid, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM af), " +
+      "probes AS (SELECT q_id, q_v, q_nrm, cid FROM (" +
+      "SELECT q.vec_id AS q_id, q.v AS q_v, q.nrm AS q_nrm, c.cid, " +
+      "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+      "list_sum(list_transform(c.c, y -> y * y)) - 2 * " +
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> c.c[i] * q.v[i])), c.cid) AS pr " +
+      s"FROM n q CROSS JOIN cf c WHERE q.vec_id < $nq) WHERE pr <= $nprobe), " +
+      "pairs AS (SELECT p.q_id, c.vec_id AS cand_id, " +
+      s"round(list_sum(list_transform(range(1, ${dim + 1}), i -> p.q_v[i] * c.v[i])) / (p.q_nrm * c.nrm), 4) AS cos_sim " +
+      "FROM probes p JOIN n c ON p.cid = c.cid AND p.q_id <> c.vec_id), " +
+      "r AS (SELECT q_id, cand_id, cos_sim, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rn FROM pairs) " +
+      s"SELECT q_id, CAST(rn AS INTEGER) AS rn, cand_id, cos_sim FROM r WHERE rn <= $topk ORDER BY q_id, rn"
+
   def oracleSql: Map[String, String] = Map(
     "q_scan_limit" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice LIMIT 100",
@@ -596,6 +660,45 @@ object SparkEntry {
         "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rn FROM p) " +
         "SELECT q_id, CAST(rn AS INTEGER) AS rn, cand_id, cos_sim FROM r WHERE rn <= 10 " +
         "ORDER BY q_id, rn"),
+    // k-means family: the iterative Lloyd trainer unrolled as chained CTEs
+    // (round-8 port from rows-only; see lloydCtes)
+    "q_sim_ivf" -> ivfSearchSql(nprobe = 4, topk = 10, nq = 5),
+    "q_ivf_balance" ->
+      (lloydCtes() +
+        ", cells AS (SELECT cid AS centroid_id, count(*) AS n_vecs FROM af GROUP BY cid), " +
+        "tot AS (SELECT CAST(sum(n_vecs) AS DOUBLE) AS n_total, " +
+        "CAST(max(n_vecs) AS DOUBLE) AS n_max, CAST(count(*) AS DOUBLE) AS n_cells FROM cells) " +
+        "SELECT centroid_id, n_vecs, " +
+        "CAST(round(CAST(n_vecs / n_total AS DECIMAL(20,8)), 4) AS DOUBLE) AS share, " +
+        "CAST(round(CAST(n_max / (n_total / n_cells) AS DECIMAL(20,8)), 4) AS DOUBLE) AS imbalance_factor, " +
+        "CAST(16 - CAST(n_cells AS BIGINT) AS BIGINT) AS n_empty_cells " +
+        "FROM cells CROSS JOIN tot ORDER BY centroid_id"),
+    "q_cluster_purity" ->
+      (lloydCtes() +
+        ", lab AS (SELECT a.cid AS centroid_id, e.label FROM af a JOIN e ON a.vec_id = e.vec_id), " +
+        "cl AS (SELECT centroid_id, label, count(*) AS cnt FROM lab GROUP BY centroid_id, label), " +
+        // integer-count argmax, ties to the smaller label — same rule as
+        // Spark's max(struct(cnt, -label))
+        "tc AS (SELECT centroid_id, label, cnt, " +
+        "row_number() OVER (PARTITION BY centroid_id ORDER BY cnt DESC, label) AS rk FROM cl), " +
+        "nv AS (SELECT centroid_id, sum(cnt) AS n_vecs FROM cl GROUP BY centroid_id), " +
+        "pc AS (SELECT nv.centroid_id, CAST(nv.n_vecs AS BIGINT) AS n_vecs, tc.label AS top_label, " +
+        "CAST(tc.cnt AS BIGINT) AS n_top, " +
+        "CAST(round(CAST(CAST(tc.cnt AS DOUBLE) / nv.n_vecs AS DECIMAL(20,8)), 4) AS DOUBLE) AS purity " +
+        "FROM nv JOIN tc ON nv.centroid_id = tc.centroid_id AND tc.rk = 1), " +
+        "allr AS (SELECT CAST(-1 AS INTEGER) AS centroid_id, CAST(sum(n_vecs) AS BIGINT) AS n_vecs, " +
+        "CAST(-1 AS INTEGER) AS top_label, CAST(sum(n_top) AS BIGINT) AS n_top, " +
+        "CAST(round(CAST(CAST(sum(n_top) AS DOUBLE) / sum(n_vecs) AS DECIMAL(20,8)), 4) AS DOUBLE) AS purity FROM pc) " +
+        "SELECT * FROM pc UNION ALL SELECT * FROM allr ORDER BY centroid_id"),
+    "q_semdedup" ->
+      (lloydCtes() +
+        ", n AS (SELECT vec_id, v, cid, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM af), " +
+        "dups AS (SELECT b.vec_id, count(*) AS n_earlier_dups FROM n a JOIN n b " +
+        "ON a.cid = b.cid AND a.vec_id < b.vec_id " +
+        "WHERE round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) >= 0.25 " +
+        "GROUP BY b.vec_id) " +
+        "SELECT e.vec_id, d.vec_id IS NULL AS keep, COALESCE(d.n_earlier_dups, 0) AS n_earlier_dups " +
+        "FROM e LEFT JOIN dups d ON e.vec_id = d.vec_id ORDER BY e.vec_id"),
     "q_multimodal_meta" ->
       ("SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes, " +
         "CAST(ascii(text) % 4 AS INTEGER) AS format_id, md5(text) AS content_hash " +

@@ -102,13 +102,33 @@ object IvfOps {
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
 
+  /** Stabilized centroid component: the driver-side twin of
+    * [[graft.functions.NumericFunctions.stableRound4]]'s contract at 6
+    * decimals — route through the 8-decimal representation first (both
+    * engines convert double→DECIMAL(20,8) identically), then round
+    * HALF_UP to 6. Applied to every Lloyd mean so the k-means recurrence
+    * is bit-reproducible across engines and partitionings: Spark's
+    * partial-aggregated [[graft.functions.VectorFunctions.vectorAvg]] and
+    * the DuckDB oracle's `avg` sum floats in different orders (ULP
+    * drift), and without a rounding barrier per iteration that drift
+    * compounds through the assignment argmin. 6 decimals is far below any
+    * real cluster-geometry signal and far above double ULP, so the
+    * barrier never moves a vector between genuinely distinct cells. */
+  private def stable6(x: Double): Double =
+    scala.math.BigDecimal(x)
+      .setScale(8, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+
   /** `rounds` Lloyd iterations: each is exactly ONE Spark job — a narrow
     * assignment scan feeding the per-cell VectorAverage aggregate (one
     * partial buffer per cell rides the shuffle, not ×dim exploded rows) —
     * whose k-row result updates the driver-held model. Empty cells keep
     * their previous position. No per-iteration join, no localCheckpoint,
     * no lineage growth: every round's plan is (materialized scan + literal
-    * model). */
+    * model). Means are [[stable6]]-rounded per component, making the whole
+    * trainer engine-reproducible (the unrolled-Lloyd CTE oracles in
+    * SparkEntry hash-match it in DuckDB). */
   private def lloydModel(emb: DataFrame, init: Model, rounds: Int): Model = {
     val dim = if (init.isEmpty) 0 else init.head._2.length
     (1 to rounds).foldLeft(init) { (m, _) =>
@@ -116,7 +136,7 @@ object IvfOps {
         .groupBy(col("centroid_id"))
         .agg(vectorAvg(col("embedding"), dim).as("centroid"))
         .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray.map(stable6))
         .toMap
       m.map { case (cid, old) => (cid, next.getOrElse(cid, old)) }
     }
