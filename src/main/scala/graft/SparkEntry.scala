@@ -48,8 +48,8 @@ object SparkEntry {
     // (SCALE.md: e=1.65 at 100×); q_dedup_ngram_capped is the primary form.
     "q_dedup_ngram"    -> (DedupOps.dedupNgram _),
     "q_dedup_minhash"  -> (DedupOps.dedupMinhash _),
-    // rows-only: xxhash64 signature family has no DuckDB twin; DedupSpec
-    // pins the measured sets against a driver-recomputed reference
+    // oracle-checked since round 9: the salted md5-60 signature family and
+    // exact-value band keys are reproducible in DuckDB (minhashCtes)
     "q_minhash_recall" -> ((s, d) => DedupOps.minhashRecallAudit(s, d)),
     "q_dedup_simhash"  -> (DedupOps.dedupSimhash _),
     "q_dedup_embed"    -> (DedupOps.dedupEmbed _),
@@ -158,9 +158,9 @@ object SparkEntry {
     "q_cooccur"        -> ((s, d) => CorpusOps.cooccurPmi(s, d)),
     "q_clean_pipeline" -> (CorpusOps.cleanPipeline _),
     "q_dedup_incr"     -> (DedupOps.dedupIncremental _),
-    // rows-only: the xxhash64 signature family isn't reproducible in
-    // DuckDB; DedupSpec proves exact equality with all-pairs Hamming
-    // ground truth (the 4×16 banding is exact for Hamming ≤ 3)
+    // oracle-checked since round 9 (md5-60 signatures, 4×15 banding);
+    // DedupSpec additionally proves exact equality with all-pairs Hamming
+    // ground truth (the 4-band pigeonhole is exact for Hamming ≤ 3)
     "q_simhash_pairs"  -> (DedupOps.dedupSimhashPairs _),
     "q_unigram_logprob" -> (TextOps.unigramLogprob _),
     "q_knn_label"      -> ((s, d) => SimilarityOps.knnLabel(s, d)),
@@ -367,34 +367,32 @@ object SparkEntry {
     * sketch never purges, which its declared 2^15 map guarantees at every
     * shipped SF — oracles against the plain token-frequency table.
     *
-    * Seventeen queries are deliberately rows-only (no entry here), each with a
-    * stronger ScalaTest invariant instead: q_dedup_minhash / q_dedup_simhash
-    * / q_simhash_pairs depend on a hash family
-    * (Murmur3/xxhash64 seeding) DuckDB cannot reproduce — DedupSpec pins
-    * them to exact all-pairs Jaccard (subset + recall ≥ 0.9) or Hamming
-    * (exact equality — the 4×16 banding is lossless for Hamming ≤ 3)
-    * ground truth; q_dedup_embed_lsh / q_dedup_embed_rep / q_sim_lsh / q_sim_ivf are
-    * bucketed-candidate approximations whose bucket structure isn't SQL —
-    * ScaleSpec/SimilaritySpec/IvfSpec prove subset-of-brute-force and
-    * recall vs the EXACT oracles (q_dedup_embed, q_sim_topk, which both
-    * hash-match); q_approx_stats is a sketch (HLL++/quantile) whose exact
+    * Seven queries are deliberately rows-only (no entry here), each with a
+    * stronger ScalaTest invariant instead:
+    * q_approx_stats is a sketch (HLL++/quantile) whose exact
     * counterparts differ by construction — SketchSpec bounds its error
     * against exact COUNT(DISTINCT)/quantiles, and proves q_hll_rollup's
-    * sketch-union row equals the direct global sketch;
-    * q_semdedup clusters with iterative k-means (not
-    * SQL) — DedupSpec pins its drop set to exact all-pairs cosine ground
-    * truth; q_bpe_vocab / q_bpe_segment train and apply BPE merges sequentially by rank (not SQL) —
+    * (also rows-only) sketch-union row equals the direct global sketch;
+    * q_bpe_vocab / q_bpe_segment train and apply BPE merges sequentially by rank (not SQL) —
     * CorpusOpsSpec pins the merge sequence to hand-computed ground truth;
-    * q_pq_ann trains k-means codebooks iteratively (not SQL) — PqSpec pins
+    * q_pq_ann trains k-means codebooks iteratively with within-subspace
+    * dims DuckDB's unrolled-Lloyd CTE doesn't model — PqSpec pins
     * recall vs the exact baseline plus ADC error bounds;
     * q_frame_features exercises the stubbed decode path — its spec pins
     * shape and determinism; q_embed_pca eigendecomposes the covariance on
     * the driver (Jacobi, not SQL) — SimilaritySpec pins it to an exact
-    * small-case spectrum plus trace-conservation/ordering invariants;
-    * q_ivf_balance reports k-means cell health (not SQL) — IvfSpec pins
-    * partition totals, factor consistency, and determinism;
-    * q_caption_dedup_lsh rides the LSH bucket join — SimilaritySpec pins
-    * subset-of-exact agreement with q_caption_dedup. */
+    * small-case spectrum plus trace-conservation/ordering invariants.
+    *
+    * Everything else that was once rows-only is now oracle-proven:
+    * the k-means family (q_sim_ivf/q_semdedup/q_cluster_purity/
+    * q_ivf_balance) via the round-8 unrolled-Lloyd CTE (lloydCtes); the
+    * MinHash/SimHash family (q_dedup_minhash/q_dedup_simhash/
+    * q_simhash_pairs/q_minhash_recall) via the round-9 salted md5-60
+    * signature port; and the embedding sign-bucket LSH family
+    * (q_dedup_embed_lsh/q_dedup_embed_rep/q_sim_lsh/q_caption_dedup_lsh/
+    * q_ann_recall) via the fixed-seed hyperplane literals
+    * (embedBucketCtes). The ScalaTest recall/subset invariants remain as
+    * quality pins on top of the engine-agreement proof. */
   /** Unrolled-Lloyd CTE prefix replicating [[graft.operators.IvfOps]]'s
     * deterministic k-means trainer in DuckDB SQL — the same technique as
     * q_quality_train's 25 unrolled GD steps and q_pagerank's 5 rank
@@ -412,7 +410,10 @@ object SparkEntry {
     * matching trainIndex). Dot products use the sequential
     * list_sum(list_transform(range…)) fold that is bit-identical to the
     * codegen'd VectorDotProduct (cf. q_sim_topk's oracle). */
-  private def lloydCtes(k: Int = 16, dim: Int = 64, updates: Int = 2): String = {
+  private def lloydCtes(
+      k: Int = graft.operators.IvfOps.DefaultK,
+      dim: Int = graft.operators.SimilarityOps.EmbeddingDim,
+      updates: Int = graft.operators.IvfOps.DefaultIters - 1): String = {
     def argmin(src: String, cents: String) =
       s"(SELECT vec_id, v, acid AS cid FROM (" +
         s"SELECT $src.vec_id, $src.v, c.cid AS acid, " +
@@ -443,8 +444,9 @@ object SparkEntry {
   /** IVF probe-and-rank suffix shared by the q_sim_ivf oracle: rank cells
     * per probe by the same L2 proxy score (ties to lower cid), take
     * `nprobe`, rank in-cell candidates by rounded cosine. */
-  private def ivfSearchSql(nprobe: Int, topk: Int, nq: Int, dim: Int = 64): String =
-    lloydCtes() +
+  private def ivfSearchSql(nprobe: Int, topk: Int, nq: Int,
+      dim: Int = graft.operators.SimilarityOps.EmbeddingDim): String =
+    lloydCtes(dim = dim) +
       ", n AS (SELECT vec_id, v, cid, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM af), " +
       "probes AS (SELECT q_id, q_v, q_nrm, cid FROM (" +
       "SELECT q.vec_id AS q_id, q.v AS q_v, q.nrm AS q_nrm, c.cid, " +
@@ -458,6 +460,160 @@ object SparkEntry {
       "r AS (SELECT q_id, cand_id, cos_sim, " +
       "row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rn FROM pairs) " +
       s"SELECT q_id, CAST(rn AS INTEGER) AS rn, cand_id, cos_sim FROM r WHERE rn <= $topk ORDER BY q_id, rn"
+
+  // ------------------------------------------------------------------
+  // round-9 oracle builders: the MinHash/SimHash signature family is the
+  // salted md5-60 of MinHashFamily (first 15 hex chars of md5 → unsigned
+  // 60-bit BIGINT), and the embedding LSH planes are the fixed-seed
+  // Gaussian literals of VectorFunctions.hyperplanes — both exactly
+  // reproducible in DuckDB SQL, which moved the whole
+  // q_dedup_minhash/q_dedup_simhash/q_simhash_pairs/q_minhash_recall and
+  // q_dedup_embed_lsh/q_dedup_embed_rep/q_sim_lsh/q_caption_dedup_lsh/
+  // q_ann_recall block from rows-only to hash-matched.
+  // ------------------------------------------------------------------
+
+  /** DuckDB twin of [[graft.functions.TextFunctions.md5Hash60]]. */
+  private def md5h60(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** Shared shingle prefix: "t" tokens, "s" distinct word-3-gram arrays,
+    * "x" exploded (doc_id, shingle) — the same formulation the passing
+    * q_dedup_ngram/q_dedup_ngram_capped oracles use. */
+  private val shingleCtes: String =
+    "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+      "s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)), " +
+      "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM t), " +
+      "x AS (SELECT doc_id, unnest(sh) AS shingle FROM s)"
+
+  /** "mh" CTE: per-doc MinHash signature as `numHashes` min-aggregates of
+    * the salted md5-60 family over `colExpr` rows of `src` — bit-identical
+    * to MinHashArray / MinHashSignature / md5Salted60. */
+  private def mhSigCte(src: String, colExpr: String,
+      numHashes: Int = 32): String = {
+    val mins = (0 until numHashes)
+      .map(i => s"min(${md5h60(s"'$i:' || $colExpr")}) AS mh_$i")
+      .mkString(", ")
+    s"mh AS (SELECT doc_id, $mins FROM $src GROUP BY doc_id)"
+  }
+
+  /** Banding branches over the mh columns: (doc_id, band, bkey) with the
+    * exact comma-joined value key — mirrors DedupOps.minhashCandidates'
+    * array_join band key, so candidate sets match verbatim. */
+  private def bandsCte(name: String, bands: Int, numHashes: Int = 32): String = {
+    val r = numHashes / bands
+    val branches = (0 until bands).map { j =>
+      val key = (0 until r).map(q => s"CAST(mh_${j * r + q} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $j AS band, $key AS bkey FROM mh"
+    }.mkString(" UNION ALL ")
+    s"$name AS ($branches)"
+  }
+
+  /** SimHash prefix: 60-bit md5 per token, ±1 votes per bit, "sig" =
+    * (doc_id, simhash) — bit-identical to SimHashArray (60 bits = the
+    * md5-prefix width that stays a non-negative BIGINT everywhere). */
+  private val simhashCtes: String =
+    "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+      "tok AS (SELECT doc_id, unnest(toks) AS tok FROM t), " +
+      s"hh AS (SELECT doc_id, ${md5h60("tok")} AS h FROM tok), " +
+      "v AS (SELECT doc_id, bt.bit, sum(CASE WHEN ((h >> bt.bit) & 1) = 1 THEN 1 ELSE -1 END) AS vote " +
+      "FROM hh CROSS JOIN range(60) bt(bit) GROUP BY doc_id, bt.bit), " +
+      "sig AS (SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash " +
+      "FROM v GROUP BY doc_id)"
+
+  /** Embedding LSH prefix: "e" double vectors, "pl" the 6 fixed-seed
+    * Gaussian hyperplanes as double literals (Double.toString round-trips,
+    * so DuckDB parses the identical doubles), "bk" the sign-bit bucket,
+    * "n" vectors + bucket + L2 norm. Mirrors VectorFunctions.lshSignature
+    * exactly: same plane order (bit i = plane i), same sequential
+    * double-fold dot product as the proven q_sim_topk formulation. */
+  private def embedBucketCtes(numPlanes: Int = 6, dim: Int = 64): String = {
+    val planes = graft.functions.VectorFunctions.hyperplanes(numPlanes, dim)
+    val pl = planes.zipWithIndex.map { case (p, i) =>
+      s"SELECT $i AS pid, [${p.mkString(", ")}]::DOUBLE[] AS p"
+    }.mkString("pl AS (", " UNION ALL ", ")")
+    "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      pl + ", " +
+      s"dt AS (SELECT e.vec_id, pl.pid, list_sum(list_transform(range(1, ${dim + 1}), i -> e.v[i] * pl.p[i])) AS dot " +
+      "FROM e CROSS JOIN pl), " +
+      "bk AS (SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << pid) ELSE 0 END) AS BIGINT) AS bucket " +
+      "FROM dt GROUP BY vec_id), " +
+      "n AS (SELECT e.vec_id, e.v, bk.bucket, sqrt(list_sum(list_transform(e.v, x -> x * x))) AS nrm " +
+      "FROM e JOIN bk USING (vec_id))"
+  }
+
+  /** Rounded cosine between two "n"-rows (a, b) — q_dedup_embed's proven
+    * arithmetic. */
+  private def cosSql(a: String, b: String, dim: Int = 64): String =
+    s"round(list_sum(list_transform(range(1, ${dim + 1}), i -> $a.v[i] * $b.v[i])) / ($a.nrm * $b.nrm), 4)"
+
+  /** q_minhash_recall: truth pairs + three bandings over the SAME df-capped
+    * survivor table, mirroring DedupOps.minhashRecallAudit (signatures
+    * salt-hash the survivor KEY's decimal string; theory value is the
+    * driver-computed literal inlined in both engines). */
+  private def minhashRecallSql(tau: Double = 0.5, dfCap: Int = 16,
+      numHashes: Int = 32): String = {
+    val prefix = shingleCtes +
+      s", f AS (SELECT shingle FROM x GROUP BY shingle HAVING count(*) <= $dfCap)" +
+      s", xs AS (SELECT doc_id, ${md5h60("shingle")} AS k FROM x JOIN f USING (shingle))" +
+      ", c AS (SELECT doc_id, count(*) AS n FROM xs GROUP BY doc_id)" +
+      ", p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared FROM xs a " +
+      "JOIN xs b ON a.k = b.k AND a.doc_id < b.doc_id GROUP BY 1, 2)" +
+      ", truth AS (SELECT da, db FROM p JOIN c ca ON p.da = ca.doc_id JOIN c cb ON p.db = cb.doc_id " +
+      s"WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= $tau)" +
+      ", " + mhSigCte("xs", "CAST(k AS VARCHAR)", numHashes)
+    val bandings = Seq(4, 8, 16)
+    val bandCtes = bandings.map { b =>
+      bandsCte(s"bands$b", b, numHashes) +
+        s", cand$b AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM bands$b a " +
+        s"JOIN bands$b b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)"
+    }.mkString(", ", ", ", "")
+    val rows = bandings.map { b =>
+      val r = numHashes / b
+      val theory = 1.0 - math.pow(1.0 - math.pow(tau, r), b)
+      // counts in an inner subquery: DuckDB can't lateral-reference an
+      // alias whose expression contains a scalar subquery
+      "SELECT bands, rows_per_band, n_true, n_cand, n_detected, " +
+        "CAST(round(CAST(CAST(n_detected AS DOUBLE) / greatest(n_true, 1) AS DECIMAL(20,8)), 4) AS DOUBLE) AS recall, " +
+        "CAST(round(CAST(CAST(n_detected AS DOUBLE) / greatest(n_cand, 1) AS DECIMAL(20,8)), 4) AS DOUBLE) AS precision, " +
+        s"CAST(round(CAST($theory AS DECIMAL(20,8)), 4) AS DOUBLE) AS theory_recall FROM (" +
+        s"SELECT CAST($b AS INTEGER) AS bands, CAST($r AS INTEGER) AS rows_per_band, " +
+        "(SELECT count(*) FROM truth) AS n_true, " +
+        s"(SELECT count(*) FROM cand$b) AS n_cand, " +
+        s"(SELECT count(*) FROM cand$b JOIN truth USING (da, db)) AS n_detected)"
+    }.mkString(" UNION ALL ")
+    prefix + bandCtes + " SELECT * FROM (" + rows + ") ORDER BY bands"
+  }
+
+  /** q_ann_recall: exact brute-force truth vs the IVF (unrolled Lloyd) and
+    * LSH (literal planes) shortlists, with the same recall/avg-returned
+    * aggregate as SimilarityOps.annRecall. */
+  private def annRecallSql(k: Int = 10, nq: Int = 50): String = {
+    val exact =
+      "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e), " +
+        "p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id, " +
+        s"${cosSql("q", "c")} AS cos_sim " +
+        s"FROM n q JOIN n c ON q.vec_id < $nq AND c.vec_id <> q.vec_id), " +
+        "r AS (SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rn FROM p) " +
+        s"SELECT q_id, cand_id FROM r WHERE rn <= $k"
+    val lsh = "WITH " + embedBucketCtes() + ", " +
+      s"p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id, ${cosSql("q", "c")} AS cos_sim " +
+      s"FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id < $nq AND c.vec_id <> q.vec_id), " +
+      "r AS (SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rn FROM p) " +
+      s"SELECT q_id, cand_id FROM r WHERE rn <= $k"
+    val ivf = ivfSearchSql(nprobe = 4, topk = k, nq = nq)
+    def rec(m: String, sub: String) =
+      s"SELECT '$m' AS method, count(*) AS n_probes, " +
+        s"CAST(round(CAST(CAST(sum(COALESCE(h.n_hit, 0)) AS DOUBLE) / (count(*) * $k) AS DECIMAL(20,8)), 4) AS DOUBLE) AS recall_at_k, " +
+        "CAST(round(CAST(CAST(sum(COALESCE(r.n_ret, 0)) AS DOUBLE) / count(*) AS DECIMAL(20,8)), 4) AS DOUBLE) AS avg_returned " +
+        "FROM (SELECT DISTINCT q_id FROM exact) q " +
+        s"LEFT JOIN (SELECT e.q_id, count(*) AS n_hit FROM exact e JOIN $sub s ON e.q_id = s.q_id AND e.cand_id = s.cand_id GROUP BY e.q_id) h ON q.q_id = h.q_id " +
+        s"LEFT JOIN (SELECT q_id, count(*) AS n_ret FROM $sub GROUP BY q_id) r ON q.q_id = r.q_id"
+    s"WITH exact AS ($exact), ivfq AS ($ivf), lshq AS ($lsh) " +
+      "SELECT * FROM (" + rec("ivf", "ivfq") + " UNION ALL " +
+      rec("lsh", "lshq") + ") ORDER BY method"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_scan_limit" ->
@@ -660,6 +816,74 @@ object SparkEntry {
         "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rn FROM p) " +
         "SELECT q_id, CAST(rn AS INTEGER) AS rn, cand_id, cos_sim FROM r WHERE rn <= 10 " +
         "ORDER BY q_id, rn"),
+    // MinHash/SimHash family (round-9 port from rows-only: salted md5-60
+    // signatures + exact-value band keys — see mhSigCte/simhashCtes)
+    "q_dedup_minhash" ->
+      (shingleCtes + ", " + mhSigCte("x", "shingle") + ", " +
+        bandsCte("bands", 8) + ", " +
+        "cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM bands a " +
+        "JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id), " +
+        "c AS (SELECT doc_id, count(*) AS n FROM x GROUP BY doc_id), " +
+        "sh2 AS (SELECT cand.da, cand.db, count(*) AS shared FROM cand " +
+        "JOIN x a ON a.doc_id = cand.da JOIN x b ON b.doc_id = cand.db AND b.shingle = a.shingle " +
+        "GROUP BY cand.da, cand.db), " +
+        "ver AS (SELECT da, db FROM sh2 JOIN c ca ON sh2.da = ca.doc_id JOIN c cb ON sh2.db = cb.doc_id " +
+        "WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.5), " +
+        "edges AS (SELECT da AS doc_id, db AS nbr FROM ver UNION ALL SELECT db AS doc_id, da AS nbr FROM ver) " +
+        "SELECT d.doc_id, CAST(least(COALESCE(min(e.nbr), d.doc_id), d.doc_id) AS BIGINT) AS cluster_rep, " +
+        "CAST(count(e.nbr) AS BIGINT) AS n_near_dups " +
+        "FROM documents d LEFT JOIN edges e ON d.doc_id = e.doc_id " +
+        "GROUP BY d.doc_id ORDER BY d.doc_id"),
+    "q_minhash_recall" -> minhashRecallSql(),
+    "q_dedup_simhash" ->
+      (simhashCtes + " SELECT doc_id, simhash FROM sig ORDER BY doc_id"),
+    "q_simhash_pairs" ->
+      (simhashCtes + ", " +
+        "bands AS (SELECT doc_id, simhash, bd.band, (simhash >> (bd.band * 15)) & 32767 AS bkey " +
+        "FROM sig CROSS JOIN range(4) bd(band)), " +
+        "pr AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, " +
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming " +
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id) " +
+        "SELECT da, db, hamming FROM pr WHERE hamming <= 3 ORDER BY hamming, da, db"),
+    // embedding sign-bucket LSH family (round-9 port from rows-only: the
+    // fixed-seed hyperplanes are double literals — see embedBucketCtes)
+    "q_dedup_embed_lsh" ->
+      ("WITH " + embedBucketCtes() + " " +
+        "SELECT va, vb, cos_sim FROM (SELECT a.vec_id AS va, b.vec_id AS vb, " +
+        cosSql("a", "b") + " AS cos_sim " +
+        "FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
+        "WHERE cos_sim >= 0.25 ORDER BY va, vb"),
+    "q_dedup_embed_rep" ->
+      ("WITH " + embedBucketCtes() + ", " +
+        "pr AS (SELECT a.vec_id AS ea, b.vec_id AS eb, " + cosSql("a", "b") + " AS cos_sim " +
+        "FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
+        "er AS (SELECT eb AS vec_id, min(ea) AS rep, count(*) AS n_earlier FROM pr " +
+        "WHERE cos_sim >= 0.25 GROUP BY eb) " +
+        "SELECT e.vec_id, CAST(COALESCE(er.rep, e.vec_id) AS BIGINT) AS rep, " +
+        "CAST(COALESCE(er.n_earlier, 0) AS BIGINT) AS n_earlier_dups " +
+        "FROM e LEFT JOIN er ON e.vec_id = er.vec_id ORDER BY e.vec_id"),
+    "q_sim_lsh" ->
+      ("WITH " + embedBucketCtes() + ", " +
+        "p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id, " + cosSql("q", "c") + " AS cos_sim " +
+        "FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id < 5 AND c.vec_id <> q.vec_id), " +
+        "r AS (SELECT q_id, cand_id, cos_sim, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rn FROM p) " +
+        "SELECT q_id, CAST(rn AS INTEGER) AS rn, cand_id, cos_sim FROM r WHERE rn <= 10 ORDER BY q_id, rn"),
+    "q_caption_dedup_lsh" ->
+      ("WITH " + embedBucketCtes() + ", " +
+        "t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "shl AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM t), " +
+        "pr AS (SELECT va, vb, cos_sim FROM (SELECT a.vec_id AS va, b.vec_id AS vb, " +
+        cosSql("a", "b") + " AS cos_sim " +
+        "FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) WHERE cos_sim >= 0.25) " +
+        "SELECT pr.va, pr.vb, pr.cos_sim, " +
+        "round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0 " +
+        "ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) END, 4) AS text_jaccard, " +
+        "(pr.cos_sim >= 0.3 AND text_jaccard < 0.5) AS caption_mismatch " +
+        "FROM pr JOIN shl a ON pr.va = a.doc_id JOIN shl b ON pr.vb = b.doc_id " +
+        "ORDER BY pr.va, pr.vb"),
+    "q_ann_recall" -> annRecallSql(),
     // k-means family: the iterative Lloyd trainer unrolled as chained CTEs
     // (round-8 port from rows-only; see lloydCtes)
     "q_sim_ivf" -> ivfSearchSql(nprobe = 4, topk = 10, nq = 5),
@@ -671,7 +895,7 @@ object SparkEntry {
         "SELECT centroid_id, n_vecs, " +
         "CAST(round(CAST(n_vecs / n_total AS DECIMAL(20,8)), 4) AS DOUBLE) AS share, " +
         "CAST(round(CAST(n_max / (n_total / n_cells) AS DECIMAL(20,8)), 4) AS DOUBLE) AS imbalance_factor, " +
-        "CAST(16 - CAST(n_cells AS BIGINT) AS BIGINT) AS n_empty_cells " +
+        s"CAST(${graft.operators.IvfOps.DefaultK} - CAST(n_cells AS BIGINT) AS BIGINT) AS n_empty_cells " +
         "FROM cells CROSS JOIN tot ORDER BY centroid_id"),
     "q_cluster_purity" ->
       (lloydCtes() +

@@ -10,11 +10,12 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** MinHash signature as a single typed-imperative aggregate: one pass over
   * the exploded shingles updating a primitive long[numHashes] buffer, one
-  * array column out — instead of `numHashes` separate `min(xxhash64(...))`
+  * array column out — instead of `numHashes` separate `min(md5_60(...))`
   * aggregate columns (which each re-hash the input). The hash family is
-  * Murmur3 seeded by the hash index — NOT the same family as the
-  * xxhash64-salted `DedupOps.minhashSignatures`; signatures from the two
-  * paths are not comparable and must not be mixed in one LSH banding join.
+  * the salted md5-60 family of [[MinHashFamily]] — the SAME family as
+  * `DedupOps.minhashSignatures` and `TextFunctions.md5Salted60`, so every
+  * signature path (aggregate, scalar, column-expression, DuckDB oracle
+  * SQL) is interchangeable in one LSH banding join.
   *
   * Buffer serialization (for partial-aggregate shuffle) is a flat
   * big-endian long array — no Kryo, no boxing.
@@ -31,13 +32,15 @@ case class MinHashSignature(
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
 
+  @transient private lazy val prefixes = MinHashFamily.saltPrefixes(numHashes)
+
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(numHashes)(Long.MaxValue)
 
   override def update(buf: Array[Long], input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      MinHashFamily.updateWith(buf, v.asInstanceOf[UTF8String], numHashes)
+      MinHashFamily.updateWith(buf, v.asInstanceOf[UTF8String], prefixes)
     }
     buf
   }
@@ -70,19 +73,50 @@ case class MinHashSignature(
     copy(child = newChildren.head)
 }
 
-/** The shared MinHash hash family: Murmur3 seeded by the hash index —
-  * deterministic across JVMs and partitionings. Both the aggregate
-  * ([[MinHashSignature]], one shingle per row) and the scalar
-  * ([[MinHashArray]], whole shingle array per row) use EXACTLY this
-  * function, so their signatures are interchangeable in one LSH join. */
+/** The shared MinHash hash family — salted md5-60: member `i` of the
+  * family hashes a shingle `s` to the unsigned 60-bit integer formed by
+  * the first 15 hex chars of `md5("<i>:" ++ s)`. Deterministic across
+  * JVMs and partitionings, and — the point of the md5 choice —
+  * reproducible in plain SQL (`CAST(('0x' || substr(md5(i || ':' || s),
+  * 1, 15)) AS BIGINT)`), so the whole MinHash pipeline has a DuckDB
+  * oracle twin. All signature paths use EXACTLY this function: the
+  * aggregate ([[MinHashSignature]], one shingle per row), the scalar
+  * ([[MinHashArray]], whole shingle array per row) and the column form
+  * (`TextFunctions.md5Salted60`) — signatures are interchangeable in one
+  * LSH join (asserted in MinHashAggSpec). */
 object MinHashFamily {
-  def updateWith(buf: Array[Long], s: UTF8String, numHashes: Int): Unit = {
+  /** Thread-local digest: Catalyst may evaluate one expression instance
+    * from several task threads; MessageDigest is stateful. */
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Decimal-salt prefix bytes "i:" — precompute once per operator. */
+  def saltPrefixes(numHashes: Int): Array[Array[Byte]] =
+    Array.tabulate(numHashes)(i =>
+      (i.toString + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** First 15 hex chars of md5(prefix ++ bytes) as an unsigned long:
+    * big-endian first 8 digest bytes, dropped low nibble. */
+  def hash60(prefix: Array[Byte], bytes: Array[Byte]): Long = {
+    val d = md.get()
+    d.reset()
+    if (prefix != null) d.update(prefix)
+    d.update(bytes)
+    val dg = d.digest()
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (dg(i) & 0xFFL); i += 1 }
+    h >>> 4
+  }
+
+  def updateWith(buf: Array[Long], s: UTF8String,
+      prefixes: Array[Array[Byte]]): Unit = {
     val base = s.getBytes
     var i = 0
-    while (i < numHashes) {
-      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
-        .hashUnsafeBytes2(base, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-          base.length, i).toLong ^ (i.toLong << 32)
+    while (i < prefixes.length) {
+      val h = hash60(prefixes(i), base)
       if (h < buf(i)) buf(i) = h
       i += 1
     }
@@ -117,6 +151,8 @@ case class MinHashArray(child: Expression, numHashes: Int)
         .TypeCheckFailure(s"minhash_array needs array<string>, got $t")
     }
 
+  @transient private lazy val prefixes = MinHashFamily.saltPrefixes(numHashes)
+
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val sz = arr.numElements()
@@ -124,7 +160,7 @@ case class MinHashArray(child: Expression, numHashes: Int)
     val buf = Array.fill(numHashes)(Long.MaxValue)
     var j = 0
     while (j < sz) {
-      MinHashFamily.updateWith(buf, arr.getUTF8String(j), numHashes)
+      MinHashFamily.updateWith(buf, arr.getUTF8String(j), prefixes)
       j += 1
     }
     new GenericArrayData(buf)

@@ -220,7 +220,12 @@ object DedupOps {
       spread(docs)
         .select(col("doc_id"),
           explode(shingles(tokensLower(col("text")))).as("shingle"))
-        .select(col("doc_id"), xxhash64(col("shingle")).as("shingle")))
+        // md5-60 key (not xxhash64): equally narrow (8 bytes) for the
+        // joins, and — because downstream MinHash signatures salt-hash the
+        // KEY's decimal string — reproducible in the DuckDB oracle
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.md5Hash60(col("shingle"))
+            .as("shingle")))
     Materialize(capHeavyShingles(ex, dfCap))
   }
 
@@ -343,8 +348,8 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
-  /** MinHash signatures: `numHashes` independent hash functions simulated as
-    * xxhash64 with distinct salts; signature_i = min over the shingle set.
+  /** MinHash signatures: `numHashes` independent hash functions = the
+    * salted md5-60 family; signature_i = min over the shingle set.
     * One groupBy with `numHashes` min-aggregates — map-side partial agg keeps
     * the shuffle at one row per doc. */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 32): DataFrame =
@@ -354,8 +359,8 @@ object DedupOps {
     * [[graft.functions.expressions.MinHashSignature]]: one aggregate buffer
     * of primitive longs per doc instead of `numHashes` separate min
     * columns — one pass, partial-aggregate friendly, no re-hashing per
-    * column. Hash family differs from [[minhashSignatures]] (Murmur3-seeded
-    * vs xxhash64-salted); both are valid MinHash families. */
+    * column. Same salted md5-60 family as [[minhashSignatures]] — all
+    * signature paths are interchangeable in one banding join. */
   def minhashSignaturesAgg(docs: DataFrame, numHashes: Int = 32): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     val sigCol = GraftColumnBridge.toColumn(
@@ -382,14 +387,21 @@ object DedupOps {
 
   /** LSH banding: split the signature into `bands` bands of r rows; docs
     * agreeing on any whole band become candidate pairs. The join key
-    * (band index, band hash) is high-cardinality → near-linear shuffle. */
+    * (band index, band values) is high-cardinality → near-linear shuffle.
+    * The band key is the EXACT comma-joined value tuple, not a Murmur3
+    * re-hash of the slice: candidates are then precisely the equal-band
+    * pairs (no cross-engine hash-collision ambiguity), which is what lets
+    * the DuckDB oracle reproduce the candidate set verbatim. ~r·20 bytes
+    * per key vs 4 for a re-hash — noise next to the exploded band rows
+    * themselves. */
   def minhashCandidates(sigs: DataFrame, bands: Int = 8,
       numHashes: Int = 32): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val bandStructs = (0 until bands).map { j =>
       struct(lit(j).as("band"),
-        hash(slice(col("sig"), j * r + 1, r)).as("bkey"))
+        array_join(slice(col("sig"), j * r + 1, r).cast("array<string>"), ",")
+          .as("bkey"))
     }
     val banded = sigs.select(col("doc_id"),
       explode(array(bandStructs: _*)).as("bb"))
@@ -409,8 +421,14 @@ object DedupOps {
     * compute the explode once. */
   private def minhashSignaturesFromShingles(ex: DataFrame,
       numHashes: Int = 32): DataFrame = {
+    // salted md5-60 family (MinHashFamily): same signatures as the scalar /
+    // aggregate paths on string shingles, and — the reason for md5 —
+    // reproducible in DuckDB, so bandings built on these signatures are
+    // oracle-checkable end to end. Hashed-long shingle keys participate
+    // via their decimal string form (CAST(key AS VARCHAR) in the oracle).
     val aggs = (0 until numHashes)
-      .map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+      .map(i => min(graft.functions.TextFunctions
+        .md5Salted60(i, col("shingle"))).as(s"mh_$i"))
     ex.groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
@@ -467,11 +485,16 @@ object DedupOps {
     * so the audit compares banding choices on identical set semantics;
     * candidate generation per banding is the q_dedup_minhash band join
     * re-run at that (b, r); everything downstream of the band joins is
-    * |pairs|-sized semi-joins + 1-row count crosses. Rows-only: the
-    * signature hash family is engine-specific (xxhash64), so no DuckDB
-    * twin; DedupSpec pins recall monotonicity in b, the detected ⊆
-    * candidates ∩ truth containment, and exact agreement of the measured
-    * sets with a driver-recomputed reference on the fixture. */
+    * |pairs|-sized semi-joins + 1-row count crosses. Oracle-checked since
+    * the round-9 md5-60 port: the salted-md5 signature family and the
+    * exact-value band keys are both reproducible in DuckDB SQL, so the
+    * whole audit (truth set, three candidate sets, recall/precision)
+    * hash-matches; DedupSpec additionally pins recall monotonicity in b,
+    * the detected ⊆ candidates ∩ truth containment, and exact agreement
+    * of the measured sets with a driver-recomputed reference on the
+    * fixture. The theoretical S-curve value is computed on the driver and
+    * inlined as a literal in BOTH engines, so it can never diverge by a
+    * pow() ulp. */
   def minhashRecallAudit(spark: SparkSession, dir: String,
       tau: Double = 0.5, numHashes: Int = 32): DataFrame = {
     import graft.functions.NumericFunctions.stableRound4
@@ -488,6 +511,7 @@ object DedupOps {
       val nDet = cands.join(truth, Seq("da", "db"), "left_semi")
         .agg(count(lit(1)).as("n_detected"))
       val nTrue = truth.agg(count(lit(1)).as("n_true"))
+      val theory = 1.0 - math.pow(1.0 - math.pow(tau, r), b)
       nCand.join(nDet).join(nTrue)
         .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
           col("n_true"), col("n_cand"), col("n_detected"),
@@ -495,8 +519,7 @@ object DedupOps {
             / greatest(col("n_true"), lit(1L))).as("recall"),
           stableRound4(col("n_detected").cast("double")
             / greatest(col("n_cand"), lit(1L))).as("precision"),
-          stableRound4(lit(1.0)
-            - pow(lit(1.0) - pow(lit(tau), r), b)).as("theory_recall"))
+          stableRound4(lit(theory)).as("theory_recall"))
     }
     perBanding.reduce(_ unionByName _).orderBy(col("bands"))
   }
@@ -713,20 +736,24 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
-  /** 64-bit SimHash over the token multiset: per bit j, sum +1/−1 votes from
+  /** 60-bit SimHash over the token multiset: per bit j, sum +1/−1 votes from
     * each token hash's bit j; bit j of the signature = sign of the vote.
-    * One groupBy with 64 small integer aggregates (all codegen'd). Kept as
+    * One groupBy with 60 small integer aggregates (all codegen'd). The
+    * per-token hash is the engine-portable md5-60
+    * ([[graft.functions.TextFunctions.md5Hash60]]), so the signature — and
+    * everything banded on it — has an exact DuckDB oracle twin. Kept as
     * the differential baseline for [[simhashSignaturesScalar]], which is
-    * bit-identical (same xxhash64 family, exact integer votes) without the
+    * bit-identical (same md5-60 family, exact integer votes) without the
     * explode or the aggregation shuffle. */
   def simhashSignatures(docs: DataFrame): DataFrame = {
+    val bits = graft.functions.expressions.SimHashArray.Bits
     val toks = spread(docs).select(col("doc_id"),
       explode(tokensLower(col("text"))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map(j =>
+      .withColumn("h", graft.functions.TextFunctions.md5Hash60(col("tok")))
+    val votes = (0 until bits).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1)
         .otherwise(-1)).as(s"v_$j"))
-    val sig = (0 until 64)
+    val sig = (0 until bits)
       .map(j => when(col(s"v_$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
       .reduce(_.bitwiseOR(_))
     toks.groupBy(col("doc_id"))
@@ -737,7 +764,7 @@ object DedupOps {
   /** SimHash as a pure narrow map: the scalar
     * [[graft.functions.expressions.SimHashArray]] over each doc's token
     * array — no explode (×|tokens| rows) and no 64-column aggregation
-    * shuffle; the signature stage becomes a scan. Same xxhash64 family and
+    * shuffle; the signature stage becomes a scan. Same md5-60 family and
     * integer votes as [[simhashSignatures]], so outputs are bit-identical
     * (asserted in DedupSpec). */
   def simhashSignaturesScalar(docs: DataFrame): DataFrame =
@@ -753,8 +780,8 @@ object DedupOps {
 
   /** SimHash near-dup PAIRS via Hamming-band candidates — the second half
     * of the Manku et al. (2007) web-dedup recipe (the first half,
-    * signatures, is [[simhashSignaturesScalar]]): split each 64-bit
-    * signature into 4 bands of 16 bits; any pair within Hamming distance
+    * signatures, is [[simhashSignaturesScalar]]): split each 60-bit
+    * signature into 4 bands of 15 bits; any pair within Hamming distance
     * ≤ 3 differs in at most 3 bits, so by pigeonhole at least one band is
     * IDENTICAL — the band-equality self-join is therefore an *exact*
     * candidate generator for the ≤ 3 threshold, not an approximation
@@ -762,20 +789,20 @@ object DedupOps {
     * is one codegen'd `bit_count(xor)` per candidate.
     *
     * Scale shape: signatures are a narrow scan; the self-join key
-    * (band, 16-bit chunk) has up to 4·2¹⁶ distinct values per band set —
+    * (band, 15-bit chunk) has up to 4·2¹⁵ distinct values per band set —
     * selective enough that buckets stay small on real (non-degenerate)
     * corpora; never an all-pairs compare. Note the honest web-scale limit:
-    * 2¹⁶ buckets per band caps out around 10⁸ docs (E|bucket| ≈ n/2¹⁶, and
+    * 2¹⁵ buckets per band caps out around 10⁸ docs (E|bucket| ≈ n/2¹⁵, and
     * within-bucket work is quadratic); past that the paper's own recipe
     * applies — widen the fingerprint (128-bit SimHash) so band chunks carry
     * ≥ log₂(n)+Δ bits, which is a signature-width change here, not a join-
     * shape change. */
   def simhashHammingPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4 bands of 16 bits are exact only up to Hamming 3")
+    require(maxHamming <= 3, "4 bands of 15 bits are exact only up to Hamming 3")
     val sigs = Materialize(simhashSignaturesScalar(docs))
     val bandStructs = (0 until 4).map { j =>
       struct(lit(j).as("band"),
-        shiftright(col("simhash"), j * 16).bitwiseAND(0xFFFFL).as("bkey"))
+        shiftright(col("simhash"), j * 15).bitwiseAND(0x7FFFL).as("bkey"))
     }
     val banded = sigs.select(col("doc_id"), col("simhash"),
       explode(array(bandStructs: _*)).as("bb"))
@@ -796,9 +823,10 @@ object DedupOps {
       .orderBy(col("hamming"), col("da"), col("db"))
   }
 
-  /** Declared query (rows-only — the xxhash64 signature family isn't
-    * reproducible in DuckDB; DedupSpec proves exact equality with all-pairs
-    * Hamming ground truth on the fixture). */
+  /** Declared query — oracle-checked since the round-9 md5-60 port (the
+    * signature family and 15-bit band keys are plain SQL); DedupSpec
+    * additionally proves exact equality with all-pairs Hamming ground
+    * truth on the fixture. */
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
     simhashHammingPairs(Tables.documents(spark, dir))
 
@@ -985,11 +1013,13 @@ object DedupOps {
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame =
     embeddingTopPairs(Tables.embeddings(spark, dir))
 
-  /** Declared query for the LSH-bucketed near-dup scale path (rows-only —
-    * the bucket structure isn't SQL-expressible; ScaleSpec proves the
-    * subset-of-brute-force property). Threshold/planes tuned so the
-    * near-random test embeddings (max pair cosine ≈ 0.51) still produce
-    * candidate pairs at every SF. */
+  /** Declared query for the LSH-bucketed near-dup scale path.
+    * Oracle-proven since round 9: the fixed-seed hyperplanes are double
+    * literals, so the bucket structure is plain SQL
+    * (SparkEntry.embedBucketCtes) and the pair set hash-matches DuckDB;
+    * ScaleSpec keeps the subset-of-brute-force property as a quality pin.
+    * Threshold/planes tuned so the near-random test embeddings (max pair
+    * cosine ≈ 0.51) still produce candidate pairs at every SF. */
   def dedupEmbedLsh(spark: SparkSession, dir: String): DataFrame =
     embeddingNearDupLsh(Tables.embeddings(spark, dir), 0.25, numPlanes = 6)
 
@@ -1031,9 +1061,10 @@ object DedupOps {
       .orderBy(col("vec_id"))
   }
 
-  /** Declared query (rows-only — the iterative k-means isn't SQL;
-    * DedupSpec proves every dropped vector has a genuine lower-id
-    * near-dup under the exact all-pairs ground truth). */
+  /** Declared query — oracle-proven since round 8 (the k-means is
+    * expressed in DuckDB via SparkEntry.lloydCtes' unrolled-Lloyd CTE);
+    * DedupSpec additionally proves every dropped vector has a genuine
+    * lower-id near-dup under the exact all-pairs ground truth. */
   def semDedupQuery(spark: SparkSession, dir: String): DataFrame =
     semDedup(Tables.embeddings(spark, dir))
 
@@ -1096,8 +1127,9 @@ object DedupOps {
       .orderBy(col("vec_id"))
   }
 
-  /** Declared rows-only query for [[embeddingNearDupRep]]; DedupSpec pins
-    * it to a brute-force same-bucket reference. */
+  /** Declared query for [[embeddingNearDupRep]] — oracle-proven since
+    * round 9 (hyperplane-literal SQL, see SparkEntry.embedBucketCtes);
+    * DedupSpec keeps the brute-force same-bucket reference as a pin. */
   def dedupEmbedRep(spark: SparkSession, dir: String): DataFrame =
     embeddingNearDupRep(Tables.embeddings(spark, dir), 0.25, numPlanes = 6)
 

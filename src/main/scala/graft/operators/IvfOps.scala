@@ -27,6 +27,15 @@ import graft.functions.VectorFunctions._
   */
 object IvfOps {
 
+  /** Default coarse-quantizer size and Lloyd pass count for every declared
+    * k-means query (q_sim_ivf / q_ivf_balance / q_cluster_purity /
+    * q_semdedup / q_ann_recall). SparkEntry.lloydCtes derives the DuckDB
+    * oracle's k and update count from THESE constants — change them here
+    * and the oracle follows; a hand-edited literal elsewhere would desync
+    * engine and oracle (round-8 advisor note). */
+  val DefaultK: Int = 16
+  val DefaultIters: Int = 3
+
   /** Centroids with their precomputed squared norm (k rows, computed once —
     * not once per vector-centroid pair). */
   private def withCentroidNorm(centroids: DataFrame): DataFrame =
@@ -156,7 +165,7 @@ object IvfOps {
     * needs no re-assignment pass of its own (the round-3 shape ran
     * `iters` training assigns PLUS a full re-assign inside search — one
     * redundant scan+broadcast-argmin over the whole corpus). */
-  def trainIndex(emb: DataFrame, k: Int = 16, iters: Int = 3)
+  def trainIndex(emb: DataFrame, k: Int = DefaultK, iters: Int = DefaultIters)
       : (DataFrame, DataFrame) = {
     val m = lloydModel(emb, initModel(emb, k), iters - 1)
     (modelToDF(emb.sparkSession, m), assignWith(emb, m))
@@ -200,9 +209,11 @@ object IvfOps {
       .orderBy(col("q_id"), col("rn"))
   }
 
-  /** Declared query: IVF top-10 for probe vectors vec_id < 5 (rows-only —
-    * the iterative training isn't SQL-expressible; ScalaTest checks recall
-    * against the exact baseline and cosine agreement). */
+  /** Declared query: IVF top-10 for probe vectors vec_id < 5.
+    * Oracle-proven since round 8: the iterative training is expressed in
+    * DuckDB as SparkEntry.lloydCtes' unrolled-Lloyd CTE (hash-match);
+    * ScalaTest keeps recall vs the exact baseline and cosine agreement as
+    * secondary pins. */
   def simIvf(spark: SparkSession, dir: String): DataFrame = {
     // materialized once: k-means reads the vectors every iteration, then
     // the final index assignment and the probe side read them again —
@@ -247,9 +258,10 @@ object IvfOps {
     * purity = majority share; an ALL row carries the corpus-weighted
     * purity Σ n_top / Σ n, the single number cluster-curation recipes
     * (SemDeDup/DataComp-style) gate on. Everything after the assignment
-    * scan is |k·labels|-sized. Rows-only: cell geometry depends on the
-    * k-means model; IvfSpec pins determinism, the containment invariants,
-    * and the ALL row's arithmetic against a recomputation. */
+    * scan is |k·labels|-sized. Oracle-proven since round 8 (the cell
+    * geometry is reproduced by SparkEntry.lloydCtes' unrolled-Lloyd CTE);
+    * IvfSpec keeps determinism, the containment invariants, and the ALL
+    * row's arithmetic as secondary pins. */
   def clusterPurity(spark: SparkSession, dir: String, k: Int = 16)
       : DataFrame = {
     import graft.functions.NumericFunctions.stableRound4

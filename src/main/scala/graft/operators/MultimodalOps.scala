@@ -294,8 +294,9 @@ object MultimodalOps {
     * baseline, SCALE.md e=1.63 at 100× vectors) — same caption join, but
     * candidate pairs come from the LSH sign-bucket join, so only same-
     * bucket pairs are ever scored and the plan scales with bucket
-    * populations, not |V|². Rows-only (bucket structure isn't SQL);
-    * SimilaritySpec pins subset-of-exact agreement. */
+    * populations, not |V|². Oracle-proven since round 9 (plane-literal
+    * bucket SQL, SparkEntry.embedBucketCtes); SimilaritySpec keeps the
+    * subset-of-exact agreement pin. */
   def captionDedupLsh(spark: SparkSession, dir: String,
       threshold: Double = 0.25, numPlanes: Int = 6): DataFrame =
     captionJoin(spark, dir,

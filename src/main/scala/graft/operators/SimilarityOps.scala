@@ -89,8 +89,10 @@ object SimilarityOps {
 
   /** Approximate top-k: compare only vectors in the same hyperplane-sign
     * bucket. `numPlanes` trades recall vs bucket size (2^numPlanes buckets).
-    * Deterministic (fixed-seed planes); not SQL-expressible → rows-only
-    * check + recall test against the brute-force baseline in ScalaTest. */
+    * Deterministic (fixed-seed planes) — and since round 9 oracle-proven:
+    * the planes are double literals, so the bucket join is plain SQL
+    * (SparkEntry.embedBucketCtes; q_sim_lsh hash-matches DuckDB).
+    * ScalaTest keeps the recall test vs the brute-force baseline. */
   def annTopK(queries: DataFrame, candidates: DataFrame, k: Int,
       numPlanes: Int = 6): DataFrame = {
     val planes = hyperplanes(numPlanes, EmbeddingDim)
@@ -128,10 +130,12 @@ object SimilarityOps {
     * zero). `avg_returned` reports how many of the k requested neighbors
     * the index produced at all (an LSH bucket smaller than k returns
     * fewer — visible recall ceiling, not silent). Companion to
-    * [[DedupOps.minHashRecall]], which audits the MinHash banding the
-    * same way. Rows-only: hyperplane signatures and the k-means quantizer
-    * aren't SQL-expressible; ScalaTest pins the recall floor and
-    * determinism. Scale shape: the exact side is the one O(|Q|·n) pass
+    * [[DedupOps.minhashRecallAudit]], which audits the MinHash banding the
+    * same way. Oracle-proven since round 9: the hyperplane signatures are
+    * plane-literal SQL and the k-means quantizer is the unrolled-Lloyd
+    * CTE, so the whole audit hash-matches DuckDB
+    * (SparkEntry.annRecallSql); ScalaTest keeps the recall floor and
+    * determinism pins. Scale shape: the exact side is the one O(|Q|·n) pass
     * (|Q| fixed and broadcast); everything downstream is
     * (probes × k)-sized. */
   def annRecall(spark: SparkSession, dir: String, k: Int = 10,

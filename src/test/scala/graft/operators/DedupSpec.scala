@@ -124,9 +124,9 @@ class DedupSpec extends SparkTestBase {
 
   test("minhash verified pairs: exact precision and bounded recall vs all-pairs Jaccard") {
     // pins the end-to-end MinHash+LSH recall across signature-family
-    // changes (e.g. the round-3 xxhash64 -> Murmur3 swap): the declared
-    // queries built on it are rows-only, so a silent recall regression
-    // would otherwise be invisible
+    // changes (round-3 xxhash64 -> Murmur3, round-9 Murmur3 -> salted
+    // md5-60): the DuckDB oracle proves engine agreement but not recall
+    // quality, so a silent recall regression would otherwise be invisible
     val docs = Tables.documents(spark, sf)
     val thr = 0.5
     val verified = DedupOps.minhashVerifiedPairs(docs, thr)
@@ -154,7 +154,7 @@ class DedupSpec extends SparkTestBase {
     assert(recall >= 0.9, s"recall $recall (${verified.size}/${exact.size})")
   }
 
-  test("simhash hamming pairs equal all-pairs ground truth (4x16 banding is exact for <= 3)") {
+  test("simhash hamming pairs equal all-pairs ground truth (4x15 banding is exact for <= 3)") {
     val docs = Tables.documents(spark, sf)
     val got = DedupOps.simhashHammingPairs(docs)
       .select("da", "db", "hamming").as[(Long, Long, Int)].collect().toSet

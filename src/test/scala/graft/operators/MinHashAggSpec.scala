@@ -37,6 +37,22 @@ class MinHashAggSpec extends SparkTestBase {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("column md5Salted60 path (minhashSignatures) equals the expression paths") {
+    // since the round-9 md5-60 port ALL signature builders share one hash
+    // family — the column form is what the DuckDB oracle replicates, so
+    // its agreement with the JVM expression paths is what ties the oracle
+    // to the shipped scalar operator
+    val docs = Tables.documents(spark, sf).limit(100)
+    val colPath = DedupOps.minhashSignatures(docs, 32).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    val scalar = DedupOps.minhashSignaturesScalar(docs, 32)
+      .filter(col("doc_id").isin(colPath.map(_._1): _*)).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    assert(colPath.nonEmpty && colPath.length == scalar.length)
+    assert(colPath.zip(scalar).forall { case ((i1, s1), (i2, s2)) =>
+      i1 == i2 && s1 == s2 })
+  }
+
   test("shingle-less docs: scalar path drops them, matching the agg path") {
     val df = Seq(
       (1L, "too short"), // < 3 tokens -> no shingles
