@@ -264,12 +264,14 @@ object SparkEntry {
     "q_entropy_ldiv"   -> ((s, d) => StatOps.entropyLDiversity(s, d)),
     "q_skyline"        -> (AnalyticsOps.skyline _),
     "q_mutual_info"    -> (CorpusOps.mutualInfo _),
+    "q_dsir"           -> ((s, d) => CorpusOps.dsir(s, d)),
     "q_snapshot_diff"  -> (RelationalOps.snapshotDiff _),
     "q_attribution"    -> ((s, d) => EventOps.attribution(s, d)),
     "q_graph_cc"       -> ((s, d) => GraphOps.brandComponents(s, d)),
     "q_stl_decompose"  -> (EventOps.stlDecompose _),
     "q_link_predict"   -> ((s, d) => GraphOps.linkPredict(s, d)),
     "q_tpch_q3"        -> (JoinOps.tpchQ3 _),
+    "q_tpch_q4"        -> ((s, d) => JoinOps.tpchQ4(s, d)),
     "q_tpch_q18"       -> ((s, d) => JoinOps.tpchQ18(s, d)),
     "q_tpch_q10"       -> ((s, d) => JoinOps.tpchQ10(s, d)),
     "q_tpch_q6"        -> (JoinOps.tpchQ6 _),
@@ -345,6 +347,7 @@ object SparkEntry {
     // PRIMARY scale form: same caption join on LSH sign-bucket candidate
     // pairs (rows-only — bucket structure isn't SQL; spec-pinned subset)
     "q_caption_dedup_lsh" -> ((s, d) => MultimodalOps.captionDedupLsh(s, d)),
+    "q_phash_dedup"    -> (MultimodalOps.phashDedup _),
     // IVF index health: per-cell population, imbalance factor, empty
     // cells (rows-only: k-means cells aren't SQL; IvfSpec pins totals)
     "q_ivf_balance"    -> ((s, d) => IvfOps.ivfBalance(s, d)),
@@ -884,6 +887,52 @@ object SparkEntry {
         "FROM pr JOIN shl a ON pr.va = a.doc_id JOIN shl b ON pr.vb = b.doc_id " +
         "ORDER BY pr.va, pr.vb"),
     "q_ann_recall" -> annRecallSql(),
+    // DSIR importance resampling: hashed uni+bigram buckets, add-1
+    // smoothed target/corpus models, Gumbel-top-k via md5-uniform noise,
+    // keep above the 80th-percentile cut (quantile_cont = Spark
+    // percentile's linear interpolation, cf. q_quality_deciles)
+    "q_dsir" ->
+      ("WITH t AS (SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "g AS (SELECT doc_id, source, unnest(list_concat(toks, " +
+        "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS gram FROM t), " +
+        s"pb AS (SELECT doc_id, source, ${md5h60("gram")} % 1024 AS b, count(*) AS cnt FROM g GROUP BY 1, 2, 3), " +
+        "cq AS (SELECT b, sum(cnt) AS n_q FROM pb GROUP BY b), " +
+        "ct AS (SELECT b, sum(cnt) AS n_t FROM pb WHERE source = 'src0' GROUP BY b), " +
+        "tq AS (SELECT sum(n_q) AS nq_tot FROM cq), " +
+        "tt AS (SELECT sum(n_t) AS nt_tot FROM ct), " +
+        "r AS (SELECT cq.b, ln(CAST(COALESCE(ct.n_t, 0) + 1 AS DOUBLE) / (tt.nt_tot + 1024)) " +
+        "- ln(CAST(cq.n_q + 1 AS DOUBLE) / (tq.nq_tot + 1024)) AS r " +
+        "FROM cq LEFT JOIN ct ON cq.b = ct.b CROSS JOIN tq CROSS JOIN tt), " +
+        "sc AS (SELECT pb.doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams, sum(cnt * r.r) AS logw " +
+        "FROM pb JOIN r ON pb.b = r.b GROUP BY pb.doc_id), " +
+        "ky AS (SELECT doc_id, n_grams, " +
+        "CAST(round(CAST(logw AS DECIMAL(20,8)), 4) AS DOUBLE) AS log_weight, " +
+        "CAST(round(CAST(logw - ln(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':dsir'), 1, 4)) AS BIGINT) + 0.5) / 65536.0)) AS DECIMAL(20,8)), 4) AS DOUBLE) AS gumbel_key " +
+        "FROM sc), " +
+        "cut AS (SELECT CAST(round(CAST(quantile_cont(gumbel_key, 0.8) AS DECIMAL(20,8)), 4) AS DOUBLE) AS c FROM ky) " +
+        "SELECT doc_id, n_grams, log_weight, gumbel_key, (gumbel_key > c) AS keep " +
+        "FROM ky CROSS JOIN cut ORDER BY doc_id"),
+    // pixel-level perceptual hash: deterministic resample to 60 "pixels"
+    // (the q_resize_meta substring-arithmetic twin), integer-mean bits,
+    // the same 4x15 Hamming banding as q_simhash_pairs, reported per item
+    "q_phash_dedup" ->
+      ("WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents WHERE n_chars > 0), " +
+        "px AS (SELECT doc_id, i.i AS pix_idx, " +
+        "ascii(substr(text, CAST((i.i * len) / 60 AS INTEGER) + 1, 1)) AS pv " +
+        "FROM d CROSS JOIN range(60) i(i)), " +
+        "st AS (SELECT doc_id, sum(pv) AS s FROM px GROUP BY doc_id), " +
+        "ph AS (SELECT px.doc_id, CAST(sum(CASE WHEN pv * 60 > s THEN (CAST(1 AS BIGINT) << pix_idx) ELSE 0 END) AS BIGINT) AS phash " +
+        "FROM px JOIN st ON px.doc_id = st.doc_id GROUP BY px.doc_id), " +
+        "bands AS (SELECT doc_id, phash, bd.band, (phash >> (bd.band * 15)) & 32767 AS bkey " +
+        "FROM ph CROSS JOIN range(4) bd(band)), " +
+        "pr AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db " +
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.phash, b.phash)) <= 3), " +
+        "edges AS (SELECT da AS doc_id, db AS nbr FROM pr UNION ALL SELECT db AS doc_id, da AS nbr FROM pr) " +
+        "SELECT p.doc_id, CAST(least(COALESCE(min(e.nbr), p.doc_id), p.doc_id) AS BIGINT) AS cluster_rep, " +
+        "CAST(count(e.nbr) AS BIGINT) AS n_near_dups " +
+        "FROM ph p LEFT JOIN edges e ON p.doc_id = e.doc_id " +
+        "GROUP BY p.doc_id ORDER BY p.doc_id"),
     // k-means family: the iterative Lloyd trainer unrolled as chained CTEs
     // (round-8 port from rows-only; see lloydCtes)
     "q_sim_ivf" -> ivfSearchSql(nprobe = 4, topk = 10, nq = 5),
@@ -2658,6 +2707,14 @@ object SparkEntry {
         "WHERE o_orderdate < TIMESTAMP '1995-03-15 00:00:00' " +
         "AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00' " +
         "GROUP BY 1, 2, 3 ORDER BY revenue DESC, o_orderkey LIMIT 10"),
+    // Q4's correlated EXISTS with the adapted predicate (see JoinOps.tpchQ4)
+    "q_tpch_q4" ->
+      ("SELECT o_orderpriority, count(*) AS order_count FROM orders o " +
+        "WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1995-10-01 00:00:00' " +
+        "AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey " +
+        "AND l.l_shipdate > o.o_orderdate) " +
+        "GROUP BY 1 ORDER BY 1"),
     "q_tpch_q18" ->
       ("WITH big AS (SELECT l_orderkey, SUM(l_quantity) AS total_qty " +
         "FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300) " +

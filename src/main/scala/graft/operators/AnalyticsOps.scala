@@ -401,7 +401,10 @@ object AnalyticsOps {
     val stats = orders.select(col("o_orderstatus")).distinct()
     val counts = orders.groupBy(col("o_orderpriority"), col("o_orderstatus"))
       .agg(count(lit(1)).as("n"))
-    prios.crossJoin(stats)
+    // explicit broadcast: both sides are tiny distinct grids, and the hint
+    // pins BroadcastNestedLoopJoin regardless of size estimation (the
+    // round-8 plan-determinism convention for deliberate cartesians)
+    prios.crossJoin(broadcast(stats))
       .join(counts, Seq("o_orderpriority", "o_orderstatus"), "left")
       .select(col("o_orderpriority"), col("o_orderstatus"),
         coalesce(col("n"), lit(0L)).as("n_orders"))

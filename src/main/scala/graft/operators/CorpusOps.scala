@@ -782,8 +782,12 @@ object CorpusOps {
         && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
       .agg(count(lit(1)).as("shared"))
+    // explicit broadcast: |sources| rows per side, deliberate cartesian —
+    // the hint pins BroadcastNestedLoopJoin (round-8 plan-determinism
+    // convention)
     val grid = per.select(col("source").as("sa"), col("n_sh").as("na"))
-      .crossJoin(per.select(col("source").as("sb"), col("n_sh").as("nb")))
+      .crossJoin(broadcast(
+        per.select(col("source").as("sb"), col("n_sh").as("nb"))))
       .filter(col("sa") < col("sb"))
     grid.join(shared, Seq("sa", "sb"), "left")
       .select(col("sa"), col("sb"), col("na"), col("nb"),
@@ -1289,6 +1293,81 @@ object CorpusOps {
     * marginals are rollups OF THE CELLS (never a second fact scan), joined
     * back by broadcast; every entropy/MI term is computed from exact
     * integer counts, summed over ≤ |L|×|S| values. */
+  /** q_dsir: DSIR — Data Selection via Importance Resampling (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance Resampling")
+    * — THE staple of modern pretraining-data curation: score every raw
+    * document by how much more likely its hashed n-gram features are under
+    * a TARGET domain than under the raw corpus, then resample toward the
+    * target distribution.
+    *
+    * Faithful to the paper's recipe, each stage in its scale-native shape:
+    *   1. FEATURES: word unigrams + bigrams hashed into `buckets` ids
+    *      (md5-60 mod B — the engine-portable family), pre-aggregated to
+    *      (doc, bucket, cnt) so everything downstream scales with distinct
+    *      buckets per doc, not token occurrences.
+    *   2. BAG-OF-HASHED-NGRAMS MODELS: bucket counts for the target slice
+    *      (here `source = targetSource` — in production, the high-quality
+    *      domain sample) and the full corpus, add-1 smoothed. The model is
+    *      ≤ `buckets` rows — broadcast, never a shuffle of the corpus.
+    *   3. IMPORTANCE WEIGHT: log w(x) = Σ_features [ln p̂_target(f) −
+    *      ln p̂_corpus(f)], one broadcast join + one partial-aggregated
+    *      sum per doc.
+    *   4. GUMBEL-TOP-K RESAMPLE: the paper samples without replacement
+    *      ∝ w; the Gumbel trick makes that a deterministic rank — key =
+    *      log w − ln(−ln u) with u the md5-uniform of the doc id (same
+    *      portable-sampling contract as q_sample_hash/q_weighted_sample).
+    *      keep = key above the (1 − keepFrac) percentile cut, computed as
+    *      a one-row broadcast like q_quality_deciles — no global window,
+    *      no driver data.
+    * Output: one row per doc (n_grams, log_weight, gumbel_key, keep) —
+    * fully deterministic and oracle-checked end to end. */
+  def dsir(spark: SparkSession, dir: String, targetSource: String = "src0",
+      buckets: Int = 1024, keepFrac: Double = 0.2): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val docs = Tables.documents(spark, dir)
+    val grams = docs
+      .select(col("doc_id"), col("source"),
+        tokensLower(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        explode(concat(col("toks"), expr(
+          "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
+            "slice(toks, 2, greatest(size(toks) - 1, 0)), " +
+            "(x, y) -> concat(x, ' ', y))"))).as("gram"))
+      .select(col("doc_id"), col("source"),
+        (md5Hash60(col("gram")) % buckets).as("b"))
+    val perDoc = Materialize(
+      grams.groupBy(col("doc_id"), col("source"), col("b"))
+        .agg(count(lit(1)).as("cnt")))
+    val corpus = perDoc.groupBy(col("b")).agg(sum(col("cnt")).as("n_q"))
+    val target = perDoc.filter(col("source") === targetSource)
+      .groupBy(col("b")).agg(sum(col("cnt")).as("n_t"))
+    val totQ = corpus.agg(sum(col("n_q")).as("nq_tot"))
+    val totT = target.agg(sum(col("n_t")).as("nt_tot"))
+    val ratios = corpus.join(target, Seq("b"), "left")
+      .crossJoin(broadcast(totQ)).crossJoin(broadcast(totT))
+      .select(col("b"),
+        (log((coalesce(col("n_t"), lit(0L)) + 1).cast("double")
+          / (col("nt_tot") + buckets))
+          - log((col("n_q") + 1).cast("double")
+            / (col("nq_tot") + buckets))).as("r"))
+    val u = (conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":dsir"))), 1, 4), 16, 10).cast("double") + 0.5) / 65536.0
+    val keyed = perDoc.join(broadcast(ratios), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_grams"),
+        sum(col("cnt") * col("r")).as("logw"))
+      .select(col("doc_id"), col("n_grams"),
+        stableRound4(col("logw")).as("log_weight"),
+        stableRound4(col("logw") - log(-log(u))).as("gumbel_key"))
+    val cut = keyed.agg(
+      expr(s"percentile(gumbel_key, ${1.0 - keepFrac})").as("c"))
+    keyed.crossJoin(broadcast(cut))
+      .select(col("doc_id"), col("n_grams"), col("log_weight"),
+        col("gumbel_key"),
+        (col("gumbel_key") > stableRound4(col("c"))).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   def mutualInfo(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.NumericFunctions.stableRound4
     val cells = Materialize(

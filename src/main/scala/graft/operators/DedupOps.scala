@@ -797,16 +797,25 @@ object DedupOps {
     * applies — widen the fingerprint (128-bit SimHash) so band chunks carry
     * ≥ log₂(n)+Δ bits, which is a signature-width change here, not a join-
     * shape change. */
-  def simhashHammingPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashHammingPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingBandPairs(Materialize(simhashSignaturesScalar(docs))
+      .select(col("doc_id"), col("simhash").as("sig")), maxHamming)
+
+  /** The Hamming-band pair kernel shared by [[simhashHammingPairs]] and
+    * [[MultimodalOps.phashDedup]]: band any (doc_id, sig) 60-bit
+    * fingerprint table into 4×15-bit chunks, self-join on band equality,
+    * verify with one codegen'd `bit_count(xor)` per candidate. Exact for
+    * Hamming ≤ 3 by the pigeonhole argument above. */
+  private[operators] def hammingBandPairs(sigs: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4 bands of 15 bits are exact only up to Hamming 3")
-    val sigs = Materialize(simhashSignaturesScalar(docs))
     val bandStructs = (0 until 4).map { j =>
       struct(lit(j).as("band"),
-        shiftright(col("simhash"), j * 15).bitwiseAND(0x7FFFL).as("bkey"))
+        shiftright(col("sig"), j * 15).bitwiseAND(0x7FFFL).as("bkey"))
     }
-    val banded = sigs.select(col("doc_id"), col("simhash"),
+    val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"),
+      .select(col("doc_id"), col("sig"),
         col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     // shuffle_hash: exploded band rows on both sides, high-cardinality key
     banded.as("a").hint("shuffle_hash")
@@ -814,7 +823,7 @@ object DedupOps {
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
           .as("hamming"))
       // a pair sharing k bands appears k times; hamming is a pure function
       // of the pair, so distinct() collapses them without an aggregation

@@ -680,4 +680,37 @@ object JoinOps {
           .as("single_key_share"))
       .orderBy(col("bucket"))
   }
+
+  /** q_tpch_q4 (order priority checking): the correlated-EXISTS-with-date-
+    * window pattern — count orders per priority in a 3-month window where
+    * at least one line item satisfies a predicate CORRELATED with the
+    * outer row. TPC-H's predicate is l_commitdate < l_receiptdate; the
+    * synthetic lineitem carries neither column, so — the same adaptation
+    * rule as Q13/Q17/Q19 — the correlated shape is kept verbatim with
+    * `l_shipdate > o_orderdate` (a line shipped after the order date) as
+    * the EXISTS body.
+    *
+    * Plan shape: the window predicate pushes to the orders scan (3 months
+    * of a multi-year table — partition pruning at scale); the EXISTS
+    * compiles to a LEFT SEMI join on orderkey with the correlated
+    * date compare as a join-side filter, so each order contributes at most
+    * once regardless of line count and the aggregate state is |priorities|
+    * rows. No window functions, no driver data. */
+  def tpchQ4(spark: SparkSession, dir: String,
+      from: String = "1995-07-01", to: String = "1995-10-01"): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp")
+        && col("o_orderdate") < lit(to).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val lateLines = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    orders
+      .join(lateLines,
+        col("o_orderkey") === col("l_orderkey")
+          && col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
 }

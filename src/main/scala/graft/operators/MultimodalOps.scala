@@ -268,6 +268,90 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Perceptual-hash record (60-bit average hash). */
+  final case class PHash(doc_id: Long, phash: Long)
+
+  /** Pixel-level perceptual hash (average-hash recipe): resample the
+    * decoded payload to a fixed `bits`-pixel grayscale thumbnail — the
+    * same deterministic byte resample as [[resize]]; a real build decodes
+    * and luma-converts here, changing no plumbing — then bit i = pixel i
+    * brighter than the thumbnail mean, packed into a 60-bit fingerprint
+    * (60 = the width that stays a non-negative BIGINT in every engine,
+    * matching the SimHash convention). The mean compare is INTEGER
+    * arithmetic (pixel·bits > Σpixels), so no float ever crosses an
+    * engine boundary and the DuckDB oracle reproduces the fingerprint
+    * bit-for-bit with substring/ascii arithmetic. Empty payloads are
+    * excluded (same contract as [[resizeMeta]] — the zero-fill branch has
+    * no string representation in SQL). Partition-parallel map, no
+    * shuffle: at 100 TB the hash stage runs at decode speed. */
+  def phashMedia(docs: DataFrame, bits: Int = 60): Dataset[PHash] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(bits <= 60, "fingerprint must fit a non-negative 64-bit long")
+    withBinaryPayload(docs)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytesOrNull) =>
+          val bytes =
+            if (bytesOrNull == null) Array.empty[Byte] else bytesOrNull
+          if (bytes.isEmpty) None
+          else {
+            val px = Array.tabulate(bits)(i =>
+              bytes((i.toLong * bytes.length / bits).toInt) & 0xFF)
+            var s = 0L
+            var i = 0
+            while (i < bits) { s += px(i); i += 1 }
+            var h = 0L
+            i = 0
+            while (i < bits) {
+              if (px(i).toLong * bits > s) h |= (1L << i)
+              i += 1
+            }
+            Some(PHash(id, h))
+          }
+        }
+      }
+  }
+
+  /** q_phash_dedup: pixel-level media near-dup — the Manku-style
+    * Hamming-band join ([[DedupOps.hammingBandPairs]], 4×15-bit bands,
+    * exact for distance ≤ 3) over [[phashMedia]] fingerprints, reported
+    * PER ITEM: each doc's cluster representative = min(doc_id) among
+    * {self} ∪ Hamming-≤3 neighbors, plus the neighbor count — always
+    * |docs| output rows. The per-item contract is deliberate: the
+    * ScaleSpot gate measured the pair-enumerating form at 20M output rows
+    * on the 100× corpus (perceptual fingerprints are insensitive to
+    * small text edits — that's their JOB — so near-dup cluster sizes grow
+    * with the corpus and pair output is inherently quadratic in them;
+    * the same output-bound failure mode q_dedup_embed_lsh documents).
+    * The map-side partial aggregation collapses pair rows before the
+    * shuffle, so neither shuffle nor result scales with pair count.
+    *
+    * This is the MEDIA-side complement of q_caption_dedup(_lsh): caption
+    * dedup catches same-image-different-caption; pHash catches
+    * re-encoded / slightly-retouched copies of the same pixels that
+    * byte-exact dedup misses. Oracle-checked end to end (resample,
+    * integer-mean bits, banding, bit_count verify are all plain SQL on
+    * the ASCII stand-in corpus); MultimodalSpec pins the hand-computed
+    * fingerprint, identical-payload collision, and agreement with an
+    * all-pairs Hamming driver recompute. */
+  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("n_chars") > 0)
+    val sigs = Materialize(phashMedia(docs).toDF())
+    val pairs = DedupOps.hammingBandPairs(
+      sigs.select(col("doc_id"), col("phash").as("sig")), maxHamming = 3)
+    val edges = pairs.select(col("da").as("doc_id"), col("db").as("nbr"))
+      .union(pairs.select(col("db").as("doc_id"), col("da").as("nbr")))
+    sigs.select(col("doc_id"))
+      .join(edges, Seq("doc_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        least(min(col("nbr")), col("doc_id").cast("long")).as("cluster_rep"),
+        sum(when(col("nbr").isNotNull, 1L).otherwise(0L)).as("n_near_dups"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q_caption_dedup: cross-modal curation — find item pairs whose
     * EMBEDDINGS near-duplicate while their TEXTS do not: the "same image,
     * different caption" (or paraphrase) inventory an image-text or

@@ -102,6 +102,43 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("crossGrid: the deliberate cartesian broadcasts its grid side") {
+    val p = plan(AnalyticsOps.crossGrid(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sourceOverlap: the per-source count grid broadcasts, never shuffles") {
+    val p = plan(CorpusOps.sourceOverlap(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dsir: bucket model rides a broadcast join; gram stream partial-aggregates") {
+    val p = plan(CorpusOps.dsir(spark, sf))
+    // the <=1024-row log-ratio model must broadcast onto the per-doc
+    // bucket counts — a shuffle here would re-partition the corpus by
+    // bucket id for a 1024-row dimension
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tpchQ4: EXISTS compiles to LeftSemi with the window pushed to the orders scan") {
+    val p = plan(JoinOps.tpchQ4(spark, sf))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("o_orderdate"), p)
+    // the date window reaches the orders parquet scan as a pushed filter
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), " +
+      "GreaterThanOrEqual(o_orderdate,") ||
+      p.contains("GreaterThanOrEqual(o_orderdate,"), p)
+  }
+
+  test("phashDedup: banded equality join, no cartesian") {
+    val p = plan(MultimodalOps.phashDedup(spark, sf))
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("outerJoin plans a full-outer shuffle join with pre-reduced right side") {
     val p = plan(JoinOps.outerJoin(spark, sf))
     assert(p.contains("FullOuter"), p)

@@ -674,4 +674,32 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(nmi >= 0.0 && nmi <= 1.0 + 1e-9, s"nmi $nmi")
     assert(math.abs(nmi - mi / math.sqrt(hl * hs)) < 5e-4)
   }
+
+  test("dsir: coverage, ~keepFrac selection, target domain scores higher") {
+    val docs = graft.Tables.documents(spark, sf)
+    val out = CorpusOps.dsir(spark, sf).collect()
+    // one row per doc, deterministic
+    assert(out.length == docs.count())
+    val again = CorpusOps.dsir(spark, sf).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // percentile-0.8 cut keeps ~20% (strict > drops boundary ties)
+    val kept = out.count(_.getBoolean(4))
+    assert(kept > 0 && kept <= math.ceil(out.length * 0.2).toInt + 1,
+      s"kept $kept of ${out.length}")
+    // the importance weight must rank the TARGET domain above the corpus
+    // mean — that is the entire point of DSIR (target docs are more likely
+    // under the target model than the average doc)
+    val srcOf = docs.select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (tgt, rest) = out.partition(r => srcOf(r.getLong(0)) == "src0")
+    def meanLw(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getDouble(2)).sum / rs.length
+    assert(meanLw(tgt) > meanLw(rest),
+      s"target mean ${meanLw(tgt)} <= rest mean ${meanLw(rest)}")
+    // and the kept set must be enriched in target docs vs its base rate
+    val keptTgtRate = tgt.count(_.getBoolean(4)).toDouble / math.max(kept, 1)
+    val baseTgtRate = tgt.length.toDouble / out.length
+    assert(keptTgtRate >= baseTgtRate,
+      s"kept target rate $keptTgtRate < base rate $baseTgtRate")
+  }
 }

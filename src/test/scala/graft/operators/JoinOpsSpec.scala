@@ -149,4 +149,30 @@ class JoinOpsSpec extends SparkTestBase {
         s"bucket ${r.getLong(0)} skew_factor")
     }
   }
+
+  test("tpchQ4 equals a driver recompute of the correlated EXISTS") {
+    val out = JoinOps.tpchQ4(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ldt(r: org.apache.spark.sql.Row, i: Int): java.time.LocalDateTime =
+      r.get(i) match {
+        case t: java.sql.Timestamp => t.toLocalDateTime
+        case l: java.time.LocalDateTime => l
+      }
+    val lines = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_shipdate")).collect()
+      .groupBy(_.getLong(0))
+    val expected = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .collect()
+      .map(r => (r.getLong(0), ldt(r, 1), r.getString(2)))
+      .filter { case (_, d, _) =>
+        !d.isBefore(java.time.LocalDateTime.parse("1995-07-01T00:00")) &&
+          d.isBefore(java.time.LocalDateTime.parse("1995-10-01T00:00")) }
+      .filter { case (ok, d, _) =>
+        lines.getOrElse(ok, Array.empty[org.apache.spark.sql.Row])
+          .exists(l => ldt(l, 1).isAfter(d)) }
+      .groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    assert(out == expected, s"got $out expected $expected")
+    assert(out.values.sum > 0, "window/predicate selected no orders")
+  }
 }

@@ -172,4 +172,56 @@ class MultimodalSpec extends SparkTestBase {
       else assert(b == -1 && (nw == 0 || frac == 1.0))
     }
   }
+
+  test("phashMedia: hand-computed fingerprint, identical payloads collide") {
+    import spark.implicits._
+    // a 120-char payload resampled to 60 pixels picks bytes (i*120)/60 =
+    // every 2nd byte; the chunk layout below makes the PICKED pixels
+    // alternate 'a'(97)/'z'(122), so the mean splits them exactly
+    val base = (0 until 60).map(i => if (i % 2 == 0) "az" else "za")
+      .mkString // picked byte i = char at 2i = chunk i's first char
+    val docs = Seq(
+      (1L, base, 120L), (2L, base, 120L), (3L, "a" * 120, 120L))
+      .toDF("doc_id", "text", "n_chars")
+    val sigs = MultimodalOps.phashMedia(docs).collect()
+      .map(p => p.doc_id -> p.phash).toMap
+    // pixel i = chunk i's first char: 'a' when i even, 'z' when i odd;
+    // mean = (30*97 + 30*122)/60 = 109.5 -> bit set exactly on 'z' (odd i)
+    val expected = (0 until 60).filter(_ % 2 == 1)
+      .map(1L << _).foldLeft(0L)(_ | _)
+    assert(sigs(1L) == expected, f"got ${sigs(1L)}%x expected $expected%x")
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(3L) != sigs(1L))
+    // identical payloads -> a hamming-0 pair in the declared query shape
+    val pairs = DedupOps.hammingBandPairs(
+      MultimodalOps.phashMedia(docs).toDF()
+        .select(col("doc_id"), col("phash").as("sig"))).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L
+      && r.getInt(2) == 0))
+  }
+
+  test("phashDedup: per-item reps equal an all-pairs Hamming driver recompute") {
+    val got = MultimodalOps.phashDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val sigs = MultimodalOps.phashMedia(
+      Tables.documents(spark, sf).filter(col("n_chars") > 0)).collect()
+    // ground truth from the exact all-pairs Hamming graph (banding is
+    // lossless for <= 3 by the 4-band pigeonhole, so the declared query
+    // must agree exactly)
+    val nbrs = sigs.map { a =>
+      a.doc_id -> sigs.filter(b => b.doc_id != a.doc_id
+        && java.lang.Long.bitCount(a.phash ^ b.phash) <= 3).map(_.doc_id)
+    }.toMap
+    assert(got.size == sigs.length)
+    sigs.foreach { s =>
+      val n = nbrs(s.doc_id)
+      val expRep = if (n.isEmpty) s.doc_id else math.min(s.doc_id, n.min)
+      assert(got(s.doc_id) == ((expRep, n.length.toLong)),
+        s"doc ${s.doc_id}: got ${got(s.doc_id)} expected ($expRep, ${n.length})")
+    }
+    // determinism
+    val again = MultimodalOps.phashDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(again == got)
+  }
 }
