@@ -241,10 +241,10 @@ object SparkEntry {
     "q_dp_topk"        -> ((s, d) => StatOps.dpTopK(s, d)),
     "q_calibration"    -> (TextOps.calibration _),
     "q_quality_train"  -> ((s, d) => TextOps.qualityTrain(s, d)),
-    // rows-only: hyperplane LSH + k-means IVF shortlists aren't
-    // SQL-expressible; AnnRecallSpec pins recall floors and determinism
+    // oracle-checked since round 9 (plane-literal LSH + unrolled-Lloyd
+    // IVF, annRecallSql); AnnRecallSpec pins recall floors and determinism
     "q_ann_recall"     -> ((s, d) => SimilarityOps.annRecall(s, d)),
-    // rows-only: PQ codebook training is iterative k-means (no SQL oracle);
+    // oracle-checked since round 9 (per-subspace unrolled Lloyd, pqAnnSql);
     // PqSpec pins recall@10 vs the exact baseline and re-rank exactness
     "q_pq_ann"         -> ((s, d) => PqOps.pqTopK(s, d)),
     "q_lift"           -> ((s, d) => GraphOps.liftPairs(s, d)),
@@ -588,6 +588,65 @@ object SparkEntry {
     prefix + bandCtes + " SELECT * FROM (" + rows + ") ORDER BY bands"
   }
 
+  /** q_pq_ann: product quantization unrolled in DuckDB — the round-8
+    * lloydCtes technique generalized to PER-SUBSPACE k-means over
+    * subvector slices. "sv" explodes L2-normalized vectors into
+    * (vec_id, j, 8-dim subvector); "c0" seeds each subspace's 16 cells
+    * from the first 16 vectors by id; each round is an argmin assignment
+    * on the |c|²−2⟨s,c⟩ proxy (ties to lower code — NearestCentroid's
+    * strict-< loop) and a per-dim mean through the stable6 barrier; the
+    * ADC stage builds each probe's flat 128-entry distance list (ordered
+    * j·16+c, the driver dt layout), scores candidates with the same
+    * sequential 8-term fold as the Spark aggregate(), shortlists by
+    * (adc, cand_id), and re-ranks the shortlist by exact rounded cosine. */
+  private def pqAnnSql(k: Int = 10, shortlist: Int = 50, iters: Int = 3,
+      nq: Int = 5, m: Int = 8, subDim: Int = 8, codes: Int = 16): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS raw FROM embeddings), "
+    sb ++= "n1 AS (SELECT vec_id, raw, sqrt(list_sum(list_transform(raw, y -> y * y))) AS nrm FROM e), "
+    sb ++= "nv AS (SELECT vec_id, list_transform(raw, x -> x / nrm) AS v FROM n1), "
+    sb ++= s"sv AS (SELECT vec_id, CAST(jj.j AS INTEGER) AS j, " +
+      s"list_slice(v, jj.j * $subDim + 1, jj.j * $subDim + $subDim) AS s " +
+      s"FROM nv CROSS JOIN range($m) jj(j)), "
+    sb ++= s"c0 AS (SELECT j, CAST(rn - 1 AS INTEGER) AS c, s AS cen FROM " +
+      s"(SELECT j, s, row_number() OVER (PARTITION BY j ORDER BY vec_id) AS rn FROM sv) WHERE rn <= $codes), "
+    def argmin(model: String) =
+      s"(SELECT vec_id, j, s, mc AS c FROM (" +
+        s"SELECT sv.vec_id, sv.j, sv.s, m.c AS mc, " +
+        "row_number() OVER (PARTITION BY sv.vec_id, sv.j ORDER BY " +
+        "list_sum(list_transform(m.cen, y -> y * y)) - 2 * " +
+        s"list_sum(list_transform(range(1, ${subDim + 1}), d -> m.cen[d] * sv.s[d])), m.c) AS rn " +
+        s"FROM sv JOIN $model m ON sv.j = m.j) WHERE rn = 1)"
+    var prev = "c0"
+    for (t <- 0 until iters) {
+      sb ++= s"a$t AS ${argmin(prev)}, "
+      sb ++= s"u$t AS (SELECT j, c, list(mv ORDER BY d) AS cen FROM (" +
+        s"SELECT j, c, d, CAST(round(CAST(avg(s[CAST(d AS INTEGER)]) AS DECIMAL(20,8)), 6) AS DOUBLE) AS mv " +
+        s"FROM a$t, range(1, ${subDim + 1}) t(d) GROUP BY j, c, d) GROUP BY j, c), "
+      sb ++= s"m${t + 1} AS (SELECT p.j, p.c, COALESCE(u.cen, p.cen) AS cen " +
+        s"FROM $prev p LEFT JOIN u$t u ON p.j = u.j AND p.c = u.c), "
+      prev = s"m${t + 1}"
+    }
+    sb ++= s"af AS ${argmin(prev)}, "
+    sb ++= s"cd AS (SELECT vec_id, list(c ORDER BY j) AS cds FROM af GROUP BY vec_id), "
+    sb ++= s"dt AS (SELECT sv.vec_id AS q_id, sv.j, m.c, " +
+      s"list_sum(list_transform(range(1, ${subDim + 1}), d -> (sv.s[d] - m.cen[d]) * (sv.s[d] - m.cen[d]))) AS val " +
+      s"FROM sv JOIN $prev m ON sv.j = m.j WHERE sv.vec_id < $nq), "
+    sb ++= s"dtf AS (SELECT q_id, list(val ORDER BY j * $codes + c) AS dts FROM dt GROUP BY q_id), "
+    sb ++= s"sc AS (SELECT d.q_id, cd.vec_id AS cand_id, " +
+      s"list_sum(list_transform(range(0, $m), j -> d.dts[j * $codes + cd.cds[j + 1] + 1])) AS adc " +
+      "FROM dtf d CROSS JOIN cd WHERE cd.vec_id <> d.q_id), "
+    sb ++= "sl AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id, " +
+      s"row_number() OVER (PARTITION BY q_id ORDER BY adc, cand_id) AS rn FROM sc) WHERE rn <= $shortlist), "
+    sb ++= "rr AS (SELECT sl.q_id, sl.cand_id, " +
+      "round(list_sum(list_transform(range(1, len(qn.v) + 1), i -> qn.v[i] * cn.v[i])), 4) AS cos_sim " +
+      "FROM sl JOIN nv qn ON sl.q_id = qn.vec_id JOIN nv cn ON sl.cand_id = cn.vec_id) "
+    sb ++= "SELECT q_id, CAST(rn AS INTEGER) AS rn, cand_id, cos_sim FROM " +
+      "(SELECT q_id, cand_id, cos_sim, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rn FROM rr) " +
+      s"WHERE rn <= $k ORDER BY q_id, rn"
+    sb.toString
+  }
+
   /** q_ann_recall: exact brute-force truth vs the IVF (unrolled Lloyd) and
     * LSH (literal planes) shortlists, with the same recall/avg-returned
     * aggregate as SimilarityOps.annRecall. */
@@ -887,6 +946,7 @@ object SparkEntry {
         "FROM pr JOIN shl a ON pr.va = a.doc_id JOIN shl b ON pr.vb = b.doc_id " +
         "ORDER BY pr.va, pr.vb"),
     "q_ann_recall" -> annRecallSql(),
+    "q_pq_ann" -> pqAnnSql(),
     // DSIR importance resampling: hashed uni+bigram buckets, add-1
     // smoothed target/corpus models, Gumbel-top-k via md5-uniform noise,
     // keep above the 80th-percentile cut (quantile_cont = Spark
@@ -2374,6 +2434,20 @@ object SparkEntry {
         "neg_label, cos_sim FROM r WHERE rn <= 3 ORDER BY q_id, rn"),
     // every 4th 16-byte frame slice; ASCII corpus -> char slicing == byte
     // slicing, so substring+md5 reproduces the Spark binary digests
+    // stub featurizer = md5-digest bytes of each sampled frame, scaled
+    // through double and narrowed to float32 (CAST AS REAL) — round-9 port
+    "q_frame_features" ->
+      ("WITH x AS (SELECT doc_id, text, " +
+        "unnest(range(0, CAST(floor(length(text) / 16) AS BIGINT))) AS i FROM documents), " +
+        "fr AS (SELECT doc_id, CAST(i AS INTEGER) AS frame_idx, " +
+        "md5(substring(text, CAST(i * 16 + 1 AS INTEGER), 16)) AS h " +
+        "FROM x WHERE i % 4 = 0) " +
+        "SELECT doc_id, frame_idx, " +
+        (0 until 8).map(d =>
+          "round(CAST(CAST(CAST(('0x' || substr(h, " + (2 * d + 1) +
+            ", 2)) AS INTEGER) / 255.0 AS REAL) AS DOUBLE), 4) AS f" + d)
+          .mkString(", ") +
+        " FROM fr ORDER BY doc_id, frame_idx"),
     "q_frame_sample" ->
       ("WITH x AS (SELECT doc_id, text, " +
         "unnest(range(0, CAST(floor(length(text) / 16) AS BIGINT))) AS i FROM documents) " +

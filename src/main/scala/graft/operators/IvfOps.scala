@@ -123,7 +123,7 @@ object IvfOps {
     * compounds through the assignment argmin. 6 decimals is far below any
     * real cluster-geometry signal and far above double ULP, so the
     * barrier never moves a vector between genuinely distinct cells. */
-  private def stable6(x: Double): Double =
+  private[operators] def stable6(x: Double): Double =
     scala.math.BigDecimal(x)
       .setScale(8, scala.math.BigDecimal.RoundingMode.HALF_UP)
       .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)

@@ -118,17 +118,28 @@ object MultimodalOps {
 
   /** Per-frame featurization STUB: a real pipeline would run an encoder on
     * the decoded frame; the fake derives a deterministic 8-dim vector from
-    * the frame bytes. Partition-parallel, streaming. */
+    * the frame bytes. Partition-parallel, streaming.
+    *
+    * Feature d = md5-digest byte d of the frame, scaled to [0, 1] — md5
+    * (not a JVM-specific hash) for the same reason as the round-9 MinHash
+    * port: the vector is then reproducible in plain SQL
+    * (`('0x' || substr(md5(frame), 2d+1, 2))::INT / 255.0`), so even the
+    * stubbed featurizer path is oracle-checked end to end. The scale
+    * divide goes through DOUBLE and narrows to the encoder's float32
+    * (matching SQL `CAST(x/255.0 AS REAL)` by construction — direct
+    * float division would double-round differently in rare cases). */
   def featurizeFrames(frames: DataFrame): Dataset[FrameFeature] = {
     val spark = frames.sparkSession
     import spark.implicits._
     frames.select(col("doc_id"), col("frame_idx"), col("frame"))
       .as[(Long, Int, Array[Byte])]
       .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, idx, bytes) =>
-          val h = java.util.Arrays.hashCode(bytes)
+          md.reset()
+          val dg = md.digest(bytes)
           FrameFeature(id, idx,
-            Array.tabulate(8)(d => ((h >> d) & 0xff) / 255.0f))
+            Array.tabulate(8)(d => ((dg(d) & 0xFF) / 255.0).toFloat))
         }
       }
   }
@@ -234,16 +245,17 @@ object MultimodalOps {
 
   /** q_frame_features: the declared face of [[featurizeFrames]] — sampled
     * frames through the per-partition featurizer, 8-dim vectors flattened
-    * to columns. Rows-only: the fake encoder derives features from a
-    * JVM-specific byte hash with no SQL counterpart; MultimodalSpec pins
-    * shape, determinism and range, and the frame sampling underneath is
+    * to columns. Oracle-checked since the round-9 md5 featurizer port
+    * (digest-byte features are plain SQL; the float32 narrowing is
+    * reproduced with CAST(... AS REAL)); MultimodalSpec keeps the shape,
+    * determinism and range pins, and the frame sampling underneath is
     * the same path q_frame_sample hash-checks. */
   def frameFeatures(spark: SparkSession, dir: String): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
     val outCols = Seq(col("doc_id"), col("frame_idx")) ++
       (0 until 8).map(d =>
-        round(element_at(col("feature"), d + 1), 4).as(s"f$d"))
+        round(element_at(col("feature"), d + 1).cast("double"), 4).as(s"f$d"))
     featurizeFrames(sampleFrames(Tables.documents(spark, dir)))
       .toDF()
       .select(outCols: _*)

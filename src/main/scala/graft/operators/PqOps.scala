@@ -75,7 +75,14 @@ object PqOps {
   /** `rounds` Lloyd passes; each is ONE scan + ONE bounded-explode
     * aggregation (M rows per vector, each carrying one SubDim-subvector),
     * whose ≤ M·Codes-row result updates the driver model. Empty cells keep
-    * their previous centroid. */
+    * their previous centroid. Means go through [[IvfOps.stable6]]'s
+    * rounding barrier (round-9, mirroring the r8 IvfOps port): Spark's
+    * partial-aggregated [[graft.functions.VectorFunctions.vectorAvg]] and
+    * the DuckDB oracle's `avg` sum in different orders, and without the
+    * per-iteration barrier that ULP drift compounds through the argmin —
+    * with it, the whole PQ codebook recurrence is bit-reproducible across
+    * engines and partitionings (the audit/replay property a production
+    * index build wants), and q_pq_ann gains its DuckDB oracle. */
   private def train(vecs: DataFrame, rounds: Int): Model = {
     (1 to rounds).foldLeft(initModel(vecs)) { (model, _) =>
       val coded = withCodes(vecs, model)
@@ -87,7 +94,8 @@ object PqOps {
       val next = coded.groupBy(col("j"), col("code"))
         .agg(vectorAvg(col("subv"), SubDim).as("centroid"))
         .collect()
-        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          r.getSeq[Double](2).toArray.map(IvfOps.stable6))
         .toMap
       Array.tabulate(M)(j => Array.tabulate(Codes)(c =>
         next.getOrElse((j, c), model(j)(c))))
@@ -97,9 +105,13 @@ object PqOps {
   /** q_pq_ann: PQ-coded ANN for probe vectors vec_id < 5 — ADC shortlist
     * of `shortlist` candidates per query from the 4-byte codes, exact
     * cosine re-rank of the shortlist down to top-`k`. Output shape matches
-    * the other ANN queries: (q_id, rn, cand_id, cos_sim). Rows-only in the
-    * oracle (k-means isn't SQL); PqSpec pins recall vs the exact baseline
-    * and ADC-vs-true-distance error bounds. */
+    * the other ANN queries: (q_id, rn, cand_id, cos_sim). Oracle-proven
+    * since round 9: the per-subspace k-means is expressed in DuckDB as
+    * SparkEntry.pqAnnSql's unrolled-Lloyd CTEs over subvector slices
+    * (stable6 barrier per mean, same contract as the IVF trainer), the
+    * ADC table as per-probe distance lists, and the shortlist/re-rank as
+    * windowed ranks; PqSpec keeps recall vs the exact baseline and
+    * ADC-vs-true-distance error bounds as quality pins. */
   def pqTopK(spark: SparkSession, dir: String, k: Int = 10,
       shortlist: Int = 50, iters: Int = 3, nProbes: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
