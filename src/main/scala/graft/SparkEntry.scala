@@ -148,8 +148,8 @@ object SparkEntry {
     "q_upsert"         -> (RelationalOps.upsertOrders _),
     "q_decontaminate"  -> ((s, d) => CorpusOps.decontaminate(s, d)),
     "q_source_mix"     -> (CorpusOps.sourceMix _),
-    // rows-only: greedy packing is sequential per bin (no SQL oracle);
-    // CorpusOpsSpec pins it to a hand-rolled reference packing
+    // oracle-checked; CorpusOpsSpec additionally pins a hand-rolled
+    // reference packing
     "q_pack"           -> ((s, d) => CorpusOps.packSequences(s, d)),
     "q_embed_quant"    -> (SimilarityOps.quantizeEmbeddings _),
     "q_dedup_para"     -> (CorpusOps.segmentDedup _),
@@ -209,14 +209,16 @@ object SparkEntry {
     "q_ttest"          -> (AnalyticsOps.welchTTest _),
     "q_confusion"      -> ((s, d) => SimilarityOps.knnConfusion(s, d)),
     "q_psi"            -> ((s, d) => CorpusOps.psiSource(s, d)),
-    // rows-only: BPE training is sequential in merge rank (no SQL oracle);
-    // CorpusOpsSpec pins the merges to hand-computed ground truth
+    // oracle-checked since round 9: the merge recurrence unrolls as 30
+    // MATERIALIZED CTE rounds (bpeCtes); CorpusOpsSpec keeps the
+    // hand-computed ground-truth merges as a pin
     "q_bpe_vocab"      -> ((s, d) => CorpusOps.bpeVocab(s, d)),
-    // rows-only: segmentation applies the trained merges (same reason);
-    // CorpusOpsSpec pins unseen-word segmentation to hand-derived pieces
+    // oracle-checked since round 9 (rank-order replace chain — provably
+    // equals the lowest-present loop); CorpusOpsSpec keeps the
+    // unseen-word segmentation pin
     "q_bpe_segment"    -> ((s, d) => CorpusOps.bpeSegmentTokens(s, d)),
-    // rows-only: iterative k-means isn't SQL; DedupSpec pins the drop set
-    // to exact all-pairs cosine ground truth
+    // oracle-checked since round 8 (unrolled-Lloyd CTE); DedupSpec pins
+    // the drop set to exact all-pairs cosine ground truth
     "q_semdedup"       -> (DedupOps.semDedupQuery _),
     // rows-only: DataSketches HLL registers are engine-specific; SketchSpec
     // proves union-of-group-sketches == direct global sketch exactly, and
@@ -249,13 +251,13 @@ object SparkEntry {
     "q_pq_ann"         -> ((s, d) => PqOps.pqTopK(s, d)),
     "q_lift"           -> ((s, d) => GraphOps.liftPairs(s, d)),
     "q_abtest"         -> (StatOps.abTest _),
-    // rows-only: transitive closure is iterative (no SQL oracle); DedupSpec
-    // pins clusters to a driver union-find over the same scored edges
+    // oracle-checked (recursive-CTE transitive closure); DedupSpec pins
+    // clusters to a driver union-find over the same scored edges
     "q_entity_match"   -> ((s, d) => DedupOps.entityMatch(s, d)),
     "q_debounce"       -> ((s, d) => EventOps.debounce(s, d)),
-    // rows-only: frequencies-sketch internals are engine-specific;
-    // SketchSpec pins the no-purge regime to exact counts and the purge
-    // regime to its provable bounds
+    // oracle-checked: the declared 2^15 map provably never purges at
+    // shipped SFs, so heavy hitters equal the exact frequency table;
+    // SketchSpec additionally bounds the purge regime
     "q_heavy_hitters"  -> ((s, d) => SketchOps.heavyHitters(s, d)),
     "q_bootstrap"      -> ((s, d) => StatOps.bootstrapMean(s, d)),
     "q_incr_rollup"    -> (RelationalOps.incrRollup _),
@@ -287,9 +289,9 @@ object SparkEntry {
     "q_tpch_q19"       -> (JoinOps.tpchQ19 _),
     "q_theta_audience" -> ((s, d) => SketchOps.thetaAudience(s, d)),
     "q_resize_meta"    -> (MultimodalOps.resizeMeta _),
-    // rows-only: the fake frame encoder hashes bytes JVM-side (no SQL
-    // counterpart); MultimodalSpec pins shape/determinism/range and the
-    // sampling underneath is hash-checked by q_frame_sample
+    // oracle-checked since round 9 (md5-digest stub features);
+    // MultimodalSpec pins shape/determinism/range and the sampling
+    // underneath is hash-checked by q_frame_sample
     "q_frame_features" -> (MultimodalOps.frameFeatures _),
     "q_augment"        -> (CorpusOps.augmentDropout _),
     "q_dp_noise"       -> (StatOps.dpNoisyCounts _),
@@ -323,8 +325,8 @@ object SparkEntry {
     "q_split_leakage"  -> ((s, d) => CorpusOps.splitLeakage(s, d)),
     "q_dataset_card"   -> (CorpusOps.datasetCard _),
     "q_compaction_plan" -> ((s, d) => RelationalOps.compactionPlan(s, d)),
-    // rows-only: cell membership depends on the k-means model geometry;
-    // IvfSpec pins determinism, containment, and the ALL-row arithmetic
+    // oracle-checked since round 8 (unrolled-Lloyd CTE); IvfSpec pins
+    // determinism, containment, and the ALL-row arithmetic
     "q_cluster_purity" -> ((s, d) => IvfOps.clusterPurity(s, d)),
     // PCA spectrum of the embedding corpus (rows-only: driver eigensolver;
     // SimilaritySpec pins it to exact small-case + trace/ratio invariants)
@@ -345,11 +347,12 @@ object SparkEntry {
     // (SCALE.md e=1.63); q_caption_dedup_lsh below is the scale path.
     "q_caption_dedup"  -> ((s, d) => MultimodalOps.captionDedup(s, d)),
     // PRIMARY scale form: same caption join on LSH sign-bucket candidate
-    // pairs (rows-only — bucket structure isn't SQL; spec-pinned subset)
+    // pairs (oracle-checked since round 9 — hyperplane-literal buckets;
+    // spec-pinned subset-of-exact)
     "q_caption_dedup_lsh" -> ((s, d) => MultimodalOps.captionDedupLsh(s, d)),
     "q_phash_dedup"    -> (MultimodalOps.phashDedup _),
     // IVF index health: per-cell population, imbalance factor, empty
-    // cells (rows-only: k-means cells aren't SQL; IvfSpec pins totals)
+    // cells (oracle-checked since round 8; IvfSpec pins totals)
     "q_ivf_balance"    -> ((s, d) => IvfOps.ivfBalance(s, d)),
     // out-of-order arrival audit (the watermark-sizing number)
     "q_event_lag"      -> (EventOps.eventLag _),
@@ -370,20 +373,15 @@ object SparkEntry {
     * sketch never purges, which its declared 2^15 map guarantees at every
     * shipped SF — oracles against the plain token-frequency table.
     *
-    * Seven queries are deliberately rows-only (no entry here), each with a
-    * stronger ScalaTest invariant instead:
-    * q_approx_stats is a sketch (HLL++/quantile) whose exact
-    * counterparts differ by construction — SketchSpec bounds its error
-    * against exact COUNT(DISTINCT)/quantiles, and proves q_hll_rollup's
-    * (also rows-only) sketch-union row equals the direct global sketch;
-    * q_bpe_vocab / q_bpe_segment train and apply BPE merges sequentially by rank (not SQL) —
-    * CorpusOpsSpec pins the merge sequence to hand-computed ground truth;
-    * q_pq_ann trains k-means codebooks iteratively with within-subspace
-    * dims DuckDB's unrolled-Lloyd CTE doesn't model — PqSpec pins
-    * recall vs the exact baseline plus ADC error bounds;
-    * q_frame_features exercises the stubbed decode path — its spec pins
-    * shape and determinism; q_embed_pca eigendecomposes the covariance on
-    * the driver (Jacobi, not SQL) — SimilaritySpec pins it to an exact
+    * Three queries are deliberately rows-only (no entry here), each with a
+    * stronger ScalaTest invariant instead: q_approx_stats is a sketch
+    * (HLL++/quantile) whose exact counterparts differ by construction —
+    * SketchSpec bounds its error against exact COUNT(DISTINCT)/quantiles;
+    * q_hll_rollup's DataSketches HLL registers are engine-specific —
+    * SketchSpec proves the sketch-union row equals the direct global
+    * sketch exactly; q_embed_pca eigendecomposes the covariance on the
+    * driver (Jacobi — the pivot sequence is data-dependent, so no
+    * bounded unroll exists) — SimilaritySpec pins it to an exact
     * small-case spectrum plus trace-conservation/ordering invariants.
     *
     * Everything else that was once rows-only is now oracle-proven:
@@ -391,11 +389,14 @@ object SparkEntry {
     * q_ivf_balance) via the round-8 unrolled-Lloyd CTE (lloydCtes); the
     * MinHash/SimHash family (q_dedup_minhash/q_dedup_simhash/
     * q_simhash_pairs/q_minhash_recall) via the round-9 salted md5-60
-    * signature port; and the embedding sign-bucket LSH family
+    * signature port; the embedding sign-bucket LSH family
     * (q_dedup_embed_lsh/q_dedup_embed_rep/q_sim_lsh/q_caption_dedup_lsh/
     * q_ann_recall) via the fixed-seed hyperplane literals
-    * (embedBucketCtes). The ScalaTest recall/subset invariants remain as
-    * quality pins on top of the engine-agreement proof. */
+    * (embedBucketCtes); q_pq_ann via the per-subspace unrolled Lloyd
+    * (pqAnnSql); q_bpe_vocab/q_bpe_segment via the 30-round MATERIALIZED
+    * merge-replace chain (bpeCtes); and q_frame_features via the
+    * md5-digest stub featurizer. The ScalaTest recall/subset invariants
+    * remain as quality pins on top of the engine-agreement proof. */
   /** Unrolled-Lloyd CTE prefix replicating [[graft.operators.IvfOps]]'s
     * deterministic k-means trainer in DuckDB SQL — the same technique as
     * q_quality_train's 25 unrolled GD steps and q_pagerank's 5 rank
@@ -646,6 +647,46 @@ object SparkEntry {
       s"WHERE rn <= $k ORDER BY q_id, rn"
     sb.toString
   }
+
+  /** q_bpe_vocab / q_bpe_segment: BPE training and application unrolled in
+    * DuckDB — the lloydCtes technique applied to the merge recurrence.
+    * Words are encoded as " sym  sym  … " (each symbol wrapped in single
+    * spaces, so a merge is a literal non-regex `replace` of
+    * " l  r " → " lr " — left-to-right non-overlapping, exactly the Scala
+    * scan's semantics, and safe because symbols can never contain spaces).
+    * Each round: pair counts from the split symbol lists, argmax with the
+    * (count desc, left, right) tie rule, one replace over the word table.
+    * CTEs are MATERIALIZED — without it DuckDB inlines the w_t chain into
+    * both p_t and w_{t+1}, doubling the expression tree per round (2³⁰
+    * scans). Application-side equivalence: applying merges in RANK ORDER
+    * equals bpeApply's lowest-present-rank loop because merge j's
+    * components are products of merges ranked < j, so applying a
+    * higher-rank merge can never create a lower-rank pair occurrence. */
+  private def bpeCtes(topWords: Int = 5000, numMerges: Int = 30): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH wf AS MATERIALIZED (SELECT tok, count(*) AS f FROM " +
+      "(SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok FROM documents) GROUP BY tok), "
+    sb ++= s"topw AS (SELECT tok, f FROM wf ORDER BY f DESC, tok LIMIT $topWords), "
+    sb ++= "w0 AS MATERIALIZED (SELECT " + bpeEncode("tok") + " AS ws, f FROM topw), "
+    for (t <- 0 until numMerges) {
+      sb ++= s"p$t AS (SELECT sy[CAST(i AS INTEGER)] AS l, sy[CAST(i AS INTEGER) + 1] AS r, sum(f) AS c FROM " +
+        s"(SELECT sy, f, unnest(range(1, len(sy))) AS i FROM " +
+        s"(SELECT string_split(trim(ws), '  ') AS sy, f FROM w$t)) GROUP BY 1, 2), "
+      sb ++= s"b$t AS MATERIALIZED (SELECT l, r, c FROM p$t ORDER BY c DESC, l, r LIMIT 1), "
+      sb ++= s"w${t + 1} AS MATERIALIZED (SELECT ${bpeMerge("ws", s"b$t")} AS ws, f " +
+        s"FROM w$t CROSS JOIN b$t b), "
+    }
+    sb.toString.stripSuffix(", ")
+  }
+
+  /** " c  h  a  r  …  </w> " encoding of a word column. */
+  private def bpeEncode(tok: String): String =
+    s"' ' || array_to_string(list_concat(list_transform(range(1, length($tok) + 1), " +
+      s"i -> substr($tok, CAST(i AS INTEGER), 1)), ['</w>']), '  ') || ' '"
+
+  /** One merge application: literal replace of " l  r " with " lr ". */
+  private def bpeMerge(ws: String, b: String): String =
+    s"replace($ws, ' ' || b.l || '  ' || b.r || ' ', ' ' || b.l || b.r || ' ')"
 
   /** q_ann_recall: exact brute-force truth vs the IVF (unrolled Lloyd) and
     * LSH (literal planes) shortlists, with the same recall/avg-returned
@@ -947,6 +988,22 @@ object SparkEntry {
         "ORDER BY pr.va, pr.vb"),
     "q_ann_recall" -> annRecallSql(),
     "q_pq_ann" -> pqAnnSql(),
+    "q_bpe_vocab" ->
+      (bpeCtes() + " SELECT * FROM (" +
+        (0 until 30).map(t =>
+          s"""SELECT CAST($t AS INTEGER) AS "rank", l AS "left", r AS "right", CAST(c AS BIGINT) AS pair_count FROM b$t""")
+          .mkString(" UNION ALL ") +
+        """) ORDER BY "rank""""),
+    "q_bpe_segment" ->
+      (bpeCtes() +
+        ", s0 AS (SELECT tok, f, " + bpeEncode("tok") + " AS ws FROM wf)" +
+        (0 until 30).map(t =>
+          s", s${t + 1} AS MATERIALIZED (SELECT tok, f, ${bpeMerge("ws", s"b$t")} AS ws " +
+            s"FROM s$t CROSS JOIN b$t b)").mkString +
+        " SELECT tok, CAST(f AS BIGINT) AS n, " +
+        "array_to_string(string_split(trim(ws), '  '), ' ') AS pieces, " +
+        "CAST(len(string_split(trim(ws), '  ')) AS INTEGER) AS n_pieces " +
+        "FROM s30 ORDER BY tok"),
     // DSIR importance resampling: hashed uni+bigram buckets, add-1
     // smoothed target/corpus models, Gumbel-top-k via md5-uniform noise,
     // keep above the 80th-percentile cut (quantile_cont = Spark

@@ -972,9 +972,11 @@ object CorpusOps {
     * word count), a TakeOrderedAndProject to the bounded top-V vocabulary,
     * then driver-side training over V compact rows (BPE is sequential in
     * merge rank — distributing it buys nothing; bounding V caps driver
-    * memory at any corpus size). Rows-only: iterative training is not
-    * SQL-expressible; CorpusOpsSpec pins the merges to a hand-computed
-    * Sennrich-style ground truth. */
+    * memory at any corpus size). Oracle-proven since round 9: the merge
+    * recurrence unrolls in DuckDB as 30 MATERIALIZED CTE rounds
+    * (SparkEntry.bpeCtes — pair counts, (count desc, left, right) argmax,
+    * one literal replace per round); CorpusOpsSpec keeps the hand-computed
+    * Sennrich-style ground truth as a pin. */
   def bpeVocab(spark: SparkSession, dir: String, topWords: Int = 5000,
       numMerges: Int = 30): DataFrame = {
     import spark.implicits._
@@ -1037,7 +1039,12 @@ object CorpusOps {
     * token stream (a corpus has billions of tokens but a bounded surface
     * vocabulary) — one partial-aggregated distinct, then a narrow
     * mapPartitions with the broadcast rank map; re-join to the stream only
-    * if per-document fertility is needed. */
+    * if per-document fertility is needed. Oracle-proven since round 9:
+    * applying the trained merges in RANK ORDER provably equals
+    * [[bpeApply]]'s lowest-present-rank loop (a merge's components are
+    * always products of lower-ranked merges, so a higher-rank application
+    * can never create a lower-rank pair occurrence), which makes the
+    * segmentation a 30-step replace chain in DuckDB. */
   def bpeSegmentTokens(spark: SparkSession, dir: String, topWords: Int = 5000,
       numMerges: Int = 30): DataFrame = {
     import spark.implicits._
