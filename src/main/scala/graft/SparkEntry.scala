@@ -274,6 +274,9 @@ object SparkEntry {
     "q_link_predict"   -> ((s, d) => GraphOps.linkPredict(s, d)),
     "q_tpch_q3"        -> (JoinOps.tpchQ3 _),
     "q_tpch_q4"        -> ((s, d) => JoinOps.tpchQ4(s, d)),
+    "q_tpch_q12"       -> ((s, d) => JoinOps.tpchQ12(s, d)),
+    "q_tpch_q21"       -> ((s, d) => JoinOps.tpchQ21(s, d)),
+    "q_doremi"         -> ((s, d) => CorpusOps.doremi(s, d)),
     "q_tpch_q18"       -> ((s, d) => JoinOps.tpchQ18(s, d)),
     "q_tpch_q10"       -> ((s, d) => JoinOps.tpchQ10(s, d)),
     "q_tpch_q6"        -> (JoinOps.tpchQ6 _),
@@ -1004,6 +1007,25 @@ object SparkEntry {
         "array_to_string(string_split(trim(ws), '  '), ' ') AS pieces, " +
         "CAST(len(string_split(trim(ws), '  ')) AS INTEGER) AS n_pieces " +
         "FROM s30 ORDER BY tok"),
+    // DoReMi one-step domain reweighting: q_unigram_logprob's per-doc CTE
+    // feeds per-domain NLL; excess/softmax over 4-rounded decimals
+    "q_doremi" ->
+      ("WITH e AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token FROM documents), " +
+        "v AS (SELECT token, COUNT(*) AS n FROM e GROUP BY token), " +
+        "tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM v), " +
+        "lp AS (SELECT e.doc_id, CAST(round(CAST(AVG(log10(CAST(v.n AS DOUBLE) / tot.total)) AS DECIMAL(20,8)), 4) AS DOUBLE) AS mean_logp " +
+        "FROM e JOIN v USING (token) CROSS JOIN tot GROUP BY e.doc_id), " +
+        "sc AS (SELECT d.source, lp.mean_logp FROM lp JOIN documents d ON lp.doc_id = d.doc_id), " +
+        "pd AS (SELECT source, count(*) AS n_docs, " +
+        "CAST(round(CAST(avg(-mean_logp) AS DECIMAL(20,8)), 4) AS DOUBLE) AS mean_nll FROM sc GROUP BY source), " +
+        "bl AS (SELECT CAST(round(CAST(avg(-mean_logp) AS DECIMAL(20,8)), 4) AS DOUBLE) AS corpus_nll FROM sc), " +
+        "ex AS (SELECT source, n_docs, mean_nll, greatest(mean_nll - corpus_nll, 0.0) AS excess FROM pd CROSS JOIN bl), " +
+        "z AS (SELECT sum(exp(100.0 * excess)) AS z, count(*) AS k FROM ex) " +
+        "SELECT source, n_docs, mean_nll, " +
+        "CAST(round(CAST(excess AS DECIMAL(20,8)), 4) AS DOUBLE) AS excess_nll, " +
+        "CAST(round(CAST(exp(100.0 * excess) / z.z AS DECIMAL(20,8)), 4) AS DOUBLE) AS alpha, " +
+        "CAST(round(CAST((1.0 - 0.1) * (exp(100.0 * excess) / z.z) + 0.1 / z.k AS DECIMAL(20,8)), 4) AS DOUBLE) AS mix_weight " +
+        "FROM ex CROSS JOIN z ORDER BY source"),
     // DSIR importance resampling: hashed uni+bigram buckets, add-1
     // smoothed target/corpus models, Gumbel-top-k via md5-uniform noise,
     // keep above the 80th-percentile cut (quantile_cont = Spark
@@ -2838,6 +2860,26 @@ object SparkEntry {
         "WHERE o_orderdate < TIMESTAMP '1995-03-15 00:00:00' " +
         "AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00' " +
         "GROUP BY 1, 2, 3 ORDER BY revenue DESC, o_orderkey LIMIT 10"),
+    // Q12's CASE-classification aggregate with the adapted mode/lateness
+    // columns (see JoinOps.tpchQ12)
+    "q_tpch_q12" ->
+      ("SELECT l_returnflag AS ship_mode, " +
+        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+        "CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "AND l_shipdate > o_orderdate + INTERVAL 30 DAY " +
+        "GROUP BY 1 ORDER BY 1"),
+    // Q21's multi-EXISTS / NOT-EXISTS composite over the adapted late rule
+    "q_tpch_q21" ->
+      ("WITH late AS (SELECT DISTINCT l.l_orderkey, l.l_suppkey FROM lineitem l " +
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) " +
+        "SELECT s.s_name, count(*) AS numwait FROM late l1 " +
+        "JOIN supplier s ON l1.l_suppkey = s.s_suppkey " +
+        "WHERE EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) " +
+        "AND NOT EXISTS (SELECT 1 FROM late l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey) " +
+        "GROUP BY s.s_name ORDER BY numwait DESC, s_name LIMIT 20"),
     // Q4's correlated EXISTS with the adapted predicate (see JoinOps.tpchQ4)
     "q_tpch_q4" ->
       ("SELECT o_orderpriority, count(*) AS order_count FROM orders o " +

@@ -1300,6 +1300,53 @@ object CorpusOps {
     * marginals are rollups OF THE CELLS (never a second fact scan), joined
     * back by broadcast; every entropy/MI term is computed from exact
     * integer counts, summed over ≤ |L|×|S| values. */
+  /** q_doremi: DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining") — the
+    * Group-DRO exponentiated-gradient step that upweights domains where
+    * the proxy model does WORSE than baseline: α_d ∝ exp(η · excess_d),
+    * excess_d = max(0, loss_d − baseline), then smoothed with uniform
+    * (mix = (1−s)·α + s/K). The full recipe retrains the proxy between
+    * steps (out of scope for one query); this is ONE exact step with the
+    * corpus-trained unigram LM as the proxy — per-domain loss = mean
+    * negative per-doc mean log10-likelihood from [[TextOps
+    * .unigramLogprobDocs]] (the same engine-checked values q_unigram_logprob
+    * ships), baseline = the corpus mean. η defaults to 100 — scaled to
+    * this proxy's small excess range (≈10⁻³ nll) so the softmax
+    * differentiates; the dial a real run tunes.
+    *
+    * Scale shape: the per-doc scoring is the q_unigram_logprob pass (two
+    * partial-aggregated hops); everything after is |domains|-row — one
+    * broadcast of the 1-row corpus mean, a ≤|domains|-row softmax. Excess
+    * is computed from the 4-decimal-rounded per-domain and corpus means,
+    * so the softmax input is exact decimals in both engines. */
+  def doremi(spark: SparkSession, dir: String, eta: Double = 100.0,
+      smooth: Double = 0.1): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val docs = Tables.documents(spark, dir)
+    val scored = TextOps.unigramLogprobDocs(docs)
+      .select(col("doc_id"), col("mean_logp"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val perDomain = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        stableRound4(avg(-col("mean_logp"))).as("mean_nll"))
+    val baseline = scored.agg(
+      stableRound4(avg(-col("mean_logp"))).as("corpus_nll"))
+    val excess = perDomain.crossJoin(broadcast(baseline))
+      .select(col("source"), col("n_docs"), col("mean_nll"),
+        col("corpus_nll"),
+        greatest(col("mean_nll") - col("corpus_nll"), lit(0.0)).as("excess"))
+    val z = excess.agg(sum(exp(lit(eta) * col("excess"))).as("z"),
+      count(lit(1)).as("k"))
+    excess.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("mean_nll"),
+        stableRound4(col("excess")).as("excess_nll"),
+        stableRound4(exp(lit(eta) * col("excess")) / col("z")).as("alpha"),
+        stableRound4((lit(1.0) - smooth)
+          * (exp(lit(eta) * col("excess")) / col("z"))
+          + lit(smooth) / col("k")).as("mix_weight"))
+      .orderBy(col("source"))
+  }
+
   /** q_dsir: DSIR — Data Selection via Importance Resampling (Xie et al.
     * 2023, "Data Selection for Language Models via Importance Resampling")
     * — THE staple of modern pretraining-data curation: score every raw

@@ -422,17 +422,24 @@ object DedupOps {
   private def minhashSignaturesFromShingles(ex: DataFrame,
       numHashes: Int = 32): DataFrame = {
     // salted md5-60 family (MinHashFamily): same signatures as the scalar /
-    // aggregate paths on string shingles, and — the reason for md5 —
+    // column paths on string shingles, and — the reason for md5 —
     // reproducible in DuckDB, so bandings built on these signatures are
     // oracle-checkable end to end. Hashed-long shingle keys participate
     // via their decimal string form (CAST(key AS VARCHAR) in the oracle).
-    val aggs = (0 until numHashes)
-      .map(i => min(graft.functions.TextFunctions
-        .md5Salted60(i, col("shingle"))).as(s"mh_$i"))
-    ex.groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
+    // Implemented as the [[graft.functions.expressions.MinHashSignature]]
+    // TypedImperativeAggregate, NOT 32 `min(md5Salted60(...))` columns:
+    // the aggregate runs one raw-digest pass per row into a primitive
+    // long buffer, where the column form pays digest + hex-encode +
+    // substring + conv allocations ×32 per row — the sf1 gate measured
+    // that chain at 33 s on q_minhash_recall's 10× survivor table vs ~4 s
+    // for the buffer path (identical results: MinHashAggSpec asserts the
+    // two formulations agree bit-for-bit).
+    import org.apache.spark.sql.GraftColumnBridge
+    val sigCol = GraftColumnBridge.toColumn(
+      graft.functions.expressions.MinHashSignature(
+        GraftColumnBridge.toExpression(col("shingle").cast("string")),
+        numHashes).toAggregateExpression())
+    ex.groupBy(col("doc_id")).agg(sigCol.as("sig"))
   }
 
   /** Candidates verified with exact Jaccard over the shingle sets.

@@ -681,6 +681,82 @@ object JoinOps {
       .orderBy(col("bucket"))
   }
 
+  /** q_tpch_q12 (shipping modes and order priority): the
+    * CASE-classification aggregate over one fact⋈dim join with a pushed
+    * date window. TPC-H buckets by l_shipmode with commit/receipt
+    * constraints; the synthetic lineitem carries neither column, so — the
+    * standing adaptation rule — the SHAPE is kept verbatim with
+    * l_returnflag as the mode surrogate and "shipped > 30 days after
+    * order" as the lateness constraint. Plan: the year window and
+    * NotNull push to the lineitem scan, the join is one shuffle on
+    * orderkey (only o_orderpriority read from orders — column pruning),
+    * and the CASE counts partial-aggregate to |modes| rows. */
+  def tpchQ12(spark: SparkSession, dir: String, year: String = "1996")
+      : DataFrame = {
+    val lines = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(s"$year-01-01").cast("timestamp")
+        && col("l_shipdate") < lit(s"${year.toInt + 1}-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_returnflag"))
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lines
+      .join(orders, col("l_orderkey") === col("o_orderkey")
+        && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("l_returnflag").as("ship_mode"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy(col("ship_mode"))
+  }
+
+  /** q_tpch_q21 (suppliers who kept orders waiting): the
+    * multi-EXISTS / NOT-EXISTS correlated anti-join composite — the one
+    * TPC-H pattern family q4 didn't cover. For each supplier's LATE
+    * (orderkey, suppkey) participation: keep it only if the order also
+    * involves ANOTHER supplier (EXISTS → left-semi on orderkey with a
+    * supplier-differs residual) and NO other supplier was late on it
+    * (NOT EXISTS → left-anti against the late set itself); count blamed
+    * orders per supplier. Lateness adapts commit/receipt to
+    * "shipped > 60 days after the order date" (same rule as q4/q12).
+    *
+    * Plan shape: the late set is one pushed-filter join distilled to
+    * DISTINCT (orderkey, suppkey) pairs; the EXISTS rides the (narrow)
+    * lineitem key projection; the anti-join probes the late set against
+    * itself — both shuffles carry two small key columns, never the fact
+    * width; the supplier dim joins broadcast-sized at the end. */
+  def tpchQ21(spark: SparkSession, dir: String, lateDays: Int = 60,
+      k: Int = 20): DataFrame = {
+    val lines = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val late = Materialize(lines
+      .join(orders, col("l_orderkey") === col("o_orderkey")
+        && col("l_shipdate") > col("o_orderdate")
+          + expr(s"INTERVAL $lateDays DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .distinct())
+    val othersExist = late.as("l1")
+      .join(lines.select(col("l_orderkey"), col("l_suppkey")).as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey")
+          && col("l1.l_suppkey") =!= col("l2.l_suppkey"),
+        "left_semi")
+    val soleBlame = othersExist.as("l1")
+      .join(late.as("l3"),
+        col("l1.l_orderkey") === col("l3.l_orderkey")
+          && col("l1.l_suppkey") =!= col("l3.l_suppkey"),
+        "left_anti")
+    soleBlame
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(k)
+  }
+
   /** q_tpch_q4 (order priority checking): the correlated-EXISTS-with-date-
     * window pattern — count orders per priority in a 3-month window where
     * at least one line item satisfies a predicate CORRELATED with the

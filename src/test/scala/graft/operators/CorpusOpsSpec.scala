@@ -675,6 +675,29 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(math.abs(nmi - mi / math.sqrt(hl * hs)) < 5e-4)
   }
 
+  test("doremi: weights normalize, monotone in excess, uniform at excess 0") {
+    val out = CorpusOps.doremi(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(out.map(_._2).sum == nDocs)
+    // mixture weights are a distribution (4-decimal rounding slack)
+    val mixSum = out.map(_._6).sum
+    assert(math.abs(mixSum - 1.0) < 1e-2, s"mix sum $mixSum")
+    val alphaSum = out.map(_._5).sum
+    assert(math.abs(alphaSum - 1.0) < 1e-2, s"alpha sum $alphaSum")
+    // exponentiated-gradient direction: higher excess never gets a lower
+    // alpha, and every domain at excess 0 shares one alpha value
+    val sorted = out.sortBy(_._4)
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 <= b._5 + 1e-9, s"alpha not monotone: $a vs $b")
+    }
+    val zeroAlphas = out.filter(_._4 == 0.0).map(_._5).distinct
+    assert(zeroAlphas.length <= 1)
+    // smoothing keeps every domain sampled
+    out.foreach { o => assert(o._6 > 0.0, s"domain ${o._1} starved") }
+  }
+
   test("dsir: coverage, ~keepFrac selection, target domain scores higher") {
     val docs = graft.Tables.documents(spark, sf)
     val out = CorpusOps.dsir(spark, sf).collect()

@@ -150,6 +150,53 @@ class JoinOpsSpec extends SparkTestBase {
     }
   }
 
+  test("tpchQ12 line classes partition the windowed late joins") {
+    val out = JoinOps.tpchQ12(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // every windowed late line is classified exactly once
+    val total = JoinOps.tpchQ12(spark, sf)
+      .agg(sum(col("high_line_count") + col("low_line_count"))).head.getLong(0)
+    val direct = graft.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(graft.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .count()
+    assert(total == direct, s"$total vs $direct")
+    assert(out.nonEmpty && out.values.forall(v => v._1 >= 0 && v._2 >= 0))
+  }
+
+  test("tpchQ21 blames exactly the sole-late suppliers of shared orders") {
+    val out = JoinOps.tpchQ21(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // driver recompute of the EXISTS / NOT-EXISTS composite
+    val lines = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.get(2) match { case t: java.sql.Timestamp => t.toLocalDateTime
+                         case l: java.time.LocalDateTime => l }))
+    val odate = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderdate")).collect()
+      .map(r => r.getLong(0) ->
+        (r.get(1) match { case t: java.sql.Timestamp => t.toLocalDateTime
+                          case l: java.time.LocalDateTime => l })).toMap
+    val late = lines.filter { case (ok, _, sd) =>
+      odate.contains(ok) && sd.isAfter(odate(ok).plusDays(60)) }
+      .map(l => (l._1, l._2)).distinct
+    val suppsPerOrder = lines.map(l => (l._1, l._2)).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val latePerOrder = late.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val blamed = late.filter { case (ok, sk) =>
+      suppsPerOrder(ok).exists(_ != sk) && latePerOrder(ok).forall(_ == sk) }
+    val names = graft.Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), col("s_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expTop = blamed.groupBy(p => names(p._2)).view.mapValues(_.length.toLong)
+      .toSeq.sortBy { case (n, c) => (-c, n) }.take(20).toMap
+    assert(out == expTop, s"got $out expected $expTop")
+  }
+
   test("tpchQ4 equals a driver recompute of the correlated EXISTS") {
     val out = JoinOps.tpchQ4(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

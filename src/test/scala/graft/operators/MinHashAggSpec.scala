@@ -37,13 +37,25 @@ class MinHashAggSpec extends SparkTestBase {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
-  test("column md5Salted60 path (minhashSignatures) equals the expression paths") {
+  test("column md5Salted60 formulation equals the expression paths") {
     // since the round-9 md5-60 port ALL signature builders share one hash
-    // family — the column form is what the DuckDB oracle replicates, so
-    // its agreement with the JVM expression paths is what ties the oracle
-    // to the shipped scalar operator
+    // family — the min(md5Salted60(i, shingle)) COLUMN form is exactly
+    // what the DuckDB oracle replicates, so its agreement with the JVM
+    // expression paths is what ties the oracle to the shipped operators
+    // (the shipped builders themselves use the raw-digest aggregate,
+    // which skips the hex/conv allocations — see
+    // DedupOps.minhashSignaturesFromShingles)
+    import graft.functions.TextFunctions.{md5Salted60, shingles, tokensLower}
     val docs = Tables.documents(spark, sf).limit(100)
-    val colPath = DedupOps.minhashSignatures(docs, 32).orderBy("doc_id")
+    val ex = docs.select(col("doc_id"),
+      explode(shingles(tokensLower(col("text")))).as("shingle"))
+    val aggs = (0 until 32)
+      .map(i => min(md5Salted60(i, col("shingle"))).as(s"mh_$i"))
+    val colPath = ex.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until 32).map(i => col(s"mh_$i")): _*).as("sig"))
+      .orderBy("doc_id")
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
     val scalar = DedupOps.minhashSignaturesScalar(docs, 32)
       .filter(col("doc_id").isin(colPath.map(_._1): _*)).orderBy("doc_id")
@@ -51,6 +63,10 @@ class MinHashAggSpec extends SparkTestBase {
     assert(colPath.nonEmpty && colPath.length == scalar.length)
     assert(colPath.zip(scalar).forall { case ((i1, s1), (i2, s2)) =>
       i1 == i2 && s1 == s2 })
+    // and the shipped aggregate path agrees with the same column form
+    val aggPath = DedupOps.minhashSignatures(docs, 32).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    assert(aggPath.toSeq == colPath.toSeq)
   }
 
   test("shingle-less docs: scalar path drops them, matching the agg path") {
