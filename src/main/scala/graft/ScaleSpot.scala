@@ -97,7 +97,11 @@ object ScaleSpot {
     // a broadcast model join — should be scan-linear), perceptual-hash
     // media dedup (q_simhash_pairs' fixed 4·2¹⁵ band-space risk family),
     // and the Q4 correlated-EXISTS semi-join (scan/shuffle-bound)
-    "q_rank_eval", "q_dsir", "q_phash_dedup", "q_tpch_q4")
+    "q_rank_eval", "q_dsir", "q_phash_dedup", "q_tpch_q4",
+    // round-9 late additions: DoReMi (unigram-LM family + |domains|-row
+    // softmax — should track q_unigram_logprob), the Q12 windowed
+    // CASE-agg and Q21 multi-anti-join (both scan/shuffle-bound)
+    "q_doremi", "q_tpch_q12", "q_tpch_q21")
   val Scales = Seq(10, 100)
 
   def outDir(copies: Int) = s"/tmp/graft_spot_${copies}x"
@@ -144,6 +148,12 @@ object ScaleSpot {
     union(Tables.customer(spark, src)) { (df, i) =>
       df.withColumn("c_custkey", col("c_custkey") + lit(i.toLong * 10000000L))
     }.repartition(8).write.mode("overwrite").parquet(s"$out/customer.parquet")
+
+    // supplier: UNSHIFTED (lineitem copies keep their l_suppkey), so the
+    // supplier dim stays fixed while the fact grows — TPC-H's own
+    // slow-dim regime, and what q_tpch_q21's per-supplier blame needs
+    Tables.supplier(spark, src)
+      .repartition(1).write.mode("overwrite").parquet(s"$out/supplier.parquet")
 
     // events: user_id-shifted copies — more users, same per-user history
     // (the realistic bigger-audience regime; per-user windows stay
