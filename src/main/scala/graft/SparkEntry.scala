@@ -997,12 +997,16 @@ object SparkEntry {
           s"""SELECT CAST($t AS INTEGER) AS "rank", l AS "left", r AS "right", CAST(c AS BIGINT) AS pair_count FROM b$t""")
           .mkString(" UNION ALL ") +
         """) ORDER BY "rank""""),
+    // LEFT JOIN ON true (not CROSS JOIN): if the pair vocabulary exhausts
+    // before 30 merges, the empty b_t must pass rows through unchanged
+    // (COALESCE keeps ws) — a cross join with an empty b_t would zero the
+    // whole segment table, where Scala's trainer just stops early
     "q_bpe_segment" ->
       (bpeCtes() +
         ", s0 AS (SELECT tok, f, " + bpeEncode("tok") + " AS ws FROM wf)" +
         (0 until 30).map(t =>
-          s", s${t + 1} AS MATERIALIZED (SELECT tok, f, ${bpeMerge("ws", s"b$t")} AS ws " +
-            s"FROM s$t CROSS JOIN b$t b)").mkString +
+          s", s${t + 1} AS MATERIALIZED (SELECT tok, f, COALESCE(${bpeMerge("ws", s"b$t")}, ws) AS ws " +
+            s"FROM s$t LEFT JOIN b$t b ON true)").mkString +
         " SELECT tok, CAST(f AS BIGINT) AS n, " +
         "array_to_string(string_split(trim(ws), '  '), ' ') AS pieces, " +
         "CAST(len(string_split(trim(ws), '  ')) AS INTEGER) AS n_pieces " +
@@ -1056,8 +1060,12 @@ object SparkEntry {
     // the same 4x15 Hamming banding as q_simhash_pairs, reported per item
     "q_phash_dedup" ->
       ("WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents WHERE n_chars > 0), " +
+        // '//' = integer floor division, matching the JVM resample's
+        // (i*len)/bits on non-negative longs; plain '/' is FLOAT division
+        // in DuckDB and CAST rounds half-even — off-by-one pixel picks
+        // (and one past-the-end substr) on any len not divisible by 60
         "px AS (SELECT doc_id, i.i AS pix_idx, " +
-        "ascii(substr(text, CAST((i.i * len) / 60 AS INTEGER) + 1, 1)) AS pv " +
+        "ascii(substr(text, CAST((i.i * len) // 60 AS INTEGER) + 1, 1)) AS pv " +
         "FROM d CROSS JOIN range(60) i(i)), " +
         "st AS (SELECT doc_id, sum(pv) AS s FROM px GROUP BY doc_id), " +
         "ph AS (SELECT px.doc_id, CAST(sum(CASE WHEN pv * 60 > s THEN (CAST(1 AS BIGINT) << pix_idx) ELSE 0 END) AS BIGINT) AS phash " +

@@ -1323,18 +1323,24 @@ object CorpusOps {
       smooth: Double = 0.1): DataFrame = {
     import graft.functions.NumericFunctions.stableRound4
     val docs = Tables.documents(spark, dir)
-    val scored = TextOps.unigramLogprobDocs(docs)
+    // materialized: the per-doc LM scoring pass is the query's dominant
+    // cost and feeds FOUR consumers (per-domain agg, corpus baseline, and
+    // both re-reads via the unmaterialized excess in z and the final
+    // select) — without the barrier the vocab join re-executes per branch
+    val scored = Materialize(TextOps.unigramLogprobDocs(docs)
       .select(col("doc_id"), col("mean_logp"))
-      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id")))
     val perDomain = scored.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         stableRound4(avg(-col("mean_logp"))).as("mean_nll"))
     val baseline = scored.agg(
       stableRound4(avg(-col("mean_logp"))).as("corpus_nll"))
-    val excess = perDomain.crossJoin(broadcast(baseline))
+    // |domains|-row frame read by the softmax normalizer AND the final
+    // select — materialized so the two consumers share one computation
+    val excess = Materialize(perDomain.crossJoin(broadcast(baseline))
       .select(col("source"), col("n_docs"), col("mean_nll"),
         col("corpus_nll"),
-        greatest(col("mean_nll") - col("corpus_nll"), lit(0.0)).as("excess"))
+        greatest(col("mean_nll") - col("corpus_nll"), lit(0.0)).as("excess")))
     val z = excess.agg(sum(exp(lit(eta) * col("excess"))).as("z"),
       count(lit(1)).as("k"))
     excess.crossJoin(broadcast(z))
@@ -1378,6 +1384,26 @@ object CorpusOps {
   def dsir(spark: SparkSession, dir: String, targetSource: String = "src0",
       buckets: Int = 1024, keepFrac: Double = 0.2): DataFrame = {
     import graft.functions.NumericFunctions.stableRound4
+    // materialized: the ratios join + per-doc weight aggregation feeds
+    // both the percentile cut and the final select — without the barrier
+    // the dominant scoring stage runs twice per action
+    val keyed = Materialize(dsirKeyed(spark, dir, targetSource, buckets))
+    val cut = keyed.agg(
+      expr(s"percentile(gumbel_key, ${1.0 - keepFrac})").as("c"))
+    keyed.crossJoin(broadcast(cut))
+      .select(col("doc_id"), col("n_grams"), col("log_weight"),
+        col("gumbel_key"),
+        (col("gumbel_key") > stableRound4(col("c"))).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The DSIR scoring stage (per-doc log weight + Gumbel key), pre-
+    * materialization — exposed so PlanQualitySpec can assert the
+    * broadcast-model join and partial aggregation on the REAL plan (the
+    * barrier in [[dsir]] collapses it to an RDD scan). */
+  private[graft] def dsirKeyed(spark: SparkSession, dir: String,
+      targetSource: String = "src0", buckets: Int = 1024): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
     val docs = Tables.documents(spark, dir)
     val grams = docs
       .select(col("doc_id"), col("source"),
@@ -1406,20 +1432,13 @@ object CorpusOps {
             / (col("nq_tot") + buckets))).as("r"))
     val u = (conv(substring(md5(concat(col("doc_id").cast("string"),
       lit(":dsir"))), 1, 4), 16, 10).cast("double") + 0.5) / 65536.0
-    val keyed = perDoc.join(broadcast(ratios), Seq("b"))
+    perDoc.join(broadcast(ratios), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_grams"),
         sum(col("cnt") * col("r")).as("logw"))
       .select(col("doc_id"), col("n_grams"),
         stableRound4(col("logw")).as("log_weight"),
         stableRound4(col("logw") - log(-log(u))).as("gumbel_key"))
-    val cut = keyed.agg(
-      expr(s"percentile(gumbel_key, ${1.0 - keepFrac})").as("c"))
-    keyed.crossJoin(broadcast(cut))
-      .select(col("doc_id"), col("n_grams"), col("log_weight"),
-        col("gumbel_key"),
-        (col("gumbel_key") > stableRound4(col("c"))).as("keep"))
-      .orderBy(col("doc_id"))
   }
 
   def mutualInfo(spark: SparkSession, dir: String): DataFrame = {

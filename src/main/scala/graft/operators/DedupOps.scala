@@ -1055,9 +1055,9 @@ object DedupOps {
     * equality join on centroid_id — hash-partitioned, never a global cross
     * product; one cell's pairs never leave one task. */
   def semDedup(emb: DataFrame, threshold: Double = 0.25,
-      numClusters: Int = 16): DataFrame = {
+      numClusters: Int = IvfOps.DefaultK): DataFrame = {
     val e = Materialize(emb)
-    val (_, assigned) = IvfOps.trainIndex(e, numClusters, iters = 3)
+    val (_, assigned) = IvfOps.trainIndex(e, numClusters)
     val a = assigned.select(col("centroid_id"), col("vec_id"),
       col("embedding"), l2Norm(col("embedding")).as("nrm"))
     val earlierDups = a.as("a").join(a.as("b"),

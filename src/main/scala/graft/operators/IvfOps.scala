@@ -220,7 +220,7 @@ object IvfOps {
     // without this the parquet scan + float→double transforms re-execute
     // per pass
     val emb = Materialize(Tables.embeddings(spark, dir))
-    val (centroids, assigned) = trainIndex(emb, k = 16, iters = 3)
+    val (centroids, assigned) = trainIndex(emb)
     searchAssigned(emb.filter(col("vec_id") < 5), assigned, centroids)
   }
 
@@ -232,10 +232,10 @@ object IvfOps {
     * centroids = lost recall per nprobe). One groupBy over the assignment
     * scan plus a broadcast of the k-row totals; deterministic because the
     * k-means in [[trainIndex]] is. */
-  def ivfBalance(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+  def ivfBalance(spark: SparkSession, dir: String, k: Int = DefaultK): DataFrame = {
     import graft.functions.NumericFunctions.stableRound4
     val emb = Materialize(Tables.embeddings(spark, dir))
-    val (_, assigned) = trainIndex(emb, k = k, iters = 3)
+    val (_, assigned) = trainIndex(emb, k = k)
     val cells = assigned.groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("n_vecs"))
     val totals = cells.agg(
@@ -262,11 +262,11 @@ object IvfOps {
     * geometry is reproduced by SparkEntry.lloydCtes' unrolled-Lloyd CTE);
     * IvfSpec keeps determinism, the containment invariants, and the ALL
     * row's arithmetic as secondary pins. */
-  def clusterPurity(spark: SparkSession, dir: String, k: Int = 16)
+  def clusterPurity(spark: SparkSession, dir: String, k: Int = DefaultK)
       : DataFrame = {
     import graft.functions.NumericFunctions.stableRound4
     val emb = Materialize(Tables.embeddings(spark, dir))
-    val (_, assigned) = trainIndex(emb, k = k, iters = 3)
+    val (_, assigned) = trainIndex(emb, k = k)
     val labeled = assigned.select(col("vec_id"), col("centroid_id"))
       .join(emb.select(col("vec_id"), col("label")), "vec_id")
     val cellLabel = labeled.groupBy(col("centroid_id"), col("label"))

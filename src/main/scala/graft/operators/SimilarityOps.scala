@@ -145,7 +145,7 @@ object SimilarityOps {
     val probes = emb.filter(col("vec_id") < nProbes)
     val exact = Materialize(
       bruteForceTopK(probes, emb, k).select(col("q_id"), col("cand_id")))
-    val (centroids, assigned) = IvfOps.trainIndex(emb, k = 16, iters = 3)
+    val (centroids, assigned) = IvfOps.trainIndex(emb)
     def recallOf(method: String, ann: DataFrame): DataFrame = {
       val short = ann.select(col("q_id"), col("cand_id"))
       val hits = exact.join(short, Seq("q_id", "cand_id"), "left_semi")

@@ -115,13 +115,19 @@ class PlanQualitySpec extends SparkTestBase {
   }
 
   test("dsir: bucket model rides a broadcast join; gram stream partial-aggregates") {
-    val p = plan(CorpusOps.dsir(spark, sf))
+    // assert on the scoring stage pre-materialization (the barrier in
+    // dsir() collapses the upstream plan to an RDD scan)
+    val p = plan(CorpusOps.dsirKeyed(spark, sf))
     // the <=1024-row log-ratio model must broadcast onto the per-doc
     // bucket counts — a shuffle here would re-partition the corpus by
     // bucket id for a 1024-row dimension
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // and the full query broadcasts the 1-row percentile cut
+    val full = plan(CorpusOps.dsir(spark, sf))
+    assert(full.contains("BroadcastNestedLoopJoin"), full)
+    assert(!full.contains("CartesianProduct"), full)
   }
 
   test("tpchQ4: EXISTS compiles to LeftSemi with the window pushed to the orders scan") {
