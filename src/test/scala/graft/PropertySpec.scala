@@ -265,4 +265,56 @@ class PropertySpec extends SparkTestBase {
       assert(ab == a.intersect(b), s"wrong intersection at $i")
     }
   }
+
+  test("property: BPE rank-order application equals the lowest-present-rank loop") {
+    // the q_bpe_segment oracle's central claim (SparkEntry.bpeCtes): a
+    // TRAINED merge table can be applied one rank at a time, in rank
+    // order, each rank replacing all its occurrences left-to-right —
+    // provably equivalent to bpeApply's "repeatedly apply the lowest rank
+    // present" loop because a merge's components are always products of
+    // lower-ranked merges. Verified here on random corpora: train on a
+    // random word-frequency table, then check every word (including
+    // UNSEEN words drawn from the same alphabet) under both application
+    // orders.
+    import graft.operators.CorpusOps
+    val wordGen: Gen[String] = for {
+      n <- Gen.choose(1, 12)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd'))
+    } yield cs.mkString
+    (0 until 10).foreach { round =>
+      val vocab = sample(wordGen, 60).zipWithIndex
+        .map { case (w, i) => (w, (i % 7 + 1).toLong) }
+        .groupBy(_._1).map { case (w, fs) => (w, fs.map(_._2).sum) }.toSeq
+      val merges = CorpusOps.bpeTrainMerges(vocab, numMerges = 15)
+      val ranks = merges.map { case (rank, l, r, _) => (l, r) -> rank }.toMap
+      // components of merge j must be products of ranks < j — the lemma
+      // the equivalence rests on
+      val symbolBorn = scala.collection.mutable.Map[String, Int]()
+      merges.foreach { case (rank, l, r, _) =>
+        def born(s: String): Int = symbolBorn.getOrElse(s, -1)
+        assert(born(l) < rank && born(r) < rank,
+          s"round $round: merge $rank components born later")
+        symbolBorn(l + r) = rank
+      }
+      def rankOrderApply(word: String): Vector[String] = {
+        var syms = word.map(_.toString).toVector :+ "</w>"
+        merges.foreach { case (_, l, r, _) =>
+          val out = Vector.newBuilder[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+              out += (l + r); j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          syms = out.result()
+        }
+        syms
+      }
+      val testWords = vocab.map(_._1) ++ sample(wordGen, 40)
+      testWords.foreach { w =>
+        assert(CorpusOps.bpeApply(w, ranks) == rankOrderApply(w),
+          s"round $round: divergent segmentation for '$w'")
+      }
+    }
+  }
 }
