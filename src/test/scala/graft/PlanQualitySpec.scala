@@ -130,6 +130,14 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!full.contains("CartesianProduct"), full)
   }
 
+  test("doremi: both grid crosses broadcast; no cartesian") {
+    val p = plan(CorpusOps.doremi(spark, sf))
+    // the 1-row baseline and the 1-row softmax normalizer both ride
+    // BroadcastNestedLoopJoin onto |domains|-row frames
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("tpchQ4: EXISTS compiles to LeftSemi with the window pushed to the orders scan") {
     val p = plan(JoinOps.tpchQ4(spark, sf))
     assert(p.contains("LeftSemi"), p)
