@@ -1076,10 +1076,12 @@ object SparkEntry {
         "FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id " +
         "WHERE bit_count(xor(a.phash, b.phash)) <= 3), " +
         "edges AS (SELECT da AS doc_id, db AS nbr FROM pr UNION ALL SELECT db AS doc_id, da AS nbr FROM pr) " +
-        "SELECT p.doc_id, CAST(least(COALESCE(min(e.nbr), p.doc_id), p.doc_id) AS BIGINT) AS cluster_rep, " +
+        // phash in the output = a direct 60-bit fingerprint check per row,
+        // so the oracle is never vacuous on a pair-free corpus
+        "SELECT p.doc_id, p.phash, CAST(least(COALESCE(min(e.nbr), p.doc_id), p.doc_id) AS BIGINT) AS cluster_rep, " +
         "CAST(count(e.nbr) AS BIGINT) AS n_near_dups " +
         "FROM ph p LEFT JOIN edges e ON p.doc_id = e.doc_id " +
-        "GROUP BY p.doc_id ORDER BY p.doc_id"),
+        "GROUP BY p.doc_id, p.phash ORDER BY p.doc_id"),
     // k-means family: the iterative Lloyd trainer unrolled as chained CTEs
     // (round-8 port from rows-only; see lloydCtes)
     "q_sim_ivf" -> ivfSearchSql(nprobe = 4, topk = 10, nq = 5),

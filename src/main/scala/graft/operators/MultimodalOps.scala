@@ -355,9 +355,15 @@ object MultimodalOps {
       sigs.select(col("doc_id"), col("phash").as("sig")), maxHamming = 3)
     val edges = pairs.select(col("da").as("doc_id"), col("db").as("nbr"))
       .union(pairs.select(col("db").as("doc_id"), col("da").as("nbr")))
-    sigs.select(col("doc_id"))
+    // the fingerprint itself is part of the declared output: on a corpus
+    // with no near-dup pair the rep/count columns are trivially
+    // self-valued in BOTH engines, so without the phash column the oracle
+    // would be vacuous about fingerprint agreement (the round-9 review's
+    // integer-division bug hid behind exactly that) — exposing it makes
+    // every row a 60-bit cross-engine check at every SF
+    sigs.select(col("doc_id"), col("phash"))
       .join(edges, Seq("doc_id"), "left")
-      .groupBy(col("doc_id"))
+      .groupBy(col("doc_id"), col("phash"))
       .agg(
         least(min(col("nbr")), col("doc_id").cast("long")).as("cluster_rep"),
         sum(when(col("nbr").isNotNull, 1L).otherwise(0L)).as("n_near_dups"))

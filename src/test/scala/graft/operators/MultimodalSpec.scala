@@ -202,7 +202,8 @@ class MultimodalSpec extends SparkTestBase {
 
   test("phashDedup: per-item reps equal an all-pairs Hamming driver recompute") {
     val got = MultimodalOps.phashDedup(spark, sf).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
     val sigs = MultimodalOps.phashMedia(
       Tables.documents(spark, sf).filter(col("n_chars") > 0)).collect()
     // ground truth from the exact all-pairs Hamming graph (banding is
@@ -216,12 +217,14 @@ class MultimodalSpec extends SparkTestBase {
     sigs.foreach { s =>
       val n = nbrs(s.doc_id)
       val expRep = if (n.isEmpty) s.doc_id else math.min(s.doc_id, n.min)
-      assert(got(s.doc_id) == ((expRep, n.length.toLong)),
-        s"doc ${s.doc_id}: got ${got(s.doc_id)} expected ($expRep, ${n.length})")
+      assert(got(s.doc_id) == ((s.phash, expRep, n.length.toLong)),
+        s"doc ${s.doc_id}: got ${got(s.doc_id)} expected " +
+          s"(${s.phash}, $expRep, ${n.length})")
     }
     // determinism
     val again = MultimodalOps.phashDedup(spark, sf).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
     assert(again == got)
   }
 }
