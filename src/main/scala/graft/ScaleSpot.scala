@@ -101,7 +101,10 @@ object ScaleSpot {
     // round-9 late additions: DoReMi (unigram-LM family + |domains|-row
     // softmax — should track q_unigram_logprob), the Q12 windowed
     // CASE-agg and Q21 multi-anti-join (both scan/shuffle-bound)
-    "q_doremi", "q_tpch_q12", "q_tpch_q21")
+    "q_doremi", "q_tpch_q12", "q_tpch_q21",
+    // incremental near-dup: risk = matched band-bucket volume as the
+    // corpus index grows (the batch side is a fixed fraction here)
+    "q_dedup_incr_near")
   val Scales = Seq(10, 100)
 
   def outDir(copies: Int) = s"/tmp/graft_spot_${copies}x"

@@ -158,6 +158,9 @@ object SparkEntry {
     "q_cooccur"        -> ((s, d) => CorpusOps.cooccurPmi(s, d)),
     "q_clean_pipeline" -> (CorpusOps.cleanPipeline _),
     "q_dedup_incr"     -> (DedupOps.dedupIncremental _),
+    // incremental NEAR-dup: batch probes the corpus band index — never a
+    // corpus self-join (the production crawl-drop dedup shape)
+    "q_dedup_incr_near" -> ((s, d) => DedupOps.dedupIncrNear(s, d)),
     // oracle-checked since round 9 (md5-60 signatures, 4×15 banding);
     // DedupSpec additionally proves exact equality with all-pairs Hamming
     // ground truth (the 4-band pigeonhole is exact for Hamming ≤ 3)
@@ -941,6 +944,28 @@ object SparkEntry {
         "FROM documents d LEFT JOIN edges e ON d.doc_id = e.doc_id " +
         "GROUP BY d.doc_id ORDER BY d.doc_id"),
     "q_minhash_recall" -> minhashRecallSql(),
+    // batch-vs-corpus near-dup: same signature/banding family as
+    // q_dedup_minhash, split by the q_dedup_incr md5(doc_id) batch rule
+    "q_dedup_incr_near" ->
+      (shingleCtes + ", " + mhSigCte("x", "shingle") + ", " +
+        bandsCte("bands", 8) + ", " +
+        "fl AS (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' AS is_batch FROM documents), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS bd, b.doc_id AS cd FROM bands a " +
+        "JOIN fl fa ON a.doc_id = fa.doc_id AND fa.is_batch " +
+        "JOIN bands b ON a.band = b.band AND a.bkey = b.bkey " +
+        "JOIN fl fb ON b.doc_id = fb.doc_id AND NOT fb.is_batch), " +
+        "c AS (SELECT doc_id, count(*) AS n FROM x GROUP BY doc_id), " +
+        "sh2 AS (SELECT cand.bd, cand.cd, count(*) AS shared FROM cand " +
+        "JOIN x a ON a.doc_id = cand.bd JOIN x b ON b.doc_id = cand.cd AND b.shingle = a.shingle " +
+        "GROUP BY cand.bd, cand.cd), " +
+        "ver AS (SELECT bd, count(*) AS n_matches, min(cd) AS fm FROM sh2 " +
+        "JOIN c ca ON sh2.bd = ca.doc_id JOIN c cb ON sh2.cd = cb.doc_id " +
+        "WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.5 GROUP BY bd) " +
+        "SELECT fl.doc_id, v.bd IS NULL AS is_novel, " +
+        "CAST(COALESCE(v.n_matches, 0) AS BIGINT) AS n_corpus_matches, " +
+        "CAST(COALESCE(v.fm, -1) AS BIGINT) AS first_match " +
+        "FROM fl LEFT JOIN ver v ON fl.doc_id = v.bd WHERE fl.is_batch " +
+        "ORDER BY fl.doc_id"),
     "q_dedup_simhash" ->
       (simhashCtes + " SELECT doc_id, simhash FROM sig ORDER BY doc_id"),
     "q_simhash_pairs" ->

@@ -396,16 +396,7 @@ object DedupOps {
     * themselves. */
   def minhashCandidates(sigs: DataFrame, bands: Int = 8,
       numHashes: Int = 32): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    val bandStructs = (0 until bands).map { j =>
-      struct(lit(j).as("band"),
-        array_join(slice(col("sig"), j * r + 1, r).cast("array<string>"), ",")
-          .as("bkey"))
-    }
-    val banded = sigs.select(col("doc_id"),
-      explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val banded = bandedSignatures(sigs, bands, numHashes)
     // shuffle_hash: high-cardinality (band, bkey) keys → small hash
     // buckets; skips sort-merge's sort of both exploded band sides
     banded.as("a").hint("shuffle_hash")
@@ -414,6 +405,25 @@ object DedupOps {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
+  }
+
+  /** Exploded LSH band table (doc_id, band, bkey) for a (doc_id, sig)
+    * signature frame — the exact comma-joined value key (see
+    * [[minhashCandidates]]). At scale the CORPUS side of this table IS
+    * the incremental dedup index: built once, partitioned by (band,
+    * bkey), probed by each new batch. */
+  private def bandedSignatures(sigs: DataFrame, bands: Int,
+      numHashes: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val bandStructs = (0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        array_join(slice(col("sig"), j * r + 1, r).cast("array<string>"), ",")
+          .as("bkey"))
+    }
+    sigs.select(col("doc_id"),
+      explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
   }
 
   /** MinHash signatures from an already-exploded (doc_id, shingle) set —
@@ -476,6 +486,68 @@ object DedupOps {
         (col("shared").cast("double")
           / (col("na") + col("nb") - col("shared"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** q_dedup_incr_near: incremental NEAR-dup — screen a new batch against
+    * the EXISTING corpus with MinHash banding, the fuzzy companion of
+    * [[dedupIncremental]] (which catches only first-10-token-exact
+    * copies). This is the shape a production crawl pipeline actually
+    * runs: the corpus's banded signature table is the standing dedup
+    * INDEX (built once, `(band, bkey)`-partitioned, growing by appends),
+    * and each day's batch probes it — a batch×index equality join, NEVER
+    * a corpus self-join, so per-drop cost scales with the batch and the
+    * matched buckets, not the corpus. Candidates verify with exact
+    * Jaccard over the shingle arrays (the [[minhashVerifiedPairs]]
+    * kernel, batch-vs-corpus); output is one row per batch doc: is_novel,
+    * how many corpus near-dups it has, and the lowest-id match (−1 when
+    * novel) — the router a curation pipeline keys on.
+    *
+    * Batch split is the same deterministic md5(doc_id) rule as
+    * q_dedup_incr, and the whole query — salted md5-60 signatures,
+    * exact-value band keys, Jaccard verify — is oracle-checked. */
+  def dedupIncrNear(spark: SparkSession, dir: String,
+      threshold: Double = 0.5, numHashes: Int = 32, bands: Int = 8)
+      : DataFrame = {
+    val flagged = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (substring(md5(col("doc_id").cast("string")), 1, 1) === "f")
+          .as("is_batch"),
+        shingles(tokensLower(col("text"))).as("sh"))
+    val arr = Materialize(flagged)
+    val sigs = arr.select(col("doc_id"), col("is_batch"),
+      graft.functions.TextFunctions.minhashArray(col("sh"), numHashes)
+        .as("sig"))
+      .filter(col("sig").isNotNull)
+    val batchBands = bandedSignatures(
+      sigs.filter(col("is_batch")).select(col("doc_id"), col("sig")),
+      bands, numHashes)
+    val corpusBands = bandedSignatures(
+      sigs.filter(!col("is_batch")).select(col("doc_id"), col("sig")),
+      bands, numHashes)
+    // shuffle_hash on the high-cardinality band key, batch side probing
+    // the corpus index — at scale corpusBands is pre-partitioned storage
+    val cand = batchBands.as("a").hint("shuffle_hash")
+      .join(corpusBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.doc_id").as("bd"), col("b.doc_id").as("cd"))
+      .distinct()
+    val matches = cand
+      .join(arr.as("ea"), col("bd") === col("ea.doc_id"))
+      .join(arr.as("eb"), col("cd") === col("eb.doc_id"))
+      .select(col("bd"), col("cd"),
+        size(array_intersect(col("ea.sh"), col("eb.sh"))).as("shared"),
+        size(col("ea.sh")).as("na"), size(col("eb.sh")).as("nb"))
+      .filter(col("shared").cast("double")
+        / (col("na") + col("nb") - col("shared")) >= threshold)
+      .groupBy(col("bd"))
+      .agg(count(lit(1)).as("n_matches"), min(col("cd")).as("fm"))
+    arr.filter(col("is_batch")).select(col("doc_id"))
+      .join(matches, col("doc_id") === col("bd"), "left")
+      .select(col("doc_id"),
+        col("n_matches").isNull.as("is_novel"),
+        coalesce(col("n_matches"), lit(0L)).as("n_corpus_matches"),
+        coalesce(col("fm"), lit(-1L)).as("first_match"))
+      .orderBy(col("doc_id"))
   }
 
   /** q_minhash_recall: LSH banding calibration audit — for each banding of

@@ -122,6 +122,49 @@ class DedupSpec extends SparkTestBase {
     assert(fps(1L) != fps(3L))
   }
 
+  test("dedupIncrNear: sound matches, exact-twin completeness, consistent novelty") {
+    val out = DedupOps.dedupIncrNear(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // driver ground truth: shingle sets + the md5 batch rule
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.shingles(
+          graft.functions.TextFunctions.tokensLower(col("text"))).as("sh"),
+        (substring(md5(col("doc_id").cast("string")), 1, 1) === "f")
+          .as("is_batch"),
+        col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toSet, r.getBoolean(2),
+        r.getString(3)))
+    val corpus = docs.filter(!_._3)
+    def jac(a: Set[String], b: Set[String]): Double =
+      if (a.isEmpty && b.isEmpty) 0.0
+      else a.intersect(b).size.toDouble / a.union(b).size
+    // one output row per batch doc, and field consistency
+    assert(out.size == docs.count(_._3))
+    out.foreach { case (id, (novel, n, fm)) =>
+      assert(novel == (n == 0L) && novel == (fm == -1L), s"doc $id")
+    }
+    // soundness: every reported first_match is a genuine >=0.5 near-dup
+    val byId = docs.map(d => d._1 -> d._2).toMap
+    out.foreach { case (id, (novel, _, fm)) =>
+      if (!novel) assert(jac(byId(id), byId(fm)) >= 0.5,
+        s"doc $id matched $fm below threshold")
+    }
+    // completeness floor: a batch doc with a byte-identical corpus twin
+    // ALWAYS bands with it (equal texts -> equal signatures)
+    docs.filter(_._3).foreach { case (id, _, _, text) =>
+      if (corpus.exists(c => c._4 == text && c._2.nonEmpty))
+        assert(!out(id)._1, s"doc $id has an exact corpus twin but is novel")
+    }
+    // reported match counts never exceed the exact >=0.5 neighbor count
+    out.foreach { case (id, (_, n, _)) =>
+      val exact = corpus.count(c => jac(byId(id), c._2) >= 0.5)
+      assert(n <= exact, s"doc $id reports $n matches, exact is $exact")
+    }
+  }
+
   test("minhash verified pairs: exact precision and bounded recall vs all-pairs Jaccard") {
     // pins the end-to-end MinHash+LSH recall across signature-family
     // changes (round-3 xxhash64 -> Murmur3, round-9 Murmur3 -> salted
