@@ -1049,11 +1049,11 @@ object SparkEntry {
         "CAST(round(CAST(avg(-mean_logp) AS DECIMAL(20,8)), 4) AS DOUBLE) AS mean_nll FROM sc GROUP BY source), " +
         "bl AS (SELECT CAST(round(CAST(avg(-mean_logp) AS DECIMAL(20,8)), 4) AS DOUBLE) AS corpus_nll FROM sc), " +
         "ex AS (SELECT source, n_docs, mean_nll, greatest(mean_nll - corpus_nll, 0.0) AS excess FROM pd CROSS JOIN bl), " +
-        "z AS (SELECT sum(exp(100.0 * excess)) AS z, count(*) AS k FROM ex) " +
+        s"z AS (SELECT sum(exp(${CorpusOps.DoremiEta} * excess)) AS z, count(*) AS k FROM ex) " +
         "SELECT source, n_docs, mean_nll, " +
         "CAST(round(CAST(excess AS DECIMAL(20,8)), 4) AS DOUBLE) AS excess_nll, " +
-        "CAST(round(CAST(exp(100.0 * excess) / z.z AS DECIMAL(20,8)), 4) AS DOUBLE) AS alpha, " +
-        "CAST(round(CAST((1.0 - 0.1) * (exp(100.0 * excess) / z.z) + 0.1 / z.k AS DECIMAL(20,8)), 4) AS DOUBLE) AS mix_weight " +
+        s"CAST(round(CAST(exp(${CorpusOps.DoremiEta} * excess) / z.z AS DECIMAL(20,8)), 4) AS DOUBLE) AS alpha, " +
+        s"CAST(round(CAST((1.0 - ${CorpusOps.DoremiSmooth}) * (exp(${CorpusOps.DoremiEta} * excess) / z.z) + ${CorpusOps.DoremiSmooth} / z.k AS DECIMAL(20,8)), 4) AS DOUBLE) AS mix_weight " +
         "FROM ex CROSS JOIN z ORDER BY source"),
     // DSIR importance resampling: hashed uni+bigram buckets, add-1
     // smoothed target/corpus models, Gumbel-top-k via md5-uniform noise,
@@ -1063,13 +1063,13 @@ object SparkEntry {
       ("WITH t AS (SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
         "g AS (SELECT doc_id, source, unnest(list_concat(toks, " +
         "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS gram FROM t), " +
-        s"pb AS (SELECT doc_id, source, ${md5h60("gram")} % 1024 AS b, count(*) AS cnt FROM g GROUP BY 1, 2, 3), " +
+        s"pb AS (SELECT doc_id, source, ${md5h60("gram")} % ${CorpusOps.DsirBuckets} AS b, count(*) AS cnt FROM g GROUP BY 1, 2, 3), " +
         "cq AS (SELECT b, sum(cnt) AS n_q FROM pb GROUP BY b), " +
-        "ct AS (SELECT b, sum(cnt) AS n_t FROM pb WHERE source = 'src0' GROUP BY b), " +
+        s"ct AS (SELECT b, sum(cnt) AS n_t FROM pb WHERE source = '${CorpusOps.DsirTarget}' GROUP BY b), " +
         "tq AS (SELECT sum(n_q) AS nq_tot FROM cq), " +
         "tt AS (SELECT sum(n_t) AS nt_tot FROM ct), " +
-        "r AS (SELECT cq.b, ln(CAST(COALESCE(ct.n_t, 0) + 1 AS DOUBLE) / (tt.nt_tot + 1024)) " +
-        "- ln(CAST(cq.n_q + 1 AS DOUBLE) / (tq.nq_tot + 1024)) AS r " +
+        s"r AS (SELECT cq.b, ln(CAST(COALESCE(ct.n_t, 0) + 1 AS DOUBLE) / (tt.nt_tot + ${CorpusOps.DsirBuckets})) " +
+        s"- ln(CAST(cq.n_q + 1 AS DOUBLE) / (tq.nq_tot + ${CorpusOps.DsirBuckets})) AS r " +
         "FROM cq LEFT JOIN ct ON cq.b = ct.b CROSS JOIN tq CROSS JOIN tt), " +
         "sc AS (SELECT pb.doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams, sum(cnt * r.r) AS logw " +
         "FROM pb JOIN r ON pb.b = r.b GROUP BY pb.doc_id), " +
@@ -1077,7 +1077,7 @@ object SparkEntry {
         "CAST(round(CAST(logw AS DECIMAL(20,8)), 4) AS DOUBLE) AS log_weight, " +
         "CAST(round(CAST(logw - ln(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':dsir'), 1, 4)) AS BIGINT) + 0.5) / 65536.0)) AS DECIMAL(20,8)), 4) AS DOUBLE) AS gumbel_key " +
         "FROM sc), " +
-        "cut AS (SELECT CAST(round(CAST(quantile_cont(gumbel_key, 0.8) AS DECIMAL(20,8)), 4) AS DOUBLE) AS c FROM ky) " +
+        s"cut AS (SELECT CAST(round(CAST(quantile_cont(gumbel_key, ${1.0 - CorpusOps.DsirKeepFrac}) AS DECIMAL(20,8)), 4) AS DOUBLE) AS c FROM ky) " +
         "SELECT doc_id, n_grams, log_weight, gumbel_key, (gumbel_key > c) AS keep " +
         "FROM ky CROSS JOIN cut ORDER BY doc_id"),
     // pixel-level perceptual hash: deterministic resample to 60 "pixels"
@@ -2558,8 +2558,8 @@ object SparkEntry {
         "FROM x WHERE i % 4 = 0) " +
         "SELECT doc_id, frame_idx, " +
         (0 until 8).map(d =>
-          "round(CAST(CAST(CAST(('0x' || substr(h, " + (2 * d + 1) +
-            ", 2)) AS INTEGER) / 255.0 AS REAL) AS DOUBLE), 4) AS f" + d)
+          "CAST(round(CAST(CAST(CAST(('0x' || substr(h, " + (2 * d + 1) +
+            ", 2)) AS INTEGER) / 255.0 AS REAL) AS DECIMAL(20,8)), 4) AS DOUBLE) AS f" + d)
           .mkString(", ") +
         " FROM fr ORDER BY doc_id, frame_idx"),
     "q_frame_sample" ->

@@ -23,6 +23,17 @@ object CorpusOps {
   /** Chunk size for [[chunkDocs]]: 50 whitespace tokens per training chunk. */
   val ChunkTokens = 50
 
+  /** DoReMi (q_doremi) tuning defaults — shared with the oracle SQL in
+    * [[graft.SparkEntry.oracleSql]] (interpolated there) so the engine and
+    * DuckDB can never desync on the dials (the IvfOps.DefaultK pattern). */
+  val DoremiEta = 100.0
+  val DoremiSmooth = 0.1
+
+  /** DSIR (q_dsir) tuning defaults — same shared-constant contract. */
+  val DsirTarget = "src0"
+  val DsirBuckets = 1024
+  val DsirKeepFrac = 0.2
+
   /** Fixed-size token-window chunking: split each document into consecutive
     * `ChunkTokens`-token chunks (last chunk ragged). Output is one row per
     * chunk with a stable (doc_id, chunk_id) key and the md5 of the chunk
@@ -1319,8 +1330,8 @@ object CorpusOps {
     * broadcast of the 1-row corpus mean, a ≤|domains|-row softmax. Excess
     * is computed from the 4-decimal-rounded per-domain and corpus means,
     * so the softmax input is exact decimals in both engines. */
-  def doremi(spark: SparkSession, dir: String, eta: Double = 100.0,
-      smooth: Double = 0.1): DataFrame = {
+  def doremi(spark: SparkSession, dir: String, eta: Double = DoremiEta,
+      smooth: Double = DoremiSmooth): DataFrame = {
     import graft.functions.NumericFunctions.stableRound4
     val docs = Tables.documents(spark, dir)
     // materialized: the per-doc LM scoring pass is the query's dominant
@@ -1381,8 +1392,9 @@ object CorpusOps {
     *      no driver data.
     * Output: one row per doc (n_grams, log_weight, gumbel_key, keep) —
     * fully deterministic and oracle-checked end to end. */
-  def dsir(spark: SparkSession, dir: String, targetSource: String = "src0",
-      buckets: Int = 1024, keepFrac: Double = 0.2): DataFrame = {
+  def dsir(spark: SparkSession, dir: String,
+      targetSource: String = DsirTarget, buckets: Int = DsirBuckets,
+      keepFrac: Double = DsirKeepFrac): DataFrame = {
     import graft.functions.NumericFunctions.stableRound4
     // materialized: the ratios join + per-doc weight aggregation feeds
     // both the percentile cut and the final select — without the barrier
@@ -1402,7 +1414,8 @@ object CorpusOps {
     * broadcast-model join and partial aggregation on the REAL plan (the
     * barrier in [[dsir]] collapses it to an RDD scan). */
   private[graft] def dsirKeyed(spark: SparkSession, dir: String,
-      targetSource: String = "src0", buckets: Int = 1024): DataFrame = {
+      targetSource: String = DsirTarget,
+      buckets: Int = DsirBuckets): DataFrame = {
     import graft.functions.NumericFunctions.stableRound4
     val docs = Tables.documents(spark, dir)
     val grams = docs

@@ -219,14 +219,18 @@ object DedupOps {
     val ex = Materialize(
       spread(docs)
         .select(col("doc_id"),
-          explode(shingles(tokensLower(col("text")))).as("shingle"))
-        // md5-60 key (not xxhash64): equally narrow (8 bytes) for the
-        // joins, and — because downstream MinHash signatures salt-hash the
-        // KEY's decimal string — reproducible in the DuckDB oracle
-        .select(col("doc_id"),
-          graft.functions.TextFunctions.md5Hash60(col("shingle"))
-            .as("shingle")))
-    Materialize(capHeavyShingles(ex, dfCap))
+          explode(shingles(tokensLower(col("text")))).as("shingle")))
+    // cap on the RAW shingle string (the oracle's HAVING key), THEN hash:
+    // capping on the 60-bit key would merge the df counts of distinct
+    // shingles that collide in 60 bits — invisible at test SFs, expected
+    // at web scale. The md5-60 key (not xxhash64) is equally narrow
+    // (8 bytes) for the downstream joins, and — because MinHash
+    // signatures salt-hash the KEY's decimal string — reproducible in
+    // the DuckDB oracle.
+    Materialize(capHeavyShingles(ex, dfCap)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.md5Hash60(col("shingle"))
+          .as("shingle")))
   }
 
   // session-scoped survivor cache: three declared queries (capped Jaccard,
@@ -476,17 +480,28 @@ object DedupOps {
       // shingle-less docs sign as NULL: no shingles → no candidates
       .filter(col("sig").isNotNull)
     val cands = minhashCandidates(sigs)
+    jaccardVerifyPairs(cands, arr, "da", "db", threshold)
+  }
+
+  /** Shared exact-Jaccard verification kernel for banded candidates: join
+    * a candidate-pair frame (two doc-id columns) back to the per-doc
+    * shingle ARRAY table (`doc_id`, `sh`) and keep pairs whose exact
+    * Jaccard meets the threshold. |A∩B| is a codegen'd `array_intersect`
+    * over the two ~100-element distinct arrays — never a corpus
+    * re-explode (see [[minhashVerifiedPairs]]'s shape note). Used by both
+    * the self-join dedup path and the batch-vs-index incremental path. */
+  private def jaccardVerifyPairs(cands: DataFrame, arr: DataFrame,
+      left: String, right: String, threshold: Double): DataFrame =
     cands
-      .join(arr.as("ea"), col("da") === col("ea.doc_id"))
-      .join(arr.as("eb"), col("db") === col("eb.doc_id"))
-      .select(col("da"), col("db"),
+      .join(arr.as("ea"), col(left) === col("ea.doc_id"))
+      .join(arr.as("eb"), col(right) === col("eb.doc_id"))
+      .select(col(left), col(right),
         size(array_intersect(col("ea.sh"), col("eb.sh"))).as("shared"),
         size(col("ea.sh")).as("na"), size(col("eb.sh")).as("nb"))
-      .select(col("da"), col("db"),
+      .select(col(left), col(right),
         (col("shared").cast("double")
           / (col("na") + col("nb") - col("shared"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
 
   /** q_dedup_incr_near: incremental NEAR-dup — screen a new batch against
     * the EXISTING corpus with MinHash banding, the fuzzy companion of
@@ -531,14 +546,7 @@ object DedupOps {
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
       .select(col("a.doc_id").as("bd"), col("b.doc_id").as("cd"))
       .distinct()
-    val matches = cand
-      .join(arr.as("ea"), col("bd") === col("ea.doc_id"))
-      .join(arr.as("eb"), col("cd") === col("eb.doc_id"))
-      .select(col("bd"), col("cd"),
-        size(array_intersect(col("ea.sh"), col("eb.sh"))).as("shared"),
-        size(col("ea.sh")).as("na"), size(col("eb.sh")).as("nb"))
-      .filter(col("shared").cast("double")
-        / (col("na") + col("nb") - col("shared")) >= threshold)
+    val matches = jaccardVerifyPairs(cand, arr, "bd", "cd", threshold)
       .groupBy(col("bd"))
       .agg(count(lit(1)).as("n_matches"), min(col("cd")).as("fm"))
     arr.filter(col("is_batch")).select(col("doc_id"))

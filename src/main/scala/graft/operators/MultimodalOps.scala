@@ -253,9 +253,10 @@ object MultimodalOps {
   def frameFeatures(spark: SparkSession, dir: String): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
+    import graft.functions.NumericFunctions.stableRound4
     val outCols = Seq(col("doc_id"), col("frame_idx")) ++
-      (0 until 8).map(d =>
-        round(element_at(col("feature"), d + 1).cast("double"), 4).as(s"f$d"))
+      (0 until 8).map(d => stableRound4(
+        element_at(col("feature"), d + 1).cast("double")).as(s"f$d"))
     featurizeFrames(sampleFrames(Tables.documents(spark, dir)))
       .toDF()
       .select(outCols: _*)
