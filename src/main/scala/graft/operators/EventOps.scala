@@ -352,23 +352,9 @@ object EventOps {
     * co-occurrence) is what makes this a funnel. */
   def funnel3(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.NumericFunctions.stableRound4
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"))
-    val v = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
-    val c = ev.filter(col("event_type") === "click")
-      .join(v, Seq("user_id")).filter(col("us") > col("v_us"))
-      .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
-    val p = ev.filter(col("event_type") === "purchase")
-      .join(c, Seq("user_id")).filter(col("us") > col("c_us"))
-      .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
-    // explicit broadcast on the 1-row aggregates: AQE picks BNLJ here
-    // anyway, but the hint keeps the plan deterministic across configs
-    // (same contract as the scalar-subquery crosses in StatOps)
-    val totals = v.agg(count(lit(1)).as("n1"))
-      .crossJoin(broadcast(c.agg(count(lit(1)).as("n2"))))
-      .crossJoin(broadcast(p.agg(count(lit(1)).as("n3"))))
+    // barrier: the 1-row totals feed three union branches; without it the
+    // whole funnel plan re-executes per branch (see funnel3Totals)
+    val totals = Materialize(funnel3Totals(spark, dir))
     def rate(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
       when(den > 0, stableRound4(num.cast("double") / den)).otherwise(0.0)
     totals.select(
@@ -383,6 +369,48 @@ object EventOps {
         rate(col("n3"), col("n2")).as("conv_from_prev"),
         rate(col("n3"), col("n1")).as("conv_from_start")))
       .orderBy(col("step"))
+  }
+
+  /** Pre-barrier step-count plan for [[funnel3]], exposed for
+    * PlanQualitySpec's single-execution assertions (the barrier collapses
+    * the declared query's plan to an RDD scan). */
+  private[graft] def funnel3Totals(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    // explicit user_id non-null filter: the inner joins below imply it on
+    // THEIR v branch; stating it here makes the root's v-aggregate
+    // canonically identical to c's build side, so the exchange is reused
+    // and the view events are scanned once (a null user can't be funnel-
+    // attributed anyway)
+    val v = ev.filter(col("user_id").isNotNull &&
+        col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("us") > col("v_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("us") > col("c_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+    // one-pass totals: step users are nested (p ⊆ c ⊆ v), so LEFT-joining
+    // the three per-user min frames — all hash-partitioned on user_id, so
+    // the joins are co-located — and counting the non-null step columns
+    // yields all three counts in a single plan where each step frame
+    // executes exactly once. The earlier three-crossJoin form re-executed
+    // the click and purchase joins per union branch (n2's count was also
+    // rewritten as a distinct over the raw click join, bypassing c's
+    // aggregate) — 3× the event-log map work at scale. The barrier stops
+    // the 1-row totals from re-running per union branch below; the audit
+    // and fix are recorded in SCALE.md (round 10).
+    // count(v_us), not count(1): v_us is never null in v, so the counts
+    // are identical — but referencing it stops column pruning from
+    // rewriting the root's v branch to a distinct-users-only aggregate,
+    // which would re-scan the view events instead of reusing v's
+    // min-aggregate exchange (c's build side). 3 event scans total.
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .agg(count(col("v_us")).as("n1"), count(col("c_us")).as("n2"),
+        count(col("p_us")).as("n3"))
   }
 
   /** Path mining: each user's chronological event-type sequence truncated

@@ -380,14 +380,16 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("WindowExec") && !p.contains("Cartesian"), p)
   }
 
-  test("funnel3: per-step joins on user_id; only 1-row totals cross-join") {
-    val p = plan(EventOps.funnel3(spark, sf))
-    // the only nested-loop joins are the one-row step totals, and they are
-    // explicitly broadcast (hinted, not AQE-rescued) — no shuffle on the
-    // 1-row side and never a CartesianProduct
+  test("funnel3: per-step joins on user_id; one-pass totals aggregate") {
+    // pre-barrier frame (the declared query is barrier + 3-row union)
+    val p = plan(EventOps.funnel3Totals(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("partial_min") || p.contains("partial_count"), p)
+    // all three step counts come from ONE aggregate over the left-joined
+    // per-user min frames — not three crossJoined scalar counts (the r10
+    // audit's double-execution fix)
+    assert(p.contains("partial_count(v_us") && p.contains("partial_count(c_us")
+      && p.contains("partial_count(p_us"), p)
+    assert(p.contains("partial_min"), p)
   }
 
   test("rankEval: dcg × idcg is a hinted 1-row broadcast cross, no cartesian") {
@@ -854,5 +856,89 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("Window"), p)
     // the vote argmax is a struct max aggregate, not a rank window
     assert(p.contains("max(top") || p.contains("partial_max"), p)
+  }
+
+  /** Runs `body` with AQE off so the STATIC ReuseExchange rule marks
+    * deduplicated stages in the executed plan (with AQE on, reuse happens
+    * at runtime and the pre-execution plan never shows it). */
+  private def withAqeOff[T](body: => T): T = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("funnel3: one-pass totals — 3 event scans, per-step aggregates reused") {
+    withAqeOff {
+      // pre-barrier frame: the Materialize in funnel3() collapses the
+      // declared query's plan to an RDD scan
+      val p = EventOps.funnel3Totals(spark, sf)
+        .queryExecution.executedPlan.toString
+      // exactly one scan per step filter (view/click/purchase): the r10
+      // audit caught the crossJoin form re-running the click and purchase
+      // joins per union branch (6+ scans of the event log)
+      assert("FileScan parquet".r.findAllIn(p).size == 3, p)
+      // v's min-aggregate (c's build side = the root's left side) and c's
+      // (p's build side = the root's mid side) must each plan ONCE
+      assert("ReusedExchange".r.findAllIn(p).size >= 2, p)
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
+  test("plan-reuse audit: every duplicated join/agg subtree in funnel3 is physically rescued") {
+    withAqeOff {
+      val df = EventOps.funnel3Totals(spark, sf)
+      val dups = PlanReuseAudit.duplicatedSubtrees(df.queryExecution.optimizedPlan)
+      // per-SHAPE coverage: each duplicated shape must have at least one
+      // physical reuse node. (Σ(occ−1) over-counts here: an occurrence
+      // nested inside another reused subtree is covered by that reuse —
+      // v's aggregate appears 3× but its occurrence inside the reused c
+      // stage costs nothing. The sharp single-execution pin is the
+      // 3-scans assertion above.)
+      val reuse = PlanReuseAudit.physicalReuse(df.queryExecution.executedPlan)
+      assert(reuse >= dups.size,
+        s"unrescued duplicated subtrees: shapes=${dups.size} reuse=$reuse\n" +
+          dups.map(_._2.toString).mkString("\n"))
+    }
+  }
+
+  /** The q_minhash_recall sf1 regression class (round 9, 33 s → 5 s): a
+    * `conv(substring(md5(…)))` portable-hash column chain evaluated inside
+    * an aggregation over an EXPLODED input pays digest + hex-encode +
+    * substring + conv allocations × salts × shingles per doc. The
+    * sanctioned paths there are the raw-digest TypedImperativeAggregate
+    * (MinHashSignature) or the scalar array expression (MinHashArray); the
+    * column chain is for narrow scans and oracle documentation only. */
+  private def md5ChainInExplodedAgg(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    plan.exists {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.child.exists {
+          case _: org.apache.spark.sql.catalyst.plans.logical.Generate => true
+          case _ => false
+        } && a.aggregateExpressions.exists(
+          _.toString.toLowerCase.replace(" ", "").contains("conv(substring(md5"))
+      case _ => false
+    }
+
+  test("signature family: no md5 hex/conv chain rides an exploded aggregation") {
+    // positive control — the r9 PRE-FIX formulation (32 salted min columns
+    // over the exploded shingle set) must trip the detector
+    import graft.functions.TextFunctions.md5Salted60
+    val bad = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(min(md5Salted60(0, col("shingle"))).as("h0"),
+        min(md5Salted60(1, col("shingle"))).as("h1"))
+    assert(md5ChainInExplodedAgg(bad.queryExecution.optimizedPlan),
+      "detector failed to flag the pre-fix column-chain formulation")
+    // shipped family: every declared signature-family query must be clean
+    val family = Seq("q_dedup_minhash", "q_minhash_recall",
+      "q_dedup_incr_near", "q_dedup_simhash", "q_simhash_pairs",
+      "q_caption_dedup_lsh", "q_dedup_ngram_capped", "q_phash_dedup")
+    family.foreach { q =>
+      val p = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+      assert(!md5ChainInExplodedAgg(p),
+        s"$q evaluates a conv(substring(md5(…))) chain inside an exploded aggregation")
+    }
   }
 }
