@@ -480,21 +480,24 @@ object DedupOps {
       // shingle-less docs sign as NULL: no shingles → no candidates
       .filter(col("sig").isNotNull)
     val cands = minhashCandidates(sigs)
-    jaccardVerifyPairs(cands, arr, "da", "db", threshold)
+    jaccardVerifyPairs(cands, arr, arr, "da", "db", threshold)
   }
 
   /** Shared exact-Jaccard verification kernel for banded candidates: join
-    * a candidate-pair frame (two doc-id columns) back to the per-doc
-    * shingle ARRAY table (`doc_id`, `sh`) and keep pairs whose exact
+    * a candidate-pair frame (two doc-id columns) back to per-doc shingle
+    * ARRAY tables (`doc_id`, `sh`) — one per side, the same frame for
+    * self-join dedup, batch vs stored index for the standing-index
+    * probe — and keep pairs whose exact
     * Jaccard meets the threshold. |A∩B| is a codegen'd `array_intersect`
     * over the two ~100-element distinct arrays — never a corpus
     * re-explode (see [[minhashVerifiedPairs]]'s shape note). Used by both
     * the self-join dedup path and the batch-vs-index incremental path. */
-  private def jaccardVerifyPairs(cands: DataFrame, arr: DataFrame,
-      left: String, right: String, threshold: Double): DataFrame =
+  private def jaccardVerifyPairs(cands: DataFrame, arrL: DataFrame,
+      arrR: DataFrame, left: String, right: String,
+      threshold: Double): DataFrame =
     cands
-      .join(arr.as("ea"), col(left) === col("ea.doc_id"))
-      .join(arr.as("eb"), col(right) === col("eb.doc_id"))
+      .join(arrL.as("ea"), col(left) === col("ea.doc_id"))
+      .join(arrR.as("eb"), col(right) === col("eb.doc_id"))
       .select(col(left), col(right),
         size(array_intersect(col("ea.sh"), col("eb.sh"))).as("shared"),
         size(col("ea.sh")).as("na"), size(col("eb.sh")).as("nb"))
@@ -546,10 +549,81 @@ object DedupOps {
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
       .select(col("a.doc_id").as("bd"), col("b.doc_id").as("cd"))
       .distinct()
-    val matches = jaccardVerifyPairs(cand, arr, "bd", "cd", threshold)
+    val matches = jaccardVerifyPairs(cand, arr, arr, "bd", "cd", threshold)
       .groupBy(col("bd"))
       .agg(count(lit(1)).as("n_matches"), min(col("cd")).as("fm"))
     arr.filter(col("is_batch")).select(col("doc_id"))
+      .join(matches, col("doc_id") === col("bd"), "left")
+      .select(col("doc_id"),
+        col("n_matches").isNull.as("is_novel"),
+        coalesce(col("n_matches"), lit(0L)).as("n_corpus_matches"),
+        coalesce(col("fm"), lit(-1L)).as("first_match"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** THE STANDING BAND INDEX on storage — the persisted form of
+    * [[dedupIncrNear]]'s corpus side. [[bandIndexAppend]] signs a document
+    * batch and APPENDS two parquet tables under `path`:
+    *
+    *   - `bands/`    (doc_id, bkey) partitioned by `band` — the LSH
+    *     probe surface. Directory-partitioning on `band` (8 values) keeps
+    *     the layout sane; at cluster scale the inner sort/bucketing key is
+    *     `bkey` (high-cardinality), so a bucketed table on bkey makes the
+    *     probe join entirely co-located — the local demo keeps plain
+    *     parquet and lets the join shuffle on (band, bkey).
+    *   - `shingles/` (doc_id, sh) — the exact-Jaccard verification
+    *     payload, fetched only for candidate doc ids.
+    *
+    * [[bandIndexProbe]] then screens a new batch by signing ONLY the
+    * batch, equality-joining its band rows against `bands/`, and
+    * verifying candidates against `shingles/` — identical output contract
+    * to [[dedupIncrNear]] (asserted equal in DedupSpec), but the corpus
+    * is never re-signed: per-drop cost scales with the batch and the
+    * matched buckets. Growing the corpus = appending the new batch's rows
+    * (no rebuild, no compaction requirement — band partitions only gain
+    * files). Probe-vs-rebuild timing at 10× is recorded in SCALE.md
+    * (round 10). */
+  def bandIndexAppend(docs: DataFrame, path: String,
+      numHashes: Int = 32, bands: Int = 8): Unit = {
+    val arr = docs.select(col("doc_id"),
+      shingles(tokensLower(col("text"))).as("sh"))
+      // shingle-less docs sign as NULL and can never be candidates —
+      // indexing them would only bloat the verification table
+      .filter(size(col("sh")) > 0)
+    val sigs = arr.select(col("doc_id"),
+      graft.functions.TextFunctions.minhashArray(col("sh"), numHashes)
+        .as("sig"))
+    bandedSignatures(sigs, bands, numHashes)
+      .write.mode("append").partitionBy("band").parquet(s"$path/bands")
+    arr.write.mode("append").parquet(s"$path/shingles")
+  }
+
+  /** Probe the standing index at `path` with a (doc_id, text) batch: one
+    * row per batch doc (is_novel, n_corpus_matches, first_match), the
+    * exact [[dedupIncrNear]] contract. */
+  def bandIndexProbe(spark: SparkSession, path: String, batch: DataFrame,
+      threshold: Double = 0.5, numHashes: Int = 32, bands: Int = 8)
+      : DataFrame = {
+    val barr = Materialize(batch.select(col("doc_id"),
+      shingles(tokensLower(col("text"))).as("sh")))
+    val bsigs = barr.select(col("doc_id"),
+      graft.functions.TextFunctions.minhashArray(col("sh"), numHashes)
+        .as("sig"))
+      .filter(col("sig").isNotNull)
+    val bbands = bandedSignatures(bsigs, bands, numHashes)
+    val ibands = spark.read.parquet(s"$path/bands")
+    // batch side probes the stored index; shuffle_hash for the same
+    // reason as dedupIncrNear (high-cardinality equality key)
+    val cand = bbands.as("a").hint("shuffle_hash")
+      .join(ibands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.doc_id").as("bd"), col("b.doc_id").as("cd"))
+      .distinct()
+    val ish = spark.read.parquet(s"$path/shingles")
+    val matches = jaccardVerifyPairs(cand, barr, ish, "bd", "cd", threshold)
+      .groupBy(col("bd"))
+      .agg(count(lit(1)).as("n_matches"), min(col("cd")).as("fm"))
+    barr.select(col("doc_id"))
       .join(matches, col("doc_id") === col("bd"), "left")
       .select(col("doc_id"),
         col("n_matches").isNull.as("is_novel"),

@@ -291,4 +291,30 @@ class DedupSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
     assert(got == expect, s"got ${got.take(3)} expect ${expect.take(3)}")
   }
+
+  test("standing band index: append twice, probe from storage == recompute") {
+    // dedupIncrNear's deterministic split: batch = md5(doc_id) starts 'f',
+    // corpus = the rest. Build the STORED index from the corpus in TWO
+    // appends (md5 first char 0-7, then 8-e) — the grow-by-appends story —
+    // and probe the same batch from storage.
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-band-index").toString
+    val docs = Tables.documents(spark, sf)
+    val firstHex = substring(md5(col("doc_id").cast("string")), 1, 1)
+    DedupOps.bandIndexAppend(docs.filter(firstHex.between("0", "7")), idx)
+    DedupOps.bandIndexAppend(
+      docs.filter(firstHex.between("8", "e")), idx)
+    // appends landed as band-partitioned parquet (8 band dirs)
+    assert(new java.io.File(s"$idx/bands/band=0").exists(), idx)
+    val probed = DedupOps.bandIndexProbe(spark, idx,
+      docs.filter(firstHex === "f").select(col("doc_id"), col("text")))
+      .collect().map(r =>
+        (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3))).toSeq
+    val recomputed = DedupOps.dedupIncrNear(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(probed == recomputed,
+      s"probe-from-storage diverged: got ${probed.take(5)} " +
+        s"expect ${recomputed.take(5)}")
+  }
 }
