@@ -1,0 +1,314 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.{CorpusStreamOps, EventStreamOps}
+
+/** Recorded streaming-parity gate (mirrors ScaleGate's role): runs every
+  * stateful streaming twin over the fixture as a real micro-batched file
+  * stream and diffs its output against the batch oracle — the batch run
+  * of the same operator, or the DECLARED batch query where one exists
+  * (ohlc, interval join). The same parity logic lives in
+  * CorpusStreamSpec/EventStreamSpec; this runner exists so each round
+  * stamps a machine-readable artifact instead of relying on the test
+  * suite having been run:
+  *
+  *   sbt "runMain graft.StreamGate [sfDir [outJson]]"
+  *
+  * writes `outJson` (default STREAMGATE.json) with one row per check:
+  * stream rows, batch rows, match verdict, error. Exit code 1 on any
+  * mismatch. */
+object StreamGate {
+
+  private final case class Check(streamRows: Long, batchRows: Long,
+      ok: Boolean, note: String = "")
+
+  private def land(df: DataFrame, dir: java.nio.file.Path,
+      name: String): Unit = {
+    val tmp = Files.createTempDirectory("graft-gate-land")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.move(part, dir.resolve(name))
+  }
+
+  private def fileStream(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+
+  /** Run a memory-sink streaming query to completion and return the sink
+    * table. */
+  private def drain(df: DataFrame, name: String, mode: String)
+      (implicit spark: SparkSession): DataFrame = {
+    val q = df.writeStream.outputMode(mode)
+      .format("memory").queryName(name)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val outJson = if (args.length > 1) args(1) else "STREAMGATE.json"
+    implicit val spark: SparkSession =
+      GraftSession.builder("graft-stream-gate", "local[8]", 8).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val events = Tables.events(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    val staging = Files.createTempDirectory("graft-gate").toString
+    events.write.parquet(s"$staging/events")
+    val evSchema = spark.read.parquet(s"$staging/events").schema
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Check]()
+    def run(name: String)(body: => Check): Unit = {
+      results(name) =
+        try body
+        catch { case e: Throwable =>
+          Check(-1, -1, ok = false,
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        }
+      val c = results(name)
+      println(s"[streamgate] ${if (c.ok) "OK  " else "FAIL"} $name " +
+        s"stream=${c.streamRows} batch=${c.batchRows} ${c.note}")
+    }
+
+    run("hourly_counts") {
+      val expected = EventStreamOps.hourlyWindowedCounts(events)
+        .orderBy("window_start", "event_type").collect()
+      val got = drain(EventStreamOps.hourlyWindowedCounts(
+        fileStream(spark, s"$staging/events", evSchema)),
+        "g_hourly", "complete")
+        .orderBy("window_start", "event_type").collect()
+      Check(got.length, expected.length, got.sameElements(expected))
+    }
+
+    run("ohlc_bars_vs_declared_q_ohlc") {
+      val got = drain(EventStreamOps.ohlcBars(
+        fileStream(spark, s"$staging/events", evSchema)),
+        "g_ohlc", "complete")
+        .orderBy("event_type", "window_start")
+        .select("event_type", "window_start", "n_events",
+          "open", "high", "low", "close").collect()
+      val expected = graft.operators.EventOps.ohlc(spark, sfDir)
+        .select(col("event_type"), col("hr").as("window_start"),
+          col("n_events"), col("open"), col("high"), col("low"),
+          col("close"))
+        .orderBy("event_type", "window_start").collect()
+      Check(got.length, expected.length, got.sameElements(expected))
+    }
+
+    run("dedup_exactly_once") {
+      val dir = Files.createTempDirectory("graft-gate-dedup")
+      val in = Files.createDirectories(dir.resolve("in"))
+      land(events, in, "f1.parquet")
+      land(events, in, "f2.parquet") // full replay: every event twice
+      val got = drain(EventStreamOps.dedupEvents(
+        fileStream(spark, in.toString, evSchema)), "g_dedup", "append")
+      val dups = got.groupBy(col("event_id")).count()
+        .filter(col("count") > 1).count()
+      Check(got.count(), events.count(),
+        got.count() == events.count() && dups == 0)
+    }
+
+    run("dedup_then_windowed_agg") {
+      val dir = Files.createTempDirectory("graft-gate-chain")
+      val in = Files.createDirectories(dir.resolve("in"))
+      land(events, in, "f1.parquet")
+      land(events, in, "f2.parquet")
+      // far-future sentinel advances the watermark so every real window
+      // finalizes under append mode; its own window never finalizes
+      val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+      land(events.limit(1)
+        .withColumn("ts",
+          lit(new java.sql.Timestamp(maxTs.getTime + 36000000L)))
+        .withColumn("event_id", lit(-1L)), in, "f3.parquet")
+      val got = drain(EventStreamOps.dedupedHourlyCounts(
+        fileStream(spark, in.toString, evSchema)), "g_chain", "append")
+        .orderBy("window_start", "event_type").collect()
+      val expected = EventStreamOps.hourlyWindowedCounts(events)
+        .orderBy("window_start", "event_type").collect()
+      Check(got.length, expected.length, got.sameElements(expected))
+    }
+
+    run("sessionize_stateful_vs_batch") {
+      val ds = events
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[EventStreamOps.Event]
+      // truth stays a SEQ for the count identity (distinct sessions can
+      // share a (user, n, value) triple); the set form is only for the
+      // subset check
+      val truth = EventStreamOps.finalSessions(ds, 30).collect()
+        .map(s => (s.user_id, s.n_events, s.total_value)).toSeq
+      val closed = EventStreamOps.sessionize(ds, 30).collect()
+      val closedSet =
+        closed.map(s => (s.user_id, s.n_events, s.total_value)).toSet
+      val users = events.select("user_id").distinct().count()
+      Check(closed.length, truth.length,
+        closedSet.subsetOf(truth.toSet) &&
+          truth.length == closed.length + users,
+        s"open_state=$users")
+    }
+
+    run("session_window_counts") {
+      val expected = EventStreamOps.sessionWindowCounts(events)
+        .orderBy("user_id", "sess_start").collect()
+      val got = drain(EventStreamOps.sessionWindowCounts(
+        fileStream(spark, s"$staging/events", evSchema)),
+        "g_sess", "complete")
+        .orderBy("user_id", "sess_start").collect()
+      Check(got.length, expected.length,
+        expected.nonEmpty && got.sameElements(expected))
+    }
+
+    run("interval_join_vs_batch") {
+      val batch = graft.operators.EventOps.viewToPurchase(spark, sfDir)
+        .select("view_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def stream = spark.readStream.schema(evSchema)
+        .parquet(s"$staging/events")
+      val q = EventStreamOps.viewPurchaseJoin(
+        stream.filter(col("event_type") === "view"),
+        stream.filter(col("event_type") === "purchase"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName("g_vpjoin").start()
+      q.processAllAvailable(); q.stop()
+      val streamed = spark.table("g_vpjoin")
+        .select("view_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      Check(streamed.size, batch.size, streamed == batch)
+    }
+
+    run("anomaly_flags_stream_static") {
+      val baseline = EventStreamOps.anomalyBaseline(events)
+      val expected = EventStreamOps.anomalyFlags(events, baseline)
+        .orderBy("event_type", "window_start").collect()
+      val got = drain(EventStreamOps.anomalyFlags(
+        fileStream(spark, s"$staging/events", evSchema), baseline),
+        "g_anom", "complete")
+        .orderBy("event_type", "window_start").collect()
+      Check(got.length, expected.length,
+        expected.nonEmpty && got.sameElements(expected))
+    }
+
+    run("debounce_keep_anchored") {
+      val ds = events
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[EventStreamOps.Event]
+      val kept = EventStreamOps.debounceKeepAnchored(ds, 60).collect()
+      // driver greedy anchored debounce per (user, type) = ground truth
+      val expect = ds.collect().groupBy(e => (e.user_id, e.event_type))
+        .toSeq.flatMap { case (_, es) =>
+          var last = Long.MinValue
+          es.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).filter { e =>
+            val keep =
+              last == Long.MinValue || e.ts.getTime - last > 3600000L
+            if (keep) last = e.ts.getTime
+            keep
+          }
+        }.map(_.event_id).toSet
+      Check(kept.length, expect.size, kept.map(_.event_id).toSet == expect)
+    }
+
+    run("corpus_clean_cross_batch_dedup") {
+      val base = Files.createTempDirectory("graft-gate-clean")
+      val in = Files.createDirectories(base.resolve("in"))
+      val out = base.resolve("out").toString
+      val cp = base.resolve("cp").toString
+      land(docs, in, "001.parquet")
+      val q = CorpusStreamOps.start(spark, in.toString, docs.schema, out, cp)
+      q.processAllAvailable()
+      land(docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 1000000L), in, "002.parquet")
+      q.processAllAvailable(); q.stop()
+      val got = spark.read.parquet(out)
+      val batch = CorpusStreamOps.clean(
+        docs.unionByName(docs.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + 1000000L)))
+      Check(got.count(), batch.count(),
+        got.select(col("fp")).distinct().count() == got.count() &&
+          got.count() == batch.count() &&
+          got.filter(col("doc_id") >= 1000000L).count() == 0)
+    }
+
+    run("unigram_scoring_vs_declared_twin") {
+      val (model, oov) = CorpusStreamOps.trainUnigramModel(docs)
+      val batch = CorpusStreamOps.scoreWithModel(docs, model, oov)
+        .select("doc_id", "mean_logp").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val base = Files.createTempDirectory("graft-gate-score")
+      val in = Files.createDirectories(base.resolve("in"))
+      val out = base.resolve("out").toString
+      val cp = base.resolve("cp").toString
+      land(docs.filter(col("doc_id") < 250), in, "001.parquet")
+      land(docs.filter(col("doc_id") >= 250), in, "002.parquet")
+      val q = CorpusStreamOps.scoreWithModel(
+          fileStream(spark, in.toString, docs.schema), model, oov)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      val streamed = spark.read.parquet(out)
+        .select("doc_id", "mean_logp").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // and the batch scorer itself equals the DECLARED q_unigram_logprob
+      val exact = graft.operators.TextOps.unigramLogprob(spark, sfDir)
+        .select("doc_id", "mean_logp").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      Check(streamed.size, batch.size,
+        streamed == batch &&
+          batch.forall { case (id, lp) => exact(id) == lp })
+    }
+
+    run("neardup_cross_batch_minhash") {
+      val base = Files.createTempDirectory("graft-gate-neardup")
+      val in = Files.createDirectories(base.resolve("in"))
+      val out = base.resolve("out").toString
+      val cp = base.resolve("cp").toString
+      val d2 = docs.select("doc_id", "text")
+      land(d2, in, "001.parquet")
+      val q = CorpusStreamOps.nearDupFlags(
+          fileStream(spark, in.toString, d2.schema))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      land(d2.filter(col("doc_id") < 40)
+        .withColumn("doc_id", col("doc_id") + 1000000L), in, "002.parquet")
+      q.processAllAvailable(); q.stop()
+      val verdicts =
+        CorpusStreamOps.resolveNearDups(spark.read.parquet(out))
+      val resent = verdicts.filter(col("doc_id") >= 1000000L).collect()
+      val signed = d2.filter(col("doc_id") < 40)
+        .select(graft.functions.TextFunctions.minhashArray(
+          graft.functions.TextFunctions.shingles(
+            graft.functions.TextFunctions.tokensLower(col("text"))), 32)
+          .as("sig"))
+        .filter(col("sig").isNotNull).count()
+      Check(resent.length, signed,
+        resent.length == signed && resent.forall(_.getBoolean(2)) &&
+          resent.forall(_.getLong(1) < 1000000L))
+    }
+
+    val pass = results.values.count(_.ok)
+    val json = "{\"gate\":\"stream\",\"sf\":\"" + sfDir + "\"," +
+      "\"checks\":" + results.size + ",\"pass\":" + pass + "," +
+      "\"fail\":" + (results.size - pass) + ",\"results\":{" +
+      results.map { case (n, c) =>
+        "\"" + n + "\":{\"stream_rows\":" + c.streamRows +
+          ",\"batch_rows\":" + c.batchRows + ",\"match\":" + c.ok +
+          (if (c.note.nonEmpty)
+            ",\"note\":\"" + c.note.replace("\"", "'") + "\"" else "") + "}"
+      }.mkString(",") + "}}"
+    Files.writeString(Paths.get(outJson), json + "\n")
+    println(s"[streamgate] $pass/${results.size} -> $outJson")
+    spark.stop()
+    if (pass != results.size) sys.exit(1)
+  }
+}
