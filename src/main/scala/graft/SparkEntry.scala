@@ -379,16 +379,17 @@ object SparkEntry {
     * sketch never purges, which its declared 2^15 map guarantees at every
     * shipped SF — oracles against the plain token-frequency table.
     *
-    * Three queries are deliberately rows-only (no entry here), each with a
+    * Two queries are deliberately rows-only (no entry here), each with a
     * stronger ScalaTest invariant instead: q_approx_stats is a sketch
     * (HLL++/quantile) whose exact counterparts differ by construction —
     * SketchSpec bounds its error against exact COUNT(DISTINCT)/quantiles;
     * q_hll_rollup's DataSketches HLL registers are engine-specific —
     * SketchSpec proves the sketch-union row equals the direct global
-    * sketch exactly; q_embed_pca eigendecomposes the covariance on the
-    * driver (Jacobi — the pivot sequence is data-dependent, so no
-    * bounded unroll exists) — SimilaritySpec pins it to an exact
-    * small-case spectrum plus trace-conservation/ordering invariants.
+    * sketch exactly. q_embed_pca left this list in round 10: its Jacobi
+    * eigensolve now runs a FIXED cyclic sweep order and count over a
+    * stable6-rounded covariance, which the oracle replays bit-for-bit as
+    * a recursive CTE (jacobiPcaSql); SimilaritySpec keeps the exact
+    * small-case spectrum and invariant pins on top.
     *
     * Everything else that was once rows-only is now oracle-proven:
     * the k-means family (q_sim_ivf/q_semdedup/q_cluster_purity/
@@ -470,6 +471,90 @@ object SparkEntry {
       "r AS (SELECT q_id, cand_id, cos_sim, " +
       "row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rn FROM pairs) " +
       s"SELECT q_id, CAST(rn AS INTEGER) AS rn, cand_id, cos_sim FROM r WHERE rn <= $topk ORDER BY q_id, rn"
+
+  /** q_embed_pca oracle (round 10): replay the driver's FIXED-order,
+    * FIXED-count cyclic Jacobi eigensolve as a DuckDB recursive CTE — one
+    * Givens rotation per recursive iteration, state = 64 (i, vals-list)
+    * rows, rotation (p,q) joined from a generated schedule. The covariance
+    * passes the stable6 barrier on BOTH sides (the only cross-engine float
+    * divergence point — aggregation order); from those identical doubles
+    * every rotation is a deterministic IEEE op sequence (sqrt/sign/±/×/÷
+    * replicated in the engine's exact two-step update order), so the
+    * diagonals match the JVM bit for bit (dev/jacobi_proto.py measured
+    * 64/64 identical through 6 sweeps = 12,096 rotations, ~47 s in
+    * DuckDB). Lambdas capture only same-SELECT columns in DuckDB 1.0,
+    * hence the nested derived tables. */
+  private def jacobiPcaSql(topK: Int = 8): String = {
+    val dim = graft.operators.SimilarityOps.EmbeddingDim
+    val rots = dim * (dim - 1) / 2
+    val iters = graft.operators.SimilarityOps.JacobiSweeps * rots
+    def r6(x: String) =
+      s"CAST(round(CAST($x AS DECIMAL(20,8)), 6) AS DOUBLE)"
+    def r4(x: String) =
+      s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+    val d1 = dim + 1
+    "WITH RECURSIVE " +
+      // exploded (vec_id, dim, value) view and the raw moment/mean pass
+      "ex AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d, " +
+      "CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), " +
+      "mu AS (SELECT d, avg(v) AS m FROM ex GROUP BY d), " +
+      "mom AS (SELECT a.d AS i, b.d AS j, avg(a.v * b.v) AS mm " +
+      "FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.d >= a.d " +
+      "GROUP BY 1, 2), " +
+      // stable6 covariance (upper triangle mirrored), as 64 list rows
+      s"covu AS (SELECT i, j, ${r6("mm - ma.m * mb.m")} AS c " +
+      "FROM mom JOIN mu ma ON ma.d = i JOIN mu mb ON mb.d = j), " +
+      "cove AS (SELECT i, j, c FROM covu " +
+      "UNION ALL SELECT j, i, c FROM covu WHERE i <> j), " +
+      "cov0 AS (SELECT i, list(c ORDER BY j) AS vals FROM cove GROUP BY i), " +
+      // cyclic rotation schedule: r-th rotation targets the r-th (p, q)
+      "sched AS (SELECT row_number() OVER (ORDER BY p, q) - 1 AS r, p, q " +
+      s"FROM (SELECT a.range AS p, b.range AS q FROM range(0, $dim) a " +
+      s"JOIN range(0, $dim) b ON b.range > a.range)), " +
+      // the recursive Jacobi replay: tt NULL = the engine's |apq| skip
+      "st(t, i, vals) AS (" +
+      "SELECT 0, i, vals FROM cov0 " +
+      "UNION ALL " +
+      "SELECT t + 1, i, CASE WHEN tt IS NULL THEN vals " +
+      s"WHEN i = p THEN list_transform(range(1, $d1), m -> c * bp[m] - s * bq[m]) " +
+      s"WHEN i = q THEN list_transform(range(1, $d1), m -> s * bp[m] + c * bq[m]) " +
+      "ELSE b_own END " +
+      "FROM (SELECT t, i, p, q, vals, tt, c, s, " +
+      s"CASE WHEN tt IS NULL THEN vals ELSE list_transform(range(1, $d1), m -> CASE " +
+      "WHEN m = p + 1 THEN c * vals[p + 1] - s * vals[q + 1] " +
+      "WHEN m = q + 1 THEN s * vals[p + 1] + c * vals[q + 1] " +
+      "ELSE vals[m] END) END AS b_own, " +
+      s"CASE WHEN tt IS NULL THEN rowp ELSE list_transform(range(1, $d1), m -> CASE " +
+      "WHEN m = p + 1 THEN c * rowp[p + 1] - s * rowp[q + 1] " +
+      "WHEN m = q + 1 THEN s * rowp[p + 1] + c * rowp[q + 1] " +
+      "ELSE rowp[m] END) END AS bp, " +
+      s"CASE WHEN tt IS NULL THEN rowq ELSE list_transform(range(1, $d1), m -> CASE " +
+      "WHEN m = p + 1 THEN c * rowq[p + 1] - s * rowq[q + 1] " +
+      "WHEN m = q + 1 THEN s * rowq[p + 1] + c * rowq[q + 1] " +
+      "ELSE rowq[m] END) END AS bq " +
+      "FROM (SELECT *, " +
+      "CASE WHEN tt IS NULL THEN 1.0 ELSE 1.0 / sqrt(tt * tt + 1.0) END AS c, " +
+      "CASE WHEN tt IS NULL THEN 0.0 ELSE tt * (1.0 / sqrt(tt * tt + 1.0)) END AS s " +
+      "FROM (SELECT *, CASE WHEN theta IS NULL THEN NULL " +
+      "WHEN theta = 0.0 THEN 1.0 " +
+      "ELSE (CASE WHEN theta > 0 THEN 1.0 ELSE -1.0 END) " +
+      "/ (abs(theta) + sqrt(theta * theta + 1.0)) END AS tt " +
+      "FROM (SELECT *, CASE WHEN abs(rowp[q + 1]) <= 1e-15 THEN NULL ELSE " +
+      "(rowq[q + 1] - rowp[p + 1]) / (2.0 * rowp[q + 1]) END AS theta " +
+      "FROM (SELECT st.t, st.i, s.p, s.q, st.vals, " +
+      "max(CASE WHEN st.i = s.p THEN st.vals END) OVER () AS rowp, " +
+      "max(CASE WHEN st.i = s.q THEN st.vals END) OVER () AS rowq " +
+      s"FROM st JOIN sched s ON s.r = st.t % $rots " +
+      s"WHERE st.t < $iters) w) th) t2) cs) b), " +
+      // round6 diagonals, descending fold — mirrors the engine's
+      // eigs.take(k+1).sum over the desc-sorted rounded spectrum
+      s"diag AS (SELECT ${r6(s"vals[i + 1]")} AS ev FROM st WHERE t = $iters), " +
+      "evl AS (SELECT list(ev ORDER BY ev DESC) AS evs FROM diag) " +
+      s"SELECT CAST(k AS INTEGER) AS component, ${r4("evs[CAST(k AS INTEGER) + 1]")} AS eigenvalue, " +
+      r4(s"evs[CAST(k AS INTEGER) + 1] / list_sum(evs)") + " AS var_ratio, " +
+      r4(s"list_sum(evs[1 : CAST(k AS INTEGER) + 1]) / list_sum(evs)") + " AS cum_ratio " +
+      s"FROM evl, range(0, $topK) t(k) ORDER BY component"
+  }
 
   // ------------------------------------------------------------------
   // round-9 oracle builders: the MinHash/SimHash signature family is the
@@ -1987,6 +2072,10 @@ object SparkEntry {
         "FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
         "WHERE CAST(round(CAST(jaro_winkler_similarity(a.pref, b.pref) AS DECIMAL(20,8)), 4) AS DOUBLE) >= 0.9 " +
         "ORDER BY jw DESC, da, db LIMIT 50"),
+    // recursive-CTE replay of the driver's fixed-sweep cyclic Jacobi —
+    // see jacobiPcaSql; ~47 s in DuckDB (12,096 rotations), the price of
+    // moving the last eigensolve from rows-only to hash-match
+    "q_embed_pca" -> jacobiPcaSql(),
     "q_embed_stats" ->
       ("WITH e AS (SELECT CAST(generate_subscripts(embedding, 1) AS INTEGER) AS dim, " +
         "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings) " +

@@ -27,6 +27,11 @@ object SimilarityOps {
 
   val EmbeddingDim = 64
 
+  /** Fixed cyclic-Jacobi sweep count for [[embedPca]] — shared with the
+    * q_embed_pca oracle SQL (the recursive-CTE replay interpolates it) so
+    * the engine and DuckDB can never desync on the rotation count. */
+  val JacobiSweeps = 6
+
   /** Exact cosine top-k of `candidates` for each query vector. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"),
@@ -438,11 +443,19 @@ object SimilarityOps {
     val cov = Array.ofDim[Double](dim, dim)
     var idx = 0
     for (i <- 0 until dim; j <- i until dim) {
-      val c = moment(idx) - mu(i) * mu(j)
+      // stable6 barrier on the covariance: the eigensolve's INPUT is the
+      // only cross-engine float divergence point (distributed vs DuckDB
+      // aggregation order); from identical rounded entries the fixed-sweep
+      // Jacobi below is a deterministic IEEE op sequence, so the oracle's
+      // recursive-CTE replay reproduces the diagonals bit for bit
+      val c = IvfOps.stable6(moment(idx) - mu(i) * mu(j))
       cov(i)(j) = c; cov(j)(i) = c
       idx += 1
     }
-    val eigs = jacobiEigenvalues(cov).sorted(Ordering[Double].reverse)
+    // round6 diagonals + descending-order folds, mirrored by the oracle's
+    // ORDER BY ev DESC list slices
+    val eigs = jacobiEigenvalues(cov).map(IvfOps.stable6)
+      .sorted(Ordering[Double].reverse)
     val total = eigs.sum
     val rows = eigs.take(topK).zipWithIndex.map { case (ev, k) =>
       (k, ev, ev / total, eigs.take(k + 1).sum / total)
@@ -457,20 +470,21 @@ object SimilarityOps {
   }
 
   /** Cyclic Jacobi eigenvalue sweep for a symmetric matrix (driver-side,
-    * deterministic: fixed (p,q) sweep order, fixed convergence threshold).
-    * Textbook Golub & Van Loan 8.4; adequate for the ≤64×64 moment
-    * matrices this module ever builds. */
-  private[operators] def jacobiEigenvalues(a0: Array[Array[Double]])
-      : Array[Double] = {
+    * deterministic: fixed (p,q) sweep order and a FIXED sweep count, so
+    * the whole float sequence is a pure function of the input matrix —
+    * what lets the DuckDB oracle replay it bit-for-bit as a recursive CTE
+    * (round-10; the earlier off-diagonal convergence threshold made the
+    * sweep count data-dependent). 6 sweeps leave a 64×64's off-diagonal
+    * below 1e-8 (quadratic convergence after ~3; SimilaritySpec pins the
+    * fixed count against a converged run), 4 decimal orders under the
+    * round-4 output. Textbook Golub & Van Loan 8.4; adequate for the
+    * ≤64×64 moment matrices this module ever builds. */
+  private[operators] def jacobiEigenvalues(a0: Array[Array[Double]],
+      sweeps: Int = JacobiSweeps): Array[Double] = {
     val n = a0.length
     val a = a0.map(_.clone())
-    def offDiag(): Double = {
-      var s = 0.0
-      for (p <- 0 until n; q <- p + 1 until n) s += a(p)(q) * a(p)(q)
-      s
-    }
     var sweep = 0
-    while (offDiag() > 1e-18 && sweep < 64) {
+    while (sweep < sweeps) {
       for (p <- 0 until n; q <- p + 1 until n if math.abs(a(p)(q)) > 1e-15) {
         val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
         val t =
