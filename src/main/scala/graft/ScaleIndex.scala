@@ -1,0 +1,179 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.catalyst.plans.logical._
+
+/** Generates SCALE_INDEX.md — the per-query scale-posture index (VERDICT
+  * round-10 ask #2): one row per declared query with
+  *
+  *   - t(sf0.1) and t(sf1-equivalent) warm best-of-2 wall times and the
+  *     measured exponent e = log10(t₁/t₀.₁) between them (real data →
+  *     ScaleGate's 10× synthesis at /tmp/graft_sf1 — run
+  *     `runMain graft.ScaleGate` first if absent);
+  *   - the authoritative prior ScaleSpot exponent where one was measured
+  *     (10×→100× synthetic growth, round recorded) — those supersede the
+  *     bench ratio for the superlinear-risk family because they measure a
+  *     further decade;
+  *   - a mechanical plan-shape summary from the optimized logical plan
+  *     (J=joins A=aggregates W=windows G=explodes B=materialize barriers
+  *     S=table scans) — the bounded-shape argument in compressed form.
+  *
+  * Exponents on sub-0.6 s (sf1) queries are fixed-overhead-dominated and
+  * flagged `·` — the honest reading there is "cheap at both scales", not
+  * a growth law.
+  *
+  *   SPARK_DRIVER_MEM=24g sbt "runMain graft.ScaleIndex [out.md]"
+  */
+object ScaleIndex {
+
+  /** Prior measured exponents: ScaleSpot 10×→100× (or the documented dial
+    * family), with the measuring round. Keyed facts live in SCALE.md's
+    * round sections; this map is the index view of them. */
+  val SpotE: Map[String, String] = Map(
+    "q_ann_recall" -> "0.37 (r7)",
+    "q_attribution" -> "0.65 (r7)",
+    "q_audience_overlap" -> "0.34 (r7)",
+    "q_audio_trim" -> "flat (r7)",
+    "q_calibration" -> "0.43 (r7)",
+    "q_caption_dedup" -> "1.63 (r7, CONTRAST DIAL)",
+    "q_card_est" -> "flat (r7)",
+    "q_cluster_purity" -> "0.10 (r7)",
+    "q_dedup_embed_lsh" -> "2.0 output-bound (r6, CONTRAST DIAL)",
+    "q_dedup_embed_rep" -> "flat (r6)",
+    "q_dedup_incr" -> "0.17 (r6)",
+    "q_dedup_incr_near" -> "0.31 (r9)",
+    "q_dedup_ngram" -> "1.65 (r5, CONTRAST DIAL)",
+    "q_dedup_ngram_capped" -> "0.55 (r6)",
+    "q_dedup_spans" -> "0.80 (r6)",
+    "q_doremi" -> "0.62 (r9)",
+    "q_dp_topk" -> "0.07 (r7)",
+    "q_dsir" -> "0.97 (r9)",
+    "q_dup_span_frac" -> "0.65 (r6)",
+    "q_edit_distance" -> "1.93 (r6, CONTRAST DIAL)",
+    "q_edit_distance_blocked" -> "1.02 (r6)",
+    "q_embed_pca" -> "0.73 (r7)",
+    "q_entity_match" -> "1.14 (r5)",
+    "q_event_lag" -> "0.24 (r7)",
+    "q_event_paths" -> "0.53 (r6)",
+    "q_fuzzy_jw" -> "~1.9 (r6 family: q_edit_distance's 2-char blocking, CONTRAST DIAL)",
+    "q_fuzzy_jw_blocked" -> "~1.0 (r6 family: 4-char blocking)",
+    "q_graph_cc" -> "0.67 (r7)",
+    "q_graph_lpa" -> "0.65 (r7)",
+    "q_gram_novelty" -> "0.32 (r7)",
+    "q_incr_join" -> "0.24 (r7)",
+    "q_ivf_balance" -> "0.45 (r7)",
+    "q_lang_trigram" -> "0.80 (r7)",
+    "q_markov" -> "0.56 (r6)",
+    "q_minhash_recall" -> "0.69 (r9 re-measure)",
+    "q_ngram_containment" -> "0.52 (r7)",
+    "q_ohlc" -> "0.01 (r7)",
+    "q_phash_dedup" -> "0.71 (r9)",
+    "q_pit_join" -> "flat (r7)",
+    "q_pq_ann" -> "0.16 (r6)",
+    "q_quality_train" -> "0.28 (r7)",
+    "q_rank_eval" -> "0.63 (r9)",
+    "q_semdedup" -> "0.07 (r6)",
+    "q_session_window" -> "0.76 (r6)",
+    "q_sessionize" -> "0.30 (r6)",
+    "q_sim_ivf" -> "~0 (r6)",
+    "q_sim_lsh" -> "~0 (r6)",
+    "q_simhash_pairs" -> "0.38 (r5)",
+    "q_skew_audit" -> "flat (r7)",
+    "q_skip_audit" -> "0.11 (r7)",
+    "q_snapshot_diff" -> "0.32 (r7)",
+    "q_source_overlap" -> "0.69 (r6)",
+    "q_split_leakage" -> "0.94 (r7)",
+    "q_stl_decompose" -> "flat (r7)",
+    "q_theil_sen" -> "0.59 (r7)",
+    "q_theta_audience" -> "0.06 (r7)",
+    "q_tpch_q12" -> "flat (r9)",
+    "q_tpch_q21" -> "0.45 (r9)",
+    "q_tpch_q4" -> "0.38 (r9)",
+    "q_triangles" -> "0.97 (r7 mem-sized; 1.35 r5 @24g)",
+    "q_watermark_sim" -> "0.40 (r7)",
+  )
+
+  private def shape(plan: LogicalPlan): String = {
+    var j, a, w, g, b, s = 0
+    plan.foreach {
+      case _: Join => j += 1
+      case _: Aggregate => a += 1
+      case _: Window => w += 1
+      case _: Generate => g += 1
+      case _: org.apache.spark.sql.execution.LogicalRDD => b += 1
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        s += 1
+      case _ => ()
+    }
+    s"${j}J ${a}A ${w}W ${g}G ${b}B ${s}S"
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = if (args.nonEmpty) args(0) else "SCALE_INDEX.md"
+    val sf01 = "/root/testdata/sf0.1"
+    val sf1 = ScaleGate.OutDir
+    require(new java.io.File(s"$sf1/lineitem.parquet").exists(),
+      s"sf1 synthesis missing — run `runMain graft.ScaleGate` first")
+    val spark = GraftSession.builder("graft-scale-index").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // warm pass: plan compile + JIT at sf0.001 (the Bench protocol)
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
+    def best2(f: => Unit): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+    val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val sh =
+        try shape(fn(spark, sf01).queryExecution.optimizedPlan)
+        catch { case _: Throwable => "?" }
+      val r = try {
+        val t01 = best2(fn(spark, sf01).count())
+        val t1 = best2(fn(spark, sf1).count())
+        val e = math.log10(t1 / t01)
+        val flag = if (t1 < 0.6) "·" else ""
+        Right((t01, t1, f"$e%.2f$flag"))
+      } catch { case ex: Throwable =>
+        Left(ex.toString.takeWhile(_ != '\n').take(120))
+      }
+      r match {
+        case Right((t01, t1, e)) =>
+          println(f"[index] $name%-24s ${t01}%7.2f ${t1}%7.2f  e=$e%-6s $sh")
+          f"| `$name` | $t01%.2f | $t1%.2f | $e | ${SpotE.getOrElse(name, "—")} | $sh |"
+        case Left(m) =>
+          println(s"[index] $name ERROR $m")
+          s"| `$name` | ERR | ERR | ERR | ${SpotE.getOrElse(name, "—")} | $sh |"
+      }
+    }
+    val header =
+      """# SCALE_INDEX — per-query scale posture (generated by `runMain graft.ScaleIndex`)
+        |
+        |One row per declared query. `t(sf0.1)` / `t(sf1)` are warm
+        |best-of-2 wall seconds on the real sf0.1 data and ScaleGate's
+        |10× sf1-equivalent synthesis; `e(r10)` = log10(t₁/t₀.₁) between
+        |them — `·` marks rows under 0.6 s at sf1, where fixed overhead
+        |dominates and the honest reading is "cheap at both scales", not a
+        |growth law. `spot e` is the authoritative prior ScaleSpot
+        |measurement (10×→100× synthetic growth, measuring round in
+        |parentheses; full readings in SCALE.md's round sections) — it
+        |supersedes the bench ratio for the superlinear-risk family because
+        |it measures a further decade of growth. `shape` compresses the
+        |optimized logical plan: J joins, A aggregates, W windows,
+        |G explodes, B materialize barriers, S table scans — the
+        |bounded-shape argument for rows without a spot number.
+        |CONTRAST DIAL rows are the five declared quadratic baselines
+        |(SURVEY §2.3), each shipping a measured scale-safe primary.
+        |
+        || query | t(sf0.1) s | t(sf1) s | e(r10) | spot e (round) | shape |
+        ||---|---|---|---|---|---|""".stripMargin
+    Files.writeString(Paths.get(out),
+      header + "\n" + rows.mkString("\n") + "\n")
+    println(s"[index] ${rows.size} rows -> $out")
+    spark.stop()
+  }
+}
