@@ -901,6 +901,21 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("dsir/doremi: the scoring stage stays behind its barrier") {
+    // the round-9 double-paid-scoring fixes: the declared plans must read
+    // the materialized scoring stage (Scan ExistingRDD), never re-derive
+    // it — a removed barrier re-introduces the gram/token explode into
+    // the declared plan, which this pins at zero
+    Seq("q_dsir", "q_doremi").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+      val gens = plan.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      }.size
+      assert(gens == 0,
+        s"$q: scoring explode leaked past the Materialize barrier")
+    }
+  }
+
   /** The q_minhash_recall sf1 regression class (round 9, 33 s → 5 s): a
     * `conv(substring(md5(…)))` portable-hash column chain evaluated inside
     * an aggregation over an EXPLODED input pays digest + hex-encode +
