@@ -296,6 +296,39 @@ object StreamGate {
           resent.forall(_.getLong(1) < 1000000L))
     }
 
+    run("band_index_stream_probe_append") {
+      val base = Files.createTempDirectory("graft-gate-bandstream")
+      val in = Files.createDirectories(base.resolve("in"))
+      val (idx, out, cp) = (base.resolve("idx").toString,
+        base.resolve("out").toString, base.resolve("cp").toString)
+      val d2 = docs.select("doc_id", "text")
+      val b1 = d2.filter(col("doc_id") < 250)
+      val b2 = d2.filter(col("doc_id") >= 250).unionByName(
+        d2.filter(col("doc_id") < 25)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      land(b1, in, "001.parquet")
+      val q = CorpusStreamOps.startBandIndexStream(
+        spark, in.toString, d2.schema, idx, out, cp)
+      q.processAllAvailable()
+      land(b2, in, "002.parquet")
+      q.processAllAvailable(); q.stop()
+      val verdicts = spark.read.parquet(out).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getBoolean(1), r.getLong(2), r.getLong(3)))).toMap
+      // batch-2 verdicts == a direct probe of a batch-1-only index
+      val idx1 = Files.createTempDirectory("graft-gate-bandref").toString
+      graft.operators.DedupOps.bandIndexAppend(b1, idx1)
+      val expect = graft.operators.DedupOps.bandIndexProbe(spark, idx1, b2)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getBoolean(1), r.getLong(2), r.getLong(3)))).toMap
+      val b2ok = expect.forall { case (id, v) => verdicts(id) == v }
+      val b1Novel = b1.collect()
+        .forall(r => verdicts(r.getLong(0)) == ((true, 0L, -1L)))
+      Check(verdicts.size, b1.count() + b2.count(),
+        b2ok && b1Novel &&
+          verdicts.size == b1.count() + b2.count())
+    }
+
     val pass = results.values.count(_.ok)
     val json = "{\"gate\":\"stream\",\"sf\":\"" + sfDir + "\"," +
       "\"checks\":" + results.size + ",\"pass\":" + pass + "," +

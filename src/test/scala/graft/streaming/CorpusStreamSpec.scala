@@ -187,4 +187,73 @@ class CorpusStreamSpec extends SparkTestBase {
     // 32 hashes it must flag against doc 1 in at least one band
     assert(v(3L) == ((1L, true)))
   }
+
+  test("streaming band-index loop: per-batch probe+append equals the direct recompute") {
+    val base = Files.createTempDirectory("graft-bandstream")
+    val in = Files.createDirectories(base.resolve("in"))
+    val (idx, out, cp) = (base.resolve("idx").toString,
+      base.resolve("out").toString, base.resolve("cp").toString)
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmpDir = Files.createTempDirectory("graft-land")
+      df.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+      val part = Files.list(tmpDir).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, in.resolve(name))
+    }
+    // batch 1: half the corpus; batch 2: the other half PLUS 25 exact
+    // re-sends of batch-1 docs under shifted ids
+    val b1 = docs.filter(col("doc_id") < 250)
+    val b2 = docs.filter(col("doc_id") >= 250).unionByName(
+      docs.filter(col("doc_id") < 25)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    land(b1, "001.parquet")
+    val q = CorpusStreamOps.startBandIndexStream(
+      spark, in.toString, docs.schema, idx, out, cp)
+    q.processAllAvailable()
+    land(b2, "002.parquet")
+    q.processAllAvailable()
+    q.stop()
+
+    val verdicts = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(verdicts.size == b1.count() + b2.count())
+    // batch 1 probed an empty index: all novel
+    assert(docs.filter(col("doc_id") < 250).collect()
+      .forall(r => verdicts(r.getLong(0)) == ((true, 0L, -1L))))
+    // the batch-2 verdicts must equal a DIRECT probe of a batch-1-only
+    // index — streamed and batch shapes share one kernel and one index
+    val idx1 = Files.createTempDirectory("graft-bandstream-ref").toString
+    graft.operators.DedupOps.bandIndexAppend(b1, idx1)
+    val expect = graft.operators.DedupOps.bandIndexProbe(spark, idx1, b2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getLong(3)))).toMap
+    b2.collect().foreach { r =>
+      val id = r.getLong(0)
+      assert(verdicts(id) == expect(id), s"doc $id: ${verdicts(id)} vs ${expect(id)}")
+    }
+    // every exact re-send whose original SIGNS (>=1 shingle) is flagged,
+    // with first_match at or below the original (fm is the MIN matching
+    // corpus id — the original itself, or an even-earlier near-dup of it)
+    val signed = docs.filter(col("doc_id") < 25)
+      .select(col("doc_id"), graft.functions.TextFunctions.minhashArray(
+        graft.functions.TextFunctions.shingles(
+          graft.functions.TextFunctions.tokensLower(col("text"))), 32)
+        .as("sig"))
+      .filter(col("sig").isNotNull)
+      .collect().map(_.getLong(0)).toSet
+    signed.foreach { o =>
+      val (novel, n, fm) = verdicts(o + 1000000L)
+      assert(!novel && n >= 1 && fm <= o,
+        s"re-send of $o: novel=$novel n=$n fm=$fm")
+    }
+    // the streamed index equals a batch-built one: append b2 to the
+    // reference and compare the full (doc_id, band, bkey) row sets
+    graft.operators.DedupOps.bandIndexAppend(b2, idx1)
+    def bandSet(p: String) = spark.read.parquet(s"$p/bands")
+      .select("doc_id", "band", "bkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(bandSet(idx) == bandSet(idx1))
+  }
 }
