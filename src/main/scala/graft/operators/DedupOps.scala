@@ -584,7 +584,8 @@ object DedupOps {
     * files). Probe-vs-rebuild timing at 10× is recorded in SCALE.md
     * (round 10). */
   def bandIndexAppend(docs: DataFrame, path: String,
-      numHashes: Int = 32, bands: Int = 8): Unit = {
+      numHashes: Int = 32, bands: Int = 8,
+      epoch: Option[Long] = None): Unit = {
     val arr = docs.select(col("doc_id"),
       shingles(tokensLower(col("text"))).as("sh"))
       // shingle-less docs sign as NULL and can never be candidates —
@@ -593,9 +594,33 @@ object DedupOps {
     val sigs = arr.select(col("doc_id"),
       graft.functions.TextFunctions.minhashArray(col("sh"), numHashes)
         .as("sig"))
-    bandedSignatures(sigs, bands, numHashes)
-      .write.mode("append").partitionBy("band").parquet(s"$path/bands")
-    arr.write.mode("append").parquet(s"$path/shingles")
+    val bandRows = bandedSignatures(sigs, bands, numHashes)
+    epoch match {
+      case None =>
+        // plain grow-by-appends (the nightly batch shape); an index must
+        // stick to ONE mode — epoch and non-epoch layouts don't mix
+        bandRows.write.mode("append").partitionBy("band")
+          .parquet(s"$path/bands")
+        arr.write.mode("append").parquet(s"$path/shingles")
+      case Some(e) =>
+        // EXACTLY-ONCE appends for streaming replays: rows land under
+        // epoch=<micro-batch id>, and dynamic partition overwrite makes a
+        // replayed epoch replace precisely its own partitions — the same
+        // idempotence recipe as Structured Streaming's file-sink manifest,
+        // expressed in the table layout so plain parquet readers see it
+        val sp = docs.sparkSession
+        val key = "spark.sql.sources.partitionOverwriteMode"
+        val prev = sp.conf.get(key, "static")
+        sp.conf.set(key, "dynamic")
+        try {
+          bandRows.withColumn("epoch", lit(e))
+            .write.mode("overwrite").partitionBy("epoch", "band")
+            .parquet(s"$path/bands")
+          arr.withColumn("epoch", lit(e))
+            .write.mode("overwrite").partitionBy("epoch")
+            .parquet(s"$path/shingles")
+        } finally sp.conf.set(key, prev)
+    }
   }
 
   /** Probe the standing index at `path` with a (doc_id, text) batch: one

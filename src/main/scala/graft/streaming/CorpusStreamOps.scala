@@ -203,12 +203,14 @@ object CorpusStreamOps {
     *
     * State lives entirely in the index tables, not executor memory — the
     * contrast with [[nearDupFlags]], whose per-bucket signature state is
-    * capped in `flatMapGroupsWithState`. Exactly-once caveat: a batch
-    * replayed after a crash between the verdict write and the index append
-    * would re-append its band rows; at-least-once appends are harmless for
-    * probing (duplicate candidates collapse in the `.distinct()`), and a
-    * production deployment would stage appends under the micro-batch id
-    * (the foreachBatch epoch) for idempotence. */
+    * capped in `flatMapGroupsWithState`. Index appends are EXACTLY-ONCE
+    * under replays: each micro-batch's rows land under its epoch
+    * partition (`epoch=<batch id>`) with dynamic partition overwrite, so
+    * a batch replayed after a crash replaces its own partitions instead
+    * of duplicating them (DedupSpec pins replay == single append). The
+    * verdict sink is plain append parquet — re-emitted verdicts are the
+    * standard at-least-once file-sink caveat, deduped downstream by
+    * (doc_id) if the consumer needs exactly-once. */
   def startBandIndexStream(spark: SparkSession, inputDir: String,
       schema: StructType, indexPath: String, outDir: String,
       checkpointDir: String): StreamingQuery =
@@ -216,7 +218,7 @@ object CorpusStreamOps {
       .option("maxFilesPerTrigger", 1).parquet(inputDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
         val b = batch.select(col("doc_id"), col("text"))
         val sp = batch.sparkSession
         val verdicts =
@@ -227,7 +229,8 @@ object CorpusStreamOps {
             b.select(col("doc_id"), lit(true).as("is_novel"),
               lit(0L).as("n_corpus_matches"), lit(-1L).as("first_match"))
         verdicts.write.mode("append").parquet(outDir)
-        graft.operators.DedupOps.bandIndexAppend(b, indexPath)
+        graft.operators.DedupOps.bandIndexAppend(b, indexPath,
+          epoch = Some(epochId))
       }
       .start()
 }

@@ -317,4 +317,33 @@ class DedupSpec extends SparkTestBase {
       s"probe-from-storage diverged: got ${probed.take(5)} " +
         s"expect ${recomputed.take(5)}")
   }
+
+  test("band index epoch appends: a replayed epoch replaces itself (exactly-once)") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-band-epoch").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val e0 = docs.filter(col("doc_id") < 100)
+    val e1 = docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+    DedupOps.bandIndexAppend(e0, idx, epoch = Some(0L))
+    DedupOps.bandIndexAppend(e1, idx, epoch = Some(1L))
+    def bandRows() = spark.read.parquet(s"$idx/bands")
+      .select("doc_id", "band", "bkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .sortBy(identity[(Long, Int, String)]).toSeq
+    val once = bandRows()
+    // the crash-replay scenario: the same micro-batch lands again under
+    // the same epoch — dynamic partition overwrite must replace, not
+    // duplicate (a multiset compare, so duplicates would be caught)
+    DedupOps.bandIndexAppend(e1, idx, epoch = Some(1L))
+    assert(bandRows() == once, "replayed epoch duplicated band rows")
+    // content equals the plain-append layout on the same docs
+    val ref = java.nio.file.Files
+      .createTempDirectory("graft-band-epoch-ref").toString
+    DedupOps.bandIndexAppend(e0.unionByName(e1), ref)
+    val refRows = spark.read.parquet(s"$ref/bands")
+      .select("doc_id", "band", "bkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .sortBy(identity[(Long, Int, String)]).toSeq
+    assert(bandRows() == refRows)
+  }
 }
