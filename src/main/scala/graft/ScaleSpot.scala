@@ -104,7 +104,13 @@ object ScaleSpot {
     "q_doremi", "q_tpch_q12", "q_tpch_q21",
     // incremental near-dup: risk = matched band-bucket volume as the
     // corpus index grows (the batch side is a fixed fraction here)
-    "q_dedup_incr_near")
+    "q_dedup_incr_near",
+    // round-10 second batch: k-core (risk = 32 peel rounds of degree-agg
+    // + semi-joins over |E|), bounded BFS (4 relaxation joins; frontier
+    // approaches |V|·seeds), greedy k-center (k scans with widening
+    // center expressions), MMR (one rel scan + fixed pool; should be
+    // scan-linear), Kneser-Ney (bigram explode+agg family)
+    "q_kcore", "q_bfs_hops", "q_kcenter", "q_mmr", "q_kn_bigram")
   val Scales = Seq(10, 100)
 
   def outDir(copies: Int) = s"/tmp/graft_spot_${copies}x"

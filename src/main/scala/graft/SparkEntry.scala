@@ -364,6 +364,21 @@ object SparkEntry {
     "q_event_lag"      -> (EventOps.eventLag _),
     // pairwise event-type audience Jaccard
     "q_audience_overlap" -> (EventOps.audienceOverlap _),
+    // ---- round-10 second batch ----
+    // k-core peel profile, fixed 8 rounds (unrolled-CTE oracle; GraphSpec
+    // pins round-8 = round-12 convergence on the fixture)
+    "q_kcore"          -> ((s, d) => GraphOps.kCoreProfile(s, d)),
+    // bounded multi-source BFS reach histogram from the top-degree hubs
+    "q_bfs_hops"       -> ((s, d) => GraphOps.bfsHops(s, d)),
+    // greedy k-center coreset seeds on integer-quantized embeddings —
+    // exact integer geometry, so the greedy trajectory is oracle-replayable
+    "q_kcenter"        -> ((s, d) => SelectionOps.kCenter(s, d)),
+    // MMR diversity selection (7·rel − 3·max-sim integer scoring)
+    "q_mmr"            -> ((s, d) => SelectionOps.mmrSelect(s, d)),
+    // interpolated Kneser-Ney bigram LM probabilities
+    "q_kn_bigram"      -> ((s, d) => TextOps.knBigram(s, d)),
+    // Wilson score intervals per event type
+    "q_wilson_ci"      -> ((s, d) => StatOps.wilsonCi(s, d)),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -386,10 +401,11 @@ object SparkEntry {
     * q_hll_rollup's DataSketches HLL registers are engine-specific —
     * SketchSpec proves the sketch-union row equals the direct global
     * sketch exactly. q_embed_pca left this list in round 10: its Jacobi
-    * eigensolve now runs a FIXED cyclic sweep order and count over a
-    * stable6-rounded covariance, which the oracle replays bit-for-bit as
-    * a recursive CTE (jacobiPcaSql); SimilaritySpec keeps the exact
-    * small-case spectrum and invariant pins on top.
+    * eigensolve now runs a FIXED round-robin parallel schedule and sweep
+    * count over a stable6-rounded covariance, which the oracle replays
+    * bit-for-bit as a recursive CTE at one 32-rotation round per
+    * iteration (jacobiPcaSql); SimilaritySpec keeps the exact small-case
+    * spectrum and invariant pins on top.
     *
     * Everything else that was once rows-only is now oracle-proven:
     * the k-means family (q_sim_ivf/q_semdedup/q_cluster_purity/
@@ -472,22 +488,29 @@ object SparkEntry {
       "row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rn FROM pairs) " +
       s"SELECT q_id, CAST(rn AS INTEGER) AS rn, cand_id, cos_sim FROM r WHERE rn <= $topk ORDER BY q_id, rn"
 
-  /** q_embed_pca oracle (round 10): replay the driver's FIXED-order,
-    * FIXED-count cyclic Jacobi eigensolve as a DuckDB recursive CTE — one
-    * Givens rotation per recursive iteration, state = 64 (i, vals-list)
-    * rows, rotation (p,q) joined from a generated schedule. The covariance
-    * passes the stable6 barrier on BOTH sides (the only cross-engine float
-    * divergence point — aggregation order); from those identical doubles
-    * every rotation is a deterministic IEEE op sequence (sqrt/sign/±/×/÷
-    * replicated in the engine's exact two-step update order), so the
-    * diagonals match the JVM bit for bit (dev/jacobi_proto.py measured
-    * 64/64 identical through 6 sweeps = 12,096 rotations, ~47 s in
-    * DuckDB). Lambdas capture only same-SELECT columns in DuckDB 1.0,
+  /** q_embed_pca oracle (round 10): replay the driver's FIXED-schedule,
+    * FIXED-count round-robin PARALLEL Jacobi eigensolve as a DuckDB
+    * recursive CTE — one ROUND of 32 disjoint Givens rotations per
+    * recursive iteration (vs one rotation for the earlier sequential
+    * replay: 378 iterations instead of 12,096, ~5 s instead of ~74 s).
+    * State = 64 (i, vals-list) rows; the circle-method schedule is
+    * regenerated in SQL from the same integer arithmetic as
+    * SimilarityOps.roundRobinPairs. Per iteration: all rotation angles
+    * come from the pre-round matrix (per-pair windows over the two pair
+    * rows), phase 1 rewrites the paired COLUMNS as a per-row map over
+    * column-aligned parameter arrays (column updates read only same-row
+    * entries), phase 2 rewrites the paired ROWS from the column-updated
+    * partner rows. Disjoint pairs make each phase order-free, so the
+    * float sequence is an exact replay of the engine's two-phase loop —
+    * dev/jacobi_parallel_proto.py measured 64/64 diagonals bit-identical
+    * through 6 sweeps. The covariance passes the stable6 barrier on BOTH
+    * sides (the only cross-engine float divergence point — aggregation
+    * order). Lambdas capture only same-SELECT columns in DuckDB 1.0,
     * hence the nested derived tables. */
   private def jacobiPcaSql(topK: Int = 8): String = {
     val dim = graft.operators.SimilarityOps.EmbeddingDim
-    val rots = dim * (dim - 1) / 2
-    val iters = graft.operators.SimilarityOps.JacobiSweeps * rots
+    val rounds = dim - 1
+    val iters = graft.operators.SimilarityOps.JacobiSweeps * rounds
     def r6(x: String) =
       s"CAST(round(CAST($x AS DECIMAL(20,8)), 6) AS DOUBLE)"
     def r4(x: String) =
@@ -507,45 +530,57 @@ object SparkEntry {
       "cove AS (SELECT i, j, c FROM covu " +
       "UNION ALL SELECT j, i, c FROM covu WHERE i <> j), " +
       "cov0 AS (SELECT i, list(c ORDER BY j) AS vals FROM cove GROUP BY i), " +
-      // cyclic rotation schedule: r-th rotation targets the r-th (p, q)
-      "sched AS (SELECT row_number() OVER (ORDER BY p, q) - 1 AS r, p, q " +
-      s"FROM (SELECT a.range AS p, b.range AS q FROM range(0, $dim) a " +
-      s"JOIN range(0, $dim) b ON b.range > a.range)), " +
-      // the recursive Jacobi replay: tt NULL = the engine's |apq| skip
+      // circle-method schedule: (round, idx) -> its pair (p, q) and side
+      "pr AS (SELECT r.range AS r, " +
+      s"CASE WHEN k.range = 0 THEN r.range % $rounds " +
+      s"ELSE least((r.range + k.range) % $rounds, (r.range - k.range + $rounds) % $rounds) END AS p, " +
+      s"CASE WHEN k.range = 0 THEN $rounds " +
+      s"ELSE greatest((r.range + k.range) % $rounds, (r.range - k.range + $rounds) % $rounds) END AS q " +
+      s"FROM range(0, $rounds) r, range(0, ${dim / 2}) k), " +
+      "psched AS (SELECT r, p AS idx, p, q, 0 AS sd FROM pr " +
+      "UNION ALL SELECT r, q, p, q, 1 FROM pr), " +
+      // the recursive parallel-Jacobi replay: c NULL = the |apq| skip
       "st(t, i, vals) AS (" +
       "SELECT 0, i, vals FROM cov0 " +
       "UNION ALL " +
-      "SELECT t + 1, i, CASE WHEN tt IS NULL THEN vals " +
+      "SELECT t + 1, i, CASE WHEN c IS NULL THEN ph1 " +
       s"WHEN i = p THEN list_transform(range(1, $d1), m -> c * bp[m] - s * bq[m]) " +
-      s"WHEN i = q THEN list_transform(range(1, $d1), m -> s * bp[m] + c * bq[m]) " +
-      "ELSE b_own END " +
-      "FROM (SELECT t, i, p, q, vals, tt, c, s, " +
-      s"CASE WHEN tt IS NULL THEN vals ELSE list_transform(range(1, $d1), m -> CASE " +
-      "WHEN m = p + 1 THEN c * vals[p + 1] - s * vals[q + 1] " +
-      "WHEN m = q + 1 THEN s * vals[p + 1] + c * vals[q + 1] " +
-      "ELSE vals[m] END) END AS b_own, " +
-      s"CASE WHEN tt IS NULL THEN rowp ELSE list_transform(range(1, $d1), m -> CASE " +
-      "WHEN m = p + 1 THEN c * rowp[p + 1] - s * rowp[q + 1] " +
-      "WHEN m = q + 1 THEN s * rowp[p + 1] + c * rowp[q + 1] " +
-      "ELSE rowp[m] END) END AS bp, " +
-      s"CASE WHEN tt IS NULL THEN rowq ELSE list_transform(range(1, $d1), m -> CASE " +
-      "WHEN m = p + 1 THEN c * rowq[p + 1] - s * rowq[q + 1] " +
-      "WHEN m = q + 1 THEN s * rowq[p + 1] + c * rowq[q + 1] " +
-      "ELSE rowq[m] END) END AS bq " +
-      "FROM (SELECT *, " +
-      "CASE WHEN tt IS NULL THEN 1.0 ELSE 1.0 / sqrt(tt * tt + 1.0) END AS c, " +
-      "CASE WHEN tt IS NULL THEN 0.0 ELSE tt * (1.0 / sqrt(tt * tt + 1.0)) END AS s " +
+      s"ELSE list_transform(range(1, $d1), m -> s * bp[m] + c * bq[m]) END " +
+      // phase 2: partner phase-1 rows via the pair's window
+      "FROM (SELECT t, i, p, q, c, s, ph1, " +
+      "max(CASE WHEN i = p THEN ph1 END) OVER (PARTITION BY p) AS bp, " +
+      "max(CASE WHEN i = q THEN ph1 END) OVER (PARTITION BY p) AS bq " +
+      // phase 1: per-row column rewrite over the aligned parameter arrays
+      "FROM (SELECT t, i, p, q, c, s, " +
+      s"list_transform(range(1, $d1), m -> CASE " +
+      "WHEN cl[m] IS NULL THEN vals[m] " +
+      "WHEN sdl[m] = 0 THEN cl[m] * vals[m] - sl[m] * vals[ptl[m] + 1] " +
+      "ELSE sl[m] * vals[ptl[m] + 1] + cl[m] * vals[m] END) AS ph1 " +
+      // column-aligned (c, s, partner, side) arrays: row i carries exactly
+      // column i's rotation params, collected once over the 64-row frame
+      "FROM (SELECT t, i, p, q, c, s, vals, " +
+      "list_transform(prm, e -> e.cc) AS cl, " +
+      "list_transform(prm, e -> e.ss) AS sl, " +
+      "list_transform(prm, e -> e.pt) AS ptl, " +
+      "list_transform(prm, e -> e.sd) AS sdl " +
+      "FROM (SELECT *, list_sort(list(struct_pack(ix := i, cc := c, ss := s, " +
+      "pt := CASE WHEN sd = 0 THEN q ELSE p END, sd := sd)) OVER ()) AS prm " +
+      "FROM (SELECT t, i, p, q, vals, sd, " +
+      "CASE WHEN tt IS NULL THEN NULL ELSE 1.0 / sqrt(tt * tt + 1.0) END AS c, " +
+      "CASE WHEN tt IS NULL THEN NULL ELSE tt * (1.0 / sqrt(tt * tt + 1.0)) END AS s " +
       "FROM (SELECT *, CASE WHEN theta IS NULL THEN NULL " +
       "WHEN theta = 0.0 THEN 1.0 " +
       "ELSE (CASE WHEN theta > 0 THEN 1.0 ELSE -1.0 END) " +
       "/ (abs(theta) + sqrt(theta * theta + 1.0)) END AS tt " +
-      "FROM (SELECT *, CASE WHEN abs(rowp[q + 1]) <= 1e-15 THEN NULL ELSE " +
-      "(rowq[q + 1] - rowp[p + 1]) / (2.0 * rowp[q + 1]) END AS theta " +
-      "FROM (SELECT st.t, st.i, s.p, s.q, st.vals, " +
-      "max(CASE WHEN st.i = s.p THEN st.vals END) OVER () AS rowp, " +
-      "max(CASE WHEN st.i = s.q THEN st.vals END) OVER () AS rowq " +
-      s"FROM st JOIN sched s ON s.r = st.t % $rots " +
-      s"WHERE st.t < $iters) w) th) t2) cs) b), " +
+      "FROM (SELECT *, CASE WHEN abs(apq) <= 1e-15 THEN NULL ELSE " +
+      "(aqq - app) / (2.0 * apq) END AS theta " +
+      // per-pair pre-round entries a_pp, a_qq, a_pq via the pair's window
+      "FROM (SELECT st.t, st.i, ps.p, ps.q, st.vals, ps.sd, " +
+      "max(CASE WHEN st.i = ps.p THEN st.vals[ps.p + 1] END) OVER (PARTITION BY ps.p) AS app, " +
+      "max(CASE WHEN st.i = ps.q THEN st.vals[ps.q + 1] END) OVER (PARTITION BY ps.p) AS aqq, " +
+      "max(CASE WHEN st.i = ps.p THEN st.vals[ps.q + 1] END) OVER (PARTITION BY ps.p) AS apq " +
+      s"FROM st JOIN psched ps ON ps.r = st.t % $rounds AND ps.idx = st.i " +
+      s"WHERE st.t < $iters) w) th) t2) cs) pk) arr) ph1t) ph2), " +
       // round6 diagonals, descending fold — mirrors the engine's
       // eigs.take(k+1).sum over the desc-sorted rounded spectrum
       s"diag AS (SELECT ${r6(s"vals[i + 1]")} AS ev FROM st WHERE t = $iters), " +
@@ -2072,9 +2107,10 @@ object SparkEntry {
         "FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
         "WHERE CAST(round(CAST(jaro_winkler_similarity(a.pref, b.pref) AS DECIMAL(20,8)), 4) AS DOUBLE) >= 0.9 " +
         "ORDER BY jw DESC, da, db LIMIT 50"),
-    // recursive-CTE replay of the driver's fixed-sweep cyclic Jacobi —
-    // see jacobiPcaSql; ~47 s in DuckDB (12,096 rotations), the price of
-    // moving the last eigensolve from rows-only to hash-match
+    // recursive-CTE replay of the driver's fixed-sweep round-robin
+    // PARALLEL Jacobi — see jacobiPcaSql; ~5 s in DuckDB (378 rounds of
+    // 32 disjoint rotations; the earlier one-rotation-per-iteration
+    // sequential replay cost ~74 s)
     "q_embed_pca" -> jacobiPcaSql(),
     "q_embed_stats" ->
       ("WITH e AS (SELECT CAST(generate_subscripts(embedding, 1) AS INTEGER) AS dim, " +
@@ -3597,5 +3633,157 @@ object SparkEntry {
         "SELECT va, vb, cos_sim, text_jaccard, " +
         "(cos_sim >= 0.3 AND text_jaccard < 0.5) AS caption_mismatch " +
         "FROM j ORDER BY cos_sim DESC, va, vb"),
+    // ---- round-10 second batch ----
+    // fixed-8-round k-core peel per k, unrolled; AS MATERIALIZED is load-
+    // bearing: each round's edge CTE is read 4× (degree union ×2 + two IN
+    // filters) and plain CTEs inline — 4^8 scans otherwise
+    "q_kcore" -> {
+      import graft.operators.GraphOps.{KCoreMinK, KCoreMaxK, KCoreRounds}
+      val peels = (KCoreMinK to KCoreMaxK).flatMap { k =>
+        (1 to KCoreRounds).map { r =>
+          val prev = if (r == 1) "e0" else s"e${k}_${r - 1}"
+          s"d${k}_$r AS MATERIALIZED (SELECT node FROM " +
+            s"(SELECT src AS node FROM $prev UNION ALL SELECT dst FROM $prev) u " +
+            s"GROUP BY node HAVING COUNT(*) >= $k), " +
+            s"e${k}_$r AS MATERIALIZED (SELECT src, dst FROM $prev " +
+            s"WHERE src IN (SELECT node FROM d${k}_$r) " +
+            s"AND dst IN (SELECT node FROM d${k}_$r))"
+        }
+      }.mkString(", ")
+      val sel = (KCoreMinK to KCoreMaxK).map { k =>
+        s"SELECT CAST($k AS INTEGER) AS k, " +
+          "(SELECT COUNT(DISTINCT node) FROM (SELECT src AS node " +
+          s"FROM e${k}_$KCoreRounds UNION ALL SELECT dst FROM e${k}_$KCoreRounds)) AS n_core_nodes, " +
+          s"(SELECT COUNT(*) FROM e${k}_$KCoreRounds) AS n_core_edges"
+      }.mkString(" UNION ALL ")
+      "WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem), " +
+        "ok AS (SELECT okey FROM op GROUP BY okey HAVING COUNT(*) <= 64), " +
+        "e0 AS MATERIALIZED (SELECT DISTINCT a.pkey AS src, b.pkey AS dst FROM op a " +
+        "JOIN op b ON a.okey = b.okey AND a.pkey < b.pkey " +
+        "WHERE a.okey IN (SELECT okey FROM ok)), " +
+        peels + " " + sel + " ORDER BY k"
+    },
+    // 4 unrolled min-dist relaxation rounds from the top-degree seeds
+    "q_bfs_hops" -> {
+      import graft.operators.GraphOps.{BfsSeeds, BfsMaxHops}
+      val rounds = (1 to BfsMaxHops).map { t =>
+        s"s$t AS MATERIALIZED (SELECT seed, node, MIN(dist) AS dist FROM " +
+          s"(SELECT seed, node, dist FROM s${t - 1} " +
+          s"UNION ALL SELECT s.seed, u.dst AS node, s.dist + 1 AS dist " +
+          s"FROM s${t - 1} s JOIN und u ON u.src = s.node) x GROUP BY 1, 2)"
+      }.mkString(", ")
+      "WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem), " +
+        "ok AS (SELECT okey FROM op GROUP BY okey HAVING COUNT(*) <= 64), " +
+        "e AS MATERIALIZED (SELECT DISTINCT a.pkey AS src, b.pkey AS dst FROM op a " +
+        "JOIN op b ON a.okey = b.okey AND a.pkey < b.pkey " +
+        "WHERE a.okey IN (SELECT okey FROM ok)), " +
+        "und AS MATERIALIZED (SELECT src, dst FROM e " +
+        "UNION ALL SELECT dst AS src, src AS dst FROM e), " +
+        "d AS (SELECT node, COUNT(*) AS degree FROM " +
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e) u GROUP BY node), " +
+        s"seeds AS MATERIALIZED (SELECT node FROM d ORDER BY degree DESC, node LIMIT $BfsSeeds), " +
+        "s0 AS MATERIALIZED (SELECT node AS seed, node, 0 AS dist FROM seeds), " +
+        rounds + " " +
+        s"SELECT seed, CAST(dist AS INTEGER) AS dist, COUNT(*) AS n_nodes " +
+        s"FROM s$BfsMaxHops GROUP BY 1, 2 ORDER BY seed, dist"
+    },
+    // greedy k-center replayed on the same integer-quantized vectors:
+    // 8 unrolled (argmax, min-dist-update) CTE pairs, integer-exact
+    "q_kcenter" -> {
+      import graft.operators.SelectionOps.KCenterK
+      val dim = graft.operators.SimilarityOps.EmbeddingDim
+      def dist(v: String, c: String) =
+        s"CAST(list_sum(list_transform(range(1, ${dim + 1}), " +
+          s"i -> ($v.q[i] - $c.q[i]) * ($v.q[i] - $c.q[i]))) AS BIGINT)"
+      val steps = (2 to KCenterK).map { t =>
+        s"c$t AS MATERIALIZED (SELECT vec_id, q, md FROM md${t - 1} " +
+          "ORDER BY md DESC, vec_id LIMIT 1), " +
+          s"md$t AS MATERIALIZED (SELECT v.vec_id, v.q, " +
+          s"least(v.md, ${dist("v", "c")}) AS md FROM md${t - 1} v, c$t c)"
+      }.mkString(", ")
+      val sel = (2 to KCenterK).map { t =>
+        s"SELECT CAST($t AS INTEGER) AS step, vec_id AS center_id, md AS sel_dist FROM c$t"
+      }.mkString(" UNION ALL ")
+      "WITH qe AS MATERIALIZED (SELECT vec_id, list_transform(embedding, " +
+        "x -> CAST(round(CAST(round(CAST(x AS DECIMAL(20,8)), 4) AS DOUBLE) * 10000) AS BIGINT)) AS q " +
+        "FROM embeddings), " +
+        "c1 AS MATERIALIZED (SELECT vec_id, q FROM qe ORDER BY vec_id LIMIT 1), " +
+        s"md1 AS MATERIALIZED (SELECT v.vec_id, v.q, ${dist("v", "c")} AS md " +
+        "FROM qe v, c1 c), " +
+        steps + " " +
+        "SELECT CAST(1 AS INTEGER) AS step, vec_id AS center_id, CAST(0 AS BIGINT) AS sel_dist FROM c1 " +
+        "UNION ALL " + sel + " ORDER BY step"
+    },
+    // MMR greedy selection replayed on the same pool: 10 unrolled
+    // argmax-over-remaining CTEs with the integer 7·rel − 3·max-sim score
+    "q_mmr" -> {
+      import graft.operators.SelectionOps.{MmrPool, MmrK, MmrRelWeight, MmrSimWeight}
+      val dim = graft.operators.SimilarityOps.EmbeddingDim
+      val steps = (2 to MmrK).map { t =>
+        s"s$t AS MATERIALIZED (SELECT vec_id, " +
+          s"$MmrRelWeight * rel - $MmrSimWeight * " +
+          s"(SELECT MAX(dot) FROM pp WHERE pp.va = p.vec_id " +
+          s"AND pp.vb IN (SELECT vec_id FROM sel${t - 1})) AS score " +
+          s"FROM pool p WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${t - 1}) " +
+          "ORDER BY score DESC, vec_id LIMIT 1), " +
+          s"sel$t AS MATERIALIZED (SELECT * FROM sel${t - 1} " +
+          s"UNION ALL SELECT CAST($t AS INTEGER) AS rank, vec_id, score FROM s$t)"
+      }.mkString(", ")
+      "WITH qe AS MATERIALIZED (SELECT vec_id, label, list_transform(embedding, " +
+        "x -> CAST(round(CAST(round(CAST(x AS DECIMAL(20,8)), 4) AS DOUBLE) * 10000) AS BIGINT)) AS q " +
+        "FROM embeddings), " +
+        "qd AS (SELECT CAST(generate_subscripts(embedding, 1) AS INTEGER) AS d, " +
+        "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings WHERE label = 0), " +
+        "qc AS (SELECT d, CAST(round(CAST(round(CAST(AVG(x) AS DECIMAL(20,8)), 4) AS DOUBLE) * 10000) AS BIGINT) AS m " +
+        "FROM qd GROUP BY d), " +
+        "qcl AS MATERIALIZED (SELECT list(m ORDER BY d) AS m FROM qc), " +
+        s"pool AS MATERIALIZED (SELECT vec_id, q, CAST(list_sum(list_transform(range(1, ${dim + 1}), " +
+        s"i -> v.q[i] * c.m[i])) AS BIGINT) AS rel FROM qe v, qcl c " +
+        s"ORDER BY rel DESC, vec_id LIMIT $MmrPool), " +
+        s"pp AS MATERIALIZED (SELECT a.vec_id AS va, b.vec_id AS vb, " +
+        s"CAST(list_sum(list_transform(range(1, ${dim + 1}), " +
+        "i -> a.q[i] * b.q[i])) AS BIGINT) AS dot " +
+        "FROM pool a JOIN pool b ON a.vec_id <> b.vec_id), " +
+        s"s1 AS (SELECT vec_id, $MmrRelWeight * rel AS score FROM pool " +
+        "ORDER BY score DESC, vec_id LIMIT 1), " +
+        "sel1 AS MATERIALIZED (SELECT CAST(1 AS INTEGER) AS rank, vec_id, score FROM s1), " +
+        steps + " " +
+        s"SELECT rank, vec_id, CAST(score AS BIGINT) AS mmr_score FROM sel$MmrK ORDER BY rank"
+    },
+    // interpolated Kneser-Ney from exact integer count tables; the float
+    // assembly mirrors the engine's association order term for term
+    "q_kn_bigram" -> {
+      import graft.operators.TextOps.{KnDiscount, KnMinCount, KnTopN}
+      "WITH t AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "b AS (SELECT unnest(list_transform(range(1, len(toks)), " +
+        "i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS bg " +
+        "FROM t WHERE len(toks) >= 2), " +
+        "bgc AS MATERIALIZED (SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS c12 FROM b GROUP BY 1, 2), " +
+        "pfx AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n_after FROM bgc GROUP BY 1), " +
+        "cont AS (SELECT w2, COUNT(*) AS n_before FROM bgc GROUP BY 1), " +
+        "tot AS (SELECT COUNT(*) AS n_big FROM bgc) " +
+        "SELECT g.w1, g.w2, g.c12, " +
+        s"CAST(round(CAST(greatest(CAST(c12 AS DOUBLE) - $KnDiscount, 0.0) / CAST(c1 AS DOUBLE) " +
+        s"+ (($KnDiscount * CAST(n_after AS DOUBLE)) / CAST(c1 AS DOUBLE)) " +
+        "* (CAST(n_before AS DOUBLE) / CAST(n_big AS DOUBLE)) AS DECIMAL(20,8)), 4) AS DOUBLE) AS p_kn " +
+        "FROM bgc g JOIN pfx USING (w1) JOIN cont USING (w2) CROSS JOIN tot " +
+        s"WHERE c12 >= $KnMinCount ORDER BY p_kn DESC, g.w1, g.w2 LIMIT $KnTopN"
+    },
+    // Wilson interval, closed form on (n, x) — same association order
+    "q_wilson_ci" -> {
+      import graft.operators.StatOps.{WilsonThreshold, WilsonZ}
+      val zz = WilsonZ * WilsonZ
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      val denom = s"(1.0 + $zz / nd)"
+      val center = s"(p + $zz / (2.0 * nd)) / $denom"
+      val half = s"$WilsonZ * sqrt(p * (1.0 - p) / nd + $zz / (4.0 * (nd * nd))) / $denom"
+      "WITH a AS (SELECT event_type, COUNT(*) AS n, " +
+        s"SUM(CASE WHEN value > $WilsonThreshold THEN 1 ELSE 0 END) AS x FROM events GROUP BY 1), " +
+        "f AS (SELECT event_type, n, x, CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p, " +
+        "CAST(n AS DOUBLE) AS nd FROM a) " +
+        s"SELECT event_type, n, CAST(x AS BIGINT) AS x, ${r4("p")} AS p_hat, " +
+        s"${r4(s"$center - $half")} AS lo, ${r4(s"$center + $half")} AS hi " +
+        "FROM f ORDER BY event_type"
+    },
   )
 }

@@ -469,36 +469,71 @@ object SimilarityOps {
       .orderBy(col("component"))
   }
 
-  /** Cyclic Jacobi eigenvalue sweep for a symmetric matrix (driver-side,
-    * deterministic: fixed (p,q) sweep order and a FIXED sweep count, so
-    * the whole float sequence is a pure function of the input matrix —
-    * what lets the DuckDB oracle replay it bit-for-bit as a recursive CTE
-    * (round-10; the earlier off-diagonal convergence threshold made the
-    * sweep count data-dependent). 6 sweeps leave a 64×64's off-diagonal
-    * below 1e-8 (quadratic convergence after ~3; SimilaritySpec pins the
-    * fixed count against a converged run), 4 decimal orders under the
-    * round-4 output. Textbook Golub & Van Loan 8.4; adequate for the
-    * ≤64×64 moment matrices this module ever builds. */
+  /** Round-robin (circle-method) rotation schedule for
+    * [[jacobiEigenvalues]]: n−1 rounds of n/2 DISJOINT (p<q) pairs
+    * covering all C(n,2) pairs exactly once — the classic Brent–Luk
+    * parallel Jacobi ordering. Round r pairs (r mod m, m) with the fixed
+    * index m = n−1, plus ((r+k) mod m, (r−k+m) mod m) for k = 1..n/2−1.
+    * The q_embed_pca oracle SQL regenerates the SAME schedule from the
+    * same integer arithmetic, so both engines replay identical rounds. */
+  private[operators] def roundRobinPairs(
+      n: Int): IndexedSeq[IndexedSeq[(Int, Int)]] = {
+    require(n % 2 == 0, s"round-robin Jacobi schedule needs even n, got $n")
+    val m = n - 1
+    (0 until m).map { r =>
+      (r % m, m) +: (1 until n / 2).map { k =>
+        val i = (r + k) % m
+        val j = (r - k + m) % m
+        (math.min(i, j), math.max(i, j))
+      }
+    }
+  }
+
+  /** Round-robin parallel Jacobi eigenvalue sweep for a symmetric matrix
+    * (driver-side, deterministic: fixed round-robin pair schedule and a
+    * FIXED sweep count, so the whole float sequence is a pure function of
+    * the input matrix — what lets the DuckDB oracle replay it bit-for-bit
+    * as a recursive CTE). Each round applies n/2 DISJOINT rotations with
+    * a two-phase update: all angles come from the pre-round matrix, phase
+    * 1 rewrites the paired columns (reads only same-row entries), phase 2
+    * rewrites the paired rows on the column-updated matrix. Disjoint
+    * pairs touch disjoint columns/rows per phase, so every entry gets
+    * exactly one update per phase and the float sequence is order-free
+    * within a phase — the oracle needs one recursive iteration per ROUND
+    * (63/sweep at n=64) instead of one per rotation (2016/sweep), a 32×
+    * cut in its recursion depth (74 s → ~5 s measured,
+    * dev/jacobi_parallel_proto.py: 64/64 diagonals bit-identical).
+    * 6 sweeps leave a 64×64's off-diagonal below ~1e-8 (SimilaritySpec
+    * pins the fixed count against a 4× longer run), 4 decimal orders
+    * under the round-4 output. Brent & Luk 1985; Golub & Van Loan 8.5.
+    * Adequate for the ≤64×64 moment matrices this module ever builds. */
   private[operators] def jacobiEigenvalues(a0: Array[Array[Double]],
       sweeps: Int = JacobiSweeps): Array[Double] = {
     val n = a0.length
     val a = a0.map(_.clone())
+    val rounds = roundRobinPairs(n)
     var sweep = 0
     while (sweep < sweeps) {
-      for (p <- 0 until n; q <- p + 1 until n if math.abs(a(p)(q)) > 1e-15) {
-        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
-        val t =
-          if (theta == 0.0) 1.0
-          else math.signum(theta) /
-            (math.abs(theta) + math.sqrt(theta * theta + 1.0))
-        val c = 1.0 / math.sqrt(t * t + 1.0)
-        val s = t * c
-        for (k <- 0 until n) {
+      for (round <- rounds) {
+        val params = round.flatMap { case (p, q) =>
+          val apq = a(p)(q)
+          if (math.abs(apq) <= 1e-15) None
+          else {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta == 0.0) 1.0
+              else math.signum(theta) /
+                (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            Some((p, q, c, t * c))
+          }
+        }
+        for ((p, q, c, s) <- params; k <- 0 until n) { // phase 1: columns
           val akp = a(k)(p); val akq = a(k)(q)
           a(k)(p) = c * akp - s * akq
           a(k)(q) = s * akp + c * akq
         }
-        for (k <- 0 until n) {
+        for ((p, q, c, s) <- params; k <- 0 until n) { // phase 2: rows
           val apk = a(p)(k); val aqk = a(q)(k)
           a(p)(k) = c * apk - s * aqk
           a(q)(k) = s * apk + c * aqk

@@ -27,6 +27,11 @@ import graft.functions.NumericFunctions.stableRound4
   */
 object StatOps {
 
+  /** Shared engine/oracle Wilson-interval constants (q_wilson_ci) — the
+    * oracle SQL interpolates these so both sides cannot drift. */
+  val WilsonThreshold = 50.0
+  val WilsonZ = 1.96
+
   /** (source, v=n_chars) row set plus the shared compressed marginals. */
   private def compressed(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
@@ -373,5 +378,38 @@ object StatOps {
           - col("sum_nlogn") / col("group_n")).as("entropy"),
         (col("l_distinct") < l).as("at_risk"))
       .orderBy(col("nation"), col("segment"))
+  }
+
+  /** q_wilson_ci: Wilson score interval per event type for the share of
+    * high-value events (value > `threshold`) — the binomial CI that stays
+    * inside [0,1] and behaves at small n / extreme p, which is why
+    * ranking and A/B dashboards use it over the Wald interval (Wilson
+    * 1927; Agresti & Coull 1998). Output: (event_type, n, x, p_hat, lo,
+    * hi), round-4.
+    *
+    * Scale shape: ONE partial-aggregated scan (count + conditional sum
+    * per type), then closed-form arithmetic on the ≤|event types| rows —
+    * the cheapest possible query shape at any corpus size. The z²/2n,
+    * z²/4n² terms follow the exact association order mirrored in the
+    * oracle SQL (floor-sensitive IEEE lesson from the verify notes). */
+  def wilsonCi(spark: SparkSession, dir: String,
+      threshold: Double = WilsonThreshold, z: Double = WilsonZ): DataFrame = {
+    val zz = z * z
+    val agg = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") > threshold, 1L).otherwise(0L)).as("x"))
+    val nD = col("n").cast("double")
+    val p = col("x").cast("double") / nD
+    val denom = lit(1.0) + lit(zz) / nD
+    val center = (p + lit(zz) / (lit(2.0) * nD)) / denom
+    val half = lit(z) *
+      sqrt(p * (lit(1.0) - p) / nD + lit(zz) / (lit(4.0) * (nD * nD))) /
+      denom
+    agg.select(col("event_type"), col("n"), col("x"),
+      stableRound4(p).as("p_hat"),
+      stableRound4(center - half).as("lo"),
+      stableRound4(center + half).as("hi"))
+      .orderBy(col("event_type"))
   }
 }

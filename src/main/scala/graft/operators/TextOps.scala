@@ -14,6 +14,12 @@ import graft.functions.NumericFunctions.stableRound4
   */
 object TextOps {
 
+  /** Shared engine/oracle Kneser-Ney constants (q_kn_bigram) — the oracle
+    * SQL interpolates these so both sides cannot drift. */
+  val KnDiscount = 0.75
+  val KnMinCount = 3
+  val KnTopN = 30
+
   private[operators] val EnWords = Seq("the", "a", "of", "and")
   private val DeWords = Seq("der", "die", "das", "und")
   private val EsWords = Seq("el", "los", "las", "y")
@@ -298,6 +304,60 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"),
         stableRound4(avg(col("logp"))).as("mean_logp"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q_kn_bigram: interpolated Kneser–Ney bigram probabilities over the
+    * corpus LM — the smoothing every n-gram LM pipeline actually ships
+    * (Chen & Goodman 1999): absolute-discount the observed bigram mass
+    * and back off to the CONTINUATION unigram (how many distinct contexts
+    * a word follows, not how often it occurs — "francisco" is frequent
+    * but only ever follows "san"). p_KN(w2|w1) = max(c(w1w2)−D, 0)/c(w1·)
+    * + (D·N1+(w1·)/c(w1·)) · (N1+(·w2)/N1+(··)), D = `discount`.
+    * Output: the `topN` highest-probability bigrams with count ≥
+    * `minCount`, ordered by (p_kn desc, w1, w2) on the round-4 value so
+    * the cutoff is tie-stable cross-engine.
+    *
+    * Scale shape: one bigram explode feeding four partial-friendly hash
+    * aggregations (bigram counts; per-prefix totals + distinct-follower
+    * counts in ONE pass; per-word distinct-predecessor counts; one global
+    * count), then a joins-over-counts assembly — the same
+    * explode-then-aggregate cost class as [[bigramLogprobDocs]], nothing
+    * quadratic, no windows over the corpus. The bigram-count table is
+    * [[Materialize]]d once: four downstream consumers (the multi-consumer
+    * barrier rule from SCALE.md's round-9 audit). */
+  def knBigram(spark: SparkSession, dir: String,
+      discount: Double = KnDiscount, minCount: Int = KnMinCount,
+      topN: Int = KnTopN): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val bgc = Materialize(
+      Tables.documents(spark, dir)
+        .select(tokensLower(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "zip_with(slice(toks, 1, size(toks) - 1), " +
+            "slice(toks, 2, size(toks) - 1), " +
+            "(x, y) -> named_struct('w1', x, 'w2', y))")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12")))
+    val pfx = bgc.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n_after"))
+    val cont = bgc.groupBy(col("w2")).agg(count(lit(1)).as("n_before"))
+    val total = bgc.agg(count(lit(1)).as("n_big"))
+    val pkn =
+      greatest(col("c12").cast("double") - lit(discount), lit(0.0)) /
+        col("c1").cast("double") +
+        ((lit(discount) * col("n_after").cast("double")) /
+          col("c1").cast("double")) *
+          (col("n_before").cast("double") / col("n_big").cast("double"))
+    bgc.filter(col("c12") >= minCount)
+      .join(pfx, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c12"),
+        stableRound4(pkn).as("p_kn"))
+      .orderBy(col("p_kn").desc, col("w1"), col("w2"))
+      .limit(topN)
   }
 
   /** Per-document token-distribution statistics: Shannon entropy (bits) and

@@ -195,4 +195,54 @@ class GraphOpsSpec extends SparkTestBase {
     // the bridge edge does NOT merge the triangles
     assert(out == Seq((1L, 3L), (3L, 3L)), s"got $out")
   }
+
+  /** Driver-local reference peel: remove degree<k nodes for `rounds`
+    * rounds (the exact algorithm kCoreProfile distributes). */
+  private def refKCore(k: Int, rounds: Int): Set[(Long, Long)] = {
+    var e = edges.toSet
+    for (_ <- 1 to rounds) {
+      val deg = e.toSeq.flatMap(p => Seq(p._1, p._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size }
+      val surv = deg.filter(_._2 >= k).keySet
+      e = e.filter(p => surv(p._1) && surv(p._2))
+    }
+    e
+  }
+
+  test("kCoreProfile matches the driver-local peel and is converged at 8 rounds") {
+    val out = GraphOps.kCoreProfile(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out.map(_._1) == (GraphOps.KCoreMinK to GraphOps.KCoreMaxK).toSeq)
+    for ((k, nNodes, nEdges) <- out) {
+      val ref = refKCore(k, GraphOps.KCoreRounds)
+      assert(nEdges == ref.size, s"k=$k edges")
+      assert(nNodes == ref.flatMap(p => Seq(p._1, p._2)).size, s"k=$k nodes")
+      // the FIXED declared round count must already be the fixpoint here
+      assert(ref == refKCore(k, GraphOps.KCoreRounds + 4),
+        s"k=$k not converged at ${GraphOps.KCoreRounds} rounds")
+    }
+    // monotone: the k+1 core is a subgraph of the k core
+    assert(out.sliding(2).forall { case Seq(a, b) =>
+      b._2 <= a._2 && b._3 <= a._3 })
+  }
+
+  test("bfsHops matches a driver-local BFS from the same seeds") {
+    val adj = edges.flatMap(p => Seq(p._1 -> p._2, p._2 -> p._1))
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    val deg = adj.map { case (n, ns) => n -> ns.size }
+    val seeds = deg.toSeq.sortBy { case (n, d) => (-d, n) }
+      .take(GraphOps.BfsSeeds).map(_._1)
+    val want = (for (s <- seeds) yield {
+      var dist = Map(s -> 0)
+      for (t <- 1 to GraphOps.BfsMaxHops) {
+        val frontier = dist.filter(_._2 == t - 1).keys
+        for (u <- frontier; v <- adj.getOrElse(u, Set.empty)
+             if !dist.contains(v)) dist += v -> t
+      }
+      dist.groupBy(_._2).map { case (d, m) => (s, d, m.size.toLong) }
+    }).flatten.toSeq.sortBy(x => (x._1, x._2))
+    val out = GraphOps.bfsHops(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(out == want, s"got ${out.take(8)} want ${want.take(8)}")
+  }
 }

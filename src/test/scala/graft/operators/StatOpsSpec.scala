@@ -251,4 +251,34 @@ class StatOpsSpec extends SparkTestBase {
     val ranks = out.map(r => (-r.getDouble(2), r.getString(0))).toSeq
     assert(ranks == ranks.sorted, "not ordered by noisy count desc")
   }
+
+  test("wilsonCi matches a driver-local closed form and brackets p_hat") {
+    def r4(x: Double): Double =
+      new java.math.BigDecimal(x).setScale(4,
+        java.math.RoundingMode.HALF_UP).doubleValue()
+    val out = StatOps.wilsonCi(spark, sf).collect()
+    val ref = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") > StatOps.WilsonThreshold, 1L)
+          .otherwise(0L)).as("x"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out.nonEmpty && out.length == ref.size)
+    val z = StatOps.WilsonZ; val zz = z * z
+    out.foreach { r =>
+      val (et, n, x) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert((n, x) == ref(et))
+      val nd = n.toDouble; val p = x.toDouble / nd
+      val denom = 1.0 + zz / nd
+      val center = (p + zz / (2.0 * nd)) / denom
+      val half = z * math.sqrt(p * (1.0 - p) / nd + zz / (4.0 * (nd * nd))) / denom
+      assert(r.getDouble(3) == r4(p), s"$et p_hat")
+      assert(r.getDouble(4) == r4(center - half), s"$et lo")
+      assert(r.getDouble(5) == r4(center + half), s"$et hi")
+      // Wilson interval brackets the MLE and stays in [0, 1]
+      assert(r.getDouble(4) <= r.getDouble(3) && r.getDouble(3) <= r.getDouble(5))
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
 }

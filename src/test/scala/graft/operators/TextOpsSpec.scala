@@ -291,4 +291,46 @@ class TextOpsSpec extends SparkTestBase {
     assert(r.getDouble(3) > r.getDouble(2) + 0.05,
       s"train_acc ${r.getDouble(3)} should beat base ${r.getDouble(2)}")
   }
+
+  test("knBigram matches a driver-local Kneser-Ney computation") {
+    def r4(x: Double): Double =
+      new java.math.BigDecimal(x).setScale(4,
+        java.math.RoundingMode.HALF_UP).doubleValue()
+    val out = TextOps.knBigram(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(out.nonEmpty && out.length <= TextOps.KnTopN)
+    // reference counts from the same tokenization
+    val toks = graft.Tables.documents(spark, sf)
+      .select(col("text")).collect()
+      .map(_.getString(0).trim.toLowerCase.split("\\s+").toSeq)
+      .filter(_.length >= 2)
+    val bigrams = toks.flatMap(t => t.zip(t.tail))
+    val c12 = bigrams.groupBy(identity).map { case (b, xs) => b -> xs.size }
+    val c1 = c12.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val nAfter = c12.groupBy(_._1._1).map { case (w, m) => w -> m.size }
+    val nBefore = c12.groupBy(_._1._2).map { case (w, m) => w -> m.size }
+    val nBig = c12.size
+    def pkn(w1: String, w2: String): Double =
+      math.max(c12((w1, w2)) - TextOps.KnDiscount, 0.0) / c1(w1) +
+        ((TextOps.KnDiscount * nAfter(w1)) / c1(w1)) *
+          (nBefore(w2).toDouble / nBig)
+    out.foreach { case (w1, w2, c, p) =>
+      assert(c == c12((w1, w2)).toLong && c >= TextOps.KnMinCount)
+      assert(p == r4(pkn(w1, w2)), s"($w1,$w2): $p vs ${pkn(w1, w2)}")
+      assert(p > 0.0 && p <= 1.0)
+    }
+    // the discounted+interpolated mass per prefix stays a probability:
+    // the full conditional distribution for the top bigram's prefix sums
+    // to 1 up to float noise
+    val w1 = out.head._1
+    // iterators, not key SETS: a Set.map to Double collapses equal terms
+    val total = c12.keys.iterator.filter(_._1 == w1)
+      .map { case (a, b) => pkn(a, b) }.sum +
+      // unseen continuations get only the backoff term
+      nBefore.keys.iterator.filterNot(w2 => c12.contains((w1, w2)))
+        .map(w2 => ((TextOps.KnDiscount * nAfter(w1)) / c1(w1)) *
+          (nBefore(w2).toDouble / nBig)).sum
+    assert(math.abs(total - 1.0) < 1e-9, s"KN mass for '$w1' = $total")
+  }
 }
