@@ -17,6 +17,9 @@ Schedule (circle method, n=64, m=63): round r pairs (r % m, m) with the
 fixed index m=63, plus ((r+k) % m, (r-k+m) % m) for k=1..31; 63 rounds
 cover all C(64,2) pairs exactly once.
 
+Measured (2026-08-15): sweeps=6 iters=378 duckdb=5.4s bit_identical=64/64
+sql_err=2.54e-08 py_err=2.54e-08 — shipped as the q_embed_pca oracle.
+
 Usage: python3 dev/jacobi_parallel_proto.py [sweeps]
 """
 import math

@@ -42,6 +42,7 @@ object ScaleIndex {
     "q_dedup_embed_lsh" -> "2.0 output-bound (r6, CONTRAST DIAL)",
     "q_dedup_embed_rep" -> "flat (r6)",
     "q_dedup_incr" -> "0.17 (r6)",
+    "q_bfs_hops" -> "0.43 (r10)",
     "q_dedup_incr_near" -> "0.31 (r9)",
     "q_dedup_ngram" -> "1.65 (r5, CONTRAST DIAL)",
     "q_dedup_ngram_capped" -> "0.55 (r6)",
@@ -63,7 +64,11 @@ object ScaleIndex {
     "q_gram_novelty" -> "0.32 (r7)",
     "q_incr_join" -> "0.24 (r7)",
     "q_ivf_balance" -> "0.45 (r7)",
+    "q_kcenter" -> "0.67 (r10)",
+    "q_kcore" -> "1.21 (r10: |E|-linear peel floor + |V| broadcast builds; dial: shuffle semi-joins past the broadcast budget)",
+    "q_kn_bigram" -> "0.38 (r10)",
     "q_lang_trigram" -> "0.80 (r7)",
+    "q_mmr" -> "0.30 (r10)",
     "q_markov" -> "0.56 (r6)",
     "q_minhash_recall" -> "0.69 (r9 re-measure)",
     "q_ngram_containment" -> "0.52 (r7)",

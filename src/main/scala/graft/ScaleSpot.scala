@@ -110,7 +110,10 @@ object ScaleSpot {
     // approaches |V|·seeds), greedy k-center (k scans with widening
     // center expressions), MMR (one rel scan + fixed pool; should be
     // scan-linear), Kneser-Ney (bigram explode+agg family)
-    "q_kcore", "q_bfs_hops", "q_kcenter", "q_mmr", "q_kn_bigram")
+    "q_kcore", "q_bfs_hops", "q_kcenter", "q_mmr", "q_kn_bigram",
+    // IVF+PQ composite: risk = the two trainers' scan rounds + the
+    // cell-restricted ADC scan (should track q_pq_ann/q_sim_ivf)
+    "q_ivfpq")
   val Scales = Seq(10, 100)
 
   def outDir(copies: Int) = s"/tmp/graft_spot_${copies}x"

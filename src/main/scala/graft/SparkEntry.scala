@@ -379,6 +379,9 @@ object SparkEntry {
     "q_kn_bigram"      -> ((s, d) => TextOps.knBigram(s, d)),
     // Wilson score intervals per event type
     "q_wilson_ci"      -> ((s, d) => StatOps.wilsonCi(s, d)),
+    // the IVF+PQ composite (FAISS IVFADC shape): coarse cells restrict
+    // the ADC scan, exact re-rank on the shortlist
+    "q_ivfpq"          -> ((s, d) => PqOps.ivfPqTopK(s, d)),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -440,6 +443,16 @@ object SparkEntry {
   private def lloydCtes(
       k: Int = graft.operators.IvfOps.DefaultK,
       dim: Int = graft.operators.SimilarityOps.EmbeddingDim,
+      updates: Int = graft.operators.IvfOps.DefaultIters - 1): String =
+    "WITH " + lloydCtesBody("", k, dim, updates)
+
+  /** [[lloydCtes]] without the WITH keyword and with every CTE name
+    * prefixed — composable next to another CTE family (the q_ivfpq oracle
+    * places the IVF chain beside the PQ chain, whose names would
+    * otherwise collide on e/c0/a0/af). */
+  private def lloydCtesBody(p: String,
+      k: Int = graft.operators.IvfOps.DefaultK,
+      dim: Int = graft.operators.SimilarityOps.EmbeddingDim,
       updates: Int = graft.operators.IvfOps.DefaultIters - 1): String = {
     def argmin(src: String, cents: String) =
       s"(SELECT vec_id, v, acid AS cid FROM (" +
@@ -449,22 +462,22 @@ object SparkEntry {
         s"list_sum(list_transform(range(1, ${dim + 1}), i -> c.c[i] * $src.v[i])), c.cid) AS rn " +
         s"FROM $src CROSS JOIN $cents c) WHERE rn = 1)"
     val sb = new StringBuilder
-    sb ++= "WITH e AS (SELECT vec_id, label, " +
+    sb ++= s"${p}e AS (SELECT vec_id, label, " +
       "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
-    sb ++= s"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, " +
-      s"v AS c FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)), "
-    var prev = "c0"
+    sb ++= s"${p}c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, " +
+      s"v AS c FROM (SELECT vec_id, v FROM ${p}e ORDER BY vec_id LIMIT $k)), "
+    var prev = s"${p}c0"
     for (t <- 0 until updates) {
-      sb ++= s"a$t AS ${argmin("e", prev)}, "
-      sb ++= s"u$t AS (SELECT cid, list(m ORDER BY i) AS c FROM (" +
+      sb ++= s"${p}a$t AS ${argmin(s"${p}e", prev)}, "
+      sb ++= s"${p}u$t AS (SELECT cid, list(m ORDER BY i) AS c FROM (" +
         s"SELECT cid, i, CAST(round(CAST(avg(v[CAST(i AS INTEGER)]) AS DECIMAL(20,8)), 6) AS DOUBLE) AS m " +
-        s"FROM a$t, range(1, ${dim + 1}) t(i) GROUP BY cid, i) GROUP BY cid), "
-      sb ++= s"c${t + 1} AS (SELECT p.cid, COALESCE(u.c, p.c) AS c " +
-        s"FROM $prev p LEFT JOIN u$t u ON p.cid = u.cid), "
-      prev = s"c${t + 1}"
+        s"FROM ${p}a$t, range(1, ${dim + 1}) t(i) GROUP BY cid, i) GROUP BY cid), "
+      sb ++= s"${p}c${t + 1} AS (SELECT p.cid, COALESCE(u.c, p.c) AS c " +
+        s"FROM $prev p LEFT JOIN ${p}u$t u ON p.cid = u.cid), "
+      prev = s"${p}c${t + 1}"
     }
-    sb ++= s"cf AS (SELECT cid, c FROM $prev), "
-    sb ++= s"af AS ${argmin("e", "cf")}"
+    sb ++= s"${p}cf AS (SELECT cid, c FROM $prev), "
+    sb ++= s"${p}af AS ${argmin(s"${p}e", s"${p}cf")}"
     sb.toString
   }
 
@@ -727,9 +740,59 @@ object SparkEntry {
     * sequential 8-term fold as the Spark aggregate(), shortlists by
     * (adc, cand_id), and re-ranks the shortlist by exact rounded cosine. */
   private def pqAnnSql(k: Int = 10, shortlist: Int = 50, iters: Int = 3,
+      nq: Int = 5, m: Int = 8, subDim: Int = 8, codes: Int = 16): String =
+    "WITH " + pqCtesBody(iters, nq, m, subDim, codes) + ", " +
+      s"sc AS (SELECT d.q_id, cd.vec_id AS cand_id, " +
+      s"list_sum(list_transform(range(0, $m), j -> d.dts[j * $codes + cd.cds[j + 1] + 1])) AS adc " +
+      "FROM dtf d CROSS JOIN cd WHERE cd.vec_id <> d.q_id), " +
+      pqRerankSql(k, shortlist)
+
+  /** Shortlist + exact-cosine re-rank suffix shared by the q_pq_ann and
+    * q_ivfpq oracles — expects an `sc(q_id, cand_id, adc)` CTE upstream. */
+  private def pqRerankSql(k: Int, shortlist: Int): String =
+    "sl AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id, " +
+      s"row_number() OVER (PARTITION BY q_id ORDER BY adc, cand_id) AS rn FROM sc) WHERE rn <= $shortlist), " +
+      "rr AS (SELECT sl.q_id, sl.cand_id, " +
+      "round(list_sum(list_transform(range(1, len(qn.v) + 1), i -> qn.v[i] * cn.v[i])), 4) AS cos_sim " +
+      "FROM sl JOIN nv qn ON sl.q_id = qn.vec_id JOIN nv cn ON sl.cand_id = cn.vec_id) " +
+      "SELECT q_id, CAST(rn AS INTEGER) AS rn, cand_id, cos_sim FROM " +
+      "(SELECT q_id, cand_id, cos_sim, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rn FROM rr) " +
+      s"WHERE rn <= $k ORDER BY q_id, rn"
+
+  /** q_ivfpq oracle: the prefixed unrolled-Lloyd IVF chain (iv*) beside
+    * the PQ chain, with the ADC cross join restricted to each query's
+    * `nprobe` probed cells (the same L2-proxy cell ranking the q_sim_ivf
+    * oracle proved). Both trainers are the individually hash-proven
+    * builders — only the candidate restriction is new. */
+  private def ivfPqSql(k: Int = 10, shortlist: Int = 50, nprobe: Int = 4,
+      iters: Int = 3, nq: Int = 5, m: Int = 8, subDim: Int = 8,
+      codes: Int = 16): String = {
+    val dim = graft.operators.SimilarityOps.EmbeddingDim
+    "WITH " + lloydCtesBody("iv") + ", " +
+      pqCtesBody(iters, nq, m, subDim, codes) + ", " +
+      "pc AS (SELECT q_id, cid FROM (" +
+      "SELECT q.vec_id AS q_id, c.cid, " +
+      "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+      "list_sum(list_transform(c.c, y -> y * y)) - 2 * " +
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> c.c[i] * q.v[i])), c.cid) AS pr " +
+      s"FROM ive q CROSS JOIN ivcf c WHERE q.vec_id < $nq) WHERE pr <= $nprobe), " +
+      s"sc AS (SELECT d.q_id, cd.vec_id AS cand_id, " +
+      s"list_sum(list_transform(range(0, $m), j -> d.dts[j * $codes + cd.cds[j + 1] + 1])) AS adc " +
+      "FROM dtf d CROSS JOIN cd " +
+      "JOIN ivaf a ON a.vec_id = cd.vec_id " +
+      "JOIN pc ON pc.q_id = d.q_id AND pc.cid = a.cid " +
+      "WHERE cd.vec_id <> d.q_id), " +
+      pqRerankSql(k, shortlist)
+  }
+
+  /** PQ CTE chain through the per-query ADC distance tables: normalized
+    * vectors (nv), subvectors (sv), `iters` unrolled per-subspace Lloyd
+    * rounds ending in the final model (mf), corpus codes (cd), and
+    * per-probe flat distance-table lists (dtf). */
+  private def pqCtesBody(iters: Int = 3,
       nq: Int = 5, m: Int = 8, subDim: Int = 8, codes: Int = 16): String = {
     val sb = new StringBuilder
-    sb ++= "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS raw FROM embeddings), "
+    sb ++= "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS raw FROM embeddings), "
     sb ++= "n1 AS (SELECT vec_id, raw, sqrt(list_sum(list_transform(raw, y -> y * y))) AS nrm FROM e), "
     sb ++= "nv AS (SELECT vec_id, list_transform(raw, x -> x / nrm) AS v FROM n1), "
     sb ++= s"sv AS (SELECT vec_id, CAST(jj.j AS INTEGER) AS j, " +
@@ -759,18 +822,7 @@ object SparkEntry {
     sb ++= s"dt AS (SELECT sv.vec_id AS q_id, sv.j, m.c, " +
       s"list_sum(list_transform(range(1, ${subDim + 1}), d -> (sv.s[d] - m.cen[d]) * (sv.s[d] - m.cen[d]))) AS val " +
       s"FROM sv JOIN $prev m ON sv.j = m.j WHERE sv.vec_id < $nq), "
-    sb ++= s"dtf AS (SELECT q_id, list(val ORDER BY j * $codes + c) AS dts FROM dt GROUP BY q_id), "
-    sb ++= s"sc AS (SELECT d.q_id, cd.vec_id AS cand_id, " +
-      s"list_sum(list_transform(range(0, $m), j -> d.dts[j * $codes + cd.cds[j + 1] + 1])) AS adc " +
-      "FROM dtf d CROSS JOIN cd WHERE cd.vec_id <> d.q_id), "
-    sb ++= "sl AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id, " +
-      s"row_number() OVER (PARTITION BY q_id ORDER BY adc, cand_id) AS rn FROM sc) WHERE rn <= $shortlist), "
-    sb ++= "rr AS (SELECT sl.q_id, sl.cand_id, " +
-      "round(list_sum(list_transform(range(1, len(qn.v) + 1), i -> qn.v[i] * cn.v[i])), 4) AS cos_sim " +
-      "FROM sl JOIN nv qn ON sl.q_id = qn.vec_id JOIN nv cn ON sl.cand_id = cn.vec_id) "
-    sb ++= "SELECT q_id, CAST(rn AS INTEGER) AS rn, cand_id, cos_sim FROM " +
-      "(SELECT q_id, cand_id, cos_sim, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rn FROM rr) " +
-      s"WHERE rn <= $k ORDER BY q_id, rn"
+    sb ++= s"dtf AS (SELECT q_id, list(val ORDER BY j * $codes + c) AS dts FROM dt GROUP BY q_id)"
     sb.toString
   }
 
@@ -3785,5 +3837,8 @@ object SparkEntry {
         s"${r4(s"$center - $half")} AS lo, ${r4(s"$center + $half")} AS hi " +
         "FROM f ORDER BY event_type"
     },
+    // IVF (prefixed unrolled Lloyd) × PQ (per-subspace unrolled Lloyd)
+    // with cell-restricted ADC candidates — see ivfPqSql
+    "q_ivfpq" -> ivfPqSql(),
   )
 }

@@ -178,6 +178,22 @@ object IvfOps {
       nprobe: Int = 4, k: Int = 10): DataFrame =
     searchAssigned(queries, assign(emb, centroids), centroids, nprobe, k)
 
+  /** Probe-cell selection shared by [[searchAssigned]] and the IVF+PQ
+    * composite: per query, the `nprobe` nearest cells by the L2 proxy
+    * score (ties to the lower cid) — (q_id, q_emb, centroid_id) rows,
+    * `nprobe` per query. */
+  def probeCells(queries: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame = {
+    val probeW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score"), col("centroid_id"))
+    queries.crossJoin(broadcast(withCentroidNorm(centroids)))
+      .withColumn("score", centroidScore)
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("centroid_id"))
+  }
+
   /** IVF search: for each query, probe the `nprobe` nearest cells and rank
     * the candidates in those cells by cosine. `assigned` is the inverted
     * list — (vec_id, centroid_id, embedding) as produced by [[assign]] /
@@ -188,13 +204,8 @@ object IvfOps {
       .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
         l2Norm(col("embedding")).as("c_nrm"), col("centroid_id"))
 
-    val probeW = Window.partitionBy(col("vec_id")).orderBy(col("score"), col("centroid_id"))
-    val probes = queries.crossJoin(broadcast(withCentroidNorm(centroids)))
-      .withColumn("score", centroidScore)
-      .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= nprobe)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        l2Norm(col("embedding")).as("q_nrm"), col("centroid_id"))
+    val probes = probeCells(queries, centroids, nprobe)
+      .withColumn("q_nrm", l2Norm(col("q_emb")))
 
     val rankW = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("cand_id"))

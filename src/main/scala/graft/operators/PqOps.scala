@@ -127,29 +127,41 @@ object PqOps {
     // per query: flat 128-double distance table dt[j*Codes + c] =
     // ||q_j − centroid_{j,c}||², then score = Σ_j dt[j*Codes + codes[j]]
     val adc = probes.map { case (qid, q) =>
-      val dt = Array.tabulate(M * Codes) { i =>
-        val (j, c) = (i / Codes, i % Codes)
-        val cen = model(j)(c)
-        var s = 0.0; var d = 0
-        while (d < SubDim) {
-          val diff = q(j * SubDim + d) - cen(d); s += diff * diff; d += 1
-        }
-        s
-      }
-      val dtLit = typedlit(dt.toSeq)
-      // 0-based get(): dt[j*Codes + codes[j]] — 8 array reads + 8 adds per
-      // candidate, zero floating-point multiplies in the scan
-      val score = aggregate(
-        sequence(lit(0), lit(M - 1)),
-        lit(0.0),
-        (acc, j) => acc + get(dtLit, j * Codes + get(col("codes"), j)))
       coded.filter(col("vec_id") =!= qid)
         .select(lit(qid).as("q_id"), col("vec_id").as("cand_id"),
-          score.as("adc"))
+          adcScoreFor(model, q).as("adc"))
         .orderBy(col("adc"), col("cand_id"))
         .limit(shortlist)
     }.reduce(_.unionAll(_))
-    // exact re-rank of the shortlist only: join back the raw vectors
+    rerank(adc, vecs, nProbes, k)
+  }
+
+  /** The ADC score column for one driver-held query: flat 128-double
+    * distance table dt[j*Codes + c] = ||q_j − centroid_{j,c}||², score =
+    * Σ_j dt[j*Codes + codes[j]] — 8 array reads + 8 adds per candidate
+    * via 0-based get(), zero floating-point multiplies in the scan. */
+  private def adcScoreFor(model: Model, q: Array[Double]): Column = {
+    val dt = Array.tabulate(M * Codes) { i =>
+      val (j, c) = (i / Codes, i % Codes)
+      val cen = model(j)(c)
+      var s = 0.0; var d = 0
+      while (d < SubDim) {
+        val diff = q(j * SubDim + d) - cen(d); s += diff * diff; d += 1
+      }
+      s
+    }
+    val dtLit = typedlit(dt.toSeq)
+    aggregate(
+      sequence(lit(0), lit(M - 1)),
+      lit(0.0),
+      (acc, j) => acc + get(dtLit, j * Codes + get(col("codes"), j)))
+  }
+
+  /** Exact-cosine re-rank of an ADC shortlist down to top-`k`: join back
+    * the raw normalized vectors for the shortlist rows only. */
+  private def rerank(adc: DataFrame, vecs: DataFrame, nProbes: Int,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val qv = vecs.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
     val w = Window.partitionBy(col("q_id"))
@@ -164,5 +176,55 @@ object PqOps {
       .filter(col("rn") <= k)
       .select(col("q_id"), col("rn"), col("cand_id"), col("cos_sim"))
       .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** q_ivfpq: the full IVF+PQ composite — FAISS's IVFADC shape (Jégou et
+    * al. 2011 §IV, non-residual variant): the coarse IVF quantizer
+    * ([[IvfOps]], trained in the RAW embedding space exactly as
+    * q_sim_ivf) restricts each query's candidates to its `nprobe` nearest
+    * cells; the 4-bit PQ codes score those candidates by ADC; the
+    * `shortlist` survivors get an exact cosine re-rank to top-`k`. Output
+    * shape matches the other ANN queries: (q_id, rn, cand_id, cos_sim).
+    *
+    * This is the 100 TB ANN architecture in one declared query: the scan
+    * touches only |corpus|·nprobe/k_cells coded rows (4-byte codes, not
+    * raw vectors), the raw vectors are read only for the ≤`shortlist`
+    * re-rank joins, and both models are bounded driver state (k×dim +
+    * M×Codes×SubDim doubles). Oracle: ivfPqSql composes the prefixed
+    * unrolled-Lloyd IVF CTEs with the per-subspace PQ Lloyd CTEs and
+    * restricts the ADC cross join by probed-cell membership — both
+    * trainers were already individually hash-proven (q_sim_ivf,
+    * q_pq_ann). */
+  def ivfPqTopK(spark: SparkSession, dir: String, k: Int = 10,
+      shortlist: Int = 50, nprobe: Int = 4, iters: Int = 3,
+      nProbes: Int = 5): DataFrame = {
+    val emb = Materialize(Tables.embeddings(spark, dir))
+    val (centroids, assigned) = IvfOps.trainIndex(emb)
+    val vecs = Materialize(normalized(emb))
+    val model = train(vecs, iters)
+    // the coded corpus carries its IVF cell: vec_id + M codes + cid
+    val coded = Materialize(withCodes(vecs, model)
+      .select(col("vec_id"), col("codes"))
+      .join(assigned.select(col("vec_id"), col("centroid_id")),
+        Seq("vec_id")))
+    // bounded driver pulls: nProbes×nprobe probe cells + nProbes vectors
+    val cellsOf = IvfOps.probeCells(
+        emb.filter(col("vec_id") < nProbes), centroids, nprobe)
+      .select(col("q_id"), col("centroid_id")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getInt(1)).toSeq }
+    val probes = vecs.filter(col("vec_id") < nProbes)
+      .select(col("vec_id"), col("vec")).collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val adc = probes.map { case (qid, q) =>
+      coded.filter(col("vec_id") =!= qid &&
+          col("centroid_id").isin(cellsOf(qid): _*))
+        .select(lit(qid).as("q_id"), col("vec_id").as("cand_id"),
+          adcScoreFor(model, q).as("adc"))
+        .orderBy(col("adc"), col("cand_id"))
+        .limit(shortlist)
+    }.reduce(_.unionAll(_))
+    rerank(adc, vecs, nProbes, k)
   }
 }

@@ -52,4 +52,40 @@ class PqSpec extends SparkTestBase {
         s"cos mismatch at ${r.getLong(0)}->${r.getLong(2)}")
     }
   }
+
+  test("ivfPqTopK: candidates respect the probed cells; ranks well-formed") {
+    val out = PqOps.ivfPqTopK(spark, sf).collect()
+    assert(out.nonEmpty)
+    // shape: dense ranks from 1, no self-matches, cosine desc per query
+    out.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to rs.length).toSeq)
+      assert(rs.forall(_.getLong(2) != q))
+      val coss = sorted.map(_.getDouble(3)).toSeq
+      assert(coss.sliding(2).forall { case Seq(a, b) => b <= a })
+    }
+    // every returned candidate sits in one of its query's probed cells
+    val emb = graft.Tables.embeddings(spark, sf)
+    val (centroids, assigned) = IvfOps.trainIndex(emb)
+    val cellOf = assigned.select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probed = IvfOps.probeCells(
+        emb.filter(col("vec_id") < 5), centroids, 4)
+      .select(col("q_id"), col("centroid_id")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getInt(1)).toSet }
+    out.foreach { r =>
+      assert(probed(r.getLong(0)).contains(cellOf(r.getLong(2))),
+        s"cand ${r.getLong(2)} of q ${r.getLong(0)} outside probed cells")
+    }
+    // the composite is a restriction of PQ: every (q, cand) it returns
+    // scores the same exact cosine as the full-ADC pq query would
+    val full = PqOps.pqTopK(spark, sf, k = 50, shortlist = 500).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    out.foreach { r =>
+      full.get((r.getLong(0), r.getLong(2))).foreach { c =>
+        assert(c == r.getDouble(3), s"cos drift at $r")
+      }
+    }
+  }
 }
