@@ -382,6 +382,9 @@ object SparkEntry {
     // the IVF+PQ composite (FAISS IVFADC shape): coarse cells restrict
     // the ADC scan, exact re-rank on the shortlist
     "q_ivfpq"          -> ((s, d) => PqOps.ivfPqTopK(s, d)),
+    // rank-biased overlap of the exact vs IVF rankings (order-sensitive
+    // companion to q_ann_recall)
+    "q_rbo"            -> (RetrievalOps.rankBiasedOverlap _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -500,6 +503,20 @@ object SparkEntry {
       "r AS (SELECT q_id, cand_id, cos_sim, " +
       "row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rn FROM pairs) " +
       s"SELECT q_id, CAST(rn AS INTEGER) AS rn, cand_id, cos_sim FROM r WHERE rn <= $topk ORDER BY q_id, rn"
+
+  /** Exact cosine top-10 for probe vectors vec_id < 5 — the q_sim_topk
+    * oracle, also embedded as the truth ranking inside the q_rbo
+    * oracle. */
+  private val simTopkSql: String =
+    "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      "n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e), " +
+      "p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id, " +
+      "round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 4) AS cos_sim " +
+      "FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id), " +
+      "r AS (SELECT q_id, cand_id, cos_sim, " +
+      "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rn FROM p) " +
+      "SELECT q_id, CAST(rn AS INTEGER) AS rn, cand_id, cos_sim FROM r WHERE rn <= 10 " +
+      "ORDER BY q_id, rn"
 
   /** q_embed_pca oracle (round 10): replay the driver's FIXED-schedule,
     * FIXED-count round-robin PARALLEL Jacobi eigensolve as a DuckDB
@@ -1087,16 +1104,7 @@ object SparkEntry {
         "round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS cos_sim " +
         "FROM n a JOIN n b ON a.vec_id < b.vec_id " +
         "ORDER BY cos_sim DESC, va, vb LIMIT 20"),
-    "q_sim_topk" ->
-      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
-        "n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e), " +
-        "p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id, " +
-        "round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 4) AS cos_sim " +
-        "FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id), " +
-        "r AS (SELECT q_id, cand_id, cos_sim, " +
-        "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rn FROM p) " +
-        "SELECT q_id, CAST(rn AS INTEGER) AS rn, cand_id, cos_sim FROM r WHERE rn <= 10 " +
-        "ORDER BY q_id, rn"),
+    "q_sim_topk" -> simTopkSql,
     // MinHash/SimHash family (round-9 port from rows-only: salted md5-60
     // signatures + exact-value band keys — see mhSigCte/simhashCtes)
     "q_dedup_minhash" ->
@@ -3840,5 +3848,26 @@ object SparkEntry {
     // IVF (prefixed unrolled Lloyd) × PQ (per-subspace unrolled Lloyd)
     // with cell-restricted ADC candidates — see ivfPqSql
     "q_ivfpq" -> ivfPqSql(),
+    // RBO over the two embedded rankings: exact top-10 (simTopkSql) vs
+    // the unrolled-Lloyd IVF ranking (ivfSearchSql); per-candidate
+    // weights are the driver-literal rboTable, the per-query sum is the
+    // same sorted fold both sides (0.0-seed vs first-element-seed folds
+    // agree bitwise: 0.0 + x = x)
+    "q_rbo" -> {
+      val tblSql = graft.operators.RetrievalOps.rboTable()
+        .mkString("[", ", ", "]")
+      "WITH ra AS (" + simTopkSql + "), " +
+        "rb AS (" + ivfSearchSql(nprobe = 4, topk = 10, nq = 5) + "), " +
+        "mm AS (SELECT ra.q_id, greatest(ra.rn, rb.rn) AS m FROM ra " +
+        "JOIN rb ON ra.q_id = rb.q_id AND ra.cand_id = rb.cand_id), " +
+        "ag AS (SELECT q_id, COUNT(*) AS n_common, MAX(m = 1) AS top1_agree, " +
+        s"list_reduce(list_transform(list_sort(list(m)), x -> ($tblSql)[x]), " +
+        "(acc, t) -> acc + t) AS rbo_raw FROM mm GROUP BY q_id), " +
+        "sp AS (SELECT DISTINCT q_id FROM ra) " +
+        "SELECT sp.q_id, COALESCE(n_common, 0) AS n_common, " +
+        "COALESCE(top1_agree, FALSE) AS top1_agree, " +
+        "CAST(round(CAST(COALESCE(rbo_raw, 0.0) AS DECIMAL(20,8)), 4) AS DOUBLE) AS rbo " +
+        "FROM sp LEFT JOIN ag USING (q_id) ORDER BY sp.q_id"
+    },
   )
 }

@@ -174,4 +174,66 @@ object RetrievalOps {
         stableRound4(coalesce(lit(1.0) / col("first_rel"), lit(0.0)))
           .as("mrr"))
   }
+
+  /** RBO depth and persistence (Webber et al. 2010): compared list depth
+    * and the top-weightedness parameter, shared with the oracle. */
+  val RboDepth = 10
+  val RboP = 0.9
+
+  /** Per-candidate RBO contribution table, indexed by m = max(rank_A,
+    * rank_B): swapping the truncated-RBO double sum
+    * (1−p)·Σ_d p^(d−1)·|A_d ∩ B_d|/d to per-candidate form gives each
+    * common candidate the weight (1−p)·Σ_{d=m..D} p^(d−1)/d. Computed
+    * ONCE here in a fixed fold order and inlined as literals into BOTH
+    * engines (the one-shot-constants rule — Double.toString round-trips,
+    * so the engines see identical doubles and the only remaining float
+    * op is the per-query ordered fold, replicated exactly). */
+  def rboTable(depth: Int = RboDepth, p: Double = RboP): Array[Double] = {
+    val oneMinusP = 1.0 - p
+    Array.tabulate(depth) { i =>
+      val m = i + 1
+      var s = 0.0
+      var d = m
+      while (d <= depth) { s += math.pow(p, d - 1) / d; d += 1 }
+      oneMinusP * s
+    }
+  }
+
+  /** q_rbo: rank-biased overlap between the EXACT cosine top-10 ranking
+    * and the IVF ANN top-10 ranking, per probe query — the
+    * order-sensitive companion to q_ann_recall's set-based recall (RBO
+    * weights agreement at the top of the list, which is what a retrieval
+    * consumer actually sees; Webber, Moffat & Zobel, TOIS 2010). Output:
+    * (q_id, n_common, top1_agree, rbo), rbo ∈ [0, 1−p^D·…] truncated at
+    * depth `RboDepth`.
+    *
+    * Determinism: both input rankings are already hash-proven
+    * deterministic queries; the per-candidate weights are driver
+    * literals; the per-query sum is an ORDERED fold over the sorted m
+    * list, replicated in DuckDB as list_reduce over the same sorted
+    * transform (0.0-seeded vs first-element-seeded folds agree bitwise
+    * because 0.0 + x = x). Scale shape: two ANN queries + one
+    * (q_id, cand_id) equality join + a ≤depth-row-per-query aggregate —
+    * strictly cheaper than either input ranking. */
+  def rankBiasedOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = rboTable()
+    val a = SimilarityOps.simTopK(spark, dir)
+      .select(col("q_id"), col("rn").as("rna"), col("cand_id"))
+    val b = IvfOps.simIvf(spark, dir)
+      .select(col("q_id"), col("rn").as("rnb"), col("cand_id"))
+    val m = a.join(b, Seq("q_id", "cand_id"))
+      .select(col("q_id"), greatest(col("rna"), col("rnb")).as("m"))
+    val agg = m.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_common"),
+        max(col("m") === 1).as("top1_agree"),
+        aggregate(sort_array(collect_list(col("m"))), lit(0.0),
+          (acc, mm) => acc + element_at(lit(tbl), mm)).as("rbo_raw"))
+    a.select(col("q_id")).distinct()
+      .join(agg, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("top1_agree"), lit(false)).as("top1_agree"),
+        stableRound4(coalesce(col("rbo_raw"), lit(0.0))).as("rbo"))
+      .orderBy(col("q_id"))
+  }
 }

@@ -192,4 +192,37 @@ class RetrievalOpsSpec extends SparkTestBase {
     // bounds: dcg can never beat the ideal
     assert(out.getDouble(4) > 0.0 && out.getDouble(4) <= 1.0)
   }
+
+  test("rankBiasedOverlap matches a driver-local RBO from the two rankings") {
+    def r4(x: Double): Double =
+      new java.math.BigDecimal(x).setScale(4,
+        java.math.RoundingMode.HALF_UP).doubleValue()
+    val a = SimilarityOps.simTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    val b = IvfOps.simIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    val tbl = RetrievalOps.rboTable()
+    val out = RetrievalOps.rankBiasedOverlap(spark, sf).collect()
+    assert(out.length == a.keys.map(_._1).toSet.size)
+    out.foreach { r =>
+      val q = r.getLong(0)
+      val ms = a.collect { case ((`q`, c), ra) if b.contains((q, c)) =>
+        math.max(ra, b((q, c))) }.toSeq.sorted
+      assert(r.getLong(1) == ms.length.toLong, s"n_common q=$q")
+      assert(r.getBoolean(2) == ms.headOption.contains(1), s"top1 q=$q")
+      val want = ms.foldLeft(0.0)((acc, m) => acc + tbl(m - 1))
+      assert(r.getDouble(3) == r4(want), s"rbo q=$q: ${r.getDouble(3)} vs $want")
+      // identical prefixes would give RBO -> 1; disjoint lists 0
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // sanity of the weight table itself: a fully-agreeing depth-10 pair
+    // (every m = rank, both lists identical) scores the closed-form
+    // truncated RBO at p=0.9
+    val perfect = (1 to RetrievalOps.RboDepth)
+      .foldLeft(0.0)((acc, m) => acc + tbl(m - 1))
+    val closed = (1 to RetrievalOps.RboDepth).foldLeft(0.0)((acc, d) =>
+      acc + (1.0 - RetrievalOps.RboP) * math.pow(RetrievalOps.RboP, d - 1))
+    assert(math.abs(perfect - closed) < 1e-12,
+      s"weight-table mass $perfect vs $closed")
+  }
 }
