@@ -42,7 +42,7 @@ object ScaleIndex {
     "q_dedup_embed_lsh" -> "2.0 output-bound (r6, CONTRAST DIAL)",
     "q_dedup_embed_rep" -> "flat (r6)",
     "q_dedup_incr" -> "0.17 (r6)",
-    "q_bfs_hops" -> "0.43 (r10)",
+    "q_bfs_hops" -> "0.43 (r10, lazy path; size-gated cache: 6.1 s @10x — see SCALE.md)",
     "q_dedup_incr_near" -> "0.31 (r9)",
     "q_dedup_ngram" -> "1.65 (r5, CONTRAST DIAL)",
     "q_dedup_ngram_capped" -> "0.55 (r6)",
@@ -78,6 +78,7 @@ object ScaleIndex {
     "q_pit_join" -> "flat (r7)",
     "q_pq_ann" -> "0.16 (r6)",
     "q_quality_train" -> "0.28 (r7)",
+    "q_rbo" -> "flat (r10: 1.07 s @10× = 1.08 s @100× — probe-bounded join over two bounded rankings)",
     "q_rank_eval" -> "0.63 (r9)",
     "q_semdedup" -> "0.07 (r6)",
     "q_session_window" -> "0.76 (r6)",

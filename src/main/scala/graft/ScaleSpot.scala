@@ -113,7 +113,10 @@ object ScaleSpot {
     "q_kcore", "q_bfs_hops", "q_kcenter", "q_mmr", "q_kn_bigram",
     // IVF+PQ composite: risk = the two trainers' scan rounds + the
     // cell-restricted ADC scan (should track q_pq_ann/q_sim_ivf)
-    "q_ivfpq")
+    "q_ivfpq",
+    // RBO: two embedded ANN rankings + a probe-bounded join; should be
+    // the sum of its parts (q_sim_topk's exact pass dominates)
+    "q_rbo")
   val Scales = Seq(10, 100)
 
   def outDir(copies: Int) = s"/tmp/graft_spot_${copies}x"
