@@ -64,6 +64,8 @@ object ScaleIndex {
     "q_gram_novelty" -> "0.32 (r7)",
     "q_incr_join" -> "0.24 (r7)",
     "q_ivf_balance" -> "0.45 (r7)",
+    "q_assortativity" -> "1.02 (r10: the \u0398(|E|) linear floor)",
+    "q_hits" -> "0.82 (r10)",
     "q_ivfpq" -> "0.12 (r10)",
     "q_kcenter" -> "0.67 (r10)",
     "q_kcore" -> "1.21 (r10: |E|-linear peel floor + |V| broadcast builds; dial: shuffle semi-joins past the broadcast budget)",

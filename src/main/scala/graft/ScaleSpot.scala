@@ -116,7 +116,10 @@ object ScaleSpot {
     "q_ivfpq",
     // RBO: two embedded ANN rankings + a probe-bounded join; should be
     // the sum of its parts (q_sim_topk's exact pass dominates)
-    "q_rbo")
+    "q_rbo",
+    // bipartite HITS (per-round |E| join+agg — the PageRank cost model)
+    // and the degree-Pearson (one degree agg + one degree join)
+    "q_hits", "q_assortativity")
   val Scales = Seq(10, 100)
 
   def outDir(copies: Int) = s"/tmp/graft_spot_${copies}x"

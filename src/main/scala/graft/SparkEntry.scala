@@ -385,6 +385,11 @@ object SparkEntry {
     // rank-biased overlap of the exact vs IVF rankings (order-sensitive
     // companion to q_ann_recall)
     "q_rbo"            -> (RetrievalOps.rankBiasedOverlap _),
+    // bipartite HITS (customer hubs / part authorities), exact-integer
+    // truncated reinforcement
+    "q_hits"           -> (GraphOps.bipartiteHits _),
+    // degree assortativity (Newman 2002) — integer sums, one float assembly
+    "q_assortativity"  -> (GraphOps.assortativity _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -3869,5 +3874,53 @@ object SparkEntry {
         "CAST(round(CAST(COALESCE(rbo_raw, 0.0) AS DECIMAL(20,8)), 4) AS DOUBLE) AS rbo " +
         "FROM sp LEFT JOIN ag USING (q_id) ORDER BY sp.q_id"
     },
+    // HitsRounds unrolled integer reinforcement rounds over the bipartite
+    // purchase edges; scores stay exact BIGINTs (the round count is capped
+    // by the long-range magnitude argument in GraphOps.HitsRounds)
+    "q_hits" -> {
+      import graft.operators.GraphOps.{HitsRounds, HitsTopN}
+      val sb = new StringBuilder(
+        "WITH be AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p " +
+          "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey), ")
+      sb ++= "a1 AS MATERIALIZED (SELECT p, COUNT(*) AS a FROM be GROUP BY p), "
+      sb ++= "h1 AS MATERIALIZED (SELECT c, CAST(SUM(a) AS BIGINT) AS h " +
+        "FROM be JOIN a1 USING (p) GROUP BY c), "
+      for (t <- 2 to HitsRounds) {
+        sb ++= s"a$t AS MATERIALIZED (SELECT p, CAST(SUM(h) AS BIGINT) AS a " +
+          s"FROM be JOIN h${t - 1} USING (c) GROUP BY p), "
+        sb ++= s"h$t AS MATERIALIZED (SELECT c, CAST(SUM(a) AS BIGINT) AS h " +
+          s"FROM be JOIN a$t USING (p) GROUP BY c), "
+      }
+      sb ++= "ta AS (SELECT 'authority' AS kind, node_id, score, rn FROM " +
+        "(SELECT p AS node_id, a AS score, row_number() OVER (ORDER BY a DESC, p) AS rn " +
+        s"FROM a$HitsRounds) WHERE rn <= $HitsTopN), "
+      sb ++= "th AS (SELECT 'hub' AS kind, node_id, score, rn FROM " +
+        "(SELECT c AS node_id, h AS score, row_number() OVER (ORDER BY h DESC, c) AS rn " +
+        s"FROM h$HitsRounds) WHERE rn <= $HitsTopN) "
+      sb ++= "SELECT kind, node_id, score, CAST(rn AS INTEGER) AS rank FROM " +
+        "(SELECT * FROM ta UNION ALL SELECT * FROM th) u ORDER BY kind, rank"
+      sb.toString
+    },
+    // integer degree sums over the doubled edge list; the Pearson assembly
+    // mirrors the engine's association order term for term
+    "q_assortativity" ->
+      ("WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem), " +
+        "ok AS (SELECT okey FROM op GROUP BY okey HAVING COUNT(*) <= 64), " +
+        "e AS MATERIALIZED (SELECT DISTINCT a.pkey AS src, b.pkey AS dst FROM op a " +
+        "JOIN op b ON a.okey = b.okey AND a.pkey < b.pkey " +
+        "WHERE a.okey IN (SELECT okey FROM ok)), " +
+        "und AS MATERIALIZED (SELECT src, dst FROM e " +
+        "UNION ALL SELECT dst AS src, src AS dst FROM e), " +
+        "d AS MATERIALIZED (SELECT src AS node, COUNT(*) AS degree FROM und GROUP BY src), " +
+        "s AS (SELECT COUNT(*) AS m2, CAST(SUM(da.degree) AS BIGINT) AS sx, " +
+        "CAST(SUM(da.degree * db.degree) AS BIGINT) AS sxy, " +
+        "CAST(SUM(da.degree * da.degree) AS BIGINT) AS sxx " +
+        "FROM und JOIN d da ON da.node = und.src JOIN d db ON db.node = und.dst) " +
+        "SELECT CAST(m2 / 2 AS BIGINT) AS n_edges, " +
+        "CAST(round(CAST((CAST(sxy AS DOUBLE) / CAST(m2 AS DOUBLE) " +
+        "- (CAST(sx AS DOUBLE) / CAST(m2 AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(m2 AS DOUBLE))) " +
+        "/ (CAST(sxx AS DOUBLE) / CAST(m2 AS DOUBLE) " +
+        "- (CAST(sx AS DOUBLE) / CAST(m2 AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(m2 AS DOUBLE))) " +
+        "AS DECIMAL(20,8)), 4) AS DOUBLE) AS assortativity FROM s"),
   )
 }

@@ -226,6 +226,54 @@ class GraphOpsSpec extends SparkTestBase {
       b._2 <= a._2 && b._3 <= a._3 })
   }
 
+  test("bipartiteHits matches a driver-local integer reinforcement") {
+    val be = graft.Tables.lineitem(spark, sf)
+      .join(graft.Tables.orders(spark, sf)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+        Seq("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var h: Map[Long, Long] = be.map(_._1).distinct.map(_ -> 1L).toMap
+    var a: Map[Long, Long] = Map.empty
+    for (_ <- 1 to GraphOps.HitsRounds) {
+      a = be.groupBy(_._2).map { case (p, es) =>
+        p -> es.map(e => h(e._1)).sum }
+      h = be.groupBy(_._1).map { case (c, es) =>
+        c -> es.map(e => a(e._2)).sum }
+    }
+    def topN(m: Map[Long, Long]) =
+      m.toSeq.sortBy { case (id, s) => (-s, id) }.take(GraphOps.HitsTopN)
+    val out = GraphOps.bipartiteHits(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val auth = out.filter(_._1 == "authority").sortBy(_._4)
+    val hub = out.filter(_._1 == "hub").sortBy(_._4)
+    assert(auth.map(x => (x._2, x._3)).toSeq == topN(a), "authorities")
+    assert(hub.map(x => (x._2, x._3)).toSeq == topN(h), "hubs")
+    assert(auth.map(_._4).toSeq == (1 to auth.length) &&
+      hub.map(_._4).toSeq == (1 to hub.length), "dense ranks")
+  }
+
+  test("assortativity matches a driver-local Pearson over edge degrees") {
+    def r4(x: Double): Double =
+      new java.math.BigDecimal(x).setScale(4,
+        java.math.RoundingMode.HALF_UP).doubleValue()
+    val deg = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    val und = edges.flatMap(e => Seq(e, (e._2, e._1)))
+    val m2 = und.length.toLong
+    val sx = und.map(e => deg(e._1)).sum
+    val sxy = und.map(e => deg(e._1) * deg(e._2)).sum
+    val sxx = und.map(e => deg(e._1) * deg(e._1)).sum
+    val mean = sx.toDouble / m2
+    val want = (sxy.toDouble / m2 - mean * mean) /
+      (sxx.toDouble / m2 - mean * mean)
+    val out = GraphOps.assortativity(spark, sf).collect()(0)
+    assert(out.getLong(0) == m2 / 2)
+    assert(out.getDouble(1) == r4(want),
+      s"r ${out.getDouble(1)} vs $want")
+    assert(out.getDouble(1) >= -1.0 && out.getDouble(1) <= 1.0)
+  }
+
   test("bfsHops matches a driver-local BFS from the same seeds") {
     val adj = edges.flatMap(p => Seq(p._1 -> p._2, p._2 -> p._1))
       .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
