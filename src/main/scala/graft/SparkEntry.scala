@@ -365,8 +365,9 @@ object SparkEntry {
     // pairwise event-type audience Jaccard
     "q_audience_overlap" -> (EventOps.audienceOverlap _),
     // ---- round-10 second batch ----
-    // k-core peel profile, fixed 8 rounds (unrolled-CTE oracle; GraphSpec
-    // pins round-8 = round-12 convergence on the fixture)
+    // k-core peel profile, fixed KCoreRounds = 4 rounds (unrolled-CTE
+    // oracle; GraphOpsSpec pins round-4 = round-8 convergence on the
+    // fixture — the integer-fixpoint early exit makes extra rounds no-ops)
     "q_kcore"          -> ((s, d) => GraphOps.kCoreProfile(s, d)),
     // bounded multi-source BFS reach histogram from the top-degree hubs
     "q_bfs_hops"       -> ((s, d) => GraphOps.bfsHops(s, d)),
@@ -2188,7 +2189,11 @@ object SparkEntry {
         "FROM e GROUP BY dim ORDER BY dim"),
     "q_funnel3" ->
       ("WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events), " +
-        "v AS (SELECT user_id, MIN(us) AS v_us FROM ev WHERE event_type = 'view' GROUP BY user_id), " +
+        // user_id IS NOT NULL mirrors funnel3Totals' engine-side filter
+        // (EventOps): without it DuckDB would count a NULL-user group in
+        // n1 while the engine drops null users — the contract is explicit
+        // rather than dependent on the fixture never emitting nulls
+        "v AS (SELECT user_id, MIN(us) AS v_us FROM ev WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY user_id), " +
         "c AS (SELECT ev.user_id, MIN(us) AS c_us FROM ev JOIN v ON ev.user_id = v.user_id " +
         "WHERE event_type = 'click' AND us > v_us GROUP BY ev.user_id), " +
         "p AS (SELECT ev.user_id, MIN(us) AS p_us FROM ev JOIN c ON ev.user_id = c.user_id " +

@@ -625,10 +625,30 @@ object DedupOps {
 
   /** Probe the standing index at `path` with a (doc_id, text) batch: one
     * row per batch doc (is_novel, n_corpus_matches, first_match), the
-    * exact [[dedupIncrNear]] contract. */
+    * exact [[dedupIncrNear]] contract.
+    *
+    * `maxEpochExclusive`: replay-idempotence fence for the streaming
+    * front door ([[graft.streaming.CorpusStreamOps.startBandIndexStream]]).
+    * A micro-batch can crash AFTER its [[bandIndexAppend]] committed but
+    * BEFORE the checkpoint did; the replayed batch then probes an index
+    * that already contains its own epoch partitions, every doc matches
+    * itself at Jaccard 1.0, and the re-emitted verdicts contradict the
+    * originals (is_novel flips, first_match points into the same batch).
+    * Passing the batch's epochId here filters the epoch-partitioned
+    * bands/shingles reads to `epoch < epochId`, so a replay probes
+    * exactly the pre-batch index and re-emitted verdicts are bitwise
+    * duplicates, dedupable by doc_id as the sink contract promises. On a
+    * non-epoch (batch-mode) index the stored rows carry no epoch column
+    * and are treated as epoch −1: always visible. Partition pruning makes
+    * the fence free — excluded epochs are never scanned. */
   def bandIndexProbe(spark: SparkSession, path: String, batch: DataFrame,
-      threshold: Double = 0.5, numHashes: Int = 32, bands: Int = 8)
-      : DataFrame = {
+      threshold: Double = 0.5, numHashes: Int = 32, bands: Int = 8,
+      maxEpochExclusive: Option[Long] = None): DataFrame = {
+    def epochFenced(df: DataFrame): DataFrame = maxEpochExclusive match {
+      case Some(e) if df.columns.contains("epoch") =>
+        df.filter(col("epoch") < lit(e))
+      case _ => df
+    }
     val barr = Materialize(batch.select(col("doc_id"),
       shingles(tokensLower(col("text"))).as("sh")))
     val bsigs = barr.select(col("doc_id"),
@@ -636,7 +656,7 @@ object DedupOps {
         .as("sig"))
       .filter(col("sig").isNotNull)
     val bbands = bandedSignatures(bsigs, bands, numHashes)
-    val ibands = spark.read.parquet(s"$path/bands")
+    val ibands = epochFenced(spark.read.parquet(s"$path/bands"))
     // batch side probes the stored index; shuffle_hash for the same
     // reason as dedupIncrNear (high-cardinality equality key)
     val cand = bbands.as("a").hint("shuffle_hash")
@@ -644,7 +664,7 @@ object DedupOps {
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
       .select(col("a.doc_id").as("bd"), col("b.doc_id").as("cd"))
       .distinct()
-    val ish = spark.read.parquet(s"$path/shingles")
+    val ish = epochFenced(spark.read.parquet(s"$path/shingles"))
     val matches = jaccardVerifyPairs(cand, barr, ish, "bd", "cd", threshold)
       .groupBy(col("bd"))
       .agg(count(lit(1)).as("n_matches"), min(col("cd")).as("fm"))

@@ -208,6 +208,12 @@ object CorpusStreamOps {
     * partition (`epoch=<batch id>`) with dynamic partition overwrite, so
     * a batch replayed after a crash replaces its own partitions instead
     * of duplicating them (DedupSpec pins replay == single append). The
+    * PROBE is replay-idempotent too: each batch probes with
+    * `maxEpochExclusive = epochId`, so a batch replayed after its own
+    * append committed (crash between append and checkpoint commit) still
+    * probes exactly the pre-batch index instead of matching itself at
+    * Jaccard 1.0 — re-emitted verdicts are bitwise duplicates of the
+    * originals (DedupSpec pins probe-after-append == fenced probe). The
     * verdict sink is plain append parquet — re-emitted verdicts are the
     * standard at-least-once file-sink caveat, deduped downstream by
     * (doc_id) if the consumer needs exactly-once. */
@@ -221,9 +227,17 @@ object CorpusStreamOps {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
         val b = batch.select(col("doc_id"), col("text"))
         val sp = batch.sparkSession
+        // Hadoop FS (not java.io.File) so the first-batch check follows
+        // the index path's scheme — on HDFS/S3 a local-File check is
+        // always false and every batch would skip the probe
+        val bandsPath = new org.apache.hadoop.fs.Path(s"$indexPath/bands")
+        val bandsExist = bandsPath
+          .getFileSystem(sp.sparkContext.hadoopConfiguration)
+          .exists(bandsPath)
         val verdicts =
-          if (new java.io.File(s"$indexPath/bands").exists())
-            graft.operators.DedupOps.bandIndexProbe(sp, indexPath, b)
+          if (bandsExist)
+            graft.operators.DedupOps.bandIndexProbe(sp, indexPath, b,
+              maxEpochExclusive = Some(epochId))
           else
             // first drop: nothing to probe — everything is novel
             b.select(col("doc_id"), lit(true).as("is_novel"),

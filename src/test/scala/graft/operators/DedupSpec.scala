@@ -346,4 +346,37 @@ class DedupSpec extends SparkTestBase {
       .sortBy(identity[(Long, Int, String)]).toSeq
     assert(bandRows() == refRows)
   }
+
+  test("band index probe fence: replay after own append probes the pre-batch index") {
+    // the crash window ADVICE r10 flagged: epoch 1's append committed but
+    // the checkpoint didn't, so the replayed batch probes an index that
+    // already holds its own rows. With maxEpochExclusive = 1 the probe
+    // must see ONLY epoch 0 — identical verdicts to the original run —
+    // instead of every doc matching itself at Jaccard 1.0.
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-band-fence").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val e0 = docs.filter(col("doc_id") < 100)
+    val e1 = docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+    DedupOps.bandIndexAppend(e0, idx, epoch = Some(0L))
+    // original run: probe BEFORE the batch's own append
+    def collectVerdicts(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3))).toSeq
+    val original = collectVerdicts(
+      DedupOps.bandIndexProbe(spark, idx, e1, maxEpochExclusive = Some(1L)))
+    DedupOps.bandIndexAppend(e1, idx, epoch = Some(1L))
+    // replay: the index now contains epoch 1 itself; the fence must hide it
+    val replayed = collectVerdicts(
+      DedupOps.bandIndexProbe(spark, idx, e1, maxEpochExclusive = Some(1L)))
+    assert(replayed == original,
+      "fenced replay verdicts diverged from the original run")
+    // and the unfenced probe really would differ (every doc self-matches),
+    // proving the fence is load-bearing, not vacuous
+    val unfenced = collectVerdicts(
+      DedupOps.bandIndexProbe(spark, idx, e1))
+    assert(unfenced != original, "unfenced probe unexpectedly matched — " +
+      "fixture gives the fence nothing to exclude")
+    assert(unfenced.forall(!_._2), "self-matching docs must all be non-novel")
+  }
 }
