@@ -111,50 +111,80 @@ object PqOps {
     * (stable6 barrier per mean, same contract as the IVF trainer), the
     * ADC table as per-probe distance lists, and the shortlist/re-rank as
     * windowed ranks; PqSpec keeps recall vs the exact baseline and
-    * ADC-vs-true-distance error bounds as quality pins. */
+    * ADC-vs-true-distance error bounds as quality pins.
+    *
+    * Probes are DATA, not plan branches (round 11, closing the r10
+    * verdict's top ask): the rounds-8/9 shape built one
+    * filter+orderBy+limit branch and one 128-double `typedlit` PER probe
+    * — fine at 5 probes, a 10⁴-branch plan and a driver loop at a
+    * production query batch. Now the probe side is one broadcast
+    * (q_id, dt) DataFrame whose distance tables are computed
+    * distributively from a single shared 1,024-double centroid literal
+    * ([[distTable]]), the ADC scan is ONE join, and the per-query
+    * shortlist is a rank-limited window (Spark's WindowGroupLimit keeps
+    * it top-`shortlist` map-side). The plan is the same three-node shape
+    * at 5 or 10⁴ probes; SCALE.md's "ANN probe batch" rows record the
+    * measured 5→500 probe scaling. */
   def pqTopK(spark: SparkSession, dir: String, k: Int = 10,
       shortlist: Int = 50, iters: Int = 3, nProbes: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val vecs = Materialize(normalized(Tables.embeddings(spark, dir)))
     val model = train(vecs, iters)
     // the coded corpus: vec_id + M small ints — the compressed index
     val coded = Materialize(withCodes(vecs, model)
       .select(col("vec_id"), col("codes")))
     val probes = vecs.filter(col("vec_id") < nProbes)
-      .select(col("vec_id"), col("vec")).collect()
-      .sortBy(_.getLong(0))
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    // per query: flat 128-double distance table dt[j*Codes + c] =
-    // ||q_j − centroid_{j,c}||², then score = Σ_j dt[j*Codes + codes[j]]
-    val adc = probes.map { case (qid, q) =>
-      coded.filter(col("vec_id") =!= qid)
-        .select(lit(qid).as("q_id"), col("vec_id").as("cand_id"),
-          adcScoreFor(model, q).as("adc"))
-        .orderBy(col("adc"), col("cand_id"))
-        .limit(shortlist)
-    }.reduce(_.unionAll(_))
-    rerank(adc, vecs, nProbes, k)
+      .select(col("vec_id").as("q_id"), distTable(model).as("dt"))
+    val adc = coded.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"), adcScore.as("adc"))
+    rerank(adcShortlist(adc, shortlist), vecs, nProbes, k)
   }
 
-  /** The ADC score column for one driver-held query: flat 128-double
-    * distance table dt[j*Codes + c] = ||q_j − centroid_{j,c}||², score =
-    * Σ_j dt[j*Codes + codes[j]] — 8 array reads + 8 adds per candidate
-    * via 0-based get(), zero floating-point multiplies in the scan. */
-  private def adcScoreFor(model: Model, q: Array[Double]): Column = {
-    val dt = Array.tabulate(M * Codes) { i =>
-      val (j, c) = (i / Codes, i % Codes)
-      val cen = model(j)(c)
-      var s = 0.0; var d = 0
-      while (d < SubDim) {
-        val diff = q(j * SubDim + d) - cen(d); s += diff * diff; d += 1
-      }
-      s
-    }
-    val dtLit = typedlit(dt.toSeq)
+  /** One flat centroid literal shared by EVERY probe:
+    * cenFlat[(j*Codes + c)*SubDim + d] = model(j)(c)(d) — 1,024 doubles,
+    * constant in the probe count (the old shape re-embedded a derived
+    * 128-double table per probe). */
+  private def centroidLit(model: Model): Column =
+    typedlit((for (j <- 0 until M; c <- 0 until Codes; d <- 0 until SubDim)
+      yield model(j)(c)(d)).toIndexedSeq)
+
+  /** The per-probe ADC distance table as a COLUMN over (…, vec) probe
+    * rows: dt[j*Codes + c] = ||q_j − centroid_{j,c}||². Same accumulation
+    * order as the previous driver-side loop (0.0 seed, d ascending), so
+    * the doubles — and therefore q_pq_ann/q_ivfpq hashes — are bitwise
+    * unchanged. */
+  private def distTable(model: Model): Column = {
+    val cen = centroidLit(model)
+    transform(sequence(lit(0), lit(M * Codes - 1)), i => {
+      val j = (i / lit(Codes)).cast("int") // i ≥ 0: truncation == floor
+      aggregate(sequence(lit(0), lit(SubDim - 1)), lit(0.0), (acc, d) => {
+        val diff = get(col("vec"), j * SubDim + d) - get(cen, i * SubDim + d)
+        acc + diff * diff
+      })
+    })
+  }
+
+  /** ADC score from the probe side's `dt` column: Σ_j dt[j*Codes +
+    * codes[j]] — 8 array reads + 8 adds per candidate via 0-based get(),
+    * zero floating-point multiplies in the scan. */
+  private def adcScore: Column =
     aggregate(
       sequence(lit(0), lit(M - 1)),
       lit(0.0),
-      (acc, j) => acc + get(dtLit, j * Codes + get(col("codes"), j)))
+      (acc, j) => acc + get(col("dt"), j * Codes + get(col("codes"), j)))
+
+  /** Per-query ADC shortlist as a rank-limited window: row_number over
+    * (adc, cand_id) ≤ `shortlist` — the same total order as the old
+    * per-probe orderBy+limit (adc ties broken by the unique cand_id), but
+    * one plan node for all probes, and eligible for WindowGroupLimit's
+    * map-side top-k. */
+  private def adcShortlist(adc: DataFrame, shortlist: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc"), col("cand_id"))
+    adc.withColumn("srn", row_number().over(w))
+      .filter(col("srn") <= shortlist)
+      .select(col("q_id"), col("cand_id"))
   }
 
   /** Exact-cosine re-rank of an ADC shortlist down to top-`k`: join back
@@ -194,7 +224,14 @@ object PqOps {
     * unrolled-Lloyd IVF CTEs with the per-subspace PQ Lloyd CTEs and
     * restricts the ADC cross join by probed-cell membership — both
     * trainers were already individually hash-proven (q_sim_ivf,
-    * q_pq_ann). */
+    * q_pq_ann).
+    *
+    * Probes are DATA here too (round 11, cf. [[pqTopK]]): the probe side
+    * is `probeCells`' (q_id, centroid_id) rows — never collected —
+    * joined to the per-probe distance tables, and the ADC scan is ONE
+    * equi-join on centroid_id (each candidate lives in exactly one cell,
+    * so a (q, cand) pair arises at most once). Zero driver pulls remain
+    * in the search path; plan size is constant in the probe count. */
   def ivfPqTopK(spark: SparkSession, dir: String, k: Int = 10,
       shortlist: Int = 50, nprobe: Int = 4, iters: Int = 3,
       nProbes: Int = 5): DataFrame = {
@@ -207,24 +244,17 @@ object PqOps {
       .select(col("vec_id"), col("codes"))
       .join(assigned.select(col("vec_id"), col("centroid_id")),
         Seq("vec_id")))
-    // bounded driver pulls: nProbes×nprobe probe cells + nProbes vectors
-    val cellsOf = IvfOps.probeCells(
+    // probe side: nProbes×nprobe (q_id, centroid_id) cells from the IVF
+    // quantizer, each carrying its query's ADC distance table
+    val cells = IvfOps.probeCells(
         emb.filter(col("vec_id") < nProbes), centroids, nprobe)
-      .select(col("q_id"), col("centroid_id")).collect()
-      .groupBy(_.getLong(0))
-      .map { case (q, rs) => q -> rs.map(_.getInt(1)).toSeq }
-    val probes = vecs.filter(col("vec_id") < nProbes)
-      .select(col("vec_id"), col("vec")).collect()
-      .sortBy(_.getLong(0))
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val adc = probes.map { case (qid, q) =>
-      coded.filter(col("vec_id") =!= qid &&
-          col("centroid_id").isin(cellsOf(qid): _*))
-        .select(lit(qid).as("q_id"), col("vec_id").as("cand_id"),
-          adcScoreFor(model, q).as("adc"))
-        .orderBy(col("adc"), col("cand_id"))
-        .limit(shortlist)
-    }.reduce(_.unionAll(_))
-    rerank(adc, vecs, nProbes, k)
+      .select(col("q_id"), col("centroid_id"))
+    val dts = vecs.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("q_id"), distTable(model).as("dt"))
+    val adc = coded.join(broadcast(cells.join(dts, Seq("q_id"))),
+        Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"), adcScore.as("adc"))
+    rerank(adcShortlist(adc, shortlist), vecs, nProbes, k)
   }
 }

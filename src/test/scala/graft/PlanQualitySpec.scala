@@ -956,4 +956,30 @@ class PlanQualitySpec extends SparkTestBase {
         s"$q evaluates a conv(substring(md5(…))) chain inside an exploded aggregation")
     }
   }
+
+  test("ADC search: plan size is constant in the probe count (probes are data)") {
+    // the r10 verdict's top ask: pqTopK/ivfPqTopK used to build one
+    // filter+orderBy+limit branch + one 128-double typedlit PER probe.
+    // Now probes ride one broadcast side, so the plan must carry zero
+    // Unions, exactly one window (the rank-limited shortlist, eligible
+    // for WindowGroupLimit's map-side top-k) — and, decisively, the SAME
+    // node count at 2 and at 20 probes.
+    def shape(nProbes: Int): (Int, String) = {
+      val df = PqOps.pqTopK(spark, sf, nProbes = nProbes)
+      val p = df.queryExecution.sparkPlan
+      (p.collect { case n => n }.size, p.toString)
+    }
+    val (n2, p2) = shape(2)
+    val (n20, p20) = shape(20)
+    assert(n2 == n20, s"plan grows with probes: $n2 nodes @2 vs $n20 @20\n$p20")
+    assert(!p20.contains("Union"), p20)
+    assert(p20.contains("WindowGroupLimit"), p20)
+    val ivf = PqOps.ivfPqTopK(spark, sf).queryExecution.sparkPlan.toString
+    assert(!ivf.contains("Union"), ivf)
+    assert(ivf.contains("WindowGroupLimit"), ivf)
+    // the coded-corpus scan joins the probe side via broadcast, never a
+    // shuffle of the corpus against probes
+    assert(p20.contains("BroadcastNestedLoopJoin") ||
+      p20.contains("BroadcastExchange"), p20)
+  }
 }
