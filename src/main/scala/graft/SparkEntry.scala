@@ -143,7 +143,7 @@ object SparkEntry {
     "q_stratified_sample" -> (CorpusOps.stratifiedSample _),
     "q_sample_group"   -> ((s, d) => CorpusOps.samplePerGroup(s, d)),
     "q_doc_dupe_rate"  -> (CorpusOps.docDupeRate _),
-    "q_bloom_join"     -> (JoinOps.bloomSemiJoinAgg _),
+    "q_bloom_join"     -> ((s, d) => JoinOps.bloomSemiJoinAgg(s, d)),
     "q_weighted_sample" -> (CorpusOps.weightedSample _),
     "q_upsert"         -> (RelationalOps.upsertOrders _),
     "q_decontaminate"  -> ((s, d) => CorpusOps.decontaminate(s, d)),
@@ -157,7 +157,7 @@ object SparkEntry {
     "q_shard"          -> (CorpusOps.shardAssign _),
     "q_cooccur"        -> ((s, d) => CorpusOps.cooccurPmi(s, d)),
     "q_clean_pipeline" -> (CorpusOps.cleanPipeline _),
-    "q_dedup_incr"     -> (DedupOps.dedupIncremental _),
+    "q_dedup_incr"     -> ((s, d) => DedupOps.dedupIncremental(s, d)),
     // incremental NEAR-dup: batch probes the corpus band index — never a
     // corpus self-join (the production crawl-drop dedup shape)
     "q_dedup_incr_near" -> ((s, d) => DedupOps.dedupIncrNear(s, d)),

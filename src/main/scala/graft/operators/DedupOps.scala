@@ -62,7 +62,8 @@ object DedupOps {
     * positives. Semantics stay exactly the plain anti join (the oracle IS
     * the plain NOT EXISTS), but at 100 TB the corpus-sized shuffle only
     * ever carries the few batch rows that might collide. */
-  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+  def dedupIncremental(spark: SparkSession, dir: String,
+      bloomFpp: Double = graft.Tuning.BloomFpp): DataFrame = {
     import graft.functions.NumericFunctions.stableRound4
     import graft.functions.SketchFunctions._
     val fp = md5(array_join(slice(tokensLower(col("text")), 1, 10), " "))
@@ -78,7 +79,8 @@ object DedupOps {
     val corpus = docs.filter(!col("is_batch"))
     val batch = Materialize(docs.filter(col("is_batch")))
     val bloom = corpus.stat.bloomFilter("fph",
-      expectedNumItems = math.max(1000L, corpus.count()), fpp = 0.01)
+      expectedNumItems = math.max(graft.Tuning.BloomMinItems, corpus.count()),
+      fpp = bloomFpp)
     val bytes = serialize(bloom)
     val sureNew = batch.filter(!bloomMightContain(col("fph"), bytes))
     val maybeDup = batch.filter(bloomMightContain(col("fph"), bytes))
@@ -736,7 +738,9 @@ object DedupOps {
     * convergence. Near-dup graphs converge in a handful of iterations
     * (components are short chains), so `maxIter` is a safety bound. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25,
-      forceDistributed: Boolean = false): DataFrame = {
+      forceDistributed: Boolean = false,
+      localUnionFindMaxEdges: Long = graft.Tuning.LocalUnionFindMaxEdges)
+      : DataFrame = {
     // materialize the DIRECTED edge list first, then symmetrize by reading
     // the materialized blocks twice: symmetrizing the raw plan would run
     // the full upstream edges pipeline (in dedupClusters, the whole
@@ -764,7 +768,7 @@ object DedupOps {
       case _ => false
     }
     if (!forceDistributed && integralKey
-        && e.count() * 2 <= LocalUnionFindMaxEdges)
+        && e.count() * 2 <= localUnionFindMaxEdges)
       return localUnionFind(sym)
     var labels = Materialize(
       sym.select(col("src").as("node")).distinct()
@@ -807,12 +811,10 @@ object DedupOps {
     labels
   }
 
-  /** Edge-count bound for the driver-local CC path. Budget the COLLECTED
-    * form, not raw longs: ~48 B per boxed (Long, Long) row plus ~100 B per
-    * union-find map entry → 1M edges ≈ 150-250 MB transient driver heap,
-    * safe on a default driver; beyond that the distributed loop wins
-    * anyway because per-round shuffle cost is amortized over more work. */
-  val LocalUnionFindMaxEdges: Long = 1000000L
+  // The edge-count bound for the driver-local CC path lives in
+  // [[graft.Tuning.LocalUnionFindMaxEdges]] with the other scale dials
+  // (measured rationale there); connectedComponents takes it as a
+  // default parameter value.
 
   /** Driver-local union-find with path compression over a (small,
     * symmetrized) edge list. Same output contract as the distributed loop:

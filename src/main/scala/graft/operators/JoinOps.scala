@@ -181,13 +181,15 @@ object JoinOps {
     * Like the scalar-subquery pattern, the filter build is an eager
     * two-job step (count + tree-aggregate) at DataFrame-construction
     * time — the price of a probe that rides the scan. */
-  def bloomSemiJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+  def bloomSemiJoinAgg(spark: SparkSession, dir: String,
+      bloomFpp: Double = graft.Tuning.BloomFpp): DataFrame = {
     import graft.functions.SketchFunctions._
     val urgent = Tables.orders(spark, dir)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
     val bloom = urgent.stat.bloomFilter("o_orderkey",
-      expectedNumItems = math.max(1000L, urgent.count()), fpp = 0.01)
+      expectedNumItems = math.max(graft.Tuning.BloomMinItems, urgent.count()),
+      fpp = bloomFpp)
     val bytes = serialize(bloom)
     val lineitem = Tables.lineitem(spark, dir)
       .filter(bloomMightContain(col("l_orderkey"), bytes))
