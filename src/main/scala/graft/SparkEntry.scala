@@ -78,7 +78,7 @@ object SparkEntry {
     "q_topk_custom"    -> (JoinOps.topKCustom _),
     "q_sim_ivf"        -> (IvfOps.simIvf _),
     "q_interval_join"  -> (EventOps.viewToPurchase _),
-    "q_approx_stats"   -> (SketchOps.approxStats _),
+    "q_approx_stats"   -> (SketchOps.approxStatsAudit _),
     "q_dedup_clusters" -> (DedupOps.dedupClustersQuery _),
     // CONTRAST DIAL: pair-enumerating output is inherently quadratic in
     // cluster size (SCALE.md: e=2.0 output-bound); q_dedup_embed_rep is
@@ -226,7 +226,7 @@ object SparkEntry {
     // rows-only: DataSketches HLL registers are engine-specific; SketchSpec
     // proves union-of-group-sketches == direct global sketch exactly, and
     // bounds each estimate vs exact COUNT(DISTINCT)
-    "q_hll_rollup"     -> (SketchOps.hllRollup _),
+    "q_hll_rollup"     -> (SketchOps.hllRollupAudit _),
     "q_graph_degree"   -> (GraphOps.graphDegree _),
     "q_triangles"      -> ((s, d) => GraphOps.triangleTop(s, d)),
     // fixed-iteration rank loop: 5 unrolled CTEs oracle it; GraphOpsSpec
@@ -406,13 +406,15 @@ object SparkEntry {
     * sketch never purges, which its declared 2^15 map guarantees at every
     * shipped SF — oracles against the plain token-frequency table.
     *
-    * Two queries are deliberately rows-only (no entry here), each with a
-    * stronger ScalaTest invariant instead: q_approx_stats is a sketch
-    * (HLL++/quantile) whose exact counterparts differ by construction —
-    * SketchSpec bounds its error against exact COUNT(DISTINCT)/quantiles;
-    * q_hll_rollup's DataSketches HLL registers are engine-specific —
-    * SketchSpec proves the sketch-union row equals the direct global
-    * sketch exactly. q_embed_pca left this list in round 10: its Jacobi
+    * The two sketch queries (q_approx_stats, q_hll_rollup) left the
+    * rows-only list in round 11 via TOLERANCE ORACLES: their declared
+    * forms emit the exact counts (hash-compared against DuckDB's
+    * COUNT(DISTINCT)) plus engine-computed within-published-error-bound
+    * booleans that the oracle states as literal TRUE — an
+    * out-of-tolerance sketch now FAILS the driver gate instead of hiding
+    * behind a rows-only check. The raw-estimate production forms stay in
+    * SketchOps, SketchSpec keeps the error-bound and
+    * union-equals-direct-sketch pins. q_embed_pca left this list in round 10: its Jacobi
     * eigensolve now runs a FIXED round-robin parallel schedule and sweep
     * count over a stable6-rounded covariance, which the oracle replays
     * bit-for-bit as a recursive CTE at one 32-rotation round per
@@ -920,6 +922,24 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // TOLERANCE ORACLES (round 11): the exact columns hash-compare for
+    // real; the within-bound booleans are engine-computed claims the
+    // oracle states as literal TRUE — a sketch drifting past its
+    // published error bound fails the driver gate.
+    "q_approx_stats" ->
+      ("SELECT l_returnflag, COUNT(*) AS n_rows, " +
+        "COUNT(DISTINCT l_partkey) AS exact_parts, " +
+        "COUNT(DISTINCT l_suppkey) AS exact_supps, " +
+        "TRUE AS parts_within_rse, TRUE AS supps_within_rse, " +
+        "TRUE AS median_rank_ok " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_hll_rollup" ->
+      ("WITH g AS (SELECT o_orderstatus, COUNT(*) AS n_rows, " +
+        "COUNT(DISTINCT o_custkey) AS exact_custs FROM orders GROUP BY 1) " +
+        "SELECT o_orderstatus, n_rows, exact_custs, TRUE AS within_rse FROM g " +
+        "UNION ALL SELECT 'ALL', (SELECT COUNT(*) FROM orders), " +
+        "(SELECT COUNT(DISTINCT o_custkey) FROM orders), TRUE " +
+        "ORDER BY o_orderstatus"),
     "q_scan_limit" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice LIMIT 100",
     "q_filter_ne" ->

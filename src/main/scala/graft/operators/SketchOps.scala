@@ -15,6 +15,22 @@ import graft.Tables
   */
 object SketchOps {
 
+  /** Relative tolerance for the HLL estimate audits: 3× the configured
+    * standard error (q_approx_stats runs approx_count_distinct at
+    * rsd = 0.02 → 6%; q_hll_rollup's DataSketches lgK = 12 sketch has
+    * RSE ≈ 1.04/√2¹² ≈ 1.6% → 5%). A correct sketch exceeds 3σ with
+    * probability < 0.3% — and these inputs are FIXED per SF, so the
+    * audit is deterministic in practice: either the estimate is in
+    * tolerance on this data or the sketch is broken. */
+  val HllPlusPlusRelTol = 0.06
+  val DataSketchesRelTol = 0.05
+
+  /** Rank tolerance for the approx-median audit: percentile_approx at
+    * `accuracy` guarantees rank error ≤ 1/accuracy (Spark's published
+    * contract for the Greenwald-Khanna style sketch); the audit checks
+    * the returned value's true rank brackets 0.5 within this ε. */
+  val MedianRankEps = 1.0 / 10000
+
   /** Per-flag approximate distinct parts/suppliers + approximate median
     * price, next to the exact row count. */
   def approxStats(spark: SparkSession, dir: String): DataFrame =
@@ -27,6 +43,58 @@ object SketchOps {
           .as("apx_median_price"),
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
+
+  /** q_approx_stats (round 11: the declared form — TOLERANCE-ORACLED):
+    * the sketch ACCEPTANCE audit. The raw estimates ([[approxStats]])
+    * can never hash-match a different engine's registers, so the
+    * declared query emits what IS cross-engine checkable: the exact
+    * per-flag counts (hash-compared against DuckDB's COUNT(DISTINCT))
+    * plus one boolean per sketch asserting the engine-computed estimate
+    * sits within its published error bound — the oracle states the
+    * booleans as literal TRUE, so an out-of-tolerance sketch fails the
+    * driver's hash gate instead of hiding behind rows-only. Same pattern
+    * as q_ann_recall: measure the approximation against ground truth
+    * inside the query. The exact aggregates make this an AUDIT — at
+    * 100 TB you run it on a slice/sample to qualify the sketch config,
+    * then production queries use [[approxStats]] alone.
+    *
+    * The median audit checks the t-digest value's TRUE rank brackets
+    * 0.5 within [[MedianRankEps]] (count(x < v)/n ≤ 0.5+ε and
+    * count(x ≤ v)/n ≥ 0.5−ε) — one broadcast join of the 4-row
+    * estimate table back to the facts. */
+  def approxStatsAudit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"))
+    val apx = Materialize(li.groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("apx_parts"),
+        approx_count_distinct(col("l_suppkey"), rsd = 0.02).as("apx_supps"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("apx_median"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supps"),
+        count(lit(1)).as("n_rows")))
+    val ranks = li
+      .join(broadcast(apx.select(col("l_returnflag"), col("apx_median"))),
+        Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        (sum(when(col("l_extendedprice") < col("apx_median"), 1L)
+          .otherwise(0L)).cast("double") / count(lit(1))).as("frac_lt"),
+        (sum(when(col("l_extendedprice") <= col("apx_median"), 1L)
+          .otherwise(0L)).cast("double") / count(lit(1))).as("frac_le"))
+    apx.join(ranks, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_rows"),
+        col("exact_parts"), col("exact_supps"),
+        (abs(col("apx_parts") - col("exact_parts")).cast("double")
+          / col("exact_parts") <= HllPlusPlusRelTol).as("parts_within_rse"),
+        (abs(col("apx_supps") - col("exact_supps")).cast("double")
+          / col("exact_supps") <= HllPlusPlusRelTol).as("supps_within_rse"),
+        (col("frac_lt") <= 0.5 + MedianRankEps
+          && col("frac_le") >= 0.5 - MedianRankEps).as("median_rank_ok"))
+      .orderBy(col("l_returnflag"))
+  }
 
   /** Mergeable-sketch rollup with Apache DataSketches HLL (Spark 4's
     * `hll_sketch_agg` / `hll_union_agg`): per-status customer-distinct
@@ -51,6 +119,40 @@ object SketchOps {
       .select(col("o_orderstatus"),
         hll_sketch_estimate(col("sk")).as("apx_custs"), col("n_rows"))
       .unionByName(global)
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** q_hll_rollup (round 11: the declared form — TOLERANCE-ORACLED, cf.
+    * [[approxStatsAudit]]): per-status exact distinct customers
+    * (hash-compared against DuckDB) next to a boolean asserting the
+    * DataSketches HLL estimate — per group AND for the 'ALL' row whose
+    * sketch comes from UNIONING the per-group binaries, never a rescan —
+    * sits within [[DataSketchesRelTol]] of the exact count. The
+    * union-equals-direct-sketch lattice identity stays pinned exactly in
+    * SketchSpec; [[hllRollup]] remains the production form (no exact
+    * aggregates). The ALL row's exact count is one extra distinct
+    * aggregate over the orders scan — the audit's price, paid on the
+    * qualification slice, not in production. */
+  def hllRollupAudit(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_custkey"))
+    val perGroup = Materialize(orders.groupBy(col("o_orderstatus"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("exact_custs")))
+    val global = perGroup
+      .agg(hll_union_agg(col("sk")).as("sk"), sum(col("n_rows")).as("n_rows"))
+      .join(broadcast(
+        orders.agg(countDistinct(col("o_custkey")).as("exact_custs"))))
+      .select(lit("ALL").as("o_orderstatus"), col("sk"), col("n_rows"),
+        col("exact_custs"))
+    perGroup.select(col("o_orderstatus"), col("sk"), col("n_rows"),
+        col("exact_custs"))
+      .unionByName(global)
+      .select(col("o_orderstatus"), col("n_rows"), col("exact_custs"),
+        (abs(hll_sketch_estimate(col("sk")) - col("exact_custs"))
+          .cast("double") / col("exact_custs") <= DataSketchesRelTol)
+          .as("within_rse"))
       .orderBy(col("o_orderstatus"))
   }
 

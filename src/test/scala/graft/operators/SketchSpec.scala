@@ -44,6 +44,35 @@ class SketchSpec extends SparkTestBase {
     assert(out("ALL")._2 == Tables.orders(spark, sf).count())
   }
 
+  test("tolerance audits: exact columns match recomputation, all bound booleans true") {
+    // the declared q_approx_stats/q_hll_rollup forms (round 11): the
+    // booleans are the tolerance gate the DuckDB oracle states as TRUE —
+    // pin here that they hold, and that the exact columns really are the
+    // exact aggregates (not estimates in disguise)
+    val a = SketchOps.approxStatsAudit(spark, sf).collect()
+    val exactParts = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("p"),
+        countDistinct(col("l_suppkey")).as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    a.foreach { r =>
+      assert((r.getLong(2), r.getLong(3)) == exactParts(r.getString(0)))
+      assert(r.getBoolean(4) && r.getBoolean(5) && r.getBoolean(6),
+        s"tolerance audit failed for flag ${r.getString(0)}: $r")
+    }
+    val h = SketchOps.hllRollupAudit(spark, sf).collect()
+    val exactCusts = Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap +
+      ("ALL" -> Tables.orders(spark, sf).select("o_custkey").distinct().count())
+    h.foreach { r =>
+      assert(r.getLong(2) == exactCusts(r.getString(0)))
+      assert(r.getBoolean(3), s"hll estimate out of tolerance: $r")
+    }
+    assert(h.map(_.getString(0)).contains("ALL"))
+  }
+
   test("sketch results are stable across partitionings (merge commutativity)") {
     val a = SketchOps.approxStats(spark, sf).collect()
     val li = Tables.lineitem(spark, sf).repartition(16)
