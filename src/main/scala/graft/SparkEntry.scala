@@ -383,6 +383,9 @@ object SparkEntry {
     // the IVF+PQ composite (FAISS IVFADC shape): coarse cells restrict
     // the ADC scan, exact re-rank on the shortlist
     "q_ivfpq"          -> ((s, d) => PqOps.ivfPqTopK(s, d)),
+    // round 11: the full-corpus kNN graph — every vector a probe through
+    // the same IVF+PQ plan (probes are data; plan size is batch-invariant)
+    "q_knn_graph"      -> ((s, d) => PqOps.knnGraph(s, d)),
     // rank-biased overlap of the exact vs IVF rankings (order-sensitive
     // companion to q_ann_recall)
     "q_rbo"            -> (RetrievalOps.rankBiasedOverlap _),
@@ -3878,6 +3881,10 @@ object SparkEntry {
     // IVF (prefixed unrolled Lloyd) × PQ (per-subspace unrolled Lloyd)
     // with cell-restricted ADC candidates — see ivfPqSql
     "q_ivfpq" -> ivfPqSql(),
+    // q_knn_graph: the identical hash-proven IVF+PQ composition with the
+    // probe filter opened to the full corpus (vec_id < 1e9) and the
+    // knn-graph k/shortlist — only the batch size differs from q_ivfpq
+    "q_knn_graph" -> ivfPqSql(k = 3, shortlist = 20, nq = 1000000000),
     // RBO over the two embedded rankings: exact top-10 (simTopkSql) vs
     // the unrolled-Lloyd IVF ranking (ivfSearchSql); per-candidate
     // weights are the driver-literal rboTable, the per-query sum is the

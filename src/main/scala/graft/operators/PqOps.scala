@@ -187,6 +187,14 @@ object PqOps {
       .select(col("q_id"), col("cand_id"))
   }
 
+  /** Probe-count bound under which the re-rank's query-vector side gets
+    * a broadcast hint: a handful of probes must never shuffle the
+    * shortlist, but a corpus-sized probe set (q_knn_graph) should leave
+    * the join choice to AQE — a forced broadcast of the whole query side
+    * is exactly the wrong plan at 10⁹ vectors. Result-invisible (join
+    * strategy only). */
+  val RerankBroadcastMaxProbes = 100000
+
   /** Exact-cosine re-rank of an ADC shortlist down to top-`k`: join back
     * the raw normalized vectors for the shortlist rows only. */
   private def rerank(adc: DataFrame, vecs: DataFrame, nProbes: Int,
@@ -194,12 +202,13 @@ object PqOps {
     import org.apache.spark.sql.expressions.Window
     val qv = vecs.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+    val qvSide = if (nProbes <= RerankBroadcastMaxProbes) broadcast(qv) else qv
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("cand_id"))
     adc
       .join(vecs.select(col("vec_id").as("cand_id"), col("vec").as("c_vec")),
         "cand_id")
-      .join(broadcast(qv), "q_id")
+      .join(qvSide, "q_id")
       .select(col("q_id"), col("cand_id"),
         round(dotProduct(col("q_vec"), col("c_vec")), 4).as("cos_sim"))
       .withColumn("rn", row_number().over(w))
@@ -251,10 +260,33 @@ object PqOps {
       .select(col("q_id"), col("centroid_id"))
     val dts = vecs.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("q_id"), distTable(model).as("dt"))
-    val adc = coded.join(broadcast(cells.join(dts, Seq("q_id"))),
+    val probeSide = cells.join(dts, Seq("q_id"))
+    val adc = coded.join(
+        if (nProbes <= RerankBroadcastMaxProbes) broadcast(probeSide)
+        else probeSide,
         Seq("centroid_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"), adcScore.as("adc"))
     rerank(adcShortlist(adc, shortlist), vecs, nProbes, k)
   }
+
+  /** q_knn_graph: the k-nearest-neighbor GRAPH of the whole embedding
+    * corpus — EVERY vector is a probe through the IVF+PQ path
+    * ([[ivfPqTopK]] at nProbes = ∞), k best re-ranked neighbors each.
+    * This is the batch shape the round-11 probes-as-data rework exists
+    * for: the plan is identical to the 5-probe q_ivfpq (one coarse-cell
+    * restriction join, one codegen'd ADC lookup, one rank-limited
+    * window), only the probe-side DataFrame grows — no per-probe plan
+    * branches, no driver loop. The kNN graph is the standard precursor
+    * to semantic clustering / SemDeDup / connectivity audits; at 10⁹
+    * vectors each query still touches only nprobe/k_cells of the coded
+    * corpus, and the probe side stays unshuffled data.
+    *
+    * Oracle: the SAME hash-proven ivfPqSql composition with the probe
+    * filter opened to the full corpus (nq = 10⁹) and this k/shortlist —
+    * nothing new to prove, only the batch size. */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = 3,
+      shortlist: Int = 20): DataFrame =
+    ivfPqTopK(spark, dir, k = k, shortlist = shortlist,
+      nProbes = Int.MaxValue)
 }

@@ -88,4 +88,28 @@ class PqSpec extends SparkTestBase {
       }
     }
   }
+
+  test("knnGraph: per-query results are independent of the probe batch") {
+    // the probes-as-data contract: a query's neighbors must not depend on
+    // which OTHER probes share the batch — the full-corpus kNN graph
+    // restricted to the first 5 queries equals the same IVF+PQ search run
+    // with only those 5 probes
+    val full = PqOps.knnGraph(spark, sf)
+      .filter(col("q_id") < 5).collect().map(_.toString).toSeq
+    val solo = PqOps.ivfPqTopK(spark, sf, k = 3, shortlist = 20,
+      nProbes = 5).collect().map(_.toString).toSeq
+    assert(full == solo)
+    assert(full.nonEmpty)
+  }
+
+  test("knnGraph shape: every vector gets k neighbors, no self-edges") {
+    val g = PqOps.knnGraph(spark, sf).collect()
+    val n = graft.Tables.embeddings(spark, sf).count()
+    val byQ = g.groupBy(_.getLong(0))
+    assert(byQ.size == n, s"${byQ.size} queries vs $n vectors")
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == 3 && rows.forall(_.getLong(2) != q), s"q=$q")
+      assert(rows.map(_.getInt(1)).sorted.sameElements(1 to 3))
+    }
+  }
 }
