@@ -386,6 +386,11 @@ object SparkEntry {
     // round 11: the full-corpus kNN graph — every vector a probe through
     // the same IVF+PQ plan (probes are data; plan size is batch-invariant)
     "q_knn_graph"      -> ((s, d) => PqOps.knnGraph(s, d)),
+    // semantic clusters: mutual-kNN edges + connected components
+    "q_knn_components" -> ((s, d) => PqOps.knnComponents(s, d)),
+    // measured recall@k of the IVF+PQ graph edges vs exact cosine on a
+    // probe sample (batch-invariance makes the sample representative)
+    "q_knn_recall"     -> ((s, d) => PqOps.knnRecall(s, d)),
     // rank-biased overlap of the exact vs IVF rankings (order-sensitive
     // companion to q_ann_recall)
     "q_rbo"            -> (RetrievalOps.rankBiasedOverlap _),
@@ -786,6 +791,28 @@ object SparkEntry {
       "SELECT q_id, CAST(rn AS INTEGER) AS rn, cand_id, cos_sim FROM " +
       "(SELECT q_id, cand_id, cos_sim, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rn FROM rr) " +
       s"WHERE rn <= $k ORDER BY q_id, rn"
+
+  /** q_knn_recall oracle: the annRecallSql exact block at this k beside
+    * the nested IVF+PQ search, scored with the same recall aggregation. */
+  private def knnRecallSql(k: Int = 3, shortlist: Int = 20,
+      nq: Int = 50): String = {
+    val exact =
+      "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e), " +
+        "p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id, " +
+        s"${cosSql("q", "c")} AS cos_sim " +
+        s"FROM n q JOIN n c ON q.vec_id < $nq AND c.vec_id <> q.vec_id), " +
+        "r AS (SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rn FROM p) " +
+        s"SELECT q_id, cand_id FROM r WHERE rn <= $k"
+    val pq = ivfPqSql(k = k, shortlist = shortlist, nq = nq)
+    s"WITH exact AS ($exact), pqq AS ($pq) " +
+      s"SELECT 'ivfpq' AS method, count(*) AS n_probes, " +
+      s"CAST(round(CAST(CAST(sum(COALESCE(h.n_hit, 0)) AS DOUBLE) / (count(*) * $k) AS DECIMAL(20,8)), 4) AS DOUBLE) AS recall_at_k, " +
+      "CAST(round(CAST(CAST(sum(COALESCE(r.n_ret, 0)) AS DOUBLE) / count(*) AS DECIMAL(20,8)), 4) AS DOUBLE) AS avg_returned " +
+      "FROM (SELECT DISTINCT q_id FROM exact) q " +
+      "LEFT JOIN (SELECT e.q_id, count(*) AS n_hit FROM exact e JOIN pqq s ON e.q_id = s.q_id AND e.cand_id = s.cand_id GROUP BY e.q_id) h ON q.q_id = h.q_id " +
+      "LEFT JOIN (SELECT q_id, count(*) AS n_ret FROM pqq GROUP BY q_id) r ON q.q_id = r.q_id"
+  }
 
   /** q_ivfpq oracle: the prefixed unrolled-Lloyd IVF chain (iv*) beside
     * the PQ chain, with the ADC cross join restricted to each query's
@@ -3885,6 +3912,25 @@ object SparkEntry {
     // probe filter opened to the full corpus (vec_id < 1e9) and the
     // knn-graph k/shortlist — only the batch size differs from q_ivfpq
     "q_knn_graph" -> ivfPqSql(k = 3, shortlist = 20, nq = 1000000000),
+    // q_knn_components: the full-corpus graph as a nested MATERIALIZED
+    // CTE (one evaluation — the recursive closure must not re-run the
+    // Lloyd chains per iteration), mutual edges via the reversed-pair
+    // self-join, then the q_dedup_clusters transitive-closure pattern
+    "q_knn_components" ->
+      ("WITH RECURSIVE ann AS MATERIALIZED (" +
+        ivfPqSql(k = 3, shortlist = 20, nq = 1000000000) + "), " +
+        "me AS MATERIALIZED (SELECT a.q_id AS src, a.cand_id AS dst " +
+        "FROM ann a JOIN ann b ON a.q_id = b.cand_id AND a.cand_id = b.q_id " +
+        "WHERE a.q_id < a.cand_id), " +
+        "und AS MATERIALIZED (SELECT src, dst FROM me " +
+        "UNION ALL SELECT dst AS src, src AS dst FROM me), " +
+        "reach AS (SELECT vec_id AS node, vec_id AS r FROM embeddings " +
+        "UNION SELECT reach.node, u.dst FROM reach JOIN und u ON reach.r = u.src) " +
+        "SELECT node AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY node " +
+        "ORDER BY vec_id"),
+    // q_knn_recall: exact top-k on the probe sample (the annRecallSql
+    // exact block at this k) scored against the nested IVF+PQ search
+    "q_knn_recall" -> knnRecallSql(),
     // RBO over the two embedded rankings: exact top-10 (simTopkSql) vs
     // the unrolled-Lloyd IVF ranking (ivfSearchSql); per-candidate
     // weights are the driver-literal rboTable, the per-query sum is the

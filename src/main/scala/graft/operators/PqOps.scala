@@ -289,4 +289,66 @@ object PqOps {
       shortlist: Int = 20): DataFrame =
     ivfPqTopK(spark, dir, k = k, shortlist = shortlist,
       nProbes = Int.MaxValue)
+
+  /** q_knn_components: semantic clusters from the kNN graph — MUTUAL-kNN
+    * edges (a and b are each other's top-k; the standard hub-suppression
+    * rule: a one-directional edge to a hub vector does not merge
+    * clusters) fed to [[DedupOps.connectedComponents]], every vector
+    * labeled with its component's min vec_id. This is the clustering
+    * endpoint the kNN graph exists for (SemDeDup-style semantic groups
+    * without the k-means stage). Scale shape: the graph build is
+    * [[knnGraph]]'s batch-invariant plan, mutualization is one
+    * self-intersect of the k·|V|-row edge list, and components run the
+    * flip-tested size-gated union-find/label-propagation dispatch.
+    * Oracle: the hash-proven full-corpus ivfPqSql as a nested CTE, the
+    * mutual self-join, and the same recursive-CTE transitive closure the
+    * q_dedup_clusters oracle proved. */
+  def knnComponents(spark: SparkSession, dir: String, k: Int = 3,
+      shortlist: Int = 20): DataFrame = {
+    val g = Materialize(knnGraph(spark, dir, k, shortlist)
+      .select(col("q_id").as("a"), col("cand_id").as("b")))
+    val mutual = g.intersect(g.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") < col("b"))
+    val comps = DedupOps.connectedComponents(
+      mutual.select(col("a").as("src"), col("b").as("dst")))
+    Tables.embeddings(spark, dir).select(col("vec_id"))
+      .join(comps, col("vec_id") === col("node"), "left")
+      .select(col("vec_id"),
+        coalesce(col("comp"), col("vec_id")).as("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** q_knn_recall: measured quality of the IVF+PQ graph edges — recall@k
+    * of [[ivfPqTopK]] against the exact cosine top-k on a probe SAMPLE
+    * (per-query results are batch-invariant — PqSpec pins it — so the
+    * sample's recall IS the graph's recall on those queries). The honest
+    * production audit shape: the exact side is quadratic, so it runs on
+    * `nProbes` sampled queries, never the corpus. Same output contract
+    * as q_ann_recall (method, n_probes, recall_at_k, avg_returned). */
+  def knnRecall(spark: SparkSession, dir: String, k: Int = 3,
+      shortlist: Int = 20, nProbes: Int = 50): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val emb = Materialize(Tables.embeddings(spark, dir))
+    val probes = emb.filter(col("vec_id") < nProbes)
+    val exact = Materialize(
+      SimilarityOps.bruteForceTopK(probes, emb, k)
+        .select(col("q_id"), col("cand_id")))
+    val approx = ivfPqTopK(spark, dir, k = k, shortlist = shortlist,
+      nProbes = nProbes).select(col("q_id"), col("cand_id"))
+    val hits = exact.join(approx, Seq("q_id", "cand_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    val returned = approx.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_ret"))
+    exact.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .join(returned, Seq("q_id"), "left")
+      .agg(count(lit(1)).as("n_probes"),
+        (sum(coalesce(col("n_hit"), lit(0L))).cast("double")
+          / (count(lit(1)) * k)).as("recall"),
+        (sum(coalesce(col("n_ret"), lit(0L))).cast("double")
+          / count(lit(1))).as("avg_ret"))
+      .select(lit("ivfpq").as("method"), col("n_probes"),
+        stableRound4(col("recall")).as("recall_at_k"),
+        stableRound4(col("avg_ret")).as("avg_returned"))
+  }
 }

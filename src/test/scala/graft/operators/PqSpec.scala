@@ -112,4 +112,39 @@ class PqSpec extends SparkTestBase {
       assert(rows.map(_.getInt(1)).sorted.sameElements(1 to 3))
     }
   }
+
+  test("knnComponents equals a driver union-find over the mutual-kNN edges") {
+    val edges = PqOps.knnGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val mutual = edges.filter { case (a, b) => a < b && edges((b, a)) }
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r)
+      parent.getOrElseUpdate(x, r); if (parent(x) != r) parent(x) = r; r
+    }
+    mutual.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val got = PqOps.knnComponents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == graft.Tables.embeddings(spark, sf).count())
+    got.foreach { case (v, c) =>
+      val expect = if (parent.contains(v)) find(v) else v
+      assert(c == expect, s"vec $v: cluster $c vs $expect")
+    }
+    // the fixture must actually exercise merging, not just singletons
+    assert(got.exists { case (v, c) => c != v })
+  }
+
+  test("knnRecall: audited recall is in (0, 1], every probe returns k rows") {
+    val r = PqOps.knnRecall(spark, sf).collect()
+    assert(r.length == 1)
+    val (m, n, rec, ret) = (r(0).getString(0), r(0).getLong(1),
+      r(0).getDouble(2), r(0).getDouble(3))
+    assert(m == "ivfpq" && n == 50)
+    assert(rec > 0.0 && rec <= 1.0, s"recall $rec")
+    assert(ret == 3.0, s"avg returned $ret")
+  }
 }
