@@ -67,6 +67,12 @@ object ScaleIndex {
     "q_assortativity" -> "1.02 (r10: the \u0398(|E|) linear floor)",
     "q_hits" -> "0.82 (r10)",
     "q_ivfpq" -> "0.12 (r10)",
+    // the full-corpus kNN family: Θ(|V|²·nprobe/k_cells) at the declared
+    // FIXED k_cells=16 (oracle replayability); the production dial is
+    // k_cells ∝ √|V| → Θ(|V|^1.5) — SCALE.md r11 cost-model note
+    "q_knn_graph" -> "fixed-cell Θ(V²/kc); kc∝√V dial (r11)",
+    "q_knn_components" -> "graph build + CC; same dial (r11)",
+    "q_knn_recall" -> "sample-sized exact side (r11)",
     "q_kcenter" -> "0.67 (r10)",
     "q_kcore" -> "1.21 (r10: |E|-linear peel floor + |V| broadcast builds; dial: shuffle semi-joins past the broadcast budget)",
     "q_kn_bigram" -> "0.38 (r10)",
@@ -164,7 +170,7 @@ object ScaleIndex {
         |
         |One row per declared query. `t(sf0.1)` / `t(sf1)` are warm
         |best-of-2 wall seconds on the real sf0.1 data and ScaleGate's
-        |10× sf1-equivalent synthesis; `e(r10)` = log10(t₁/t₀.₁) between
+        |10× sf1-equivalent synthesis; `e(sf0.1→sf1)` = log10(t₁/t₀.₁) between
         |them — `·` marks rows under 0.6 s at sf1, where fixed overhead
         |dominates and the honest reading is "cheap at both scales", not a
         |growth law. `spot e` is the authoritative prior ScaleSpot
@@ -178,7 +184,7 @@ object ScaleIndex {
         |CONTRAST DIAL rows are the five declared quadratic baselines
         |(SURVEY §2.3), each shipping a measured scale-safe primary.
         |
-        || query | t(sf0.1) s | t(sf1) s | e(r10) | spot e (round) | shape |
+        || query | t(sf0.1) s | t(sf1) s | e(sf0.1→sf1) | spot e (round) | shape |
         ||---|---|---|---|---|---|""".stripMargin
     Files.writeString(Paths.get(out),
       header + "\n" + rows.mkString("\n") + "\n")
