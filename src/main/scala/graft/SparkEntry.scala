@@ -272,6 +272,9 @@ object SparkEntry {
     "q_dsir"           -> ((s, d) => CorpusOps.dsir(s, d)),
     "q_snapshot_diff"  -> (RelationalOps.snapshotDiff _),
     "q_attribution"    -> ((s, d) => EventOps.attribution(s, d)),
+    // round 11: position-based (U-shaped) multi-touch attribution —
+    // exact-decimal weighted sums so the aggregate is order-free
+    "q_attribution_position" -> ((s, d) => EventOps.attributionPosition(s, d)),
     "q_graph_cc"       -> ((s, d) => GraphOps.brandComponents(s, d)),
     "q_stl_decompose"  -> (EventOps.stlDecompose _),
     "q_link_predict"   -> ((s, d) => GraphOps.linkPredict(s, d)),
@@ -378,6 +381,9 @@ object SparkEntry {
     "q_mmr"            -> ((s, d) => SelectionOps.mmrSelect(s, d)),
     // interpolated Kneser-Ney bigram LM probabilities
     "q_kn_bigram"      -> ((s, d) => TextOps.knBigram(s, d)),
+    // round 11: the full KN recursion — trigram level backing off through
+    // continuation-count bigrams to the continuation unigram
+    "q_kn_trigram"     -> ((s, d) => TextOps.knTrigram(s, d)),
     // Wilson score intervals per event type
     "q_wilson_ci"      -> ((s, d) => StatOps.wilsonCi(s, d)),
     // the IVF+PQ composite (FAISS IVFADC shape): coarse cells restrict
@@ -2966,6 +2972,27 @@ object SparkEntry {
         "COUNT(*) AS n_conversions, " +
         "round(SUM(revenue), 4) AS attributed_revenue " +
         "FROM c WHERE rn = 1 GROUP BY 1 ORDER BY 1"),
+    // U-shaped attribution: weight from (rn, n) over the same banded
+    // join; revenue*weight cast DECIMAL(20,8) BEFORE the sum (order-free)
+    "q_attribution_position" ->
+      ("WITH p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts, " +
+        "value AS revenue FROM events WHERE event_type = 'purchase'), " +
+        "t AS (SELECT event_id AS t_id, user_id AS t_user, ts AS t_ts, " +
+        "event_type AS channel FROM events WHERE event_type <> 'purchase'), " +
+        "c AS (SELECT p.p_id, p.revenue, t.channel, " +
+        "row_number() OVER (PARTITION BY p.p_id " +
+        "ORDER BY t.t_ts ASC NULLS LAST, t.t_id ASC NULLS LAST) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY p.p_id) AS n " +
+        "FROM p LEFT OUTER JOIN t ON p.p_user = t.t_user " +
+        "AND t.t_ts <= p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 7 DAY), " +
+        "wv AS (SELECT COALESCE(channel, 'direct') AS channel, " +
+        "CAST(revenue * (CASE WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 0.5 " +
+        "WHEN rn = 1 OR rn = n THEN 0.4 " +
+        "ELSE 0.2 / CAST(n - 2 AS DOUBLE) END) AS DECIMAL(20,8)) AS wrev " +
+        "FROM c) " +
+        "SELECT channel, COUNT(*) AS n_touches, " +
+        "CAST(round(SUM(wrev), 4) AS DOUBLE) AS attributed_revenue " +
+        "FROM wv GROUP BY 1 ORDER BY 1"),
     // CDC snapshot diff: keys %97 deleted, %13 repriced x1.05, %101
     // re-inserted under key+1e9; classify via full-outer null pattern
     "q_snapshot_diff" ->
@@ -3888,6 +3915,35 @@ object SparkEntry {
         "* (CAST(n_before AS DOUBLE) / CAST(n_big AS DOUBLE)) AS DECIMAL(20,8)), 4) AS DOUBLE) AS p_kn " +
         "FROM bgc g JOIN pfx USING (w1) JOIN cont USING (w2) CROSS JOIN tot " +
         s"WHERE c12 >= $KnMinCount ORDER BY p_kn DESC, g.w1, g.w2 LIMIT $KnTopN"
+    },
+    // full interpolated KN recursion; float chain composed in ONE fixed
+    // association order mirroring the Column expression exactly
+    "q_kn_trigram" -> {
+      import graft.operators.TextOps.{KnDiscount, KnMinCount, KnTopN}
+      "WITH t AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "tg AS (SELECT unnest(list_transform(range(1, len(toks) - 1), " +
+        "i -> struct_pack(w1 := toks[i], w2 := toks[i + 1], w3 := toks[i + 2]))) AS g " +
+        "FROM t WHERE len(toks) >= 3), " +
+        "tgc AS MATERIALIZED (SELECT g.w1 AS w1, g.w2 AS w2, g.w3 AS w3, COUNT(*) AS c123 FROM tg GROUP BY 1, 2, 3), " +
+        "ctx AS (SELECT w1, w2, SUM(c123) AS c12dot, COUNT(*) AS n_after12 FROM tgc GROUP BY 1, 2), " +
+        "midpair AS MATERIALIZED (SELECT w2, w3, COUNT(*) AS n_before23 FROM tgc GROUP BY 1, 2), " +
+        "mid AS (SELECT w2, SUM(n_before23) AS n_mid2 FROM midpair GROUP BY 1), " +
+        "b AS (SELECT unnest(list_transform(range(1, len(toks)), " +
+        "i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS bg " +
+        "FROM t WHERE len(toks) >= 2), " +
+        "bgc AS MATERIALIZED (SELECT bg.w1 AS bw1, bg.w2 AS bw2, COUNT(*) AS cb FROM b GROUP BY 1, 2), " +
+        "after2 AS (SELECT bw1 AS w2, COUNT(*) AS n_after2 FROM bgc GROUP BY 1), " +
+        "cont3 AS (SELECT bw2 AS w3, COUNT(*) AS n_before3 FROM bgc GROUP BY 1), " +
+        "tot AS (SELECT COUNT(*) AS n_big FROM bgc) " +
+        "SELECT g.w1, g.w2, g.w3, g.c123, " +
+        s"CAST(round(CAST(greatest(CAST(c123 AS DOUBLE) - $KnDiscount, 0.0) / CAST(c12dot AS DOUBLE) " +
+        s"+ (($KnDiscount * CAST(n_after12 AS DOUBLE)) / CAST(c12dot AS DOUBLE)) " +
+        s"* (greatest(CAST(n_before23 AS DOUBLE) - $KnDiscount, 0.0) / CAST(n_mid2 AS DOUBLE) " +
+        s"+ (($KnDiscount * CAST(n_after2 AS DOUBLE)) / CAST(n_mid2 AS DOUBLE)) " +
+        "* (CAST(n_before3 AS DOUBLE) / CAST(n_big AS DOUBLE))) AS DECIMAL(20,8)), 4) AS DOUBLE) AS p_kn " +
+        "FROM tgc g JOIN ctx USING (w1, w2) JOIN midpair USING (w2, w3) " +
+        "JOIN mid USING (w2) JOIN after2 USING (w2) JOIN cont3 USING (w3) CROSS JOIN tot " +
+        s"WHERE c123 >= $KnMinCount ORDER BY p_kn DESC, g.w1, g.w2, g.w3 LIMIT $KnTopN"
     },
     // Wilson interval, closed form on (n, x) — same association order
     "q_wilson_ci" -> {

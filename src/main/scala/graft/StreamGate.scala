@@ -329,6 +329,31 @@ object StreamGate {
           verdicts.size == b1.count() + b2.count())
     }
 
+    run("ann_tag_stream_vs_knn_graph") {
+      // stream the corpus's own vectors in 4 micro-batches through the
+      // online ANN tagger; probe-batch invariance means the union of the
+      // per-batch tags must equal the one-shot batch kNN graph exactly
+      val base = Files.createTempDirectory("graft-gate-anntag")
+      val in = Files.createDirectories(base.resolve("in"))
+      val (out, cp) = (base.resolve("out").toString,
+        base.resolve("cp").toString)
+      val emb = Tables.embeddings(spark, sfDir)
+      val quarter = emb.count() / 4
+      (0 until 4).foreach { i =>
+        land(emb.filter(col("vec_id") >= i * quarter &&
+            (col("vec_id") < (i + 1) * quarter || lit(i == 3))),
+          in, f"00$i.parquet")
+      }
+      val q = graft.streaming.VectorStreamOps.startAnnTagStream(
+        spark, in.toString, emb.schema, sfDir, out, cp)
+      q.processAllAvailable(); q.stop()
+      val got = spark.read.parquet(out)
+        .orderBy("q_id", "rn").collect().map(_.toString).toSeq
+      val expect = graft.operators.PqOps.knnGraph(spark, sfDir)
+        .collect().map(_.toString).toSeq
+      Check(got.length, expect.length, got == expect)
+    }
+
     val pass = results.values.count(_.ok)
     val json = "{\"gate\":\"stream\",\"sf\":\"" + sfDir + "\"," +
       "\"checks\":" + results.size + ",\"pass\":" + pass + "," +

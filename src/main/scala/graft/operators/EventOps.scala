@@ -865,6 +865,53 @@ object EventOps {
     * over those candidates with an integer tiebreak (event_id) so the
     * credited touch is unique; the left join keeps zero-touch purchases
     * for the direct bucket. */
+  /** q_attribution_position: position-based (U-shaped) multi-touch
+    * attribution — the other model marketing stacks ship next to
+    * last-touch: within the same 7-day lookback, 40% of a purchase's
+    * revenue credits the FIRST touch, 40% the LAST, and the remaining
+    * 20% splits evenly across the middles (single touch → 100%, two
+    * touches → 50/50, no touch → "direct" at 100%). Same join/window
+    * skeleton as [[attribution]]; the per-touch weight comes from the
+    * purchase-partitioned position rank + touch count.
+    *
+    * Cross-engine float discipline: the weighted revenue is cast to
+    * DECIMAL(20,8) per row BEFORE the channel sum, so the aggregate is
+    * an exact decimal sum (order-free) rather than a float fold whose
+    * partition order differs between engines — the one new float op,
+    * revenue × weight, uses identical operands in both engines, so the
+    * per-row double is bitwise shared. */
+  def attributionPosition(spark: SparkSession, dir: String,
+      lookbackDays: Int = 7): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("revenue"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("event_id").as("t_id"), col("user_id").as("t_user"),
+        col("ts").as("t_ts"), col("event_type").as("channel"))
+    val w = Window.partitionBy(col("p_id"))
+    val positioned = purchases
+      .join(touches,
+        col("p_user") === col("t_user")
+          && col("t_ts") <= col("p_ts")
+          && col("t_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackDays DAYS"),
+        "left_outer")
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("t_ts").asc_nulls_last, col("t_id").asc_nulls_last)))
+      .withColumn("n", count(lit(1)).over(w))
+    val weight = when(col("n") === 1, lit(1.0))
+      .when(col("n") === 2, lit(0.5))
+      .when(col("rn") === 1 || col("rn") === col("n"), lit(0.4))
+      .otherwise(lit(0.2) / (col("n") - lit(2)).cast("double"))
+    positioned
+      .select(coalesce(col("channel"), lit("direct")).as("channel"),
+        (col("revenue") * weight).cast("decimal(20,8)").as("wrev"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        round(sum(col("wrev")), 4).cast("double").as("attributed_revenue"))
+      .orderBy(col("channel"))
+  }
+
   def attribution(spark: SparkSession, dir: String,
       lookbackDays: Int = 7): DataFrame = {
     import graft.functions.NumericFunctions.stableRound4

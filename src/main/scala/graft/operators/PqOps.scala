@@ -137,7 +137,10 @@ object PqOps {
     val adc = coded.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"), adcScore.as("adc"))
-    rerank(adcShortlist(adc, shortlist), vecs, nProbes, k)
+    val qv = vecs.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+    rerank(adcShortlist(adc, shortlist), vecs, qv, k,
+      hintBroadcast = nProbes <= RerankBroadcastMaxProbes)
   }
 
   /** One flat centroid literal shared by EVERY probe:
@@ -196,13 +199,13 @@ object PqOps {
   val RerankBroadcastMaxProbes = 100000
 
   /** Exact-cosine re-rank of an ADC shortlist down to top-`k`: join back
-    * the raw normalized vectors for the shortlist rows only. */
-  private def rerank(adc: DataFrame, vecs: DataFrame, nProbes: Int,
-      k: Int): DataFrame = {
+    * the raw normalized vectors for the shortlist rows only. `qv` is the
+    * (q_id, q_vec) normalized query side; `hintBroadcast` follows the
+    * [[RerankBroadcastMaxProbes]] rule. */
+  private def rerank(adc: DataFrame, vecs: DataFrame, qv: DataFrame,
+      k: Int, hintBroadcast: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val qv = vecs.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
-    val qvSide = if (nProbes <= RerankBroadcastMaxProbes) broadcast(qv) else qv
+    val qvSide = if (hintBroadcast) broadcast(qv) else qv
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("cand_id"))
     adc
@@ -244,30 +247,56 @@ object PqOps {
   def ivfPqTopK(spark: SparkSession, dir: String, k: Int = 10,
       shortlist: Int = 50, nprobe: Int = 4, iters: Int = 3,
       nProbes: Int = 5): DataFrame = {
+    val index = buildIndex(spark, dir, iters)
+    index.search(
+      Tables.embeddings(spark, dir).filter(col("vec_id") < nProbes),
+      k = k, shortlist = shortlist, nprobe = nprobe,
+      hintBroadcastProbes = nProbes <= RerankBroadcastMaxProbes)
+  }
+
+  /** A BUILT IVF+PQ index: both trained models plus the coded corpus,
+    * searchable with ANY (vec_id, embedding) probe frame — the kernel
+    * [[ivfPqTopK]], [[knnGraph]] and the streaming tagger
+    * ([[graft.streaming.VectorStreamOps.startAnnTagStream]]) share. The
+    * train-offline/score-anywhere split: building scans the corpus
+    * (Lloyd rounds + encode); searching touches only coded rows in the
+    * probes' cells. */
+  final case class IvfPqIndex(model: Model, centroids: DataFrame,
+      coded: DataFrame, vecs: DataFrame) {
+    /** Top-`k` corpus neighbors for each probe row (self-id excluded).
+      * Output: (q_id, rn, cand_id, cos_sim), the family contract. */
+    def search(probesRaw: DataFrame, k: Int = 10, shortlist: Int = 50,
+        nprobe: Int = 4, hintBroadcastProbes: Boolean = true): DataFrame = {
+      val pvecs = normalized(probesRaw)
+      val cells = IvfOps.probeCells(probesRaw, centroids, nprobe)
+        .select(col("q_id"), col("centroid_id"))
+      val dts = pvecs
+        .select(col("vec_id").as("q_id"), distTable(model).as("dt"))
+      val probeSide = cells.join(dts, Seq("q_id"))
+      val adc = coded.join(
+          if (hintBroadcastProbes) broadcast(probeSide) else probeSide,
+          Seq("centroid_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("cand_id"), adcScore.as("adc"))
+      val qv = pvecs.select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+      rerank(adcShortlist(adc, shortlist), vecs, qv, k,
+        hintBroadcast = hintBroadcastProbes)
+    }
+  }
+
+  /** Train the IVF coarse quantizer + PQ codebooks and encode the corpus
+    * (the coded corpus carries its IVF cell: vec_id + M codes + cid). */
+  def buildIndex(spark: SparkSession, dir: String,
+      iters: Int = 3): IvfPqIndex = {
     val emb = Materialize(Tables.embeddings(spark, dir))
     val (centroids, assigned) = IvfOps.trainIndex(emb)
     val vecs = Materialize(normalized(emb))
     val model = train(vecs, iters)
-    // the coded corpus carries its IVF cell: vec_id + M codes + cid
     val coded = Materialize(withCodes(vecs, model)
       .select(col("vec_id"), col("codes"))
       .join(assigned.select(col("vec_id"), col("centroid_id")),
         Seq("vec_id")))
-    // probe side: nProbes×nprobe (q_id, centroid_id) cells from the IVF
-    // quantizer, each carrying its query's ADC distance table
-    val cells = IvfOps.probeCells(
-        emb.filter(col("vec_id") < nProbes), centroids, nprobe)
-      .select(col("q_id"), col("centroid_id"))
-    val dts = vecs.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("q_id"), distTable(model).as("dt"))
-    val probeSide = cells.join(dts, Seq("q_id"))
-    val adc = coded.join(
-        if (nProbes <= RerankBroadcastMaxProbes) broadcast(probeSide)
-        else probeSide,
-        Seq("centroid_id"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("cand_id"), adcScore.as("adc"))
-    rerank(adcShortlist(adc, shortlist), vecs, nProbes, k)
+    IvfPqIndex(model, centroids, coded, vecs)
   }
 
   /** q_knn_graph: the k-nearest-neighbor GRAPH of the whole embedding

@@ -325,6 +325,94 @@ object TextOps {
     * quadratic, no windows over the corpus. The bigram-count table is
     * [[Materialize]]d once: four downstream consumers (the multi-consumer
     * barrier rule from SCALE.md's round-9 audit). */
+  /** q_kn_trigram: the full interpolated Kneser–Ney RECURSION (Chen &
+    * Goodman 1999 eq. 18) — trigram level backing off through the
+    * continuation-count bigram level to the continuation unigram:
+    *
+    *   p(w3|w1w2) = max(c123−D,0)/c12· + D·N1+(w1w2·)/c12· · p_low(w3|w2)
+    *   p_low(w3|w2) = max(N1+(·w2w3)−D,0)/N1+(·w2·)
+    *                  + D·N1+(w2·)/N1+(·w2·) · N1+(·w3)/N1+(··)
+    *
+    * where the LOWER level uses continuation (distinct-predecessor)
+    * counts, not raw counts — the defining KN property [[knBigram]]
+    * documents. Completes the LM family: unigram → bigram → KN-bigram →
+    * KN-trigram, all corpus-trained, all oracled.
+    *
+    * Scale shape: one trigram explode into a Materialize'd type-count
+    * table feeding five partial-friendly aggregations (context totals +
+    * distinct-successor counts in one pass; middle-token predecessor
+    * type counts in one pass; bigram-level successor/continuation counts
+    * from the bigram type table), then joins-over-counts — the knBigram
+    * cost class one explode wider, nothing quadratic. The float chain is
+    * composed in ONE fixed association order mirrored exactly by the
+    * oracle (stableRound4 only at the end). */
+  def knTrigram(spark: SparkSession, dir: String,
+      discount: Double = KnDiscount, minCount: Int = KnMinCount,
+      topN: Int = KnTopN): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val toks = Tables.documents(spark, dir)
+      .select(tokensLower(col("text")).as("toks"))
+    // trigram TYPE counts — the single corpus-sized explode
+    val tgc = Materialize(toks
+      .filter(size(col("toks")) >= 3)
+      .select(explode(expr(
+        "zip_with(zip_with(slice(toks, 1, size(toks) - 2), " +
+          "slice(toks, 2, size(toks) - 2), " +
+          "(x, y) -> named_struct('w1', x, 'w2', y)), " +
+          "slice(toks, 3, size(toks) - 2), " +
+          "(p, z) -> named_struct('w1', p.w1, 'w2', p.w2, 'w3', z))"))
+        .as("t"))
+      .select(col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c123")))
+    // context (w1,w2): raw total + distinct-successor type count, one pass
+    val ctx = tgc.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c123")).as("c12dot"), count(lit(1)).as("n_after12"))
+    // middle-token w2: predecessor type count per (w2,w3) + its total
+    val midPair = Materialize(tgc.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("n_before23")))
+    val mid = midPair.groupBy(col("w2"))
+      .agg(sum(col("n_before23")).as("n_mid2"))
+    // bigram type table for the lower level's λ and the unigram base
+    val bgc = Materialize(toks
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), " +
+          "slice(toks, 2, size(toks) - 1), " +
+          "(x, y) -> named_struct('w1', x, 'w2', y))")).as("b"))
+      .select(col("b.w1").as("bw1"), col("b.w2").as("bw2"))
+      .groupBy(col("bw1"), col("bw2"))
+      .agg(count(lit(1)).as("cb")))
+    val after2 = bgc.groupBy(col("bw1").as("w2"))
+      .agg(count(lit(1)).as("n_after2"))
+    val cont3 = bgc.groupBy(col("bw2").as("w3"))
+      .agg(count(lit(1)).as("n_before3"))
+    val nBig = bgc.agg(count(lit(1)).as("n_big"))
+    val pLow =
+      greatest(col("n_before23").cast("double") - lit(discount), lit(0.0)) /
+        col("n_mid2").cast("double") +
+        ((lit(discount) * col("n_after2").cast("double")) /
+          col("n_mid2").cast("double")) *
+          (col("n_before3").cast("double") / col("n_big").cast("double"))
+    val pKn =
+      greatest(col("c123").cast("double") - lit(discount), lit(0.0)) /
+        col("c12dot").cast("double") +
+        ((lit(discount) * col("n_after12").cast("double")) /
+          col("c12dot").cast("double")) * pLow
+    tgc.filter(col("c123") >= minCount)
+      .join(ctx, Seq("w1", "w2"))
+      .join(midPair, Seq("w2", "w3"))
+      .join(mid, Seq("w2"))
+      .join(after2, Seq("w2"))
+      .join(cont3, Seq("w3"))
+      .crossJoin(broadcast(nBig))
+      .select(col("w1"), col("w2"), col("w3"), col("c123"),
+        stableRound4(pKn).as("p_kn"))
+      .orderBy(col("p_kn").desc, col("w1"), col("w2"), col("w3"))
+      .limit(topN)
+  }
+
   def knBigram(spark: SparkSession, dir: String,
       discount: Double = KnDiscount, minCount: Int = KnMinCount,
       topN: Int = KnTopN): DataFrame = {

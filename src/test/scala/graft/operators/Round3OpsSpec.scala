@@ -732,6 +732,48 @@ class Round3OpsSpec extends SparkTestBase {
       s"got $out")
   }
 
+  test("attributionPosition: U-shaped weights on a crafted journey; " +
+      "revenue is conserved across channels") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-attrpos").toString
+    // user 1: click, view, click, email then purchase(rev 10) ->
+    //   first click 4.0, last email 4.0, middles view/click 1.0 each
+    // user 2: single view then purchase(rev 20) -> view 20
+    // user 3: click + view then purchase(rev 30) -> 15 / 15
+    // user 4: zero-touch purchase(rev 40) -> direct 40
+    Seq(
+      (10L, 1L, "click", 100L, 0.0), (11L, 1L, "view", 200L, 0.0),
+      (12L, 1L, "click", 300L, 0.0), (13L, 1L, "email", 400L, 0.0),
+      (14L, 1L, "purchase", 500L, 10.0),
+      (20L, 2L, "view", 100L, 0.0), (21L, 2L, "purchase", 150L, 20.0),
+      (30L, 3L, "click", 100L, 0.0), (31L, 3L, "view", 200L, 0.0),
+      (32L, 3L, "purchase", 250L, 30.0),
+      (40L, 4L, "purchase", 500L, 40.0))
+      .toDF("event_id", "user_id", "event_type", "t", "value")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(col("t") * 1000000L).as("ts"),
+        col("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = EventOps.attributionPosition(spark, tmp).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == Map(
+      "click" -> ((3L, 4.0 + 1.0 + 15.0)),  // u1 first 4 + u1 middle 1 + u3 first 15
+      "view" -> ((3L, 1.0 + 20.0 + 15.0)),  // u1 middle 1 + u2 solo 20 + u3 last 15
+      "email" -> ((1L, 4.0)),               // u1 last
+      "direct" -> ((1L, 40.0))), s"got $out")
+    // conservation: every purchase's weights sum to 1, so channel totals
+    // sum to total purchase revenue (exact decimal sums; round-4 output)
+    assert(math.abs(out.values.map(_._2).sum - 100.0) < 1e-9)
+    // and on the real fixture, conservation must hold vs total revenue
+    val real = EventOps.attributionPosition(spark, sf).collect()
+      .map(_.getDouble(2)).sum
+    val totalRev = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(col("value"))).head().getDouble(0)
+    assert(math.abs(real - totalRev) / totalRev < 1e-4,
+      s"attributed $real vs purchase revenue $totalRev")
+  }
+
   test("stlDecompose: trend is the hand-computed centered 7-day MA, " +
       "seasonal means sum consistently, identity holds at round-4") {
     def r4(x: Double): Double =

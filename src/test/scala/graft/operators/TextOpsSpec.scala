@@ -333,4 +333,57 @@ class TextOpsSpec extends SparkTestBase {
           (nBefore(w2).toDouble / nBig)).sum
     assert(math.abs(total - 1.0) < 1e-9, s"KN mass for '$w1' = $total")
   }
+
+  test("knTrigram matches a driver-local full KN recursion; mass sums to 1") {
+    def r4(x: Double): Double =
+      new java.math.BigDecimal(x).setScale(4,
+        java.math.RoundingMode.HALF_UP).doubleValue()
+    val out = TextOps.knTrigram(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(out.nonEmpty && out.length <= TextOps.KnTopN)
+    val toks = graft.Tables.documents(spark, sf)
+      .select(col("text")).collect()
+      .map(_.getString(0).trim.toLowerCase.split("\\s+").toSeq)
+    val tris = toks.filter(_.length >= 3)
+      .flatMap(t => t.lazyZip(t.tail).lazyZip(t.tail.tail).toSeq)
+    val c123 = tris.groupBy(identity).map { case (g, xs) => g -> xs.size }
+    val c12dot = c123.groupBy(g => (g._1._1, g._1._2))
+      .map { case (k, m) => k -> m.values.sum }
+    val nAfter12 = c123.groupBy(g => (g._1._1, g._1._2))
+      .map { case (k, m) => k -> m.size }
+    val nBefore23 = c123.groupBy(g => (g._1._2, g._1._3))
+      .map { case (k, m) => k -> m.size }
+    val nMid2 = nBefore23.groupBy(_._1._1)
+      .map { case (w, m) => w -> m.values.sum }
+    val bigrams = toks.filter(_.length >= 2).flatMap(t => t.zip(t.tail))
+    val bset = bigrams.groupBy(identity).map { case (b, xs) => b -> xs.size }
+    val nAfter2 = bset.groupBy(_._1._1).map { case (w, m) => w -> m.size }
+    val nBefore3 = bset.groupBy(_._1._2).map { case (w, m) => w -> m.size }
+    val nBig = bset.size
+    val d = TextOps.KnDiscount
+    def pLow(w2: String, w3: String): Double =
+      math.max(nBefore23.getOrElse((w2, w3), 0) - d, 0.0) / nMid2(w2) +
+        ((d * nAfter2(w2)) / nMid2(w2)) * (nBefore3(w3).toDouble / nBig)
+    def pkn(w1: String, w2: String, w3: String): Double =
+      math.max(c123((w1, w2, w3)) - d, 0.0) / c12dot((w1, w2)) +
+        ((d * nAfter12((w1, w2))) / c12dot((w1, w2))) * pLow(w2, w3)
+    out.foreach { case (w1, w2, w3, c, p) =>
+      assert(c == c123((w1, w2, w3)).toLong && c >= TextOps.KnMinCount)
+      assert(p == r4(pkn(w1, w2, w3)), s"($w1,$w2,$w3): $p vs ${pkn(w1, w2, w3)}")
+      assert(p > 0.0 && p <= 1.0)
+    }
+    // the defining KN property: the interpolated conditional distribution
+    // for the top trigram's context sums to 1 over ALL continuations w3
+    // that the lower level can produce (seen trigram or backoff-only)
+    val (cw1, cw2) = (out.head._1, out.head._2)
+    val lambda = (d * nAfter12((cw1, cw2))) / c12dot((cw1, cw2))
+    val seen = c123.keys.iterator.filter(g => g._1 == cw1 && g._2 == cw2)
+      .map { case (a, b, c) => pkn(a, b, c) }.sum
+    val unseen = nBefore3.keys.iterator
+      .filterNot(w3 => c123.contains((cw1, cw2, w3)))
+      .map(w3 => lambda * pLow(cw2, w3)).sum
+    assert(math.abs(seen + unseen - 1.0) < 1e-9,
+      s"KN trigram mass for '$cw1 $cw2' = ${seen + unseen}")
+  }
 }
