@@ -264,11 +264,21 @@ object PqOps {
   final case class IvfPqIndex(model: Model, centroids: DataFrame,
       coded: DataFrame, vecs: DataFrame) {
     /** Top-`k` corpus neighbors for each probe row (self-id excluded).
-      * Output: (q_id, rn, cand_id, cos_sim), the family contract. */
+      * Output: (q_id, rn, cand_id, cos_sim), the family contract.
+      *
+      * The probe frame is MATERIALIZED first: three consumers read it
+      * (cell selection, distance tables, the re-rank's query vectors),
+      * and the multi-consumer barrier rule applies — without it the
+      * full-corpus knnGraph re-planned the raw probe chain per consumer
+      * and regressed 50.6 → 253.8 s at sf1 (measured, round 11; the
+      * materialized form restores the pre-refactor cost). Bounded by the
+      * probe count — exactly the frame a production query batch is. */
     def search(probesRaw: DataFrame, k: Int = 10, shortlist: Int = 50,
         nprobe: Int = 4, hintBroadcastProbes: Boolean = true): DataFrame = {
-      val pvecs = normalized(probesRaw)
-      val cells = IvfOps.probeCells(probesRaw, centroids, nprobe)
+      val probes = Materialize(
+        probesRaw.select(col("vec_id"), col("embedding")))
+      val pvecs = Materialize(normalized(probes))
+      val cells = IvfOps.probeCells(probes, centroids, nprobe)
         .select(col("q_id"), col("centroid_id"))
       val dts = pvecs
         .select(col("vec_id").as("q_id"), distTable(model).as("dt"))
