@@ -84,18 +84,31 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     val canarySet = Canary.toSet
-    val canary = results.collect {
-      case (k, v, None) if canarySet(k) => v }.sum
+    // n_canary guards the normalization itself (round-12 advisor fix):
+    // an errored/missing canary query used to silently drop out of the
+    // canary sum and INFLATE normalized_total. Now the canary count is
+    // asserted in the JSON and an incomplete canary set invalidates the
+    // normalized number (falls back to raw) instead of skewing it. The
+    // complementary blind spot — a uniform engine-wide slowdown scales
+    // the canaries too and leaves normalized_total flat — is why
+    // BASELINE.md's trend gate reads BOTH columns: normalized against
+    // the tight band, raw against a looser contention band.
+    val canaryTimes = results.collect {
+      case (k, v, None) if canarySet(k) => v }
+    val canary = canaryTimes.sum
+    val nCanary = canaryTimes.size
+    val canaryComplete = nCanary == Canary.size
     val normalized =
-      if (canary > 0) total * (CanaryRefSeconds / canary) else total
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","reps":2,"agg":"min","canary":$canary,"canary_ref":$CanaryRefSeconds,"normalized_total":$normalized,"queries":$qs,"errors":$errs,"warm_failures":$warmFailures,"sf":"$sfDir"}"""
+      if (canaryComplete && canary > 0) total * (CanaryRefSeconds / canary)
+      else total
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","reps":2,"agg":"min","canary":$canary,"canary_ref":$CanaryRefSeconds,"n_canary":$nCanary,"canary_complete":$canaryComplete,"normalized_total":$normalized,"queries":$qs,"errors":$errs,"warm_failures":$warmFailures,"sf":"$sfDir"}"""
     println(fullLine)
     // The full line above is ~4 KB (one entry per query) and has outrun the
     // driver's captured output tail every round (BENCH_r01..r03 all record
     // "parsed": null). Emit a compact summary LAST so it always survives
     // tail truncation and the 2x-of-baseline perf gate can actually evaluate.
     val nErr = results.count(_._3.isDefined)
-    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","reps":2,"agg":"min","canary":$canary,"normalized_total":$normalized,"n_queries":${results.size},"n_err":$nErr,"warm_failures":$warmFailures,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","reps":2,"agg":"min","canary":$canary,"n_canary":$nCanary,"canary_complete":$canaryComplete,"normalized_total":$normalized,"n_queries":${results.size},"n_err":$nErr,"warm_failures":$warmFailures,"sf":"$sfDir"}""")
     // Third compact line: the ~20 slowest queries. The full per-query map
     // above is what regression tracking wants, but it has been truncated by
     // the driver's output tail cap every round; the slow tail is the part

@@ -64,8 +64,15 @@ object LayoutGate {
     val compacted32 = s"$base/compacted32"
     orders.repartition(4096).write.mode("overwrite").parquet(frag)
     val (nIn, nOut) = graft.sources.Compactor.compact(spark, frag, compacted)
-    val fragBytes = new java.io.File(frag).listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    // Hadoop FS, not java.io.File (round-12 advisor fix — the same
+    // local-FS assumption CorpusStreamOps shed): listFiles() sees only
+    // top-level local files, so nested or non-local parquet output would
+    // yield fragBytes = 0 and a degenerate targetBytes = 1
+    val fragPath = new org.apache.hadoop.fs.Path(frag)
+    val fragBytes = fragPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .globStatus(new org.apache.hadoop.fs.Path(s"$frag/*.parquet"))
+      .map(_.getLen).sum
     val (nIn32, nOut32) = graft.sources.Compactor.compact(spark, frag,
       compacted32, targetBytes = math.max(1L, fragBytes / 32))
     def scanAgg(path: String): Long =

@@ -38,7 +38,7 @@ object ProbeScale {
       "q_pq_ann" -> ((n: Int) =>
         graft.operators.PqOps.pqTopK(spark, sfDir, nProbes = n)),
       "q_ivfpq" -> ((n: Int) =>
-        graft.operators.PqOps.ivfPqTopK(spark, sfDir, nProbes = n)))
+        graft.operators.PqOps.ivfPqTopK(spark, sfDir, nProbes = Some(n))))
     val probeCounts = Seq(5, 50, 500)
 
     targets.foreach { case (name, fn) =>

@@ -780,7 +780,7 @@ object SparkEntry {
     * (adc, cand_id), and re-ranks the shortlist by exact rounded cosine. */
   private def pqAnnSql(k: Int = 10, shortlist: Int = 50, iters: Int = 3,
       nq: Int = 5, m: Int = 8, subDim: Int = 8, codes: Int = 16): String =
-    "WITH " + pqCtesBody(iters, nq, m, subDim, codes) + ", " +
+    "WITH " + pqCtesBody(iters, Some(nq), m, subDim, codes) + ", " +
       s"sc AS (SELECT d.q_id, cd.vec_id AS cand_id, " +
       s"list_sum(list_transform(range(0, $m), j -> d.dts[j * $codes + cd.cds[j + 1] + 1])) AS adc " +
       "FROM dtf d CROSS JOIN cd WHERE cd.vec_id <> d.q_id), " +
@@ -810,7 +810,7 @@ object SparkEntry {
         s"FROM n q JOIN n c ON q.vec_id < $nq AND c.vec_id <> q.vec_id), " +
         "r AS (SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rn FROM p) " +
         s"SELECT q_id, cand_id FROM r WHERE rn <= $k"
-    val pq = ivfPqSql(k = k, shortlist = shortlist, nq = nq)
+    val pq = ivfPqSql(k = k, shortlist = shortlist, nq = Some(nq))
     s"WITH exact AS ($exact), pqq AS ($pq) " +
       s"SELECT 'ivfpq' AS method, count(*) AS n_probes, " +
       s"CAST(round(CAST(CAST(sum(COALESCE(h.n_hit, 0)) AS DOUBLE) / (count(*) * $k) AS DECIMAL(20,8)), 4) AS DOUBLE) AS recall_at_k, " +
@@ -826,9 +826,13 @@ object SparkEntry {
     * oracle proved). Both trainers are the individually hash-proven
     * builders — only the candidate restriction is new. */
   private def ivfPqSql(k: Int = 10, shortlist: Int = 50, nprobe: Int = 4,
-      iters: Int = 3, nq: Int = 5, m: Int = 8, subDim: Int = 8,
+      iters: Int = 3, nq: Option[Int] = Some(5), m: Int = 8, subDim: Int = 8,
       codes: Int = 16): String = {
     val dim = graft.operators.SimilarityOps.EmbeddingDim
+    // nq = None is the FULL-CORPUS probe set: no filter at all, the same
+    // semantics as the engine's ivfPqTopK(nProbes = None) — one shared
+    // sentinel, not two magic upper bounds (round-12 advisor fix)
+    val probeFilter = nq.map(n => s"WHERE q.vec_id < $n ").getOrElse("")
     "WITH " + lloydCtesBody("iv") + ", " +
       pqCtesBody(iters, nq, m, subDim, codes) + ", " +
       "pc AS (SELECT q_id, cid FROM (" +
@@ -836,7 +840,7 @@ object SparkEntry {
       "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
       "list_sum(list_transform(c.c, y -> y * y)) - 2 * " +
       s"list_sum(list_transform(range(1, ${dim + 1}), i -> c.c[i] * q.v[i])), c.cid) AS pr " +
-      s"FROM ive q CROSS JOIN ivcf c WHERE q.vec_id < $nq) WHERE pr <= $nprobe), " +
+      s"FROM ive q CROSS JOIN ivcf c $probeFilter) WHERE pr <= $nprobe), " +
       s"sc AS (SELECT d.q_id, cd.vec_id AS cand_id, " +
       s"list_sum(list_transform(range(0, $m), j -> d.dts[j * $codes + cd.cds[j + 1] + 1])) AS adc " +
       "FROM dtf d CROSS JOIN cd " +
@@ -851,7 +855,8 @@ object SparkEntry {
     * rounds ending in the final model (mf), corpus codes (cd), and
     * per-probe flat distance-table lists (dtf). */
   private def pqCtesBody(iters: Int = 3,
-      nq: Int = 5, m: Int = 8, subDim: Int = 8, codes: Int = 16): String = {
+      nq: Option[Int] = Some(5), m: Int = 8, subDim: Int = 8,
+      codes: Int = 16): String = {
     val sb = new StringBuilder
     sb ++= "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS raw FROM embeddings), "
     sb ++= "n1 AS (SELECT vec_id, raw, sqrt(list_sum(list_transform(raw, y -> y * y))) AS nrm FROM e), "
@@ -882,7 +887,8 @@ object SparkEntry {
     sb ++= s"cd AS (SELECT vec_id, list(c ORDER BY j) AS cds FROM af GROUP BY vec_id), "
     sb ++= s"dt AS (SELECT sv.vec_id AS q_id, sv.j, m.c, " +
       s"list_sum(list_transform(range(1, ${subDim + 1}), d -> (sv.s[d] - m.cen[d]) * (sv.s[d] - m.cen[d]))) AS val " +
-      s"FROM sv JOIN $prev m ON sv.j = m.j WHERE sv.vec_id < $nq), "
+      s"FROM sv JOIN $prev m ON sv.j = m.j" +
+      nq.map(n => s" WHERE sv.vec_id < $n").getOrElse("") + "), "
     sb ++= s"dtf AS (SELECT q_id, list(val ORDER BY j * $codes + c) AS dts FROM dt GROUP BY q_id)"
     sb.toString
   }
@@ -3965,16 +3971,18 @@ object SparkEntry {
     // with cell-restricted ADC candidates — see ivfPqSql
     "q_ivfpq" -> ivfPqSql(),
     // q_knn_graph: the identical hash-proven IVF+PQ composition with the
-    // probe filter opened to the full corpus (vec_id < 1e9) and the
-    // knn-graph k/shortlist — only the batch size differs from q_ivfpq
-    "q_knn_graph" -> ivfPqSql(k = 3, shortlist = 20, nq = 1000000000),
+    // probe filter REMOVED (nq = None — the same full-corpus semantics
+    // as the engine's nProbes = None; round 12 replaced the divergent
+    // 1e9 / Int.MaxValue sentinels) and the knn-graph k/shortlist —
+    // only the batch size differs from q_ivfpq
+    "q_knn_graph" -> ivfPqSql(k = 3, shortlist = 20, nq = None),
     // q_knn_components: the full-corpus graph as a nested MATERIALIZED
     // CTE (one evaluation — the recursive closure must not re-run the
     // Lloyd chains per iteration), mutual edges via the reversed-pair
     // self-join, then the q_dedup_clusters transitive-closure pattern
     "q_knn_components" ->
       ("WITH RECURSIVE ann AS MATERIALIZED (" +
-        ivfPqSql(k = 3, shortlist = 20, nq = 1000000000) + "), " +
+        ivfPqSql(k = 3, shortlist = 20, nq = None) + "), " +
         "me AS MATERIALIZED (SELECT a.q_id AS src, a.cand_id AS dst " +
         "FROM ann a JOIN ann b ON a.q_id = b.cand_id AND a.cand_id = b.q_id " +
         "WHERE a.q_id < a.cand_id), " +

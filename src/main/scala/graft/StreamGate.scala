@@ -347,11 +347,61 @@ object StreamGate {
       val q = graft.streaming.VectorStreamOps.startAnnTagStream(
         spark, in.toString, emb.schema, sfDir, out, cp)
       q.processAllAvailable(); q.stop()
+      // project the family contract columns: the sink is epoch-partitioned
+      // (exactly-once layout), and the partition column is bookkeeping
       val got = spark.read.parquet(out)
+        .select("q_id", "rn", "cand_id", "cos_sim")
         .orderBy("q_id", "rn").collect().map(_.toString).toSeq
       val expect = graft.operators.PqOps.knnGraph(spark, sfDir)
         .collect().map(_.toString).toSeq
       Check(got.length, expect.length, got == expect)
+    }
+
+    run("ann_tag_replay_exactly_once") {
+      // a TRUE Structured Streaming replay: run the tagger to completion,
+      // delete the last micro-batch's commit marker from the checkpoint,
+      // restart on the same checkpoint — the engine re-executes that
+      // batch, and the epoch-partition overwrite sink must replace its
+      // own partition instead of appending duplicates (round-12 fix: the
+      // old append sink was at-least-once, dedup a downstream obligation)
+      val base = Files.createTempDirectory("graft-gate-annreplay")
+      val in = Files.createDirectories(base.resolve("in"))
+      val (out, cp) = (base.resolve("out").toString,
+        base.resolve("cp").toString)
+      val emb = Tables.embeddings(spark, sfDir)
+      val half = emb.count() / 2
+      land(emb.filter(col("vec_id") < half), in, "000.parquet")
+      land(emb.filter(col("vec_id") >= half), in, "001.parquet")
+      def startTagger() = graft.streaming.VectorStreamOps.startAnnTagStream(
+        spark, in.toString, emb.schema, sfDir, out, cp)
+      val q = startTagger()
+      q.processAllAvailable(); q.stop()
+      def tags() = spark.read.parquet(out)
+        .select("q_id", "rn", "cand_id", "cos_sim")
+        .orderBy("q_id", "rn").collect().map(_.toString).toSeq
+      val before = tags()
+      val commits = Paths.get(cp, "commits")
+      val last = Files.list(commits)
+        .filter(p => p.getFileName.toString.forall(_.isDigit))
+        .max(java.util.Comparator.comparingLong(
+          (p: java.nio.file.Path) => p.getFileName.toString.toLong))
+        .get()
+      Files.delete(last)
+      // the local checksum FS shadows each commit file with a .N.crc
+      // sibling; leaving it behind makes the replayed commit's rename
+      // fail with FileAlreadyExistsException (surfaced as a misleading
+      // "multiple streaming queries" error)
+      Files.deleteIfExists(
+        last.resolveSibling("." + last.getFileName.toString + ".crc"))
+      val q2 = startTagger()
+      q2.processAllAvailable(); q2.stop()
+      val after = tags()
+      // the union of the two halves is the full corpus, so the replayed
+      // output must also equal the one-shot batch kNN graph
+      val expect = graft.operators.PqOps.knnGraph(spark, sfDir)
+        .collect().map(_.toString).toSeq
+      Check(after.length, before.length,
+        after == before && after == expect)
     }
 
     val pass = results.values.count(_.ok)

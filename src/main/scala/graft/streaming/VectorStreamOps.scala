@@ -24,25 +24,50 @@ import graft.operators.PqOps
   * batch kNN graph — StreamGate check `ann_tag_stream_vs_knn_graph`
   * records exactly that each round.
   *
-  * The verdict sink is plain append parquet (at-least-once on replay,
-  * dedupable by q_id — tags are deterministic, so re-emitted rows are
-  * bitwise duplicates; there is no index mutation here, hence no epoch
-  * fence needed, unlike [[CorpusStreamOps.startBandIndexStream]]). */
+  * The tag sink is EXACTLY-ONCE under replays (round 12, reusing the
+  * proven epoch-partition recipe from
+  * [[CorpusStreamOps.startBandIndexStream]]): each micro-batch's tags
+  * land under their `epoch=<batch id>` partition with dynamic partition
+  * overwrite, so a batch replayed after a crash replaces precisely its
+  * own partition instead of appending bitwise-duplicate rows —
+  * idempotence lives in the table layout, visible to any plain parquet
+  * reader, not in a downstream dedup obligation (StreamGate's
+  * `ann_tag_replay_exactly_once` check forces a replay and diffs).
+  *
+  * `excludeSelfId` (default true) assumes stream probe ids share the
+  * corpus vec_id namespace (the StreamGate parity setup streams the
+  * corpus's own vectors). A deployment whose probe ids are an UNRELATED
+  * namespace must pass false — otherwise an incoming id that happens to
+  * collide with a corpus vec_id silently loses that corpus vector as a
+  * legitimate neighbor (see [[PqOps.IvfPqIndex.search]]). */
 object VectorStreamOps {
 
   def startAnnTagStream(spark: SparkSession, inputDir: String,
       schema: StructType, corpusDir: String, outDir: String,
       checkpointDir: String, k: Int = 3, shortlist: Int = 20,
-      nprobe: Int = 4): StreamingQuery = {
+      nprobe: Int = 4, excludeSelfId: Boolean = true): StreamingQuery = {
     val index = PqOps.buildIndex(spark, corpusDir)
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(inputDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        index.search(batch.select("vec_id", "embedding"),
-            k = k, shortlist = shortlist, nprobe = nprobe)
-          .write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val tagged = index.search(batch.select("vec_id", "embedding"),
+            k = k, shortlist = shortlist, nprobe = nprobe,
+            excludeSelfId = excludeSelfId)
+          .withColumn("epoch", org.apache.spark.sql.functions.lit(epochId))
+        // the overwrite-mode conf must be set on the session that RUNS
+        // the write — `tagged` descends from the index's corpus frames,
+        // so that is the index-building session, NOT the micro-batch
+        // clone `batch.sparkSession` (setting it there silently left
+        // static overwrite semantics: each epoch wiped all previous ones)
+        val sp = tagged.sparkSession
+        val key = "spark.sql.sources.partitionOverwriteMode"
+        val prev = sp.conf.get(key, "static")
+        sp.conf.set(key, "dynamic")
+        try tagged.write.mode("overwrite").partitionBy("epoch")
+          .parquet(outDir)
+        finally sp.conf.set(key, prev)
       }
       .start()
   }

@@ -47,6 +47,24 @@ class TuningSpec extends SparkTestBase {
     assert(local.nonEmpty)
   }
 
+  test("RerankBroadcastMaxBytes: IVF+PQ search identical with the probe broadcast forced on and off") {
+    // the bytes dial gates only the broadcast HINT on the ADC probe side
+    // and the re-rank's query-vector side — join strategy, never answers
+    val index = PqOps.buildIndex(spark, sf)
+    val probes = Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 7)
+    val bcast = rows(index.search(probes, hintBroadcastProbes = true))
+    val aqe = rows(index.search(probes, hintBroadcastProbes = false))
+    assert(bcast == aqe)
+    assert(bcast.nonEmpty)
+    // and the dial itself: declared probe batches sit far under the
+    // budget; a corpus-sized batch sits far over it (never overflows)
+    assert(PqOps.probeSideBroadcastable(5L, 4))
+    assert(PqOps.probeSideBroadcastable(50L, 4))
+    assert(!PqOps.probeSideBroadcastable(Int.MaxValue.toLong, 4))
+    assert(!PqOps.probeSideBroadcastable(Long.MaxValue, 4))
+  }
+
   test("BloomFpp: bloom-gated operators identical at 1% and a saturating 40% fpp") {
     // a high fpp floods the exact join with false positives — cost, not
     // answers: the exact join/anti-join must still remove every one

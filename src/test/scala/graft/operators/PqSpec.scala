@@ -97,7 +97,7 @@ class PqSpec extends SparkTestBase {
     val full = PqOps.knnGraph(spark, sf)
       .filter(col("q_id") < 5).collect().map(_.toString).toSeq
     val solo = PqOps.ivfPqTopK(spark, sf, k = 3, shortlist = 20,
-      nProbes = 5).collect().map(_.toString).toSeq
+      nProbes = Some(5)).collect().map(_.toString).toSeq
     assert(full == solo)
     assert(full.nonEmpty)
   }
@@ -136,6 +136,30 @@ class PqSpec extends SparkTestBase {
     }
     // the fixture must actually exercise merging, not just singletons
     assert(got.exists { case (v, c) => c != v })
+  }
+
+  test("search excludeSelfId: opt-out keeps a colliding corpus id as its own neighbor") {
+    // corpus-probe uses exclude the probe's own vec_id (a vector is
+    // trivially its own nearest neighbor); an EXTERNAL id namespace must
+    // opt out, or an id collision silently costs a legitimate neighbor
+    val index = PqOps.buildIndex(spark, sf)
+    val probes = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 3)
+    val withSelf = index.search(probes, excludeSelfId = false).collect()
+    val without = index.search(probes).collect()
+    // opt-out: each probe's rank-1 hit is itself at cosine 1.0
+    withSelf.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val r1 = rs.minBy(_.getInt(1))
+      assert(r1.getLong(2) == q && r1.getDouble(3) == 1.0, s"q=$q r1=$r1")
+    }
+    // default: no self matches, and the two results agree off-diagonal
+    assert(without.forall(r => r.getLong(0) != r.getLong(2)))
+    val withoutSet = without.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val shifted = withSelf.filter(r => r.getLong(0) != r.getLong(2))
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // self occupies one of k slots, so the opt-out's non-self tail is a
+    // subset of the default's top-k
+    assert(shifted.subsetOf(withoutSet), s"${shifted -- withoutSet}")
   }
 
   test("knnRecall: audited recall is in (0, 1], every probe returns k rows") {
