@@ -119,7 +119,15 @@ object ScaleSpot {
     "q_rbo",
     // bipartite HITS (per-round |E| join+agg — the PageRank cost model)
     // and the degree-Pearson (one degree agg + one degree join)
-    "q_hits", "q_assortativity")
+    "q_hits", "q_assortativity",
+    // round-12 additions: the full KN trigram recursion (the trigram
+    // explode is the corpus-sized pass — r11 verdict ask), the
+    // position-banded attribution join (same ask), TextRank (token-pair
+    // self-join + 5 PageRank rounds over a growing vocab graph), and
+    // CDC chunking (per-doc window prefix-sum + corpus-wide chunk-hash
+    // agg — the chunk table is ~|tokens|/16 rows)
+    "q_kn_trigram", "q_attribution_position", "q_textrank",
+    "q_cdc_chunks", "q_kaplan_meier", "q_gini")
   val Scales = Seq(10, 100)
 
   def outDir(copies: Int) = s"/tmp/graft_spot_${copies}x"

@@ -405,6 +405,25 @@ object SparkEntry {
     "q_hits"           -> (GraphOps.bipartiteHits _),
     // degree assortativity (Newman 2002) — integer sums, one float assembly
     "q_assortativity"  -> (GraphOps.assortativity _),
+    // --- round 12 ---
+    // Kaplan-Meier user-lifetime survival with right-censoring
+    "q_kaplan_meier"   -> ((s, d) => EventOps.kaplanMeier(s, d)),
+    // hourly-count Fano factor + Goh-Barabasi burstiness per event type
+    "q_burstiness"     -> (EventOps.burstiness _),
+    // TextRank keyword extraction: PageRank over token co-occurrence
+    "q_textrank"       -> ((s, d) => TextOps.textRank(s, d)),
+    // Local Outlier Factor over the hash-proven full-corpus kNN graph
+    "q_lof"            -> ((s, d) => PqOps.lof(s, d)),
+    // Gini coefficient + Lorenz deciles of per-customer spend (cents-exact)
+    "q_gini"           -> (AnalyticsOps.giniLorenz _),
+    // content-defined chunking + chunk-level duplication audit
+    "q_cdc_chunks"     -> ((s, d) => CorpusOps.cdcChunks(s, d)),
+    // centroid-based silhouette of the k-means cells (+ ALL row)
+    "q_silhouette"     -> ((s, d) => IvfOps.silhouette(s, d)),
+    // Adjusted Rand Index between k-means cells and labels
+    "q_rand_index"     -> ((s, d) => IvfOps.randIndex(s, d)),
+    // Wald SPRT: sequential A/B decision walk per variant
+    "q_sprt"           -> (StatOps.sprt _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -4064,5 +4083,191 @@ object SparkEntry {
         "/ (CAST(sxx AS DOUBLE) / CAST(m2 AS DOUBLE) " +
         "- (CAST(sx AS DOUBLE) / CAST(m2 AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(m2 AS DOUBLE))) " +
         "AS DECIMAL(20,8)), 4) AS DOUBLE) AS assortativity FROM s"),
+    // ---------------- round 12 ----------------
+    // Kaplan-Meier: exact integer risk/churn tables; the cumulative
+    // ln-sum passes an 8-decimal barrier before exp (window sum order
+    // differs between engines only at ULP; the barrier absorbs it)
+    "q_kaplan_meier" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH u AS (SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts FROM events GROUP BY user_id), " +
+        "h AS (SELECT max(ts) AS max_ts FROM events), " +
+        "l AS (SELECT CAST(datediff('day', CAST(first_ts AS DATE), CAST(last_ts AS DATE)) AS BIGINT) AS t_days, " +
+        "CASE WHEN last_ts < max_ts - INTERVAL 7 DAY THEN 1 ELSE 0 END AS churned FROM u CROSS JOIN h), " +
+        "b AS (SELECT t_days, COUNT(*) AS n_ending, SUM(churned) AS n_churned FROM l GROUP BY t_days), " +
+        "r AS (SELECT t_days, n_churned, SUM(n_ending) OVER (ORDER BY t_days DESC) AS n_at_risk FROM b), " +
+        "s AS (SELECT t_days, n_at_risk, n_churned, " +
+        "SUM(ln(1.0 - CAST(n_churned AS DOUBLE) / n_at_risk)) OVER (ORDER BY t_days) AS lnsum FROM r) " +
+        "SELECT t_days, CAST(n_at_risk AS BIGINT) AS n_at_risk, CAST(n_churned AS BIGINT) AS n_churned, " +
+        r4("exp(CAST(round(CAST(lnsum AS DECIMAL(20,10)), 8) AS DOUBLE))") +
+        " AS survival FROM s ORDER BY t_days"
+    },
+    // burstiness: exact integer moments over hourly counts (zero hours
+    // fold in arithmetically), two final divisions
+    "q_burstiness" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      val mean = "CAST(n_events AS DOUBLE) / n_hours"
+      val varr = s"CAST(sum_c2 AS DOUBLE) / n_hours - ($mean) * ($mean)"
+      "WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS c FROM events GROUP BY 1, 2), " +
+        "m AS (SELECT event_type, " +
+        "CAST((epoch(max(hr)) - epoch(min(hr))) / 3600 AS BIGINT) + 1 AS n_hours, " +
+        "CAST(SUM(c) AS BIGINT) AS n_events, CAST(SUM(c * c) AS BIGINT) AS sum_c2 " +
+        "FROM hc GROUP BY event_type) " +
+        "SELECT event_type, n_hours, n_events, " +
+        r4(mean) + " AS mean_per_hour, " +
+        r4(s"($varr) / ($mean)") + " AS fano, " +
+        r4(s"(sqrt($varr) - ($mean)) / (sqrt($varr) + ($mean))") +
+        " AS burstiness FROM m ORDER BY event_type"
+    },
+    // TextRank: the q_pagerank unrolled power-iteration CTE pattern over
+    // the adjacent content-word co-occurrence graph
+    "q_textrank" -> {
+      val iters = (1 to 5).map { i =>
+        s"r$i AS (SELECT u.dst AS node, " +
+          "(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn) " +
+          "+ CAST(0.85 AS DOUBLE) * SUM(r.rank / d.degree) AS rank " +
+          s"FROM und u JOIN r${i - 1} r ON u.src = r.node " +
+          "JOIN d ON u.src = d.node GROUP BY u.dst)"
+      }.mkString(", ")
+      "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "p AS MATERIALIZED (SELECT doc_id, pos, tok FROM (SELECT doc_id, unnest(toks) AS tok, " +
+        "generate_subscripts(toks, 1) AS pos FROM t) WHERE len(tok) >= 4), " +
+        "e AS MATERIALIZED (SELECT DISTINCT least(a.tok, b.tok) AS src, greatest(a.tok, b.tok) AS dst " +
+        "FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.pos + 1 = b.pos AND a.tok <> b.tok), " +
+        "und AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e), " +
+        "d AS MATERIALIZED (SELECT src AS node, COUNT(*) AS degree FROM und GROUP BY src), " +
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM d), " +
+        "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM d), " +
+        iters + " " +
+        "SELECT node AS token, CAST(round(CAST(rank AS DECIMAL(20,8)), 4) AS DOUBLE) AS rank " +
+        "FROM r5 ORDER BY rank DESC, token LIMIT 20"
+    },
+    // LOF on the hash-proven full-corpus IVF+PQ kNN graph: the ann CTE
+    // is the identical q_knn_graph composition; reach/lrd/lof sums fold
+    // in sorted order (list_reduce(list_sort) ≡ aggregate(sort_array))
+    "q_lof" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH ann AS MATERIALIZED (" + ivfPqSql(k = 3, shortlist = 20, nq = None) + "), " +
+        "ed AS MATERIALIZED (SELECT q_id, cand_id, greatest(0.0001, 1.0 - cos_sim) AS dist FROM ann), " +
+        "kd AS (SELECT q_id, max(dist) AS kdist FROM ed GROUP BY q_id), " +
+        "re AS (SELECT e.q_id, greatest(k.kdist, e.dist) AS reach " +
+        "FROM ed e JOIN kd k ON e.cand_id = k.q_id), " +
+        "lrd AS MATERIALIZED (SELECT q_id, CAST(COUNT(*) AS DOUBLE) / " +
+        "list_reduce(list_sort(list(reach)), (a, b) -> a + b) AS lrd FROM re GROUP BY q_id), " +
+        "nb AS (SELECT e.q_id, list_reduce(list_sort(list(l.lrd)), (a, b) -> a + b) AS sum_nbr, " +
+        "COUNT(*) AS deg FROM ed e JOIN lrd l ON e.cand_id = l.q_id GROUP BY e.q_id) " +
+        "SELECT nb.q_id AS vec_id, " + r4("l.lrd") + " AS lrd, " +
+        r4("nb.sum_nbr / nb.deg / l.lrd") + " AS lof " +
+        "FROM nb JOIN lrd l ON nb.q_id = l.q_id " +
+        "ORDER BY lof DESC, vec_id LIMIT 50"
+    },
+    // Gini/Lorenz: cents-exact integer sums and rank products, one final
+    // division per emitted ratio
+    "q_gini" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH c AS (SELECT o_custkey, SUM(CAST(round(CAST(o_totalprice AS DECIMAL(20,8)) * 100, 0) AS BIGINT)) AS cents " +
+        "FROM orders GROUP BY o_custkey), " +
+        "r AS (SELECT o_custkey, cents, row_number() OVER (ORDER BY cents, o_custkey) AS i, " +
+        "ntile(10) OVER (ORDER BY cents, o_custkey) AS decile FROM c), " +
+        "t AS (SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS total, " +
+        "CAST(SUM(i * cents) AS BIGINT) AS srs FROM r), " +
+        "g AS (SELECT " +
+        r4("(2.0 * CAST(srs AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(total AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))") +
+        " AS gini FROM t), " +
+        "d AS (SELECT decile, COUNT(*) AS n_custs, CAST(SUM(cents) AS BIGINT) AS d_cents FROM r GROUP BY decile), " +
+        "cd AS (SELECT decile, n_custs, d_cents, " +
+        "CAST(SUM(d_cents) OVER (ORDER BY decile) AS BIGINT) AS cum FROM d) " +
+        "SELECT CAST(decile AS INTEGER) AS decile, CAST(n_custs AS BIGINT) AS n_custs, " +
+        r4("CAST(d_cents AS DOUBLE) / CAST((SELECT total FROM t) AS DOUBLE)") + " AS spend_share, " +
+        r4("CAST(cum AS DOUBLE) / CAST((SELECT total FROM t) AS DOUBLE)") + " AS cum_share, " +
+        "(SELECT gini FROM g) AS gini FROM cd ORDER BY decile"
+    },
+    // CDC chunking: md5-60 rolling boundary on token 2-grams, integer
+    // prefix-sum chunk ids, md5-60 chunk hashes counted corpus-wide
+    "q_cdc_chunks" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      def h60(e: String) = s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+      "WITH t AS (SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "p AS (SELECT doc_id, source, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM t), " +
+        "f AS (SELECT doc_id, source, pos, tok, CASE WHEN " +
+        "lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL AND " +
+        h60("lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) || ' ' || tok") +
+        " % 16 = 0 THEN 1 ELSE 0 END AS boundary FROM p), " +
+        "c AS (SELECT doc_id, source, pos, tok, " +
+        "SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id FROM f), " +
+        "g AS (SELECT doc_id, source, chunk_id, COUNT(*) AS n_tokens, " +
+        h60("string_agg(tok, ' ' ORDER BY pos)") + " AS chunk_hash " +
+        "FROM c GROUP BY doc_id, source, chunk_id), " +
+        "h AS (SELECT chunk_hash, COUNT(*) AS n_occ FROM g GROUP BY chunk_hash) " +
+        "SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_chunks, " +
+        r4("AVG(n_tokens)") + " AS avg_chunk_tokens, " +
+        r4("CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)") +
+        " AS dup_chunk_frac FROM g JOIN h USING (chunk_hash) " +
+        "GROUP BY source ORDER BY source"
+    },
+    // centroid silhouette: the hash-proven unrolled-Lloyd chain, per-pair
+    // squared distances with the proven list_sum accumulation pairing,
+    // sorted-fold means
+    "q_silhouette" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      val dim = graft.operators.SimilarityOps.EmbeddingDim
+      "WITH " + lloydCtesBody("") + ", " +
+        "d2 AS (SELECT a.vec_id, a.cid, c.cid AS ccid, " +
+        s"list_sum(list_transform(range(1, ${dim + 1}), i -> (a.v[i] - c.c[i]) * (a.v[i] - c.c[i]))) AS d2 " +
+        "FROM af a CROSS JOIN cf c), " +
+        "ab AS (SELECT vec_id, cid, sqrt(max(CASE WHEN ccid = cid THEN d2 END)) AS a, " +
+        "sqrt(min(CASE WHEN ccid <> cid THEN d2 END)) AS b FROM d2 GROUP BY vec_id, cid), " +
+        "sc AS (SELECT cid, CASE WHEN greatest(a, b) > 0.0 THEN (b - a) / greatest(a, b) ELSE 0.0 END AS s FROM ab), " +
+        "pc AS (SELECT cid, COUNT(*) AS n_vecs, " +
+        "list_reduce(list_sort(list(s)), (x, y) -> x + y) AS sum_s FROM sc GROUP BY cid), " +
+        "al AS (SELECT -1 AS cid, CAST(SUM(n_vecs) AS BIGINT) AS n_vecs, " +
+        "list_reduce(list_sort(list(sum_s)), (x, y) -> x + y) AS sum_s FROM pc) " +
+        "SELECT CAST(cid AS INTEGER) AS centroid_id, CAST(n_vecs AS BIGINT) AS n_vecs, " +
+        r4("sum_s / n_vecs") + " AS mean_silhouette FROM " +
+        "(SELECT cid, n_vecs, sum_s FROM pc UNION ALL SELECT cid, n_vecs, sum_s FROM al) " +
+        "ORDER BY centroid_id"
+    },
+    // ARI: exact integer pair counting over the (cell, label) contingency
+    // table from the same unrolled-Lloyd assignment
+    "q_rand_index" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      val c2n = "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) / 2)"
+      val expected = s"CAST(suma AS DOUBLE) * CAST(sumb AS DOUBLE) / $c2n"
+      val maxIdx = "(CAST(suma AS DOUBLE) + CAST(sumb AS DOUBLE)) / 2.0"
+      "WITH " + lloydCtesBody("") + ", " +
+        "lab AS (SELECT a.vec_id, a.cid, e.label FROM af a JOIN e ON a.vec_id = e.vec_id), " +
+        "ct AS (SELECT cid, label, COUNT(*) AS nij FROM lab GROUP BY cid, label), " +
+        "att AS (SELECT SUM(ai * (ai - 1) / 2) AS suma, COUNT(*) AS n_cells FROM " +
+        "(SELECT cid, SUM(nij) AS ai FROM ct GROUP BY cid)), " +
+        "btt AS (SELECT SUM(bj * (bj - 1) / 2) AS sumb, COUNT(*) AS n_labels FROM " +
+        "(SELECT label, SUM(nij) AS bj FROM ct GROUP BY label)), " +
+        "ix AS (SELECT SUM(nij * (nij - 1) / 2) AS sumij, CAST(SUM(nij) AS BIGINT) AS n FROM ct) " +
+        "SELECT n AS n_vecs, CAST(n_cells AS BIGINT) AS n_cells, CAST(n_labels AS BIGINT) AS n_labels, " +
+        r4(s"(CAST(sumij AS DOUBLE) - $expected) / ($maxIdx - $expected)") +
+        " AS ari FROM ix CROSS JOIN att CROSS JOIN btt"
+    },
+    // SPRT: integer prefix counts per variant; the four log terms are
+    // the driver-computed literals interpolated into both engines
+    "q_sprt" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      import graft.operators.StatOps._
+      "WITH wk AS (SELECT user_id % 2 AS variant, ts, event_id, " +
+        s"CASE WHEN value > $SprtThreshold THEN 1 ELSE 0 END AS conv FROM events), " +
+        "cw AS (SELECT variant, COUNT(*) OVER w AS n, SUM(conv) OVER w AS k FROM wk " +
+        "WINDOW w AS (PARTITION BY variant ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        s"dd AS (SELECT variant, n, k, k * $SprtLnLr1 + (n - k) * $SprtLnLr0 AS llr FROM cw), " +
+        s"de AS (SELECT variant, n, k, llr, CASE WHEN llr >= $SprtUpper THEN 'accept_h1' " +
+        s"WHEN llr <= $SprtLower THEN 'accept_h0' ELSE 'continue' END AS decision FROM dd), " +
+        "fst AS (SELECT variant, n, k, llr, decision FROM " +
+        "(SELECT de.*, row_number() OVER (PARTITION BY variant ORDER BY n) AS rn FROM de " +
+        "WHERE decision <> 'continue') WHERE rn = 1), " +
+        "lst AS (SELECT variant, n, k, llr, decision FROM " +
+        "(SELECT de.*, row_number() OVER (PARTITION BY variant ORDER BY n DESC) AS rn FROM de) WHERE rn = 1) " +
+        "SELECT l.variant AS variant, CAST(COALESCE(f.n, l.n) AS BIGINT) AS n_at_decision, " +
+        "CAST(COALESCE(f.k, l.k) AS BIGINT) AS k_conversions, " +
+        r4("COALESCE(f.llr, l.llr)") + " AS llr, " +
+        "COALESCE(f.decision, l.decision) AS decision " +
+        "FROM lst l LEFT JOIN fst f ON l.variant = f.variant ORDER BY variant"
+    },
   )
 }

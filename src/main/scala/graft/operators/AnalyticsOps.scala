@@ -875,4 +875,51 @@ object AnalyticsOps {
         col("sample_part"))
       .orderBy(col("price"))
   }
+
+  /** q_gini: revenue-concentration audit — the Gini coefficient of
+    * per-customer spend plus the Lorenz curve by decile (the "top decile
+    * owns X% of revenue" table; q_pareto's 80/20 cut generalized to the
+    * full curve and its scalar summary). Spend is quantized to exact
+    * integer CENTS through the DECIMAL barrier, so every sum, rank
+    * product and cumulative below is integer-exact on both engines; the
+    * Gini closed form over ranked values, G = (2·Σᵢ i·xᵢ − (n+1)·Σx) /
+    * (n·Σx), reduces to exact-integer numerators and ONE final division.
+    *
+    * Scale shape: one per-customer aggregation, one total-order
+    * ranked window over |customers| rows (the global sort is the
+    * operator's price — at 100 TB |customers| ≪ |facts|, and Spark's
+    * rangepartitioned sort handles it), then a 10-row decile table. */
+  def giniLorenz(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val cents = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice").cast("decimal(20,8)") * 100, 0)
+        .cast("long")).as("cents"))
+    val w = Window.orderBy(col("cents"), col("o_custkey"))
+    val ranked = cents
+      .withColumn("i", row_number().over(w))
+      .withColumn("decile", ntile(10).over(w))
+    val totals = ranked.agg(count(lit(1)).as("n"),
+      sum(col("cents")).as("total"),
+      sum(col("i") * col("cents")).as("sum_rank_spend"))
+    val gini = totals.select(
+      stableRound4(
+        (lit(2.0) * col("sum_rank_spend") - (col("n") + 1).cast("double")
+          * col("total"))
+          / (col("n").cast("double") * col("total"))).as("gini"))
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_custs"), sum(col("cents")).as("d_cents"))
+      .crossJoin(broadcast(totals.select(col("total"))))
+      .withColumn("cum_cents", sum(col("d_cents")).over(wCum))
+      .crossJoin(broadcast(gini))
+      .select(col("decile"), col("n_custs"),
+        stableRound4(col("d_cents").cast("double") / col("total"))
+          .as("spend_share"),
+        stableRound4(col("cum_cents").cast("double") / col("total"))
+          .as("cum_share"),
+        col("gini"))
+      .orderBy(col("decile"))
+  }
 }

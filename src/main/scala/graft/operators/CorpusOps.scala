@@ -1490,4 +1490,60 @@ object CorpusOps {
           / sqrt((log(n) - col("sum_l_logl") / n)
             * (log(n) - col("sum_s_logs") / n))).as("nmi"))
   }
+
+  /** q_cdc_chunks: content-defined chunking (the rsync/LBFS rolling-hash
+    * trick, Muthitacharoen et al. 2001, at token granularity) plus the
+    * chunk-level duplication audit it exists for. A chunk boundary falls
+    * AFTER token i when the portable 60-bit hash of the 2-gram ending at
+    * i is ≡ 0 (mod `modulus`) — boundaries depend only on LOCAL content,
+    * so an insertion early in a document shifts every byte offset but
+    * re-synchronizes the chunking within one window (the property
+    * offset-based chunking lacks, and why CDC is the dedup unit for
+    * storage/corpus diffing). Chunks are hashed with the same md5-60 and
+    * counted corpus-wide; the per-source report gives chunk count, mean
+    * chunk length, and the duplicated-chunk fraction — the bytes CDC
+    * dedup would reclaim.
+    *
+    * Scale shape: one narrow position explode, a per-doc ordered window
+    * prefix-sum assigning chunk ids, one (doc, chunk) aggregation, one
+    * corpus-wide chunk-hash count — every stage partial-aggregable or
+    * partitioned by doc; nothing pairwise. Cross-engine: boundary flags,
+    * prefix sums and all counts are exact integers. */
+  def cdcChunks(spark: SparkSession, dir: String,
+      modulus: Int = 16): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    import org.apache.spark.sql.expressions.Window
+    val pos = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        posexplode(tokensLower(col("text"))))
+      .select(col("doc_id"), col("source"), col("pos"),
+        col("col").as("tok"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val flagged = pos
+      .withColumn("prev", lag(col("tok"), 1).over(wDoc))
+      .withColumn("boundary",
+        when(col("prev").isNotNull &&
+          pmod(md5Hash60(concat_ws(" ", col("prev"), col("tok"))),
+            lit(modulus.toLong)) === 0L, 1L).otherwise(0L))
+      // the boundary CLOSES the chunk before it: chunk id = count of
+      // boundaries at positions ≤ pos, shifted so the boundary token
+      // starts the next chunk
+      .withColumn("chunk_id", sum(col("boundary")).over(wDoc))
+    val chunks = flagged.groupBy(col("doc_id"), col("source"),
+        col("chunk_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        md5Hash60(concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok")))).as("chunk_hash"))
+    val dupHashes = chunks.groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("n_occ"))
+    chunks.join(dupHashes, "chunk_hash")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        stableRound4(avg(col("n_tokens"))).as("avg_chunk_tokens"),
+        stableRound4(sum(when(col("n_occ") > 1, 1L).otherwise(0L))
+          .cast("double") / count(lit(1))).as("dup_chunk_frac"))
+      .orderBy(col("source"))
+  }
 }

@@ -986,4 +986,90 @@ object EventOps {
           .as("residual"))
       .orderBy(col("day"))
   }
+
+  /** q_kaplan_meier: the Kaplan-Meier survival curve of user LIFETIME
+    * (Kaplan & Meier 1958) — the churn/retention estimator a product
+    * analytics stack runs daily. A user's lifetime is the days between
+    * first and last event; the "death" (churn) is OBSERVED only when the
+    * user has been silent for more than `censorDays` before the corpus's
+    * last timestamp — later users are right-censored, the distinction
+    * that makes this KM and not a plain histogram. S(t) = ∏_{tᵢ≤t}
+    * (1 − dᵢ/nᵢ) over event times tᵢ with dᵢ observed churns and nᵢ
+    * at-risk users (lifetime ≥ tᵢ).
+    *
+    * Scale shape: one per-user min/max aggregation (shuffles |users|
+    * rows), then everything is |distinct lifetimes|-sized — the risk
+    * table comes from one descending cumulative window, the product from
+    * one ascending cumulative ln-sum. Cross-engine: dᵢ/nᵢ are exact
+    * integer ratios; the cumulative ln-sum passes an 8-decimal barrier
+    * before exp (sum order differs between engines only at ULP — the
+    * barrier absorbs it), and the survival is round4. */
+  def kaplanMeier(spark: SparkSession, dir: String,
+      censorDays: Int = 7): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val ev = Tables.events(spark, dir)
+    val users = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+    val horizon = ev.agg(max(col("ts")).as("max_ts"))
+    val lives = users.crossJoin(broadcast(horizon))
+      .select(
+        datediff(to_date(col("last_ts")), to_date(col("first_ts")))
+          .cast("long").as("t_days"),
+        (col("last_ts") < col("max_ts") - expr(s"INTERVAL $censorDays DAYS"))
+          .cast("long").as("churned"))
+    val byT = lives.groupBy(col("t_days"))
+      .agg(count(lit(1)).as("n_ending"), sum(col("churned")).as("n_churned"))
+    val wRisk = Window.orderBy(col("t_days").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSurv = Window.orderBy(col("t_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("n_at_risk", sum(col("n_ending")).over(wRisk))
+      .withColumn("lnf",
+        log(lit(1.0) - col("n_churned").cast("double") / col("n_at_risk")))
+      .withColumn("survival", stableRound4(exp(
+        round(sum(col("lnf")).over(wSurv).cast("decimal(20,10)"), 8)
+          .cast("double"))))
+      .select(col("t_days"), col("n_at_risk"), col("n_churned"),
+        col("survival"))
+      .orderBy(col("t_days"))
+  }
+
+  /** q_burstiness: per-event-type traffic burstiness over hourly counts —
+    * the Fano factor (var/mean; 1 = Poisson, >1 = bursty) and the
+    * Goh–Barabási burstiness B = (σ−μ)/(σ+μ) ∈ (−1, 1). The zero-count
+    * hours INSIDE each type's active span count (a silent hour is
+    * signal): rather than materializing a spine, the moments fold zeros
+    * in arithmetically — over the span of N hours with observed hourly
+    * counts c, Σc and Σc² are unchanged by zero hours, so mean = Σc/N
+    * and var = Σc²/N − mean². Everything up to the two final divisions
+    * is exact integer arithmetic, so the engines agree bit-for-bit
+    * before the round4.
+    *
+    * Scale shape: one (type, hour) count aggregation — the partial-agg
+    * shuffle is |types × hours| rows — then a |types|-row moment pass. */
+  def burstiness(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("c"))
+    hourly.groupBy(col("event_type"))
+      .agg(
+        // the difference is a whole multiple of 3600 (hour-truncated), so
+        // the true division is exact and the cast is lossless
+        (((unix_timestamp(max(col("hr"))) - unix_timestamp(min(col("hr"))))
+          / 3600L).cast("long") + 1L).as("n_hours"),
+        sum(col("c")).as("n_events"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .select({
+        val mean = col("n_events").cast("double") / col("n_hours")
+        val varr = col("sum_c2").cast("double") / col("n_hours") - mean * mean
+        val sd = sqrt(varr)
+        Seq(col("event_type"), col("n_hours"), col("n_events"),
+          stableRound4(mean).as("mean_per_hour"),
+          stableRound4(varr / mean).as("fano"),
+          stableRound4((sd - mean) / (sd + mean)).as("burstiness"))
+      }: _*)
+      .orderBy(col("event_type"))
+  }
 }

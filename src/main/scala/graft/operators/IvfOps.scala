@@ -298,4 +298,99 @@ object IvfOps {
           .as("purity"))
     perCell.unionByName(all).orderBy(col("centroid_id"))
   }
+
+  /** Flat centroid literal (k·dim doubles) shared by every row of a
+    * distance scan: cen[(cid·dim)+d] = model(cid)(d). */
+  private def centroidFlatLit(m: Model): org.apache.spark.sql.Column =
+    typedlit(m.sortBy(_._1).flatMap(_._2).toIndexedSeq)
+
+  /** q_silhouette: centroid-based (simplified) silhouette of the k-means
+    * cells — the clustering-quality audit next to [[clusterPurity]]'s
+    * label view: a(v) = L2 distance to the OWN centroid, b(v) = the
+    * nearest OTHER centroid, s(v) = (b−a)/max(a,b) ∈ [−1, 1]; per-cell
+    * mean silhouette plus the corpus ALL row. The centroid-based variant
+    * (Hruschka et al.; sklearn's "simplified silhouette") is the one
+    * that scales: the classic pairwise silhouette is Θ(|V|²), this is
+    * ONE narrow scan against the k·dim model literal — the assignment
+    * pass's shape with 2 extra array reads per (vector, cell).
+    *
+    * Cross-engine: per-(vector, cell) squared distances accumulate in
+    * the same fixed order as the oracle's list_sum (the proven distTable
+    * pairing); means fold in SORTED order (the ordered-fold pair), so
+    * the whole chain is bit-reproducible before the round4. */
+  def silhouette(spark: SparkSession, dir: String, k: Int = DefaultK)
+      : DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val emb = Materialize(Tables.embeddings(spark, dir))
+    val dim = SimilarityOps.EmbeddingDim
+    val (centroids, assigned) = trainIndex(emb, k = k)
+    val cen = centroidFlatLit(collectModel(centroids))
+    def orderedSum(c: org.apache.spark.sql.Column) =
+      aggregate(sort_array(collect_list(c)), lit(0.0), _ + _)
+    // d2s[c] = Σ_d (v_d − cen_{c,d})² — 0.0 seed, d ascending, the exact
+    // accumulation order the oracle's list_sum reproduces
+    val d2s = transform(sequence(lit(0), lit(k - 1)), c =>
+      aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0), (acc, d) => {
+        val diff = get(col("embedding"), d).cast("double") -
+          get(cen, c * dim + d)
+        acc + diff * diff
+      }))
+    val scored = assigned
+      .withColumn("d2s", d2s)
+      .withColumn("a", sqrt(get(col("d2s"), col("centroid_id"))))
+      .withColumn("b", sqrt(array_min(filter(col("d2s"),
+        (_, i) => i =!= col("centroid_id")))))
+      .select(col("centroid_id"),
+        when(greatest(col("a"), col("b")) > 0.0,
+          (col("b") - col("a")) / greatest(col("a"), col("b")))
+          .otherwise(lit(0.0)).as("s"))
+    val perCell = scored.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_vecs"), orderedSum(col("s")).as("sum_s"))
+    val all = perCell.agg(sum(col("n_vecs")).as("n_vecs"),
+        orderedSum(col("sum_s")).as("sum_s"))
+      .select(lit(-1).as("centroid_id"), col("n_vecs"), col("sum_s"))
+    perCell.unionByName(all)
+      .select(col("centroid_id"), col("n_vecs"),
+        stableRound4(col("sum_s") / col("n_vecs")).as("mean_silhouette"))
+      .orderBy(col("centroid_id"))
+  }
+
+  /** q_rand_index: Adjusted Rand Index (Hubert & Arabie 1985) between
+    * the k-means cells and the ground-truth labels — the chance-corrected
+    * agreement score that complements [[clusterPurity]] (purity rewards
+    * shattering; ARI penalizes it). Everything up to the final closed
+    * form is exact integer pair-counting over the (cell, label)
+    * contingency table: index = Σᵢⱼ C(nᵢⱼ,2), expected = ΣᵢC(aᵢ,2)·
+    * ΣⱼC(bⱼ,2)/C(n,2), ARI = (index − expected)/(max − expected). One
+    * assignment scan, one |k·labels|-row contingency aggregation. */
+  def randIndex(spark: SparkSession, dir: String, k: Int = DefaultK)
+      : DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val emb = Materialize(Tables.embeddings(spark, dir))
+    val (_, assigned) = trainIndex(emb, k = k)
+    val labeled = assigned.select(col("vec_id"), col("centroid_id"))
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+    def c2(c: org.apache.spark.sql.Column) = c * (c - 1) / 2
+    val cells = Materialize(labeled
+      .groupBy(col("centroid_id"), col("label"))
+      .agg(count(lit(1)).as("nij")))
+    val aTerm = cells.groupBy(col("centroid_id"))
+      .agg(sum(col("nij")).as("ai"))
+      .agg(sum(c2(col("ai"))).as("suma"),
+        count(lit(1)).as("n_cells"))
+    val bTerm = cells.groupBy(col("label"))
+      .agg(sum(col("nij")).as("bj"))
+      .agg(sum(c2(col("bj"))).as("sumb"),
+        count(lit(1)).as("n_labels"))
+    val idx = cells.agg(sum(c2(col("nij"))).as("sumij"),
+      sum(col("nij")).as("n"))
+    idx.crossJoin(broadcast(aTerm)).crossJoin(broadcast(bTerm))
+      .select(col("n").as("n_vecs"), col("n_cells"), col("n_labels"), {
+        val expected = (col("suma").cast("double") * col("sumb"))
+          ./(c2(col("n")).cast("double"))
+        val maxIdx = (col("suma") + col("sumb")).cast("double") / 2.0
+        stableRound4((col("sumij").cast("double") - expected)
+          / (maxIdx - expected)).as("ari")
+      })
+  }
 }

@@ -402,8 +402,65 @@ object PqOps {
     * production audit shape: the exact side is quadratic, so it runs on
     * `nProbes` sampled queries, never the corpus. Same output contract
     * as q_ann_recall (method, n_probes, recall_at_k, avg_returned). */
+  /** q_lof: Local Outlier Factor (Breunig et al. 2000) over the embedding
+    * corpus, composed ON the hash-proven full-corpus kNN graph — the
+    * density-based outlier audit a curation pipeline runs to surface
+    * embedding-space anomalies (mislabeled/garbage documents). Distances
+    * are cosine distance 1 − cos_sim on [[knnGraph]]'s round4-ed edges
+    * (exact doubles on both engines); k-distance is each vector's worst
+    * edge; reachability, local reachability density (lrd = k / Σ reach)
+    * and LOF = mean neighbor-lrd / own lrd follow the paper with the
+    * k-edge sets the graph already fixed. All per-vector sums fold in
+    * SORTED order (the ordered-fold pair: Spark
+    * `aggregate(sort_array(...), 0.0, +)` ≡ DuckDB
+    * `list_reduce(list_sort(...))`), so the float chain is
+    * bit-reproducible and the query hash-oracles against the SAME
+    * ivfPqSql composition q_knn_graph proved, with the LOF algebra as
+    * plain CTEs on top.
+    *
+    * Scale shape: everything after the graph is |V|·k rows — two joins
+    * on vec_id, two k-wide ordered folds. The graph itself carries the
+    * measured √V-cell posture (SCALE.md round-12 kNN-cell table). */
+  def lof(spark: SparkSession, dir: String, k: Int = 3,
+      shortlist: Int = 20, topN: Int = 50): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    def orderedSum(c: org.apache.spark.sql.Column) =
+      aggregate(sort_array(collect_list(c)), lit(0.0), _ + _)
+    // distance floored at 1e-4 (one round4 ulp of the edge cosines): a
+    // cluster of ≥ k+1 near-identical vectors would otherwise produce
+    // all-zero reachability sums and a 0-divisor lrd — the standard
+    // duplicate-handling tweak (Breunig et al. §4 discuss the
+    // degeneracy); deterministic on both engines
+    val edges = Materialize(knnGraph(spark, dir, k, shortlist)
+      .select(col("q_id"), col("cand_id"),
+        greatest(lit(1e-4), lit(1.0) - col("cos_sim")).as("dist")))
+    val kdist = edges.groupBy(col("q_id"))
+      .agg(max(col("dist")).as("kdist"), count(lit(1)).as("deg"))
+    val reach = edges
+      .join(kdist.select(col("q_id").as("cand_id"),
+        col("kdist").as("cand_kdist")), "cand_id")
+      .select(col("q_id"), col("cand_id"),
+        greatest(col("cand_kdist"), col("dist")).as("reach"))
+    val lrd = reach.groupBy(col("q_id"))
+      .agg((count(lit(1)).cast("double") / orderedSum(col("reach")))
+        .as("lrd"))
+    val lofs = edges
+      .join(lrd.select(col("q_id").as("cand_id"), col("lrd").as("cand_lrd")),
+        "cand_id")
+      .groupBy(col("q_id"))
+      .agg(orderedSum(col("cand_lrd")).as("sum_nbr_lrd"),
+        count(lit(1)).as("deg"))
+      .join(lrd, "q_id")
+      .select(col("q_id").as("vec_id"),
+        stableRound4(col("lrd")).as("lrd"),
+        stableRound4(col("sum_nbr_lrd") / col("deg") / col("lrd"))
+          .as("lof"))
+    lofs.orderBy(col("lof").desc, col("vec_id")).limit(topN)
+  }
+
   def knnRecall(spark: SparkSession, dir: String, k: Int = 3,
-      shortlist: Int = 20, nProbes: Int = 50): DataFrame = {
+      shortlist: Int = 20, nProbes: Int = 50,
+      kCells: Int = IvfOps.DefaultK): DataFrame = {
     import graft.functions.NumericFunctions.stableRound4
     val emb = Materialize(Tables.embeddings(spark, dir))
     val probes = emb.filter(col("vec_id") < nProbes)
@@ -411,7 +468,8 @@ object PqOps {
       SimilarityOps.bruteForceTopK(probes, emb, k)
         .select(col("q_id"), col("cand_id")))
     val approx = ivfPqTopK(spark, dir, k = k, shortlist = shortlist,
-      nProbes = Some(nProbes)).select(col("q_id"), col("cand_id"))
+      nProbes = Some(nProbes), kCells = kCells)
+      .select(col("q_id"), col("cand_id"))
     val hits = exact.join(approx, Seq("q_id", "cand_id"), "left_semi")
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
     val returned = approx.groupBy(col("q_id"))

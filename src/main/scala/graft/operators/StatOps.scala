@@ -412,4 +412,72 @@ object StatOps {
       stableRound4(center + half).as("hi"))
       .orderBy(col("event_type"))
   }
+
+  /** Shared engine/oracle SPRT constants (q_sprt): simple H0 p=[[SprtP0]]
+    * vs H1 p=[[SprtP1]] at α=[[SprtAlpha]], β=[[SprtBeta]]; conversion is
+    * value > [[SprtThreshold]]. The four derived log terms are computed
+    * ONCE here on the driver and inlined as literals into BOTH engines
+    * (Double.toString round-trips), so every per-step LLR is
+    * k·lnLR1 + (n−k)·lnLR0 — integer×literal products, bit-identical. */
+  val SprtP0 = 0.10
+  val SprtP1 = 0.15
+  val SprtAlpha = 0.05
+  val SprtBeta = 0.20
+  val SprtThreshold = 100.0
+  val SprtLnLr1: Double = math.log(SprtP1 / SprtP0)
+  val SprtLnLr0: Double = math.log((1.0 - SprtP1) / (1.0 - SprtP0))
+  val SprtUpper: Double = math.log((1.0 - SprtBeta) / SprtAlpha)
+  val SprtLower: Double = math.log(SprtBeta / (1.0 - SprtAlpha))
+
+  /** q_sprt: Wald's Sequential Probability Ratio Test (Wald 1945) over
+    * the event stream — the ALWAYS-VALID A/B monitor that, unlike the
+    * fixed-horizon tests (q_abtest / q_wilson_ci), may stop the
+    * experiment at the first observation where the evidence crosses a
+    * boundary, with α/β guaranteed regardless of when you peek. Each
+    * variant (user_id parity — the deterministic split q_abtest uses)
+    * walks its cumulative log-likelihood ratio in event order; the
+    * declared output is each walk's decision row: the FIRST boundary
+    * crossing (accept_h1 / accept_h0), or the final state (continue).
+    *
+    * Scale shape: one per-variant ordered window over the conversion
+    * flags — integer cumulative (n, k) prefix counts; the LLR and both
+    * boundaries are literal-double algebra on those integers, and the
+    * decision row is one min-struct argmin per variant. At 100 TB the
+    * walk is per-experiment-arm, embarrassingly partitioned. */
+  def sprt(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("variant"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walk = Tables.events(spark, dir)
+      .select((col("user_id") % 2).as("variant"), col("ts"), col("event_id"),
+        when(col("value") > SprtThreshold, 1L).otherwise(0L).as("conv"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("k", sum(col("conv")).over(w))
+      .withColumn("llr",
+        col("k") * lit(SprtLnLr1) + (col("n") - col("k")) * lit(SprtLnLr0))
+      .withColumn("decision",
+        when(col("llr") >= SprtUpper, lit("accept_h1"))
+          .when(col("llr") <= SprtLower, lit("accept_h0"))
+          .otherwise(lit("continue")))
+    val crossed = walk.filter(col("decision") =!= "continue")
+      .groupBy(col("variant"))
+      .agg(min(struct(col("n"), col("k"), col("llr"), col("decision")))
+        .as("d"))
+      .select(col("variant"), col("d.n").as("n"), col("d.k").as("k"),
+        col("d.llr").as("llr"), col("d.decision").as("decision"))
+    val last = walk.groupBy(col("variant"))
+      .agg(max(struct(col("n"), col("k"), col("llr"), col("decision")))
+        .as("d"))
+      .select(col("variant"), col("d.n").as("n"), col("d.k").as("k"),
+        col("d.llr").as("llr"), col("d.decision").as("decision"))
+    import graft.functions.NumericFunctions.stableRound4
+    last.as("l").join(crossed.as("c"), Seq("variant"), "left")
+      .select(col("variant"),
+        coalesce(col("c.n"), col("l.n")).as("n_at_decision"),
+        coalesce(col("c.k"), col("l.k")).as("k_conversions"),
+        stableRound4(coalesce(col("c.llr"), col("l.llr"))).as("llr"),
+        coalesce(col("c.decision"), col("l.decision")).as("decision"))
+      .orderBy(col("variant"))
+  }
 }

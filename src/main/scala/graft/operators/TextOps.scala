@@ -821,4 +821,52 @@ object TextOps {
         stableRound4(avg(col("spw"))).as("avg_syll_per_word"))
       .orderBy(col("source"))
   }
+
+  /** q_textrank: corpus keyword extraction by TextRank (Mihalcea & Tarau
+    * 2004) — PageRank over the word co-occurrence graph. Nodes are
+    * content words (length ≥ `minLen` — the deterministic stand-in for a
+    * POS filter), edges the DISTINCT adjacent pairs in the raw token
+    * sequence (window 2, undirected, unweighted — the paper's base
+    * variant); ranks are `iters` damped power-iteration sweeps, top-`k`
+    * words out. The graph build is one narrow explode + self-join on
+    * position; the rank loop mirrors [[GraphOps.pageRank]]'s shape
+    * exactly (adjacency grouped ONCE into a |vocab|-row Materialized
+    * table, per-sweep |E| rows exist only inside an exploded projection,
+    * map-side partial sums shrink the shuffle to |vocab| rows).
+    * Oracle: the q_pagerank unrolled-CTE pattern over token edges. */
+  def textRank(spark: SparkSession, dir: String, iters: Int = 5,
+      damping: Double = 0.85, minLen: Int = 4, k: Int = 20): DataFrame = {
+    val pos = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokensLower(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("tok"))
+      .filter(length(col("tok")) >= minLen)
+    val e = pos.as("a").join(pos.as("b"),
+        col("a.doc_id") === col("b.doc_id")
+          && col("a.pos") + 1 === col("b.pos")
+          && col("a.tok") =!= col("b.tok"))
+      .select(least(col("a.tok"), col("b.tok")).as("src"),
+        greatest(col("a.tok"), col("b.tok")).as("dst"))
+      .distinct()
+    val adj = Materialize(
+      e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+        .groupBy(col("src"))
+        .agg(collect_list(col("dst")).as("nbrs")))
+    val n = adj.count()
+    val teleport = (1.0 - damping) / n
+    var ranks = adj.select(col("src").as("node"), lit(1.0 / n).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = adj
+        .join(ranks, adj("src") === ranks("node"))
+        .select(explode(col("nbrs")).as("node"),
+          (col("rank") / size(col("nbrs"))).as("c"))
+        .groupBy(col("node"))
+        .agg(sum(col("c")).as("inflow"))
+      ranks = contrib.select(col("node"),
+        (lit(teleport) + lit(damping) * col("inflow")).as("rank"))
+    }
+    ranks
+      .select(col("node").as("token"), stableRound4(col("rank")).as("rank"))
+      .orderBy(col("rank").desc, col("token"))
+      .limit(k)
+  }
 }
