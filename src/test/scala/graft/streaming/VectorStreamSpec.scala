@@ -28,7 +28,10 @@ class VectorStreamSpec extends SparkTestBase {
     val q = VectorStreamOps.startAnnTagStream(
       spark, in.toString, emb.schema, sf, out, cp)
     q.processAllAvailable(); q.stop()
+    // project the family contract: the sink is epoch-partitioned
+    // (exactly-once layout) and the partition column is bookkeeping
     val got = spark.read.parquet(out)
+      .select("q_id", "rn", "cand_id", "cos_sim")
       .orderBy("q_id", "rn").collect().map(_.toString).toSeq
     val expect = graft.operators.PqOps.knnGraph(spark, sf)
       .collect().map(_.toString).toSeq
