@@ -424,6 +424,8 @@ object SparkEntry {
     "q_rand_index"     -> ((s, d) => IvfOps.randIndex(s, d)),
     // Wald SPRT: sequential A/B decision walk per variant
     "q_sprt"           -> (StatOps.sprt _),
+    // two-component 1-D GMM via 5 unrolled EM steps (stable6 barrier)
+    "q_em_gmm"         -> ((s, d) => StatOps.emGmm(s, d)),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -4268,6 +4270,46 @@ object SparkEntry {
         r4("COALESCE(f.llr, l.llr)") + " AS llr, " +
         "COALESCE(f.decision, l.decision) AS decision " +
         "FROM lst l LEFT JOIN fst f ON l.variant = f.variant ORDER BY variant"
+    },
+    // EM-GMM: 5 unrolled EM CTE rounds — per-row responsibilities are
+    // plain IEEE algebra against the previous round's barriered params;
+    // every M-step statistic passes the stable6 two-stage barrier (the
+    // unrolled-GD/Lloyd recipe), so all rounds replay bit-identically
+    "q_em_gmm" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      def st6(x: String) = s"CAST(round(CAST(($x) AS DECIMAL(20,8)), 6) AS DOUBLE)"
+      val s2raw = "sxx / n - (sx / n) * (sx / n)"
+      val rounds = (1 to 5).map { t =>
+        s"e$t AS (SELECT x.x, " +
+          "(p.w * exp(-((x.x - p.mu1) * (x.x - p.mu1)) / (2.0 * p.s21)) / sqrt(p.s21)) AS num1, " +
+          "((1.0 - p.w) * exp(-((x.x - p.mu2) * (x.x - p.mu2)) / (2.0 * p.s22)) / sqrt(p.s22)) AS num2 " +
+          s"FROM x CROSS JOIN p${t - 1} p), " +
+          s"m$t AS (SELECT SUM(num1 / (num1 + num2)) AS sr1, " +
+          "SUM(num1 / (num1 + num2) * x) AS sx1, " +
+          "SUM(num1 / (num1 + num2) * x * x) AS sxx1, " +
+          "SUM(num2 / (num1 + num2)) AS sr2, " +
+          "SUM(num2 / (num1 + num2) * x) AS sx2, " +
+          "SUM(num2 / (num1 + num2) * x * x) AS sxx2, " +
+          s"COUNT(*) AS n FROM e$t), " +
+          s"p$t AS MATERIALIZED (SELECT ${st6("sr1 / n")} AS w, " +
+          st6("sx1 / sr1") + " AS mu1, " +
+          st6(s"sxx1 / sr1 - ${st6("sx1 / sr1")} * ${st6("sx1 / sr1")}") + " AS s21, " +
+          st6("sx2 / sr2") + " AS mu2, " +
+          st6(s"sxx2 / sr2 - ${st6("sx2 / sr2")} * ${st6("sx2 / sr2")}") + " AS s22 " +
+          s"FROM m$t)"
+      }.mkString(", ")
+      "WITH x AS MATERIALIZED (SELECT l_extendedprice / 10000.0 AS x FROM lineitem), " +
+        "i AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx FROM x), " +
+        "p0 AS MATERIALIZED (SELECT 0.5 AS w, " +
+        st6(s"${st6("sx / n")} - 0.5 * sqrt(${st6(s2raw)})") + " AS mu1, " +
+        st6(s2raw) + " AS s21, " +
+        st6(s"${st6("sx / n")} + 0.5 * sqrt(${st6(s2raw)})") + " AS mu2, " +
+        st6(s2raw) + " AS s22 FROM i), " +
+        rounds + " " +
+        "SELECT component, weight, mu, sigma2 FROM (" +
+        s"SELECT 1 AS component, ${r4("w")} AS weight, ${r4("mu1")} AS mu, ${r4("s21")} AS sigma2 FROM p5 " +
+        s"UNION ALL SELECT 2 AS component, ${r4("1.0 - w")} AS weight, ${r4("mu2")} AS mu, ${r4("s22")} AS sigma2 FROM p5" +
+        ") ORDER BY component"
     },
   )
 }

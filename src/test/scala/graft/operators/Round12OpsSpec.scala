@@ -137,6 +137,23 @@ class Round12OpsSpec extends SparkTestBase {
       graft.Tables.embeddings(spark, sf).count())
   }
 
+  test("emGmm: weights sum to 1 in (0,1), components ordered, variances positive, means bracket the data mean") {
+    val rows = StatOps.emGmm(spark, sf).collect()
+    assert(rows.length == 2)
+    val Array(c1, c2) = rows.sortBy(_.getInt(0))
+    val (w1, w2) = (c1.getDouble(1), c2.getDouble(1))
+    assert(w1 > 0.0 && w1 < 1.0 && math.abs(w1 + w2 - 1.0) < 1e-3)
+    assert(c1.getDouble(3) > 0.0 && c2.getDouble(3) > 0.0)
+    // init places mu1 below mu2 and EM on a unimodal-ish price blob
+    // keeps the order; both means must stay inside the data range
+    assert(c1.getDouble(2) < c2.getDouble(2))
+    val mm = graft.Tables.lineitem(spark, sf)
+      .agg(min(col("l_extendedprice") / 10000.0),
+        max(col("l_extendedprice") / 10000.0)).head()
+    assert(c1.getDouble(2) > mm.getDouble(0) - 1e-9)
+    assert(c2.getDouble(2) < mm.getDouble(1) + 1e-9)
+  }
+
   test("sprt: decision rows agree with a driver replay of the walk") {
     val got = StatOps.sprt(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
