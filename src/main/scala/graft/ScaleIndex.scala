@@ -70,8 +70,15 @@ object ScaleIndex {
     // the full-corpus kNN family: Θ(|V|²·nprobe/k_cells) at the declared
     // FIXED k_cells=16 (oracle replayability); the production dial is
     // k_cells ∝ √|V| → Θ(|V|^1.5) — SCALE.md r11 cost-model note
-    "q_knn_graph" -> "fixed-cell Θ(V²/kc); kc∝√V dial (r11)",
-    "q_knn_components" -> "graph build + CC; same dial (r11)",
+    "q_knn_graph" -> "declared fixed16 e=2.09 MEASURED; kc∝√V e=1.04 (r12 KnnCellScale)",
+    "q_knn_components" -> "graph build + CC; same measured dial (r12)",
+    "q_lof" -> "rides q_knn_graph (same dial); LOF algebra |V|·k rows (r12)",
+    "q_kn_trigram" -> "0.31 (r12)",
+    "q_attribution_position" -> "0.13 (r12)",
+    "q_textrank" -> "0.40 (r12)",
+    "q_cdc_chunks" -> "0.40 (r12)",
+    "q_kaplan_meier" -> "0.07 (r12)",
+    "q_gini" -> "0.48 (r12)",
     "q_knn_recall" -> "sample-sized exact side (r11)",
     "q_kcenter" -> "0.67 (r10)",
     "q_kcore" -> "1.21 (r10: |E|-linear peel floor + |V| broadcast builds; dial: shuffle semi-joins past the broadcast budget)",
