@@ -426,6 +426,14 @@ object SparkEntry {
     "q_sprt"           -> (StatOps.sprt _),
     // two-component 1-D GMM via 5 unrolled EM steps (stable6 barrier)
     "q_em_gmm"         -> ((s, d) => StatOps.emGmm(s, d)),
+    // difference-in-differences over the midpoint-day split
+    "q_diff_in_diff"   -> (StatOps.diffInDiff _),
+    // CUPED variance-reduced A/B means (pre-period covariate)
+    "q_cuped"          -> (StatOps.cuped _),
+    // AR(2) per event type by Yule-Walker on daily value series
+    "q_ar_fit"         -> (EventOps.arFit _),
+    // near-dup pairs by shared CDC chunks (df-capped chunk buckets)
+    "q_dedup_cdc"      -> ((s, d) => CorpusOps.dedupCdc(s, d)),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -4310,6 +4318,105 @@ object SparkEntry {
         s"SELECT 1 AS component, ${r4("w")} AS weight, ${r4("mu1")} AS mu, ${r4("s21")} AS sigma2 FROM p5 " +
         s"UNION ALL SELECT 2 AS component, ${r4("1.0 - w")} AS weight, ${r4("mu2")} AS mu, ${r4("s22")} AS sigma2 FROM p5" +
         ") ORDER BY component"
+    },
+    // DiD: exact integer midpoint-day split, four cell means, one
+    // closed-form assembly
+    "q_diff_in_diff" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH mm AS (SELECT min(CAST(ts AS DATE)) AS min_d, max(CAST(ts AS DATE)) AS max_d FROM events), " +
+        "f AS (SELECT user_id % 2 AS treat, " +
+        "CASE WHEN CAST(ts AS DATE) >= min_d + CAST(datediff('day', min_d, max_d) // 2 AS INTEGER) THEN 1 ELSE 0 END AS post, " +
+        "value FROM events CROSS JOIN mm), " +
+        "c AS (SELECT treat, post, COUNT(*) AS n, AVG(value) AS m FROM f GROUP BY treat, post), " +
+        "g AS (SELECT " +
+        "max(CASE WHEN treat = 0 AND post = 0 THEN m END) AS m00, " +
+        "max(CASE WHEN treat = 0 AND post = 1 THEN m END) AS m01, " +
+        "max(CASE WHEN treat = 1 AND post = 0 THEN m END) AS m10, " +
+        "max(CASE WHEN treat = 1 AND post = 1 THEN m END) AS m11 FROM c) " +
+        "SELECT treat, CAST(post AS INTEGER) AS post, CAST(n AS BIGINT) AS n, " +
+        r4("m") + " AS mean_value, " +
+        r4("(m11 - m10) - (m01 - m00)") + " AS did " +
+        "FROM c CROSS JOIN g ORDER BY treat, post"
+    },
+    // CUPED: per-user pre/post sums, pooled theta = cov/var from the
+    // 5-number moment pass, adjusted means per variant
+    "q_cuped" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      val n = "CAST(n AS DOUBLE)"
+      val covxy = s"sxy - sx * sy / $n"
+      val varx = s"sxx - sx * sx / $n"
+      val vary = s"syy - sy * sy / $n"
+      val theta = s"($covxy) / ($varx)"
+      "WITH mm AS (SELECT min(CAST(ts AS DATE)) AS min_d, max(CAST(ts AS DATE)) AS max_d FROM events), " +
+        "f AS (SELECT user_id, " +
+        "CASE WHEN CAST(ts AS DATE) >= min_d + CAST(datediff('day', min_d, max_d) // 2 AS INTEGER) THEN 1 ELSE 0 END AS post, " +
+        "value FROM events CROSS JOIN mm), " +
+        "u AS (SELECT user_id, SUM(CASE WHEN post = 0 THEN value ELSE 0.0 END) AS x, " +
+        "SUM(CASE WHEN post = 1 THEN value ELSE 0.0 END) AS y FROM f GROUP BY user_id), " +
+        "uv AS (SELECT user_id % 2 AS variant, x, y FROM u), " +
+        "mom AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, " +
+        "SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy FROM uv), " +
+        "bv AS (SELECT variant, COUNT(*) AS n_users, AVG(y) AS my, AVG(x) AS mx FROM uv GROUP BY variant) " +
+        "SELECT variant, CAST(n_users AS BIGINT) AS n_users, " +
+        r4("my") + " AS mean_y, " +
+        r4(s"my - ($theta) * (mx - sx / $n)") + " AS mean_y_cuped, " +
+        r4(theta) + " AS theta, " +
+        r4(s"($covxy) * ($covxy) / (($varx) * ($vary))") + " AS var_reduction " +
+        "FROM bv CROSS JOIN mom ORDER BY variant"
+    },
+    // AR(2) Yule-Walker from lead-window autocovariances of the daily
+    // value series; degenerate denominators emit NULL on both engines
+    "q_ar_fit" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      val den = "g0 * g0 - g1 * g1"
+      "WITH d AS (SELECT event_type, CAST(ts AS DATE) AS d, SUM(value) AS v " +
+        "FROM events GROUP BY 1, 2), " +
+        "m AS (SELECT event_type, AVG(v) AS m, COUNT(*) AS n_days FROM d GROUP BY event_type), " +
+        "l AS (SELECT d.event_type, d.v, m.m, m.n_days, " +
+        "lead(v, 1) OVER (PARTITION BY d.event_type ORDER BY d.d) AS v1, " +
+        "lead(v, 2) OVER (PARTITION BY d.event_type ORDER BY d.d) AS v2 " +
+        "FROM d JOIN m ON d.event_type = m.event_type), " +
+        "g AS (SELECT event_type, CAST(max(n_days) AS BIGINT) AS n_days, " +
+        "SUM((v - m) * (v - m)) / max(n_days) AS g0, " +
+        "SUM(CASE WHEN v1 IS NOT NULL THEN (v - m) * (v1 - m) ELSE 0.0 END) / max(n_days) AS g1, " +
+        "SUM(CASE WHEN v2 IS NOT NULL THEN (v - m) * (v2 - m) ELSE 0.0 END) / max(n_days) AS g2 " +
+        "FROM l GROUP BY event_type) " +
+        "SELECT event_type, n_days, " +
+        s"CASE WHEN $den <> 0.0 THEN " +
+        r4(s"g1 * (g0 - g2) / ($den)") + " END AS phi1, " +
+        s"CASE WHEN $den <> 0.0 THEN " +
+        r4(s"(g0 * g2 - g1 * g1) / ($den)") + " END AS phi2 " +
+        "FROM g ORDER BY event_type"
+    },
+    // CDC near-dup pairs: distinct (doc, chunk-hash) from the same
+    // chunk CTEs as q_cdc_chunks, df-capped bucket self-join, exact
+    // integer Jaccard up to one division; threshold on the ROUNDED value
+    "q_dedup_cdc" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      def h60(e: String) = s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+      "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "p AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM t), " +
+        "f AS (SELECT doc_id, pos, tok, CASE WHEN " +
+        "lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL AND " +
+        h60("lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) || ' ' || tok") +
+        " % 16 = 0 THEN 1 ELSE 0 END AS boundary FROM p), " +
+        "c AS (SELECT doc_id, pos, tok, " +
+        "SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id FROM f), " +
+        "g AS (SELECT doc_id, chunk_id, " +
+        h60("string_agg(tok, ' ' ORDER BY pos)") + " AS ch " +
+        "FROM c GROUP BY doc_id, chunk_id), " +
+        "dd AS MATERIALIZED (SELECT DISTINCT doc_id, ch FROM g), " +
+        "capped AS (SELECT ch FROM dd GROUP BY ch HAVING COUNT(*) BETWEEN 2 AND 64), " +
+        "ib AS MATERIALIZED (SELECT dd.doc_id, dd.ch FROM dd JOIN capped USING (ch)), " +
+        "pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared " +
+        "FROM ib a JOIN ib b ON a.ch = b.ch AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "nd AS (SELECT doc_id, COUNT(*) AS nc FROM dd GROUP BY doc_id), " +
+        "pj AS (SELECT doc_a, doc_b, n_shared, na.nc AS n_a, nb.nc AS n_b, " +
+        r4("CAST(n_shared AS DOUBLE) / (na.nc + nb.nc - n_shared)") + " AS jaccard " +
+        "FROM pr JOIN nd na ON pr.doc_a = na.doc_id JOIN nd nb ON pr.doc_b = nb.doc_id) " +
+        "SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared, " +
+        "CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, jaccard " +
+        "FROM pj WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"
     },
   )
 }

@@ -1509,9 +1509,11 @@ object CorpusOps {
     * corpus-wide chunk-hash count — every stage partial-aggregable or
     * partitioned by doc; nothing pairwise. Cross-engine: boundary flags,
     * prefix sums and all counts are exact integers. */
-  def cdcChunks(spark: SparkSession, dir: String,
-      modulus: Int = 16): DataFrame = {
-    import graft.functions.NumericFunctions.stableRound4
+  /** The CDC chunk table shared by [[cdcChunks]] and [[dedupCdc]]:
+    * (doc_id, source, chunk_id, n_tokens, chunk_hash) — see
+    * [[cdcChunks]] for the boundary rule. */
+  private def cdcChunkTable(spark: SparkSession, dir: String,
+      modulus: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pos = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
@@ -1529,12 +1531,17 @@ object CorpusOps {
       // boundaries at positions ≤ pos, shifted so the boundary token
       // starts the next chunk
       .withColumn("chunk_id", sum(col("boundary")).over(wDoc))
-    val chunks = flagged.groupBy(col("doc_id"), col("source"),
-        col("chunk_id"))
+    flagged.groupBy(col("doc_id"), col("source"), col("chunk_id"))
       .agg(count(lit(1)).as("n_tokens"),
         md5Hash60(concat_ws(" ",
           transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
             s => s.getField("tok")))).as("chunk_hash"))
+  }
+
+  def cdcChunks(spark: SparkSession, dir: String,
+      modulus: Int = 16): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val chunks = cdcChunkTable(spark, dir, modulus)
     val dupHashes = chunks.groupBy(col("chunk_hash"))
       .agg(count(lit(1)).as("n_occ"))
     chunks.join(dupHashes, "chunk_hash")
@@ -1545,5 +1552,52 @@ object CorpusOps {
         stableRound4(sum(when(col("n_occ") > 1, 1L).otherwise(0L))
           .cast("double") / count(lit(1))).as("dup_chunk_frac"))
       .orderBy(col("source"))
+  }
+
+  /** q_dedup_cdc: document near-dup pairs by SHARED CDC CHUNKS — the
+    * chunk-containment dedup the [[cdcChunks]] table exists for (the
+    * rsync/storage-dedup identity applied to corpus text: two documents
+    * that share most content share most content-defined chunks, even
+    * when insertions shift every byte offset — the property that breaks
+    * fixed-shingle positional schemes). Pairs form ONLY inside chunk-hash
+    * buckets df-capped to [2, `maxDf`] occurrences (the proven
+    * shingle-cap pattern: a hash in 1 doc can never pair; a hash in
+    * hundreds is boilerplate whose bucket would go quadratic — its
+    * EXCLUSION is the scale bound, identical to q_dedup_ngram_capped's
+    * dial). Chunk-set Jaccard = shared/(nA+nB−shared) is exact integer
+    * arithmetic up to one final division; pairs at ≥ `threshold` are
+    * the verdicts.
+    *
+    * Scale shape: chunk table (narrow per-doc windows) → distinct
+    * (doc, hash) → df-capped bucket self-join → integer agg; candidate
+    * volume is Σ n(n−1)/2 over capped buckets, the measured-family
+    * bound. */
+  def dedupCdc(spark: SparkSession, dir: String, modulus: Int = 16,
+      maxDf: Int = 64, threshold: Double = 0.5): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val d = Materialize(cdcChunkTable(spark, dir, modulus)
+      .select(col("doc_id"), col("chunk_hash")).distinct())
+    val capped = d.groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
+      .select(col("chunk_hash"))
+    val inBucket = d.join(capped, "chunk_hash")
+    val shared = inBucket.as("a").join(inBucket.as("b"),
+        col("a.chunk_hash") === col("b.chunk_hash")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val sizes = d.groupBy(col("doc_id")).agg(count(lit(1)).as("nc"))
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nc").as("n_a")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nc").as("n_b")),
+        "doc_b")
+      .withColumn("jaccard", stableRound4(col("n_shared").cast("double")
+        / (col("n_a") + col("n_b") - col("n_shared"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_a"),
+        col("n_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 }

@@ -1035,6 +1035,50 @@ object EventOps {
       .orderBy(col("t_days"))
   }
 
+  /** q_ar_fit: AR(2) coefficients per event type by Yule-Walker on the
+    * daily value series (Box & Jenkins §3; [[autocorr]] measures the
+    * correlogram, this fits the generating model a forecaster actually
+    * uses): from the lag-0/1/2 autocovariances γₖ = Σ(vₜ−v̄)(vₜ₊ₖ−v̄)/n,
+    * φ₁ = γ₁(γ₀−γ₂)/(γ₀²−γ₁²), φ₂ = (γ₀γ₂−γ₁²)/(γ₀²−γ₁²); the lag-1
+    * persistence forecast quality rides φ₁+φ₂ < 1 (stationarity).
+    * Scale shape: one daily aggregation (the corpus-sized pass), then
+    * everything is |types × days| rows — two lead windows per type and
+    * a 4-number moment aggregate. Degenerate series (constant → γ₀=0)
+    * emit NULL coefficients via a lazy CaseWhen guard. */
+  def arFit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(sum(col("value")).as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val means = daily.groupBy(col("event_type"))
+      .agg(avg(col("v")).as("m"), count(lit(1)).as("n_days"))
+    val led = daily
+      .withColumn("v1", lead(col("v"), 1).over(w))
+      .withColumn("v2", lead(col("v"), 2).over(w))
+      .join(means, "event_type")
+    val gam = led.groupBy(col("event_type"))
+      .agg(first(col("n_days")).as("n_days"),
+        (sum((col("v") - col("m")) * (col("v") - col("m")))
+          / first(col("n_days"))).as("g0"),
+        (sum(when(col("v1").isNotNull,
+          (col("v") - col("m")) * (col("v1") - col("m"))).otherwise(0.0))
+          / first(col("n_days"))).as("g1"),
+        (sum(when(col("v2").isNotNull,
+          (col("v") - col("m")) * (col("v2") - col("m"))).otherwise(0.0))
+          / first(col("n_days"))).as("g2"))
+    gam.select(col("event_type"), col("n_days"),
+        when(col("g0") * col("g0") - col("g1") * col("g1") =!= 0.0,
+          stableRound4(col("g1") * (col("g0") - col("g2"))
+            / (col("g0") * col("g0") - col("g1") * col("g1"))))
+          .as("phi1"),
+        when(col("g0") * col("g0") - col("g1") * col("g1") =!= 0.0,
+          stableRound4((col("g0") * col("g2") - col("g1") * col("g1"))
+            / (col("g0") * col("g0") - col("g1") * col("g1"))))
+          .as("phi2"))
+      .orderBy(col("event_type"))
+  }
+
   /** q_burstiness: per-event-type traffic burstiness over hourly counts —
     * the Fano factor (var/mean; 1 = Poisson, >1 = bursty) and the
     * Goh–Barabási burstiness B = (σ−μ)/(σ+μ) ∈ (−1, 1). The zero-count

@@ -413,6 +413,91 @@ object StatOps {
       .orderBy(col("event_type"))
   }
 
+  /** Mid-date split shared by [[diffInDiff]] and [[cuped]]: the day
+    * date_add(min_d, ⌊datediff(max_d, min_d)/2⌋) — exact integer day
+    * arithmetic on both engines, no epoch-fraction ambiguity. Rows on
+    * or after it are the "post" period. */
+  private def withPostFlag(ev: DataFrame): DataFrame = {
+    val mm = ev.agg(min(to_date(col("ts"))).as("min_d"),
+      max(to_date(col("ts"))).as("max_d"))
+    ev.crossJoin(broadcast(mm))
+      .withColumn("post",
+        when(to_date(col("ts")) >= date_add(col("min_d"),
+          (datediff(col("max_d"), col("min_d")) / 2).cast("int")), 1)
+          .otherwise(0))
+  }
+
+  /** q_diff_in_diff: the difference-in-differences estimator — the
+    * quasi-experimental workhorse when a clean A/B split is unavailable
+    * (Card & Krueger 1994 popularized it): treatment effect =
+    * (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre), which
+    * differences away both the group-level baseline and the common time
+    * trend. Treatment is the deterministic user_id parity (q_abtest's
+    * split); the pre/post boundary is the corpus's midpoint day (exact
+    * integer day arithmetic). Declared output: the four (treat, post)
+    * cell means plus the DiD estimate — one scan, one 4-row aggregate.
+    */
+  def diffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    val cells = withPostFlag(Tables.events(spark, dir))
+      .select((col("user_id") % 2).as("treat"), col("post"), col("value"))
+      .groupBy(col("treat"), col("post"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("m"))
+    val grid = cells.groupBy()
+      .pivot(concat(col("treat"), lit("_"), col("post")),
+        Seq("0_0", "0_1", "1_0", "1_1"))
+      .agg(first(col("m")))
+    cells.crossJoin(broadcast(grid))
+      .select(col("treat"), col("post"), col("n"),
+        stableRound4(col("m")).as("mean_value"),
+        stableRound4((col("1_1") - col("1_0")) - (col("0_1") - col("0_0")))
+          .as("did"))
+      .orderBy(col("treat"), col("post"))
+  }
+
+  /** q_cuped: CUPED variance reduction (Deng, Xu, Kohavi & Walker,
+    * WSDM 2013) — the industry-standard A/B sensitivity boost: adjust
+    * each user's experiment-period metric y by their PRE-period metric
+    * x, ŷ = y − θ(x − x̄), θ = cov(x,y)/var(x), which strips the
+    * between-user variance x explains (reduction = ρ²) without biasing
+    * the treatment contrast (θ is computed pooled, pre-period data is
+    * unaffected by treatment). Periods split on the midpoint day;
+    * per-user x/y are value sums with absent periods as 0. Output per
+    * variant: n, raw mean, CUPED-adjusted mean, plus the pooled θ and
+    * measured variance-reduction ρ². Scale shape: one per-user
+    * aggregation, one 5-number moment pass, one |variants|-row
+    * assembly. */
+  def cuped(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = withPostFlag(Tables.events(spark, dir))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("post") === 0, col("value")).otherwise(0.0)).as("x"),
+        sum(when(col("post") === 1, col("value")).otherwise(0.0)).as("y"))
+      .select((col("user_id") % 2).as("variant"), col("x"), col("y"))
+    val mom = perUser.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val byV = perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"), avg(col("y")).as("my"),
+        avg(col("x")).as("mx"))
+    byV.crossJoin(broadcast(mom))
+      .select({
+        val n = col("n").cast("double")
+        val covxy = col("sxy") - col("sx") * col("sy") / n
+        val varx = col("sxx") - col("sx") * col("sx") / n
+        val vary = col("syy") - col("sy") * col("sy") / n
+        val theta = covxy / varx
+        Seq(col("variant"), col("n_users"),
+          stableRound4(col("my")).as("mean_y"),
+          stableRound4(col("my")
+            - theta * (col("mx") - col("sx") / n)).as("mean_y_cuped"),
+          stableRound4(theta).as("theta"),
+          stableRound4(covxy * covxy / (varx * vary)).as("var_reduction"))
+      }: _*)
+      .orderBy(col("variant"))
+  }
+
   /** q_em_gmm: a two-component 1-D Gaussian mixture fitted by `iters`
     * EM steps on scaled order-line prices — the density-modeling family
     * (soft clustering; cf. the HARD assignments of the Lloyd trainers in

@@ -154,6 +154,56 @@ class Round12OpsSpec extends SparkTestBase {
     assert(c2.getDouble(2) < mm.getDouble(1) + 1e-9)
   }
 
+  test("diffInDiff: 4 cells partition the events; did matches the cell-mean assembly") {
+    val rows = StatOps.diffInDiff(spark, sf).collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getLong(2)).sum ==
+      graft.Tables.events(spark, sf).count())
+    val m = rows.map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    val did = rows.head.getDouble(4)
+    val expect = (m((1L, 1)) - m((1L, 0))) - (m((0L, 1)) - m((0L, 0)))
+    assert(math.abs(did - expect) < 1e-3, s"$did vs $expect")
+    assert(rows.forall(_.getDouble(4) == did))
+  }
+
+  test("cuped: adjustment is mean-preserving pooled and reduces by rho^2 in (0,1]") {
+    val rows = StatOps.cuped(spark, sf).collect()
+    assert(rows.length == 2)
+    val vr = rows.head.getDouble(5)
+    assert(vr >= 0.0 && vr <= 1.0)
+    assert(rows.forall(_.getDouble(5) == vr))
+    // pooled mean preservation: Σ n_v·(adj_v − raw_v) = −θ·Σ n_v(x̄_v − x̄) ≈ 0
+    val shift = rows.map(r =>
+      r.getLong(1) * (r.getDouble(3) - r.getDouble(2))).sum
+    val total = rows.map(r => r.getLong(1) * r.getDouble(2)).sum
+    assert(math.abs(shift) < 1e-2 * math.abs(total) + 1.0, s"shift $shift")
+  }
+
+  test("arFit: stationary coefficients on the fixture; phi defined for active types") {
+    val rows = EventOps.arFit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(2)) {
+        val (p1, p2) = (r.getDouble(2), r.getDouble(3))
+        // AR(2) stationarity triangle: |phi2|<1, phi2±phi1<1
+        assert(p2 > -1.0 && p2 < 1.0, r.toString)
+        assert(p1 + p2 < 1.0 + 1e-9 && p2 - p1 < 1.0 + 1e-9, r.toString)
+      }
+    }
+  }
+
+  test("dedupCdc: pairs are symmetric-free, jaccard in [0.5, 1], shared ≤ min size") {
+    val rows = CorpusOps.dedupCdc(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val (sh, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(sh <= math.min(na, nb), r.toString)
+      assert(r.getDouble(5) >= 0.5 && r.getDouble(5) <= 1.0, r.toString)
+    }
+    // the fixture's planted near-dup docs must surface at sf0.001+
+    assert(rows.nonEmpty)
+  }
+
   test("sprt: decision rows agree with a driver replay of the walk") {
     val got = StatOps.sprt(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
