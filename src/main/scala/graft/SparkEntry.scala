@@ -434,6 +434,28 @@ object SparkEntry {
     "q_ar_fit"         -> (EventOps.arFit _),
     // near-dup pairs by shared CDC chunks (df-capped chunk buckets)
     "q_dedup_cdc"      -> ((s, d) => CorpusOps.dedupCdc(s, d)),
+    // ROC AUC via rank-sum identity on the compressed score domain
+    "q_auc"            -> (StatOps.rocAuc _),
+    // Brown-Forsythe variance-homogeneity W across sources
+    "q_levene"         -> (StatOps.levene _),
+    // Box-Cox lambda grid: profile log-likelihood + argmax flag
+    "q_boxcox"         -> (StatOps.boxcox _),
+    // md5-randomization test of the en-vs-rest mean length gap
+    "q_permutation_test" -> (StatOps.permutationTest _),
+    // Dirichlet-smoothed LM retrieval (Zhai-Lafferty), top-20
+    "q_query_likelihood" -> ((s, d) => RetrievalOps.queryLikelihood(s, d)),
+    // Dunning LLR collocations over adjacent bigrams, top-30
+    "q_llr_colloc"     -> ((s, d) => TextOps.llrColloc(s, d)),
+    // self-BLEU-2 diversity per source over id-successor pairs
+    "q_self_bleu"      -> (TextOps.selfBleu _),
+    // PAV isotonic recalibration of the binned reliability curve
+    "q_isotonic_cal"   -> (TextOps.isotonicCal _),
+    // McNemar paired test: stopword heuristic vs trigram classifier
+    "q_mcnemar"        -> (TextOps.mcnemar _),
+    // shot-boundary detection: L1 deltas over sampled frame features
+    "q_video_scene"    -> (MultimodalOps.videoScene _),
+    // voice-activity segments: gaps-and-islands over voiced windows
+    "q_audio_vad"      -> ((s, d) => MultimodalOps.audioVad(s, d)),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -4417,6 +4439,305 @@ object SparkEntry {
         "SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared, " +
         "CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, jaccard " +
         "FROM pj WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"
+    },
+    // rank-sum AUC with midrank ties on the compressed score domain;
+    // every midrank is a half-integer so the rank sum is float-exact
+    "q_auc" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH s AS (SELECT CAST(embedding[1] AS DOUBLE) AS v, " +
+        "CASE WHEN label = 1 THEN 1 ELSE 0 END AS pos FROM embeddings), " +
+        "bv AS (SELECT v, COUNT(*) AS n_v, SUM(pos) AS n_pv FROM s GROUP BY v), " +
+        "r AS (SELECT v, n_pv, COALESCE(SUM(n_v) OVER (ORDER BY v " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+        "+ (n_v + 1) / 2.0 AS midrank FROM bv), " +
+        "t AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos, " +
+        "CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n_neg FROM s), " +
+        "rs AS (SELECT SUM(CAST(n_pv AS DOUBLE) * midrank) AS rank_sum FROM r) " +
+        "SELECT n_pos, n_neg, " +
+        r4("(rank_sum - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2.0) " +
+          "/ (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))") + " AS auc " +
+        "FROM rs CROSS JOIN t"
+    },
+    // Brown-Forsythe: lower-median centering (exact integer at cumulative
+    // rank ceil(n/2)), integer z-moments, closed-form W on the k-row agg
+    "q_levene" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH sv AS (SELECT source, n_chars AS v, COUNT(*) AS n_sv " +
+        "FROM documents GROUP BY 1, 2), " +
+        "c AS (SELECT source, v, n_sv, " +
+        "SUM(n_sv) OVER (PARTITION BY source ORDER BY v) AS cum, " +
+        "SUM(n_sv) OVER (PARTITION BY source) AS n_s FROM sv), " +
+        "med AS (SELECT source, v AS med FROM c " +
+        "WHERE cum - n_sv < ceil(n_s / 2.0) AND cum >= ceil(n_s / 2.0)), " +
+        "zs AS (SELECT sv.source, SUM(n_sv) AS n_s, " +
+        "SUM(n_sv * abs(v - med)) AS sz, " +
+        "SUM(n_sv * (v - med) * (v - med)) AS szz " +
+        "FROM sv JOIN med ON sv.source = med.source GROUP BY 1), " +
+        "tot AS (SELECT SUM(n_s) AS n_total, COUNT(*) AS k, SUM(sz) AS sz_all FROM zs), " +
+        "w AS (SELECT max(n_total) AS n_total, max(k) AS k, " +
+        "SUM(CAST(n_s AS DOUBLE) * (CAST(sz AS DOUBLE) / n_s - CAST(sz_all AS DOUBLE) / n_total) " +
+        "* (CAST(sz AS DOUBLE) / n_s - CAST(sz_all AS DOUBLE) / n_total)) AS ssb, " +
+        "SUM(CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * sz / n_s) AS ssw " +
+        "FROM zs CROSS JOIN tot) " +
+        "SELECT CAST(n_total AS BIGINT) AS n_total, CAST(k AS BIGINT) AS k, " +
+        r4("ssb") + " AS ssb, " + r4("ssw") + " AS ssw, " +
+        r4("(CAST(n_total - k AS DOUBLE) / (k - 1)) * ssb / ssw") + " AS w_stat " +
+        "FROM w"
+    },
+    // Box-Cox grid pinned to halves: sqrt/reciprocal transforms only
+    // (IEEE-identical), one 12-statistic pass, LLs unpivoted per lambda
+    "q_boxcox" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      val ys = Seq(
+        "-1.0" -> "(1.0 - 1.0 / x)",
+        "-0.5" -> "((1.0 - 1.0 / sqrt(x)) * 2.0)",
+        "0.0" -> "ln(x)",
+        "0.5" -> "((sqrt(x) - 1.0) * 2.0)",
+        "1.0" -> "(x - 1.0)")
+      val aggCols = ys.zipWithIndex.map { case ((_, y), i) =>
+        s"SUM($y) AS s$i, SUM($y * $y) AS q$i"
+      }.mkString(", ")
+      val branches = ys.zipWithIndex.map { case ((lam, _), i) =>
+        s"SELECT CAST($lam AS DOUBLE) AS lambda, n, " +
+          s"-0.5 * n * ln((q$i - s$i * s$i / n) / n) + " +
+          s"(${lam.toDouble - 1.0}) * sum_ln AS ll FROM a"
+      }.mkString(" UNION ALL ")
+      "WITH x AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents WHERE n_chars > 0), " +
+        "a AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(ln(x)) AS sum_ln, " +
+        aggCols + " FROM x), " +
+        s"u AS ($branches), " +
+        "b AS (SELECT max(ll) AS ll_max FROM u) " +
+        "SELECT lambda, CAST(n AS BIGINT) AS n, " +
+        r4("ll") + " AS log_likelihood, ll >= ll_max AS is_best " +
+        "FROM u CROSS JOIN b ORDER BY lambda"
+    },
+    // md5-randomization test: permutation r relabels by u(doc,r) < p_en;
+    // group sums are exact integers so every comparison is bit-stable
+    "q_permutation_test" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH d AS (SELECT doc_id, lang, n_chars FROM documents), " +
+        "o AS (SELECT COUNT(*) AS n, " +
+        "SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en, " +
+        "SUM(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END) AS sum_en, " +
+        "SUM(CASE WHEN lang <> 'en' THEN n_chars ELSE 0 END) AS sum_rest FROM d), " +
+        "ob AS (SELECT n, n_en, CAST(sum_en AS DOUBLE) / n_en " +
+        "- CAST(sum_rest AS DOUBLE) / (n - n_en) AS obs_diff FROM o), " +
+        "p AS (SELECT r, n_chars, " +
+        "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)), 1, 6)) AS BIGINT) " +
+        "/ 16777216.0) < (CAST(n_en AS DOUBLE) / n) AS is_en " +
+        "FROM d CROSS JOIN ob CROSS JOIN (SELECT unnest(generate_series(1, 20)) AS r)), " +
+        "g AS (SELECT r, SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS k_en, " +
+        "SUM(CASE WHEN is_en THEN n_chars ELSE 0 END) AS s_en, " +
+        "SUM(CASE WHEN NOT is_en THEN n_chars ELSE 0 END) AS s_rest, " +
+        "COUNT(*) AS k_all FROM p GROUP BY r), " +
+        "pd AS (SELECT r, CAST(s_en AS DOUBLE) / k_en " +
+        "- CAST(s_rest AS DOUBLE) / (k_all - k_en) AS perm_diff FROM g) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_perms, " +
+        "CAST(SUM(CASE WHEN abs(perm_diff) >= abs(obs_diff) THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme, " +
+        r4("max(obs_diff)") + " AS obs_diff, " +
+        r4("CAST(SUM(CASE WHEN abs(perm_diff) >= abs(obs_diff) THEN 1 ELSE 0 END) + 1 AS DOUBLE) " +
+          "/ CAST(COUNT(*) + 1 AS DOUBLE)") + " AS p_value " +
+        "FROM pd CROSS JOIN ob"
+    },
+    // Dirichlet-smoothed query likelihood: per-term tf as list_filter
+    // lengths, ONE collection-stats row, chained fixed-order ln sum
+    "q_query_likelihood" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      val terms = graft.operators.RetrievalOps.QueryTerms
+      val mu = graft.operators.RetrievalOps.DirichletMu
+      val tfCols = terms.map(t =>
+        s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf_$t")
+        .mkString(", ")
+      val cfCols = terms.map(t => s"SUM(tf_$t) AS cf_$t").mkString(", ")
+      val score = terms.map(t =>
+        s"ln((tf_$t + $mu * (cf_$t / n_tokens)) / (dl + $mu))")
+        .mkString(" + ")
+      "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        s"d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, $tfCols FROM t), " +
+        s"s AS (SELECT SUM(dl) AS n_tokens, $cfCols FROM d) " +
+        s"SELECT doc_id, ${r4(score)} AS ql_score " +
+        "FROM d CROSS JOIN s ORDER BY ql_score DESC, doc_id LIMIT 20"
+    },
+    // Dunning G² collocations: bigram counts + two marginals + one total;
+    // zero cells contribute 0 (CASE keeps ln off the zero branch)
+    "q_llr_colloc" -> {
+      import graft.operators.TextOps.{LlrMinCount, LlrTopN}
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      def term(k: String, row: String, colm: String) =
+        s"CASE WHEN $k > 0 THEN CAST($k AS DOUBLE) " +
+          s"* ln(CAST($k AS DOUBLE) * nn / (CAST($row AS DOUBLE) * CAST($colm AS DOUBLE))) " +
+          "ELSE 0.0 END"
+      "WITH t AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "b AS (SELECT unnest(list_transform(range(1, len(toks)), " +
+        "i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS bg " +
+        "FROM t WHERE len(toks) >= 2), " +
+        "bgc AS MATERIALIZED (SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS k11 FROM b GROUP BY 1, 2), " +
+        "m1 AS (SELECT w1, SUM(k11) AS c1 FROM bgc GROUP BY 1), " +
+        "m2 AS (SELECT w2, SUM(k11) AS c2 FROM bgc GROUP BY 1), " +
+        "tot AS (SELECT SUM(k11) AS nn FROM bgc) " +
+        "SELECT g.w1, g.w2, CAST(g.k11 AS BIGINT) AS n_pair, " +
+        r4("2.0 * (" +
+          term("k11", "c1", "c2") + " + " +
+          term("c1 - k11", "c1", "nn - c2") + " + " +
+          term("c2 - k11", "nn - c1", "c2") + " + " +
+          term("nn - c1 - c2 + k11", "nn - c1", "nn - c2") + ")") + " AS llr " +
+        "FROM bgc g JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN tot " +
+        s"WHERE k11 >= $LlrMinCount ORDER BY llr DESC, g.w1, g.w2 LIMIT $LlrTopN"
+    },
+    // self-BLEU-2: id-successor pairs within source, clipped n-gram
+    // precisions (exact-integer clips), brevity penalty on length ratio
+    "q_self_bleu" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH d AS (SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "f AS (SELECT * FROM d WHERE len(toks) >= 2), " +
+        "uc AS MATERIALIZED (SELECT doc_id, g, COUNT(*) AS c FROM " +
+        "(SELECT doc_id, unnest(toks) AS g FROM f) GROUP BY 1, 2), " +
+        "bc AS MATERIALIZED (SELECT doc_id, g, COUNT(*) AS c FROM " +
+        "(SELECT doc_id, unnest(list_transform(range(1, len(toks)), " +
+        "i -> toks[i] || ' ' || toks[i + 1])) AS g FROM f) GROUP BY 1, 2), " +
+        "p AS (SELECT source, doc_id AS hyp, len(toks) AS len_h, " +
+        "lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS ref, " +
+        "lead(len(toks)) OVER (PARTITION BY source ORDER BY doc_id) AS len_r FROM f), " +
+        "pp AS (SELECT * FROM p WHERE ref IS NOT NULL), " +
+        "c1 AS (SELECT hyp, SUM(least(a.c, b.c)) AS clip1 FROM pp " +
+        "JOIN uc a ON pp.hyp = a.doc_id JOIN uc b ON pp.ref = b.doc_id AND a.g = b.g GROUP BY hyp), " +
+        "c2 AS (SELECT hyp, SUM(least(a.c, b.c)) AS clip2 FROM pp " +
+        "JOIN bc a ON pp.hyp = a.doc_id JOIN bc b ON pp.ref = b.doc_id AND a.g = b.g GROUP BY hyp), " +
+        "x AS (SELECT source, " +
+        "CAST(COALESCE(clip1, 0) AS DOUBLE) / len_h AS prec1, " +
+        "CAST(COALESCE(clip2, 0) AS DOUBLE) / (len_h - 1) AS prec2, " +
+        "CASE WHEN len_r <= len_h THEN 1.0 ELSE exp(1.0 - CAST(len_r AS DOUBLE) / len_h) END AS bp " +
+        "FROM pp LEFT JOIN c1 USING (hyp) LEFT JOIN c2 USING (hyp)), " +
+        "y AS (SELECT source, prec1, prec2, bp * sqrt(prec1 * prec2) AS bleu2 FROM x) " +
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+        r4("avg(prec1)") + " AS avg_p1, " + r4("avg(prec2)") + " AS avg_p2, " +
+        r4("avg(bleu2)") + " AS avg_self_bleu " +
+        "FROM y GROUP BY source ORDER BY source"
+    },
+    // PAV isotonic fit via the minimax closed form over the ≤10-bin
+    // cumulative frame; same classifier CTEs as q_calibration
+    "q_isotonic_cal" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH t AS (SELECT doc_id, " +
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_toks, " +
+        "CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\\s+')) AS awl, " +
+        "CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), " +
+        "x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and')) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\\s+')) AS swr " +
+        "FROM documents), " +
+        "dd AS (SELECT doc_id, 1.0 - CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*) AS dupfrac FROM " +
+        "(SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok FROM documents) GROUP BY doc_id), " +
+        "z AS (SELECT t.doc_id, -1.0 + swr * 8.0 + least(n_toks / 100.0, 1.0) * 1.5 " +
+        "- dupfrac * 4.0 - abs(awl - 5.0) * 0.3 AS z FROM t JOIN dd ON t.doc_id = dd.doc_id), " +
+        "pk AS (SELECT doc_id, CAST(round(CAST(1.0 / (1.0 + exp(-z)) AS DECIMAL(20,8)), 4) AS DOUBLE) AS p_keep FROM z), " +
+        "gt AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks, " +
+        "CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS n_chars FROM documents), " +
+        "gf AS (SELECT doc_id, len(toks) AS n_words, n_chars / len(toks) AS mwl, " +
+        "len(list_filter(toks, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and')) AS sw_n, " +
+        "CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(toks) AS alpha_frac FROM gt), " +
+        "gp AS (SELECT doc_id, CASE WHEN (n_words BETWEEN 20 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0) " +
+        "AND sw_n >= 2 AND alpha_frac >= 0.8 THEN 1.0 ELSE 0.0 END AS pass FROM gf), " +
+        "j AS (SELECT CAST(least(floor(p_keep * 10), 9) AS INTEGER) AS bin, pass FROM pk JOIN gp USING (doc_id)), " +
+        "bins AS (SELECT bin, COUNT(*) AS n, SUM(pass) AS s FROM j GROUP BY bin), " +
+        "cum AS (SELECT bin, n, s, SUM(n) OVER (ORDER BY bin) AS cn, SUM(s) OVER (ORDER BY bin) AS cs FROM bins), " +
+        "pooled AS (SELECT j.bin AS jb, k.bin AS kb, " +
+        "(k.cs - j.cs + j.s) / CAST(k.cn - j.cn + j.n AS DOUBLE) AS m " +
+        "FROM cum k JOIN cum j ON j.bin <= k.bin), " +
+        "iso1 AS (SELECT b.bin, p.jb, MIN(p.m) AS mn FROM bins b " +
+        "JOIN pooled p ON p.jb <= b.bin AND b.bin <= p.kb GROUP BY 1, 2), " +
+        "iso AS (SELECT bin, MAX(mn) AS iso FROM iso1 GROUP BY bin) " +
+        "SELECT b.bin, CAST(b.n AS BIGINT) AS n_docs, " +
+        r4("b.s / CAST(b.n AS DOUBLE)") + " AS frac_pass, " +
+        r4("iso") + " AS iso_pass " +
+        "FROM bins b JOIN iso USING (bin) ORDER BY b.bin"
+    },
+    // McNemar: per-doc correctness of both shipped lang classifiers
+    // (same CTEs as q_lang_id / q_lang_trigram), one 5-counter row
+    "q_mcnemar" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "hc AS (SELECT doc_id, lang, " +
+        "CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and')) AS INTEGER) AS en_n, " +
+        "CAST(len(list_filter(toks, x -> x = 'der' OR x = 'die' OR x = 'das' OR x = 'und')) AS INTEGER) AS de_n, " +
+        "CAST(len(list_filter(toks, x -> x = 'el' OR x = 'los' OR x = 'las' OR x = 'y')) AS INTEGER) AS es_n, " +
+        "CAST(len(list_filter(toks, x -> x = 'le' OR x = 'les' OR x = 'des' OR x = 'et')) AS INTEGER) AS fr_n " +
+        "FROM t), " +
+        "ha AS (SELECT doc_id, (CASE WHEN en_n >= de_n AND en_n >= es_n AND en_n >= fr_n THEN 'en' " +
+        "WHEN de_n >= es_n AND de_n >= fr_n THEN 'de' " +
+        "WHEN es_n >= fr_n THEN 'es' ELSE 'fr' END) = lang AS ca FROM hc), " +
+        "nd AS (SELECT doc_id, lang, regexp_replace(lower(text), '\\s+', ' ', 'g') AS s FROM documents), " +
+        "g AS (SELECT doc_id, lang, unnest(list_transform(range(1, length(s) - 1), i -> s[i:i+2])) AS g " +
+        "FROM nd WHERE length(s) >= 3), " +
+        "dg AS (SELECT DISTINCT doc_id, g FROM g), " +
+        "pc AS (SELECT lang AS plang, g, COUNT(*) AS c FROM g GROUP BY 1, 2), " +
+        "pr AS (SELECT plang, g, 65 - CAST(row_number() OVER (PARTITION BY plang ORDER BY c DESC, g) AS BIGINT) AS w " +
+        "FROM pc QUALIFY row_number() OVER (PARTITION BY plang ORDER BY c DESC, g) <= 64), " +
+        "sc AS (SELECT dg.doc_id, pr.plang, SUM(pr.w) AS score FROM dg JOIN pr USING (g) GROUP BY 1, 2), " +
+        "best AS (SELECT doc_id, plang FROM (SELECT doc_id, plang, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn FROM sc) WHERE rn = 1), " +
+        "ml AS (SELECT min(lang) AS min_lang FROM documents), " +
+        "tb AS (SELECT d2.doc_id, coalesce(b.plang, ml.min_lang) = d2.lang AS cb " +
+        "FROM documents d2 LEFT JOIN best b USING (doc_id) CROSS JOIN ml), " +
+        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(CASE WHEN ca AND cb THEN 1 ELSE 0 END) AS BIGINT) AS both_correct, " +
+        "CAST(SUM(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END) AS BIGINT) AS only_heuristic, " +
+        "CAST(SUM(CASE WHEN NOT ca AND cb THEN 1 ELSE 0 END) AS BIGINT) AS only_trigram, " +
+        "CAST(SUM(CASE WHEN NOT ca AND NOT cb THEN 1 ELSE 0 END) AS BIGINT) AS both_wrong " +
+        "FROM ha JOIN tb USING (doc_id)) " +
+        "SELECT n_docs, both_correct, only_heuristic, only_trigram, both_wrong, " +
+        "CASE WHEN only_heuristic + only_trigram > 0 THEN " +
+        r4("CAST(abs(only_heuristic - only_trigram) - 1 AS DOUBLE) " +
+          "* (abs(only_heuristic - only_trigram) - 1) " +
+          "/ CAST(only_heuristic + only_trigram AS DOUBLE)") +
+        " END AS mcnemar_chi2 FROM m"
+    },
+    // scene cuts: the q_frame_features feature replay, per-clip lag
+    // deltas in fixed chained order, threshold literal shared via
+    // MultimodalOps.SceneCutThreshold
+    "q_video_scene" -> {
+      val thr = graft.operators.MultimodalOps.SceneCutThreshold
+      def fd(d: Int) =
+        "CAST(round(CAST(CAST(CAST(('0x' || substr(h, " + (2 * d + 1) +
+          ", 2)) AS INTEGER) / 255.0 AS REAL) AS DECIMAL(20,8)), 4) AS DOUBLE) AS f" + d
+      val l1 = (0 until 8).map(d =>
+        s"abs(f$d - lag(f$d) OVER (PARTITION BY doc_id ORDER BY frame_idx))")
+        .mkString(" + ")
+      "WITH x AS (SELECT doc_id, text, " +
+        "unnest(range(0, CAST(floor(length(text) / 16) AS BIGINT))) AS i FROM documents), " +
+        "fr AS (SELECT doc_id, CAST(i AS INTEGER) AS frame_idx, " +
+        "md5(substring(text, CAST(i * 16 + 1 AS INTEGER), 16)) AS h " +
+        "FROM x WHERE i % 4 = 0), " +
+        "ft AS (SELECT doc_id, frame_idx, " +
+        (0 until 8).map(fd).mkString(", ") + " FROM fr), " +
+        s"c AS (SELECT doc_id, frame_idx, CASE WHEN ($l1) > $thr THEN 1 ELSE 0 END AS cut FROM ft) " +
+        "SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_frames, " +
+        "CAST(SUM(cut) + 1 AS INTEGER) AS n_scenes, " +
+        "CAST(COALESCE(MIN(CASE WHEN cut = 1 THEN frame_idx END), -1) AS INTEGER) AS first_cut_idx " +
+        "FROM c GROUP BY doc_id ORDER BY doc_id"
+    },
+    // VAD: the q_audio_trim voiced-window CTEs, then gaps-and-islands
+    // (w - row_number() island keys) for segment count / longest run
+    "q_audio_vad" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH t AS (SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\\s+'), " +
+        "x -> length(x)) AS s FROM documents), " +
+        "b AS (SELECT doc_id, CAST(len(s) // 16 AS INTEGER) AS nw, s FROM t), " +
+        "r AS (SELECT doc_id, nw, CASE WHEN nw > 0 THEN " +
+        "list_transform(range(0, nw), w -> sqrt(CAST(list_sum(" +
+        "list_transform(list_slice(s, CAST(w * 16 + 1 AS INTEGER), CAST(w * 16 + 16 AS INTEGER)), " +
+        "x -> CAST(x AS BIGINT) * x)) AS DOUBLE) / 16)) " +
+        "ELSE CAST([] AS DOUBLE[]) END AS rms FROM b), " +
+        "v AS (SELECT doc_id, nw, CASE WHEN nw > 0 THEN " +
+        "list_filter(range(0, nw), w -> rms[CAST(w + 1 AS INTEGER)] >= 4.5) " +
+        "ELSE CAST([] AS BIGINT[]) END AS voiced FROM r), " +
+        "e AS (SELECT doc_id, unnest(voiced) AS w FROM v), " +
+        "isl AS (SELECT doc_id, w, w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS k FROM e), " +
+        "seg AS (SELECT doc_id, CAST(COUNT(DISTINCT k) AS INTEGER) AS n_segments, " +
+        "CAST(MAX(cnt) AS INTEGER) AS longest_run FROM " +
+        "(SELECT doc_id, k, COUNT(*) AS cnt FROM isl GROUP BY 1, 2) GROUP BY doc_id) " +
+        "SELECT v.doc_id, nw AS n_windows, CAST(len(voiced) AS INTEGER) AS n_voiced, " +
+        "COALESCE(n_segments, 0) AS n_segments, COALESCE(longest_run, 0) AS longest_run, " +
+        r4("CASE WHEN nw > 0 THEN CAST(len(voiced) AS DOUBLE) / nw ELSE 0.0 END") + " AS voiced_frac " +
+        "FROM v LEFT JOIN seg USING (doc_id) ORDER BY v.doc_id"
     },
   )
 }

@@ -453,6 +453,98 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Scene-cut L1 threshold (q_video_scene) — shared with the oracle.
+    * The stub features are 8 iid U[0,1] dims (L1 mean 8/3 ≈ 2.67,
+    * σ ≈ 0.67), so 3.5 ≈ mean + 1.25σ tags the upper tail as cuts. */
+  val SceneCutThreshold = 3.5
+
+  /** q_video_scene: shot-boundary detection — the video-pipeline pass
+    * that segments a clip into scenes before per-scene sampling or
+    * captioning. Consecutive SAMPLED frames (the [[sampleFrames]] stream)
+    * are compared by L1 distance over their [[featurizeFrames]] vectors;
+    * a distance above [[SceneCutThreshold]] is a cut, and the declared
+    * report is per-clip: frame count, scene count (cuts + 1), first cut
+    * position. As everywhere in this module the decoder is the
+    * documented stand-in; the windowed delta logic downstream is the
+    * real thing and runs unchanged on real encoder features.
+    *
+    * Determinism: features are the 4-dp stable-rounded digest dims the
+    * q_frame_features oracle already replays; the L1 is a chained
+    * fixed-order sum of 8 absolute differences of those identical
+    * doubles, so the cut decisions are bit-stable across engines. Scale
+    * shape: decode/featurize is partition-parallel; the only shuffle is
+    * the per-clip window (partitionBy doc_id — millions of independent
+    * tiny partitions) plus the per-clip aggregate. */
+  def videoScene(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.NumericFunctions.stableRound4
+    val f = featurizeFrames(sampleFrames(Tables.documents(spark, dir))).toDF()
+    val feats = f.select(
+      Seq(col("doc_id"), col("frame_idx")) ++
+        (0 until 8).map(d => stableRound4(
+          element_at(col("feature"), d + 1).cast("double")).as(s"f$d")): _*)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val l1 = (0 until 8)
+      .map(d => abs(col(s"f$d") - lag(col(s"f$d"), 1).over(w)))
+      .reduce(_ + _)
+    feats
+      .withColumn("cut", when(l1 > lit(SceneCutThreshold), 1).otherwise(0))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_frames"),
+        (sum(col("cut")) + 1).cast("int").as("n_scenes"),
+        coalesce(min(when(col("cut") === 1, col("frame_idx"))), lit(-1))
+          .as("first_cut_idx"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q_audio_vad: voice-activity segmentation — the full gaps-and-islands
+    * companion to [[audioTrim]] (which only reports the outer trim
+    * pointers): how many CONTIGUOUS voiced segments a clip has, the
+    * longest one, and the voiced fraction — the stats an ASR pipeline
+    * uses to split clips and drop dead air. Same documented stand-in
+    * sample stream and the same windowed-RMS voiced set as audioTrim;
+    * the segmentation itself is a pure array fold over the sorted voiced
+    * window indices (runs break where consecutive indices differ by more
+    * than 1) — exact integer state, no window function, no shuffle: at
+    * 100 TB this stays parquet-scan-bound like the trim pass. */
+  def audioVad(spark: SparkSession, dir: String, windowSize: Int = 16,
+      silenceRms: Double = 4.5): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    import graft.functions.NumericFunctions.stableRound4
+    val samples = transform(tokens(col("text")), t => length(t))
+    val df = Tables.documents(spark, dir)
+      .select(col("doc_id"), samples.as("s"))
+      .select(col("doc_id"),
+        (size(col("s")) / windowSize).cast("int").as("nw"), col("s"))
+      .select(col("doc_id"), col("nw"),
+        when(col("nw") > 0, transform(sequence(lit(0), col("nw") - 1),
+          w => sqrt(
+            aggregate(slice(col("s"), w * windowSize + 1, lit(windowSize)),
+              lit(0L), (acc, x) => acc + x.cast("long") * x)
+              .cast("double") / windowSize)))
+          .otherwise(array().cast("array<double>")).as("rms"))
+      .select(col("doc_id"), col("nw").as("n_windows"),
+        when(col("nw") > 0,
+          filter(sequence(lit(0), col("nw") - 1),
+            w => element_at(col("rms"), w + 1) >= silenceRms))
+          .otherwise(array().cast("array<int>")).as("voiced"))
+    df.select(col("doc_id"), col("n_windows"),
+      size(col("voiced")).as("n_voiced"),
+      expr("aggregate(voiced, named_struct('prev', -2, 'n', 0), " +
+        "(acc, x) -> named_struct('prev', x, " +
+        "'n', acc.n + IF(x = acc.prev + 1, 0, 1)), acc -> acc.n)")
+        .as("n_segments"),
+      expr("aggregate(voiced, named_struct('prev', -2, 'cur', 0, 'best', 0), " +
+        "(acc, x) -> named_struct('prev', x, " +
+        "'cur', IF(x = acc.prev + 1, acc.cur + 1, 1), " +
+        "'best', greatest(acc.best, IF(x = acc.prev + 1, acc.cur + 1, 1))), " +
+        "acc -> acc.best)").as("longest_run"),
+      stableRound4(when(col("n_windows") > 0,
+        size(col("voiced")).cast("double") / col("n_windows"))
+        .otherwise(0.0)).as("voiced_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Caption shingle-Jaccard over any (va, vb, cos_sim) pair frame. */
   private def captionJoin(spark: SparkSession, dir: String,
       pairs: DataFrame): DataFrame = {

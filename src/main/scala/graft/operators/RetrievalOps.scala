@@ -236,4 +236,45 @@ object RetrievalOps {
         stableRound4(coalesce(col("rbo_raw"), lit(0.0))).as("rbo"))
       .orderBy(col("q_id"))
   }
+
+  /** Dirichlet smoothing mass (q_query_likelihood) — Zhai & Lafferty's
+    * recommended μ≈2000 for short queries. */
+  val DirichletMu = 2000.0
+
+  /** q_query_likelihood: language-model retrieval with Dirichlet-prior
+    * smoothing (Zhai & Lafferty, SIGIR 2001) — the probabilistic
+    * counterpart to [[bm25TopK]] and the second standard keyword ranker:
+    * score(q,d) = Σ_t ln((tf_td + μ·p̂(t|C)) / (|d| + μ)), where the
+    * collection model p̂(t|C) = cf_t / Σ|d| backs off unseen terms.
+    * Unlike BM25's df-based idf, the smoothing uses total collection
+    * frequency — so the two rankers genuinely disagree on volume-heavy
+    * docs and RRF fusion has something to fuse.
+    *
+    * Same scale shape as BM25: per-term tf is a narrow array expression
+    * on one scan (no explode), collection statistics collapse into ONE
+    * scalar aggregate broadcast back onto the scan, scoring is per-row
+    * literal algebra in fixed term order (chained sum, oracle-replayable),
+    * and the top-k is a TakeOrderedAndProject. One corpus scan at any
+    * size. Every doc scores (smoothing gives zero-tf docs a finite
+    * score), so the ranking key is the ROUNDED score with doc_id ties. */
+  def queryLikelihood(spark: SparkSession, dir: String, k: Int = 20,
+      terms: Seq[String] = QueryTerms, mu: Double = DirichletMu): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokensLower(col("text")).as("toks"))
+    val statCols = Seq(sum(size(col("toks"))).cast("double").as("n_tokens")) ++
+      terms.map(t => sum(size(filter(col("toks"), x => x === t)))
+        .cast("double").as(s"cf_$t"))
+    val stats = docs.agg(statCols.head, statCols.tail: _*)
+    val termScore: String => Column = t =>
+      log((col(s"tf_$t") + lit(mu) * (col(s"cf_$t") / col("n_tokens")))
+        / (col("dl") + lit(mu)))
+    docs
+      .select(Seq(col("doc_id"), size(col("toks")).cast("double").as("dl")) ++
+        terms.map(t => tf(col("toks"), t).as(s"tf_$t")): _*)
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        stableRound4(terms.map(termScore).reduce(_ + _)).as("ql_score"))
+      .orderBy(col("ql_score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -628,5 +628,219 @@ object StatOps {
         stableRound4(coalesce(col("c.llr"), col("l.llr"))).as("llr"),
         coalesce(col("c.decision"), col("l.decision")).as("decision"))
       .orderBy(col("variant"))
+  }
+
+  /** q_auc: ROC AUC of a score column against a binary label via the
+    * rank-sum identity AUC = (R₊ − n₊(n₊+1)/2) / (n₊·n₋) with midrank tie
+    * handling — the model-eval companion to the two-sample machinery
+    * above (q_mannwhitney tests a shift; this grades a ranker). Score =
+    * the first embedding component, label = (label == 1): the probe a
+    * quality/classifier head would ship.
+    *
+    * Scale shape: the same value-compression recipe as [[mannWhitney]] —
+    * one aggregation collapses the corpus to (score → n, n₊) rows, one
+    * single-partition cumulative window over that compressed domain
+    * (bounded by score cardinality, not corpus rows) yields midranks,
+    * then a one-row rank-sum aggregate. Every rank term is a half-integer
+    * (exact in binary floating point), so the rank sum is exact and the
+    * only rounding is the final 4-dp AUC. */
+  def rocAuc(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.embeddings(spark, dir)
+      .select(element_at(col("embedding"), 1).cast("double").as("v"),
+        when(col("label") === 1, 1L).otherwise(0L).as("pos"))
+    val byValue = s.groupBy(col("v"))
+      .agg(count(lit(1)).as("n_v"), sum(col("pos")).as("n_pv"))
+    val wAll = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byValue
+      .withColumn("below", coalesce(sum(col("n_v")).over(wAll), lit(0L)))
+      .withColumn("midrank",
+        col("below").cast("double") + (col("n_v") + 1).cast("double") / 2.0)
+    val totals = s.agg(sum(col("pos")).as("n_pos"),
+      (count(lit(1)) - sum(col("pos"))).as("n_neg"))
+    ranked
+      .agg(sum(col("n_pv").cast("double") * col("midrank")).as("rank_sum"))
+      .crossJoin(broadcast(totals))
+      .select(col("n_pos"), col("n_neg"),
+        stableRound4(
+          (col("rank_sum")
+            - col("n_pos").cast("double") * (col("n_pos") + 1).cast("double") / 2.0)
+          / (col("n_pos").cast("double") * col("n_neg").cast("double")))
+          .as("auc"))
+  }
+
+  /** q_levene: Brown–Forsythe variance-homogeneity test across the
+    * document sources — the gate ANOVA's equal-variance assumption needs,
+    * and a drift monitor in its own right (a crawl slice whose length
+    * SPREAD explodes is as suspect as one whose mean shifts).
+    * W = ((N−k)/(k−1)) · Σnᵢ(z̄ᵢ−z̄)² / ΣΣ(zᵢⱼ−z̄ᵢ)² where zᵢⱼ =
+    * |xᵢⱼ − medᵢ| and medᵢ is the per-source LOWER median — an exact
+    * integer picked at cumulative rank ⌈nᵢ/2⌉, so no interpolated float
+    * ever crosses an engine boundary (the cross-engine argmax lesson).
+    *
+    * Scale shape: value compression again — (source, length) counts in
+    * one aggregation, per-source medians from a source-partitioned
+    * cumulative over that compressed frame (parallel across sources,
+    * bounded by the length domain), then one pass of exact-integer
+    * moment sums: Σn·|v−med| and Σn·(v−med)² per source. Nothing after
+    * the first shuffle exceeds |sources|·|length-domain| rows. */
+  def levene(spark: SparkSession, dir: String): DataFrame = {
+    val bySv = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").as("v"))
+      .groupBy(col("source"), col("v")).agg(count(lit(1)).as("n_sv"))
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wN = Window.partitionBy(col("source"))
+    val med = bySv
+      .withColumn("cum", sum(col("n_sv")).over(wSrc))
+      .withColumn("n_s", sum(col("n_sv")).over(wN))
+      .filter(col("cum") - col("n_sv") < ceil(col("n_s") / 2.0)
+        && col("cum") >= ceil(col("n_s") / 2.0))
+      .select(col("source"), col("v").as("med"))
+    // exact integer z-moments per source: Σn·|v−med|, Σn·(v−med)²
+    val zs = bySv.join(med, "source")
+      .groupBy(col("source"))
+      .agg(sum(col("n_sv")).as("n_s"),
+        sum(col("n_sv") * abs(col("v") - col("med"))).as("sz"),
+        sum(col("n_sv") * (col("v") - col("med")) * (col("v") - col("med")))
+          .as("szz"))
+    // W from the k-row aggregate: SSB/SSW on z with z̄ᵢ = szᵢ/nᵢ
+    val tot = zs.agg(sum(col("n_s")).as("n_total"),
+      count(lit(1)).as("k"), sum(col("sz")).as("sz_all"))
+    zs.crossJoin(broadcast(tot))
+      .agg(
+        first(col("n_total")).as("n_total"), first(col("k")).as("k"),
+        sum(col("n_s").cast("double")
+          * (col("sz").cast("double") / col("n_s")
+            - col("sz_all").cast("double") / col("n_total"))
+          * (col("sz").cast("double") / col("n_s")
+            - col("sz_all").cast("double") / col("n_total"))).as("ssb"),
+        sum(col("szz").cast("double")
+          - col("sz").cast("double") * col("sz") / col("n_s")).as("ssw"))
+      .select(col("n_total"), col("k"),
+        stableRound4(col("ssb")).as("ssb"),
+        stableRound4(col("ssw")).as("ssw"),
+        stableRound4(((col("n_total") - col("k")).cast("double")
+          / (col("k") - 1).cast("double")) * col("ssb") / col("ssw"))
+          .as("w_stat"))
+  }
+
+  /** Shared engine/oracle Box-Cox λ grid (q_boxcox). Halves only, so the
+    * power transforms reduce to sqrt/reciprocal — IEEE-identical across
+    * engines, unlike a general pow. */
+  val BoxCoxLambdas: Seq[Double] = Seq(-1.0, -0.5, 0.0, 0.5, 1.0)
+
+  /** q_boxcox: Box–Cox power-transform selection (Box & Cox 1964) over
+    * document lengths — pick the λ whose transform makes the length
+    * distribution most Gaussian, by maximizing the profile log-likelihood
+    * LL(λ) = −n/2·ln σ̂²_λ + (λ−1)·Σln x. Length normalization is the
+    * standard pre-step before z-scoring a heavy-tailed quality feature.
+    *
+    * The λ grid is pinned to halves ([[BoxCoxLambdas]]) so every
+    * transform is sqrt / reciprocal / identity / ln — each IEEE-exact or
+    * libm-stable across engines (a general x^λ is not). ONE scan computes
+    * all ten (Σy, Σy²) sufficient statistics plus the shared Σln x as a
+    * single 12-column partial aggregate; the per-λ LLs and the argmax
+    * flag are literal algebra on that one row, unpivoted to 5 output
+    * rows. Scale shape: one narrow scan, one 1-row aggregate — constant
+    * memory at any corpus size. */
+  def boxcox(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.documents(spark, dir)
+      .filter(col("n_chars") > 0)
+      .select(col("n_chars").cast("double").as("x"))
+    def y(lam: Double): Column = lam match {
+      case 0.0  => log(col("x"))
+      case 1.0  => col("x") - 1.0
+      case -1.0 => lit(1.0) - lit(1.0) / col("x")
+      case 0.5  => (sqrt(col("x")) - 1.0) * 2.0
+      case -0.5 => (lit(1.0) - lit(1.0) / sqrt(col("x"))) * 2.0
+    }
+    val aggs = Seq(count(lit(1)).cast("double").as("n"),
+      sum(log(col("x"))).as("sum_ln")) ++
+      BoxCoxLambdas.zipWithIndex.flatMap { case (lam, i) =>
+        Seq(sum(y(lam)).as(s"s$i"), sum(y(lam) * y(lam)).as(s"q$i"))
+      }
+    val row = x.agg(aggs.head, aggs.tail: _*)
+    // unpivot the 5 λs: LL(λ) = −n/2·ln((q − s²/n)/n) + (λ−1)·Σln x
+    val lls = BoxCoxLambdas.zipWithIndex.map { case (lam, i) =>
+      (lit(-0.5) * col("n")
+        * log((col(s"q$i") - col(s"s$i") * col(s"s$i") / col("n")) / col("n"))
+        + lit(lam - 1.0) * col("sum_ln")).as(s"ll$i")
+    }
+    val wide = row.select(col("n") +: lls: _*)
+    val stacked = wide.select(col("n"), expr(
+      "stack(" + BoxCoxLambdas.size + ", " +
+        BoxCoxLambdas.zipWithIndex
+          .map { case (lam, i) => s"CAST($lam AS DOUBLE), ll$i" }
+          .mkString(", ") + ") as (lambda, ll)"))
+    val best = stacked.agg(max(col("ll")).as("ll_max"))
+    stacked.crossJoin(broadcast(best))
+      .select(col("lambda"), col("n").cast("long").as("n"),
+        stableRound4(col("ll")).as("log_likelihood"),
+        (col("ll") >= col("ll_max")).as("is_best"))
+      .orderBy(col("lambda"))
+  }
+
+  /** Shared engine/oracle permutation count (q_permutation_test). */
+  val PermutationRounds = 20
+
+  /** q_permutation_test: a randomization test of the English-vs-rest mean
+    * document length gap, with the permutation stream derived from md5 —
+    * the portable-randomness contract every sampler in this engine uses
+    * (q_sample_hash, q_weighted_sample), so both engines replay the SAME
+    * [[PermutationRounds]] pseudo-random relabelings bit-for-bit.
+    * Permutation r reassigns each doc to "en" iff u(doc,r) < p̂_en where
+    * u = the first 6 md5 hex digits of "doc_id:r" scaled to [0,1) and
+    * p̂_en is the observed English fraction (one integer÷integer — IEEE-
+    * identical); the p-value is the add-one estimate
+    * (1 + #{|Δ_r| ≥ |Δ_obs|}) / (R+1). Group sums are exact integers and
+    * each Δ is a difference of two single divisions, so every comparison
+    * is bit-deterministic across engines.
+    *
+    * Scale shape: one bounded explode (×R) into one (r, flag) partial
+    * aggregation — R·2 running cells per task, no window, no join wider
+    * than the R-row aggregate. At 100 TB this is R linear passes fused
+    * into one shuffle round. */
+  def permutationTest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val obs = docs.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+      sum(when(col("lang") === "en", col("n_chars"))
+        .otherwise(0L)).as("sum_en"),
+      sum(when(col("lang") =!= "en", col("n_chars"))
+        .otherwise(0L)).as("sum_rest"))
+      .select(col("n"), col("n_en"),
+        (col("sum_en").cast("double") / col("n_en")
+          - col("sum_rest").cast("double") / (col("n") - col("n_en")))
+          .as("obs_diff"))
+    val perms = docs
+      .crossJoin(broadcast(obs.select(col("n"), col("n_en"))))
+      .select(col("doc_id"), col("n_chars"),
+        (col("n_en").cast("double") / col("n")).as("p_en"),
+        explode(sequence(lit(1), lit(PermutationRounds))).as("r"))
+      .select(col("r"), col("n_chars"),
+        (conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("r").cast("string"))), 1, 6), 16, 10).cast("long")
+          .cast("double") / lit(16777216.0) < col("p_en")).as("is_en"))
+      .groupBy(col("r"))
+      .agg(sum(when(col("is_en"), 1L).otherwise(0L)).as("k_en"),
+        sum(when(col("is_en"), col("n_chars")).otherwise(0L)).as("s_en"),
+        sum(when(!col("is_en"), col("n_chars")).otherwise(0L)).as("s_rest"),
+        count(lit(1)).as("k_all"))
+      .select(col("r"),
+        (col("s_en").cast("double") / col("k_en")
+          - col("s_rest").cast("double") / (col("k_all") - col("k_en")))
+          .as("perm_diff"))
+    perms.crossJoin(broadcast(obs.select(col("obs_diff"))))
+      .agg(count(lit(1)).as("n_perms"),
+        first(col("obs_diff")).as("od"),
+        sum(when(abs(col("perm_diff")) >= abs(col("obs_diff")), 1L)
+          .otherwise(0L)).as("n_extreme"))
+      .select(col("n_perms"), col("n_extreme"),
+        stableRound4(col("od")).as("obs_diff"),
+        stableRound4((col("n_extreme") + 1).cast("double")
+          / (col("n_perms") + 1).cast("double")).as("p_value"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -754,7 +754,17 @@ object TextOps {
     * join of the ≤ langs·topK profile against the distinct doc-trigram
     * set. No doc×doc work anywhere; the model never leaves the cluster. */
   def langTrigram(spark: SparkSession, dir: String, topK: Int = 64)
-      : DataFrame = {
+      : DataFrame =
+    trigramPredDf(spark, dir, topK)
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("lang_pred"))
+
+  /** Per-doc trigram-classifier predictions (doc_id, lang, lang_pred) —
+    * the frame [[langTrigram]] rolls up and [[mcnemar]] pairs against the
+    * stopword heuristic. */
+  private[operators] def trigramPredDf(spark: SparkSession, dir: String,
+      topK: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val norm = regexp_replace(lower(col("text")), "\\s+", " ")
     val docs = Tables.documents(spark, dir)
@@ -796,11 +806,8 @@ object TextOps {
     Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
       .join(best, Seq("doc_id"), "left")
       .crossJoin(broadcast(minLang))
-      .select(col("lang"),
+      .select(col("doc_id"), col("lang"),
         coalesce(col("plang"), col("min_lang")).as("lang_pred"))
-      .groupBy(col("lang"), col("lang_pred"))
-      .agg(count(lit(1)).as("n_docs"))
-      .orderBy(col("lang"), col("lang_pred"))
   }
 
   private[operators] def readabilityDf(docs: DataFrame): DataFrame = {
@@ -868,5 +875,207 @@ object TextOps {
       .select(col("node").as("token"), stableRound4(col("rank")).as("rank"))
       .orderBy(col("rank").desc, col("token"))
       .limit(k)
+  }
+
+  /** Collocation dials (q_llr_colloc): minimum pair count and report size. */
+  val LlrMinCount = 5
+  val LlrTopN = 30
+
+  /** q_llr_colloc: collocation extraction by Dunning's log-likelihood
+    * ratio (Dunning 1993) over ADJACENT token bigrams — the significance
+    * test that, unlike raw PMI (q_cooccur's document-level signal),
+    * doesn't explode on rare pairs: each bigram's 2×2 contingency table
+    * (k11 = c(w1 w2), k12 = c(w1 ¬w2), k21 = c(¬w1 w2), k22 = rest)
+    * is scored G² = 2·Σ kᵢⱼ·ln(kᵢⱼ·N / (rowᵢ·colⱼ)), zero terms dropped.
+    * Collocations are the multi-word units a tokenizer/vocab-induction
+    * pass should keep intact — the measurable counterpart to BPE merges.
+    *
+    * Scale shape: the same one-explode bigram aggregation as [[knBigram]]
+    * (zip_with adjacent pairs, partial-aggregated (w1,w2) counts), two
+    * marginal rollups joined back on their keys, ONE scalar total
+    * broadcast, then per-row literal algebra. All counts are exact
+    * integers; the lns are per-row with a chained fixed-order sum, so
+    * the ranking key (ROUNDED G², ties on the pair) replays exactly. */
+  def llrColloc(spark: SparkSession, dir: String,
+      minCount: Int = LlrMinCount, topN: Int = LlrTopN): DataFrame = {
+    val bgc = Materialize(
+      Tables.documents(spark, dir)
+        .select(tokensLower(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "zip_with(slice(toks, 1, size(toks) - 1), " +
+            "slice(toks, 2, size(toks) - 1), " +
+            "(x, y) -> named_struct('w1', x, 'w2', y))")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("k11")))
+    val c1 = bgc.groupBy(col("w1")).agg(sum(col("k11")).as("c1"))
+    val c2 = bgc.groupBy(col("w2")).agg(sum(col("k11")).as("c2"))
+    val tot = bgc.agg(sum(col("k11")).as("nn"))
+    // G² term: k·ln(k·N/(row·col)), contributing 0 when k = 0 (lazy
+    // CaseWhen keeps the ln off the zero branch — the ANSI guard rule)
+    def term(k: Column, row: Column, colm: Column): Column =
+      when(k > 0, k.cast("double")
+        * log(k.cast("double") * col("nn")
+          / (row.cast("double") * colm.cast("double"))))
+        .otherwise(lit(0.0))
+    bgc.filter(col("k11") >= minCount)
+      .join(c1, "w1").join(c2, "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("k11").as("n_pair"),
+        stableRound4(lit(2.0) * (
+          term(col("k11"), col("c1"), col("c2"))
+            + term(col("c1") - col("k11"), col("c1"), col("nn") - col("c2"))
+            + term(col("c2") - col("k11"), col("nn") - col("c1"), col("c2"))
+            + term(col("nn") - col("c1") - col("c2") + col("k11"),
+              col("nn") - col("c1"), col("nn") - col("c2"))))
+          .as("llr"))
+      .orderBy(col("llr").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
+  /** q_self_bleu: corpus diversity by self-BLEU-2 (Zhu et al. 2018's
+    * diversity metric, BLEU per Papineni et al. 2002) — each document
+    * scored against its id-successor WITHIN its source (a deterministic
+    * linear pairing: near-1 means the source emits near-duplicates, the
+    * generation-diversity red flag). Per pair: clipped unigram/bigram
+    * precisions p₁, p₂ (Σ min(c_hyp, c_ref) / hyp length), brevity
+    * penalty min(1, e^(1−r/h)), BLEU₂ = BP·√(p₁p₂); reported as
+    * per-source means.
+    *
+    * Scale shape: one explode → (doc, gram) partial-aggregated counts
+    * per gram order, a per-source lead() window over doc ids (bounded by
+    * docs-per-source), and two pair⋈counts joins in which every doc
+    * appears in ≤ 2 pairs — all linear in the corpus; no doc×doc blowup
+    * anywhere. Precisions are exact-integer ratios; the only
+    * transcendental is the BP exponential on the length ratio. */
+  def selfBleu(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), tokensLower(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val uni = docs
+      .select(col("doc_id"), explode(col("toks")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val bi = docs
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), " +
+          "slice(toks, 2, size(toks) - 1), (x, y) -> concat(x, ' ', y))"))
+        .as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("hyp"))
+    val pairs = docs
+      .select(col("source"), col("doc_id").as("hyp"),
+        size(col("toks")).as("len_h"))
+      .withColumn("ref", lead(col("hyp"), 1).over(wSrc))
+      .withColumn("len_r", lead(col("len_h"), 1).over(wSrc))
+      .filter(col("ref").isNotNull)
+    def clipped(cnt: DataFrame): DataFrame =
+      pairs.select(col("hyp"), col("ref"))
+        .join(cnt.as("a"), col("hyp") === col("a.doc_id"))
+        .join(cnt.as("b"),
+          col("ref") === col("b.doc_id") && col("a.g") === col("b.g"))
+        .groupBy(col("hyp"))
+        .agg(sum(least(col("a.c"), col("b.c"))).as("clip"))
+    val p1 = clipped(uni).withColumnRenamed("clip", "clip1")
+    val p2 = clipped(bi).withColumnRenamed("clip", "clip2")
+    pairs
+      .join(p1, Seq("hyp"), "left").join(p2, Seq("hyp"), "left")
+      .select(col("source"),
+        (coalesce(col("clip1"), lit(0L)).cast("double") / col("len_h"))
+          .as("prec1"),
+        (coalesce(col("clip2"), lit(0L)).cast("double") / (col("len_h") - 1))
+          .as("prec2"),
+        when(col("len_r") <= col("len_h"), lit(1.0))
+          .otherwise(exp(lit(1.0) - col("len_r").cast("double") / col("len_h")))
+          .as("bp"))
+      .select(col("source"), col("prec1"), col("prec2"),
+        (col("bp") * sqrt(col("prec1") * col("prec2"))).as("bleu2"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pairs"),
+        stableRound4(avg(col("prec1"))).as("avg_p1"),
+        stableRound4(avg(col("prec2"))).as("avg_p2"),
+        stableRound4(avg(col("bleu2"))).as("avg_self_bleu"))
+      .orderBy(col("source"))
+  }
+
+  /** q_isotonic_cal: isotonic (PAV) recalibration of the quality
+    * classifier's binned reliability curve — the post-hoc fix a
+    * miscalibrated [[calibration]] audit calls for (Zadrozny & Elkan
+    * 2002). Over the same ≤10 score bins, the isotonic fit is the
+    * minimax closed form of pool-adjacent-violators:
+    * iso(i) = max_{j≤i} min_{k≥i} pooled-pass-rate(j..k) — monotone by
+    * construction, and exactly the PAV solution.
+    *
+    * Scale shape: the corpus-sized work is the SAME two classifier scans
+    * the calibration audit already prices; everything after is algebra
+    * on a ≤10-row aggregate (cumulative sums + two bounded self-joins
+    * over bin pairs — ≤55 rows). Pooled rates are exact-integer
+    * divisions and min/max of identical doubles, so the fit replays
+    * bit-for-bit in the oracle. */
+  def isotonicCal(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val pass = gopherDocFlags(docs)
+      .select(col("doc_id"),
+        (col("p_wc") && col("p_mwl") && col("p_stop") && col("p_alpha"))
+          .cast("double").as("pass"))
+    val bins = logisticPKeepDf(docs).join(pass, Seq("doc_id"))
+      .select(least(floor(col("p_keep") * 10), lit(9)).cast("int").as("bin"),
+        col("pass"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pass")).as("s"))
+    val wCum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins
+      .withColumn("cn", sum(col("n")).over(wCum))
+      .withColumn("cs", sum(col("s")).over(wCum))
+    // pooled pass rate over bin range [j..k] from the cumulative frame
+    val pooled = cum.as("k").join(cum.as("j"), col("j.bin") <= col("k.bin"))
+      .select(col("j.bin").as("jb"), col("k.bin").as("kb"),
+        ((col("k.cs") - col("j.cs") + col("j.s"))
+          / (col("k.cn") - col("j.cn") + col("j.n")).cast("double")).as("m"))
+    val iso = bins.select(col("bin"))
+      .join(pooled, col("jb") <= col("bin") && col("bin") <= col("kb"))
+      .groupBy(col("bin"), col("jb")).agg(min(col("m")).as("mn"))
+      .groupBy(col("bin")).agg(max(col("mn")).as("iso"))
+    bins.join(iso, "bin")
+      .select(col("bin"), col("n").as("n_docs"),
+        stableRound4(col("s") / col("n").cast("double")).as("frac_pass"),
+        stableRound4(col("iso")).as("iso_pass"))
+      .orderBy(col("bin"))
+  }
+
+  /** q_mcnemar: McNemar's paired test (continuity-corrected) between the
+    * two shipped language classifiers — the stopword heuristic
+    * ([[langId]]) and the trigram profile classifier ([[langTrigram]]) —
+    * on the SAME documents against the declared lang. The paired design
+    * is the right test for "is classifier B actually better": only the
+    * discordant documents (one right, one wrong) carry information;
+    * χ² = (|b−c|−1)²/(b+c), NULL when no discordant pairs exist.
+    *
+    * Scale shape: both classifiers are existing linear passes; the test
+    * adds one doc_id equi-join and a single 5-counter aggregate. Every
+    * counter is an exact integer, so the statistic is one bit-stable
+    * division. */
+  def mcnemar(spark: SparkSession, dir: String): DataFrame = {
+    val a = langId(spark, dir)
+      .select(col("doc_id"), (col("lang_pred") === col("lang")).as("ca"))
+    val b = trigramPredDf(spark, dir)
+      .select(col("doc_id"), (col("lang_pred") === col("lang")).as("cb"))
+    a.join(b, "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ca") && col("cb"), 1L).otherwise(0L)).as("both_correct"),
+        sum(when(col("ca") && !col("cb"), 1L).otherwise(0L)).as("only_heuristic"),
+        sum(when(!col("ca") && col("cb"), 1L).otherwise(0L)).as("only_trigram"),
+        sum(when(!col("ca") && !col("cb"), 1L).otherwise(0L)).as("both_wrong"))
+      .select(col("n_docs"), col("both_correct"), col("only_heuristic"),
+        col("only_trigram"), col("both_wrong"),
+        stableRound4(when(col("only_heuristic") + col("only_trigram") > 0,
+          (abs(col("only_heuristic") - col("only_trigram")) - 1)
+            .cast("double")
+            * (abs(col("only_heuristic") - col("only_trigram")) - 1)
+            / (col("only_heuristic") + col("only_trigram")).cast("double")))
+          .as("mcnemar_chi2"))
   }
 }

@@ -234,4 +234,207 @@ class Round12OpsSpec extends SparkTestBase {
       assert(math.abs(g._3 - expect._3) < 1e-3)
     }
   }
+
+  test("rocAuc: matches the definitional pairwise AUC on the fixture") {
+    val r = StatOps.rocAuc(spark, sf).collect().head
+    val (nPos, nNeg, auc) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(auc >= 0.0 && auc <= 1.0)
+    val sc = graft.Tables.embeddings(spark, sf)
+      .select(element_at(col("embedding"), 1).cast("double"),
+        (col("label") === 1).cast("int"))
+      .collect().map(r => (r.getDouble(0), r.getInt(1)))
+    val pos = sc.filter(_._2 == 1).map(_._1)
+    val neg = sc.filter(_._2 == 0).map(_._1)
+    assert(nPos == pos.length && nNeg == neg.length)
+    val wins = (for (p <- pos; q <- neg) yield
+      if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum
+    assert(math.abs(auc - wins / (pos.length.toDouble * neg.length)) < 1e-4)
+  }
+
+  test("levene: W matches a driver Brown-Forsythe recompute with lower medians") {
+    val r = StatOps.levene(spark, sf).collect().head
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    val groups = docs.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(r.getLong(0) == docs.length && r.getLong(1) == groups.size)
+    val z = groups.map { case (s, vs) =>
+      val med = vs((vs.length + 1) / 2 - 1) // lower median, rank ceil(n/2)
+      s -> vs.map(v => math.abs(v - med).toDouble)
+    }
+    val n = docs.length.toDouble
+    val zAll = z.values.flatten.sum / n
+    val ssb = z.values.map(v => v.length * math.pow(v.sum / v.length - zAll, 2)).sum
+    val ssw = z.values.map(v => { val m = v.sum / v.length; v.map(x => (x - m) * (x - m)).sum }).sum
+    val w = ((n - groups.size) / (groups.size - 1)) * ssb / ssw
+    assert(math.abs(r.getDouble(2) - ssb) < 1e-3, s"ssb ${r.getDouble(2)} vs $ssb")
+    assert(math.abs(r.getDouble(3) - ssw) < 1e-3)
+    assert(math.abs(r.getDouble(4) - w) < 1e-3)
+  }
+
+  test("boxcox: 5 grid rows, lambda=1 LL matches the closed form, exactly one argmax") {
+    val rows = StatOps.boxcox(spark, sf).collect()
+    assert(rows.map(_.getDouble(0)).toSeq == StatOps.BoxCoxLambdas)
+    assert(rows.count(_.getBoolean(3)) == 1)
+    val xs = graft.Tables.documents(spark, sf)
+      .filter(col("n_chars") > 0).select(col("n_chars").cast("double"))
+      .collect().map(_.getDouble(0))
+    val n = xs.length.toDouble
+    // LL(1): y = x-1 shifts nothing — variance of x itself
+    val m = xs.sum / n
+    val v = xs.map(x => (x - m) * (x - m)).sum / n
+    val ll1 = -0.5 * n * math.log(v)
+    val got1 = rows.find(_.getDouble(0) == 1.0).get.getDouble(2)
+    assert(math.abs(got1 - ll1) < 1e-2, s"$got1 vs $ll1")
+    assert(rows.forall(_.getLong(1) == xs.length))
+  }
+
+  test("permutationTest: p-value add-one bounds, obs matches a driver recompute") {
+    val r = StatOps.permutationTest(spark, sf).collect().head
+    val (nPerms, nExtreme) = (r.getLong(0), r.getLong(1))
+    assert(nPerms == StatOps.PermutationRounds)
+    assert(nExtreme >= 0 && nExtreme <= nPerms)
+    val p = r.getDouble(3)
+    assert(p >= 1.0 / (nPerms + 1) && p <= 1.0)
+    assert(math.abs(p - (nExtreme + 1.0) / (nPerms + 1.0)) < 1e-4)
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("lang"), col("n_chars")).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    val en = docs.filter(_._1 == "en").map(_._2)
+    val rest = docs.filter(_._1 != "en").map(_._2)
+    val obs = en.sum.toDouble / en.length - rest.sum.toDouble / rest.length
+    assert(math.abs(r.getDouble(2) - obs) < 1e-3)
+  }
+
+  test("queryLikelihood: top-20 matches a driver Dirichlet-LM recompute") {
+    val got = RetrievalOps.queryLikelihood(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 20)
+    assert(got.forall(_._2 < 0.0)) // log-probabilities
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.functions.TextFunctions.tokensLower(col("text")))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val mu = RetrievalOps.DirichletMu
+    val total = docs.map(_._2.length.toDouble).sum
+    val cf = RetrievalOps.QueryTerms
+      .map(t => t -> docs.map(_._2.count(_ == t).toDouble).sum).toMap
+    val scores = docs.map { case (id, toks) =>
+      val dl = toks.length.toDouble
+      id -> RetrievalOps.QueryTerms.map(t =>
+        math.log((toks.count(_ == t) + mu * (cf(t) / total)) / (dl + mu))).sum
+    }
+    val top = scores.sortBy { case (id, s) =>
+      (-math.rint(s * 10000) / 10000, id) }.take(20)
+    assert(got.map(_._1).toSeq == top.map(_._1).toSeq)
+    got.zip(top).foreach { case ((_, g), (_, e)) =>
+      assert(math.abs(g - e) < 1e-3) }
+  }
+
+  test("llrColloc: counts ≥ min, top row matches a driver G² recompute") {
+    val rows = TextOps.llrColloc(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= TextOps.LlrTopN)
+    assert(rows.forall(_.getLong(2) >= TextOps.LlrMinCount))
+    assert(rows.forall(_.getDouble(3) >= -1e-9))
+    // driver recompute of the top pair's G² from raw bigram counts
+    val (w1, w2) = (rows.head.getString(0), rows.head.getString(1))
+    val bgs = graft.Tables.documents(spark, sf)
+      .select(graft.functions.TextFunctions.tokensLower(col("text")))
+      .collect().map(_.getSeq[String](0)).filter(_.length >= 2)
+      .flatMap(t => t.sliding(2).map(p => (p(0), p(1))))
+    val nn = bgs.length.toDouble
+    val k11 = bgs.count(p => p._1 == w1 && p._2 == w2).toDouble
+    val c1 = bgs.count(_._1 == w1).toDouble
+    val c2 = bgs.count(_._2 == w2).toDouble
+    def t(k: Double, r: Double, c: Double) =
+      if (k > 0) k * math.log(k * nn / (r * c)) else 0.0
+    val g2 = 2.0 * (t(k11, c1, c2) + t(c1 - k11, c1, nn - c2)
+      + t(c2 - k11, nn - c1, c2) + t(nn - c1 - c2 + k11, nn - c1, nn - c2))
+    assert(math.abs(rows.head.getDouble(3) - g2) < 1e-2,
+      s"${rows.head.getDouble(3)} vs $g2")
+  }
+
+  test("selfBleu: precisions and BLEU in [0,1], pair counts match the source layout") {
+    val rows = TextOps.selfBleu(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getDouble(4) <= r.getDouble(2) + 1e-9) // bleu ≤ p1 (bp,√p2 ≤ 1... p2 ≤ p1)
+    }
+    val perSource = graft.Tables.documents(spark, sf)
+      .select(col("source"),
+        size(graft.functions.TextFunctions.tokensLower(col("text"))).as("n"))
+      .filter(col("n") >= 2)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r =>
+      assert(r.getLong(1) == perSource(r.getString(0)) - 1, r.toString))
+  }
+
+  test("isotonicCal: fit is monotone, bounded, and mass-preserving") {
+    val rows = TextOps.isotonicCal(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val iso = rows.map(_.getDouble(3))
+    assert(iso.forall(v => v >= 0.0 && v <= 1.0))
+    assert(iso.sliding(2).forall { case Array(a, b) => b >= a - 1e-9; case _ => true })
+    // PAV preserves the weighted mean (sum of pass mass)
+    val n = rows.map(_.getLong(1).toDouble)
+    val frac = rows.map(_.getDouble(2))
+    val massRaw = n.zip(frac).map { case (a, b) => a * b }.sum
+    val massIso = n.zip(iso).map { case (a, b) => a * b }.sum
+    assert(math.abs(massRaw - massIso) < n.sum * 5e-4, s"$massRaw vs $massIso")
+  }
+
+  test("mcnemar: counters partition the corpus; chi2 matches the closed form") {
+    val r = TextOps.mcnemar(spark, sf).collect().head
+    val (n, n11, b, c, n00) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))
+    assert(n == graft.Tables.documents(spark, sf).count())
+    assert(n11 + b + c + n00 == n)
+    if (b + c > 0) {
+      val expect = math.pow(math.abs(b - c).toDouble - 1, 2) / (b + c)
+      assert(math.abs(r.getDouble(5) - expect) < 1e-3)
+    } else assert(r.isNullAt(5))
+  }
+
+  test("videoScene: scene count = cuts+1, frame counts match the sampled stream") {
+    val rows = MultimodalOps.videoScene(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(2) >= 1)
+      if (r.getInt(2) == 1) assert(r.getInt(3) == -1)
+      else assert(r.getInt(3) > 0) // a cut needs a predecessor frame
+    }
+    val perDoc = MultimodalOps.frameSample(spark, sf)
+      .groupBy(col("doc_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getInt(1).toLong == perDoc(r.getLong(0))))
+  }
+
+  test("audioVad: segment stats agree with a driver gaps-and-islands replay") {
+    val got = MultimodalOps.audioVad(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getDouble(5)))).toMap
+    val texts = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.size == texts.length)
+    texts.foreach { case (id, text) =>
+      val s = text.trim.split("\\s+").map(_.length)
+      val nw = s.length / 16
+      val voiced = (0 until nw).filter { w =>
+        val win = s.slice(w * 16, w * 16 + 16)
+        math.sqrt(win.map(x => x.toLong * x).sum.toDouble / 16) >= 4.5
+      }
+      val segs = voiced.foldLeft((List.empty[Int], -2)) { case ((acc, prev), x) =>
+        if (x == prev + 1) ((acc.head + 1) :: acc.tail, x) else (1 :: acc, x)
+      }._1
+      val (gw, gv, gs, gl, gf) = got(id)
+      assert(gw == nw && gv == voiced.length, s"doc $id")
+      assert(gs == segs.length, s"doc $id segments")
+      assert(gl == (if (segs.isEmpty) 0 else segs.max), s"doc $id longest")
+      if (nw > 0) assert(math.abs(gf - voiced.length.toDouble / nw) < 1e-3)
+    }
+  }
 }
