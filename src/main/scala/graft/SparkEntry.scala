@@ -456,6 +456,16 @@ object SparkEntry {
     "q_video_scene"    -> (MultimodalOps.videoScene _),
     // voice-activity segments: gaps-and-islands over voiced windows
     "q_audio_vad"      -> ((s, d) => MultimodalOps.audioVad(s, d)),
+    // Hurst exponent of the hourly event series by R/S analysis
+    "q_hurst"          -> (EventOps.hurst _),
+    // Kendall tau-b over the |sources|-bounded profile pairs
+    "q_kendall_tau"    -> (AnalyticsOps.kendallTau _),
+    // Spearman rho: Pearson on midranks of the source profile
+    "q_spearman"       -> (AnalyticsOps.spearmanRho _),
+    // total chi2 + Cramer's V effect size of the lang x source crosstab
+    "q_cramers_v"      -> (AnalyticsOps.cramersV _),
+    // Cohen's kappa agreement between the two lang classifiers
+    "q_cohens_kappa"   -> (TextOps.cohensKappa _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -4738,6 +4748,129 @@ object SparkEntry {
         "COALESCE(n_segments, 0) AS n_segments, COALESCE(longest_run, 0) AS longest_run, " +
         r4("CASE WHEN nw > 0 THEN CAST(len(voiced) AS DOUBLE) / nw ELSE 0.0 END") + " AS voiced_frac " +
         "FROM v LEFT JOIN seg USING (doc_id) ORDER BY v.doc_id"
+    },
+    // R/S analysis: integer within-block walks, exact block moments,
+    // 3-point log-log fit on the ROUNDED per-n means
+    "q_hurst" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      val grid = graft.operators.EventOps.HurstWindows
+        .map(n => s"($n)").mkString(", ")
+      "WITH h AS (SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS c FROM events GROUP BY 1), " +
+        "ix AS (SELECT row_number() OVER (ORDER BY hr) AS i, c FROM h), " +
+        s"g AS (SELECT i, c, n FROM ix CROSS JOIN (VALUES $grid) AS t(n)), " +
+        "bl AS (SELECT n, CAST((i - 1) // n AS INTEGER) AS blk, i, c FROM g), " +
+        "st AS (SELECT n, blk, COUNT(*) AS cnt, SUM(c) AS s, SUM(c * c) AS ss " +
+        "FROM bl GROUP BY 1, 2), " +
+        "stf AS (SELECT n, blk, s, ss FROM st WHERE cnt = n), " +
+        "wk AS (SELECT bl.n AS n, bl.blk AS blk, stf.s AS s, stf.ss AS ss, " +
+        "CAST(SUM(c) OVER (PARTITION BY bl.n, bl.blk ORDER BY i) AS DOUBLE) " +
+        "- CAST(row_number() OVER (PARTITION BY bl.n, bl.blk ORDER BY i) AS DOUBLE) " +
+        "* (CAST(stf.s AS DOUBLE) / bl.n) AS dev " +
+        "FROM bl JOIN stf ON bl.n = stf.n AND bl.blk = stf.blk), " +
+        "r0 AS (SELECT n, blk, s, ss, MAX(dev) - MIN(dev) AS r FROM wk GROUP BY n, blk, s, ss), " +
+        "r1 AS (SELECT n, r, sqrt(CAST(ss AS DOUBLE) / n " +
+        "- (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS sd FROM r0), " +
+        "rs AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS n_blocks, " +
+        r4("avg(r / sd)") + " AS mean_rs FROM r1 WHERE sd > 0.0 GROUP BY n), " +
+        "f AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k, SUM(ln(n)) AS sx, SUM(ln(mean_rs)) AS sy, " +
+        "SUM(ln(n) * ln(mean_rs)) AS sxy, SUM(ln(n) * ln(n)) AS sxx FROM rs), " +
+        "ff AS (SELECT (sxy - sx * sy / k) / (sxx - sx * sx / k) AS hh FROM f) " +
+        "SELECT n, n_blocks, mean_rs, " + r4("hh") + " AS hurst " +
+        "FROM rs CROSS JOIN ff ORDER BY n"
+    },
+    // Kendall tau-b: all-pairs over the per-source profile (mean length
+    // x vocab size), exact-integer concordance counts
+    "q_kendall_tau" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH p AS (SELECT source, CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS x, MAX(n_chars) AS y " +
+        "FROM documents GROUP BY source), " +
+        "pr AS (SELECT a.x - b.x AS dx, CAST(a.y - b.y AS DOUBLE) AS dy " +
+        "FROM p a JOIN p b ON a.source < b.source), " +
+        "ag AS (SELECT COUNT(*) AS n0, " +
+        "SUM(CASE WHEN dx <> 0.0 AND dy <> 0.0 AND ((dx > 0.0) = (dy > 0.0)) THEN 1 ELSE 0 END) AS conc, " +
+        "SUM(CASE WHEN dx <> 0.0 AND dy <> 0.0 AND ((dx > 0.0) <> (dy > 0.0)) THEN 1 ELSE 0 END) AS disc, " +
+        "SUM(CASE WHEN dx = 0.0 THEN 1 ELSE 0 END) AS tx, " +
+        "SUM(CASE WHEN dy = 0.0 THEN 1 ELSE 0 END) AS ty FROM pr) " +
+        "SELECT CAST(n0 AS BIGINT) AS n0, CAST(conc AS BIGINT) AS conc, CAST(disc AS BIGINT) AS disc, " +
+        "CASE WHEN n0 - tx > 0 AND n0 - ty > 0 THEN " +
+        r4("CAST(conc - disc AS DOUBLE) / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE))") +
+        " END AS tau_b FROM ag"
+    },
+    // Spearman rho: midranks (exact halves) over the same profile,
+    // closed-form Pearson on the rank moments
+    "q_spearman" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH p AS (SELECT source, CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS x, MAX(n_chars) AS y " +
+        "FROM documents GROUP BY source), " +
+        "rk AS (SELECT CAST(rank() OVER (ORDER BY x) AS DOUBLE) " +
+        "+ CAST(COUNT(*) OVER (PARTITION BY x) - 1 AS DOUBLE) / 2.0 AS rx, " +
+        "CAST(rank() OVER (ORDER BY y) AS DOUBLE) " +
+        "+ CAST(COUNT(*) OVER (PARTITION BY y) - 1 AS DOUBLE) / 2.0 AS ry FROM p), " +
+        "m AS (SELECT COUNT(*) AS n, SUM(rx) AS sx, SUM(ry) AS sy, " +
+        "SUM(rx * ry) AS sxy, SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy FROM rk) " +
+        "SELECT CAST(n AS BIGINT) AS n, " +
+        "CASE WHEN (sxx - sx * sx / CAST(n AS DOUBLE)) > 0.0 " +
+        "AND (syy - sy * sy / CAST(n AS DOUBLE)) > 0.0 THEN " +
+        r4("(sxy - sx * sy / CAST(n AS DOUBLE)) " +
+          "/ sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) * (syy - sy * sy / CAST(n AS DOUBLE)))") +
+        " END AS rho FROM m"
+    },
+    // total chi2 / dof / Cramer's V from the q_chi2 crosstab CTEs
+    "q_cramers_v" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH ce AS (SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2), " +
+        "rt AS (SELECT lang, SUM(n) AS row_n FROM ce GROUP BY 1), " +
+        "ct AS (SELECT source, SUM(n) AS col_n FROM ce GROUP BY 1), " +
+        "dm AS (SELECT SUM(n) AS grand_n, COUNT(DISTINCT lang) AS r, COUNT(DISTINCT source) AS c FROM ce), " +
+        "xx AS (SELECT max(grand_n) AS n_docs, max(r) AS n_rows, max(c) AS n_cols, " +
+        "SUM((n - e) * (n - e) / e) AS chi2 FROM " +
+        "(SELECT ce.n, CAST(row_n AS DOUBLE) * col_n / CAST(grand_n AS DOUBLE) AS e, grand_n, r, c " +
+        "FROM ce JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN dm)) " +
+        "SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(n_rows AS BIGINT) AS n_rows, " +
+        "CAST(n_cols AS BIGINT) AS n_cols, " +
+        "CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof, " +
+        r4("chi2") + " AS chi2, " +
+        r4("sqrt(chi2 / (CAST(n_docs AS DOUBLE) * CAST(least(n_rows - 1, n_cols - 1) AS DOUBLE)))") +
+        " AS cramers_v FROM xx"
+    },
+    // Cohen's kappa: prediction-pair cells from the two lang-classifier
+    // CTEs, exact-integer marginal products, three shared divisions
+    "q_cohens_kappa" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "hc AS (SELECT doc_id, " +
+        "CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and')) AS INTEGER) AS en_n, " +
+        "CAST(len(list_filter(toks, x -> x = 'der' OR x = 'die' OR x = 'das' OR x = 'und')) AS INTEGER) AS de_n, " +
+        "CAST(len(list_filter(toks, x -> x = 'el' OR x = 'los' OR x = 'las' OR x = 'y')) AS INTEGER) AS es_n, " +
+        "CAST(len(list_filter(toks, x -> x = 'le' OR x = 'les' OR x = 'des' OR x = 'et')) AS INTEGER) AS fr_n " +
+        "FROM t), " +
+        "ha AS (SELECT doc_id, CASE WHEN en_n >= de_n AND en_n >= es_n AND en_n >= fr_n THEN 'en' " +
+        "WHEN de_n >= es_n AND de_n >= fr_n THEN 'de' " +
+        "WHEN es_n >= fr_n THEN 'es' ELSE 'fr' END AS pa FROM hc), " +
+        "nd AS (SELECT doc_id, lang, regexp_replace(lower(text), '\\s+', ' ', 'g') AS s FROM documents), " +
+        "g AS (SELECT doc_id, lang, unnest(list_transform(range(1, length(s) - 1), i -> s[i:i+2])) AS g " +
+        "FROM nd WHERE length(s) >= 3), " +
+        "dg AS (SELECT DISTINCT doc_id, g FROM g), " +
+        "pc AS (SELECT lang AS plang, g, COUNT(*) AS c FROM g GROUP BY 1, 2), " +
+        "pr AS (SELECT plang, g, 65 - CAST(row_number() OVER (PARTITION BY plang ORDER BY c DESC, g) AS BIGINT) AS w " +
+        "FROM pc QUALIFY row_number() OVER (PARTITION BY plang ORDER BY c DESC, g) <= 64), " +
+        "sc AS (SELECT dg.doc_id, pr.plang, SUM(pr.w) AS score FROM dg JOIN pr USING (g) GROUP BY 1, 2), " +
+        "best AS (SELECT doc_id, plang FROM (SELECT doc_id, plang, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn FROM sc) WHERE rn = 1), " +
+        "ml AS (SELECT min(lang) AS min_lang FROM documents), " +
+        "tb AS (SELECT d2.doc_id, coalesce(b.plang, ml.min_lang) AS pb " +
+        "FROM documents d2 LEFT JOIN best b USING (doc_id) CROSS JOIN ml), " +
+        "ce AS (SELECT pa, pb, COUNT(*) AS n FROM ha JOIN tb USING (doc_id) GROUP BY 1, 2), " +
+        "ma AS (SELECT pa, SUM(n) AS na FROM ce GROUP BY 1), " +
+        "mb AS (SELECT pb, SUM(n) AS nb FROM ce GROUP BY 1), " +
+        "tt AS (SELECT SUM(n) AS n_docs, SUM(CASE WHEN pa = pb THEN n ELSE 0 END) AS agree FROM ce), " +
+        "pe AS (SELECT COALESCE(SUM(na * nb), 0) AS exp_agree FROM ma JOIN mb ON ma.pa = mb.pb) " +
+        "SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(agree AS BIGINT) AS agree, " +
+        r4("CAST(agree AS DOUBLE) / n_docs") + " AS p_obs, " +
+        r4("CAST(exp_agree AS DOUBLE) / CAST(n_docs * n_docs AS DOUBLE)") + " AS p_exp, " +
+        r4("(CAST(agree AS DOUBLE) / n_docs - CAST(exp_agree AS DOUBLE) / CAST(n_docs * n_docs AS DOUBLE)) " +
+          "/ (1.0 - CAST(exp_agree AS DOUBLE) / CAST(n_docs * n_docs AS DOUBLE))") + " AS kappa " +
+        "FROM tt CROSS JOIN pe"
     },
   )
 }

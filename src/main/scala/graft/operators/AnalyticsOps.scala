@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -921,5 +921,125 @@ object AnalyticsOps {
           .as("cum_share"),
         col("gini"))
       .orderBy(col("decile"))
+  }
+
+  /** Per-source profile shared by the rank-correlation queries: mean
+    * document length (exact-integer sum ÷ count — bit-stable) vs max
+    * document length (exact integer) — the location-vs-tail association
+    * ("do heavy sources carry heavy tails"). Distinct-token vocabulary
+    * was rejected for y: the synthetic corpus's closed vocabulary
+    * saturates per source by sf0.1, making every pair a tie. ONE partial
+    * aggregation; everything downstream operates on the
+    * |sources|-bounded profile (the domain-compression recipe). */
+  private def sourceProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg((sum(col("n_chars")).cast("double") / count(lit(1))).as("x"),
+        max(col("n_chars")).as("y"))
+
+  /** q_kendall_tau: Kendall's τ-b between two per-source metrics (mean
+    * doc length vs vocabulary size) — the concordance view of "do long
+    * docs come with rich vocabularies", robust to any monotone
+    * transform and the partner to [[spearmanRho]]. τ-b =
+    * (C − D) / √((n₀−n₁)(n₀−n₂)) with the standard tie corrections.
+    *
+    * The all-pairs comparison runs over the GROUP PROFILE, never the
+    * corpus: |sources|² pairs (hundreds) after the corpus collapses to
+    * one row per source, so the quadratic stage is constant-bounded at
+    * any data size. Every comparison is on exact-integer y and
+    * bit-stable x (single divisions of exact sums), so C/D/tie counts
+    * are integers and the only float is the final √ ratio. */
+  def kendallTau(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val prof = sourceProfile(spark, dir)
+    val pairs = prof.as("a").join(prof.as("b"),
+      col("a.source") < col("b.source"))
+      .select(
+        (col("a.x") - col("b.x")).as("dx"),
+        (col("a.y") - col("b.y")).cast("double").as("dy"))
+    val agg = pairs.agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("dx") =!= 0.0 && col("dy") =!= 0.0
+        && (col("dx") > 0.0) === (col("dy") > 0.0), 1L).otherwise(0L))
+        .as("conc"),
+      sum(when(col("dx") =!= 0.0 && col("dy") =!= 0.0
+        && (col("dx") > 0.0) =!= (col("dy") > 0.0), 1L).otherwise(0L))
+        .as("disc"),
+      sum(when(col("dx") === 0.0, 1L).otherwise(0L)).as("tx"),
+      sum(when(col("dy") === 0.0, 1L).otherwise(0L)).as("ty"))
+    agg.select(col("n0"), col("conc"), col("disc"),
+      stableRound4(when(
+        col("n0") - col("tx") > 0 && col("n0") - col("ty") > 0,
+        (col("conc") - col("disc")).cast("double")
+          / sqrt((col("n0") - col("tx")).cast("double")
+            * (col("n0") - col("ty")).cast("double")))).as("tau_b"))
+  }
+
+  /** q_spearman: Spearman's ρ between the same per-source metrics as
+    * [[kendallTau]] — Pearson on midranks, the standard screen for
+    * monotone-but-nonlinear association. Midranks come from one window
+    * over the |sources|-bounded profile (halves are exact in binary
+    * floating point), and ρ is the closed-form moment ratio on those
+    * exact ranks — every sum runs over ≤ |sources| half-integers, so
+    * the statistic replays bit-for-bit. */
+  def spearmanRho(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val prof = sourceProfile(spark, dir)
+    def midrank(c: Column): Column =
+      (rank().over(Window.orderBy(c)).cast("double")
+        + (count(lit(1)).over(Window.partitionBy(c)) - 1).cast("double")
+          / 2.0)
+    val ranked = prof.select(
+      midrank(col("x")).as("rx"), midrank(col("y")).as("ry"))
+    ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+      sum(col("rx") * col("ry")).as("sxy"),
+      sum(col("rx") * col("rx")).as("sxx"),
+      sum(col("ry") * col("ry")).as("syy"))
+      .select(col("n"),
+        stableRound4(when(
+          (col("sxx") - col("sx") * col("sx") / col("n").cast("double")) > 0.0
+            && (col("syy") - col("sy") * col("sy") / col("n").cast("double")) > 0.0,
+          (col("sxy") - col("sx") * col("sy") / col("n").cast("double"))
+            / sqrt((col("sxx") - col("sx") * col("sx") / col("n").cast("double"))
+              * (col("syy") - col("sy") * col("sy") / col("n").cast("double")))))
+          .as("rho"))
+  }
+
+  /** q_cramers_v: the effect size the per-cell χ² report (q_chi2) stops
+    * short of — total χ² over the (lang × source) crosstab, its degrees
+    * of freedom, and Cramér's V = √(χ²/(N·min(r−1, c−1))): the
+    * [0,1]-normalized strength of the language-by-source dependence that
+    * stays comparable across corpora of different size (χ² itself grows
+    * with N). Same crosstab aggregation as q_chi2 — everything after the
+    * first partial agg is |langs×sources| rows. */
+  def cramersV(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val cells = Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    val rowT = cells.groupBy(col("lang")).agg(sum(col("n")).as("row_n"))
+    val colT = cells.groupBy(col("source")).agg(sum(col("n")).as("col_n"))
+    val dims = cells.agg(
+      sum(col("n")).as("grand_n"),
+      countDistinct(col("lang")).as("r"),
+      countDistinct(col("source")).as("c"))
+    val expected = (col("row_n").cast("double") * col("col_n")
+      / col("grand_n").cast("double"))
+    cells
+      .join(broadcast(rowT), Seq("lang"))
+      .join(broadcast(colT), Seq("source"))
+      .crossJoin(broadcast(dims))
+      .agg(first(col("grand_n")).as("n_docs"),
+        first(col("r")).as("n_rows"), first(col("c")).as("n_cols"),
+        sum((col("n") - expected) * (col("n") - expected) / expected)
+          .as("chi2"))
+      .select(col("n_docs"), col("n_rows"), col("n_cols"),
+        ((col("n_rows") - 1) * (col("n_cols") - 1)).as("dof"),
+        stableRound4(col("chi2")).as("chi2"),
+        stableRound4(sqrt(col("chi2") / (col("n_docs").cast("double")
+          * least(col("n_rows") - 1, col("n_cols") - 1).cast("double"))))
+          .as("cramers_v"))
   }
 }

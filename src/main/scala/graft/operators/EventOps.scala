@@ -1116,4 +1116,84 @@ object EventOps {
       }: _*)
       .orderBy(col("event_type"))
   }
+
+  /** Rescaled-range block sizes (q_hurst) — powers of two so every block
+    * count divides the hourly series several times over. */
+  val HurstWindows: Seq[Int] = Seq(8, 16, 32)
+
+  /** q_hurst: Hurst exponent of the hourly event-count series by
+    * rescaled-range (R/S) analysis (Hurst 1951; Mandelbrot & Wallis
+    * 1969) — the long-range-dependence dial that separates bursty
+    * self-similar traffic (H > 0.5, load spikes cluster) from
+    * short-memory noise (H ≈ 0.5): capacity planning for ingest at
+    * 100 TB/day hinges on it. The OBSERVED hourly counts (ordered,
+    * densely re-indexed) are cut into full blocks of n ∈
+    * [[HurstWindows]]; per block R = range of the mean-centered
+    * cumulative-deviation walk and S = population σ; H is the
+    * least-squares slope of ln(mean R/S) against ln n, fitted on the
+    * ROUNDED per-n means so the two engines fit identical points.
+    *
+    * Determinism: within-block cumulative sums are over exact INTEGER
+    * counts (the walk is cum − j·mean, one float product each), block
+    * moments are exact-integer sums, and the only cross-engine
+    * order-sensitive float is the per-n block-mean of R/S — absorbed by
+    * the same round4 every mean in this module relies on. Scale shape:
+    * one (hour) count aggregation, one dense-index window over the
+    * |hours|-bounded series (domain-compressed, like the ECDF windows in
+    * StatOps), a ×3 bounded explode, per-(n, block) partial aggs, and a
+    * 3-row fit. */
+  def hurst(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val hourly = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("c"))
+    val indexed = hourly
+      .withColumn("i", row_number().over(Window.orderBy(col("hr"))))
+      .select(col("i"), col("c"))
+    val grid = HurstWindows.map(n => s"($n)").mkString(", ")
+    val blocks = indexed
+      .crossJoin(broadcast(
+        indexed.sparkSession.sql(s"SELECT * FROM VALUES $grid AS t(n)")))
+      .select(col("n"), ((col("i") - 1) / col("n")).cast("int").as("blk"),
+        col("i"), col("c"))
+    val stats = blocks.groupBy(col("n"), col("blk"))
+      .agg(count(lit(1)).as("cnt"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("ss"))
+      .filter(col("cnt") === col("n")) // full blocks only
+    val wBlk = Window.partitionBy(col("n"), col("blk")).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walk = blocks
+      .withColumn("cum", sum(col("c")).over(wBlk))
+      .withColumn("j", count(lit(1)).over(wBlk))
+      .join(stats, Seq("n", "blk"))
+      .select(col("n"), col("blk"), col("s"), col("ss"), col("cnt"),
+        (col("cum").cast("double")
+          - col("j").cast("double")
+            * (col("s").cast("double") / col("n"))).as("dev"))
+    val rs = walk.groupBy(col("n"), col("blk"))
+      .agg(first(col("s")).as("s"), first(col("ss")).as("ss"),
+        (max(col("dev")) - min(col("dev"))).as("r"))
+      .select(col("n"), col("r"),
+        sqrt(col("ss").cast("double") / col("n")
+          - (col("s").cast("double") / col("n"))
+            * (col("s").cast("double") / col("n"))).as("sd"))
+      .filter(col("sd") > 0.0)
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("n_blocks"),
+        stableRound4(avg(col("r") / col("sd"))).as("mean_rs"))
+    // 3-point least-squares slope on (ln n, ln mean_rs) — mean_rs is
+    // already rounded, ln n is a literal-grade input, so both engines
+    // fit identical points in identical order
+    val fit = rs.agg(
+      count(lit(1)).cast("double").as("k"),
+      sum(log(col("n"))).as("sx"), sum(log(col("mean_rs"))).as("sy"),
+      sum(log(col("n")) * log(col("mean_rs"))).as("sxy"),
+      sum(log(col("n")) * log(col("n"))).as("sxx"))
+      .select(((col("sxy") - col("sx") * col("sy") / col("k"))
+        / (col("sxx") - col("sx") * col("sx") / col("k"))).as("h"))
+    rs.crossJoin(broadcast(fit))
+      .select(col("n"), col("n_blocks"), col("mean_rs"),
+        stableRound4(col("h")).as("hurst"))
+      .orderBy(col("n"))
+  }
 }

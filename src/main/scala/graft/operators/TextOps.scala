@@ -1078,4 +1078,45 @@ object TextOps {
             / (col("only_heuristic") + col("only_trigram")).cast("double")))
           .as("mcnemar_chi2"))
   }
+
+  /** q_cohens_kappa: chance-corrected agreement (Cohen 1960) between the
+    * two shipped language classifiers on their PREDICTIONS — where
+    * [[mcnemar]] asks "is one more accurate", κ asks "are they even
+    * looking at the same thing": κ = (p₀ − pₑ)/(1 − pₑ), with the
+    * expected agreement pₑ = Σ_k marginal_A(k)·marginal_B(k). The pair
+    * is the standard duplicate-annotation audit a labeling pipeline
+    * runs before trusting auto-labels.
+    *
+    * Scale shape: both classifiers are existing linear passes; κ adds
+    * one doc_id equi-join, one |labels|²-bounded prediction-pair
+    * aggregation, and closed-form algebra on that tiny frame. The
+    * marginal products are exact-integer arithmetic over one N² scale
+    * factor — a single division order shared with the oracle. */
+  def cohensKappa(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val a = langId(spark, dir).select(col("doc_id"), col("lang_pred").as("pa"))
+    val b = trigramPredDf(spark, dir)
+      .select(col("doc_id"), col("lang_pred").as("pb"))
+    val cells = a.join(b, "doc_id")
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n"))
+    val ma = cells.groupBy(col("pa")).agg(sum(col("n")).as("na"))
+    val mb = cells.groupBy(col("pb")).agg(sum(col("n")).as("nb"))
+    val tot = cells.agg(
+      sum(col("n")).as("n_docs"),
+      sum(when(col("pa") === col("pb"), col("n")).otherwise(0L)).as("agree"))
+    // Σ na·nb over shared labels — exact integers until the two divisions
+    val pe = ma.join(mb, col("pa") === col("pb"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("exp_agree"))
+    tot.crossJoin(broadcast(pe))
+      .select(col("n_docs"), col("agree"),
+        stableRound4(col("agree").cast("double") / col("n_docs")).as("p_obs"),
+        stableRound4(col("exp_agree").cast("double")
+          / (col("n_docs") * col("n_docs")).cast("double")).as("p_exp"),
+        stableRound4(
+          (col("agree").cast("double") / col("n_docs")
+            - col("exp_agree").cast("double")
+              / (col("n_docs") * col("n_docs")).cast("double"))
+          / (lit(1.0) - col("exp_agree").cast("double")
+            / (col("n_docs") * col("n_docs")).cast("double"))).as("kappa"))
+  }
 }

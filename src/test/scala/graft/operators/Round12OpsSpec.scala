@@ -412,6 +412,89 @@ class Round12OpsSpec extends SparkTestBase {
     rows.foreach(r => assert(r.getInt(1).toLong == perDoc(r.getLong(0))))
   }
 
+  test("hurst: full blocks only, R/S positive, exponent matches a driver fit") {
+    val rows = EventOps.hurst(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == EventOps.HurstWindows)
+    val hours = graft.Tables.events(spark, sf)
+      .select(date_trunc("hour", col("ts"))).distinct().count()
+    rows.foreach { r =>
+      assert(r.getLong(1) <= hours / r.getInt(0), r.toString)
+      assert(r.getDouble(2) > 0.0)
+    }
+    // the fitted slope is the same number on every row and matches a
+    // driver least-squares on the (ln n, ln mean_rs) points
+    val hs = rows.map(_.getDouble(3)).distinct
+    assert(hs.length == 1)
+    val pts = rows.map(r => (math.log(r.getInt(0)), math.log(r.getDouble(2))))
+    val k = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (sxy - sx * sy / k) / (sxx - sx * sx / k)
+    assert(math.abs(hs.head - slope) < 1e-3, s"${hs.head} vs $slope")
+  }
+
+  test("kendallTau/spearman: bounds hold and both match driver recomputes on the profile") {
+    val kt = AnalyticsOps.kendallTau(spark, sf).collect().head
+    val (n0, conc, disc) = (kt.getLong(0), kt.getLong(1), kt.getLong(2))
+    assert(conc + disc <= n0)
+    val prof = graft.Tables.documents(spark, sf)
+      .groupBy(col("source"))
+      .agg((sum(col("n_chars")).cast("double") / count(lit(1))).as("x"),
+        max(col("n_chars")).as("y"))
+      .collect().map(r => (r.getDouble(1), r.getLong(2).toDouble))
+    val k = prof.length
+    assert(n0 == k.toLong * (k - 1) / 2)
+    val pairs = for (i <- 0 until k; j <- i + 1 until k)
+      yield (prof(i)._1 - prof(j)._1, prof(i)._2 - prof(j)._2)
+    val c = pairs.count(p => p._1 != 0 && p._2 != 0 && (p._1 > 0) == (p._2 > 0))
+    val d = pairs.count(p => p._1 != 0 && p._2 != 0 && (p._1 > 0) != (p._2 > 0))
+    val tx = pairs.count(_._1 == 0)
+    val ty = pairs.count(_._2 == 0)
+    assert(conc == c && disc == d)
+    val tau = (c - d).toDouble / math.sqrt((n0 - tx).toDouble * (n0 - ty))
+    assert(math.abs(kt.getDouble(3) - tau) < 1e-3)
+    assert(math.abs(kt.getDouble(3)) <= 1.0)
+    val sp = AnalyticsOps.spearmanRho(spark, sf).collect().head
+    assert(sp.getLong(0) == k)
+    def midranks(v: Array[Double]): Array[Double] = {
+      val sorted = v.sorted
+      v.map(x => sorted.indexWhere(_ == x) + 1.0
+        + (sorted.count(_ == x) - 1) / 2.0)
+    }
+    val rx = midranks(prof.map(_._1))
+    val ry = midranks(prof.map(_._2))
+    val nd = k.toDouble
+    val (sx, sy) = (rx.sum, ry.sum)
+    val sxy = rx.zip(ry).map(p => p._1 * p._2).sum
+    val sxx = rx.map(x => x * x).sum
+    val syy = ry.map(y => y * y).sum
+    val rho = (sxy - sx * sy / nd) /
+      math.sqrt((sxx - sx * sx / nd) * (syy - sy * sy / nd))
+    assert(math.abs(sp.getDouble(1) - rho) < 1e-3, s"${sp.getDouble(1)} vs $rho")
+  }
+
+  test("cramersV: V in [0,1], total chi2 equals the q_chi2 per-cell sum") {
+    val r = AnalyticsOps.cramersV(spark, sf).collect().head
+    assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    assert(r.getLong(3) == (r.getLong(1) - 1) * (r.getLong(2) - 1))
+    val cellSum = AnalyticsOps.chiSquareCrosstab(spark, sf)
+      .agg(sum(col("chi2_cell"))).collect().head.getDouble(0)
+    assert(math.abs(r.getDouble(4) - cellSum) < 0.05, // cells are 4-dp rounded
+      s"${r.getDouble(4)} vs $cellSum")
+  }
+
+  test("cohensKappa: probabilities bounded, kappa matches the closed form") {
+    val r = TextOps.cohensKappa(spark, sf).collect().head
+    val (n, agree) = (r.getLong(0), r.getLong(1))
+    assert(n == graft.Tables.documents(spark, sf).count())
+    assert(agree <= n)
+    val (po, pe, kap) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(po >= 0.0 && po <= 1.0 && pe > 0.0 && pe < 1.0)
+    assert(math.abs(kap - (po - pe) / (1 - pe)) < 1e-2) // po/pe are rounded
+    assert(kap <= 1.0)
+  }
+
   test("audioVad: segment stats agree with a driver gaps-and-islands replay") {
     val got = MultimodalOps.audioVad(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3),
