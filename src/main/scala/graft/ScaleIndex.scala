@@ -79,6 +79,14 @@ object ScaleIndex {
     "q_cdc_chunks" -> "0.40 (r12)",
     "q_kaplan_meier" -> "0.07 (r12)",
     "q_gini" -> "0.48 (r12)",
+    "q_permutation_test" -> "flat (r12)",
+    "q_llr_colloc" -> "0.30 (r12)",
+    "q_self_bleu" -> "flat (r12)",
+    "q_video_scene" -> "0.10 (r12)",
+    "q_audio_vad" -> "flat (r12)",
+    "q_cohens_kappa" -> "0.63 (r12, two trigram-family passes)",
+    "q_auc" -> "flat (r12)",
+    "q_hurst" -> "0.08 (r12, |hours|-bounded)",
     "q_knn_recall" -> "sample-sized exact side (r11)",
     "q_kcenter" -> "0.67 (r10)",
     "q_kcore" -> "1.21 (r10: |E|-linear peel floor + |V| broadcast builds; dial: shuffle semi-joins past the broadcast budget)",

@@ -127,7 +127,18 @@ object ScaleSpot {
     // CDC chunking (per-doc window prefix-sum + corpus-wide chunk-hash
     // agg — the chunk table is ~|tokens|/16 rows)
     "q_kn_trigram", "q_attribution_position", "q_textrank",
-    "q_cdc_chunks", "q_kaplan_meier", "q_gini")
+    "q_cdc_chunks", "q_kaplan_meier", "q_gini",
+    // round-12 late additions: the ×20 relabeling explode (linear by
+    // design — one fused partial agg), the Dunning bigram scorer
+    // (q_kn_bigram's explode family), self-BLEU (explode + ≤2-pairs-per-
+    // doc clip joins), scene cuts (frame explode + per-clip window),
+    // VAD array folds (should be scan-flat), kappa (TWO trigram-family
+    // passes — the priciest of the classifier pairings), rank-sum AUC
+    // (one global single-partition midrank window over the compressed
+    // score domain — the documented mannwhitney risk shape), and Hurst
+    // (|hours|-bounded series: should be flat as users grow)
+    "q_permutation_test", "q_llr_colloc", "q_self_bleu", "q_video_scene",
+    "q_audio_vad", "q_cohens_kappa", "q_auc", "q_hurst")
   val Scales = Seq(10, 100)
 
   def outDir(copies: Int) = s"/tmp/graft_spot_${copies}x"
