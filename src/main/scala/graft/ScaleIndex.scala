@@ -87,6 +87,8 @@ object ScaleIndex {
     "q_cohens_kappa" -> "0.63 (r12, two trigram-family passes)",
     "q_auc" -> "flat (r12)",
     "q_hurst" -> "0.08 (r12, |hours|-bounded)",
+    "q_clustering_coeff" -> "rides q_triangles (0.97 r7) + one degree pass (r12)",
+    "q_modularity" -> "rides q_graph_lpa rounds (0.65 r7) + two label joins (r12)",
     "q_knn_recall" -> "sample-sized exact side (r11)",
     "q_kcenter" -> "0.67 (r10)",
     "q_kcore" -> "1.21 (r10: |E|-linear peel floor + |V| broadcast builds; dial: shuffle semi-joins past the broadcast budget)",

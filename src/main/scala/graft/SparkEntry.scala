@@ -466,6 +466,10 @@ object SparkEntry {
     "q_cramers_v"      -> (AnalyticsOps.cramersV _),
     // Cohen's kappa agreement between the two lang classifiers
     "q_cohens_kappa"   -> (TextOps.cohensKappa _),
+    // transitivity + Watts-Strogatz avg local clustering coefficient
+    "q_clustering_coeff" -> (GraphOps.clusteringCoeff _),
+    // Newman modularity of the LPA communities
+    "q_modularity"     -> ((s, d) => GraphOps.modularity(s, d)),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -4871,6 +4875,69 @@ object SparkEntry {
         r4("(CAST(agree AS DOUBLE) / n_docs - CAST(exp_agree AS DOUBLE) / CAST(n_docs * n_docs AS DOUBLE)) " +
           "/ (1.0 - CAST(exp_agree AS DOUBLE) / CAST(n_docs * n_docs AS DOUBLE))") + " AS kappa " +
         "FROM tt CROSS JOIN pe"
+    },
+    // transitivity + avg local clustering from the q_triangles CTEs:
+    // per-node triangle counts joined onto degrees, exact integers up
+    // to one division per node
+    "q_clustering_coeff" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem), " +
+        "ok AS (SELECT okey FROM op GROUP BY okey HAVING COUNT(*) <= 64), " +
+        "e AS (SELECT DISTINCT a.pkey AS src, b.pkey AS dst FROM op a " +
+        "JOIN op b ON a.okey = b.okey AND a.pkey < b.pkey " +
+        "WHERE a.okey IN (SELECT okey FROM ok)), " +
+        "t AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c FROM e e1 " +
+        "JOIN e e2 ON e2.src = e1.dst " +
+        "JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst), " +
+        "tri AS (SELECT part_id, COUNT(*) AS t FROM " +
+        "(SELECT a AS part_id FROM t UNION ALL SELECT b AS part_id FROM t " +
+        "UNION ALL SELECT c AS part_id FROM t) x GROUP BY part_id), " +
+        "dg AS (SELECT node, COUNT(*) AS degree FROM " +
+        "(SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e) GROUP BY node), " +
+        "j AS (SELECT degree, COALESCE(t, 0) AS t FROM dg " +
+        "LEFT JOIN tri ON dg.node = tri.part_id WHERE degree >= 2), " +
+        "a AS (SELECT COUNT(*) AS n_nodes, SUM(t) // 3 AS n_triangles, " +
+        "SUM(degree * (degree - 1) // 2) AS n_wedges, " +
+        "avg(2.0 * t / (CAST(degree AS DOUBLE) * (degree - 1))) AS cc FROM j) " +
+        "SELECT CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_triangles AS BIGINT) AS n_triangles, " +
+        "CAST(n_wedges AS BIGINT) AS n_wedges, " +
+        r4("3.0 * n_triangles / CAST(n_wedges AS DOUBLE)") + " AS transitivity, " +
+        r4("cc") + " AS avg_clustering FROM a"
+    },
+    // Newman modularity over the q_graph_lpa label CTEs: intra-edge and
+    // degree-mass rollups per community, two divisions per community
+    "q_modularity" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      val roundsSql = (1 to 3).map { i =>
+        s"v$i AS (SELECT u.dst AS node, l.label, COUNT(*) AS n " +
+          s"FROM und u JOIN l${i - 1} l ON u.src = l.node GROUP BY 1, 2), " +
+          s"l$i AS (SELECT node, label FROM (SELECT node, label, " +
+          s"row_number() OVER (PARTITION BY node ORDER BY n DESC, label) AS rn FROM v$i) WHERE rn = 1)"
+      }.mkString(", ")
+      "WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem), " +
+        "ok AS (SELECT okey FROM op GROUP BY okey HAVING COUNT(*) <= 64), " +
+        "e AS (SELECT DISTINCT a.pkey AS src, b.pkey AS dst FROM op a " +
+        "JOIN op b ON a.okey = b.okey AND a.pkey < b.pkey " +
+        "WHERE a.okey IN (SELECT okey FROM ok)), " +
+        "und AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e), " +
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM und), " +
+        roundsSql + ", " +
+        "mm AS (SELECT COUNT(*) AS m FROM e), " +
+        "ia AS (SELECT la.label AS label, COUNT(*) AS l_c FROM e " +
+        "JOIN l3 la ON e.src = la.node JOIN l3 lb ON e.dst = lb.node " +
+        "WHERE la.label = lb.label GROUP BY 1), " +
+        "dc AS (SELECT l3.label, SUM(degree) AS d_c FROM " +
+        "(SELECT src AS node, COUNT(*) AS degree FROM und GROUP BY src) dg " +
+        "JOIN l3 ON dg.node = l3.node GROUP BY 1), " +
+        "pc AS (SELECT COALESCE(l_c, 0) AS l_c, d_c FROM dc LEFT JOIN ia USING (label)), " +
+        "qq AS (SELECT l_c, CAST(l_c AS DOUBLE) / m " +
+        "- (CAST(d_c AS DOUBLE) / (m * 2)) * (CAST(d_c AS DOUBLE) / (m * 2)) AS q_c " +
+        "FROM pc CROSS JOIN mm), " +
+        "z AS (SELECT COUNT(*) AS n_communities, SUM(l_c) AS intra_edges, SUM(q_c) AS q FROM qq) " +
+        "SELECT CAST(n_communities AS BIGINT) AS n_communities, " +
+        "CAST(intra_edges AS BIGINT) AS intra_edges, CAST(m AS BIGINT) AS n_edges, " +
+        r4("CAST(intra_edges AS DOUBLE) / m") + " AS intra_frac, " +
+        r4("q") + " AS modularity FROM z CROSS JOIN mm"
     },
   )
 }

@@ -495,6 +495,29 @@ class Round12OpsSpec extends SparkTestBase {
     assert(kap <= 1.0)
   }
 
+  test("clusteringCoeff: bounds hold, wedges dominate triangles, triangle total matches q_triangles mass") {
+    val r = GraphOps.clusteringCoeff(spark, sf).collect().head
+    val (nTri, nWedge) = (r.getLong(1), r.getLong(2))
+    assert(3 * nTri <= nWedge) // every triangle closes 3 wedges
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    // node-level triangle mass sums to 3 per triangle
+    val mass = GraphOps.nodeTriangles(spark, sf)
+      .agg(sum(col("n_triangles"))).collect().head.getLong(0)
+    assert(mass == 3 * nTri, s"$mass vs ${3 * nTri}")
+  }
+
+  test("modularity: Q in (-0.5, 1], intra fraction consistent, communities match LPA") {
+    val r = GraphOps.modularity(spark, sf).collect().head
+    val (nc, intra, m) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(intra <= m)
+    assert(math.abs(r.getDouble(3) - intra.toDouble / m) < 1e-3)
+    assert(r.getDouble(4) > -0.5 && r.getDouble(4) <= 1.0)
+    val lpaCommunities = GraphOps.labelPropagation(spark, sf, k = 1000000)
+      .count()
+    assert(nc == lpaCommunities, s"$nc vs $lpaCommunities")
+  }
+
   test("audioVad: segment stats agree with a driver gaps-and-islands replay") {
     val got = MultimodalOps.audioVad(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3),
