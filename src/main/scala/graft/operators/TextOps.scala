@@ -1020,11 +1020,16 @@ object TextOps {
       .select(col("doc_id"),
         (col("p_wc") && col("p_mwl") && col("p_stop") && col("p_alpha"))
           .cast("double").as("pass"))
-    val bins = logisticPKeepDf(docs).join(pass, Seq("doc_id"))
+    // materialized: the ≤10-row bin aggregate feeds FIVE consumers (the
+    // cumulative window, both sides of the pooled self-join, the iso
+    // probe and the final assembly) — without the barrier the two
+    // corpus-sized classifier passes above re-execute per consumer
+    // (PlanReuseAudit catch, same shape as the q_cooccur fix)
+    val bins = Materialize(logisticPKeepDf(docs).join(pass, Seq("doc_id"))
       .select(least(floor(col("p_keep") * 10), lit(9)).cast("int").as("bin"),
         col("pass"))
       .groupBy(col("bin"))
-      .agg(count(lit(1)).as("n"), sum(col("pass")).as("s"))
+      .agg(count(lit(1)).as("n"), sum(col("pass")).as("s")))
     val wCum = Window.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = bins
