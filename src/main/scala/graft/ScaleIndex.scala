@@ -89,6 +89,10 @@ object ScaleIndex {
     "q_hurst" -> "0.08 (r12, |hours|-bounded)",
     "q_clustering_coeff" -> "rides q_triangles (0.97 r7) + one degree pass (r12)",
     "q_modularity" -> "rides q_graph_lpa rounds (0.65 r7) + two label joins (r12)",
+    "q_kruskal" -> "0.21 (r12, cents-compressed rank domain)",
+    "q_elasticity" -> "0.41 (r12)",
+    "q_mann_kendall" -> "flat (r12, |days|-bounded)",
+    "q_ransac" -> "flat (r12, |days|-bounded)",
     "q_knn_recall" -> "sample-sized exact side (r11)",
     "q_kcenter" -> "0.67 (r10)",
     "q_kcore" -> "1.21 (r10: |E|-linear peel floor + |V| broadcast builds; dial: shuffle semi-joins past the broadcast budget)",

@@ -138,7 +138,12 @@ object ScaleSpot {
     // score domain — the documented mannwhitney risk shape), and Hurst
     // (|hours|-bounded series: should be flat as users grow)
     "q_permutation_test", "q_llr_colloc", "q_self_bleu", "q_video_scene",
-    "q_audio_vad", "q_cohens_kappa", "q_auc", "q_hurst")
+    "q_audio_vad", "q_cohens_kappa", "q_auc", "q_hurst",
+    // final round-12 batch: Kruskal rides a cents-compressed global rank
+    // window (the mannwhitney risk shape over a 10x bigger fact),
+    // elasticity is one broadcast-dim join + moment agg (scan-linear by
+    // design), Mann-Kendall/RANSAC are |days|-bounded after one daily agg
+    "q_kruskal", "q_elasticity", "q_mann_kendall", "q_ransac")
   val Scales = Seq(10, 100)
 
   def outDir(copies: Int) = s"/tmp/graft_spot_${copies}x"

@@ -470,6 +470,14 @@ object SparkEntry {
     "q_clustering_coeff" -> (GraphOps.clusteringCoeff _),
     // Newman modularity of the LPA communities
     "q_modularity"     -> ((s, d) => GraphOps.modularity(s, d)),
+    // Mann-Kendall monotone-trend test per event type (tie-corrected)
+    "q_mann_kendall"   -> (EventOps.mannKendall _),
+    // RANSAC line fit of the daily value trend (md5-chosen pairs)
+    "q_ransac"         -> (EventOps.ransacLine _),
+    // Kruskal-Wallis rank ANOVA across event types (cents-quantized)
+    "q_kruskal"        -> (StatOps.kruskal _),
+    // log-log price elasticity of demand per brand (OLS + R2)
+    "q_elasticity"     -> (AnalyticsOps.elasticity _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -4938,6 +4946,88 @@ object SparkEntry {
         "CAST(intra_edges AS BIGINT) AS intra_edges, CAST(m AS BIGINT) AS n_edges, " +
         r4("CAST(intra_edges AS DOUBLE) / m") + " AS intra_frac, " +
         r4("q") + " AS modularity FROM z CROSS JOIN mm"
+    },
+    // Mann-Kendall: round4-barrier daily sums BEFORE any sign, exact
+    // integer S and tie-corrected variance, continuity-corrected z
+    "q_mann_kendall" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      val vs = "CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_sum AS DOUBLE) / 18.0"
+      "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, " +
+        r4("SUM(value)") + " AS v FROM events GROUP BY 1, 2), " +
+        "p AS (SELECT a.event_type AS event_type, " +
+        "SUM(CAST(CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END AS BIGINT)) AS s " +
+        "FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.d < b.d GROUP BY 1), " +
+        "ti AS (SELECT event_type, SUM(t) AS n_days, " +
+        "SUM(t * (t - 1) * (2 * t + 5)) AS tie_sum FROM " +
+        "(SELECT event_type, v, COUNT(*) AS t FROM daily GROUP BY 1, 2) GROUP BY 1) " +
+        "SELECT p.event_type, CAST(n_days AS BIGINT) AS n_days, CAST(s AS BIGINT) AS s_stat, " +
+        r4(vs) + " AS var_s, " +
+        r4(s"CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt($vs) " +
+          s"WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt($vs) ELSE 0.0 END") +
+        " AS z_stat FROM p JOIN ti USING (event_type) ORDER BY event_type"
+    },
+    // RANSAC: md5-chosen day pairs, shared slope/intercept/residual
+    // order, inlier band = RansacBandSds * sd, ties to lowest round
+    "q_ransac" -> {
+      import graft.operators.EventOps.{RansacRounds, RansacBandSds}
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      def h(salt: Int) =
+        s"CAST(('0x' || substr(md5('ransac:' || CAST(r AS VARCHAR) || ':$salt'), 1, 6)) AS BIGINT)"
+      "WITH daily AS (SELECT CAST(row_number() OVER (ORDER BY d) - 1 AS DOUBLE) AS x, y FROM " +
+        "(SELECT CAST(ts AS DATE) AS d, " + r4("SUM(value)") + " AS y FROM events GROUP BY 1)), " +
+        "st AS (SELECT COUNT(*) AS n, sqrt(SUM(y * y) / COUNT(*) " +
+        "- (SUM(y) / COUNT(*)) * (SUM(y) / COUNT(*))) AS sd FROM daily), " +
+        s"cand AS (SELECT r, sd, CAST(${h(1)} % n AS DOUBLE) AS xi, " +
+        s"CAST((${h(1)} % n + 1 + ${h(2)} % (n - 1)) % n AS DOUBLE) AS xj " +
+        s"FROM st CROSS JOIN (SELECT unnest(generate_series(1, $RansacRounds)) AS r)), " +
+        "lines AS (SELECT r, sd, (dj.y - di.y) / (xj - xi) AS slope, " +
+        "di.y - (dj.y - di.y) / (xj - xi) * xi AS icept " +
+        "FROM cand JOIN daily di ON di.x = cand.xi JOIN daily dj ON dj.x = cand.xj), " +
+        "scored AS (SELECT r, slope, icept, COUNT(*) AS n_inliers FROM lines CROSS JOIN daily " +
+        s"WHERE abs(y - (icept + slope * x)) <= $RansacBandSds * sd " +
+        "GROUP BY 1, 2, 3), " +
+        "best AS (SELECT * FROM scored ORDER BY n_inliers DESC, r LIMIT 1) " +
+        "SELECT CAST(r AS BIGINT) AS best_round, " +
+        "(SELECT CAST(n AS BIGINT) FROM st) AS n_days, " +
+        "CAST(n_inliers AS BIGINT) AS n_inliers, " +
+        r4("slope") + " AS slope, " + r4("icept") + " AS intercept FROM best"
+    },
+    // Kruskal-Wallis: cents-quantized values (bounded rank domain),
+    // midranks from one compressed cumulative, tie-corrected H
+    "q_kruskal" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      val nd = "CAST(n AS DOUBLE)"
+      val hRaw = s"12.0 / ($nd * ($nd + 1.0)) * rr - 3.0 * ($nd + 1.0)"
+      "WITH dd AS (SELECT event_type, CAST(round(CAST(value AS DECIMAL(20,8)), 2) AS DOUBLE) AS v FROM events), " +
+        "bv AS (SELECT v, COUNT(*) AS n_v FROM dd GROUP BY v), " +
+        "rk AS (SELECT v, COALESCE(SUM(n_v) OVER (ORDER BY v " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + (n_v + 1) / 2.0 AS midrank FROM bv), " +
+        "gv AS (SELECT event_type, v, COUNT(*) AS n_gv FROM dd GROUP BY 1, 2), " +
+        "g AS (SELECT event_type, SUM(n_gv) AS n_g, " +
+        "SUM(CAST(n_gv AS DOUBLE) * midrank) AS rank_sum FROM gv JOIN rk USING (v) GROUP BY 1), " +
+        "tt AS (SELECT SUM(n_v) AS n_total, SUM(n_v * n_v * n_v - n_v) AS tie_sum FROM bv), " +
+        "ag AS (SELECT max(n_total) AS n, COUNT(*) AS k, " +
+        "SUM(rank_sum * rank_sum / n_g) AS rr, max(tie_sum) AS ts FROM g CROSS JOIN tt) " +
+        "SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k, " +
+        r4(hRaw) + " AS h_stat, " +
+        r4(s"($hRaw) / (1.0 - CAST(ts AS DOUBLE) / ($nd * $nd * $nd - $nd))") +
+        " AS h_corrected FROM ag"
+    },
+    // log-log OLS per brand: one broadcast dim join + 6-moment agg
+    "q_elasticity" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      val nd = "CAST(n AS DOUBLE)"
+      val covxy = s"sxy - sx * sy / $nd"
+      val varx = s"sxx - sx * sx / $nd"
+      val vary = s"syy - sy * sy / $nd"
+      "WITH li AS (SELECT l_partkey, ln(l_extendedprice) AS x, ln(l_quantity) AS y FROM lineitem), " +
+        "j AS (SELECT p_brand, x, y FROM li JOIN part ON l_partkey = p_partkey), " +
+        "m AS (SELECT p_brand, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, " +
+        "SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy FROM j GROUP BY p_brand) " +
+        "SELECT p_brand, CAST(n AS BIGINT) AS n, " +
+        r4(s"($covxy) / ($varx)") + " AS elasticity, " +
+        r4(s"($covxy) * ($covxy) / (($varx) * ($vary))") + " AS r2 " +
+        "FROM m ORDER BY p_brand"
     },
   )
 }

@@ -1007,6 +1007,44 @@ object AnalyticsOps {
           .as("rho"))
   }
 
+  /** q_elasticity: log-log price elasticity of demand per brand — the
+    * classic OLS of ln(quantity) on ln(price) whose slope is the %-change
+    * response (ε < −1 elastic, −1 < ε < 0 inelastic), plus R². The
+    * pricing-analytics staple on the order lines.
+    *
+    * Scale shape: ONE broadcast part-dim join onto the fact scan and one
+    * 6-moment partial aggregate per brand — the cheapest possible OLS at
+    * any size (no window, no second pass). The moment sums are float
+    * (ln per row), so the closed forms land behind round4 like every
+    * regression in this module. */
+  def elasticity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), log(col("l_quantity")).as("x0"),
+        log(col("l_extendedprice")).as("y0"))
+      // x = ln(price), y = ln(qty): elasticity = dln(qty)/dln(price)
+      .select(col("l_partkey"), col("y0").as("x"), col("x0").as("y"))
+    val dim = Tables.part(spark, dir)
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    li.join(broadcast(dim), "l_partkey")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select({
+        val nd = col("n").cast("double")
+        val covxy = col("sxy") - col("sx") * col("sy") / nd
+        val varx = col("sxx") - col("sx") * col("sx") / nd
+        val vary = col("syy") - col("sy") * col("sy") / nd
+        Seq(col("p_brand"), col("n"),
+          stableRound4(covxy / varx).as("elasticity"),
+          stableRound4(covxy * covxy / (varx * vary)).as("r2"))
+      }: _*)
+      .orderBy(col("p_brand"))
+  }
+
   /** q_cramers_v: the effect size the per-cell χ² report (q_chi2) stops
     * short of — total χ² over the (lang × source) crosstab, its degrees
     * of freedom, and Cramér's V = √(χ²/(N·min(r−1, c−1))): the

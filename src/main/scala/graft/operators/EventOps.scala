@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1195,5 +1195,112 @@ object EventOps {
       .select(col("n"), col("n_blocks"), col("mean_rs"),
         stableRound4(col("h")).as("hurst"))
       .orderBy(col("n"))
+  }
+
+  /** q_mann_kendall: the Mann–Kendall monotone-trend test per event type
+    * — the distribution-free partner to q_theil_sen's slope and the
+    * standard "is this metric actually drifting" gate (no linearity or
+    * normality assumed): S = Σ_{i<j} sgn(v_j − v_i) over the daily value
+    * series, tie-corrected Var(S) = [n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18,
+    * and the continuity-corrected z. Daily sums pass the round4 barrier
+    * BEFORE any comparison, so every sign is taken on identical doubles
+    * in both engines (ULP-order differences in the float day-sums can
+    * never flip a sgn).
+    *
+    * Scale shape: one (type, day) aggregation, then all-pairs over the
+    * \|days\|-bounded series per type (a few hundred rows squared —
+    * domain-compressed, like every windowed test in StatOps) and a
+    * \|tied-values\| rollup. Constant work as events grow. */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(stableRound4(sum(col("value"))).as("v"))
+    val pairs = daily.as("a").join(daily.as("b"),
+      col("a.event_type") === col("b.event_type") && col("a.d") < col("b.d"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(signum(col("b.v") - col("a.v")).cast("long")).as("s"))
+    val ties = daily.groupBy(col("event_type"), col("v"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_values"), sum(col("t")).as("n_days"),
+        sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tie_sum"))
+    pairs.join(ties, "event_type")
+      .select({
+        val varS = (col("n_days") * (col("n_days") - 1)
+          * (col("n_days") * 2 + 5) - col("tie_sum")).cast("double") / 18.0
+        Seq(col("event_type"), col("n_days"), col("s").as("s_stat"),
+          stableRound4(varS).as("var_s"),
+          stableRound4(when(col("s") > 0,
+            (col("s") - 1).cast("double") / sqrt(varS))
+            .when(col("s") < 0, (col("s") + 1).cast("double") / sqrt(varS))
+            .otherwise(0.0)).as("z_stat"))
+      }: _*)
+      .orderBy(col("event_type"))
+  }
+
+  /** RANSAC dials (q_ransac) — shared with the oracle: candidate rounds
+    * and the inlier band as a fraction of the series' value sd. */
+  val RansacRounds = 20
+  val RansacBandSds = 0.5
+
+  /** q_ransac: RANSAC line fit (Fischler & Bolles 1981) of the daily
+    * total-value trend — the robust alternative to least squares when
+    * the series carries outlier days (promo spikes, outages): each of
+    * [[RansacRounds]] candidate lines passes through a deterministic
+    * md5-chosen pair of days (the portable-randomness contract of
+    * q_permutation_test), is scored by its inlier count inside a
+    * ±[[RansacBandSds]]·σ band, and the best (max inliers, ties to the
+    * lowest round) is reported. Day values pass the round4 barrier
+    * before any geometry, and the slope/intercept/residual algebra is
+    * written in one shared order, so the inlier decisions are
+    * bit-stable.
+    *
+    * Scale shape: one daily aggregation, then ALL work runs on the
+    * \|days\|-bounded series (R candidate joins against \|days\| rows =
+    * R·\|days\| residual tests). Constant as events grow. */
+  def ransacLine(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val daily = Materialize(Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(stableRound4(sum(col("value"))).as("y"))
+      .select((row_number().over(Window.orderBy(col("d"))) - 1)
+        .cast("double").as("x"), col("y")))
+    val stats = daily.agg(count(lit(1)).as("n"),
+      sqrt(sum(col("y") * col("y")) / count(lit(1))
+        - (sum(col("y")) / count(lit(1))) * (sum(col("y")) / count(lit(1))))
+        .as("sd"))
+    // round r picks points i = h(r,1) mod n and j, offset by 1 + h(r,2)
+    // mod (n-1) so i ≠ j always
+    def h(r: Column, salt: Int): Column =
+      conv(substring(md5(concat(lit("ransac:"), r.cast("string"),
+        lit(":" + salt))), 1, 6), 16, 10).cast("long")
+    val cand = stats.select(col("n"), col("sd"),
+      explode(sequence(lit(1), lit(RansacRounds))).as("r"))
+      .select(col("r"), col("sd"),
+        (h(col("r"), 1) % col("n")).cast("double").as("xi"),
+        ((h(col("r"), 1) % col("n")
+          + 1 + h(col("r"), 2) % (col("n") - 1)) % col("n"))
+          .cast("double").as("xj"))
+    val lines = cand
+      .join(daily.select(col("x").as("xi"), col("y").as("yi")), "xi")
+      .join(daily.select(col("x").as("xj"), col("y").as("yj")), "xj")
+      .select(col("r"), col("sd"),
+        ((col("yj") - col("yi")) / (col("xj") - col("xi"))).as("slope"),
+        (col("yi") - (col("yj") - col("yi")) / (col("xj") - col("xi"))
+          * col("xi")).as("icept"))
+    val scored = lines.crossJoin(daily)
+      .filter(abs(col("y") - (col("icept") + col("slope") * col("x")))
+        <= lit(RansacBandSds) * col("sd"))
+      .groupBy(col("r"), col("slope"), col("icept"))
+      .agg(count(lit(1)).as("n_inliers"))
+    scored
+      .orderBy(col("n_inliers").desc, col("r"))
+      .limit(1)
+      .crossJoin(broadcast(stats.select(col("n").as("n_days"))))
+      .select(col("r").cast("long").as("best_round"), col("n_days"),
+        col("n_inliers"),
+        stableRound4(col("slope")).as("slope"),
+        stableRound4(col("icept")).as("intercept"))
   }
 }

@@ -843,4 +843,54 @@ object StatOps {
         stableRound4((col("n_extreme") + 1).cast("double")
           / (col("n_perms") + 1).cast("double")).as("p_value"))
   }
+
+  /** q_kruskal: Kruskal–Wallis H across the event types — the k-group
+    * rank-based ANOVA ([[anova]]'s distribution-free sibling, exactly as
+    * [[mannWhitney]] is [[StatOps.ksTest]]'s two-group one):
+    * H = 12/(N(N+1))·ΣR_c²/n_c − 3(N+1), divided by the tie correction
+    * 1 − Σ(t³−t)/(N³−N). Event values are quantized to cents through the
+    * decimal barrier FIRST — that bounds the rank domain (the
+    * value-compression recipe needs a discrete domain; a continuous
+    * double column would make the global rank window corpus-sized) and
+    * makes every midrank a shared exact half-integer.
+    *
+    * Scale shape: one (value-cents) compression aggregate, ONE
+    * single-partition cumulative window over that bounded domain
+    * (documented, same as mannWhitney), a per-(type, value) join and a
+    * k-row closed form. */
+  def kruskal(spark: SparkSession, dir: String): DataFrame = {
+    // cents quantization (decimal barrier, 2 dp): bounds the rank domain
+    // at |value range|·100 distinct values whatever the event count
+    val cents = round(col("value").cast("decimal(20,8)"), 2).cast("double")
+    val d = Tables.events(spark, dir)
+      .select(col("event_type"), cents.as("v"))
+    val byValue = d.groupBy(col("v")).agg(count(lit(1)).as("n_v"))
+    val wAll = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byValue
+      .withColumn("below", coalesce(sum(col("n_v")).over(wAll), lit(0L)))
+      .withColumn("midrank",
+        col("below").cast("double") + (col("n_v") + 1).cast("double") / 2.0)
+    val byGroupValue = d.groupBy(col("event_type"), col("v"))
+      .agg(count(lit(1)).as("n_gv"))
+    val groups = byGroupValue.join(ranked, "v")
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_gv")).as("n_g"),
+        sum(col("n_gv").cast("double") * col("midrank")).as("rank_sum"))
+    val totals = byValue.agg(
+      sum(col("n_v")).as("n_total"),
+      sum(col("n_v") * col("n_v") * col("n_v") - col("n_v")).as("tie_sum"))
+    groups.crossJoin(broadcast(totals))
+      .agg(first(col("n_total")).as("n"), count(lit(1)).as("k"),
+        sum(col("rank_sum") * col("rank_sum") / col("n_g")).as("rr"),
+        first(col("tie_sum")).as("ts"))
+      .select({
+        val nd = col("n").cast("double")
+        val hRaw = (lit(12.0) / (nd * (nd + 1.0)) * col("rr")
+          - lit(3.0) * (nd + 1.0))
+        val corr = lit(1.0) - col("ts").cast("double") / (nd * nd * nd - nd)
+        Seq(col("n"), col("k"), stableRound4(hRaw).as("h_stat"),
+          stableRound4(hRaw / corr).as("h_corrected"))
+      }: _*)
+  }
 }

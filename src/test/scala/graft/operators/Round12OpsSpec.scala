@@ -518,6 +518,108 @@ class Round12OpsSpec extends SparkTestBase {
     assert(nc == lpaCommunities, s"$nc vs $lpaCommunities")
   }
 
+  test("mannKendall: S matches a driver pair scan on the rounded daily sums") {
+    val got = EventOps.mannKendall(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(graft.functions.NumericFunctions.stableRound4(sum(col("value")))
+        .as("v"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2)))
+    daily.groupBy(_._1).foreach { case (t, rows) =>
+      val vs = rows.sortBy(_._2).map(_._3)
+      val n = vs.length
+      val s = (for (i <- 0 until n; j <- i + 1 until n)
+        yield math.signum(vs(j) - vs(i)).toLong).sum
+      val ties = vs.groupBy(identity).values.map(_.length.toLong)
+      val varS = (n.toLong * (n - 1) * (2 * n + 5)
+        - ties.map(t => t * (t - 1) * (2 * t + 5)).sum) / 18.0
+      val g = got(t)
+      assert(g._1 == n && g._2 == s, s"$t: $g vs ($n, $s)")
+      assert(math.abs(g._3 - varS) < 1e-2)
+      val z = if (s > 0) (s - 1) / math.sqrt(varS)
+      else if (s < 0) (s + 1) / math.sqrt(varS) else 0.0
+      assert(math.abs(g._4 - z) < 1e-3)
+    }
+  }
+
+  test("ransac: the winning line's inliers dominate every other candidate round") {
+    val r = EventOps.ransacLine(spark, sf).collect().head
+    val (best, nDays, nInl) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(best >= 1 && best <= EventOps.RansacRounds)
+    assert(nInl >= 2 && nInl <= nDays) // the two defining points are inliers
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(graft.functions.NumericFunctions.stableRound4(sum(col("value")))
+        .as("y"))
+      .orderBy(col("d")).collect().map(_.getDouble(1))
+    assert(nDays == daily.length)
+    // driver replay: winner's inlier count is the max over all rounds
+    val n = daily.length
+    val mean = daily.sum / n
+    val sd = math.sqrt(daily.map(y => y * y).sum / n - mean * mean)
+    def h(rr: Int, salt: Int): Long =
+      java.lang.Long.parseLong(org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(s"ransac:$rr:$salt").take(6), 16)
+    val counts = (1 to EventOps.RansacRounds).map { rr =>
+      val i = (h(rr, 1) % n).toInt
+      val j = ((i + 1 + h(rr, 2) % (n - 1)) % n).toInt
+      val slope = (daily(j) - daily(i)) / (j - i)
+      val icept = daily(i) - slope * i
+      rr -> daily.indices.count(x =>
+        math.abs(daily(x) - (icept + slope * x))
+          <= EventOps.RansacBandSds * sd)
+    }
+    assert(counts.map(_._2).max == nInl, s"$counts vs $nInl")
+    assert(counts.filter(_._2 == nInl).map(_._1).min == best)
+  }
+
+  test("kruskal: H matches a driver midrank recompute on cents-quantized values") {
+    val r = StatOps.kruskal(spark, sf).collect().head
+    val data = graft.Tables.events(spark, sf)
+      .select(col("event_type"),
+        round(col("value").cast("decimal(20,8)"), 2).cast("double").as("v"))
+      .collect().map(x => (x.getString(0), x.getDouble(1)))
+    val n = data.length
+    assert(r.getLong(0) == n)
+    val sorted = data.map(_._2).sorted
+    val rankOf = data.map(_._2).distinct.map { v =>
+      v -> (sorted.indexWhere(_ == v) + 1.0 + (sorted.count(_ == v) - 1) / 2.0)
+    }.toMap
+    val groups = data.groupBy(_._1)
+    assert(r.getLong(1) == groups.size)
+    val rr = groups.values.map { g =>
+      val rs = g.map(p => rankOf(p._2)).sum; rs * rs / g.length
+    }.sum
+    val hRaw = 12.0 / (n.toDouble * (n + 1)) * rr - 3.0 * (n + 1)
+    val tie = sorted.groupBy(identity).values
+      .map(t => t.length.toLong).map(t => t * t * t - t).sum
+    val hCorr = hRaw / (1.0 - tie.toDouble / (n.toDouble * n * n - n))
+    assert(math.abs(r.getDouble(2) - hRaw) < 1e-2, s"${r.getDouble(2)} vs $hRaw")
+    assert(math.abs(r.getDouble(3) - hCorr) < 1e-2)
+  }
+
+  test("elasticity: r2 bounded, one brand matches a driver log-log OLS") {
+    val rows = AnalyticsOps.elasticity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    val brand = rows.head.getString(0)
+    val pts = graft.Tables.lineitem(spark, sf)
+      .join(graft.Tables.part(spark, sf)
+        .filter(col("p_brand") === brand)
+        .select(col("p_partkey").as("l_partkey")), "l_partkey")
+      .select(log(col("l_extendedprice")), log(col("l_quantity")))
+      .collect().map(x => (x.getDouble(0), x.getDouble(1)))
+    val n = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val el = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    assert(rows.head.getLong(1) == pts.length)
+    assert(math.abs(rows.head.getDouble(2) - el) < 1e-3)
+  }
+
   test("audioVad: segment stats agree with a driver gaps-and-islands replay") {
     val got = MultimodalOps.audioVad(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3),
