@@ -20,6 +20,30 @@ object Bench {
     * current run. */
   val CanaryRefSeconds: Double = 4.559
 
+  /** Per-query reference costs (same r8/r9/r10 mean — they sum to
+    * [[CanaryRefSeconds]] ± 0.001). Round 13: the one-block canary sum
+    * samples host contention at ten adjacent points, so a contention
+    * burst anywhere else in the ~3-minute sweep is invisible to it —
+    * measured ±30 % same-HEAD band, up to ~20 % error after
+    * normalization. The fix is to SAMPLE the contention factor across
+    * the whole run: re-time one canary (round-robin) every
+    * [[CanarySampleEvery]] queries, convert each sample to a factor
+    * t/ref via this map, and gate on the MEDIAN factor — a median of
+    * ~20 spread samples is robust to any single burst in a way the
+    * one-block sum cannot be. FIXED constants like the sum; do not
+    * re-derive from the current run. */
+  val CanaryRef: Map[String, Double] = Map(
+    "q_tfidf" -> 0.602612, "q_pareto" -> 0.287494,
+    "q_dedup_embed" -> 0.283926, "q_semdedup" -> 0.314308,
+    "q_tpch_q18" -> 0.492530, "q_sparse_sim" -> 0.489511,
+    "q_watermark_sim" -> 0.494553, "q_ngram_containment" -> 1.007462,
+    "q_order_gaps" -> 0.295633, "q_dedup_survivor" -> 0.290777)
+
+  /** Interleave cadence: one canary re-sample per this many swept
+    * queries — ~20 samples across a 306-query sweep, ~8 s of untimed
+    * overhead (samples never count toward the total). */
+  val CanarySampleEvery: Int = 15
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -51,7 +75,25 @@ object Bench {
     // is hostage to GC pauses and OS scheduling noise — full-run totals
     // swing ±25% on an otherwise idle box — while the min of two runs is a
     // stable steady-state execution-cost estimate (the number that scales).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Interleaved canary samples (see CanaryRef doc): (position, query,
+    // seconds, factor), collected OUTSIDE the timed results.
+    val canarySamples =
+      scala.collection.mutable.ArrayBuffer[(Int, String, Double, Double)]()
+    var sampleIdx = 0
+    def sampleCanary(pos: Int): Unit = {
+      val cq = Canary(sampleIdx % Canary.size)
+      sampleIdx += 1
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(cq)(spark, sfDir).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        canarySamples += ((pos, cq, t, t / CanaryRef(cq)))
+      } catch { case _: Throwable => () } // an errored sample is dropped;
+      // the in-sweep canary run will surface the error itself
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
+      .map { case ((name, fn), pos) =>
+      if (pos % CanarySampleEvery == 0) sampleCanary(pos)
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None } catch {
@@ -101,14 +143,45 @@ object Bench {
     val normalized =
       if (canaryComplete && canary > 0) total * (CanaryRefSeconds / canary)
       else total
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","reps":2,"agg":"min","canary":$canary,"canary_ref":$CanaryRefSeconds,"n_canary":$nCanary,"canary_complete":$canaryComplete,"normalized_total":$normalized,"queries":$qs,"errors":$errs,"warm_failures":$warmFailures,"sf":"$sfDir"}"""
+    // Median contention factor: the GATE number uses only the ten
+    // in-sweep best-of-2 canary runs (alphabetically spread through the
+    // sweep — ten time samples of the host), each converted to t/ref.
+    // Median, not sum: one burst-hit canary dragged the r12 sum up to
+    // ±20 % after normalization; the median of ten spread factors
+    // ignores it. The single-shot interleaved samples are emitted as
+    // BURST DIAGNOSTICS only — measured on this host (first r13 run),
+    // single-shot factors read ~1.18 median while best-of-2 reads ~0.86,
+    // because the refs are best-of-2 stamps; mixing the two populations
+    // into one median would re-bias the gate, so they stay separate.
+    def median(xs: Seq[Double]): Double = {
+      if (xs.isEmpty) 1.0
+      else {
+        val s = xs.sorted.toIndexedSeq
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+      }
+    }
+    val inSweepFactors = results.collect {
+      case (k, v, None) if canarySet(k) => v / CanaryRef(k) }
+    val factorMedian = median(inSweepFactors)
+    val normalizedMed =
+      if (inSweepFactors.nonEmpty && factorMedian > 0) total / factorMedian
+      else total
+    val sampleFactors = canarySamples.map(_._4).toSeq
+    def f4(x: Double) = f"$x%.4f"
+    val samplesJson = canarySamples.map { case (pos, q, t, fac) =>
+      s"""{"pos":$pos,"q":"$q","sec":${f4(t)},"factor":${f4(fac)}}"""
+    }.mkString("[", ",", "]")
+    val factorStats =
+      s""""canary_factor_median":${f4(factorMedian)},"canary_factor_min":${f4(if (inSweepFactors.isEmpty) 1.0 else inSweepFactors.min)},"canary_factor_max":${f4(if (inSweepFactors.isEmpty) 1.0 else inSweepFactors.max)},"n_factor_samples":${inSweepFactors.size},"sample_factor_median":${f4(median(sampleFactors))},"n_burst_samples":${sampleFactors.size},"normalized_total_med":$normalizedMed"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","reps":2,"agg":"min","canary":$canary,"canary_ref":$CanaryRefSeconds,"n_canary":$nCanary,"canary_complete":$canaryComplete,"normalized_total":$normalized,$factorStats,"canary_samples":$samplesJson,"queries":$qs,"errors":$errs,"warm_failures":$warmFailures,"sf":"$sfDir"}"""
     println(fullLine)
     // The full line above is ~4 KB (one entry per query) and has outrun the
     // driver's captured output tail every round (BENCH_r01..r03 all record
     // "parsed": null). Emit a compact summary LAST so it always survives
     // tail truncation and the 2x-of-baseline perf gate can actually evaluate.
     val nErr = results.count(_._3.isDefined)
-    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","reps":2,"agg":"min","canary":$canary,"n_canary":$nCanary,"canary_complete":$canaryComplete,"normalized_total":$normalized,"n_queries":${results.size},"n_err":$nErr,"warm_failures":$warmFailures,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","reps":2,"agg":"min","canary":$canary,"n_canary":$nCanary,"canary_complete":$canaryComplete,"normalized_total":$normalized,$factorStats,"n_queries":${results.size},"n_err":$nErr,"warm_failures":$warmFailures,"sf":"$sfDir"}""")
     // Third compact line: the ~20 slowest queries. The full per-query map
     // above is what regression tracking wants, but it has been truncated by
     // the driver's output tail cap every round; the slow tail is the part

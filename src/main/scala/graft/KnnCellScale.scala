@@ -74,6 +74,7 @@ object KnnCellScale {
     final case class Pt(scale: Int, posture: String, kCells: Int,
         nVecs: Long, warm: Double, recall: Double)
     val pts = scala.collection.mutable.ArrayBuffer[Pt]()
+    val compPts = scala.collection.mutable.ArrayBuffer[Pt]()
 
     Scales.foreach { c =>
       val dir = outDir(c)
@@ -92,6 +93,20 @@ object KnnCellScale {
         println(f"${c}%3dx |V|=$nVecs%7d $posture%-8s k_cells=$kc%4d " +
           f"run1 $t1%8.2f s  run2 $t2%8.2f s  recall@3 $rec%.4f  ($n1%9d rows)")
         pts += Pt(c, posture, kc, nVecs, math.min(t1, t2), rec)
+        // r12 verdict top ask follow-through: the COMPOSITE must inherit
+        // the graph's posture now that kCells is plumbed — the mutualize
+        // + components stages are Θ(k·|V|) on top of the build
+        if (posture == "sqrtV") {
+          val (c1, m1) = timed(graft.operators.PqOps
+            .knnComponents(spark, dir, kCells = kc).count())
+          val (c2, m2) = timed(graft.operators.PqOps
+            .knnComponents(spark, dir, kCells = kc).count())
+          require(m1 == m2, s"nondeterministic comps at ${c}x: $m1 vs $m2")
+          require(m1 == nVecs, s"incomplete labeling at ${c}x: $m1 vs $nVecs")
+          println(f"${c}%3dx |V|=$nVecs%7d comps√V  k_cells=$kc%4d " +
+            f"run1 $c1%8.2f s  run2 $c2%8.2f s  ($m1%9d rows)")
+          compPts += Pt(c, "comps", kc, nVecs, math.min(c1, c2), 1.0)
+        }
       }
     }
 
@@ -107,6 +122,15 @@ object KnnCellScale {
     exp("sqrtV", 10, 30)
     exp("sqrtV", 30, 100)
     exp("sqrtV", 10, 100)
+    def cexp(a: Int, b: Int): Unit =
+      for {
+        pa <- compPts.find(_.scale == a)
+        pb <- compPts.find(_.scale == b)
+      } println(f"comps√V  ${a}x->${b}x  t ${pa.warm}%8.2f -> ${pb.warm}%8.2f s" +
+        f"  e ${math.log(pb.warm / pa.warm) / math.log(b.toDouble / a)}%5.2f")
+    cexp(10, 30)
+    cexp(30, 100)
+    cexp(10, 100)
     spark.stop()
   }
 }

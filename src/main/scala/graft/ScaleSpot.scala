@@ -143,7 +143,16 @@ object ScaleSpot {
     // window (the mannwhitney risk shape over a 10x bigger fact),
     // elasticity is one broadcast-dim join + moment agg (scan-linear by
     // design), Mann-Kendall/RANSAC are |days|-bounded after one daily agg
-    "q_kruskal", "q_elasticity", "q_mann_kendall", "q_ransac")
+    "q_kruskal", "q_elasticity", "q_mann_kendall", "q_ransac",
+    // round-13: the seeded global permutation — a pure md5 key function
+    // + 16 per-shard rank windows (each partition one key range) + a
+    // 16-group rollup; expect e≈1 with at most the sort's log factor
+    "q_epoch_shuffle",
+    // round-13 second batch: Adamic-Adar rides link_predict's hub-
+    // restricted pair join (its measured family), Q9 is the six-table
+    // star on the fact-derived partsupp (the only new big-big shuffle),
+    // CUSUM/EWMA are |days|-bounded after one daily agg (should be flat)
+    "q_adamic_adar", "q_tpch_q9", "q_cusum", "q_ewma_control")
   val Scales = Seq(10, 100)
 
   def outDir(copies: Int) = s"/tmp/graft_spot_${copies}x"

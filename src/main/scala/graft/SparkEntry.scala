@@ -155,6 +155,20 @@ object SparkEntry {
     "q_dedup_para"     -> (CorpusOps.segmentDedup _),
     "q_repeated_ngrams" -> ((s, d) => CorpusOps.repeatedNgrams(s, d)),
     "q_shard"          -> (CorpusOps.shardAssign _),
+    "q_epoch_shuffle"  -> ((s, d) => CorpusOps.epochShuffle(s, d)),
+    "q_t_closeness"    -> (StatOps.tCloseness _),
+    "q_jarque_bera"    -> (StatOps.jarqueBera _),
+    "q_grubbs"         -> (StatOps.grubbs _),
+    "q_partial_corr"   -> (StatOps.partialCorr _),
+    "q_friedman"       -> (StatOps.friedman _),
+    "q_cusum"          -> (EventOps.cusum _),
+    "q_ewma_control"   -> (EventOps.ewmaControl _),
+    "q_peak_detect"    -> (EventOps.peakDetect _),
+    "q_stl_anomaly"    -> (EventOps.stlAnomaly _),
+    "q_cronbach_alpha" -> (TextOps.cronbachAlpha _),
+    "q_char_profile"   -> (TextOps.charProfile _),
+    "q_clv"            -> ((s, d) => AnalyticsOps.clv(s, d)),
+    "q_adamic_adar"    -> ((s, d) => GraphOps.adamicAdar(s, d)),
     "q_cooccur"        -> ((s, d) => CorpusOps.cooccurPmi(s, d)),
     "q_clean_pipeline" -> (CorpusOps.cleanPipeline _),
     "q_dedup_incr"     -> ((s, d) => DedupOps.dedupIncremental(s, d)),
@@ -278,8 +292,13 @@ object SparkEntry {
     "q_graph_cc"       -> ((s, d) => GraphOps.brandComponents(s, d)),
     "q_stl_decompose"  -> (EventOps.stlDecompose _),
     "q_link_predict"   -> ((s, d) => GraphOps.linkPredict(s, d)),
+    "q_tpch_q2"        -> (JoinOps.tpchQ2 _),
     "q_tpch_q3"        -> (JoinOps.tpchQ3 _),
     "q_tpch_q4"        -> ((s, d) => JoinOps.tpchQ4(s, d)),
+    "q_tpch_q9"        -> (JoinOps.tpchQ9 _),
+    "q_tpch_q11"       -> ((s, d) => JoinOps.tpchQ11(s, d)),
+    "q_tpch_q16"       -> (JoinOps.tpchQ16 _),
+    "q_tpch_q20"       -> ((s, d) => JoinOps.tpchQ20(s, d)),
     "q_tpch_q12"       -> ((s, d) => JoinOps.tpchQ12(s, d)),
     "q_tpch_q21"       -> ((s, d) => JoinOps.tpchQ21(s, d)),
     "q_doremi"         -> ((s, d) => CorpusOps.doremi(s, d)),
@@ -2120,6 +2139,274 @@ object SparkEntry {
         "CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_tokens, " +
         "min(doc_id) AS min_doc, max(doc_id) AS max_doc " +
         "FROM documents GROUP BY 1 ORDER BY shard"),
+    // seeded global permutation: md5(seed:doc_id) order, first-hex-digit
+    // range shards, per-shard head checksum over the first 8 ids
+    "q_epoch_shuffle" ->
+      ("WITH k AS (SELECT doc_id, " +
+        "len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks, " +
+        "md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS k FROM documents), " +
+        "r AS (SELECT doc_id, n_toks, substr(k, 1, 1) AS shard, " +
+        "ROW_NUMBER() OVER (PARTITION BY substr(k, 1, 1) " +
+        "ORDER BY k, doc_id) AS rn FROM k) " +
+        "SELECT shard, count(*) AS n_docs, " +
+        "CAST(sum(n_toks) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(CASE WHEN rn <= 8 THEN doc_id END) AS BIGINT) AS head_checksum " +
+        "FROM r GROUP BY shard ORDER BY shard"),
+    // t-closeness: TVD between class and global sensitive distributions,
+    // all exact-integer count ratios
+    "q_t_closeness" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH cells AS (SELECT c_nationkey AS nation, c_mktsegment AS segment, " +
+        "CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band, count(*) AS c " +
+        "FROM customer GROUP BY 1, 2, 3), " +
+        "g AS (SELECT nation, segment, CAST(sum(c) AS BIGINT) AS n_g FROM cells GROUP BY 1, 2), " +
+        "gv AS (SELECT bal_band, CAST(sum(c) AS BIGINT) AS cv FROM cells GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells), " +
+        "dist AS (SELECT g.nation, g.segment, max(g.n_g) AS class_size, " +
+        "sum(abs(CAST(COALESCE(cells.c, 0) AS DOUBLE) / g.n_g - CAST(gv.cv AS DOUBLE) / tot.n)) / 2 AS t_raw " +
+        "FROM g CROSS JOIN gv CROSS JOIN tot " +
+        "LEFT JOIN cells ON cells.nation = g.nation AND cells.segment = g.segment AND cells.bal_band = gv.bal_band " +
+        "GROUP BY g.nation, g.segment) " +
+        "SELECT nation, segment, class_size, " + r4("t_raw") + " AS t_dist " +
+        "FROM dist ORDER BY t_dist DESC, nation, segment"
+    },
+    // Jarque-Bera: value-compressed central moments per source
+    "q_jarque_bera" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH vc AS (SELECT source, n_chars AS v, count(*) AS c FROM documents GROUP BY 1, 2), " +
+        "m AS (SELECT source, CAST(sum(c) AS BIGINT) AS n, " +
+        "CAST(sum(v * c) AS DOUBLE) / sum(c) AS mu FROM vc GROUP BY 1), " +
+        "mom AS (SELECT vc.source, max(m.n) AS n_docs, " +
+        "sum(c * (v - mu) * (v - mu)) / max(m.n) AS m2, " +
+        "sum(c * (v - mu) * (v - mu) * (v - mu)) / max(m.n) AS m3, " +
+        "sum(c * (v - mu) * (v - mu) * (v - mu) * (v - mu)) / max(m.n) AS m4 " +
+        "FROM vc JOIN m ON vc.source = m.source GROUP BY 1) " +
+        "SELECT source, n_docs, " +
+        r4("CASE WHEN m2 > 0 THEN m3 / sqrt(m2 * m2 * m2) END") + " AS skewness, " +
+        r4("CASE WHEN m2 > 0 THEN m4 / (m2 * m2) END") + " AS kurtosis, " +
+        r4("CASE WHEN m2 > 0 THEN n_docs / 6.0 * ((m3 / sqrt(m2 * m2 * m2)) * (m3 / sqrt(m2 * m2 * m2)) + 0.25 * (m4 / (m2 * m2) - 3) * (m4 / (m2 * m2) - 3)) END") + " AS jb " +
+        "FROM mom ORDER BY source"
+    },
+    // Grubbs: integer-cents argmax deviation, DECIMAL power sum
+    "q_grubbs" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH c AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s, " +
+        "CAST(sum(CAST(cents AS HUGEINT) * cents) AS DOUBLE) AS s2 FROM c), " +
+        "dev AS (SELECT o_orderkey, cents, abs(cents * m.n - m.s) AS dev_n FROM c CROSS JOIN m), " +
+        "top AS (SELECT o_orderkey, cents, dev_n FROM dev ORDER BY dev_n DESC, o_orderkey LIMIT 1) " +
+        "SELECT m.n AS n_orders, top.o_orderkey AS outlier_key, " +
+        r4("top.cents / 100.0") + " AS outlier_value, " +
+        r4("CASE WHEN m.s2 / m.n - (CAST(m.s AS DOUBLE) / m.n) * (CAST(m.s AS DOUBLE) / m.n) > 0 THEN " +
+          "(CAST(top.dev_n AS DOUBLE) / m.n / 100.0) / sqrt((m.s2 / m.n - (CAST(m.s AS DOUBLE) / m.n) * (CAST(m.s AS DOUBLE) / m.n)) / 10000.0) END") + " AS g_stat " +
+        "FROM m CROSS JOIN top"
+    },
+    // partial correlation over the |days|-bounded daily frame
+    "q_partial_corr" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x, " +
+        "CAST(sum(value) AS DOUBLE) AS y, CAST(count(DISTINCT user_id) AS DOUBLE) AS z " +
+        "FROM events GROUP BY 1), " +
+        "m AS (SELECT count(*) AS n, avg(x) AS mx, avg(y) AS my, avg(z) AS mz, " +
+        "avg(x * y) AS mxy, avg(x * z) AS mxz, avg(y * z) AS myz, " +
+        "avg(x * x) AS mxx, avg(y * y) AS myy, avg(z * z) AS mzz FROM d), " +
+        "r AS (SELECT n, " +
+        "(mxy - mx * my) / sqrt((mxx - mx * mx) * (myy - my * my)) AS rxy, " +
+        "(mxz - mx * mz) / sqrt((mxx - mx * mx) * (mzz - mz * mz)) AS rxz, " +
+        "(myz - my * mz) / sqrt((myy - my * my) * (mzz - mz * mz)) AS ryz FROM m) " +
+        "SELECT CAST(n AS BIGINT) AS n_days, " + r4("rxy") + " AS r_xy, " +
+        r4("rxz") + " AS r_xz, " + r4("ryz") + " AS r_yz, " +
+        r4("CASE WHEN (1 - rxz * rxz) * (1 - ryz * ryz) > 0 THEN " +
+          "(rxy - rxz * ryz) / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)) END") + " AS r_xy_z " +
+        "FROM r"
+    },
+    // Friedman: per-day midranks on the 0-filled day x type grid
+    "q_friedman" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH grid AS (SELECT day, event_type FROM " +
+        "(SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) " +
+        "CROSS JOIN (SELECT DISTINCT event_type FROM events)), " +
+        "dd AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS x FROM events GROUP BY 1, 2), " +
+        "f AS (SELECT grid.day, grid.event_type, COALESCE(dd.x, 0) AS x " +
+        "FROM grid LEFT JOIN dd ON grid.day = dd.day AND grid.event_type = dd.event_type), " +
+        "rk AS (SELECT day, event_type, x, " +
+        "rank() OVER (PARTITION BY day ORDER BY x) + (count(*) OVER (PARTITION BY day, x) - 1) / 2.0 AS r FROM f), " +
+        "pars AS (SELECT CAST(count(DISTINCT day) AS DOUBLE) AS n, " +
+        "CAST(count(DISTINCT event_type) AS DOUBLE) AS k FROM f), " +
+        "rj AS (SELECT event_type, sum(r) AS rsum FROM rk GROUP BY 1), " +
+        "a AS (SELECT sum(r * r) AS bigA FROM rk), " +
+        "num AS (SELECT sum((rsum - n * (k + 1) / 2.0) * (rsum - n * (k + 1) / 2.0)) AS ssq " +
+        "FROM rj CROSS JOIN pars) " +
+        "SELECT CAST(n AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k_treatments, " +
+        r4("CASE WHEN bigA - n * k * (k + 1) * (k + 1) / 4.0 > 0 THEN " +
+          "(k - 1) * ssq / (bigA - n * k * (k + 1) * (k + 1) / 4.0) END") + " AS friedman_chi2 " +
+        "FROM num CROSS JOIN a CROSS JOIN pars"
+    },
+    // CUSUM via the prefix-sum identity (two cumulative windows)
+    "q_cusum" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x " +
+        "FROM events GROUP BY 1, 2), " +
+        "st AS (SELECT event_type, CAST(sum(x) AS DOUBLE) / count(*) AS mu, " +
+        "sqrt(CAST(sum(x * x) AS DOUBLE) / count(*) - (CAST(sum(x) AS DOUBLE) / count(*)) * (CAST(sum(x) AS DOUBLE) / count(*))) AS sigma, " +
+        "count(*) AS n_days FROM d GROUP BY 1), " +
+        "p AS (SELECT d.event_type, day, mu, sigma, n_days, " +
+        "sum(x - mu) OVER (PARTITION BY d.event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pf " +
+        "FROM d JOIN st ON d.event_type = st.event_type), " +
+        "s AS (SELECT event_type, day, mu, sigma, n_days, " +
+        "pf - least(0, min(pf) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS sc FROM p) " +
+        "SELECT event_type, CAST(max(n_days) AS BIGINT) AS n_days, " +
+        r4("max(4 * sigma)") + " AS threshold, " +
+        "CAST(sum(CASE WHEN sc > 4 * sigma THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms, " +
+        r4("max(sc)") + " AS max_cusum " +
+        "FROM s GROUP BY event_type ORDER BY event_type"
+    },
+    // EWMA control chart: first-element-seeded prefix folds (the proven
+    // q_ema list_reduce contract) + 3-sigma limits
+    "q_ewma_control" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x " +
+        "FROM events GROUP BY 1, 2), " +
+        "arr AS (SELECT event_type, list(x ORDER BY day) AS vals, " +
+        "CAST(sum(x) AS DOUBLE) / count(*) AS mu, " +
+        "sqrt(sum(x * x) / count(*) - (sum(x) / count(*)) * (sum(x) / count(*))) AS sigma, " +
+        "count(*) AS n_days FROM d GROUP BY 1), " +
+        "idx AS (SELECT event_type, vals, mu, sigma, n_days, " +
+        "generate_subscripts(vals, 1) AS t FROM arr), " +
+        "e AS (SELECT event_type, mu, sigma, n_days, t, " +
+        "list_reduce(list_slice(vals, 1, t), (acc, x) -> acc * 0.7 + x * 0.3) AS ew FROM idx) " +
+        "SELECT event_type, CAST(max(n_days) AS BIGINT) AS n_days, " +
+        r4("max(mu)") + " AS mu, " +
+        r4("max(3 * sigma * sqrt(0.3 / 1.7))") + " AS limit_width, " +
+        "CAST(sum(CASE WHEN abs(ew - mu) > 3 * sigma * sqrt(0.3 / 1.7) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations, " +
+        r4("max(CASE WHEN t = n_days THEN ew END)") + " AS final_ewma " +
+        "FROM e GROUP BY event_type ORDER BY event_type"
+    },
+    // peak detection: integer-exact neighbor + prominence comparisons
+    "q_peak_detect" ->
+      ("WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr, " +
+        "CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), " +
+        "w AS (SELECT event_type, hr, c, " +
+        "lag(c) OVER (PARTITION BY event_type ORDER BY hr) AS prev, " +
+        "lead(c) OVER (PARTITION BY event_type ORDER BY hr) AS nxt, " +
+        "sum(c) OVER (PARTITION BY event_type ORDER BY hr ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wsum, " +
+        "count(*) OVER (PARTITION BY event_type ORDER BY hr ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn " +
+        "FROM h) " +
+        "SELECT event_type, hr, c AS n_events FROM w " +
+        "WHERE prev IS NOT NULL AND nxt IS NOT NULL AND c > prev AND c > nxt " +
+        "AND c * wn * 2 >= wsum * 3 " +
+        "ORDER BY event_type, hr"),
+    // STL residual anomalies: lower-median + MAD on the x10^4 integer
+    // residuals of the proven q_stl_decompose chain
+    "q_stl_anomaly" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH d AS (SELECT CAST(ts AS DATE) AS day, round(SUM(value), 4) AS total " +
+        "FROM events GROUP BY 1), " +
+        "d2 AS (SELECT day, total, CAST(round(total * 10000) AS BIGINT) AS total_l FROM d), " +
+        "t AS (SELECT day, total, total_l, " +
+        "COUNT(*) OVER w AS n_win, SUM(total_l) OVER w AS trend_l FROM d2 " +
+        "WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), " +
+        "t2 AS (SELECT day, total, " +
+        "round(CAST(trend_l AS DOUBLE) / 7.0 / 10000.0, 4) AS trend, " +
+        "total_l - CAST(round(round(CAST(trend_l AS DOUBLE) / 7.0 / 10000.0, 4) * 10000) AS BIGINT) AS detr_l " +
+        "FROM t WHERE n_win = 7), " +
+        "se AS (SELECT dayofweek(day) AS dow, " +
+        "round(CAST(SUM(detr_l) AS DOUBLE) / COUNT(*) / 10000.0, 4) AS seasonal " +
+        "FROM t2 GROUP BY 1), " +
+        "stl AS (SELECT day, total, " +
+        "round(total - trend - seasonal, 4) AS residual " +
+        "FROM t2 JOIN se ON dayofweek(day) = dow), " +
+        "r AS (SELECT day, total, residual, CAST(round(residual * 10000) AS BIGINT) AS r_l FROM stl), " +
+        "vc AS (SELECT r_l AS v, count(*) AS c FROM r GROUP BY 1), " +
+        "mq AS (SELECT v AS med FROM (SELECT v, c, " +
+        "sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n FROM vc) " +
+        "WHERE cum - c < ceil(n / 2.0) AND cum >= ceil(n / 2.0)), " +
+        "ad AS (SELECT abs(r_l - med) AS adv FROM r CROSS JOIN mq), " +
+        "avc AS (SELECT adv AS v, count(*) AS c FROM ad GROUP BY 1), " +
+        "madq AS (SELECT v AS mad FROM (SELECT v, c, " +
+        "sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n FROM avc) " +
+        "WHERE cum - c < ceil(n / 2.0) AND cum >= ceil(n / 2.0)) " +
+        "SELECT day, total, residual, " +
+        r4("med / 10000.0") + " AS med_residual, " + r4("mad / 10000.0") + " AS mad " +
+        "FROM r CROSS JOIN mq CROSS JOIN madq " +
+        "WHERE abs(r_l - med) > 3 * mad ORDER BY day"
+    },
+    // Cronbach's alpha over the quality classifier's four features
+    "q_cronbach_alpha" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH t AS (SELECT doc_id, " +
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_toks, " +
+        "CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\\s+')) AS awl, " +
+        "CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), " +
+        "x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and')) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\\s+')) AS swr " +
+        "FROM documents), " +
+        "dd AS (SELECT doc_id, 1.0 - CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*) AS dupfrac FROM " +
+        "(SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok FROM documents) GROUP BY doc_id), " +
+        "f AS (SELECT t.doc_id, swr AS x1, least(n_toks / 100.0, 1.0) AS x2, " +
+        "dupfrac AS x3, abs(awl - 5.0) AS x4 FROM t JOIN dd ON t.doc_id = dd.doc_id), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+        "avg(x1 * x1) - avg(x1) * avg(x1) AS v1, " +
+        "avg(x2 * x2) - avg(x2) * avg(x2) AS v2, " +
+        "avg(x3 * x3) - avg(x3) * avg(x3) AS v3, " +
+        "avg(x4 * x4) - avg(x4) * avg(x4) AS v4, " +
+        "avg((x1 + x2 + x3 + x4) * (x1 + x2 + x3 + x4)) - avg(x1 + x2 + x3 + x4) * avg(x1 + x2 + x3 + x4) AS vt FROM f) " +
+        "SELECT n_docs, 4 AS k_items, " +
+        r4("v1 + v2 + v3 + v4") + " AS sum_item_var, " +
+        r4("vt") + " AS total_var, " +
+        r4("CASE WHEN vt > 0 THEN (4.0 / 3.0) * (1.0 - (v1 + v2 + v3 + v4) / vt) END") + " AS alpha " +
+        "FROM m"
+    },
+    // character-class composition per source (exact integer count ratios)
+    "q_char_profile" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH c AS (SELECT source, length(text) AS n_all, " +
+        "length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_letter, " +
+        "length(regexp_replace(text, '[^ ]', '', 'g')) AS n_space, " +
+        "length(regexp_replace(text, '[^aeiou]', '', 'g')) AS n_vowel " +
+        "FROM documents) " +
+        "SELECT source, count(*) AS n_docs, CAST(sum(n_all) AS BIGINT) AS n_chars, " +
+        r4("CAST(sum(n_letter) AS DOUBLE) / sum(n_all)") + " AS letter_ratio, " +
+        r4("CAST(sum(n_space) AS DOUBLE) / sum(n_all)") + " AS space_ratio, " +
+        r4("CASE WHEN sum(n_letter) > 0 THEN CAST(sum(n_vowel) AS DOUBLE) / sum(n_letter) END") + " AS vowel_ratio " +
+        "FROM c GROUP BY source ORDER BY source"
+    },
+    // CLV: integer-exact recency/frequency/monetary inputs, top-20
+    "q_clv" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS d0 FROM orders), " +
+        "per AS (SELECT o_custkey, count(*) AS frequency, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents, " +
+        "CAST(min(date_diff('day', CAST(o_orderdate AS DATE), (SELECT d0 FROM mx))) AS BIGINT) AS recency_days " +
+        "FROM orders GROUP BY 1) " +
+        "SELECT c_custkey, c_name, frequency, monetary_cents, recency_days, " +
+        r4("monetary_cents / 100.0 * frequency / (1.0 + recency_days)") + " AS clv_score " +
+        "FROM per JOIN customer ON o_custkey = c_custkey " +
+        "ORDER BY clv_score DESC, c_custkey LIMIT 20"
+    },
+    // Adamic-Adar on the link_predict candidate chain: round4-ed
+    // 1/ln(deg) terms summed by the sorted first-element-seeded fold
+    "q_adamic_adar" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem), " +
+        "ok AS (SELECT okey FROM op GROUP BY okey HAVING COUNT(*) <= 64), " +
+        "e AS (SELECT DISTINCT a.pkey AS src, b.pkey AS dst FROM op a " +
+        "JOIN op b ON a.okey = b.okey AND a.pkey < b.pkey " +
+        "WHERE a.okey IN (SELECT okey FROM ok)), " +
+        "d AS (SELECT node, COUNT(*) AS degree FROM " +
+        "(SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e) u GROUP BY node), " +
+        "top AS (SELECT node, degree FROM d ORDER BY degree DESC, node LIMIT 100), " +
+        "nb AS (SELECT src AS node, dst AS nbr FROM e UNION ALL SELECT dst AS node, src AS nbr FROM e), " +
+        "hn AS (SELECT nb.node, nb.nbr FROM nb JOIN top ON top.node = nb.node), " +
+        "pw AS (SELECT node AS nbr, " + r4("1.0 / ln(degree)") + " AS w FROM d), " +
+        "c AS (SELECT x.node AS a, y.node AS b, COUNT(*) AS n_common, " +
+        "list_reduce(list_sort(list(pw.w)), (acc, x) -> acc + x) AS aa_raw " +
+        "FROM hn x JOIN hn y ON x.nbr = y.nbr AND x.node < y.node " +
+        "JOIN pw ON pw.nbr = x.nbr GROUP BY 1, 2), " +
+        "nc AS (SELECT a, b, n_common, aa_raw FROM c WHERE NOT EXISTS " +
+        "(SELECT 1 FROM e WHERE e.src = c.a AND e.dst = c.b)) " +
+        "SELECT a, b, n_common, " + r4("aa_raw") + " AS adamic_adar " +
+        "FROM nc ORDER BY adamic_adar DESC, a, b LIMIT 20"
+    },
     "q_cooccur" ->
       ("WITH dt AS (SELECT doc_id, unnest(list_distinct(" +
         "regexp_split_to_array(trim(lower(text)), '\\s+'))) AS token FROM documents), " +
@@ -3341,6 +3628,78 @@ object SparkEntry {
         "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
         "AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00') " +
         "GROUP BY c_nationkey ORDER BY c_nationkey"),
+    // Q2 minimum-cost supplier: correlated-min over the fact-derived
+    // partsupp (min round4 unit price — order-independent)
+    "q_tpch_q2" ->
+      ("WITH ps AS (SELECT l_partkey, l_suppkey, " +
+        "min(CAST(round(CAST(l_extendedprice / l_quantity AS DECIMAL(20,8)), 4) AS DOUBLE)) AS ps_supplycost " +
+        "FROM lineitem GROUP BY 1, 2), " +
+        "eligible AS (SELECT p_partkey, p_name, ps_supplycost, s_name, " +
+        "round(s_acctbal, 4) AS s_acctbal, n_name " +
+        "FROM ps JOIN part ON l_partkey = p_partkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE p_size <= 10 AND p_type = 'LARGE' AND r_name = 'ASIA'), " +
+        "mn AS (SELECT p_partkey AS mk, min(ps_supplycost) AS min_cost " +
+        "FROM eligible GROUP BY 1) " +
+        "SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost " +
+        "FROM eligible JOIN mn ON p_partkey = mk AND ps_supplycost = min_cost " +
+        "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"),
+    // Q9 product-type profit: six-table star on the derived partsupp
+    "q_tpch_q9" ->
+      ("WITH ps AS (SELECT l_partkey AS pk, l_suppkey AS sk, " +
+        "min(CAST(round(CAST(l_extendedprice / l_quantity AS DECIMAL(20,8)), 4) AS DOUBLE)) AS ps_supplycost " +
+        "FROM lineitem GROUP BY 1, 2) " +
+        "SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year, " +
+        "round(sum(l_extendedprice * (1 - l_discount) " +
+        "- ps_supplycost * l_quantity), 4) AS profit " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN part ON l_partkey = p_partkey " +
+        "JOIN ps ON pk = l_partkey AND sk = l_suppkey " +
+        "WHERE p_name LIKE '%red%' " +
+        "GROUP BY 1, 2 ORDER BY nation, o_year DESC"),
+    // Q11 important inventory: integer-cents values vs a scalar-subquery
+    // threshold (cents compression makes the HAVING ULP-proof)
+    "q_tpch_q11" ->
+      ("WITH ps AS (SELECT l_partkey, l_suppkey, " +
+        "CAST(round(min(CAST(round(CAST(l_extendedprice / l_quantity AS DECIMAL(20,8)), 4) AS DOUBLE)) * 100) AS BIGINT) AS cost_cents, " +
+        "CAST(sum(l_quantity) AS BIGINT) AS qty FROM lineitem GROUP BY 1, 2), " +
+        "v AS (SELECT l_partkey AS p_partkey, " +
+        "CAST(sum(cost_cents * qty) AS BIGINT) AS value_cents " +
+        "FROM ps JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE n_regionkey = 0 GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total FROM v) " +
+        "SELECT p_partkey, value_cents FROM v CROSS JOIN t " +
+        "WHERE value_cents > 0.0001 * total " +
+        "ORDER BY value_cents DESC, p_partkey"),
+    // Q16 supplier count by part attributes: NOT-IN blocklist (negative
+    // balance as the complaints stand-in) + count distinct
+    "q_tpch_q16" ->
+      ("WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) " +
+        "SELECT p_brand, p_type, p_size, " +
+        "count(DISTINCT l_suppkey) AS supplier_cnt " +
+        "FROM pairs JOIN part ON l_partkey = p_partkey " +
+        "WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' " +
+        "AND p_size IN (1, 4, 9, 14, 19, 24, 28, 35) " +
+        "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) " +
+        "GROUP BY 1, 2, 3 " +
+        "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"),
+    // Q20 excess-supply suppliers: IN over grouped-HAVING over IN, all
+    // integer quantity sums
+    "q_tpch_q20" ->
+      ("WITH sel AS (SELECT DISTINCT l_suppkey FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%') " +
+        "GROUP BY l_suppkey, l_partkey HAVING sum(l_quantity) > 40) " +
+        "SELECT s_name, round(s_acctbal, 4) AS s_acctbal, n_name " +
+        "FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE s_suppkey IN (SELECT l_suppkey FROM sel) AND n_regionkey = 2 " +
+        "ORDER BY s_name"),
     // Q1 pricing summary: one fact pass, eight aggregates, ~6 groups
     "q_tpch_q1" ->
       ("SELECT l_returnflag, l_linestatus, " +
@@ -4476,8 +4835,9 @@ object SparkEntry {
         "CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n_neg FROM s), " +
         "rs AS (SELECT SUM(CAST(n_pv AS DOUBLE) * midrank) AS rank_sum FROM r) " +
         "SELECT n_pos, n_neg, " +
-        r4("(rank_sum - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2.0) " +
-          "/ (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))") + " AS auc " +
+        r4("CASE WHEN n_pos > 0 AND n_neg > 0 THEN " +
+          "(rank_sum - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2.0) " +
+          "/ (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END") + " AS auc " +
         "FROM rs CROSS JOIN t"
     },
     // Brown-Forsythe: lower-median centering (exact integer at cumulative
@@ -4791,7 +5151,7 @@ object SparkEntry {
         "FROM rs CROSS JOIN ff ORDER BY n"
     },
     // Kendall tau-b: all-pairs over the per-source profile (mean length
-    // x vocab size), exact-integer concordance counts
+    // x max length), exact-integer concordance counts
     "q_kendall_tau" -> {
       def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
       "WITH p AS (SELECT source, CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS x, MAX(n_chars) AS y " +

@@ -266,6 +266,37 @@ object StreamGate {
           batch.forall { case (id, lp) => exact(id) == lp })
     }
 
+    run("quality_scoring_vs_declared_twin") {
+      // the classifier-audit path's streaming twin (r12 verdict ask #5):
+      // micro-batched docs scored with the broadcast logistic weights
+      // must equal the batch scorer bitwise, and the batch scorer must
+      // equal the DECLARED q_quality_logistic output — the same
+      // train-offline/score-in-stream contract the unigram twin proves
+      val batch = CorpusStreamOps.scoreQuality(docs)
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2)))
+        .toMap
+      val base = Files.createTempDirectory("graft-gate-quality")
+      val in = Files.createDirectories(base.resolve("in"))
+      val out = base.resolve("out").toString
+      val cp = base.resolve("cp").toString
+      land(docs.filter(col("doc_id") < 250), in, "001.parquet")
+      land(docs.filter(col("doc_id") >= 250), in, "002.parquet")
+      val q = CorpusStreamOps.scoreQuality(
+          fileStream(spark, in.toString, docs.schema))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      val streamed = spark.read.parquet(out)
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2)))
+        .toMap
+      val declared = graft.operators.TextOps.qualityLogistic(spark, sfDir)
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2)))
+        .toMap
+      Check(streamed.size, declared.size,
+        streamed == batch && batch == declared)
+    }
+
     run("neardup_cross_batch_minhash") {
       val base = Files.createTempDirectory("graft-gate-neardup")
       val in = Files.createDirectories(base.resolve("in"))

@@ -938,8 +938,8 @@ object AnalyticsOps {
         max(col("n_chars")).as("y"))
 
   /** q_kendall_tau: Kendall's τ-b between two per-source metrics (mean
-    * doc length vs vocabulary size) — the concordance view of "do long
-    * docs come with rich vocabularies", robust to any monotone
+    * doc length vs max doc length) — the concordance view of "do heavy
+    * sources carry heavy tails", robust to any monotone
     * transform and the partner to [[spearmanRho]]. τ-b =
     * (C − D) / √((n₀−n₁)(n₀−n₂)) with the standard tie corrections.
     *
@@ -1079,5 +1079,39 @@ object AnalyticsOps {
         stableRound4(sqrt(col("chi2") / (col("n_docs").cast("double")
           * least(col("n_rows") - 1, col("n_cols") - 1).cast("double"))))
           .as("cramers_v"))
+  }
+
+  /** q_clv: heuristic customer-lifetime-value ranking — the scoring
+    * endpoint [[rfmSegments]]'s banding feeds: per customer, frequency
+    * (order count), monetary value in EXACT integer cents, recency in
+    * whole days from the corpus's last order date, and
+    * CLV = monetary · frequency / (1 + recency) — the standard
+    * recency-decayed repeat-value heuristic (a deterministic stand-in
+    * for the BG/NBD fitted model, which needs an optimizer this
+    * closed-form pipeline deliberately avoids). Every score input is an
+    * exact integer, so the ranking can never flip on ULPs; the top-20
+    * plans as TakeOrderedAndProject.
+    * Scale shape: one per-customer aggregation of the orders table, a
+    * broadcast 1-row max-date, a broadcast customer-dimension join. */
+  def clv(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val orders = Tables.orders(spark, dir)
+    val maxDay = orders.agg(max(to_date(col("o_orderdate"))).as("d0"))
+    val per = orders.crossJoin(broadcast(maxDay))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("frequency"),
+        sum(round(col("o_totalprice") * 100).cast("bigint"))
+          .cast("bigint").as("monetary_cents"),
+        min(datediff(col("d0"), to_date(col("o_orderdate"))))
+          .cast("bigint").as("recency_days"))
+    per.join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("frequency"),
+        col("monetary_cents"), col("recency_days"),
+        stableRound4((col("monetary_cents") / 100.0 * col("frequency")
+          / (lit(1.0) + col("recency_days")))).as("clv_score"))
+      .orderBy(col("clv_score").desc, col("c_custkey"))
+      .limit(k)
   }
 }

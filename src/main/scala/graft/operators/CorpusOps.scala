@@ -829,6 +829,47 @@ object CorpusOps {
         max(col("doc_id")).as("max_doc"))
       .orderBy(col("shard"))
 
+  /** q_epoch_shuffle: seeded, reproducible GLOBAL permutation of the
+    * corpus — the last step between [[packSequences]]/[[shardAssign]]/
+    * [[splitReport]] and a training run: each epoch's read order must
+    * look random, replay identically across reruns, and be independent
+    * of cluster size or partitioning. The permutation key is
+    * md5(seed ':' doc_id) — the established portable-randomness contract
+    * ([[sampleByHash]], [[shardAssign]]) — so the global order is a pure
+    * function of (seed, doc_id); changing the seed is a fresh epoch.
+    * Output shards are the key's first hex digit: 16 range-contiguous
+    * slices of the permutation, so a loader that streams shard files in
+    * key order sees the full permutation with no engine re-sort. The
+    * report row per shard carries counts plus a checksum over the FIRST
+    * `headK` doc_ids of the shard's permutation — the replayability
+    * probe: any reordering, dropped doc, or seed drift moves a head
+    * checksum.
+    *
+    * Scale shape: shard assignment is a pure key function — no global
+    * sort, no single-partition window; the head probe is a per-shard
+    * rank window (16-way parallel, each partition one key range); the
+    * rollup is a 16-group aggregation. At 100 TB the write side is
+    * partitionBy(shard) + sortWithinPartitions(key): one shuffle, and
+    * the sort is per output file, never global. */
+  def epochShuffle(spark: SparkSession, dir: String,
+      seed: String = "epoch0", headK: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).as("n_toks"),
+        md5(concat_ws(":", lit(seed), col("doc_id").cast("string")))
+          .as("k"))
+      .withColumn("shard", substring(col("k"), 1, 1))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("k"), col("doc_id"))
+    keyed
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).cast("bigint").as("n_tokens"),
+        sum(when(col("rn") <= headK, col("doc_id"))).as("head_checksum"))
+      .orderBy(col("shard"))
+  }
+
   /** Token co-occurrence with pointwise mutual information over the
     * top-`vocabK` vocabulary — the corpus-statistics pass behind phrase
     * mining and embedding evaluation. Restricting both sides to a small

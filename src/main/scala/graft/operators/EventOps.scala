@@ -1170,6 +1170,13 @@ object EventOps {
         (col("cum").cast("double")
           - col("j").cast("double")
             * (col("s").cast("double") / col("n"))).as("dev"))
+    // NOT Materialized despite two consumers (fit aggregate + final
+    // crossJoin): measured both ways per the module's barrier rule —
+    // BenchOne sf0.1 ×3: bare min 0.740 / med 0.918, Materialize(rs)
+    // min 0.834 / med 0.951. AQE exchange reuse already rescues the
+    // shared events→hourly→blocks chain (the modularity-labels case,
+    // not the isotonic-bins case); the checkpoint only adds cost.
+    // Don't re-apply the multi-consumer pattern here without re-measuring.
     val rs = walk.groupBy(col("n"), col("blk"))
       .agg(first(col("s")).as("s"), first(col("ss")).as("ss"),
         (max(col("dev")) - min(col("dev"))).as("r"))
@@ -1302,5 +1309,157 @@ object EventOps {
         col("n_inliers"),
         stableRound4(col("slope")).as("slope"),
         stableRound4(col("icept")).as("intercept"))
+  }
+
+  /** Per-type daily count frame shared by the round-13 control-chart
+    * family — one partial-aggregated shuffle; everything downstream is
+    * \|types·days\|-bounded (the module's domain-compression recipe). */
+  private def dailyCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+
+  /** q_cusum: one-sided CUSUM mean-shift detector per event type (Page
+    * 1954) over the daily counts — the change-detection partner to
+    * [[changepoint]]'s retrospective split: S⁺ₜ = max(0, S⁺ₜ₋₁ + (xₜ−μ)),
+    * alarmed when S⁺ crosses 4σ. The recursion is rewritten as the
+    * prefix-sum identity S⁺ₜ = Pₜ − min_{j≤t} Pⱼ (P = cumulative
+    * Σ(x−μ)), so it is TWO cumulative windows — no driver loop, no
+    * sequential state — and because cumulative window sums evaluate in
+    * frame order, the float chain replays bit-identically cross-engine.
+    * Scale shape: one daily aggregation, per-type windows over \|days\|
+    * rows, a bounded rollup. */
+  def cusum(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val d = dailyCounts(spark, dir)
+    val st = d.groupBy(col("event_type"))
+      .agg((sum(col("x")).cast("double") / count(lit(1))).as("mu"),
+        sqrt(sum(col("x") * col("x")).cast("double") / count(lit(1))
+          - (sum(col("x")).cast("double") / count(lit(1)))
+            * (sum(col("x")).cast("double") / count(lit(1)))).as("sigma"),
+        count(lit(1)).as("n_days"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s = d.join(broadcast(st), Seq("event_type"))
+      .withColumn("pf", sum(col("x") - col("mu")).over(wCum))
+      // the empty prefix (P₀ = 0) participates in the min — without it
+      // an all-positive P series would subtract its own first dip and
+      // understate S⁺ (caught by Round13OpsSpec's driver-recursion replay)
+      .withColumn("sc",
+        col("pf") - least(lit(0.0), min(col("pf")).over(wCum)))
+    s.groupBy(col("event_type"))
+      .agg(max(col("n_days")).cast("bigint").as("n_days"),
+        stableRound4(max(lit(4) * col("sigma"))).as("threshold"),
+        sum(when(col("sc") > lit(4) * col("sigma"), 1L).otherwise(0L))
+          .cast("bigint").as("n_alarms"),
+        stableRound4(max(col("sc"))).as("max_cusum"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q_ewma_control: EWMA control chart per event type (Roberts 1959) —
+    * the small-shift-sensitive partner to [[cusum]]: EWMAₜ = λxₜ +
+    * (1−λ)EWMAₜ₋₁ (λ=0.3, [[emaValue]]'s constant and its PROVEN
+    * first-element-seeded fold contract: Spark `aggregate(slice(...),
+    * vals[0], …)` ≡ DuckDB `list_reduce`), violations where
+    * |EWMAₜ − μ| > 3σ√(λ/(2−λ)). The per-day EWMA series is the fold
+    * over each day-prefix of the collected per-type array — Θ(\|days\|²)
+    * per type, bounded by the calendar, never by event count.
+    * Scale shape: one daily aggregation, one \|types\|-row collect, a
+    * bounded posexplode. */
+  def ewmaControl(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val d = dailyCounts(spark, dir)
+      .select(col("event_type"), col("day"), col("x").cast("double").as("x"))
+    val arr = d.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("x")))).as("dv"),
+        (sum(col("x")) / count(lit(1))).as("mu"),
+        sqrt(sum(col("x") * col("x")) / count(lit(1))
+          - (sum(col("x")) / count(lit(1)))
+            * (sum(col("x")) / count(lit(1)))).as("sigma"),
+        count(lit(1)).as("n_days"))
+      .select(col("event_type"), col("mu"), col("sigma"), col("n_days"),
+        expr("transform(dv, e -> e.x)").as("vals"))
+    val width = lit(3) * col("sigma") * sqrt(lit(0.3) / 1.7)
+    val e = arr.select(col("event_type"), col("mu"), col("sigma"),
+      col("n_days"),
+      posexplode(expr("transform(sequence(1, size(vals)), t -> " +
+        "aggregate(slice(vals, 2, t - 1), vals[0], " +
+        "(acc, x) -> acc * 0.7D + x * 0.3D))")))
+      .select(col("event_type"), col("mu"), col("sigma"), col("n_days"),
+        (col("pos") + 1).as("t"), col("col").as("ew"))
+    e.groupBy(col("event_type"))
+      .agg(max(col("n_days")).cast("bigint").as("n_days"),
+        stableRound4(max(col("mu"))).as("mu"),
+        stableRound4(max(width)).as("limit_width"),
+        sum(when(abs(col("ew") - col("mu")) > width, 1L).otherwise(0L))
+          .cast("bigint").as("n_violations"),
+        stableRound4(max(when(col("t") === col("n_days"), col("ew"))))
+          .as("final_ewma"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q_peak_detect: local-maximum peaks with an integer-exact prominence
+    * gate over the hourly series per type — an hour is a peak when it
+    * strictly exceeds both neighbors AND its count is ≥ 1.5× the ±3-hour
+    * window mean, compared as c·n·2 ≥ Σ·3 so the threshold is pure
+    * integer arithmetic (no float mean can flip a boundary hour).
+    * Scale shape: one hourly aggregation, one per-type lag/lead/rolling
+    * window over \|hours\| rows. */
+  def peakDetect(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val wWin = wOrd.rowsBetween(-3, 3)
+    h.select(col("event_type"), col("hr"), col("c"),
+      lag(col("c"), 1).over(wOrd).as("prev"),
+      lead(col("c"), 1).over(wOrd).as("nxt"),
+      sum(col("c")).over(wWin).as("wsum"),
+      count(lit(1)).over(wWin).as("wn"))
+      .filter(col("prev").isNotNull && col("nxt").isNotNull
+        && col("c") > col("prev") && col("c") > col("nxt")
+        && col("c") * col("wn") * 2 >= col("wsum") * 3)
+      .select(col("event_type"), col("hr"), col("c").as("n_events"))
+      .orderBy(col("event_type"), col("hr"))
+  }
+
+  /** q_stl_anomaly: residual-based anomaly days on top of
+    * [[stlDecompose]] — the operational endpoint of the decomposition:
+    * a day is anomalous when its STL residual deviates from the median
+    * residual by more than 3× the MAD (the robust z-score rule of
+    * [[madOutlier]] applied to the deseasonalized series, so a weekly
+    * spike pattern never masquerades as an anomaly). Median and MAD use
+    * the LOWER-median convention on the ×10⁴ integer residuals (the
+    * levene rule: an exact integer at cumulative rank ⌈n/2⌉ — no
+    * interpolated float crosses the engine boundary).
+    * Scale shape: everything after the decomposition is \|days\| rows —
+    * two bounded cumulative windows and one filter. */
+  def stlAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val res = Materialize(stlDecompose(spark, dir)
+      .select(col("day"), col("total"), col("residual"),
+        round(col("residual") * 10000).cast("long").as("r_l")))
+    def lowerMedian(df: DataFrame, v: Column): DataFrame = {
+      val byV = df.groupBy(v.as("v")).agg(count(lit(1)).as("c"))
+      val wCum = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(lit(1))
+      byV.withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .filter(col("cum") - col("c") < ceil(col("n") / 2.0)
+          && col("cum") >= ceil(col("n") / 2.0))
+        .select(col("v").as("med"))
+    }
+    val med = lowerMedian(res, col("r_l"))
+    val withMed = res.crossJoin(broadcast(med))
+    val mad = lowerMedian(withMed
+      .select(abs(col("r_l") - col("med")).as("ad")), col("ad"))
+      .select(col("med").as("mad"))
+    withMed.crossJoin(broadcast(mad))
+      .filter(abs(col("r_l") - col("med")) > lit(3) * col("mad"))
+      .select(col("day"), col("total"), col("residual"),
+        stableRound4(col("med").cast("double") / 10000.0).as("med_residual"),
+        stableRound4(col("mad").cast("double") / 10000.0).as("mad"))
+      .orderBy(col("day"))
   }
 }

@@ -791,4 +791,181 @@ object JoinOps {
       .agg(count(lit(1)).as("order_count"))
       .orderBy(col("o_orderpriority"))
   }
+
+  /** Derived supplier-part cost table — the synthetic schema carries no
+    * `partsupp` (the round-13 adaptation rule, same spirit as Q4/Q13's
+    * column adaptations): supply relationships and costs are derived from
+    * the fact itself as min-observed unit price per (partkey, suppkey).
+    * Each unit price is ONE division round4-ed before the MIN, so the
+    * derived cost is order-independent and bit-identical cross-engine
+    * (the argmin analogue of the integer-argmax rule). One
+    * partial-aggregated shuffle over the fact; the result is
+    * |parts|·|suppliers-per-part| rows — dimension-sized, broadcastable
+    * downstream. */
+  private[operators] def derivedPartSupp(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"))
+      .agg(min(stableRound4(col("l_extendedprice") / col("l_quantity")))
+        .as("ps_supplycost"))
+  }
+
+  /** q_tpch_q2 (minimum-cost supplier): for every qualifying part, the
+    * supplier(s) in one region offering the MINIMUM derived supply cost —
+    * TPC-H Q2's correlated-min subquery shape on the [[derivedPartSupp]]
+    * stand-in. Plan shape at 100 TB: the part filter broadcasts, supplier
+    * ⋈ nation ⋈ region broadcast, the min-per-part is one
+    * partial-aggregated groupBy over the dimension-sized eligible set,
+    * and the "cost = min" correlation is an equi-join on
+    * (partkey, round4 cost) — never a per-part subquery execution. */
+  def tpchQ2(spark: SparkSession, dir: String): DataFrame = {
+    val eligible = derivedPartSupp(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .filter(col("p_size") <= 10 && col("p_type") === "LARGE")),
+        col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("ps_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)
+        .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("p_partkey"), col("p_name"), col("ps_supplycost"),
+        col("s_name"), round(col("s_acctbal"), 4).as("s_acctbal"),
+        col("n_name"))
+    val minCost = eligible.groupBy(col("p_partkey").as("mk"))
+      .agg(min(col("ps_supplycost")).as("min_cost"))
+    eligible
+      .join(minCost, col("p_partkey") === col("mk")
+        && col("ps_supplycost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("ps_supplycost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  /** q_tpch_q9 (product-type profit): profit per supplier nation per order
+    * year for one part family — TPC-H Q9's six-table star with the
+    * [[derivedPartSupp]] cost stand-in. Plan shape: the p_name LIKE
+    * filter broadcasts part, ps/supplier/nation broadcast, and the only
+    * big-big shuffle is lineitem ⋈ orders on the order key; year() and
+    * the profit expression fold into the scan projection. */
+  def tpchQ9(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .filter(col("p_name").like("%red%"))
+        .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(derivedPartSupp(spark, dir)),
+        col("l_partkey") === col("ps_partkey")
+          && col("l_suppkey") === col("ps_suppkey"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+    li.join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        - col("ps_supplycost") * col("l_quantity")), 4).as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** q_tpch_q11 (important inventory): per-part supplied value for one
+    * region's suppliers, kept where the value exceeds a fraction of the
+    * region's grand total — TPC-H Q11's HAVING-against-scalar-subquery
+    * shape. Values are exact integer cents (cost ×100 as BIGINT × BIGINT
+    * quantity), so the threshold comparison can never flip on
+    * sum-order ULPs — the q_kruskal cents-compression rule applied to a
+    * join query. Plan shape: one fact aggregation ([[derivedPartSupp]]
+    * extended with quantities), broadcast supplier/nation filter, a
+    * part-keyed partial agg, and a 1-row broadcast total. */
+  def tpchQ11(spark: SparkSession, dir: String,
+      frac: Double = 0.0001): DataFrame = {
+    val ps = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(
+        round(min(graft.functions.NumericFunctions.stableRound4(
+          col("l_extendedprice") / col("l_quantity"))) * 100)
+          .cast("bigint").as("cost_cents"),
+        sum(col("l_quantity")).cast("bigint").as("qty"))
+    val v = ps
+      .join(broadcast(Tables.supplier(spark, dir)
+        .join(broadcast(Tables.nation(spark, dir)
+          .filter(col("n_regionkey") === 0)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum(col("cost_cents") * col("qty")).cast("bigint")
+        .as("value_cents"))
+    val total = v.agg(sum(col("value_cents")).cast("bigint").as("total"))
+    v.crossJoin(broadcast(total))
+      .filter(col("value_cents") > lit(frac) * col("total"))
+      .select(col("p_partkey"), col("value_cents"))
+      .orderBy(col("value_cents").desc, col("p_partkey"))
+  }
+
+  /** q_tpch_q16 (supplier count by part attributes): distinct suppliers
+    * per (brand, type, size) over the fact-derived supply pairs, with
+    * brand/type/size exclusion predicates and a NOT-IN supplier
+    * blocklist (negative account balance as the "customer complaints"
+    * stand-in — the schema carries no comment column). Plan shape: the
+    * distinct pair set is one partial-aggregated shuffle, the blocklist
+    * is a broadcast anti-join (never a NOT-IN subquery execution), part
+    * broadcasts, and the count-distinct rolls up per attribute triple. */
+  def tpchQ16(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val blocked = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    pairs
+      .join(broadcast(blocked),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(Tables.part(spark, dir)
+        .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO"
+          && col("p_size").isin(1, 4, 9, 14, 19, 24, 28, 35))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** q_tpch_q20 (excess-supply suppliers): suppliers in one region who
+    * shipped a large quantity of a name-filtered part family inside one
+    * year — TPC-H Q20's nested IN-over-grouped-HAVING-over-IN shape on
+    * the fact-derived supply. Quantity sums are exact integers, so the
+    * HAVING threshold is ULP-proof. Plan shape: the part filter
+    * broadcasts into the fact scan (with the pushed date range), the
+    * per-(supp, part) HAVING is one partial agg, and the supplier list
+    * semi-joins the dimension — each IN is a semi-join, never a
+    * subquery loop. */
+  def tpchQ20(spark: SparkSession, dir: String,
+      minQty: Long = 40): DataFrame = {
+    val sel = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, dir)
+        .filter(col("p_name").like("blue%")).select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+      .filter(col("qty") > minQty)
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .filter(col("n_regionkey") === 2)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(sel), col("s_suppkey") === col("l_suppkey"),
+        "left_semi")
+      .select(col("s_name"), round(col("s_acctbal"), 4).as("s_acctbal"),
+        col("n_name"))
+      .orderBy(col("s_name"))
+  }
 }

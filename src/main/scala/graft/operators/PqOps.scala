@@ -374,15 +374,18 @@ object PqOps {
     * labeled with its component's min vec_id. This is the clustering
     * endpoint the kNN graph exists for (SemDeDup-style semantic groups
     * without the k-means stage). Scale shape: the graph build is
-    * [[knnGraph]]'s batch-invariant plan, mutualization is one
+    * [[knnGraph]]'s batch-invariant plan — `kCells` reaches it directly,
+    * so the measured √V posture (SCALE.md kNN-cell table: e = 1.04 vs
+    * fixed-16's e = 2.09) is available from THIS composite, not only by
+    * hand-recomposing its internals; mutualization is one
     * self-intersect of the k·|V|-row edge list, and components run the
     * flip-tested size-gated union-find/label-propagation dispatch.
     * Oracle: the hash-proven full-corpus ivfPqSql as a nested CTE, the
     * mutual self-join, and the same recursive-CTE transitive closure the
     * q_dedup_clusters oracle proved. */
   def knnComponents(spark: SparkSession, dir: String, k: Int = 3,
-      shortlist: Int = 20): DataFrame = {
-    val g = Materialize(knnGraph(spark, dir, k, shortlist)
+      shortlist: Int = 20, kCells: Int = IvfOps.DefaultK): DataFrame = {
+    val g = Materialize(knnGraph(spark, dir, k, shortlist, kCells)
       .select(col("q_id").as("a"), col("cand_id").as("b")))
     val mutual = g.intersect(g.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a") < col("b"))
@@ -420,9 +423,12 @@ object PqOps {
     *
     * Scale shape: everything after the graph is |V|·k rows — two joins
     * on vec_id, two k-wide ordered folds. The graph itself carries the
-    * measured √V-cell posture (SCALE.md round-12 kNN-cell table). */
+    * measured √V-cell posture (SCALE.md round-12 kNN-cell table), and
+    * `kCells` plumbs straight through to it — set k_cells ≈ √|V| for
+    * the measured e ≈ 1 build instead of the fixed-16 quadratic. */
   def lof(spark: SparkSession, dir: String, k: Int = 3,
-      shortlist: Int = 20, topN: Int = 50): DataFrame = {
+      shortlist: Int = 20, topN: Int = 50,
+      kCells: Int = IvfOps.DefaultK): DataFrame = {
     import graft.functions.NumericFunctions.stableRound4
     def orderedSum(c: org.apache.spark.sql.Column) =
       aggregate(sort_array(collect_list(c)), lit(0.0), _ + _)
@@ -431,7 +437,7 @@ object PqOps {
     // all-zero reachability sums and a 0-divisor lrd — the standard
     // duplicate-handling tweak (Breunig et al. §4 discuss the
     // degeneracy); deterministic on both engines
-    val edges = Materialize(knnGraph(spark, dir, k, shortlist)
+    val edges = Materialize(knnGraph(spark, dir, k, shortlist, kCells)
       .select(col("q_id"), col("cand_id"),
         greatest(lit(1e-4), lit(1.0) - col("cos_sim")).as("dist")))
     val kdist = edges.groupBy(col("q_id"))

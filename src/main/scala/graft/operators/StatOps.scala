@@ -662,10 +662,13 @@ object StatOps {
       .agg(sum(col("n_pv").cast("double") * col("midrank")).as("rank_sum"))
       .crossJoin(broadcast(totals))
       .select(col("n_pos"), col("n_neg"),
-        stableRound4(
+        // single-class guard: all-pos or all-neg input has no ranking to
+        // score — NULL AUC, not an ANSI divide-by-zero (sibling
+        // degenerate-denominator convention: kendallTau, mcnemar)
+        stableRound4(when(col("n_pos") > 0 && col("n_neg") > 0,
           (col("rank_sum")
             - col("n_pos").cast("double") * (col("n_pos") + 1).cast("double") / 2.0)
-          / (col("n_pos").cast("double") * col("n_neg").cast("double")))
+          / (col("n_pos").cast("double") * col("n_neg").cast("double"))))
           .as("auc"))
   }
 
@@ -892,5 +895,201 @@ object StatOps {
         Seq(col("n"), col("k"), stableRound4(hRaw).as("h_stat"),
           stableRound4(hRaw / corr).as("h_corrected"))
       }: _*)
+  }
+
+  /** q_t_closeness: the third rung of the anonymity-audit ladder after
+    * [[kAnonymity]] (class size) and [[lDiversity]] (distinct sensitive
+    * values) — Li et al. 2007's t-closeness: even a diverse class leaks
+    * if its sensitive-value DISTRIBUTION diverges from the global one
+    * (the skewness attack). Per QI class (nation, segment), t = total
+    * variation distance ½Σᵥ|p_class(v) − p_global(v)| over the
+    * account-balance bands. Every distance term is a ratio of exact
+    * integer counts, so t is two divisions and a bounded sum.
+    *
+    * Scale shape: one (QI, sensitive) count aggregation over the table,
+    * then everything runs on the |QI classes| × |bands| grid (a cross
+    * join of two broadcast-sized aggregates) — class count is bounded by
+    * the QI domain, never table rows. */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Materialize(Tables.customer(spark, dir)
+      .select(col("c_nationkey").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      .groupBy(col("nation"), col("segment"), col("bal_band"))
+      .agg(count(lit(1)).as("c")))
+    val g = cells.groupBy(col("nation"), col("segment"))
+      .agg(sum(col("c")).cast("bigint").as("n_g"))
+    val gv = cells.groupBy(col("bal_band").as("gv_band"))
+      .agg(sum(col("c")).cast("bigint").as("cv"))
+    val tot = cells.agg(sum(col("c")).cast("bigint").as("n"))
+    g.crossJoin(broadcast(gv)).crossJoin(broadcast(tot))
+      .join(cells.select(col("nation").as("cn"), col("segment").as("cs"),
+        col("bal_band"), col("c")),
+        col("nation") === col("cn") && col("segment") === col("cs")
+          && col("gv_band") === col("bal_band"), "left")
+      .groupBy(col("nation"), col("segment"))
+      .agg(max(col("n_g")).as("class_size"),
+        stableRound4(
+          (sum(abs(coalesce(col("c"), lit(0L)).cast("double") / col("n_g")
+            - col("cv").cast("double") / col("n"))) / 2)).as("t_dist"))
+      .orderBy(col("t_dist").desc, col("nation"), col("segment"))
+  }
+
+  /** q_jarque_bera: the Jarque–Bera normality screen per document source
+    * — skewness/kurtosis moments of the length distribution and
+    * JB = n/6·(S² + ¼(K−3)²), the cheap "is this slice even roughly
+    * Gaussian" gate run before any parametric drift test ([[ksTest]] is
+    * the expensive distribution-free follow-up). Moments run over the
+    * VALUE-COMPRESSED (source, length) counts — the module's standard
+    * domain-compression recipe — so the power sums are bounded by the
+    * length domain, not corpus rows; the m₂>0 guard follows the module's
+    * degenerate-denominator convention. */
+  def jarqueBera(spark: SparkSession, dir: String): DataFrame = {
+    val vc = Tables.documents(spark, dir)
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val m = vc.groupBy(col("source"))
+      .agg(sum(col("c")).cast("bigint").as("n"),
+        (sum(col("v") * col("c")).cast("double") / sum(col("c"))).as("mu"))
+    val mom = vc.join(m, Seq("source"))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"),
+        (sum(col("c") * (col("v") - col("mu")) * (col("v") - col("mu")))
+          / max(col("n"))).as("m2"),
+        (sum(col("c") * (col("v") - col("mu")) * (col("v") - col("mu"))
+          * (col("v") - col("mu"))) / max(col("n"))).as("m3"),
+        (sum(col("c") * (col("v") - col("mu")) * (col("v") - col("mu"))
+          * (col("v") - col("mu")) * (col("v") - col("mu")))
+          / max(col("n"))).as("m4"))
+    val skew = col("m3") / sqrt(col("m2") * col("m2") * col("m2"))
+    val kurt = col("m4") / (col("m2") * col("m2"))
+    mom.select(col("source"), col("n_docs"),
+      stableRound4(when(col("m2") > 0, skew)).as("skewness"),
+      stableRound4(when(col("m2") > 0, kurt)).as("kurtosis"),
+      stableRound4(when(col("m2") > 0,
+        (col("n_docs") / 6.0 * (skew * skew
+          + lit(0.25) * (kurt - 3) * (kurt - 3))))).as("jb"))
+      .orderBy(col("source"))
+  }
+
+  /** q_grubbs: Grubbs' maximum-studentized-deviate outlier test on order
+    * totals — G = max|x − x̄|/s, the classic "is the single most extreme
+    * record a data error" audit. The argmax is taken on the EXACT integer
+    * |cents·n − Σcents| (the cross-engine integer-argmax rule: a float
+    * |x − mean| ranking can flip on mean ULPs; scaling by n keeps every
+    * deviation an exact BIGINT), tie-broken on the order key; only the
+    * final studentization touches floats. The squared-cents power sum
+    * rides DECIMAL(38,0) so sf-scale totals can never overflow a long.
+    * Scale shape: one scan for the three power sums, one
+    * TakeOrderedAndProject for the argmax — no window, no join wider
+    * than a 1-row broadcast. */
+  def grubbs(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    val m = Materialize(c.agg(count(lit(1)).as("n"),
+      sum(col("cents")).as("s"),
+      sum((col("cents") * col("cents")).cast("decimal(38,0)"))
+        .cast("double").as("s2")))
+    val top = c.crossJoin(broadcast(m))
+      .select(col("o_orderkey"), col("cents"),
+        abs(col("cents") * col("n") - col("s")).as("dev_n"))
+      .orderBy(col("dev_n").desc, col("o_orderkey"))
+      .limit(1)
+    val variance = (col("s2") / col("n")
+      - (col("s").cast("double") / col("n"))
+        * (col("s").cast("double") / col("n")))
+    top.crossJoin(broadcast(m))
+      .select(col("n").as("n_orders"), col("o_orderkey").as("outlier_key"),
+        stableRound4(col("cents") / 100.0).as("outlier_value"),
+        stableRound4(when(variance > 0,
+          ((col("dev_n").cast("double") / col("n") / 100.0)
+            / sqrt(variance / 10000.0)))).as("g_stat"))
+  }
+
+  /** q_partial_corr: first-order partial correlation r_xy·z over the
+    * daily operational series — daily event count (x) vs daily revenue
+    * (y) controlling for daily active users (z): does volume predict
+    * revenue beyond what headcount explains? The three pairwise Pearsons
+    * come from one pass of moment sums over the |days|-bounded daily
+    * frame (domain compression — the corpus collapses to one row per
+    * day before any correlation math), then
+    * r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) with the
+    * module's degenerate-denominator guards. */
+  def partialCorr(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("x"),
+        sum(col("value")).cast("double").as("y"),
+        countDistinct(col("user_id")).cast("double").as("z"))
+    val m = d.agg(count(lit(1)).as("n"),
+      avg(col("x")).as("mx"), avg(col("y")).as("my"), avg(col("z")).as("mz"),
+      avg(col("x") * col("y")).as("mxy"), avg(col("x") * col("z")).as("mxz"),
+      avg(col("y") * col("z")).as("myz"), avg(col("x") * col("x")).as("mxx"),
+      avg(col("y") * col("y")).as("myy"), avg(col("z") * col("z")).as("mzz"))
+    val rxy = ((col("mxy") - col("mx") * col("my"))
+      / sqrt((col("mxx") - col("mx") * col("mx"))
+        * (col("myy") - col("my") * col("my"))))
+    val rxz = ((col("mxz") - col("mx") * col("mz"))
+      / sqrt((col("mxx") - col("mx") * col("mx"))
+        * (col("mzz") - col("mz") * col("mz"))))
+    val ryz = ((col("myz") - col("my") * col("mz"))
+      / sqrt((col("myy") - col("my") * col("my"))
+        * (col("mzz") - col("mz") * col("mz"))))
+    m.select(col("n").cast("bigint").as("n_days"),
+      stableRound4(rxy).as("r_xy"), stableRound4(rxz).as("r_xz"),
+      stableRound4(ryz).as("r_yz"),
+      stableRound4(when(
+        (lit(1) - rxz * rxz) * (lit(1) - ryz * ryz) > 0,
+        ((rxy - rxz * ryz)
+          / sqrt((lit(1) - rxz * rxz) * (lit(1) - ryz * ryz)))))
+        .as("r_xy_z"))
+  }
+
+  /** q_friedman: the Friedman rank test across event types blocked by day
+    * — the repeated-measures companion to [[kruskalWallis]] (which
+    * ignores the day blocking): do the k event types genuinely differ in
+    * daily volume once each day serves as its own control? Ranks are
+    * per-day midranks over the 0-filled day×type grid (rank + (ties−1)/2
+    * — exact half-integers), so every rank sum and the tie-corrected
+    * statistic χ² = (k−1)·Σ(Rⱼ − n(k+1)/2)² / (A − nk(k+1)²/4) are exact
+    * until the final rounding; the A = C degenerate case (all-tied
+    * blocks) nulls out per the module convention.
+    *
+    * Scale shape: one (day, type) count aggregation, a broadcast grid
+    * completion, per-day rank windows (parallel across days, k rows
+    * each), and two bounded rollups. */
+  def friedman(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("x"))
+    val days = d.select(col("day")).distinct()
+    val types = d.select(col("event_type")).distinct()
+    val f = days.crossJoin(broadcast(types))
+      .join(d, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val wDay = Window.partitionBy(col("day")).orderBy(col("x"))
+    val wTie = Window.partitionBy(col("day"), col("x"))
+    val rk = f.withColumn("r",
+      (rank().over(wDay).cast("double")
+        + (count(lit(1)).over(wTie) - 1).cast("double") / 2.0))
+    val pars = Materialize(f.agg(
+      countDistinct(col("day")).cast("double").as("n"),
+      countDistinct(col("event_type")).cast("double").as("k")))
+    val rj = rk.groupBy(col("event_type")).agg(sum(col("r")).as("rsum"))
+    val a = rk.agg(sum(col("r") * col("r")).as("bigA"))
+    val num = rj.crossJoin(broadcast(pars))
+      .agg(sum((col("rsum") - col("n") * (col("k") + 1) / 2.0)
+        * (col("rsum") - col("n") * (col("k") + 1) / 2.0)).as("ssq"))
+    num.crossJoin(broadcast(a)).crossJoin(broadcast(pars))
+      .select(col("n").cast("bigint").as("n_blocks"),
+        col("k").cast("bigint").as("k_treatments"),
+        stableRound4(when(
+          (col("bigA") - col("n") * col("k") * (col("k") + 1)
+            * (col("k") + 1) / 4.0) > 0,
+          ((col("k") - 1) * col("ssq")
+            / (col("bigA") - col("n") * col("k") * (col("k") + 1)
+              * (col("k") + 1) / 4.0)))).as("friedman_chi2"))
   }
 }

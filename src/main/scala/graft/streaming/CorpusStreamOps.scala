@@ -130,6 +130,45 @@ object CorpusStreamOps {
       .withColumn("is_dup", col("dup_of").isNotNull)
       .orderBy(col("doc_id"))
 
+  /** Score documents with the logistic quality classifier as a NARROW
+    * map — per-row features (dupfrac via array_distinct instead of the
+    * batch explode+groupBy: the same n_distinct/n_total integer ratio,
+    * no aggregation) so the transform runs unchanged on a batch frame
+    * and inside a streaming micro-batch (append mode, no state, no
+    * watermark). `weights` = (bias, w_swr, w_len, w_dup, w_awl) is the
+    * broadcast model riding the closure — the declared fixed weights of
+    * q_quality_logistic by default; feed q_quality_train's learned row
+    * for the trained variant. The train-offline / score-in-stream split,
+    * same contract as [[scoreWithModel]]; StreamGate's
+    * quality_scoring_vs_declared_twin pins bitwise parity with the
+    * declared batch query. */
+  def scoreQuality(docs: DataFrame,
+      weights: Seq[Double] = Seq(-1.0, 8.0, 1.5, -4.0, -0.3)): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val toks = TextFunctions.tokens(col("text"))
+    val toksL = TextFunctions.tokensLower(col("text"))
+    // feature expressions mirror TextOps.logisticFeaturesDf term-for-term
+    // (and the z chain mirrors logisticPKeepDf's association order), so
+    // the 4-dp-rounded probability is bit-identical to the batch path
+    val feats = docs
+      .filter(size(toks) > 0)
+      .select(col("doc_id"),
+        size(toks).cast("double").as("n_toks"),
+        (length(regexp_replace(col("text"), "\\s", "")).cast("double")
+          / size(toks)).as("awl"),
+        (TextFunctions.tokenMatchCount(toksL,
+          graft.operators.TextOps.EnWords).cast("double")
+          / size(toks)).as("swr"),
+        (lit(1.0) - size(array_distinct(toksL)) / size(toksL))
+          .as("dupfrac"))
+    val z = lit(weights(0)) + col("swr") * weights(1) +
+      least(col("n_toks") / 100.0, lit(1.0)) * weights(2) +
+      col("dupfrac") * weights(3) + abs(col("awl") - 5.0) * weights(4)
+    feats.select(col("doc_id"),
+      stableRound4(lit(1.0) / (lit(1.0) + exp(-z))).as("p_keep"))
+      .withColumn("keep", col("p_keep") >= 0.5)
+  }
+
   /** Batch/stream-shared cleaning transform: fingerprint, length gate,
     * first-seen-wins exact dedup on the fingerprint. */
   def clean(docs: DataFrame, minTokens: Int = 5): DataFrame =

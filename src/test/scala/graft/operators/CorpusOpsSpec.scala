@@ -725,4 +725,22 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(keptTgtRate >= baseTgtRate,
       s"kept target rate $keptTgtRate < base rate $baseTgtRate")
   }
+
+  test("epochShuffle: replayable, seed-sensitive, conserves the corpus") {
+    val e1 = CorpusOps.epochShuffle(spark, sf).collect()
+    val e2 = CorpusOps.epochShuffle(spark, sf).collect()
+    // replayable: the permutation is a pure function of (seed, doc_id)
+    assert(e1.map(_.toString).toSeq == e2.map(_.toString).toSeq)
+    // every doc lands in exactly one shard; token mass is conserved
+    val docs = graft.Tables.documents(spark, sf)
+    assert(e1.map(_.getLong(1)).sum == docs.count())
+    // a different seed is a different epoch: same corpus totals, but at
+    // least one shard's head-of-permutation checksum moves
+    val e3 = CorpusOps.epochShuffle(spark, sf, seed = "epoch1").collect()
+    assert(e3.map(_.getLong(1)).sum == docs.count())
+    def heads(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(heads(e1) != heads(e3),
+      "seed change did not move any head checksum")
+  }
 }

@@ -171,4 +171,26 @@ class PqSpec extends SparkTestBase {
     assert(rec > 0.0 && rec <= 1.0, s"recall $rec")
     assert(ret == 3.0, s"avg returned $ret")
   }
+
+  test("kCells plumb: composites at the explicit default equal the declared path; √V reaches the graph build") {
+    // the r12 verdict's top ask: knnComponents/lof must be able to reach
+    // the measured √V cell posture (SCALE.md: e=1.04 vs fixed16 e=2.09)
+    // without hand-recomposing their internals. Default-equality first —
+    // the declared queries and their oracles are untouched by the plumb.
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    assert(rows(PqOps.knnComponents(spark, sf, kCells = IvfOps.DefaultK)) ==
+      rows(PqOps.knnComponents(spark, sf)))
+    assert(rows(PqOps.lof(spark, sf, kCells = IvfOps.DefaultK)) ==
+      rows(PqOps.lof(spark, sf)))
+    // and the dial genuinely reaches the coarse quantizer: at a √V cell
+    // count the composites still produce a complete, well-formed answer
+    val nVecs = graft.Tables.embeddings(spark, sf).count()
+    val sqrtK = math.ceil(math.sqrt(nVecs.toDouble)).toInt
+    val comps = PqOps.knnComponents(spark, sf, kCells = sqrtK).collect()
+    assert(comps.length == nVecs)
+    assert(comps.map(_.getLong(0)).distinct.length == nVecs)
+    val l = PqOps.lof(spark, sf, kCells = sqrtK).collect()
+    assert(l.nonEmpty && l.forall(_.getDouble(2) > 0.0))
+  }
 }

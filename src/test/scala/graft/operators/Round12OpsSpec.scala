@@ -4,12 +4,18 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkTestBase
 
-/** Invariants for the round-12 operator batch: Kaplan-Meier survival,
-  * burstiness, TextRank, LOF, Gini/Lorenz, CDC chunking, silhouette,
-  * Adjusted Rand Index, SPRT. Each query is also oracle-checked in the
-  * driver's DuckDB gate; these pin the algebraic invariants a hash
-  * compare can't express (monotonicity, ranges, closed-form identities
-  * against driver recomputations).
+/** Invariants for the full round-12 operator batch — the stats suite
+  * (Kaplan-Meier survival, SPRT, AUC, Levene, Box-Cox, permutation test,
+  * Kruskal-Wallis, Mann-Kendall, RANSAC, Spearman/Kendall/Cramér's V,
+  * EM-GMM, DiD, CUPED, Wilson CI, burstiness, Hurst, AR-fit, Gini/
+  * Lorenz), the classifier audits (McNemar, Cohen's κ, isotonic
+  * calibration, self-BLEU, LLR collocations, query likelihood), the
+  * graph/cluster census (clustering coefficient, modularity, Rand index,
+  * silhouette), CDC chunking + chunk dedup, TextRank, LOF, video scene
+  * cuts, VAD segments, and price elasticity. Each query is also
+  * oracle-checked in the driver's DuckDB gate; these pin the algebraic
+  * invariants a hash compare can't express (monotonicity, ranges,
+  * closed-form identities against driver recomputations).
   */
 class Round12OpsSpec extends SparkTestBase {
 
