@@ -80,8 +80,13 @@ object KnnCellScale {
       val dir = outDir(c)
       val nVecs = Tables.embeddings(spark, dir).count()
       val sqrtK = math.ceil(math.sqrt(nVecs.toDouble)).toInt
+      // "sqrtv" arg: re-measure only the √V postures (+ the composite) —
+      // the fixed16 quadratic is a settled r12 measurement (e = 2.09,
+      // SCALE.md) and costs ~25 min to reconfirm; don't pay it when the
+      // question is the composite's inheritance of the √V slope
       val postures = Seq("sqrtV" -> sqrtK) ++
-        (if (c < 100) Seq("fixed16" -> 16) else Nil)
+        (if (c < 100 && !args.contains("sqrtv")) Seq("fixed16" -> 16)
+         else Nil)
       postures.foreach { case (posture, kc) =>
         val (t1, n1) = timed(
           graft.operators.PqOps.knnGraph(spark, dir, kCells = kc).count())

@@ -169,6 +169,15 @@ object SparkEntry {
     "q_char_profile"   -> (TextOps.charProfile _),
     "q_clv"            -> ((s, d) => AnalyticsOps.clv(s, d)),
     "q_adamic_adar"    -> ((s, d) => GraphOps.adamicAdar(s, d)),
+    "q_chow_test"      -> (StatOps.chowTest _),
+    "q_tost"           -> ((s, d) => StatOps.tost(s, d)),
+    "q_acf_pacf"       -> (StatOps.acfPacf _),
+    "q_granger"        -> (StatOps.granger _),
+    "q_cohens_d"       -> (StatOps.cohensD _),
+    "q_entropy_rate"   -> (TextOps.entropyRate _),
+    "q_hapax"          -> (TextOps.hapaxRatio _),
+    "q_kl_drift"       -> (EventOps.klDrift _),
+    "q_pq_distortion"  -> ((s, d) => PqOps.pqDistortion(s, d)),
     "q_cooccur"        -> ((s, d) => CorpusOps.cooccurPmi(s, d)),
     "q_clean_pipeline" -> (CorpusOps.cleanPipeline _),
     "q_dedup_incr"     -> ((s, d) => DedupOps.dedupIncremental(s, d)),
@@ -2382,6 +2391,152 @@ object SparkEntry {
         r4("monetary_cents / 100.0 * frequency / (1.0 + recency_days)") + " AS clv_score " +
         "FROM per JOIN customer ON o_custkey = c_custkey " +
         "ORDER BY clv_score DESC, c_custkey LIMIT 20"
+    },
+    // Chow structural break: centered-moment RSS per half vs pooled
+    "q_chow_test" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH d AS (SELECT CAST(ts AS DATE) AS day, round(sum(value), 4) AS y FROM events GROUP BY 1), " +
+        "ix AS (SELECT y, CAST(row_number() OVER (ORDER BY day) AS DOUBLE) AS x, count(*) OVER () AS n FROM d), " +
+        "g AS (SELECT x, y, n, CASE WHEN x <= n // 2 THEN 1 ELSE 2 END AS regime FROM ix), " +
+        "reg AS (SELECT regime, CAST(count(*) AS DOUBLE) AS nr, sum(x) AS sx, sum(y) AS sy, " +
+        "sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy FROM g GROUP BY 1), " +
+        "rss AS (SELECT regime, (syy - sy * sy / nr) - (sxy - sx * sy / nr) * (sxy - sx * sy / nr) / (sxx - sx * sx / nr) AS r FROM reg), " +
+        "pool AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy, " +
+        "sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy FROM g), " +
+        "prss AS (SELECT n, (syy - sy * sy / n) - (sxy - sx * sy / n) * (sxy - sx * sy / n) / (sxx - sx * sx / n) AS rp FROM pool), " +
+        "sr AS (SELECT sum(r) AS rs FROM rss) " +
+        "SELECT CAST(n AS BIGINT) AS n_days, CAST(n // 2 AS BIGINT) AS break_at, " +
+        r4("rp") + " AS rss_pooled, " + r4("rs") + " AS rss_split, " +
+        r4("CASE WHEN rs > 0 AND n > 4 THEN ((rp - rs) / 2) / (rs / (n - 4)) END") + " AS f_stat " +
+        "FROM prss CROSS JOIN sr"
+    },
+    // TOST equivalence of the first two sources' mean lengths
+    "q_tost" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH m AS (SELECT source, CAST(count(*) AS BIGINT) AS n, CAST(sum(n_chars) AS BIGINT) AS s, " +
+        "CAST(sum(n_chars * n_chars) AS BIGINT) AS s2 FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1), " +
+        "w AS (SELECT " +
+        "max(CASE WHEN source = 'src0' THEN CAST(s AS DOUBLE) / n END) AS m1, " +
+        "max(CASE WHEN source = 'src1' THEN CAST(s AS DOUBLE) / n END) AS m2, " +
+        "max(CASE WHEN source = 'src0' THEN (s2 - CAST(s AS DOUBLE) * s / n) / (n - 1) / n END) AS se1, " +
+        "max(CASE WHEN source = 'src1' THEN (s2 - CAST(s AS DOUBLE) * s / n) / (n - 1) / n END) AS se2, " +
+        "max(CASE WHEN source = 'src0' THEN n END) AS n1, " +
+        "max(CASE WHEN source = 'src1' THEN n END) AS n2 FROM m) " +
+        "SELECT n1, n2, " + r4("m1 - m2") + " AS diff, " +
+        r4("sqrt(se1 + se2)") + " AS se, " +
+        r4("CASE WHEN se1 + se2 > 0 THEN ((m1 - m2) + 100.0) / sqrt(se1 + se2) END") + " AS t_lower, " +
+        r4("CASE WHEN se1 + se2 > 0 THEN (100.0 - (m1 - m2)) / sqrt(se1 + se2) END") + " AS t_upper, " +
+        "(CASE WHEN se1 + se2 > 0 THEN ((m1 - m2) + 100.0) / sqrt(se1 + se2) END) > 1.645 " +
+        "AND (CASE WHEN se1 + se2 > 0 THEN (100.0 - (m1 - m2)) / sqrt(se1 + se2) END) > 1.645 AS equivalent " +
+        "FROM w"
+    },
+    // ACF lags 1-3 + Durbin-Levinson PACF on the hourly series
+    "q_acf_pacf" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH h AS (SELECT date_trunc('hour', ts) AS hr, CAST(count(*) AS DOUBLE) AS x FROM events GROUP BY 1), " +
+        "mu AS (SELECT CAST(sum(x) AS DOUBLE) / count(*) AS m FROM h), " +
+        "lagd AS (SELECT x - m AS d, " +
+        "lag(x, 1) OVER (ORDER BY hr) - m AS d1, " +
+        "lag(x, 2) OVER (ORDER BY hr) - m AS d2, " +
+        "lag(x, 3) OVER (ORDER BY hr) - m AS d3 FROM h CROSS JOIN mu), " +
+        "s AS (SELECT sum(d * d) AS den, sum(d * d1) AS n1, sum(d * d2) AS n2, sum(d * d3) AS n3 FROM lagd), " +
+        "r AS (SELECT n1 / den AS r1, n2 / den AS r2, n3 / den AS r3 FROM s WHERE den > 0), " +
+        "dl AS (SELECT r1, r2, r3, (r2 - r1 * r1) / (1 - r1 * r1) AS p2 FROM r), " +
+        "dl2 AS (SELECT r1, r2, r3, p2, r1 * (1 - p2) AS phi21 FROM dl), " +
+        "dl3 AS (SELECT r1, r2, r3, p2, " +
+        "(r3 - phi21 * r2 - p2 * r1) / (1 - phi21 * r1 - p2 * r2) AS p3 FROM dl2) " +
+        "SELECT lag, acf, pacf FROM (" +
+        "SELECT 1 AS lag, " + r4("r1") + " AS acf, " + r4("r1") + " AS pacf FROM dl3 " +
+        "UNION ALL SELECT 2, " + r4("r2") + ", " + r4("p2") + " FROM dl3 " +
+        "UNION ALL SELECT 3, " + r4("r3") + ", " + r4("p3") + " FROM dl3) ORDER BY lag"
+    },
+    // lag-1 Granger: restricted AR(1) vs two-predictor OLS by Cramer
+    "q_granger" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x, round(sum(value), 4) AS y FROM events GROUP BY 1), " +
+        "l AS (SELECT y, lag(y) OVER (ORDER BY day) AS z1, lag(x) OVER (ORDER BY day) AS z2 FROM d), " +
+        "f AS (SELECT * FROM l WHERE z1 IS NOT NULL), " +
+        "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(y) AS sy, sum(z1) AS s1, sum(z2) AS s2, " +
+        "sum(y * y) AS syy, sum(z1 * z1) AS s11, sum(z2 * z2) AS s22, " +
+        "sum(y * z1) AS s1y, sum(y * z2) AS s2y, sum(z1 * z2) AS s12 FROM f), " +
+        "c AS (SELECT n, syy - sy * sy / n AS cyy, s11 - s1 * s1 / n AS c11, s22 - s2 * s2 / n AS c22, " +
+        "s1y - s1 * sy / n AS c1y, s2y - s2 * sy / n AS c2y, s12 - s1 * s2 / n AS c12 FROM s), " +
+        "ols AS (SELECT n, cyy - c1y * c1y / c11 AS rss_r, " +
+        "c11 * c22 - c12 * c12 AS det, c1y, c2y, c11, c22, c12, cyy FROM c), " +
+        "fm AS (SELECT n, rss_r, " +
+        "CASE WHEN det > 0 THEN cyy - ((c1y * c22 - c2y * c12) / det) * c1y - ((c2y * c11 - c1y * c12) / det) * c2y END AS rss_f FROM ols) " +
+        "SELECT CAST(n AS BIGINT) AS n_days, " + r4("rss_r") + " AS rss_restricted, " +
+        r4("rss_f") + " AS rss_full, " +
+        r4("CASE WHEN rss_f > 0 AND n > 4 THEN (rss_r - rss_f) / (rss_f / (n - 4)) END") + " AS f_stat " +
+        "FROM fm"
+    },
+    // Cohen's d / Hedges' g per source vs rest (global-minus-source)
+    "q_cohens_d" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n, CAST(sum(n_chars) AS BIGINT) AS s, " +
+        "CAST(sum(n_chars * n_chars) AS BIGINT) AS s2 FROM documents GROUP BY 1), " +
+        "g AS (SELECT CAST(sum(n) AS BIGINT) AS gn, CAST(sum(s) AS BIGINT) AS gs, CAST(sum(s2) AS BIGINT) AS gs2 FROM per), " +
+        "z AS (SELECT source, n, gn, (gn - n) AS nr, CAST(s AS DOUBLE) / n AS m1, " +
+        "CAST(gs - s AS DOUBLE) / (gn - n) AS m2, " +
+        "(s2 - CAST(s AS DOUBLE) * s / n) / (n - 1) AS v1, " +
+        "((gs2 - s2) - CAST(gs - s AS DOUBLE) * (gs - s) / (gn - n)) / (gn - n - 1) AS v2 " +
+        "FROM per CROSS JOIN g), " +
+        "dd AS (SELECT source, n, nr, m1, m2, gn, " +
+        "sqrt(((n - 1) * v1 + (nr - 1) * v2) / (n + nr - 2)) AS sp FROM z) " +
+        "SELECT source, n AS n_docs, " + r4("m1") + " AS mean_src, " +
+        r4("m2") + " AS mean_rest, " +
+        r4("CASE WHEN sp > 0 THEN (m1 - m2) / sp END") + " AS cohens_d, " +
+        r4("CASE WHEN sp > 0 THEN (m1 - m2) / sp * (1 - 3.0 / (4 * gn - 9)) END") + " AS hedges_g " +
+        "FROM dd ORDER BY source"
+    },
+    // conditional bigram entropy over within-doc adjacent pairs
+    "q_entropy_rate" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH tok AS (SELECT doc_id, unnest(arr) AS t, generate_subscripts(arr, 1) AS i FROM " +
+        "(SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS arr FROM documents)), " +
+        "pr AS (SELECT a.t AS w1, b.t AS w2 FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1), " +
+        "bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM pr GROUP BY 1, 2), " +
+        "un AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cu FROM bg GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM bg) " +
+        "SELECT tot.n AS n_pairs, CAST(count(*) AS BIGINT) AS n_bigram_types, " +
+        r4("-sum((CAST(c AS DOUBLE) / tot.n) * log2(CAST(c AS DOUBLE) / cu))") + " AS entropy_rate " +
+        "FROM bg JOIN un USING (w1) CROSS JOIN tot GROUP BY tot.n"
+    },
+    // within-doc hapax-legomena ratio averaged per source
+    "q_hapax" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH tok AS (SELECT doc_id, source, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t FROM documents), " +
+        "c AS (SELECT doc_id, source, t, count(*) AS n FROM tok GROUP BY 1, 2, 3), " +
+        "h AS (SELECT doc_id, source, CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS hr FROM c GROUP BY 1, 2) " +
+        "SELECT source, count(*) AS n_docs, " + r4("avg(hr)") + " AS avg_hapax_ratio " +
+        "FROM h GROUP BY source ORDER BY source"
+    },
+    // day-over-day symmetric KL of the smoothed event-type mix
+    "q_kl_drift" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH d AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS c FROM events GROUP BY 1, 2), " +
+        "days AS (SELECT day, row_number() OVER (ORDER BY day) AS idx FROM (SELECT DISTINCT day FROM d)), " +
+        "types AS (SELECT DISTINCT event_type FROM d), " +
+        "k AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM types), " +
+        "grid AS (SELECT days.day, days.idx, types.event_type, COALESCE(d.c, 0) AS c " +
+        "FROM days CROSS JOIN types LEFT JOIN d ON d.day = days.day AND d.event_type = types.event_type), " +
+        "tot AS (SELECT idx, CAST(sum(c) AS BIGINT) AS n FROM grid GROUP BY 1), " +
+        "p AS (SELECT grid.day, grid.idx, grid.event_type, " +
+        "CAST(grid.c + 1 AS DOUBLE) / (tot.n + k.nt) AS p FROM grid JOIN tot USING (idx) CROSS JOIN k), " +
+        "j AS (SELECT a.day, a.p AS pa, b.p AS pb FROM p a JOIN p b " +
+        "ON a.idx = b.idx + 1 AND a.event_type = b.event_type) " +
+        "SELECT day, " + r4("sum(pa * ln(pa / pb) + pb * ln(pb / pa))") + " AS kl_sym " +
+        "FROM j GROUP BY day ORDER BY day"
+    },
+    // per-subspace PQ quantization MSE on the proven unrolled-Lloyd model
+    "q_pq_distortion" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH " + pqCtesBody(3, Some(5)) + ", " +
+        "er AS (SELECT af.j, " +
+        "list_sum(list_transform(range(1, 9), dd -> (af.s[CAST(dd AS INTEGER)] - m.cen[CAST(dd AS INTEGER)]) * (af.s[CAST(dd AS INTEGER)] - m.cen[CAST(dd AS INTEGER)]))) AS sqerr " +
+        "FROM af JOIN m3 m ON af.j = m.j AND af.c = m.c) " +
+        "SELECT j, CAST(count(*) AS BIGINT) AS n_vecs, " +
+        r4("avg(sqerr)") + " AS mse FROM er GROUP BY j ORDER BY j"
     },
     // Adamic-Adar on the link_predict candidate chain: round4-ed
     // 1/ln(deg) terms summed by the sorted first-element-seeded fold

@@ -1423,6 +1423,46 @@ object EventOps {
       .orderBy(col("event_type"), col("hr"))
   }
 
+  /** q_kl_drift: day-over-day distribution drift of the event-type mix —
+    * symmetric KL divergence between each day's smoothed type
+    * distribution and the previous day's, the standard "did the traffic
+    * mix shift overnight" monitor ([[graft.operators.CorpusOps]]'s
+    * q_js_divergence is the same idea across SOURCES; this is the
+    * temporal axis). Add-one smoothing over the completed day×type grid
+    * keeps every log finite on exact integer counts; consecutive days
+    * pair by dense index, so calendar gaps never silently compare
+    * non-adjacent days.
+    * Scale shape: one (day, type) count aggregation, a broadcast grid
+    * completion, one index join over the \|days·types\|-bounded frame. */
+  def klDrift(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val d = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val days = d.select(col("day")).distinct()
+      .withColumn("idx", row_number().over(Window.orderBy(col("day"))))
+    val types = d.select(col("event_type")).distinct()
+    val k = types.agg(count(lit(1)).cast("bigint").as("nt"))
+    val grid = days.crossJoin(broadcast(types))
+      .join(d, Seq("day", "event_type"), "left")
+      .select(col("day"), col("idx"), col("event_type"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val tot = grid.groupBy(col("idx").as("tidx"))
+      .agg(sum(col("c")).cast("bigint").as("n"))
+    val p = grid
+      .join(tot, col("idx") === col("tidx"))
+      .crossJoin(broadcast(k))
+      .select(col("day"), col("idx"), col("event_type"),
+        ((col("c") + 1).cast("double") / (col("n") + col("nt"))).as("p"))
+    p.as("a").join(p.as("b"),
+        col("a.idx") === col("b.idx") + 1
+          && col("a.event_type") === col("b.event_type"))
+      .groupBy(col("a.day").as("day"))
+      .agg(stableRound4(sum(col("a.p") * log(col("a.p") / col("b.p"))
+        + col("b.p") * log(col("b.p") / col("a.p")))).as("kl_sym"))
+      .orderBy(col("day"))
+  }
+
   /** q_stl_anomaly: residual-based anomaly days on top of
     * [[stlDecompose]] — the operational endpoint of the decomposition:
     * a day is anomalous when its STL residual deviates from the median

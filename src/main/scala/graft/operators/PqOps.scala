@@ -464,6 +464,45 @@ object PqOps {
     lofs.orderBy(col("lof").desc, col("vec_id")).limit(topN)
   }
 
+  /** q_pq_distortion: per-subspace quantization error audit of the PQ
+    * codebook — mean squared L2 between each subvector and its assigned
+    * centroid, the codebook-quality dashboard an index operator reads
+    * before trusting ADC rankings (a subspace whose MSE is an outlier is
+    * under-trained or carries structure 16 cells can't capture; the
+    * recall audits q_knn_recall/q_ann_recall measure the SYMPTOM, this
+    * measures the cause). Trains the same stable6-barriered model as
+    * [[pqTopK]] (bit-identical cross-engine, so the assignments and the
+    * per-vector errors replay exactly); the per-subspace mean is the
+    * only engine-ordered float sum and lands behind round4.
+    * Scale shape: the training scans [[pqTopK]] already pays, one
+    * ×M-exploded (subspace, code, subvector) projection, one
+    * M·Codes-bounded centroid join (broadcast — the model is 8×16 rows),
+    * one M-row rollup. */
+  def pqDistortion(spark: SparkSession, dir: String,
+      iters: Int = 3): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val spark0 = spark
+    import spark0.implicits._
+    val vecs = Materialize(normalized(Tables.embeddings(spark, dir)))
+    val model = train(vecs, iters)
+    val cents = model.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (cen, c) => (j, c, cen.toSeq) }
+    }.toSeq.toDF("j", "c", "cen")
+    val coded = withCodes(vecs, model)
+      .select(posexplode(arrays_zip(col("codes"),
+        array((0 until M).map(sub): _*).as("subs"))))
+      .select(col("pos").as("j"), col("col.codes").as("c"),
+        col("col.subs").as("subv"))
+    coded.join(broadcast(cents), Seq("j", "c"))
+      .select(col("j"),
+        expr("aggregate(zip_with(subv, cen, (a, b) -> (a - b) * (a - b)), " +
+          "0.0D, (acc, x) -> acc + x)").as("sqerr"))
+      .groupBy(col("j"))
+      .agg(count(lit(1)).cast("bigint").as("n_vecs"),
+        stableRound4(avg(col("sqerr"))).as("mse"))
+      .orderBy(col("j"))
+  }
+
   def knnRecall(spark: SparkSession, dir: String, k: Int = 3,
       shortlist: Int = 20, nProbes: Int = 50,
       kCells: Int = IvfOps.DefaultK): DataFrame = {

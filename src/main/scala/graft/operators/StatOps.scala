@@ -1046,6 +1046,221 @@ object StatOps {
         .as("r_xy_z"))
   }
 
+  /** q_chow_test: Chow structural-break F-test on the daily revenue trend
+    * — does one OLS line fit the whole series, or do the two halves want
+    * different lines (the regime-shift screen run before trusting any
+    * single trend number like [[EventOps.theilSen]]'s)? RSS per regime
+    * from centered moment sums (RSS = Syy − Sxy²/Sxx), F = ((RSS_p −
+    * RSS₁ − RSS₂)/k) / ((RSS₁+RSS₂)/(n−2k)) with k = 2 line parameters.
+    * Scale shape: one daily aggregation (the corpus-sized pass), one
+    * \|days\|-row index window, two bounded moment rollups. */
+  def chowTest(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")), 4).as("y"))
+    val ix = d
+      .withColumn("x", row_number().over(Window.orderBy(col("day")))
+        .cast("double"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
+    val g = ix.withColumn("regime",
+      when(col("x") <= floor(col("n") / 2), 1).otherwise(2))
+    def moments(df: DataFrame, keys: Seq[Column]) = df
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).cast("double").as("nr"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    def rss = ((col("syy") - col("sy") * col("sy") / col("nr"))
+      - (col("sxy") - col("sx") * col("sy") / col("nr"))
+        * (col("sxy") - col("sx") * col("sy") / col("nr"))
+        / (col("sxx") - col("sx") * col("sx") / col("nr")))
+    val split = moments(g, Seq(col("regime")))
+      .select(rss.as("r")).agg(sum(col("r")).as("rs"))
+    val pooled = moments(g, Seq.empty)
+      .select(col("nr").as("n"), rss.as("rp"))
+    pooled.crossJoin(broadcast(split))
+      .select(col("n").cast("bigint").as("n_days"),
+        floor(col("n") / 2).cast("bigint").as("break_at"),
+        stableRound4(col("rp")).as("rss_pooled"),
+        stableRound4(col("rs")).as("rss_split"),
+        stableRound4(when(col("rs") > 0 && col("n") > 4,
+          (((col("rp") - col("rs")) / 2)
+            / (col("rs") / (col("n") - 4))))).as("f_stat"))
+  }
+
+  /** q_tost: two-one-sided-tests equivalence between the first two
+    * sources' mean document lengths — the audit that PROVES similarity
+    * where a t-test can only fail to find difference (the standard
+    * pre-merge check before pooling two crawl slices): both
+    * t = (diff ± δ)/se must clear 1.645 at margin δ = 100 chars. Moment
+    * sums are exact integers until the final divisions.
+    * Scale shape: one two-group aggregation, then 1-row algebra. */
+  def tost(spark: SparkSession, dir: String, margin: Double = 100.0)
+      : DataFrame = {
+    val m = Tables.documents(spark, dir)
+      .filter(col("source").isin("src0", "src1"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("n_chars")).cast("bigint").as("s"),
+        sum(col("n_chars") * col("n_chars")).cast("bigint").as("s2"))
+    def pick(src: String, c: Column) =
+      max(when(col("source") === src, c))
+    val w = m.agg(
+      pick("src0", col("s").cast("double") / col("n")).as("m1"),
+      pick("src1", col("s").cast("double") / col("n")).as("m2"),
+      pick("src0", ((col("s2") - col("s").cast("double") * col("s")
+        / col("n")) / (col("n") - 1) / col("n"))).as("se1"),
+      pick("src1", ((col("s2") - col("s").cast("double") * col("s")
+        / col("n")) / (col("n") - 1) / col("n"))).as("se2"),
+      pick("src0", col("n")).as("n1"), pick("src1", col("n")).as("n2"))
+    val tLow = ((col("m1") - col("m2")) + margin) / sqrt(col("se1") + col("se2"))
+    val tHigh = (lit(margin) - (col("m1") - col("m2"))) / sqrt(col("se1") + col("se2"))
+    w.select(col("n1"), col("n2"),
+      stableRound4(col("m1") - col("m2")).as("diff"),
+      stableRound4(sqrt(col("se1") + col("se2"))).as("se"),
+      stableRound4(when(col("se1") + col("se2") > 0, tLow)).as("t_lower"),
+      stableRound4(when(col("se1") + col("se2") > 0, tHigh)).as("t_upper"),
+      (when(col("se1") + col("se2") > 0, tLow) > 1.645
+        && when(col("se1") + col("se2") > 0, tHigh) > 1.645)
+        .as("equivalent"))
+  }
+
+  /** q_acf_pacf: autocorrelation + partial autocorrelation (lags 1–3) of
+    * the global hourly event series — the ARIMA-order identification
+    * table ([[EventOps.arFit]] fits the model this table chooses). ACF
+    * from one lag window over the \|hours\|-bounded series; PACF by the
+    * Durbin–Levinson recursion unrolled to level 3 (pure scalar algebra
+    * on the three ACF values, identical association order in the
+    * oracle). Output one row per lag. */
+  def acfPacf(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val mu = h.agg((sum(col("x")) / count(lit(1))).as("m"))
+    val wOrd = Window.orderBy(col("hr"))
+    val lagd = h.crossJoin(broadcast(mu))
+      .select((col("x") - col("m")).as("d"),
+        (lag(col("x"), 1).over(wOrd) - col("m")).as("d1"),
+        (lag(col("x"), 2).over(wOrd) - col("m")).as("d2"),
+        (lag(col("x"), 3).over(wOrd) - col("m")).as("d3"))
+    val s = lagd.agg(sum(col("d") * col("d")).as("den"),
+      sum(col("d") * col("d1")).as("n1"),
+      sum(col("d") * col("d2")).as("n2"),
+      sum(col("d") * col("d3")).as("n3"))
+    val r = s.filter(col("den") > 0)
+      .select((col("n1") / col("den")).as("r1"),
+        (col("n2") / col("den")).as("r2"),
+        (col("n3") / col("den")).as("r3"))
+    val dl = r
+      .withColumn("p2",
+        ((col("r2") - col("r1") * col("r1"))
+          / (lit(1) - col("r1") * col("r1"))))
+      .withColumn("phi21", col("r1") * (lit(1) - col("p2")))
+      .withColumn("p3",
+        ((col("r3") - col("phi21") * col("r2") - col("p2") * col("r1"))
+          / (lit(1) - col("phi21") * col("r1") - col("p2") * col("r2"))))
+    dl.select(explode(array(
+      struct(lit(1).as("lag"), stableRound4(col("r1")).as("acf"),
+        stableRound4(col("r1")).as("pacf")),
+      struct(lit(2).as("lag"), stableRound4(col("r2")).as("acf"),
+        stableRound4(col("p2")).as("pacf")),
+      struct(lit(3).as("lag"), stableRound4(col("r3")).as("acf"),
+        stableRound4(col("p3")).as("pacf")))).as("row"))
+      .select(col("row.lag").as("lag"), col("row.acf").as("acf"),
+        col("row.pacf").as("pacf"))
+      .orderBy(col("lag"))
+  }
+
+  /** q_granger: lag-1 Granger-causality F-test — does yesterday's event
+    * VOLUME predict today's revenue beyond yesterday's revenue (the
+    * restricted AR(1) vs the full two-predictor OLS, both in closed form
+    * from centered moment sums; the 2×2 normal equations solve by
+    * Cramer's rule). The operational "is this metric leading that one"
+    * question [[partialCorr]] asks contemporaneously.
+    * Scale shape: one daily aggregation, one \|days\| lag window, one
+    * 10-sum moment rollup, scalar algebra. */
+  def granger(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("x"),
+        round(sum(col("value")), 4).as("y"))
+    val wOrd = Window.orderBy(col("day"))
+    val f = d.select(col("y"), lag(col("y"), 1).over(wOrd).as("z1"),
+      lag(col("x"), 1).over(wOrd).as("z2"))
+      .filter(col("z1").isNotNull)
+    val s = f.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("y")).as("sy"), sum(col("z1")).as("s1"),
+      sum(col("z2")).as("s2"), sum(col("y") * col("y")).as("syy"),
+      sum(col("z1") * col("z1")).as("s11"),
+      sum(col("z2") * col("z2")).as("s22"),
+      sum(col("y") * col("z1")).as("s1y"),
+      sum(col("y") * col("z2")).as("s2y"),
+      sum(col("z1") * col("z2")).as("s12"))
+    val c = s.select(col("n"),
+      (col("syy") - col("sy") * col("sy") / col("n")).as("cyy"),
+      (col("s11") - col("s1") * col("s1") / col("n")).as("c11"),
+      (col("s22") - col("s2") * col("s2") / col("n")).as("c22"),
+      (col("s1y") - col("s1") * col("sy") / col("n")).as("c1y"),
+      (col("s2y") - col("s2") * col("sy") / col("n")).as("c2y"),
+      (col("s12") - col("s1") * col("s2") / col("n")).as("c12"))
+    val det = col("c11") * col("c22") - col("c12") * col("c12")
+    val rssR = col("cyy") - col("c1y") * col("c1y") / col("c11")
+    val rssF = when(det > 0,
+      (col("cyy")
+        - ((col("c1y") * col("c22") - col("c2y") * col("c12")) / det)
+          * col("c1y")
+        - ((col("c2y") * col("c11") - col("c1y") * col("c12")) / det)
+          * col("c2y")))
+    c.select(col("n").cast("bigint").as("n_days"),
+      stableRound4(rssR).as("rss_restricted"),
+      stableRound4(rssF).as("rss_full"),
+      stableRound4(when(rssF > 0 && col("n") > 4,
+        ((rssR - rssF) / (rssF / (col("n") - 4))))).as("f_stat"))
+  }
+
+  /** q_cohens_d: standardized effect size (Cohen's d + the small-sample
+    * Hedges' g correction) of each source's mean doc length against the
+    * REST of the corpus — the "how big is the difference" companion the
+    * p-value queries ([[ksTest]], q_ttest) deliberately don't answer.
+    * Rest-moments come from global − source totals (one pass, exact
+    * integers); pooled SD uses sample variances.
+    * Scale shape: one per-source aggregation plus a 1-row broadcast of
+    * the global totals. */
+  def cohensD(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("n_chars")).cast("bigint").as("s"),
+        sum(col("n_chars") * col("n_chars")).cast("bigint").as("s2"))
+    val g = per.agg(sum(col("n")).cast("bigint").as("gn"),
+      sum(col("s")).cast("bigint").as("gs"),
+      sum(col("s2")).cast("bigint").as("gs2"))
+    val z = per.crossJoin(broadcast(g))
+      .select(col("source"), col("n"), col("gn"),
+        (col("gn") - col("n")).as("nr"),
+        (col("s").cast("double") / col("n")).as("m1"),
+        ((col("gs") - col("s")).cast("double") / (col("gn") - col("n")))
+          .as("m2"),
+        ((col("s2") - col("s").cast("double") * col("s") / col("n"))
+          / (col("n") - 1)).as("v1"),
+        (((col("gs2") - col("s2"))
+          - (col("gs") - col("s")).cast("double") * (col("gs") - col("s"))
+            / (col("gn") - col("n"))) / (col("gn") - col("n") - 1))
+          .as("v2"))
+    val sp = sqrt(((col("n") - 1) * col("v1") + (col("nr") - 1) * col("v2"))
+      / (col("n") + col("nr") - 2))
+    z.select(col("source"), col("n").as("n_docs"),
+      stableRound4(col("m1")).as("mean_src"),
+      stableRound4(col("m2")).as("mean_rest"),
+      stableRound4(when(sp > 0, (col("m1") - col("m2")) / sp))
+        .as("cohens_d"),
+      stableRound4(when(sp > 0, ((col("m1") - col("m2")) / sp
+        * (lit(1) - lit(3.0) / (lit(4) * col("gn") - 9)))))
+        .as("hedges_g"))
+      .orderBy(col("source"))
+  }
+
   /** q_friedman: the Friedman rank test across event types blocked by day
     * — the repeated-measures companion to [[kruskalWallis]] (which
     * ignores the day blocking): do the k event types genuinely differ in

@@ -1186,6 +1186,61 @@ object TextOps {
         .as("alpha"))
   }
 
+  /** q_entropy_rate: conditional bigram entropy H(next|prev) of the
+    * corpus token stream — the entropy-RATE companion to
+    * [[tokenEntropy]]'s unigram view and the model-free floor for the
+    * perplexity any LM ([[knTrigram]]) can reach on this corpus:
+    * H = −Σ_{ab} p(ab)·log₂ p(b|a) over within-doc consecutive pairs.
+    * Bigram pairs come from one array zip (no self-join — each doc emits
+    * its own adjacent pairs); counts are exact integers and the final
+    * sum runs over the ≤\|vocab\|² bigram-type table (the closed-vocab
+    * fixture caps it at 31² = 961 rows at any corpus size).
+    * Scale shape: one explode + two partial-aggregated groupBys, then a
+    * bounded rollup. */
+  def entropyRate(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(spark, dir)
+      .select(tokensLower(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bg = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("bigint").as("c"))
+    val un = bg.groupBy(col("w1")).agg(sum(col("c")).cast("bigint").as("cu"))
+    val tot = bg.agg(sum(col("c")).cast("bigint").as("n"))
+    bg.join(un, Seq("w1")).crossJoin(broadcast(tot))
+      .groupBy(col("n"))
+      .agg(count(lit(1)).cast("bigint").as("n_bigram_types"),
+        stableRound4(-sum((col("c").cast("double") / col("n"))
+          * log2(col("c").cast("double") / col("cu")))).as("entropy_rate"))
+      .select(col("n").as("n_pairs"), col("n_bigram_types"),
+        col("entropy_rate"))
+  }
+
+  /** q_hapax: average within-document hapax-legomena ratio per source —
+    * the fraction of a document's DISTINCT tokens that occur exactly
+    * once in it, the classic productivity/diversity signal
+    * ([[typeTokenRatio]]'s companion; corpus-level hapax saturates to
+    * zero on the closed
+    * synthetic vocabulary, so the declared form is the per-doc ratio,
+    * which stays live — the round-12 saturation lesson applied).
+    * Scale shape: one explode + per-doc count aggregation (both
+    * partial-aggregated), one \|sources\| rollup. */
+  def hapaxRatio(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(tokensLower(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("source"), col("t"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg((sum(when(col("n") === 1, 1).otherwise(0)).cast("double")
+        / count(lit(1))).as("hr"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        stableRound4(avg(col("hr"))).as("avg_hapax_ratio"))
+      .orderBy(col("source"))
+
   /** q_char_profile: character-class composition per source — letter,
     * whitespace and vowel-within-letters ratios from exact per-doc
     * regexp counts (integer sums until the three final divisions). The

@@ -225,6 +225,100 @@ class Round13OpsSpec extends SparkTestBase {
     }
   }
 
+  test("chowTest: the two-regime fit never loses to the pooled line; F >= 0") {
+    val r = StatOps.chowTest(spark, sf).collect()
+    assert(r.length == 1)
+    // RSS1 + RSS2 <= RSS_pooled is an OLS identity (each half's own line
+    // fits its half at least as well as the shared line) — 4dp slack
+    assert(r(0).getDouble(3) <= r(0).getDouble(2) + 1e-3)
+    assert(r(0).isNullAt(4) || r(0).getDouble(4) >= 0.0)
+  }
+
+  test("granger: the full model never loses to the restricted; F >= 0") {
+    val r = StatOps.granger(spark, sf).collect()
+    assert(r.length == 1)
+    assert(r(0).isNullAt(2) || r(0).getDouble(2) <= r(0).getDouble(1) + 1e-3)
+    assert(r(0).isNullAt(3) || r(0).getDouble(3) >= 0.0)
+  }
+
+  test("tost: equivalence verdict consistent with the two t statistics") {
+    val r = StatOps.tost(spark, sf).collect()
+    assert(r.length == 1)
+    assert(r(0).getDouble(3) > 0) // se
+    val eq = r(0).getBoolean(6)
+    assert(eq == (r(0).getDouble(4) > 1.645 && r(0).getDouble(5) > 1.645))
+  }
+
+  test("acfPacf: ACF bounded, PACF(1) == ACF(1)") {
+    val rows = StatOps.acfPacf(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach(r => assert(math.abs(r.getDouble(1)) <= 1.0))
+    val lag1 = rows.find(_.getInt(0) == 1).get
+    assert(lag1.getDouble(1) == lag1.getDouble(2))
+  }
+
+  test("cohensD: sign matches the mean difference; |g| <= |d|") {
+    val rows = StatOps.cohensD(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (m1, m2, d, g) = (r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))
+      assert(math.signum(d) == math.signum(m1 - m2) || d == 0.0)
+      assert(math.abs(g) <= math.abs(d) + 1e-9)
+    }
+  }
+
+  test("entropyRate: bounded by log2(types) and matches a driver recompute") {
+    val r = TextOps.entropyRate(spark, sf).collect()
+    assert(r.length == 1)
+    val (types, h) = (r(0).getLong(1), r(0).getDouble(2))
+    assert(h >= 0.0 && h <= math.log(types.toDouble) / math.log(2.0) + 1e-9)
+    // driver replay over the collected corpus
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("text")).collect().map(_.getString(0))
+    val pairs = docs.flatMap { t =>
+      val toks = t.trim.toLowerCase.split("\\s+")
+      toks.sliding(2).filter(_.length == 2).map(p => (p(0), p(1)))
+    }
+    val bg = pairs.groupBy(identity).map { case (k, v) => k -> v.length }
+    val un = bg.groupBy(_._1._1).map { case (k, v) => k -> v.values.sum }
+    val n = pairs.length.toDouble
+    val hExp = -bg.iterator.map { case ((w1, _), c) =>
+      (c / n) * (math.log(c.toDouble / un(w1)) / math.log(2.0))
+    }.sum
+    assert(math.abs(h - hExp) < 1e-3, s"$h vs $hExp")
+  }
+
+  test("hapax: per-source within-doc ratios live in [0, 1]") {
+    val rows = TextOps.hapaxRatio(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val hr = r.getDouble(2)
+      assert(hr >= 0.0 && hr <= 1.0)
+    }
+  }
+
+  test("klDrift: symmetric KL nonnegative on every consecutive-day pair") {
+    val rows = EventOps.klDrift(spark, sf).collect()
+    val nDays = graft.Tables.events(spark, sf)
+      .select(to_date(col("ts"))).distinct().count()
+    assert(rows.length == nDays - 1)
+    rows.foreach(r => assert(r.getDouble(1) >= 0.0))
+  }
+
+  test("pqDistortion: one row per subspace, full corpus coverage, mse >= 0") {
+    val rows = PqOps.pqDistortion(spark, sf).collect()
+    assert(rows.length == 8)
+    val nVecs = graft.Tables.embeddings(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) == nVecs)
+      assert(r.getDouble(2) >= 0.0)
+      // normalized vectors: a subvector's norm² <= 1, and quantizing to a
+      // trained codebook must beat the trivial all-zeros codeword bound
+      assert(r.getDouble(2) <= 1.0)
+    }
+  }
+
   test("adamicAdar: scores positive, pairs are non-edges, AA <= n_common / ln 2") {
     val rows = GraphOps.adamicAdar(spark, sf).collect()
     assert(rows.nonEmpty)
