@@ -128,6 +128,15 @@ object ScaleIndex {
     "q_tpch_q4" -> "0.38 (r9)",
     "q_triangles" -> "0.97 (r7 mem-sized; 1.35 r5 @24g)",
     "q_watermark_sim" -> "0.40 (r7)",
+    "q_epoch_shuffle" -> "0.05 (r13)",
+    "q_adamic_adar" -> "0.49 (r13)",
+    "q_tpch_q9" -> "0.31 (r13, post broadcast fix)",
+    "q_cusum" -> "flat (r13, |days|-bounded)",
+    "q_ewma_control" -> "flat (r13, |days|-bounded)",
+    "q_entropy_rate" -> "0.24 (r13)",
+    "q_hapax" -> "0.15 (r13)",
+    "q_pq_distortion" -> "0.11 (r13)",
+    "q_kl_drift" -> "flat (r13, |days*types|-bounded)",
   )
 
   private def shape(plan: LogicalPlan): String = {

@@ -152,7 +152,11 @@ object ScaleSpot {
     // restricted pair join (its measured family), Q9 is the six-table
     // star on the fact-derived partsupp (the only new big-big shuffle),
     // CUSUM/EWMA are |days|-bounded after one daily agg (should be flat)
-    "q_adamic_adar", "q_tpch_q9", "q_cusum", "q_ewma_control")
+    "q_adamic_adar", "q_tpch_q9", "q_cusum", "q_ewma_control",
+    // round-13 third batch: the two explode-family corpus stats (the
+    // kn_bigram cost family), PQ distortion (the q_pq_ann trainer +
+    // one bounded centroid join), day-grid KL (|days·types|-bounded)
+    "q_entropy_rate", "q_hapax", "q_pq_distortion", "q_kl_drift")
   val Scales = Seq(10, 100)
 
   def outDir(copies: Int) = s"/tmp/graft_spot_${copies}x"
@@ -205,6 +209,13 @@ object ScaleSpot {
     // slow-dim regime, and what q_tpch_q21's per-supplier blame needs
     Tables.supplier(spark, src)
       .repartition(1).write.mode("overwrite").parquet(s"$out/supplier.parquet")
+
+    // nation/region: fixed geography dims (q_tpch_q9's supplier-nation
+    // rollup) — verbatim, like supplier
+    Tables.nation(spark, src)
+      .repartition(1).write.mode("overwrite").parquet(s"$out/nation.parquet")
+    Tables.region(spark, src)
+      .repartition(1).write.mode("overwrite").parquet(s"$out/region.parquet")
 
     // events: user_id-shifted copies — more users, same per-user history
     // (the realistic bigger-audience regime; per-user windows stay

@@ -859,7 +859,12 @@ object JoinOps {
         .filter(col("p_name").like("%red%"))
         .select(col("p_partkey"))),
         col("l_partkey") === col("p_partkey"))
-      .join(broadcast(derivedPartSupp(spark, dir)),
+      // NO broadcast hint on the derived partsupp: it is FACT-derived
+      // (distinct (partkey, suppkey) pairs — ~19M rows at the 100× spot
+      // scale, where a forced broadcast killed the run), so it
+      // shuffle-joins on its keys and AQE may still broadcast it when a
+      // filtered dir makes it genuinely small
+      .join(derivedPartSupp(spark, dir),
         col("l_partkey") === col("ps_partkey")
           && col("l_suppkey") === col("ps_suppkey"))
       .join(broadcast(Tables.supplier(spark, dir)),
