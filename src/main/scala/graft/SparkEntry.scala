@@ -178,6 +178,10 @@ object SparkEntry {
     "q_hapax"          -> (TextOps.hapaxRatio _),
     "q_kl_drift"       -> (EventOps.klDrift _),
     "q_pq_distortion"  -> ((s, d) => PqOps.pqDistortion(s, d)),
+    "q_hill_tail"      -> ((s, d) => StatOps.hillTail(s, d)),
+    "q_gumbel_fit"     -> (EventOps.gumbelFit _),
+    "q_record_count"   -> (EventOps.recordCount _),
+    "q_runs_test"      -> (EventOps.runsTest _),
     "q_cooccur"        -> ((s, d) => CorpusOps.cooccurPmi(s, d)),
     "q_clean_pipeline" -> (CorpusOps.cleanPipeline _),
     "q_dedup_incr"     -> ((s, d) => DedupOps.dedupIncremental(s, d)),
@@ -2537,6 +2541,57 @@ object SparkEntry {
         "FROM af JOIN m3 m ON af.j = m.j AND af.c = m.c) " +
         "SELECT j, CAST(count(*) AS BIGINT) AS n_vecs, " +
         r4("avg(sqerr)") + " AS mse FROM er GROUP BY j ORDER BY j"
+    },
+    // Hill tail index over the top-100 order statistics (k+1-row take)
+    "q_hill_tail" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH r AS (SELECT n_chars, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn FROM documents), " +
+        "k AS (SELECT max(CASE WHEN rn = 101 THEN n_chars END) AS xk FROM r), " +
+        "top AS (SELECT n_chars FROM r WHERE rn <= 100) " +
+        "SELECT 100 AS k, CAST(xk AS BIGINT) AS x_k, " +
+        r4("avg(ln(CAST(n_chars AS DOUBLE))) - ln(CAST(xk AS DOUBLE))") + " AS hill_h, " +
+        r4("CASE WHEN avg(ln(CAST(n_chars AS DOUBLE))) - ln(CAST(xk AS DOUBLE)) > 0 THEN 1.0 / (avg(ln(CAST(n_chars AS DOUBLE))) - ln(CAST(xk AS DOUBLE))) END") + " AS tail_alpha " +
+        "FROM top CROSS JOIN k GROUP BY xk"
+    },
+    // Gumbel method-of-moments on the daily block maxima
+    "q_gumbel_fit" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH bm AS (SELECT CAST(ts AS DATE) AS day, max(value) AS mx FROM events GROUP BY 1), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(mx) AS mean, " +
+        "sqrt((sum(mx * mx) - sum(mx) * sum(mx) / count(*)) / (count(*) - 1)) AS sd FROM bm) " +
+        "SELECT n AS n_blocks, " + r4("mean") + " AS block_max_mean, " +
+        r4("sd * sqrt(6) / pi()") + " AS gumbel_beta, " +
+        r4("mean - 0.5772156649015329 * (sd * sqrt(6) / pi())") + " AS gumbel_mu " +
+        "FROM m"
+    },
+    // running-record count vs the harmonic-number expectation
+    "q_record_count" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH d AS (SELECT CAST(ts AS DATE) AS day, " +
+        "CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS y FROM events GROUP BY 1), " +
+        "w AS (SELECT day, y, max(y) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax FROM d), " +
+        "rec AS (SELECT CAST(count(*) AS BIGINT) AS n_records FROM w WHERE prevmax IS NULL OR y > prevmax), " +
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d), " +
+        "h AS (SELECT list_reduce(list_transform(range(1, CAST(n_days AS INTEGER) + 1), i -> 1.0 / i), (a, b) -> a + b) AS expected FROM n) " +
+        "SELECT n.n_days, rec.n_records, " + r4("h.expected") + " AS expected_records " +
+        "FROM n CROSS JOIN rec CROSS JOIN h"
+    },
+    // Wald-Wolfowitz runs test vs the exact lower median
+    "q_runs_test" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH d AS (SELECT CAST(ts AS DATE) AS day, " +
+        "CAST(round(round(sum(value), 4) * 10000) AS BIGINT) AS y FROM events GROUP BY 1), " +
+        "vc AS (SELECT y AS v, count(*) AS c FROM d GROUP BY 1), " +
+        "med AS (SELECT v AS m FROM (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n FROM vc) " +
+        "WHERE cum - c < ceil(n / 2.0) AND cum >= ceil(n / 2.0)), " +
+        "s AS (SELECT day, CASE WHEN y > m THEN 1 ELSE 0 END AS above FROM d CROSS JOIN med), " +
+        "runs AS (SELECT CAST(1 + sum(CASE WHEN above <> prev THEN 1 ELSE 0 END) AS BIGINT) AS r FROM " +
+        "(SELECT above, lag(above) OVER (ORDER BY day) AS prev FROM s) WHERE prev IS NOT NULL), " +
+        "cnt AS (SELECT CAST(sum(above) AS DOUBLE) AS n1, CAST(sum(1 - above) AS DOUBLE) AS n2 FROM s) " +
+        "SELECT CAST(n1 AS BIGINT) AS n_above, CAST(n2 AS BIGINT) AS n_below, r AS n_runs, " +
+        r4("2 * n1 * n2 / (n1 + n2) + 1") + " AS expected_runs, " +
+        r4("CASE WHEN 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1)) > 0 THEN (r - (2 * n1 * n2 / (n1 + n2) + 1)) / sqrt(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))) END") + " AS z " +
+        "FROM runs CROSS JOIN cnt"
     },
     // Adamic-Adar on the link_predict candidate chain: round4-ed
     // 1/ln(deg) terms summed by the sorted first-element-seeded fold

@@ -1463,6 +1463,110 @@ object EventOps {
       .orderBy(col("day"))
   }
 
+  /** q_gumbel_fit: Gumbel extreme-value fit of the daily block maxima —
+    * the capacity-planning distribution ("what peak should we provision
+    * for") by the method of moments: β = s·√6/π, μ = x̄ − γ·β (γ =
+    * Euler–Mascheroni, inlined as the same literal in both engines).
+    * Block maxima are order-independent exact selections; only the two
+    * moment sums are engine-ordered floats, behind round4.
+    * Scale shape: one daily max aggregation, a 1-row moment rollup. */
+  def gumbelFit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val bm = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(max(col("value")).as("mx"))
+    val m = bm.agg(count(lit(1)).cast("bigint").as("n"),
+      avg(col("mx")).as("mean"),
+      sqrt((sum(col("mx") * col("mx"))
+        - sum(col("mx")) * sum(col("mx")) / count(lit(1)))
+        / (count(lit(1)) - 1)).as("sd"))
+    val beta = col("sd") * sqrt(lit(6.0)) / math.Pi
+    m.select(col("n").as("n_blocks"),
+      stableRound4(col("mean")).as("block_max_mean"),
+      stableRound4(beta).as("gumbel_beta"),
+      stableRound4(col("mean") - lit(0.5772156649015329) * beta)
+        .as("gumbel_mu"))
+  }
+
+  /** q_record_count: running-record count of the daily revenue series vs
+    * its distribution-free expectation — under exchangeability the
+    * expected number of records in n days is the harmonic number Hₙ
+    * (≈ 4 for n = 30), so records ≫ Hₙ is a trend signal with NO
+    * distributional assumptions at all (the cheapest trend test there
+    * is; [[EventOps.mannKendall]] is the powered follow-up). Revenue
+    * passes the ×10⁴ integer barrier before any comparison; Hₙ folds
+    * 1/i in index order (the proven first-element-seeded contract).
+    * Scale shape: one daily aggregation, one \|days\| running-max
+    * window, a 1-row rollup. */
+  def recordCount(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val d = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(round(round(sum(col("value")), 4) * 10000).cast("bigint")
+        .as("y"))
+    val wPrev = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rec = d
+      .withColumn("prevmax", max(col("y")).over(wPrev))
+      .agg(count(lit(1)).cast("bigint").as("n_days"),
+        sum(when(col("prevmax").isNull || col("y") > col("prevmax"), 1L)
+          .otherwise(0L)).cast("bigint").as("n_records"))
+    rec.select(col("n_days"), col("n_records"),
+      stableRound4(expr(
+        "aggregate(transform(sequence(1, n_days), i -> 1.0D / i), " +
+          "0.0D, (a, b) -> a + b)")).as("expected_records"))
+  }
+
+  /** q_runs_test: Wald–Wolfowitz runs test of the daily revenue series
+    * against its lower median — too FEW runs of above/below means
+    * clustering (trend/regime), too many means oscillation; the
+    * randomness gate run before trusting any i.i.d.-assuming monitor.
+    * The median is the exact lower median on ×10⁴ integers (the levene
+    * convention), signs and run counts are exact integers, and only the
+    * final z touches floats. Ties with the median count as "below"
+    * (documented choice, identical in the oracle).
+    * Scale shape: one daily aggregation, two \|days\|-bounded windows,
+    * 1-row algebra. */
+  def runsTest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val d = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(round(round(sum(col("value")), 4) * 10000).cast("bigint")
+        .as("y"))
+    val vc = d.groupBy(col("y").as("v")).agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = vc
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(lit(1))))
+      .filter(col("cum") - col("c") < ceil(col("n") / 2.0)
+        && col("cum") >= ceil(col("n") / 2.0))
+      .select(col("v").as("m"))
+    val s = d.crossJoin(broadcast(med))
+      .select(col("day"), when(col("y") > col("m"), 1).otherwise(0)
+        .as("above"))
+    val wOrd = Window.orderBy(col("day"))
+    val runs = s
+      .withColumn("prev", lag(col("above"), 1).over(wOrd))
+      .filter(col("prev").isNotNull)
+      .agg((lit(1) + sum(when(col("above") =!= col("prev"), 1)
+        .otherwise(0))).cast("bigint").as("r"))
+    val cnt = s.agg(sum(col("above")).cast("double").as("n1"),
+      sum(lit(1) - col("above")).cast("double").as("n2"))
+    val e = (lit(2) * col("n1") * col("n2") / (col("n1") + col("n2"))
+      + lit(1))
+    val v = (lit(2) * col("n1") * col("n2")
+      * (lit(2) * col("n1") * col("n2") - col("n1") - col("n2"))
+      / ((col("n1") + col("n2")) * (col("n1") + col("n2"))
+        * (col("n1") + col("n2") - 1)))
+    runs.crossJoin(broadcast(cnt))
+      .select(col("n1").cast("bigint").as("n_above"),
+        col("n2").cast("bigint").as("n_below"),
+        col("r").as("n_runs"),
+        stableRound4(e).as("expected_runs"),
+        stableRound4(when(v > 0, (col("r") - e) / sqrt(v))).as("z"))
+  }
+
   /** q_stl_anomaly: residual-based anomaly days on top of
     * [[stlDecompose]] — the operational endpoint of the decomposition:
     * a day is anomalous when its STL residual deviates from the median

@@ -1261,6 +1261,34 @@ object StatOps {
       .orderBy(col("source"))
   }
 
+  /** q_hill_tail: Hill tail-index estimator over the top-100 document
+    * lengths — the heavy-tail screen a chunking/packing policy reads
+    * before fixing a budget (α ≈ 10 is near-exponential; α < 2 means
+    * unbounded variance and a chunker that must expect monsters):
+    * H = mean(ln xᵢ − ln x₍ₖ₊₁₎) over the k largest, α = 1/H. The
+    * order statistics come from ONE TakeOrderedAndProject (k+1 rows,
+    * deterministic (length desc, doc_id) tie order — never a global
+    * window over the corpus); all remaining math runs on k+1 rows. */
+  def hillTail(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val top = Tables.documents(spark, dir)
+      .select(col("n_chars"), col("doc_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .limit(k + 1)
+    val ranked = top.withColumn("rn",
+      row_number().over(Window.orderBy(col("n_chars").desc, col("doc_id"))))
+    val xk = ranked.filter(col("rn") === k + 1)
+      .select(col("n_chars").as("xk"))
+    val h = (avg(log(col("n_chars").cast("double")))
+      - log(col("xk").cast("double")))
+    ranked.filter(col("rn") <= k)
+      .crossJoin(broadcast(xk))
+      .groupBy(col("xk"))
+      .agg(stableRound4(h).as("hill_h"),
+        stableRound4(when(h > 0, lit(1.0) / h)).as("tail_alpha"))
+      .select(lit(k).as("k"), col("xk").cast("bigint").as("x_k"),
+        col("hill_h"), col("tail_alpha"))
+  }
+
   /** q_friedman: the Friedman rank test across event types blocked by day
     * — the repeated-measures companion to [[kruskalWallis]] (which
     * ignores the day blocking): do the k event types genuinely differ in

@@ -319,6 +319,50 @@ class Round13OpsSpec extends SparkTestBase {
     }
   }
 
+  test("hillTail: x_k is the true 101st order statistic; alpha positive") {
+    val r = StatOps.hillTail(spark, sf).collect()
+    assert(r.length == 1)
+    val lens = graft.Tables.documents(spark, sf)
+      .select(col("n_chars")).collect().map(_.getLong(0)).sortBy(-_)
+    assert(r(0).getLong(1) == lens(100))
+    assert(r(0).getDouble(2) > 0 && r(0).getDouble(3) > 0)
+  }
+
+  test("gumbelFit: beta positive, mu below the block-max mean") {
+    val r = EventOps.gumbelFit(spark, sf).collect()
+    assert(r.length == 1)
+    assert(r(0).getDouble(2) > 0)
+    assert(r(0).getDouble(3) < r(0).getDouble(1))
+  }
+
+  test("recordCount: matches a driver sequential replay; Hn matches") {
+    val r = EventOps.recordCount(spark, sf).collect()
+    assert(r.length == 1)
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(round(round(sum(col("value")), 4) * 10000).cast("long").as("y"))
+      .collect().sortBy(_.get(0).toString).map(_.getLong(1))
+    var mx = Long.MinValue; var recs = 0L
+    daily.foreach { y => if (y > mx) { recs += 1; mx = y } }
+    assert(r(0).getLong(1) == recs, s"${r(0).getLong(1)} vs $recs")
+    val hn = (1 to daily.length).map(1.0 / _).sum
+    assert(math.abs(r(0).getDouble(2) - hn) < 1e-3)
+  }
+
+  test("runsTest: run count matches a driver replay; z matches the closed form") {
+    val r = EventOps.runsTest(spark, sf).collect()
+    assert(r.length == 1)
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(round(round(sum(col("value")), 4) * 10000).cast("long").as("y"))
+      .collect().sortBy(_.get(0).toString).map(_.getLong(1))
+    val med = daily.sorted.apply(math.ceil(daily.length / 2.0).toInt - 1)
+    val signs = daily.map(_ > med)
+    val runs = 1 + signs.sliding(2).count(p => p(0) != p(1))
+    assert(r(0).getLong(2) == runs, s"${r(0).getLong(2)} vs $runs")
+    assert(r(0).getLong(0) + r(0).getLong(1) == daily.length)
+  }
+
   test("adamicAdar: scores positive, pairs are non-edges, AA <= n_common / ln 2") {
     val rows = GraphOps.adamicAdar(spark, sf).collect()
     assert(rows.nonEmpty)
