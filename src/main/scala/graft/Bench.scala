@@ -80,6 +80,7 @@ object Bench {
     val canarySamples =
       scala.collection.mutable.ArrayBuffer[(Int, String, Double, Double)]()
     var sampleIdx = 0
+    var sampleErrors = 0
     def sampleCanary(pos: Int): Unit = {
       val cq = Canary(sampleIdx % Canary.size)
       sampleIdx += 1
@@ -88,8 +89,15 @@ object Bench {
         SparkEntry.queries(cq)(spark, sfDir).count()
         val t = (System.nanoTime() - t0) / 1e9
         canarySamples += ((pos, cq, t, t / CanaryRef(cq)))
-      } catch { case _: Throwable => () } // an errored sample is dropped;
-      // the in-sweep canary run will surface the error itself
+      } catch {
+        // NonFatal only (round-13 advisor): an OOM/interrupt during a
+        // sample must propagate, not vanish — a fatal error swallowed
+        // here would leave the sweep running in a corrupted JVM. A
+        // NonFatal sample failure is dropped from the diagnostics but
+        // COUNTED (n_sample_errors in the JSON) so a sample-phase-only
+        // failure mode is visible even when the in-sweep run passes.
+        case scala.util.control.NonFatal(_) => sampleErrors += 1
+      }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
       .map { case ((name, fn), pos) =>
@@ -173,7 +181,7 @@ object Bench {
       s"""{"pos":$pos,"q":"$q","sec":${f4(t)},"factor":${f4(fac)}}"""
     }.mkString("[", ",", "]")
     val factorStats =
-      s""""canary_factor_median":${f4(factorMedian)},"canary_factor_min":${f4(if (inSweepFactors.isEmpty) 1.0 else inSweepFactors.min)},"canary_factor_max":${f4(if (inSweepFactors.isEmpty) 1.0 else inSweepFactors.max)},"n_factor_samples":${inSweepFactors.size},"sample_factor_median":${f4(median(sampleFactors))},"n_burst_samples":${sampleFactors.size},"normalized_total_med":$normalizedMed"""
+      s""""canary_factor_median":${f4(factorMedian)},"canary_factor_min":${f4(if (inSweepFactors.isEmpty) 1.0 else inSweepFactors.min)},"canary_factor_max":${f4(if (inSweepFactors.isEmpty) 1.0 else inSweepFactors.max)},"n_factor_samples":${inSweepFactors.size},"sample_factor_median":${f4(median(sampleFactors))},"n_burst_samples":${sampleFactors.size},"n_sample_errors":$sampleErrors,"normalized_total_med":$normalizedMed"""
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","reps":2,"agg":"min","canary":$canary,"canary_ref":$CanaryRefSeconds,"n_canary":$nCanary,"canary_complete":$canaryComplete,"normalized_total":$normalized,$factorStats,"canary_samples":$samplesJson,"queries":$qs,"errors":$errs,"warm_failures":$warmFailures,"sf":"$sfDir"}"""
     println(fullLine)
     // The full line above is ~4 KB (one entry per query) and has outrun the

@@ -2163,7 +2163,7 @@ object SparkEntry {
         "ORDER BY k, doc_id) AS rn FROM k) " +
         "SELECT shard, count(*) AS n_docs, " +
         "CAST(sum(n_toks) AS BIGINT) AS n_tokens, " +
-        "CAST(sum(CASE WHEN rn <= 8 THEN doc_id END) AS BIGINT) AS head_checksum " +
+        "CAST(sum(CASE WHEN rn <= 8 THEN rn * doc_id END) AS BIGINT) AS head_checksum " +
         "FROM r GROUP BY shard ORDER BY shard"),
     // t-closeness: TVD between class and global sensitive distributions,
     // all exact-integer count ratios
@@ -2206,7 +2206,7 @@ object SparkEntry {
       "WITH c AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
         "m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s, " +
         "CAST(sum(CAST(cents AS HUGEINT) * cents) AS DOUBLE) AS s2 FROM c), " +
-        "dev AS (SELECT o_orderkey, cents, abs(cents * m.n - m.s) AS dev_n FROM c CROSS JOIN m), " +
+        "dev AS (SELECT o_orderkey, cents, abs(CAST(cents AS HUGEINT) * m.n - m.s) AS dev_n FROM c CROSS JOIN m), " +
         "top AS (SELECT o_orderkey, cents, dev_n FROM dev ORDER BY dev_n DESC, o_orderkey LIMIT 1) " +
         "SELECT m.n AS n_orders, top.o_orderkey AS outlier_key, " +
         r4("top.cents / 100.0") + " AS outlier_value, " +
@@ -2546,7 +2546,11 @@ object SparkEntry {
     "q_hill_tail" -> {
       def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
       "WITH r AS (SELECT n_chars, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn FROM documents), " +
-        "k AS (SELECT max(CASE WHEN rn = 101 THEN n_chars END) AS xk FROM r), " +
+        // rn = 101 as a FILTER, not max(CASE...): on a corpus with fewer
+        // than k+1 docs this CTE must be ZERO rows so the cross join
+        // empties the result, matching Spark's empty xk frame (a
+        // max(CASE) form yields one NULL row instead — r13 advisor).
+        "k AS (SELECT n_chars AS xk FROM r WHERE rn = 101), " +
         "top AS (SELECT n_chars FROM r WHERE rn <= 100) " +
         "SELECT 100 AS k, CAST(xk AS BIGINT) AS x_k, " +
         r4("avg(ln(CAST(n_chars AS DOUBLE))) - ln(CAST(xk AS DOUBLE))") + " AS hill_h, " +

@@ -840,10 +840,11 @@ object CorpusOps {
     * Output shards are the key's first hex digit: 16 range-contiguous
     * slices of the permutation, so a loader that streams shard files in
     * key order sees the full permutation with no engine re-sort. The
-    * report row per shard carries counts plus a checksum over the FIRST
-    * `headK` doc_ids of the shard's permutation — the replayability
-    * probe: any reordering, dropped doc, or seed drift moves a head
-    * checksum.
+    * report row per shard carries counts plus an ORDER-SENSITIVE
+    * checksum Σ rn·doc_id over the FIRST `headK` rows of the shard's
+    * permutation — the replayability probe: any reordering (including
+    * a swap WITHIN the head, which a plain id-sum would miss), dropped
+    * doc, or seed drift moves a head checksum.
     *
     * Scale shape: shard assignment is a pure key function — no global
     * sort, no single-partition window; the head probe is a per-shard
@@ -866,7 +867,8 @@ object CorpusOps {
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_toks")).cast("bigint").as("n_tokens"),
-        sum(when(col("rn") <= headK, col("doc_id"))).as("head_checksum"))
+        sum(when(col("rn") <= headK, col("rn") * col("doc_id")))
+          .as("head_checksum"))
       .orderBy(col("shard"))
   }
 

@@ -950,7 +950,12 @@ object JoinOps {
     * broadcasts into the fact scan (with the pushed date range), the
     * per-(supp, part) HAVING is one partial agg, and the supplier list
     * semi-joins the dimension — each IN is a semi-join, never a
-    * subquery loop. */
+    * subquery loop. NO broadcast hint on `sel`: it is FACT-derived
+    * (lineitem → HAVING → distinct suppkey), and the house rule from
+    * the q9 100× spot catch (SCALE.md round-13) is to hint-broadcast
+    * only true dimensions and let AQE size derived aggregates at
+    * runtime — AQE still broadcasts this frame at every tested scale
+    * (BenchOne before/after flat: 0.788 → 0.731 s min). */
   def tpchQ20(spark: SparkSession, dir: String,
       minQty: Long = 40): DataFrame = {
     val sel = Tables.lineitem(spark, dir)
@@ -967,8 +972,7 @@ object JoinOps {
       .join(broadcast(Tables.nation(spark, dir)
         .filter(col("n_regionkey") === 2)),
         col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(sel), col("s_suppkey") === col("l_suppkey"),
-        "left_semi")
+      .join(sel, col("s_suppkey") === col("l_suppkey"), "left_semi")
       .select(col("s_name"), round(col("s_acctbal"), 4).as("s_acctbal"),
         col("n_name"))
       .orderBy(col("s_name"))

@@ -977,9 +977,12 @@ object StatOps {
     * record a data error" audit. The argmax is taken on the EXACT integer
     * |cents·n − Σcents| (the cross-engine integer-argmax rule: a float
     * |x − mean| ranking can flip on mean ULPs; scaling by n keeps every
-    * deviation an exact BIGINT), tie-broken on the order key; only the
-    * final studentization touches floats. The squared-cents power sum
-    * rides DECIMAL(38,0) so sf-scale totals can never overflow a long.
+    * deviation exact), tie-broken on the order key; only the final
+    * studentization touches floats. BOTH wide products ride
+    * DECIMAL(38,0) (HUGEINT in the oracle): the squared-cents power sum
+    * AND the argmax product cents·n — at 100 TB posture cents ≈ 5.6e7
+    * and n ≈ 1.5e11 put cents·n within ~10 % of Long.MAX, so a BIGINT
+    * product would overflow exactly where the audit matters most.
     * Scale shape: one scan for the three power sums, one
     * TakeOrderedAndProject for the argmax — no window, no join wider
     * than a 1-row broadcast. */
@@ -993,7 +996,8 @@ object StatOps {
         .cast("double").as("s2")))
     val top = c.crossJoin(broadcast(m))
       .select(col("o_orderkey"), col("cents"),
-        abs(col("cents") * col("n") - col("s")).as("dev_n"))
+        abs(col("cents").cast("decimal(38,0)") * col("n") - col("s"))
+          .as("dev_n"))
       .orderBy(col("dev_n").desc, col("o_orderkey"))
       .limit(1)
     val variance = (col("s2") / col("n")
@@ -1268,7 +1272,11 @@ object StatOps {
     * H = mean(ln xᵢ − ln x₍ₖ₊₁₎) over the k largest, α = 1/H. The
     * order statistics come from ONE TakeOrderedAndProject (k+1 rows,
     * deterministic (length desc, doc_id) tie order — never a global
-    * window over the corpus); all remaining math runs on k+1 rows. */
+    * window over the corpus); all remaining math runs on k+1 rows.
+    * Degenerate case (corpus smaller than k+1 docs): the x₍ₖ₊₁₎ frame
+    * is empty, so the cross join empties the result — ZERO rows in both
+    * engines (the oracle selects rn = k+1 as a filter, not max(CASE),
+    * for exactly this reason). */
   def hillTail(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
     val top = Tables.documents(spark, dir)
       .select(col("n_chars"), col("doc_id"))
