@@ -71,6 +71,52 @@ object KnnCellScale {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
+    // `semdedup` mode (r13 verdict ask #5): price SemDeDup's cell dial
+    // DIRECTLY instead of by construction-equivalence to the kNN curve.
+    // Same synthesized decade, postures √n vs fixed-16 clusters; the
+    // within-cell pair join is the measured stage (Θ(n²/k) candidates →
+    // Θ(n^1.5) at k=√n, Θ(n²) at fixed k). Output rows ≡ n (every vector
+    // gets a keep verdict) — asserted, so a silently truncated join
+    // can't read as a win.
+    if (args.contains("semdedup")) {
+      graft.operators.DedupOps.semDedupQuery(spark, "/root/testdata/sf0.01")
+        .count()
+      final case class Sp(scale: Int, posture: String, k: Int, n: Long,
+          warm: Double)
+      val sp = scala.collection.mutable.ArrayBuffer[Sp]()
+      Scales.foreach { c =>
+        val dir = outDir(c)
+        val emb = Tables.embeddings(spark, dir)
+        val nVecs = emb.count()
+        val sqrtK = math.ceil(math.sqrt(nVecs.toDouble)).toInt
+        val postures = Seq("sqrtN" -> sqrtK) ++
+          (if (c < 100 || args.contains("full16")) Seq("fixed16" -> 16)
+           else Nil)
+        postures.foreach { case (posture, k) =>
+          def run() = timed(graft.operators.DedupOps
+            .semDedup(Tables.embeddings(spark, dir), numClusters = k)
+            .count())
+          val (t1, n1) = run(); val (t2, n2) = run()
+          require(n1 == nVecs && n2 == nVecs,
+            s"incomplete verdicts at ${c}x/$posture: $n1/$n2 vs $nVecs")
+          println(f"${c}%3dx n=$nVecs%7d semdedup/$posture%-8s k=$k%4d " +
+            f"run1 $t1%8.2f s  run2 $t2%8.2f s")
+          sp += Sp(c, posture, k, nVecs, math.min(t1, t2))
+        }
+      }
+      println("\n== semdedup exponents e = log(tB/tA) / log(B/A), warm ==")
+      def sexp(posture: String, a: Int, b: Int): Unit =
+        for {
+          pa <- sp.find(p => p.posture == posture && p.scale == a)
+          pb <- sp.find(p => p.posture == posture && p.scale == b)
+        } println(f"$posture%-8s ${a}x->${b}x  t ${pa.warm}%8.2f -> " +
+          f"${pb.warm}%8.2f s" +
+          f"  e ${math.log(pb.warm / pa.warm) / math.log(b.toDouble / a)}%5.2f")
+      sexp("fixed16", 10, 30); sexp("fixed16", 30, 100)
+      sexp("sqrtN", 10, 30); sexp("sqrtN", 30, 100); sexp("sqrtN", 10, 100)
+      spark.stop(); return
+    }
+
     final case class Pt(scale: Int, posture: String, kCells: Int,
         nVecs: Long, warm: Double, recall: Double)
     val pts = scala.collection.mutable.ArrayBuffer[Pt]()

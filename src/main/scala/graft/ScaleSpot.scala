@@ -156,7 +156,16 @@ object ScaleSpot {
     // round-13 third batch: the two explode-family corpus stats (the
     // kn_bigram cost family), PQ distortion (the q_pq_ann trainer +
     // one bounded centroid join), day-grid KL (|days·types|-bounded)
-    "q_entropy_rate", "q_hapax", "q_pq_distortion", "q_kl_drift")
+    "q_entropy_rate", "q_hapax", "q_pq_distortion", "q_kl_drift",
+    // round-14: the domain-curation family — caps is the per-domain rank
+    // window over a corpus-sized frame (the real risk; domains grow with
+    // sources, not rows), mix is a bounded group-by (flat control),
+    // curriculum rides the exact-percentile collect (the
+    // quality_deciles memory family), bh_fdr/lognormal are scan+agg
+    // over |sources| rows, periodogram is |hours|·K-bounded after one
+    // agg, durbin_watson the |days|-bounded flat control
+    "q_domain_caps", "q_domain_mix", "q_curriculum", "q_bh_fdr",
+    "q_lognormal_fit", "q_periodogram", "q_durbin_watson")
   val Scales = Seq(10, 100)
 
   def outDir(copies: Int) = s"/tmp/graft_spot_${copies}x"

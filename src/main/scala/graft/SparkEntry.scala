@@ -510,6 +510,30 @@ object SparkEntry {
     "q_kruskal"        -> (StatOps.kruskal _),
     // log-log price elasticity of demand per brand (OLS + R2)
     "q_elasticity"     -> (AnalyticsOps.elasticity _),
+    // per-pseudo-domain document caps with deterministic survivors
+    "q_domain_caps"    -> (DomainOps.domainCaps _),
+    // per-pseudo-domain token shares + temperature-smoothed weights
+    "q_domain_mix"     -> ((s, d) => DomainOps.domainMix(s, d)),
+    // pattern blocklist audit (exact/prefix/suffix rules + kept row)
+    "q_domain_blocklist" -> (DomainOps.domainBlocklist _),
+    // curriculum stages by exact-integer chars-per-token quartiles
+    "q_curriculum"     -> (DomainOps.curriculum _),
+    // Benjamini-Hochberg FDR over the per-source mean-length z-tests
+    "q_bh_fdr"         -> (InferenceOps.bhFdr _),
+    // method-of-moments lognormal fit of per-source doc lengths
+    "q_lognormal_fit"  -> (InferenceOps.lognormalFit _),
+    // distribution-free Hoeffding band for per-source short-doc rates
+    "q_hoeffding_bound" -> (InferenceOps.hoeffdingBound _),
+    // Ljung-Box portmanteau over the first 6 hourly autocorrelations
+    "q_ljung_box"      -> (SeriesOps.ljungBox _),
+    // Dickey-Fuller unit-root regression on daily revenue
+    "q_adf"            -> (SeriesOps.adfTest _),
+    // Lo-MacKinlay variance ratio VR(5) on daily revenue
+    "q_variance_ratio" -> (SeriesOps.varianceRatio _),
+    // DFT power spectrum of hourly counts at the first 10 harmonics
+    "q_periodogram"    -> (SeriesOps.periodogram _),
+    // Durbin-Watson serial correlation of daily trend residuals
+    "q_durbin_watson"  -> (SeriesOps.durbinWatson _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -5603,5 +5627,216 @@ object SparkEntry {
         r4(s"($covxy) * ($covxy) / (($varx) * ($vary))") + " AS r2 " +
         "FROM m ORDER BY p_brand"
     },
+    // pseudo-domain = source × md5-60 bucket (the DomainOps stand-in for
+    // a url host); shared CTE for the three domain-curation oracles
+    "q_domain_caps" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      s"WITH d AS ($domainDocsSql), " +
+        "r AS (SELECT domain, doc_id, n_toks, " +
+        "row_number() OVER (PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rn FROM d), " +
+        "a AS (SELECT domain, count(*) AS n_docs, " +
+        s"CAST(sum(CASE WHEN rn <= ${operators.DomainOps.CapDocs} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        s"CAST(sum(CASE WHEN rn > ${operators.DomainOps.CapDocs} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped, " +
+        s"CAST(sum(CASE WHEN rn <= ${operators.DomainOps.CapDocs} THEN n_toks ELSE 0 END) AS BIGINT) AS kept_tokens, " +
+        s"min(CASE WHEN rn <= ${operators.DomainOps.CapDocs} THEN doc_id END) AS first_kept " +
+        "FROM r GROUP BY domain) " +
+        "SELECT domain, n_docs, n_kept, n_dropped, kept_tokens, first_kept, " +
+        r4("CAST(n_kept AS DOUBLE) / n_docs") + " AS kept_share " +
+        "FROM a ORDER BY domain"
+    },
+    "q_domain_mix" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      s"WITH d AS ($domainDocsSql), " +
+        "c AS (SELECT domain, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens FROM d GROUP BY domain), " +
+        "t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot_tokens, " +
+        "sum(pow(CAST(n_tokens AS DOUBLE), 0.7)) AS tot_pow FROM c) " +
+        "SELECT domain, n_docs, n_tokens, " +
+        r4("n_tokens / tot_tokens") + " AS raw_share, " +
+        r4("pow(CAST(n_tokens AS DOUBLE), 0.7) / tot_pow") + " AS temp_share, " +
+        r4("pow(CAST(n_tokens AS DOUBLE), 0.7) / tot_pow / (n_tokens / tot_tokens)") + " AS boost " +
+        "FROM c CROSS JOIN t ORDER BY domain"
+    },
+    "q_domain_blocklist" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      def pred(kind: String, pat: String) = kind match {
+        case "exact"  => s"domain = '$pat'"
+        case "prefix" => s"domain LIKE '$pat%'"
+        case _        => s"domain LIKE '%$pat'"
+      }
+      val ruleSelects = operators.DomainOps.BlockRules.map {
+        case (id, kind, pat) =>
+          s"SELECT $id AS rule_id, '$kind:$pat' AS rule, " +
+            "CAST(COALESCE(sum(n_docs), 0) AS BIGINT) AS n_docs, " +
+            "CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) AS n_tokens " +
+            s"FROM pd WHERE ${pred(kind, pat)}"
+      }
+      val keptPred = operators.DomainOps.BlockRules
+        .map { case (_, k, p) => pred(k, p) }.mkString(" OR ")
+      s"WITH d AS ($domainDocsSql), " +
+        "pd AS (SELECT domain, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens FROM d GROUP BY domain), " +
+        "tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS tot_docs FROM pd), " +
+        "u AS (" + ruleSelects.mkString(" UNION ALL ") +
+        " UNION ALL SELECT 99, '__kept__', " +
+        "CAST(COALESCE(sum(n_docs), 0) AS BIGINT), " +
+        s"CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) FROM pd WHERE NOT ($keptPred)) " +
+        "SELECT rule_id, rule, n_docs, n_tokens, " +
+        r4("n_docs / tot_docs") + " AS doc_share " +
+        "FROM u CROSS JOIN tot ORDER BY rule_id"
+    },
+    // exact-integer chars-per-token score, quartile cuts via
+    // quantile_cont (the q_quality_deciles recipe)
+    "q_curriculum" ->
+      ("WITH s AS (SELECT doc_id, " +
+        "len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks, n_chars FROM documents), " +
+        "sc AS (SELECT doc_id, n_toks, " +
+        "CAST((n_chars * 1000) // greatest(n_toks, 1) AS BIGINT) AS score_mil FROM s), " +
+        "cu AS (SELECT quantile_cont(score_mil, [0.25, 0.5, 0.75]) AS cuts FROM sc), " +
+        "b AS (SELECT doc_id, n_toks, score_mil, " +
+        "CAST(1 + len(list_filter(cuts, c -> " +
+        "score_mil > CAST(round(CAST(c AS DECIMAL(20,8)), 4) AS DOUBLE))) AS INTEGER) AS stage " +
+        "FROM sc CROSS JOIN cu) " +
+        "SELECT stage, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens, " +
+        "min(score_mil) AS score_lo, max(score_mil) AS score_hi, min(doc_id) AS min_doc " +
+        "FROM b GROUP BY stage ORDER BY stage"),
+    // per-source z vs the corpus, p via the A&S 7.1.26 erfc polynomial
+    // (identical Horner order), BH step-up via the backward-max window
+    "q_bh_fdr" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      def r6(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 6) AS DOUBLE)"
+      "WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s, CAST(sum(n_chars) AS BIGINT) AS s_s FROM documents GROUP BY source), " +
+        "g AS (SELECT CAST(count(*) AS BIGINT) AS n_g, CAST(sum(n_chars) AS BIGINT) AS s_g, " +
+        "CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS DOUBLE) AS s2_g FROM documents), " +
+        "z AS (SELECT source, n_s, (CAST(s_s AS DOUBLE) / n_s - CAST(s_g AS DOUBLE) / n_g) / " +
+        "(sqrt((s2_g - CAST(s_g AS DOUBLE) * (CAST(s_g AS DOUBLE) / n_g)) / (n_g - 1)) / sqrt(CAST(n_s AS DOUBLE))) AS z " +
+        "FROM per CROSS JOIN g), " +
+        s"x AS (SELECT source, n_s, z, abs(z) * ${operators.InferenceOps.InvSqrt2} AS xx FROM z), " +
+        "tt AS (SELECT source, n_s, z, xx, 1.0 / (1.0 + 0.3275911 * xx) AS t FROM x), " +
+        "pp AS (SELECT source, n_s, z, " +
+        "((((1.061405429 * t + -1.453152027) * t + 1.421413741) * t + -0.284496736) * t + 0.254829592) * t * exp(-(xx * xx)) AS p FROM tt), " +
+        "r AS (SELECT source, n_s, z, p, row_number() OVER (ORDER BY p, source) AS p_rank, count(*) OVER () AS m FROM pp), " +
+        s"b AS (SELECT source, n_s, z, p, p_rank, CAST(p_rank AS DOUBLE) * ${operators.InferenceOps.FdrAlpha} / m AS bh_thresh FROM r), " +
+        "f AS (SELECT source, n_s, z, p, p_rank, bh_thresh, " +
+        "max(CASE WHEN p <= bh_thresh THEN 1 ELSE 0 END) OVER (ORDER BY p, source ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rejected FROM b) " +
+        "SELECT source, n_s AS n_docs, " + r4("z") + " AS z, " +
+        r6("p") + " AS p, CAST(p_rank AS INTEGER) AS p_rank, " +
+        r6("bh_thresh") + " AS bh_thresh, CAST(rejected AS INTEGER) AS rejected " +
+        "FROM f ORDER BY p_rank"
+    },
+    "q_lognormal_fit" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH m AS (SELECT source, CAST(count(*) AS BIGINT) AS n, " +
+        "avg(ln(CAST(n_chars AS DOUBLE))) AS mu, " +
+        "sum(ln(CAST(n_chars AS DOUBLE)) * ln(CAST(n_chars AS DOUBLE))) AS s2, " +
+        "avg(CAST(n_chars AS DOUBLE)) AS actual_mean " +
+        "FROM documents WHERE n_chars > 0 GROUP BY source), " +
+        "v AS (SELECT source, n, mu, actual_mean, (s2 - n * mu * mu) / (n - 1) AS varln FROM m WHERE n > 1) " +
+        "SELECT source, n AS n_docs, " + r4("mu") + " AS ln_mu, " +
+        r4("CASE WHEN varln > 0 THEN sqrt(varln) END") + " AS ln_sigma, " +
+        r4("CASE WHEN varln > 0 THEN exp(mu + varln / 2) END") + " AS implied_mean, " +
+        r4("actual_mean") + " AS actual_mean, " +
+        r4("CASE WHEN varln > 0 THEN exp(mu + varln / 2) / actual_mean END") + " AS fit_ratio " +
+        "FROM v ORDER BY source"
+    },
+    "q_hoeffding_bound" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      val eps = s"sqrt(${operators.InferenceOps.Ln2OverDelta} / (2.0 * CAST(n AS DOUBLE)))"
+      s"WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n, " +
+        s"CAST(sum(CASE WHEN n_chars < ${operators.InferenceOps.ShortDocChars} THEN 1 ELSE 0 END) AS BIGINT) AS n_short " +
+        "FROM documents GROUP BY source) " +
+        "SELECT source, n AS n_docs, " +
+        r4("CAST(n_short AS DOUBLE) / n") + " AS short_rate, " +
+        r4(eps) + " AS eps95, " +
+        r4(s"greatest(0.0, CAST(n_short AS DOUBLE) / n - $eps)") + " AS lo, " +
+        r4(s"least(1.0, CAST(n_short AS DOUBLE) / n + $eps)") + " AS hi " +
+        "FROM c ORDER BY source"
+    },
+    "q_ljung_box" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      val h = operators.SeriesOps.LjungBoxLags
+      val lags = (1 to h)
+        .map(k => s"lag(d, $k) OVER (ORDER BY hr) AS d$k").mkString(", ")
+      val sums = (1 to h).map(k => s"sum(d * d$k) AS n$k").mkString(", ")
+      val terms = (1 to h)
+        .map(k => s"(n$k / den) * (n$k / den) / (CAST(n AS DOUBLE) - $k)")
+        .mkString(" + ")
+      "WITH hh AS (SELECT date_trunc('hour', ts) AS hr, CAST(count(*) AS DOUBLE) AS x FROM events GROUP BY 1), " +
+        "mu AS (SELECT avg(x) AS m, count(*) AS n FROM hh), " +
+        "l0 AS (SELECT hr, x - m AS d, n FROM hh CROSS JOIN mu), " +
+        s"l AS (SELECT d, n, $lags FROM l0), " +
+        s"s AS (SELECT max(n) AS n, sum(d * d) AS den, $sums FROM l) " +
+        s"SELECT CAST(n AS BIGINT) AS n_hours, $h AS h, " +
+        r4(s"CAST(n AS DOUBLE) * (n + 2) * ($terms)") + " AS q_stat " +
+        "FROM s WHERE den > 0"
+    },
+    "q_adf" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      val sxx = "(sxx_raw - n * mx * mx)"
+      val sxy = "(sxy_raw - n * mx * my)"
+      val syy = "(syy_raw - n * my * my)"
+      val beta = s"($sxy / $sxx)"
+      val see = s"($syy - $beta * $sxy)"
+      "WITH d AS (SELECT CAST(ts AS DATE) AS day, sum(value) AS y FROM events GROUP BY 1), " +
+        "p AS (SELECT y - lag(y, 1) OVER (ORDER BY day) AS dy, lag(y, 1) OVER (ORDER BY day) AS ylag FROM d), " +
+        "f AS (SELECT dy, ylag FROM p WHERE ylag IS NOT NULL), " +
+        "m AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(ylag) AS mx, avg(dy) AS my, " +
+        "sum(ylag * ylag) AS sxx_raw, sum(ylag * dy) AS sxy_raw, sum(dy * dy) AS syy_raw FROM f) " +
+        "SELECT CAST(n AS BIGINT) AS n_obs, " +
+        r4(s"CASE WHEN $sxx > 0 THEN $beta END") + " AS beta, " +
+        r4(s"CASE WHEN $sxx > 0 AND $see > 0 THEN $beta / sqrt($see / (n - 2) / $sxx) END") + " AS df_stat " +
+        "FROM m WHERE n > 2"
+    },
+    "q_variance_ratio" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      val q = operators.SeriesOps.VrPeriod
+      val var1 = "((s1 - n1 * m1 * m1) / (n1 - 1))"
+      val varq = "((sq - nq * mq * mq) / (nq - 1))"
+      "WITH d AS (SELECT CAST(ts AS DATE) AS day, sum(value) AS y FROM events GROUP BY 1), " +
+        "w AS (SELECT y - lag(y, 1) OVER (ORDER BY day) AS d1, " +
+        s"y - lag(y, $q) OVER (ORDER BY day) AS dq FROM d), " +
+        "m AS (SELECT CAST(count(d1) AS DOUBLE) AS n1, avg(d1) AS m1, sum(d1 * d1) AS s1, " +
+        "CAST(count(dq) AS DOUBLE) AS nq, avg(dq) AS mq, sum(dq * dq) AS sq FROM w) " +
+        s"SELECT CAST(n1 AS BIGINT) AS n_diffs, $q AS q, " +
+        r4(var1) + " AS var_1, " + r4(varq) + " AS var_q, " +
+        r4(s"CASE WHEN $var1 > 0 THEN $varq / ($q * $var1) END") + " AS vr " +
+        "FROM m WHERE n1 > 1 AND nq > 1"
+    },
+    // identical association order for the cos/sin argument:
+    // (2.0 * pi()) * ((k * t) / n)
+    "q_periodogram" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      val ang = "(2.0 * pi()) * ((CAST(k AS DOUBLE) * t) / nd)"
+      "WITH hh AS (SELECT date_trunc('hour', ts) AS hr, CAST(count(*) AS DOUBLE) AS x FROM events GROUP BY 1), " +
+        "mu AS (SELECT avg(x) AS m, count(*) AS n FROM hh), " +
+        "t0 AS (SELECT x - m AS d, CAST(row_number() OVER (ORDER BY hr) - 1 AS DOUBLE) AS t, " +
+        "CAST(n AS DOUBLE) AS nd FROM hh CROSS JOIN mu), " +
+        s"e AS (SELECT d, t, nd, unnest(generate_series(1, ${operators.SeriesOps.PeriodogramK})) AS k FROM t0), " +
+        s"a AS (SELECT k, max(nd) AS nd, sum(d * cos($ang)) AS c, sum(d * sin($ang)) AS s FROM e GROUP BY k) " +
+        "SELECT CAST(k AS INTEGER) AS k, " +
+        r4("nd / k") + " AS period_hours, " +
+        r4("(c * c + s * s) * 2.0 / nd") + " AS power " +
+        "FROM a ORDER BY k"
+    },
+    "q_durbin_watson" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH d AS (SELECT CAST(ts AS DATE) AS day, sum(value) AS y FROM events GROUP BY 1), " +
+        "i AS (SELECT day, y, CAST(row_number() OVER (ORDER BY day) - 1 AS DOUBLE) AS t FROM d), " +
+        "m AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(t) AS mt, avg(y) AS my, " +
+        "sum(t * t) AS stt, sum(t * y) AS sty FROM i), " +
+        "mm AS (SELECT n, mt, my, (sty - n * mt * my) / (stt - n * mt * mt) AS b FROM m), " +
+        "r AS (SELECT day, n, y - (my + b * (t - mt)) AS e FROM i CROSS JOIN mm), " +
+        "w AS (SELECT n, e, e - lag(e, 1) OVER (ORDER BY day) AS de FROM r) " +
+        "SELECT CAST(max(n) AS BIGINT) AS n_days, " +
+        r4("sum(de * de) / sum(e * e)") + " AS dw " +
+        "FROM w"
+    },
   )
+
+  /** Shared pseudo-domain CTE body for the three q_domain_* oracles —
+    * domain = source ++ '.' ++ (md5-60("dom:" ++ doc_id) mod buckets),
+    * the DuckDB twin of [[operators.DomainOps.domainKey]]. */
+  private def domainDocsSql: String =
+    "SELECT doc_id, source, n_chars, " +
+      "len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks, " +
+      "source || '.' || CAST(CAST(('0x' || substr(md5('dom:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) " +
+      s"% ${operators.DomainOps.DomainBuckets} AS VARCHAR) AS domain FROM documents"
 }

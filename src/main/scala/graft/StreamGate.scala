@@ -297,6 +297,33 @@ object StreamGate {
         streamed == batch && batch == declared)
     }
 
+    run("temperature_mix_vs_declared_twin") {
+      // the mixing/order layer's streaming twin (r13 verdict ask #4):
+      // micro-batch the corpus through the per-source token rollup
+      // (complete mode, |sources| rows of state), derive the temperature
+      // weights from the CUMULATIVE counts, and require bitwise equality
+      // with the declared q_temperature_mix batch output — plus the
+      // mid-stream convergence property: the batch-1-only mix's shares
+      // are already a valid distribution (sum to 1) even though the
+      // per-source weights still differ from the final mix
+      val base = Files.createTempDirectory("graft-gate-mix")
+      val in = Files.createDirectories(base.resolve("in"))
+      land(docs.filter(col("doc_id") < 250), in, "001.parquet")
+      val s1 = drain(CorpusStreamOps.sourceTokenCounts(
+        fileStream(spark, in.toString, docs.schema)), "g_mix1", "complete")
+      val partialShare = CorpusStreamOps.mixFromCounts(s1)
+        .agg(sum(col("temp_share"))).collect()(0).getDouble(0)
+      land(docs.filter(col("doc_id") >= 250), in, "002.parquet")
+      val counts = drain(CorpusStreamOps.sourceTokenCounts(
+        fileStream(spark, in.toString, docs.schema)), "g_mix2", "complete")
+      val streamed = CorpusStreamOps.mixFromCounts(counts).collect()
+      val declared = graft.operators.CorpusOps
+        .temperatureMix(spark, sfDir).collect()
+      Check(streamed.length, declared.length,
+        streamed.sameElements(declared) &&
+          math.abs(partialShare - 1.0) < 0.001)
+    }
+
     run("neardup_cross_batch_minhash") {
       val base = Files.createTempDirectory("graft-gate-neardup")
       val in = Files.createDirectories(base.resolve("in"))

@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.NumericFunctions.stableRound4
+
+/** Second-order time-series diagnostics over the event stream — the
+  * model-selection screens an operational pipeline runs after the
+  * point estimates ([[EventOps.arFit]], [[StatOps.acfPacf]],
+  * [[StatOps.granger]]): is the autocorrelation structure jointly
+  * significant (Ljung–Box), is the series even stationary
+  * (Dickey–Fuller), does it mean-revert or random-walk
+  * (variance-ratio), where is its dominant cycle (periodogram), and are
+  * the trend-fit residuals serially correlated (Durbin–Watson).
+  *
+  * Scale posture: every operator here compresses the corpus to the
+  * \|days\|- or \|hours\|-bounded series with ONE aggregation, then runs
+  * scalar algebra / bounded lag windows on that frame — the established
+  * module recipe (domain compression first, unpartitioned windows only
+  * on the bounded frame). At 100 TB the only corpus-sized work is the
+  * initial partial-aggregated count/sum scan. */
+object SeriesOps {
+
+  /** The hourly count series (the [[StatOps.acfPacf]] domain), centered,
+    * with a dense 0-based time index. */
+  private def hourlyCentered(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val mu = h.agg(avg(col("x")).as("m"), count(lit(1)).as("n"))
+    val w = Window.orderBy(col("hr"))
+    h.crossJoin(broadcast(mu))
+      .select(col("hr"), col("x"), col("m"), col("n"),
+        (col("x") - col("m")).as("d"),
+        (row_number().over(w) - 1).cast("double").as("t"))
+  }
+
+  /** q_ljung_box: the Ljung–Box portmanteau test on the hourly count
+    * series — Q(h) = n(n+2) Σ_{k≤h} ρ_k²/(n−k) over the first
+    * [[LjungBoxLags]] autocorrelations: are the lags JOINTLY
+    * significant, the one-number screen run before trusting any AR fit.
+    * One lag window (all `h` lags in a single pass over the bounded
+    * hourly frame), one moment rollup, scalar algebra. */
+  val LjungBoxLags = 6
+  def ljungBox(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("hr"))
+    val lagd = (1 to LjungBoxLags).foldLeft(hourlyCentered(spark, dir)) {
+      (acc, k) => acc.withColumn(s"d$k", lag(col("d"), k).over(w))
+    }
+    val aggs = Seq(sum(col("d") * col("d")).as("den"),
+      max(col("n")).as("n")) ++
+      (1 to LjungBoxLags).map(k => sum(col("d") * col(s"d$k")).as(s"n$k"))
+    val s = lagd.agg(aggs.head, aggs.tail: _*)
+    val qTerms = (1 to LjungBoxLags).map { k =>
+      val rk = col(s"n$k") / col("den")
+      rk * rk / (col("n").cast("double") - k)
+    }.reduce(_ + _)
+    s.filter(col("den") > 0)
+      .select(col("n").cast("bigint").as("n_hours"),
+        lit(LjungBoxLags).as("h"),
+        stableRound4(col("n").cast("double") * (col("n") + 2) * qTerms)
+          .as("q_stat"))
+  }
+
+  /** q_adf: the (non-augmented) Dickey–Fuller unit-root regression on
+    * daily revenue — Δy_t = α + β·y_{t−1} + ε; a β near 0 (t-stat above
+    * the DF critical values) means the series random-walks and every
+    * level-based trend test upstream is suspect. β and its t-stat in
+    * closed form from centered moment sums over the \|days\| frame (the
+    * [[StatOps.granger]] OLS recipe, one regressor). */
+  def adfTest(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(col("value")).as("y"))
+    val w = Window.orderBy(col("day"))
+    val pairs = d.select((col("y") - lag(col("y"), 1).over(w)).as("dy"),
+      lag(col("y"), 1).over(w).as("ylag"))
+      .filter(col("ylag").isNotNull)
+    val m = pairs.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("ylag")).as("mx"), avg(col("dy")).as("my"),
+      sum(col("ylag") * col("ylag")).as("sxx_raw"),
+      sum(col("ylag") * col("dy")).as("sxy_raw"),
+      sum(col("dy") * col("dy")).as("syy_raw"))
+    val sxx = col("sxx_raw") - col("n") * col("mx") * col("mx")
+    val sxy = col("sxy_raw") - col("n") * col("mx") * col("my")
+    val syy = col("syy_raw") - col("n") * col("my") * col("my")
+    val beta = sxy / sxx
+    val see = syy - beta * sxy
+    val se = sqrt(see / (col("n") - 2) / sxx)
+    m.filter(col("n") > 2)
+      .select(col("n").cast("bigint").as("n_obs"),
+        stableRound4(when(sxx > 0, beta)).as("beta"),
+        stableRound4(when(sxx > 0 && see > 0, beta / se)).as("df_stat"))
+  }
+
+  /** q_variance_ratio: the Lo–MacKinlay variance-ratio VR(q) on daily
+    * revenue — Var(y_t − y_{t−q}) / (q · Var(y_t − y_{t−1})) with
+    * overlapping q-period differences: VR ≈ 1 is a random walk, < 1
+    * mean reversion, > 1 trending. Two lag windows over the \|days\|
+    * frame and two variance rollups. */
+  val VrPeriod = 5
+  def varianceRatio(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(col("value")).as("y"))
+    val w = Window.orderBy(col("day"))
+    val diffs = d.select(
+      (col("y") - lag(col("y"), 1).over(w)).as("d1"),
+      (col("y") - lag(col("y"), VrPeriod).over(w)).as("dq"))
+    val m = diffs.agg(
+      count(col("d1")).cast("double").as("n1"),
+      avg(col("d1")).as("m1"),
+      sum(col("d1") * col("d1")).as("s1"),
+      count(col("dq")).cast("double").as("nq"),
+      avg(col("dq")).as("mq"),
+      sum(col("dq") * col("dq")).as("sq"))
+    val var1 = (col("s1") - col("n1") * col("m1") * col("m1")) /
+      (col("n1") - 1)
+    val varq = (col("sq") - col("nq") * col("mq") * col("mq")) /
+      (col("nq") - 1)
+    m.filter(col("n1") > 1 && col("nq") > 1)
+      .select(col("n1").cast("bigint").as("n_diffs"),
+        lit(VrPeriod).as("q"),
+        stableRound4(var1).as("var_1"),
+        stableRound4(varq).as("var_q"),
+        stableRound4(when(var1 > 0, varq / (lit(VrPeriod) * var1)))
+          .as("vr"))
+  }
+
+  /** q_periodogram: the discrete-Fourier power spectrum of the hourly
+    * count series at the first [[PeriodogramK]] harmonics — P(k) =
+    * (2/n)·[(Σ d·cos(2πkt/n))² + (Σ d·sin(2πkt/n))²]; the dominant-k
+    * row is the series' cycle length (the spectral answer to
+    * [[EventOps.weeklyProfile]]'s fixed-calendar question). The k
+    * harmonics explode from one literal sequence (bounded fan-out), so
+    * the whole spectrum is ONE aggregation over \|hours\|·K rows;
+    * 2π·k·t/n is written with identical association order in the oracle
+    * so the IEEE argument to cos/sin matches bitwise. */
+  val PeriodogramK = 10
+  def periodogram(spark: SparkSession, dir: String): DataFrame = {
+    val base = hourlyCentered(spark, dir)
+      .select(col("d"), col("t"), col("n").cast("double").as("nd"))
+      .withColumn("k", explode(sequence(lit(1), lit(PeriodogramK))))
+    val ang = lit(2.0) * lit(math.Pi) * col("k").cast("double")
+      .multiply(col("t")).divide(col("nd"))
+    base.groupBy(col("k"))
+      .agg(max(col("nd")).as("nd"),
+        sum(col("d") * cos(ang)).as("c"),
+        sum(col("d") * sin(ang)).as("s"))
+      .select(col("k"),
+        stableRound4(col("nd") / col("k")).as("period_hours"),
+        stableRound4((col("c") * col("c") + col("s") * col("s"))
+          * lit(2.0) / col("nd")).as("power"))
+      .orderBy(col("k"))
+  }
+
+  /** q_durbin_watson: the Durbin–Watson serial-correlation statistic on
+    * the residuals of the daily-revenue linear trend fit — DW =
+    * Σ(e_t − e_{t−1})² / Σe_t², the "is the trend fit hiding
+    * autocorrelated errors" audit (DW ≈ 2 clean, → 0 positive serial
+    * correlation). The trend OLS comes from one moment rollup
+    * (broadcast back), residuals and the lag difference from one
+    * \|days\| window. */
+  def durbinWatson(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(col("value")).as("y"))
+    val w = Window.orderBy(col("day"))
+    val idx = d.select(col("day"), col("y"),
+      (row_number().over(w) - 1).cast("double").as("t"))
+    val m = idx.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("t")).as("mt"), avg(col("y")).as("my"),
+      sum(col("t") * col("t")).as("stt"),
+      sum(col("t") * col("y")).as("sty"))
+    val beta = (col("sty") - col("n") * col("mt") * col("my")) /
+      (col("stt") - col("n") * col("mt") * col("mt"))
+    val mm = Materialize(m.select(col("n"), col("mt"), col("my"),
+      beta.as("b")))
+    val resid = idx.crossJoin(broadcast(mm))
+      .select(col("day"), col("n"),
+        (col("y") - (col("my") + col("b") * (col("t") - col("mt"))))
+          .as("e"))
+    val we = Window.orderBy(col("day"))
+    resid.select(col("n"), col("e"),
+      (col("e") - lag(col("e"), 1).over(we)).as("de"))
+      .agg(max(col("n")).cast("bigint").as("n_days"),
+        stableRound4(sum(col("de") * col("de")) / sum(col("e") * col("e")))
+          .as("dw"))
+  }
+}

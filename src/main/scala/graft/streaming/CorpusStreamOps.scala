@@ -169,6 +169,42 @@ object CorpusStreamOps {
       .withColumn("keep", col("p_keep") >= 0.5)
   }
 
+  /** Streaming per-source token rollup — the micro-batched input to the
+    * temperature mixer (complete output mode): state is ONE running sum
+    * per source, bounded by the source domain, so an unbounded corpus
+    * stream carries |sources| rows of state. The mixing weights
+    * themselves are a post-aggregation transform ([[mixFromCounts]])
+    * because shares are a function of ALL sources' totals — recomputing
+    * them per micro-batch from the cumulative counts is exactly the
+    * "cumulative mix converges to the batch mix" contract. */
+  def sourceTokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        size(TextFunctions.tokens(col("text"))).as("n_toks"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_toks")).cast("bigint").as("n_tokens"))
+
+  /** Temperature-smoothed mixing weights from a (source, n_tokens)
+    * counts frame — written term-for-term as the declared
+    * [[graft.operators.CorpusOps.temperatureMix]] expression, so a
+    * drained streaming rollup fed through this is bit-identical to the
+    * declared batch query's output. */
+  def mixFromCounts(counts: DataFrame, tau: Double = 0.7): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val totals = counts.agg(
+      sum(col("n_tokens")).cast("double").as("tot_tokens"),
+      sum(pow(col("n_tokens").cast("double"), tau)).as("tot_pow"))
+    counts.crossJoin(broadcast(totals))
+      .select(
+        col("source"), col("n_tokens"),
+        stableRound4(col("n_tokens") / col("tot_tokens")).as("raw_share"),
+        stableRound4(pow(col("n_tokens").cast("double"), tau)
+          / col("tot_pow")).as("temp_share"),
+        stableRound4(pow(col("n_tokens").cast("double"), tau)
+          / col("tot_pow") / (col("n_tokens") / col("tot_tokens")))
+          .as("boost"))
+      .orderBy(col("source"))
+  }
+
   /** Batch/stream-shared cleaning transform: fingerprint, length gate,
     * first-seen-wins exact dedup on the fingerprint. */
   def clean(docs: DataFrame, minTokens: Int = 5): DataFrame =

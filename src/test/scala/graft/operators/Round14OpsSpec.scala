@@ -50,6 +50,186 @@ class Round14OpsSpec extends SparkTestBase {
     assert(r.count() == 0L)
   }
 
+  test("domainCaps: partition of the corpus, cap honored, longest survive") {
+    val rows = DomainOps.domainCaps(spark, sf).collect()
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total, "domains must partition")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= DomainOps.CapDocs, s"${r.getString(0)} over cap")
+      assert(r.getLong(2) + r.getLong(3) == r.getLong(1), "kept+dropped!=n")
+    }
+    // survivor policy replay for the largest domain: the kept set is the
+    // top-CapDocs by (n_chars desc, doc_id)
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def b(id: Long): Long = {
+      val hex = md.digest(s"dom:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % DomainOps.DomainBuckets
+    }
+    val byDom = docs.groupBy { case (id, src, _) => s"$src.${b(id)}" }
+    val (dom, members) = byDom.maxBy(_._2.length)
+    val expectFirst = members.sortBy { case (id, _, n) => (-n, id) }
+      .take(DomainOps.CapDocs).map(_._1).min
+    val row = rows.find(_.getString(0) == dom).get
+    assert(row.getLong(5) == expectFirst, "first_kept mismatch vs replay")
+  }
+
+  test("domainMix: shares sum to 1, temperature flattens the mix") {
+    val rows = DomainOps.domainMix(spark, sf).collect()
+    val raw = rows.map(_.getDouble(3)).sum
+    val temp = rows.map(_.getDouble(4)).sum
+    assert(math.abs(raw - 1.0) < 0.01 && math.abs(temp - 1.0) < 0.01)
+    // τ < 1 boosts below-average domains and shrinks above-average ones:
+    // boost must be antitone in n_tokens across the extremes
+    val byTok = rows.sortBy(_.getLong(2))
+    assert(byTok.head.getDouble(5) >= byTok.last.getDouble(5),
+      "smallest domain must get at least the largest domain's boost")
+  }
+
+  test("domainBlocklist: kept row equals corpus minus distinct blocked") {
+    val rows = DomainOps.domainBlocklist(spark, sf).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def dom(id: Long, src: String): String = {
+      val hex = md.digest(s"dom:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      s"$src.${java.lang.Long.parseLong(hex, 16) % DomainOps.DomainBuckets}"
+    }
+    def blocked(d: String) = DomainOps.BlockRules.exists {
+      case (_, "exact", p)  => d == p
+      case (_, "prefix", p) => d.startsWith(p)
+      case (_, _, p)        => d.endsWith(p)
+    }
+    val kept = docs.count { case (id, src) => !blocked(dom(id, src)) }
+    assert(rows("__kept__") == kept, s"kept ${rows("__kept__")} != $kept")
+    assert(rows("exact:src0.1") > 0 && rows("suffix:.2") > 0,
+      "blocklist rules must actually hit the fixture")
+  }
+
+  test("curriculum: four ordered non-overlapping stages partitioning the corpus") {
+    val rows = DomainOps.curriculum(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    assert(rows.map(_.getLong(1)).sum ==
+      graft.Tables.documents(spark, sf).count())
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(4) <= b.getLong(3),
+        s"stage ${a.getInt(0)} hi > stage ${b.getInt(0)} lo")
+    case _ => ()
+    }
+  }
+
+  test("bhFdr: p monotone in rank, step-up rejection is downward-closed") {
+    val rows = InferenceOps.bhFdr(spark, sf).collect()
+    val ps = rows.map(_.getDouble(3))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b },
+      "p must be nondecreasing in p_rank")
+    val rej = rows.map(_.getInt(6))
+    // once a row is not rejected, no later (larger-p) row may be rejected
+    assert(!rej.zip(rej.tail).exists { case (a, b) => a == 0 && b == 1 },
+      "step-up must reject a downward-closed prefix")
+    rows.foreach(r => assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1.0001))
+  }
+
+  test("lognormalFit: implied mean overshoots the median-ish exp(mu)") {
+    val rows = InferenceOps.lognormalFit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(3) > 0, "sigma must be positive")
+      // e^{mu + s2/2} > e^{mu} (Jensen) and both positive
+      assert(r.getDouble(4) > math.exp(r.getDouble(2)) - 1e-6)
+      assert(r.getDouble(6) > 0)
+    }
+  }
+
+  test("hoeffdingBound: band contains the rate and shrinks with n") {
+    val rows = InferenceOps.hoeffdingBound(spark, sf).collect()
+    rows.foreach { r =>
+      val (rate, eps, lo, hi) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(lo <= rate && rate <= hi)
+      assert(lo >= 0 && hi <= 1)
+      val expected = math.sqrt(
+        InferenceOps.Ln2OverDelta / (2.0 * r.getLong(1)))
+      assert(math.abs(eps - expected) < 1e-3)
+    }
+  }
+
+  test("ljungBox: matches a driver replay of the ACF sum") {
+    val r = SeriesOps.ljungBox(spark, sf).collect()
+    assert(r.length == 1)
+    val xs = graft.Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).cast("double").as("x"))
+      .orderBy(col("hr")).collect().map(_.getDouble(1))
+    val n = xs.length
+    val m = xs.sum / n
+    val d = xs.map(_ - m)
+    val den = d.map(v => v * v).sum
+    val q = n.toDouble * (n + 2) * (1 to SeriesOps.LjungBoxLags).map { k =>
+      val rk = d.drop(k).zip(d.dropRight(k)).map { case (a, b) => a * b }
+        .sum / den
+      rk * rk / (n - k)
+    }.sum
+    assert(math.abs(r(0).getDouble(2) - q) < 1e-3, s"${r(0).getDouble(2)} vs $q")
+    assert(r(0).getLong(0) == n)
+  }
+
+  test("adf and durbinWatson: replay the daily OLS statistics") {
+    val ys = graft.Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(col("value")).as("y"))
+      .orderBy(col("day")).collect().map(_.getDouble(1))
+    // ADF: regress dy on ylag
+    val dy = ys.tail.zip(ys.dropRight(1)).map { case (a, b) => a - b }
+    val ylag = ys.dropRight(1)
+    val n = dy.length.toDouble
+    val (mx, my) = (ylag.sum / n, dy.sum / n)
+    val sxx = ylag.map(v => v * v).sum - n * mx * mx
+    val sxy = ylag.zip(dy).map { case (a, b) => a * b }.sum - n * mx * my
+    val beta = sxy / sxx
+    val adf = SeriesOps.adfTest(spark, sf).collect()(0)
+    assert(math.abs(adf.getDouble(1) - beta) < 1e-3)
+    // DW: trend residuals
+    val t = ys.indices.map(_.toDouble)
+    val nn = ys.length.toDouble
+    val (mt, myy) = (t.sum / nn, ys.sum / nn)
+    val b = (t.zip(ys).map { case (a, c) => a * c }.sum - nn * mt * myy) /
+      (t.map(v => v * v).sum - nn * mt * mt)
+    val e = t.zip(ys).map { case (ti, yi) => yi - (myy + b * (ti - mt)) }
+    val dw = e.tail.zip(e.dropRight(1))
+      .map { case (a, c) => (a - c) * (a - c) }.sum / e.map(v => v * v).sum
+    val got = SeriesOps.durbinWatson(spark, sf).collect()(0)
+    assert(math.abs(got.getDouble(1) - dw) < 1e-3)
+    assert(got.getDouble(1) > 0 && got.getDouble(1) < 4)
+  }
+
+  test("varianceRatio: replay; periodogram: K nonneg powers") {
+    val ys = graft.Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(col("value")).as("y"))
+      .orderBy(col("day")).collect().map(_.getDouble(1))
+    def varOf(xs: Array[Double]): Double = {
+      val n = xs.length.toDouble
+      val m = xs.sum / n
+      (xs.map(v => v * v).sum - n * m * m) / (n - 1)
+    }
+    val d1 = ys.tail.zip(ys.dropRight(1)).map { case (a, b) => a - b }
+    val dq = ys.drop(SeriesOps.VrPeriod)
+      .zip(ys.dropRight(SeriesOps.VrPeriod)).map { case (a, b) => a - b }
+    val vr = varOf(dq) / (SeriesOps.VrPeriod * varOf(d1))
+    val got = SeriesOps.varianceRatio(spark, sf).collect()(0)
+    assert(math.abs(got.getDouble(4) - vr) < 1e-3)
+    val pg = SeriesOps.periodogram(spark, sf).collect()
+    assert(pg.length == SeriesOps.PeriodogramK)
+    pg.foreach(r => assert(r.getDouble(2) >= 0))
+  }
+
   test("grubbs: argmax deviation survives BIGINT-overflow-scale products") {
     // the dev_n product rides DECIMAL(38,0): cents ~ 5.6e7 at max and
     // n ~ 1.5e11 at 100 TB posture put cents*n near Long.MAX; assert the
