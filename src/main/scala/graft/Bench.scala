@@ -1,6 +1,16 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+  /** Timed action (round 14): the query's own physical plan via
+    * [[FullExec.count]] — a bare df.count() re-optimizes with all
+    * columns pruned and ELIMINATES work-bearing operators outright
+    * (78/350 queries lose Join/Window/Aggregate/Generate nodes; see
+    * FullExec's scaladoc for the measured q_semdedup case). The env
+    * flag reproduces the legacy count() metric — and selects the legacy
+    * canary refs — for same-HEAD bridge runs only. */
+  def legacyCount: Boolean = sys.env.contains("SPARK_GRAFT_BENCH_COUNT_LEGACY")
+  private def act(df: DataFrame): Long =
+    if (legacyCount) df.count() else FullExec.count(df)
   /** Canary set for contention normalization (round 11): same-HEAD bench
     * totals swing 95–128 s under host contention, so raw totals keep
     * getting re-adjudicated as phantom regressions. These 10 queries are
@@ -14,30 +24,35 @@ object Bench {
     "q_semdedup", "q_tpch_q18", "q_sparse_sim", "q_watermark_sim",
     "q_ngram_containment", "q_order_gaps", "q_dedup_survivor")
 
-  /** The canary set's reference cost: mean of the r8/r9/r10 BENCH_FULL
-    * stamps (4.665 / 4.404 / 4.608 s) — a FIXED constant so normalized
-    * totals are comparable across rounds; do not re-derive it from the
-    * current run. */
-  val CanaryRefSeconds: Double = 4.559
-
-  /** Per-query reference costs (same r8/r9/r10 mean — they sum to
-    * [[CanaryRefSeconds]] ± 0.001). Round 13: the one-block canary sum
-    * samples host contention at ten adjacent points, so a contention
-    * burst anywhere else in the ~3-minute sweep is invisible to it —
-    * measured ±30 % same-HEAD band, up to ~20 % error after
-    * normalization. The fix is to SAMPLE the contention factor across
-    * the whole run: re-time one canary (round-robin) every
-    * [[CanarySampleEvery]] queries, convert each sample to a factor
-    * t/ref via this map, and gate on the MEDIAN factor — a median of
-    * ~20 spread samples is robust to any single burst in a way the
-    * one-block sum cannot be. FIXED constants like the sum; do not
-    * re-derive from the current run. */
-  val CanaryRef: Map[String, Double] = Map(
+  /** LEGACY canary reference costs, count()-action metric: mean of the
+    * r8/r9/r10 BENCH_FULL stamps (4.665 / 4.404 / 4.608 s). Used only
+    * under SPARK_GRAFT_BENCH_COUNT_LEGACY for bridge runs — the count
+    * action these were stamped under under-measures 78/350 queries
+    * (FullExec scaladoc). */
+  val CanaryRefSecondsLegacy: Double = 4.559
+  val CanaryRefLegacy: Map[String, Double] = Map(
     "q_tfidf" -> 0.602612, "q_pareto" -> 0.287494,
     "q_dedup_embed" -> 0.283926, "q_semdedup" -> 0.314308,
     "q_tpch_q18" -> 0.492530, "q_sparse_sim" -> 0.489511,
     "q_watermark_sim" -> 0.494553, "q_ngram_containment" -> 1.007462,
     "q_order_gaps" -> 0.295633, "q_dedup_survivor" -> 0.290777)
+
+  /** Canary reference costs under the round-14 FullExec action — the
+    * same-HEAD re-derivation the action change REQUIRES (a ref stamped
+    * under count() does not describe the quantity the exec action
+    * measures; four of the ten canaries carry work count() used to
+    * skip). Stamped from the round-14 same-HEAD exec-action run
+    * (best-of-2 per canary, sf0.1). FIXED from round 14 on; do not
+    * re-derive from the current run. Round 13's contention-sampling
+    * design is unchanged: the gate reads the MEDIAN of the ten
+    * in-sweep factors, single-shot burst samples stay out-of-gate. */
+  val CanaryRefSeconds: Double = 6.546
+  val CanaryRef: Map[String, Double] = Map(
+    "q_tfidf" -> 0.565609, "q_pareto" -> 0.435987,
+    "q_dedup_embed" -> 0.223569, "q_semdedup" -> 0.603260,
+    "q_tpch_q18" -> 0.478446, "q_sparse_sim" -> 0.676732,
+    "q_watermark_sim" -> 0.565214, "q_ngram_containment" -> 1.497796,
+    "q_order_gaps" -> 0.545769, "q_dedup_survivor" -> 0.953821)
 
   /** Interleave cadence: one canary re-sample per this many swept
     * queries — ~20 samples across a 306-query sweep, ~8 s of untimed
@@ -69,8 +84,10 @@ object Bench {
     // cold-start timings that aren't comparable to warmed runs.
     var warmFailures = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => warmFailures += 1 }
+      try act(fn(spark, warmDir)) catch { case _: Throwable => warmFailures += 1 }
     }
+    val refs = if (legacyCount) CanaryRefLegacy else CanaryRef
+    val refSeconds = if (legacyCount) CanaryRefSecondsLegacy else CanaryRefSeconds
     // best-of-2 per query (declared as "agg":"min" in the JSON): one timing
     // is hostage to GC pauses and OS scheduling noise — full-run totals
     // swing ±25% on an otherwise idle box — while the min of two runs is a
@@ -86,9 +103,9 @@ object Bench {
       sampleIdx += 1
       val t0 = System.nanoTime()
       try {
-        SparkEntry.queries(cq)(spark, sfDir).count()
+        act(SparkEntry.queries(cq)(spark, sfDir))
         val t = (System.nanoTime() - t0) / 1e9
-        canarySamples += ((pos, cq, t, t / CanaryRef(cq)))
+        canarySamples += ((pos, cq, t, t / refs(cq)))
       } catch {
         // NonFatal only (round-13 advisor): an OOM/interrupt during a
         // sample must propagate, not vanish — a fatal error swallowed
@@ -104,7 +121,7 @@ object Bench {
       if (pos % CanarySampleEvery == 0) sampleCanary(pos)
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
-        val err = try { fn(spark, sfDir).count(); None } catch {
+        val err = try { act(fn(spark, sfDir)); None } catch {
           case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200))
         }
         ((System.nanoTime() - t0) / 1e9, err)
@@ -149,7 +166,7 @@ object Bench {
     val nCanary = canaryTimes.size
     val canaryComplete = nCanary == Canary.size
     val normalized =
-      if (canaryComplete && canary > 0) total * (CanaryRefSeconds / canary)
+      if (canaryComplete && canary > 0) total * (refSeconds / canary)
       else total
     // Median contention factor: the GATE number uses only the ten
     // in-sweep best-of-2 canary runs (alphabetically spread through the
@@ -170,7 +187,7 @@ object Bench {
       }
     }
     val inSweepFactors = results.collect {
-      case (k, v, None) if canarySet(k) => v / CanaryRef(k) }
+      case (k, v, None) if canarySet(k) => v / refs(k) }
     val factorMedian = median(inSweepFactors)
     val normalizedMed =
       if (inSweepFactors.nonEmpty && factorMedian > 0) total / factorMedian
@@ -182,7 +199,7 @@ object Bench {
     }.mkString("[", ",", "]")
     val factorStats =
       s""""canary_factor_median":${f4(factorMedian)},"canary_factor_min":${f4(if (inSweepFactors.isEmpty) 1.0 else inSweepFactors.min)},"canary_factor_max":${f4(if (inSweepFactors.isEmpty) 1.0 else inSweepFactors.max)},"n_factor_samples":${inSweepFactors.size},"sample_factor_median":${f4(median(sampleFactors))},"n_burst_samples":${sampleFactors.size},"n_sample_errors":$sampleErrors,"normalized_total_med":$normalizedMed"""
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","reps":2,"agg":"min","canary":$canary,"canary_ref":$CanaryRefSeconds,"n_canary":$nCanary,"canary_complete":$canaryComplete,"normalized_total":$normalized,$factorStats,"canary_samples":$samplesJson,"queries":$qs,"errors":$errs,"warm_failures":$warmFailures,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","reps":2,"agg":"min","canary":$canary,"canary_ref":$refSeconds,"action":"${if (legacyCount) "count_legacy" else "exec"}","n_canary":$nCanary,"canary_complete":$canaryComplete,"normalized_total":$normalized,$factorStats,"canary_samples":$samplesJson,"queries":$qs,"errors":$errs,"warm_failures":$warmFailures,"sf":"$sfDir"}"""
     println(fullLine)
     // The full line above is ~4 KB (one entry per query) and has outrun the
     // driver's captured output tail every round (BENCH_r01..r03 all record

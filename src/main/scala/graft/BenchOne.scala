@@ -25,10 +25,10 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    fn(spark, warmDir).count()
+    FullExec.count(fn(spark, warmDir))
     val times = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      FullExec.count(fn(spark, sfDir))
       (System.nanoTime() - t0) / 1e9
     }
     println(f"[benchone] $name reps=$reps min=${times.min}%.3f median=${times.sorted.apply(reps / 2)}%.3f max=${times.max}%.3f all=${times.map(t => f"$t%.3f").mkString(",")}")

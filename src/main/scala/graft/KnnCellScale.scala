@@ -93,12 +93,18 @@ object KnnCellScale {
           (if (c < 100 || args.contains("full16")) Seq("fixed16" -> 16)
            else Nil)
         postures.foreach { case (posture, k) =>
-          def run() = timed(graft.operators.DedupOps
-            .semDedup(Tables.embeddings(spark, dir), numClusters = k)
-            .count())
+          // FullExec, NOT count(): a bare count lets the optimizer
+          // ELIMINATE the survivor left join against the unique-keyed
+          // dup aggregate and skip the pair join entirely (measured:
+          // count() reads 0.9 s at 100x where the real plan pays the
+          // 1.4e9-pair cost) — the finding that triggered the round-14
+          // action change across every timing harness
+          def run() = timed(FullExec.count(graft.operators.DedupOps
+            .semDedup(Tables.embeddings(spark, dir), numClusters = k)))
           val (t1, n1) = run(); val (t2, n2) = run()
-          require(n1 == nVecs && n2 == nVecs,
-            s"incomplete verdicts at ${c}x/$posture: $n1/$n2 vs $nVecs")
+          require(n1 == n2, s"nondeterministic at ${c}x/$posture: $n1 $n2")
+          require(n1 == nVecs,
+            s"incomplete verdicts at ${c}x/$posture: $n1 vs $nVecs")
           println(f"${c}%3dx n=$nVecs%7d semdedup/$posture%-8s k=$k%4d " +
             f"run1 $t1%8.2f s  run2 $t2%8.2f s")
           sp += Sp(c, posture, k, nVecs, math.min(t1, t2))
@@ -134,10 +140,10 @@ object KnnCellScale {
         (if (c < 100 && !args.contains("sqrtv")) Seq("fixed16" -> 16)
          else Nil)
       postures.foreach { case (posture, kc) =>
-        val (t1, n1) = timed(
-          graft.operators.PqOps.knnGraph(spark, dir, kCells = kc).count())
-        val (t2, n2) = timed(
-          graft.operators.PqOps.knnGraph(spark, dir, kCells = kc).count())
+        val (t1, n1) = timed(FullExec.count(
+          graft.operators.PqOps.knnGraph(spark, dir, kCells = kc)))
+        val (t2, n2) = timed(FullExec.count(
+          graft.operators.PqOps.knnGraph(spark, dir, kCells = kc)))
         require(n1 == n2, s"nondeterministic at ${c}x/$posture: $n1 vs $n2")
         val rec = graft.operators.PqOps.knnRecall(spark, dir, kCells = kc)
           .head().getDouble(2)
@@ -148,10 +154,10 @@ object KnnCellScale {
         // the graph's posture now that kCells is plumbed — the mutualize
         // + components stages are Θ(k·|V|) on top of the build
         if (posture == "sqrtV") {
-          val (c1, m1) = timed(graft.operators.PqOps
-            .knnComponents(spark, dir, kCells = kc).count())
-          val (c2, m2) = timed(graft.operators.PqOps
-            .knnComponents(spark, dir, kCells = kc).count())
+          val (c1, m1) = timed(FullExec.count(graft.operators.PqOps
+            .knnComponents(spark, dir, kCells = kc)))
+          val (c2, m2) = timed(FullExec.count(graft.operators.PqOps
+            .knnComponents(spark, dir, kCells = kc)))
           require(m1 == m2, s"nondeterministic comps at ${c}x: $m1 vs $m2")
           require(m1 == nVecs, s"incomplete labeling at ${c}x: $m1 vs $nVecs")
           println(f"${c}%3dx |V|=$nVecs%7d comps√V  k_cells=$kc%4d " +

@@ -98,13 +98,13 @@ object ScaleGate {
 
     // warm pass (plan compilation + JIT) at sf0.001, as in Bench
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count()
+      try FullExec.count(fn(spark, "/root/testdata/sf0.001"))
       catch { case _: Throwable => () }
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val out = try Right(fn(spark, OutDir).count()) catch {
+      val out = try Right(FullExec.count(fn(spark, OutDir))) catch {
         case e: Throwable => Left(e.toString.takeWhile(_ != '\n').take(160))
       }
       val sec = (System.nanoTime() - t0) / 1e9

@@ -164,7 +164,7 @@ object ScaleIndex {
     spark.sparkContext.setLogLevel("ERROR")
     // warm pass: plan compile + JIT at sf0.001 (the Bench protocol)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count()
+      try FullExec.count(fn(spark, "/root/testdata/sf0.001"))
       catch { case _: Throwable => () }
     }
     def best2(f: => Unit): Double = {
@@ -178,8 +178,8 @@ object ScaleIndex {
         try shape(fn(spark, sf01).queryExecution.optimizedPlan)
         catch { case _: Throwable => "?" }
       val r = try {
-        val t01 = best2(fn(spark, sf01).count())
-        val t1 = best2(fn(spark, sf1).count())
+        val t01 = best2(FullExec.count(fn(spark, sf01)))
+        val t1 = best2(FullExec.count(fn(spark, sf1)))
         val e = math.log10(t1 / t01)
         val flag = if (t1 < 0.6) "·" else ""
         Right((t01, t1, f"$e%.2f$flag"))

@@ -165,7 +165,11 @@ object ScaleSpot {
     // over |sources| rows, periodogram is |hours|·K-bounded after one
     // agg, durbin_watson the |days|-bounded flat control
     "q_domain_caps", "q_domain_mix", "q_curriculum", "q_bh_fdr",
-    "q_lognormal_fit", "q_periodogram", "q_durbin_watson")
+    "q_lognormal_fit", "q_periodogram", "q_durbin_watson",
+    // r13 verdict "what's wrong #2": the third post-SessionCache trigram
+    // consumer — kappa and lang_trigram are above; mcnemar joins so all
+    // three can be re-spotted against the plan that actually executes
+    "q_mcnemar")
   val Scales = Seq(10, 100)
 
   def outDir(copies: Int) = s"/tmp/graft_spot_${copies}x"
@@ -342,7 +346,7 @@ object ScaleSpot {
 
     // warm pass: plan compilation + janino at tiny SF
     selected.foreach { n =>
-      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.01").count()
+      try FullExec.count(SparkEntry.queries(n)(spark, "/root/testdata/sf0.01"))
       catch { case _: Throwable => () }
     }
 
@@ -360,9 +364,9 @@ object ScaleSpot {
       graft.operators.SessionCache.clearAll()
       selected.map { name =>
         val fn = SparkEntry.queries(name)
-        val (t1, n1) = timed(fn(spark, outDir(c)).count())
+        val (t1, n1) = timed(FullExec.count(fn(spark, outDir(c))))
         val (m0, d0) = spill.quiesce()
-        val (t2, n2) = timed(fn(spark, outDir(c)).count())
+        val (t2, n2) = timed(FullExec.count(fn(spark, outDir(c))))
         val (m1, d1) = spill.quiesce()
         require(n1 == n2, s"$name nondeterministic row count at ${c}x: $n1 vs $n2")
         val spillNote =

@@ -30,7 +30,7 @@ object WarmBench {
         sys.error(s"unknown query $name"))
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        FullExec.count(fn(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[warm] $name%-20s ${times.map(t => f"$t%.2f").mkString(" ")}")
