@@ -11,9 +11,10 @@ object DevProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -27,6 +28,13 @@ object DevProfile {
       .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
 
     val probes: Map[String, () => Long] = Map(
+      // round-15 flip evidence: declared 2-partition SPRT walk vs the
+      // prefix-offset sharded rewrite, FullExec action (run on the sf1
+      // synthesis: SPARK_GRAFT_SF_DIR=/tmp/graft_sf1 SPARK_GRAFT_CPUS=32)
+      "sprt_declared" -> (() =>
+        FullExec.count(operators.StatOps.sprt(spark, sfDir))),
+      "sprt_sharded" -> (() =>
+        FullExec.count(operators.StatOps.sprtSharded(spark, sfDir))),
       "embed_join_count" -> (() =>
         emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id")).count()),

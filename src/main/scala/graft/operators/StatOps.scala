@@ -591,8 +591,12 @@ object StatOps {
     * Scale shape: one per-variant ordered window over the conversion
     * flags — integer cumulative (n, k) prefix counts; the LLR and both
     * boundaries are literal-double algebra on those integers, and the
-    * decision row is one min-struct argmin per variant. At 100 TB the
-    * walk is per-experiment-arm, embarrassingly partitioned. */
+    * decision row is one min-struct argmin per variant. CAVEAT,
+    * measured round 14 under the honest action: per-ARM partitioning is
+    * only |arms|-way parallelism (two here), so half the stream sorts
+    * in one task — sf1 10.4 s, index e = 1.12. [[sprtSharded]] is the
+    * measured distributed rewrite (identical output, spec-pinned); the
+    * declared form stays this one until the round-15 stamp flip. */
   def sprt(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("variant"))
@@ -609,6 +613,13 @@ object StatOps {
         when(col("llr") >= SprtUpper, lit("accept_h1"))
           .when(col("llr") <= SprtLower, lit("accept_h0"))
           .otherwise(lit("continue")))
+    sprtDecision(walk)
+  }
+
+  /** Shared decision extraction for [[sprt]]/[[sprtSharded]]: first
+    * boundary crossing per variant (min-struct argmin on the exact
+    * integer (n, k) prefix), else the final state. */
+  private def sprtDecision(walk: DataFrame): DataFrame = {
     val crossed = walk.filter(col("decision") =!= "continue")
       .groupBy(col("variant"))
       .agg(min(struct(col("n"), col("k"), col("llr"), col("decision")))
@@ -628,6 +639,49 @@ object StatOps {
         stableRound4(coalesce(col("c.llr"), col("l.llr"))).as("llr"),
         coalesce(col("c.decision"), col("l.decision")).as("decision"))
       .orderBy(col("variant"))
+  }
+
+  /** Distributed twin of [[sprt]] — the round-14 prefix-offset rewrite
+    * of the cumulative walk (classic two-phase parallel prefix sum):
+    * within-DAY running (n, k) counts window on (variant, day) — the
+    * widest sort task shrinks from |stream|/|arms| rows to one day of
+    * one arm — plus per-day prefix OFFSETS from a |days|-bounded second
+    * window, broadcast back and added. The prefix counts are exact
+    * integers, so the LLR doubles (same literals, same association
+    * order) are BITWISE equal to [[sprt]]'s and the decision rows
+    * identical — spec-pinned in Round14OpsSpec. Declared q_sprt keeps
+    * the simple form this round so the round-14 stamps describe the
+    * shipped plan; the flip is queued for round 15 with the measured
+    * before/after (SCALE.md round-14 queue). */
+  def sprtSharded(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.events(spark, dir)
+      .select((col("user_id") % 2).as("variant"), col("ts"), col("event_id"),
+        to_date(col("ts")).as("day"),
+        when(col("value") > SprtThreshold, 1L).otherwise(0L).as("conv"))
+    val wIn = Window.partitionBy(col("variant"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = base
+      .withColumn("n_in", count(lit(1)).over(wIn))
+      .withColumn("k_in", sum(col("conv")).over(wIn))
+    val wOff = Window.partitionBy(col("variant")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("variant"), col("day"))
+      .agg(count(lit(1)).as("n_day"), sum(col("conv")).as("k_day"))
+      .select(col("variant"), col("day"),
+        coalesce(sum(col("n_day")).over(wOff), lit(0L)).as("n_off"),
+        coalesce(sum(col("k_day")).over(wOff), lit(0L)).as("k_off"))
+    val walk = within.join(broadcast(offsets), Seq("variant", "day"))
+      .withColumn("n", col("n_in") + col("n_off"))
+      .withColumn("k", col("k_in") + col("k_off"))
+      .withColumn("llr",
+        col("k") * lit(SprtLnLr1) + (col("n") - col("k")) * lit(SprtLnLr0))
+      .withColumn("decision",
+        when(col("llr") >= SprtUpper, lit("accept_h1"))
+          .when(col("llr") <= SprtLower, lit("accept_h0"))
+          .otherwise(lit("continue")))
+    sprtDecision(walk)
   }
 
   /** q_auc: ROC AUC of a score column against a binary label via the

@@ -230,6 +230,12 @@ class Round14OpsSpec extends SparkTestBase {
     pg.foreach(r => assert(r.getDouble(2) >= 0))
   }
 
+  test("sprtSharded: bitwise-identical decisions to the declared walk") {
+    val a = StatOps.sprt(spark, sf).collect().map(_.toString).toSeq
+    val b = StatOps.sprtSharded(spark, sf).collect().map(_.toString).toSeq
+    assert(a == b, s"declared $a vs sharded $b")
+  }
+
   test("grubbs: argmax deviation survives BIGINT-overflow-scale products") {
     // the dev_n product rides DECIMAL(38,0): cents ~ 5.6e7 at max and
     // n ~ 1.5e11 at 100 TB posture put cents*n near Long.MAX; assert the
