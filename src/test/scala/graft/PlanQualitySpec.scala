@@ -982,4 +982,52 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p20.contains("BroadcastNestedLoopJoin") ||
       p20.contains("BroadcastExchange"), p20)
   }
+
+  test("domainCaps: per-domain rank window, no global sort before the rollup") {
+    val p = plan(DomainOps.domainCaps(spark, sf))
+    // the survivor rank partitions by domain — a Window with a partition
+    // spec, never the single-partition global window
+    assert(p.contains("Window"), p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+    // the scan reads only what the operator needs (no `lang`, no `text`
+    // beyond the token size — text is consumed by size(split(...)))
+    assert(!p.contains("lang:"), p)
+  }
+
+  test("domainMix/blocklist: totals ride broadcast; one corpus scan family") {
+    val pMix = plan(DomainOps.domainMix(spark, sf))
+    // pre-AQE sparkPlan prints the broadcast as the join's build side
+    // (BroadcastNestedLoopJoin BuildRight); the exchange node only
+    // appears in executedPlan
+    assert(pMix.contains("Broadcast"), pMix)
+    val pBlk = plan(DomainOps.domainBlocklist(spark, sf))
+    // per-rule aggregates read the bounded per-domain rollup (the
+    // Materialize barrier), so no rule re-scans the parquet corpus
+    assert(!pBlk.contains("FileScan"), pBlk)
+  }
+
+  test("curriculum: percentile cuts broadcast back; no global ntile window") {
+    val p = plan(DomainOps.curriculum(spark, sf))
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("bhFdr: moment scans partial-aggregate; windows run on the bounded frame") {
+    val df = InferenceOps.bhFdr(spark, sf)
+    val p = plan(df)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    // the two corpus scans (per-source + global moments) both prune to
+    // (source, n_chars) / (n_chars) — no text column reaches any scan
+    assert(!p.contains("text"), p)
+  }
+
+  test("sprtSharded: the walk windows on (variant, day), never variant alone") {
+    val p = plan(StatOps.sprtSharded(spark, sf))
+    // both window specs carry a day key — the 2-partition bottleneck the
+    // rewrite exists to remove would show as a variant-only partition spec
+    val windowSpecs = p.linesIterator.filter(_.contains("Window "))
+      .mkString("\n")
+    assert(windowSpecs.contains("day"), p)
+    assert(p.contains("Broadcast"), p)
+  }
 }
