@@ -35,6 +35,15 @@ object DevProfile {
         FullExec.count(operators.StatOps.sprt(spark, sfDir))),
       "sprt_sharded" -> (() =>
         FullExec.count(operators.StatOps.sprtSharded(spark, sfDir))),
+      // exact single-buffer percentile vs the mergeable sketch
+      "winsorize_exact" -> (() =>
+        FullExec.count(operators.AnalyticsOps.winsorize(spark, sfDir))),
+      "winsorize_approx" -> (() =>
+        FullExec.count(operators.AnalyticsOps.winsorizeApprox(spark, sfDir))),
+      "mad_exact" -> (() =>
+        FullExec.count(operators.AnalyticsOps.madOutlier(spark, sfDir))),
+      "mad_approx" -> (() =>
+        FullExec.count(operators.AnalyticsOps.madOutlierApprox(spark, sfDir))),
       "embed_join_count" -> (() =>
         emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id")).count()),

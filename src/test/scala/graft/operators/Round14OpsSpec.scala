@@ -236,6 +236,31 @@ class Round14OpsSpec extends SparkTestBase {
     assert(a == b, s"declared $a vs sharded $b")
   }
 
+  test("winsorizeApprox/madOutlierApprox: sketch cuts track the exact forms") {
+    val we = AnalyticsOps.winsorize(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    val wa = AnalyticsOps.winsorizeApprox(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(we.keySet == wa.keySet)
+    we.foreach { case (k, (n, raw, win)) =>
+      val (n2, raw2, win2) = wa(k)
+      assert(n == n2 && raw == raw2, s"$k exact columns must match")
+      // the winsorized mean moves by at most the sketch's rank error on
+      // the tail mass — generous 1% relative bound at default accuracy
+      assert(math.abs(win - win2) <= 0.01 * math.abs(win), s"$k $win vs $win2")
+    }
+    val me = AnalyticsOps.madOutlier(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toSeq
+    val ma = AnalyticsOps.madOutlierApprox(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(me.map(t => (t._1, t._2)) == ma.map(t => (t._1, t._2)))
+    me.zip(ma).foreach { case ((k, _, m1), (_, _, m2)) =>
+      assert(math.abs(m1 - m2) <= 0.01 * math.abs(m1), s"$k mad $m1 vs $m2")
+    }
+  }
+
   test("grubbs: argmax deviation survives BIGINT-overflow-scale products") {
     // the dev_n product rides DECIMAL(38,0): cents ~ 5.6e7 at max and
     // n ~ 1.5e11 at 100 TB posture put cents*n near Long.MAX; assert the
