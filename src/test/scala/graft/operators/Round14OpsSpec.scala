@@ -136,6 +136,43 @@ class Round14OpsSpec extends SparkTestBase {
     rows.foreach(r => assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1.0001))
   }
 
+  test("bhFdr: z, p, and the step-up decisions match a driver replay") {
+    val rows = InferenceOps.bhFdr(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3),
+        r.getInt(6)))
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val nG = docs.length.toDouble
+    val sG = docs.map(_._2).sum.toDouble
+    val s2G = docs.map(v => v._2.toDouble * v._2).sum
+    val meanG = sG / nG
+    val varG = (s2G - sG * meanG) / (nG - 1)
+    def erfc(x: Double): Double = {
+      val t = 1.0 / (1.0 + 0.3275911 * x)
+      ((((1.061405429 * t + -1.453152027) * t + 1.421413741) * t
+        + -0.284496736) * t + 0.254829592) * t * math.exp(-(x * x))
+    }
+    val bySrc = docs.groupBy(_._1).map { case (s, xs) =>
+      val n = xs.length.toDouble
+      val mean = xs.map(_._2).sum.toDouble / n
+      val z = (mean - meanG) / (math.sqrt(varG) / math.sqrt(n))
+      (s, z, erfc(math.abs(z) * InferenceOps.InvSqrt2))
+    }.toSeq.sortBy(v => (v._3, v._1))
+    val m = bySrc.length
+    // step-up: largest i with p_(i) <= i*alpha/m rejects ranks 1..i
+    val cut = bySrc.zipWithIndex.reverse.find { case ((_, _, p), i) =>
+      p <= (i + 1) * InferenceOps.FdrAlpha / m
+    }.map(_._2).getOrElse(-1)
+    rows.zip(bySrc).zipWithIndex.foreach {
+      case (((src, z, p, rej), (s2, z2, p2)), i) =>
+        assert(src == s2, s"rank ${i + 1}: $src vs $s2")
+        assert(math.abs(z - z2) < 1e-3, s"$src z $z vs $z2")
+        assert(math.abs(p - p2) < 1e-5, s"$src p $p vs $p2")
+        assert(rej == (if (i <= cut) 1 else 0), s"$src rejected=$rej cut=$cut")
+    }
+  }
+
   test("lognormalFit: implied mean overshoots the median-ish exp(mu)") {
     val rows = InferenceOps.lognormalFit(spark, sf).collect()
     assert(rows.nonEmpty)
