@@ -7,8 +7,12 @@ object Bench {
     * (78/350 queries lose Join/Window/Aggregate/Generate nodes; see
     * FullExec's scaladoc for the measured q_semdedup case). The env
     * flag reproduces the legacy count() metric — and selects the legacy
-    * canary refs — for same-HEAD bridge runs only. */
-  def legacyCount: Boolean = sys.env.contains("SPARK_GRAFT_BENCH_COUNT_LEGACY")
+    * canary refs — for same-HEAD bridge runs only. Only the values
+    * "1"/"true" (case-insensitive) enable it (round-15 advisor fix:
+    * presence-only parsing made =0 silently select legacy refs). */
+  def legacyCount: Boolean =
+    sys.env.get("SPARK_GRAFT_BENCH_COUNT_LEGACY")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
   private def act(df: DataFrame): Long =
     if (legacyCount) df.count() else FullExec.count(df)
   /** Canary set for contention normalization (round 11): same-HEAD bench
@@ -193,12 +197,64 @@ object Bench {
       if (inSweepFactors.nonEmpty && factorMedian > 0) total / factorMedian
       else total
     val sampleFactors = canarySamples.map(_._4).toSeq
+    // ---- burst gate (round 15) ----
+    // The round-14 driver run proved the median-of-ten factor gate is
+    // blind to INTERMITTENT bursts: contention that lands between the
+    // ten in-sweep canaries corrupts contiguous alphabetical windows
+    // (361.1 s raw vs a 240.7–251.8 s same-HEAD triple) while the
+    // median factor still reads idle — and the two normalization
+    // columns then disagree by 1.8×. Two instruments fix the blindness
+    // using data the sweep already collects:
+    //  1. burst_disagreement = max/min of the two normalized columns
+    //     (canary-SUM-scaled vs median-FACTOR-scaled). On clean runs
+    //     they agree within ~1 % (r14 triple: 258.4 vs 260.7); a burst
+    //     inflates the sum (and the raw total) but not the median, so
+    //     the ratio is a run-level corruption alarm. Alert > 1.3.
+    //  2. Per-WINDOW factors from the interleaved single-shot samples:
+    //     sample k covers timed positions [pos_k, pos_{k+1}). Each
+    //     window factor is read RELATIVE to the run's own median sample
+    //     factor (single-shot factors are systematically ~1.2× the
+    //     best-of-2 refs, so absolute thresholds would misfire); a
+    //     window whose relative factor exceeds 2× flags every query
+    //     timed inside it. burst_window_seconds prices the damage;
+    //     normalized_total_windowed deflates ONLY the flagged windows
+    //     (idle windows pass through — no upward rescaling).
+    // trend_eligible (the bit BASELINE.md's protocol reads): true iff
+    // no alarm fired. A non-eligible run is usable for correctness but
+    // must not become a trend row.
+    val BurstWindowRelFactor = 2.0
+    val BurstDisagreementAlert = 1.3
+    val sortedSamples = canarySamples.sortBy(_._1).toSeq
+    val sampleMedian = median(sampleFactors)
+    val relWindows: Seq[(Int, Double)] = sortedSamples.map {
+      case (pos, _, _, fac) =>
+        (pos, if (sampleMedian > 0) fac / sampleMedian else 1.0)
+    }
+    def windowRel(p: Int): Double = {
+      val covering = relWindows.takeWhile(_._1 <= p)
+      if (covering.isEmpty) 1.0 else covering.last._2
+    }
+    val nBurstWindows = relWindows.count(_._2 > BurstWindowRelFactor)
+    val timedByPos = results.zipWithIndex
+    val burstWindowSeconds = timedByPos.collect {
+      case ((_, v, None), p) if windowRel(p) > BurstWindowRelFactor => v
+    }.sum
+    val windowedTotal = timedByPos.collect { case ((_, v, None), p) =>
+      val rel = windowRel(p)
+      if (rel > BurstWindowRelFactor) v / rel else v
+    }.sum
+    val burstDisagreement =
+      if (math.min(normalized, normalizedMed) > 0)
+        math.max(normalized, normalizedMed) / math.min(normalized, normalizedMed)
+      else 1.0
+    val trendEligible =
+      burstDisagreement <= BurstDisagreementAlert && nBurstWindows == 0
     def f4(x: Double) = f"$x%.4f"
     val samplesJson = canarySamples.map { case (pos, q, t, fac) =>
       s"""{"pos":$pos,"q":"$q","sec":${f4(t)},"factor":${f4(fac)}}"""
     }.mkString("[", ",", "]")
     val factorStats =
-      s""""canary_factor_median":${f4(factorMedian)},"canary_factor_min":${f4(if (inSweepFactors.isEmpty) 1.0 else inSweepFactors.min)},"canary_factor_max":${f4(if (inSweepFactors.isEmpty) 1.0 else inSweepFactors.max)},"n_factor_samples":${inSweepFactors.size},"sample_factor_median":${f4(median(sampleFactors))},"n_burst_samples":${sampleFactors.size},"n_sample_errors":$sampleErrors,"normalized_total_med":$normalizedMed"""
+      s""""canary_factor_median":${f4(factorMedian)},"canary_factor_min":${f4(if (inSweepFactors.isEmpty) 1.0 else inSweepFactors.min)},"canary_factor_max":${f4(if (inSweepFactors.isEmpty) 1.0 else inSweepFactors.max)},"n_factor_samples":${inSweepFactors.size},"sample_factor_median":${f4(sampleMedian)},"n_burst_samples":${sampleFactors.size},"n_sample_errors":$sampleErrors,"normalized_total_med":$normalizedMed,"burst_disagreement":${f4(burstDisagreement)},"n_burst_windows":$nBurstWindows,"burst_window_seconds":${f4(burstWindowSeconds)},"normalized_total_windowed":${f4(windowedTotal)},"trend_eligible":$trendEligible"""
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","reps":2,"agg":"min","canary":$canary,"canary_ref":$refSeconds,"action":"${if (legacyCount) "count_legacy" else "exec"}","n_canary":$nCanary,"canary_complete":$canaryComplete,"normalized_total":$normalized,$factorStats,"canary_samples":$samplesJson,"queries":$qs,"errors":$errs,"warm_failures":$warmFailures,"sf":"$sfDir"}"""
     println(fullLine)
     // The full line above is ~4 KB (one entry per query) and has outrun the

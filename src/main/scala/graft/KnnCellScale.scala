@@ -79,8 +79,12 @@ object KnnCellScale {
     // gets a keep verdict) — asserted, so a silently truncated join
     // can't read as a win.
     if (args.contains("semdedup")) {
-      graft.operators.DedupOps.semDedupQuery(spark, "/root/testdata/sf0.01")
-        .count()
+      // warm via FullExec so the SAME physical plan that is timed gets
+      // codegen-compiled/JITed — a bare count() re-optimizes with the
+      // survivor/pair joins eliminated (this file's own vacuity finding),
+      // leaving rep 1 to pay compile cost (round-15 advisor fix)
+      FullExec.count(
+        graft.operators.DedupOps.semDedupQuery(spark, "/root/testdata/sf0.01"))
       final case class Sp(scale: Int, posture: String, k: Int, n: Long,
           warm: Double)
       val sp = scala.collection.mutable.ArrayBuffer[Sp]()

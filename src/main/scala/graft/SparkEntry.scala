@@ -73,6 +73,9 @@ object SparkEntry {
     "q_cube"           -> (AnalyticsOps.cubeAgg _),
     "q_range_join"     -> (AnalyticsOps.rangeJoin _),
     "q_stats_agg"      -> (AnalyticsOps.statsAgg _),
+    // CONTRAST DIAL (r15): exact per-group percentile = O(n) agg state;
+    // q_stats_agg_sketch is the declared 100 TB primary.
+    "q_stats_agg_sketch" -> (AnalyticsOps.statsAggSketch _),
     "q_token_bpe"      -> (TextOps.tokenCountBpe _),
     "q_sessionize"     -> (EventOps.sessionAgg _),
     "q_topk_custom"    -> (JoinOps.topKCustom _),
@@ -195,8 +198,12 @@ object SparkEntry {
     "q_unigram_logprob" -> (TextOps.unigramLogprob _),
     "q_knn_label"      -> ((s, d) => SimilarityOps.knnLabel(s, d)),
     "q_winsorize"      -> (AnalyticsOps.winsorize _),
+    // CONTRAST DIAL (r15): exact global percentile; sketch primary below.
+    "q_winsorize_sketch" -> (AnalyticsOps.winsorizeSketch _),
     "q_bigram_logprob" -> (TextOps.bigramLogprob _),
     "q_mad_outlier"    -> (AnalyticsOps.madOutlier _),
+    // CONTRAST DIAL (r15): two exact-percentile buffers; sketch primary.
+    "q_mad_outlier_sketch" -> (AnalyticsOps.madOutlierSketch _),
     "q_quality_deciles" -> (TextOps.qualityDeciles _),
     "q_cohort"         -> (EventOps.cohortRetention _),
     "q_interpolate"    -> (EventOps.interpolateSeries _),
@@ -455,7 +462,7 @@ object SparkEntry {
     // Adjusted Rand Index between k-means cells and labels
     "q_rand_index"     -> ((s, d) => IvfOps.randIndex(s, d)),
     // Wald SPRT: sequential A/B decision walk per variant
-    "q_sprt"           -> (StatOps.sprt _),
+    "q_sprt"           -> (StatOps.sprtSharded _),
     // two-component 1-D GMM via 5 unrolled EM steps (stable6 barrier)
     "q_em_gmm"         -> ((s, d) => StatOps.emGmm(s, d)),
     // difference-in-differences over the midpoint-day split
@@ -1627,6 +1634,11 @@ object SparkEntry {
         "FROM lineitem JOIN (VALUES ('small', 0.0, 10.0), ('mid', 10.0, 25.0), " +
         "('large', 25.0, 51.0)) AS bands(band, lo, hi) " +
         "ON l_quantity >= lo AND l_quantity < hi GROUP BY band ORDER BY band"),
+    "q_stats_agg_sketch" ->
+      ("SELECT l_returnflag, round(stddev_samp(l_quantity), 4) AS sd_qty, " +
+        "COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows, " +
+        "TRUE AS median_rank_ok, TRUE AS p90_rank_ok " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_stats_agg" ->
       ("SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS median_qty, " +
         "round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price, " +
@@ -1972,6 +1984,11 @@ object SparkEntry {
         "SELECT m.q_id, m.label AS pred_label, m.n_votes, t.label AS true_label, " +
         "(m.label = t.label) AS correct " +
         "FROM m JOIN e t ON t.vec_id = m.q_id WHERE m.mr = 1 ORDER BY m.q_id"),
+    "q_winsorize_sketch" ->
+      ("SELECT l_returnflag, COUNT(*) AS n, " +
+        "CAST(round(CAST(AVG(l_extendedprice) AS DECIMAL(20,8)), 4) AS DOUBLE) AS avg_raw, " +
+        "TRUE AS lo_rank_ok, TRUE AS hi_rank_ok " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_winsorize" ->
       ("WITH b AS (SELECT quantile_cont(l_extendedprice, 0.05) AS lo, " +
         "quantile_cont(l_extendedprice, 0.95) AS hi FROM lineitem) " +
@@ -1989,6 +2006,10 @@ object SparkEntry {
         "CAST(round(CAST(AVG(log10(CAST(bc.nbg AS DOUBLE) / pc.nprev)) AS DECIMAL(20,8)), 4) AS DOUBLE) AS mean_logp " +
         "FROM e JOIN bc USING (prev, cur) JOIN pc USING (prev) " +
         "GROUP BY e.doc_id ORDER BY e.doc_id"),
+    "q_mad_outlier_sketch" ->
+      ("SELECT l_returnflag, COUNT(*) AS n, " +
+        "TRUE AS med_rank_ok, TRUE AS mad_rank_ok " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_mad_outlier" ->
       ("WITH m AS (SELECT quantile_cont(l_extendedprice, 0.5) AS med FROM lineitem), " +
         "d AS (SELECT l_returnflag, l_extendedprice, m.med, " +
@@ -5832,11 +5853,15 @@ object SparkEntry {
   )
 
   /** Shared pseudo-domain CTE body for the three q_domain_* oracles —
-    * domain = source ++ '.' ++ (md5-60("dom:" ++ doc_id) mod buckets),
-    * the DuckDB twin of [[operators.DomainOps.domainKey]]. */
+    * the DuckDB twin of [[operators.DomainOps.domainKey]]'s two-tier
+    * key: h = md5-60("dom:" ++ doc_id); h%100 < MegaSharePct →
+    * source.big0, else source.<h mod SmallBuckets>. */
   private def domainDocsSql: String =
     "SELECT doc_id, source, n_chars, " +
       "len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks, " +
-      "source || '.' || CAST(CAST(('0x' || substr(md5('dom:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) " +
-      s"% ${operators.DomainOps.DomainBuckets} AS VARCHAR) AS domain FROM documents"
+      "CASE WHEN h % 100 < " + operators.DomainOps.MegaSharePct + " " +
+      "THEN source || '.big0' " +
+      "ELSE source || '.' || CAST(h % " +
+      s"${operators.DomainOps.SmallBuckets} AS VARCHAR) END AS domain " +
+      "FROM (SELECT *, CAST(('0x' || substr(md5('dom:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM documents)"
 }

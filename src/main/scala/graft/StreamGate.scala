@@ -324,6 +324,43 @@ object StreamGate {
           math.abs(partialShare - 1.0) < 0.001)
     }
 
+    run("domain_caps_vs_declared_twin") {
+      // the curation endgame's stateful cap (r14 verdict ask #5):
+      // per-domain running counts decide keep/drop in-stream. Pins
+      // (a) bitwise verdict equality with the batch replay of the same
+      // first-arrival policy (files land in doc_id order, so arrival
+      // order = doc_id order), and (b) per-domain kept COUNTS equal to
+      // the DECLARED q_domain_caps audit's n_kept — min(cap, n_docs)
+      // is policy-independent, so the stream converges to the declared
+      // audit on the count level across micro-batch boundaries.
+      val base = Files.createTempDirectory("graft-gate-domcap")
+      val in = Files.createDirectories(base.resolve("in"))
+      val d2 = docs.select("doc_id", "source")
+      land(d2.filter(col("doc_id") < 250), in, "001.parquet")
+      land(d2.filter(col("doc_id") >= 250), in, "002.parquet")
+      val got = drain(graft.streaming.CorpusStreamOps.domainCapFlags(
+        fileStream(spark, in.toString, d2.schema)), "g_domcap", "append")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("domain")).orderBy(col("doc_id"))
+      val replay = d2
+        .select(col("doc_id"),
+          graft.operators.DomainOps.domainKey.as("domain"))
+        .withColumn("rn", row_number().over(w))
+        .select(col("doc_id"), col("domain"),
+          (col("rn") <= graft.operators.DomainOps.CapDocs).as("keep"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+      val streamKept = got.filter(_._3).groupBy(_._2)
+        .map { case (d, xs) => d -> xs.length.toLong }
+      val declaredKept = graft.operators.DomainOps.domainCaps(spark, sfDir)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      val anyDrop = got.exists(!_._3)
+      Check(got.length, replay.length,
+        got.toSet == replay.toSet && streamKept == declaredKept && anyDrop)
+    }
+
     run("neardup_cross_batch_minhash") {
       val base = Files.createTempDirectory("graft-gate-neardup")
       val in = Files.createDirectories(base.resolve("in"))

@@ -170,9 +170,10 @@ object AnalyticsOps {
       .drop("l_partkey", "l_suppkey", "l_extendedprice")
 
   /** Statistical aggregates: exact percentiles (interpolated), sample
-    * stddev, distinct counts. Exact percentile needs a per-group sort; at
-    * 100 TB swap in approx_percentile (t-digest, one pass) — kept exact
-    * here because the oracle compare demands determinism. */
+    * stddev, distinct counts. Exact percentile holds every group value in
+    * one aggregation state — round 15 declares [[statsAggSketch]] as the
+    * 100 TB PRIMARY; this exact form stays declared as the CONTRAST DIAL
+    * whose oracle is quantile-exact. */
   def statsAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
@@ -188,9 +189,9 @@ object AnalyticsOps {
     * pipelines use for per-source quality statistics where a single
     * garbage row would otherwise dominate. Two passes over the column
     * (bounds, then clamp+agg) with the one-row bounds broadcast onto the
-    * scan — the big side never shuffles for the clamp; at 100 TB swap the
-    * exact percentile for approx_percentile and only the bounds pass
-    * changes. */
+    * scan — the big side never shuffles for the clamp. Round 15 declares
+    * [[winsorizeSketch]] as the 100 TB PRIMARY (mergeable-sketch bounds
+    * pass); this exact form stays declared as the CONTRAST DIAL. */
   def winsorize(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.NumericFunctions.stableRound4
     val li = Tables.lineitem(spark, dir)
@@ -217,9 +218,9 @@ object AnalyticsOps {
     * differ from exact by at most the sketch's rank error (default
     * accuracy 10⁴ ≈ 0.01 % rank), so the winsorized mean moves by
     * O(ε · tail mass) — spec-bounded; n and avg_raw are EXACT either
-    * way. The declared q_winsorize keeps the exact form (its DuckDB
-    * oracle is quantile-exact); this is the documented swap when
-    * exactness is negotiable at scale. */
+    * way. Round 15: [[winsorizeSketch]] (q_winsorize_sketch) is the
+    * declared tolerance-oracled PRIMARY built on this bounds pass;
+    * q_winsorize keeps the exact form as the CONTRAST DIAL. */
   def winsorizeApprox(spark: SparkSession, dir: String,
       accuracy: Int = 10000): DataFrame = {
     import graft.functions.NumericFunctions.stableRound4
@@ -282,8 +283,9 @@ object AnalyticsOps {
     * itself dragged by the outliers it hunts. Two dependent exact-percentile
     * passes (median, then median of absolute deviations), each a one-row
     * aggregate broadcast back onto the scan; the flag comparison is plain
-    * IEEE arithmetic, identical across engines. At 100 TB swap
-    * approx_percentile into the two bounds passes. */
+    * IEEE arithmetic, identical across engines. Round 15 declares
+    * [[madOutlierSketch]] as the 100 TB PRIMARY (both medians from the
+    * mergeable sketch); this exact form stays as the CONTRAST DIAL. */
   def madOutlier(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.NumericFunctions.stableRound4
     val li = Tables.lineitem(spark, dir)
@@ -307,8 +309,10 @@ object AnalyticsOps {
     * `approx_percentile` sketch instead of two full-buffer exact
     * `percentile` collects (see [[winsorizeApprox]]'s rationale; this
     * query pays the single-reducer buffer TWICE, back to back). The
-    * 3·MAD outlier threshold moves by at most the sketch's rank error;
-    * the declared q_mad_outlier keeps the exact form for its oracle. */
+    * 3·MAD outlier threshold moves by at most the sketch's rank error.
+    * Round 15: [[madOutlierSketch]] (q_mad_outlier_sketch) is the
+    * declared tolerance-oracled PRIMARY; q_mad_outlier keeps the exact
+    * form as the CONTRAST DIAL. */
   def madOutlierApprox(spark: SparkSession, dir: String,
       accuracy: Int = 10000): DataFrame = {
     import graft.functions.NumericFunctions.stableRound4
@@ -327,6 +331,157 @@ object AnalyticsOps {
           .as("n_outliers"),
         stableRound4(max(col("med"))).as("med"),
         stableRound4(max(col("mad"))).as("mad"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Rank tolerance for the sketch-primary percentile audits
+    * (q_winsorize_sketch / q_mad_outlier_sketch / q_stats_agg_sketch):
+    * approx_percentile at accuracy 10⁴ targets rank error 1/accuracy,
+    * and Spark's merge of per-partition Greenwald–Khanna summaries can
+    * double it (GK 2001 §4) — so the audits hold the merged contract,
+    * 2/accuracy, same as [[SketchOps.MedianRankEps]] (worst observed
+    * rank offset across sf0.01/0.1/1: 1.51e-4). */
+  val SketchRankEps = 2.0 / 10000
+  private val SketchAccuracy = 10000
+
+  /** Rank-bracket audit for a sketch-estimated percentile: the
+    * estimate's TRUE rank must bracket q within [[SketchRankEps]]
+    * (count(x < v)/n ≤ q+ε and count(x ≤ v)/n ≥ q−ε — the two-sided
+    * form is tie-safe: on heavily tied columns frac_lt < q < frac_le
+    * holds exactly through any tie plateau). */
+  private def rankOk(q: Double, n: Column, cntLt: Column,
+      cntLe: Column): Column =
+    cntLt / n <= lit(q + SketchRankEps) && cntLe / n >= lit(q - SketchRankEps)
+
+  /** q_winsorize_sketch — the declared 100 TB PRIMARY of the winsorize
+    * family (round 15; [[winsorize]] stays as the exact CONTRAST DIAL).
+    * Cut points come from the mergeable `approx_percentile` sketch
+    * (bounded per-partition state, partial-aggregated — no single
+    * reducer ever holds the full value buffer, unlike exact
+    * `percentile`'s O(n) aggregation state, measured 7.17 → 1.43 s at
+    * sf1 under the honest action). The TOLERANCE-ORACLE contract
+    * (q_approx_stats pattern): per-flag exact n and avg_raw
+    * hash-compare for real; the sketch cuts are audited IN-QUERY — each
+    * cut's true rank must bracket its target quantile within
+    * [[SketchRankEps]] — and the oracle states those booleans as
+    * literal TRUE, so a sketch drifting past its published bound fails
+    * the driver's hash gate. The rank audit is one broadcast of the
+    * 1-row bounds back onto the scan — plain counting aggregates, no
+    * O(n) state anywhere in the plan. */
+  def winsorizeSketch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val li = Tables.lineitem(spark, dir)
+    val bounds = li.agg(
+      expr(s"approx_percentile(l_extendedprice, 0.05, $SketchAccuracy)")
+        .as("lo"),
+      expr(s"approx_percentile(l_extendedprice, 0.95, $SketchAccuracy)")
+        .as("hi"))
+    val audit = li.crossJoin(broadcast(bounds))
+      .agg(count(lit(1)).cast("double").as("n_all"),
+        sum(when(col("l_extendedprice") < col("lo"), 1L).otherwise(0L))
+          .cast("double").as("lo_lt"),
+        sum(when(col("l_extendedprice") <= col("lo"), 1L).otherwise(0L))
+          .cast("double").as("lo_le"),
+        sum(when(col("l_extendedprice") < col("hi"), 1L).otherwise(0L))
+          .cast("double").as("hi_lt"),
+        sum(when(col("l_extendedprice") <= col("hi"), 1L).otherwise(0L))
+          .cast("double").as("hi_le"))
+      .select(
+        rankOk(0.05, col("n_all"), col("lo_lt"), col("lo_le"))
+          .as("lo_rank_ok"),
+        rankOk(0.95, col("n_all"), col("hi_lt"), col("hi_le"))
+          .as("hi_rank_ok"))
+    li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        stableRound4(avg(col("l_extendedprice"))).as("avg_raw"))
+      .crossJoin(broadcast(audit))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q_mad_outlier_sketch — the declared 100 TB PRIMARY of the
+    * median/MAD family (round 15; [[madOutlier]] stays as the exact
+    * CONTRAST DIAL). Both medians ride the mergeable sketch (the exact
+    * form pays the single-reducer O(n) buffer TWICE, back to back —
+    * measured 8.42 → 1.36 s at sf1). Tolerance contract: per-flag exact
+    * n hash-compares; med_rank_ok audits the sketch median's true rank
+    * on the price column, mad_rank_ok audits the MAD estimate's true
+    * rank on the absolute-deviation column it was drawn from (the adev
+    * distribution is DEFINED by the sketch med — the audit checks the
+    * second-stage sketch against its own input, which is the
+    * contract a two-stage sketch pipeline can honor). */
+  def madOutlierSketch(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val med = li.agg(
+      expr(s"approx_percentile(l_extendedprice, 0.5, $SketchAccuracy)")
+        .as("med"))
+    val dev = li.crossJoin(broadcast(med))
+      .select(col("l_returnflag"), col("l_extendedprice"), col("med"),
+        abs(col("l_extendedprice") - col("med")).as("adev"))
+    val mad = dev.agg(
+      expr(s"approx_percentile(adev, 0.5, $SketchAccuracy)").as("mad"))
+    val audit = dev.crossJoin(broadcast(mad))
+      .agg(count(lit(1)).cast("double").as("n_all"),
+        sum(when(col("l_extendedprice") < col("med"), 1L).otherwise(0L))
+          .cast("double").as("med_lt"),
+        sum(when(col("l_extendedprice") <= col("med"), 1L).otherwise(0L))
+          .cast("double").as("med_le"),
+        sum(when(col("adev") < col("mad"), 1L).otherwise(0L))
+          .cast("double").as("mad_lt"),
+        sum(when(col("adev") <= col("mad"), 1L).otherwise(0L))
+          .cast("double").as("mad_le"))
+      .select(
+        rankOk(0.5, col("n_all"), col("med_lt"), col("med_le"))
+          .as("med_rank_ok"),
+        rankOk(0.5, col("n_all"), col("mad_lt"), col("mad_le"))
+          .as("mad_rank_ok"))
+    li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(audit))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q_stats_agg_sketch — the declared 100 TB PRIMARY of the
+    * per-group statistical-aggregate family (round 15; [[statsAgg]]
+    * stays as the exact CONTRAST DIAL). The two per-group percentiles
+    * become per-group `approx_percentile` sketches (per-group state is
+    * O(1/ε) and mergeable, vs exact percentile's per-group full value
+    * buffer); sample stddev and the exact distinct-part count are
+    * already one-pass/partial-aggregable and hash-compare for real. The
+    * per-GROUP rank audits broadcast the 3-row estimate table back to
+    * the facts — tie-safe two-sided bracket per flag (l_quantity is
+    * integer-valued with massive ties; frac_lt < q < frac_le holds
+    * through any tie plateau). */
+  def statsAggSketch(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val est = li.groupBy(col("l_returnflag"))
+      .agg(
+        expr(s"approx_percentile(l_quantity, 0.5, $SketchAccuracy)")
+          .as("apx_median_qty"),
+        expr(s"approx_percentile(l_extendedprice, 0.9, $SketchAccuracy)")
+          .as("apx_p90_price"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+    val audit = li
+      .join(broadcast(est.select(col("l_returnflag"),
+        col("apx_median_qty"), col("apx_p90_price"))), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("double").as("n_all"),
+        sum(when(col("l_quantity") < col("apx_median_qty"), 1L)
+          .otherwise(0L)).cast("double").as("med_lt"),
+        sum(when(col("l_quantity") <= col("apx_median_qty"), 1L)
+          .otherwise(0L)).cast("double").as("med_le"),
+        sum(when(col("l_extendedprice") < col("apx_p90_price"), 1L)
+          .otherwise(0L)).cast("double").as("p90_lt"),
+        sum(when(col("l_extendedprice") <= col("apx_p90_price"), 1L)
+          .otherwise(0L)).cast("double").as("p90_le"))
+      .select(col("l_returnflag"),
+        col("n_all").cast("long").as("n_rows"),
+        rankOk(0.5, col("n_all"), col("med_lt"), col("med_le"))
+          .as("median_rank_ok"),
+        rankOk(0.9, col("n_all"), col("p90_lt"), col("p90_le"))
+          .as("p90_rank_ok"))
+    est.select(col("l_returnflag"), col("sd_qty"), col("n_parts"))
+      .join(audit, Seq("l_returnflag"))
       .orderBy(col("l_returnflag"))
   }
 

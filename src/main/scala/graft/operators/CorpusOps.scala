@@ -842,9 +842,14 @@ object CorpusOps {
     * key order sees the full permutation with no engine re-sort. The
     * report row per shard carries counts plus an ORDER-SENSITIVE
     * checksum Σ rn·doc_id over the FIRST `headK` rows of the shard's
-    * permutation — the replayability probe: any reordering (including
-    * a swap WITHIN the head, which a plain id-sum would miss), dropped
-    * doc, or seed drift moves a head checksum.
+    * permutation — the replayability probe: any SINGLE swap (including
+    * one WITHIN the head, which a plain id-sum would miss — (i−j)(b−a)
+    * ≠ 0 for distinct ids), dropped doc, or seed drift moves a head
+    * checksum. Compensating multi-element permutations can collide
+    * (heads (1,3,2) and (2,1,3) both sum Σ rn·id to 13), so the probe
+    * detects transpositions, not arbitrary reshuffles — the drift modes
+    * a loader actually produces are single-swap-shaped or change the
+    * row SET, both of which it catches.
     *
     * Scale shape: shard assignment is a pure key function — no global
     * sort, no single-partition window; the head probe is a per-shard

@@ -16,12 +16,21 @@ import graft.functions.TextFunctions._
   * pattern blocklist with per-rule audit counts.
   *
   * The fixture carries `source` but no `url`, so the domain key is the
-  * documented stand-in pseudo-domain `source.bucket` where bucket =
-  * md5Hash60("dom:" ++ doc_id) % [[DomainBuckets]] — the module's
-  * portable-randomness contract (engine-identical in DuckDB via the
-  * md5-60 idiom), giving |sources| × buckets domains with realistic
-  * many-docs-per-domain groupings. Swapping in a real
-  * `parse_url(url, 'HOST')` key changes one line.
+  * documented stand-in pseudo-domain built from h = md5Hash60("dom:" ++
+  * doc_id) — the module's portable-randomness contract
+  * (engine-identical in DuckDB via the md5-60 idiom). Round 15 raises
+  * it to REALISTIC cardinality with the two-tier skew a web corpus
+  * actually has: [[MegaSharePct]]% of documents land on one
+  * mega-domain per source (`source.big0` — the template-heavy hosts
+  * the cap policy exists for), the rest spread over
+  * [[SmallBuckets]] small buckets per source (`source.<h mod 29989>`;
+  * 29989 is prime, coprime with the 100 of the tier gate, so every
+  * bucket is reachable). That gives ~4.1k occupied domains at sf0.1,
+  * ~290k at the 100× ScaleSpot posture (a real corpus has 10⁵–10⁷
+  * hosts) with a power-law-ish size split: mega-domains hold ~20% of
+  * the corpus so per-domain caps BIND, small domains hold 1–3 docs so
+  * the rank window runs in the many-tiny-groups regime. Swapping in a
+  * real `parse_url(url, 'HOST')` key changes one line.
   *
   * Scale posture: every operator is one aggregation on the domain key
   * (domain count bounded by the key domain, never corpus rows); the cap
@@ -32,19 +41,30 @@ import graft.functions.TextFunctions._
   * salt-then-take-cap rewrite slots in without changing semantics. */
 object DomainOps {
 
-  /** Pseudo-domain fan-out per source — shared with the oracle SQL (the
+  /** Percent of documents routed to the per-source mega-domain; the
+    * rest spread over [[SmallBuckets]]. Shared with the oracle SQL (the
     * IvfOps.DefaultK shared-constant contract). */
-  val DomainBuckets = 4
+  val MegaSharePct = 20
 
-  /** Per-domain document cap for [[domainCaps]]. */
-  val CapDocs = 40
+  /** Small-domain fan-out per source — prime, coprime with the tier
+    * gate's 100 so h%100 and h%SmallBuckets are CRT-independent and
+    * every bucket is reachable. */
+  val SmallBuckets = 29989
 
-  /** The pseudo-domain key: `source.b` with b = md5-60("dom:" ++ doc_id)
-    * mod [[DomainBuckets]]. */
-  private[operators] def domainKey: org.apache.spark.sql.Column =
-    concat(col("source"), lit("."),
-      (md5Hash60(concat(lit("dom:"), col("doc_id").cast("string")))
-        % DomainBuckets).cast("string"))
+  /** Per-domain document cap for [[domainCaps]] — sized so mega-domains
+    * exceed it from sf0.01 up (both keep and drop branches exercised at
+    * every oracle SF; at sf0.1 the 20 megas each hold ~47–60 docs). */
+  val CapDocs = 3
+
+  /** The two-tier pseudo-domain key on h = md5-60("dom:" ++ doc_id):
+    * h%100 < [[MegaSharePct]] → `source.big0`, else
+    * `source.<h mod SmallBuckets>`. */
+  private[graft] def domainKey: org.apache.spark.sql.Column = {
+    val h = md5Hash60(concat(lit("dom:"), col("doc_id").cast("string")))
+    when(h % 100 < MegaSharePct, concat(col("source"), lit(".big0")))
+      .otherwise(concat(col("source"), lit("."),
+        (h % SmallBuckets).cast("string")))
+  }
 
   private def docsWithDomain(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -107,9 +127,9 @@ object DomainOps {
     * ships (exact bad hosts, wildcard subdomain families, TLD suffixes).
     * Shared with the oracle SQL. */
   val BlockRules: Seq[(Int, String, String)] = Seq(
-    (1, "exact", "src0.1"),
+    (1, "exact", "src2.big0"),
     (2, "prefix", "src3."),
-    (3, "suffix", ".2"))
+    (3, "suffix", "7"))
 
   /** q_domain_blocklist: apply the pattern blocklist and emit the audit a
     * curation run records — one row per rule (docs matched, token mass

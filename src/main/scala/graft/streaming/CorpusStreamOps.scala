@@ -119,6 +119,52 @@ object CorpusStreamOps {
       }
   }
 
+  /** One streamed document with its curation domain key. */
+  final case class DomainDoc(doc_id: Long, domain: String)
+  /** Irrevocable keep/drop verdict of the streaming domain cap. */
+  final case class DomainCapVerdict(doc_id: Long, domain: String,
+      keep: Boolean)
+
+  /** Streaming per-domain cap — the curation endgame's stateful policy
+    * (round-14 verdict ask #5): per-domain RUNNING kept-counts decide
+    * keep/drop irrevocably as documents arrive. This is the
+    * FIRST-ARRIVAL policy (a stream cannot honor the declared batch
+    * query's keep-longest rank without retractions), but the per-domain
+    * kept COUNT min(cap, n_docs) is policy-independent — exactly what
+    * StreamGate pins against the declared
+    * [[graft.operators.DomainOps.domainCaps]] audit, alongside bitwise
+    * verdict equality with the batch first-arrival replay.
+    *
+    * State per domain is ONE long (kept so far) — the smallest possible
+    * dedup-state instance, bounded by the domain keyspace (~10⁵–10⁷
+    * hosts on a real corpus; a few MB of longs), checkpointed and
+    * mergeable. Micro-batch rows process in doc_id order, so replays
+    * emit identical verdicts. */
+  def domainCapFlags(docs: DataFrame,
+      cap: Int = graft.operators.DomainOps.CapDocs)
+      : Dataset[DomainCapVerdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"),
+        graft.operators.DomainOps.domainKey.as("domain"))
+      .as[DomainDoc]
+      .groupByKey(_.domain)
+      .flatMapGroupsWithState[Long, DomainCapVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (domain: String, it: Iterator[DomainDoc], state: GroupState[Long]) =>
+          var kept = state.getOption.getOrElse(0L)
+          val out = List.newBuilder[DomainCapVerdict]
+          it.toList.sortBy(_.doc_id).foreach { d =>
+            val keep = kept < cap
+            if (keep) kept += 1
+            out += DomainCapVerdict(d.doc_id, domain, keep)
+          }
+          state.update(kept)
+          out.result().iterator
+      }
+  }
+
   /** Fold [[nearDupFlags]]' per-band verdicts into one per-doc verdict: a
     * doc is a near-dup iff ANY band flagged it; `dup_of` is the lowest
     * flagged partner. A plain batch aggregation, run on the sink output

@@ -64,12 +64,15 @@ class Round14OpsSpec extends SparkTestBase {
       .select(col("doc_id"), col("source"), col("n_chars")).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     val md = java.security.MessageDigest.getInstance("MD5")
-    def b(id: Long): Long = {
+    // r15 two-tier key replay: mega tier below MegaSharePct, else smalls
+    def b(id: Long, src: String): String = {
       val hex = md.digest(s"dom:$id".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(15)
-      java.lang.Long.parseLong(hex, 16) % DomainOps.DomainBuckets
+      val h = java.lang.Long.parseLong(hex, 16)
+      if (h % 100 < DomainOps.MegaSharePct) s"$src.big0"
+      else s"$src.${h % DomainOps.SmallBuckets}"
     }
-    val byDom = docs.groupBy { case (id, src, _) => s"$src.${b(id)}" }
+    val byDom = docs.groupBy { case (id, src, _) => b(id, src) }
     val (dom, members) = byDom.maxBy(_._2.length)
     val expectFirst = members.sortBy { case (id, _, n) => (-n, id) }
       .take(DomainOps.CapDocs).map(_._1).min
@@ -99,7 +102,9 @@ class Round14OpsSpec extends SparkTestBase {
     def dom(id: Long, src: String): String = {
       val hex = md.digest(s"dom:$id".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(15)
-      s"$src.${java.lang.Long.parseLong(hex, 16) % DomainOps.DomainBuckets}"
+      val h = java.lang.Long.parseLong(hex, 16)
+      if (h % 100 < DomainOps.MegaSharePct) s"$src.big0"
+      else s"$src.${h % DomainOps.SmallBuckets}"
     }
     def blocked(d: String) = DomainOps.BlockRules.exists {
       case (_, "exact", p)  => d == p
@@ -108,7 +113,7 @@ class Round14OpsSpec extends SparkTestBase {
     }
     val kept = docs.count { case (id, src) => !blocked(dom(id, src)) }
     assert(rows("__kept__") == kept, s"kept ${rows("__kept__")} != $kept")
-    assert(rows("exact:src0.1") > 0 && rows("suffix:.2") > 0,
+    assert(rows("exact:src2.big0") > 0 && rows("suffix:7") > 0,
       "blocklist rules must actually hit the fixture")
   }
 
@@ -274,6 +279,30 @@ class Round14OpsSpec extends SparkTestBase {
   }
 
   test("winsorizeApprox/madOutlierApprox: sketch cuts track the exact forms") {
+    // r15 (advisor): the old 1% RELATIVE bound on the winsorized mean
+    // assumed rank error maps to small value error (false on heavy
+    // tails) and degenerated at mean ≈ 0. The principled bound: each
+    // sketch cut's VALUE must land inside the exact-percentile band at
+    // rank q ± ε (ε = the merged GK contract, SketchRankEps, widened by
+    // one row for interpolation), and the winsorized-mean delta is then
+    // ≤ tail-mass × band width + 4-decimal rounding slack.
+    val li = graft.Tables.lineitem(spark, sf)
+    val n = li.count().toDouble
+    val eps = AnalyticsOps.SketchRankEps + 1.5 / n
+    def band(colName: String, q: Double, of: org.apache.spark.sql.DataFrame)
+        : (Double, Double) = {
+      val r = of.agg(expr(
+        s"percentile($colName, array(${q - eps}, ${q + eps}))")).collect()(0)
+      val s = r.getSeq[Double](0); (s(0), s(1))
+    }
+    val (lo1, lo2) = band("l_extendedprice", 0.05, li)
+    val (hi1, hi2) = band("l_extendedprice", 0.95, li)
+    val ab = li.agg(
+      expr("approx_percentile(l_extendedprice, 0.05, 10000)"),
+      expr("approx_percentile(l_extendedprice, 0.95, 10000)")).collect()(0)
+    val (loA, hiA) = (ab.getDouble(0), ab.getDouble(1))
+    assert(loA >= lo1 && loA <= lo2, s"lo cut $loA outside [$lo1,$lo2]")
+    assert(hiA >= hi1 && hiA <= hi2, s"hi cut $hiA outside [$hi1,$hi2]")
     val we = AnalyticsOps.winsorize(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
         r.getDouble(3)))).toMap
@@ -281,20 +310,30 @@ class Round14OpsSpec extends SparkTestBase {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
         r.getDouble(3)))).toMap
     assert(we.keySet == wa.keySet)
-    we.foreach { case (k, (n, raw, win)) =>
+    // clamp-bound shifts touch only the ~5% tail mass on each side
+    val meanTol = 0.06 * ((lo2 - lo1) + (hi2 - hi1)) + 2e-4
+    we.foreach { case (k, (nG, raw, win)) =>
       val (n2, raw2, win2) = wa(k)
-      assert(n == n2 && raw == raw2, s"$k exact columns must match")
-      // the winsorized mean moves by at most the sketch's rank error on
-      // the tail mass — generous 1% relative bound at default accuracy
-      assert(math.abs(win - win2) <= 0.01 * math.abs(win), s"$k $win vs $win2")
+      assert(nG == n2 && raw == raw2, s"$k exact columns must match")
+      assert(math.abs(win - win2) <= meanTol, s"$k $win vs $win2 tol $meanTol")
     }
+    // MAD: the sketch MAD's value must land in the exact-percentile
+    // band of the SAME adev distribution madOutlierApprox draws from
+    // (adev is defined by the sketch median)
+    val medA = li.agg(
+      expr("approx_percentile(l_extendedprice, 0.5, 10000)"))
+      .collect()(0).getDouble(0)
+    val dev = li.select(
+      abs(col("l_extendedprice") - lit(medA)).as("adev"))
+    val (mad1, mad2) = band("adev", 0.5, dev)
     val me = AnalyticsOps.madOutlier(spark, sf).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toSeq
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
     val ma = AnalyticsOps.madOutlierApprox(spark, sf).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toSeq
-    assert(me.map(t => (t._1, t._2)) == ma.map(t => (t._1, t._2)))
-    me.zip(ma).foreach { case ((k, _, m1), (_, _, m2)) =>
-      assert(math.abs(m1 - m2) <= 0.01 * math.abs(m1), s"$k mad $m1 vs $m2")
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(4))).toSeq
+    assert(me == ma.map(t => (t._1, t._2)))
+    ma.foreach { case (k, _, m) =>
+      assert(m >= mad1 - 1e-4 && m <= mad2 + 1e-4,
+        s"$k mad $m outside rank band [$mad1,$mad2]")
     }
   }
 
