@@ -169,7 +169,14 @@ object ScaleSpot {
     // r13 verdict "what's wrong #2": the third post-SessionCache trigram
     // consumer — kappa and lang_trigram are above; mcnemar joins so all
     // three can be re-spotted against the plan that actually executes
-    "q_mcnemar")
+    "q_mcnemar",
+    // round-15: the realistic-cardinality domain layer — caps' rank
+    // window now runs over ~30k (10×) → ~290k (100×) mostly-tiny
+    // domains (the many-small-groups spill regime the r14 verdict asked
+    // to measure) while the per-source mega-domains keep the cap
+    // binding; mix and the Theil rollup stress the same high-cardinality
+    // partial-agg keyspace
+    "q_theil_index")
   val Scales = Seq(10, 100)
 
   def outDir(copies: Int) = s"/tmp/graft_spot_${copies}x"

@@ -541,6 +541,13 @@ object SparkEntry {
     "q_periodogram"    -> (SeriesOps.periodogram _),
     // Durbin-Watson serial correlation of daily trend residuals
     "q_durbin_watson"  -> (SeriesOps.durbinWatson _),
+    // round 15: spectrum/change-point/dependence screens + domain inequality
+    "q_spectral_entropy" -> (SeriesOps.spectralEntropy _),
+    "q_pettitt"        -> (SeriesOps.pettitt _),
+    "q_cross_corr"     -> (SeriesOps.crossCorr _),
+    "q_xi_corr"        -> (StatOps.xiCorr _),
+    "q_wilcoxon_signed" -> (StatOps.wilcoxonSigned _),
+    "q_theil_index"    -> (DomainOps.theilIndex _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -5849,6 +5856,105 @@ object SparkEntry {
         "SELECT CAST(max(n) AS BIGINT) AS n_days, " +
         r4("sum(de * de) / sum(e * e)") + " AS dw " +
         "FROM w"
+    },
+    "q_spectral_entropy" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      val ang = "(2.0 * pi()) * ((CAST(k AS DOUBLE) * t) / nd)"
+      "WITH hh AS (SELECT date_trunc('hour', ts) AS hr, CAST(count(*) AS DOUBLE) AS x FROM events GROUP BY 1), " +
+        "mu AS (SELECT avg(x) AS m, count(*) AS n FROM hh), " +
+        "t0 AS (SELECT x - m AS d, CAST(row_number() OVER (ORDER BY hr) - 1 AS DOUBLE) AS t, " +
+        "CAST(n AS DOUBLE) AS nd FROM hh CROSS JOIN mu), " +
+        s"e AS (SELECT d, t, nd, unnest(generate_series(1, ${operators.SeriesOps.PeriodogramK})) AS k FROM t0), " +
+        s"a AS (SELECT k, max(nd) AS nd, sum(d * cos($ang)) AS c, sum(d * sin($ang)) AS s FROM e GROUP BY k), " +
+        "pg AS (SELECT k, " + r4("nd / k") + " AS period_hours, " +
+        r4("(c * c + s * s) * 2.0 / nd") + " AS power FROM a), " +
+        "tot AS (SELECT sum(power) AS tot, CAST(count(*) AS DOUBLE) AS kk FROM pg), " +
+        "sh AS (SELECT k, power, kk, power / tot AS p FROM pg CROSS JOIN tot), " +
+        "dom AS (SELECT k AS k_dominant, period_hours AS dominant_period_hours FROM pg ORDER BY power DESC, k LIMIT 1), " +
+        "ent AS (SELECT max(kk) AS kk, sum(CASE WHEN p > 0 THEN -p * ln(p) ELSE 0.0 END) AS h, " +
+        "sum(CASE WHEN p > 0 THEN ln(p) ELSE 0.0 END) AS sum_ln, avg(p) AS mean_p FROM sh) " +
+        "SELECT CAST(kk AS INTEGER) AS n_harmonics, CAST(k_dominant AS INTEGER) AS k_dominant, " +
+        "dominant_period_hours, " + r4("h") + " AS entropy, " +
+        r4("h / ln(kk)") + " AS entropy_norm, " +
+        r4("exp(sum_ln / kk) / mean_p") + " AS flatness " +
+        "FROM ent CROSS JOIN dom"
+    },
+    "q_pettitt" -> {
+      def r6(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 6) AS DOUBLE)"
+      "WITH d AS (SELECT CAST(ts AS DATE) AS day, round(sum(value), 4) AS y FROM events GROUP BY 1), " +
+        "rk AS (SELECT day, y, rank() OVER (ORDER BY y) AS r_min, " +
+        "count(*) OVER (PARTITION BY y) AS ties, count(*) OVER () AS n FROM d), " +
+        "r2 AS (SELECT day, n, r_min + CAST(ties - 1 AS DOUBLE) / 2.0 AS r, " +
+        "row_number() OVER (ORDER BY day) AS t FROM rk), " +
+        "c AS (SELECT day, n, t, sum(r) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_r FROM r2), " +
+        "u AS (SELECT day, n, 2.0 * cum_r - CAST(t AS DOUBLE) * (n + 1) AS u_t FROM c WHERE t < n) " +
+        "SELECT CAST(n AS BIGINT) AS n_days, CAST(abs(u_t) AS BIGINT) AS k_stat, day AS change_day, " +
+        r6("least(1.0, 2.0 * exp(-6.0 * u_t * u_t / (pow(CAST(n AS DOUBLE), 3.0) + CAST(n AS DOUBLE) * n)))") + " AS p_approx " +
+        "FROM u ORDER BY abs(u_t) DESC, day LIMIT 1"
+    },
+    "q_cross_corr" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x, round(sum(value), 4) AS y FROM events GROUP BY 1), " +
+        "idx AS (SELECT day, x, y, row_number() OVER (ORDER BY day) AS t FROM d), " +
+        "m AS (SELECT avg(x) AS mx, avg(y) AS my, sum(x * x) AS sxx, sum(x) AS sx, " +
+        "sum(y * y) AS syy, sum(y) AS sy FROM idx), " +
+        "mm AS (SELECT mx, my, sqrt((sxx - sx * mx) * (syy - sy * my)) AS dn FROM m), " +
+        s"l AS (SELECT t AS ta, x, unnest(generate_series(-${operators.SeriesOps.CcfMaxLag}, ${operators.SeriesOps.CcfMaxLag})) AS lag FROM idx), " +
+        "p AS (SELECT l.lag, l.x, b.y FROM l JOIN idx b ON b.t = l.ta + l.lag) " +
+        "SELECT CAST(lag AS INTEGER) AS lag, CAST(count(*) AS BIGINT) AS n_pairs, " +
+        r4("sum((x - mx) * (y - my)) / max(dn)") + " AS ccf " +
+        "FROM p CROSS JOIN mm GROUP BY lag ORDER BY lag"
+    },
+    "q_xi_corr" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      def dirSql(xc: String, yc: String, label: String) =
+        s"SELECT '$label' AS direction, CAST(max(n) AS BIGINT) AS n_days, " +
+          r4(s"CASE WHEN sum(l * (n - l)) > 0 THEN 1.0 - max(n) * sum(dr) / (2.0 * sum(l * (n - l))) END") + " AS xi " +
+          "FROM (SELECT n, l, abs(r - lag(r, 1) OVER (ORDER BY xv, day)) AS dr " +
+          s"FROM (SELECT day, $xc AS xv, " +
+          s"CAST(count(*) OVER (ORDER BY $yc RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS r, " +
+          s"CAST(count(*) OVER (ORDER BY $yc DESC RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS l, " +
+          "CAST(count(*) OVER () AS DOUBLE) AS n FROM d))"
+      "WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x, round(sum(value), 4) AS y FROM events GROUP BY 1) " +
+        "SELECT * FROM (" + dirSql("x", "y", "volume_to_revenue") +
+        " UNION ALL " + dirSql("y", "x", "revenue_to_volume") +
+        ") ORDER BY direction"
+    },
+    "q_wilcoxon_signed" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      def r6(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 6) AS DOUBLE)"
+      "WITH d AS (SELECT CAST(ts AS DATE) AS day, " +
+        "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks, " +
+        "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views FROM events GROUP BY 1), " +
+        "dd AS (SELECT clicks - views AS diff, abs(clicks - views) AS ad FROM d WHERE clicks - views <> 0), " +
+        "rk AS (SELECT diff, ad, rank() OVER (ORDER BY ad) AS r_min, " +
+        "count(*) OVER (PARTITION BY ad) AS t_sz, CAST(count(*) OVER () AS DOUBLE) AS n FROM dd), " +
+        "r2 AS (SELECT diff, r_min + CAST(t_sz - 1 AS DOUBLE) / 2.0 AS r, n FROM rk), " +
+        "ties AS (SELECT coalesce(CAST(sum(t_sz * t_sz * t_sz - t_sz) AS DOUBLE), 0.0) AS tie_corr " +
+        "FROM (SELECT DISTINCT ad, t_sz FROM rk)), " +
+        "ag AS (SELECT max(n) AS n, sum(CASE WHEN diff > 0 THEN r ELSE 0.0 END) AS w_plus FROM r2), " +
+        "zz AS (SELECT n, w_plus, " +
+        "sqrt(n * (n + 1) * (2.0 * n + 1) / 24.0 - tie_corr / 48.0) AS sig, " +
+        "(w_plus - n * (n + 1) / 4.0) / sqrt(n * (n + 1) * (2.0 * n + 1) / 24.0 - tie_corr / 48.0) AS z " +
+        "FROM ag CROSS JOIN ties), " +
+        s"x AS (SELECT n, w_plus, sig, z, abs(z) * ${operators.InferenceOps.InvSqrt2} AS xx FROM zz), " +
+        "tt AS (SELECT n, w_plus, sig, z, xx, 1.0 / (1.0 + 0.3275911 * xx) AS t FROM x) " +
+        "SELECT CAST(n AS BIGINT) AS n_pairs, " + r4("w_plus") + " AS w_plus, " +
+        r4("CASE WHEN sig > 0 THEN z END") + " AS z, " +
+        r6("CASE WHEN sig > 0 THEN ((((1.061405429 * t + -1.453152027) * t + 1.421413741) * t + -0.284496736) * t + 0.254829592) * t * exp(-(xx * xx)) END") + " AS p " +
+        "FROM tt"
+    },
+    "q_theil_index" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      val ratio = "(CAST(x AS DOUBLE) / (s / nd))"
+      s"WITH d AS ($domainDocsSql), " +
+        "per AS (SELECT domain, CAST(sum(n_toks) AS BIGINT) AS x FROM d GROUP BY domain HAVING sum(n_toks) > 0), " +
+        "tot AS (SELECT CAST(count(*) AS DOUBLE) AS nd, CAST(sum(x) AS DOUBLE) AS s, CAST(max(x) AS DOUBLE) AS xmax FROM per) " +
+        "SELECT CAST(max(nd) AS BIGINT) AS n_domains, CAST(max(s) AS BIGINT) AS total_tokens, " +
+        r4(s"sum($ratio * ln$ratio) / max(nd)") + " AS theil_t, " +
+        r4(s"sum(-ln$ratio) / max(nd)") + " AS theil_l, " +
+        r4("max(xmax) / max(s)") + " AS top_share " +
+        "FROM per CROSS JOIN tot"
     },
   )
 

@@ -339,7 +339,8 @@ object StreamGate {
       land(d2.filter(col("doc_id") < 250), in, "001.parquet")
       land(d2.filter(col("doc_id") >= 250), in, "002.parquet")
       val got = drain(graft.streaming.CorpusStreamOps.domainCapFlags(
-        fileStream(spark, in.toString, d2.schema)), "g_domcap", "append")
+        fileStream(spark, in.toString, d2.schema)).toDF(),
+        "g_domcap", "append")
         .collect()
         .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
       import org.apache.spark.sql.expressions.Window

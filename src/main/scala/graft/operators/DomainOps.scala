@@ -171,6 +171,39 @@ object DomainOps {
       .orderBy(col("rule_id"))
   }
 
+  /** q_theil_index: Theil inequality indices of the token mass across
+    * domains — the one-number "how concentrated is the corpus on few
+    * hosts" screens read before tuning [[domainCaps]]/[[domainMix]]
+    * (and the decomposable cousins of q_gini): with x_d = domain token
+    * mass and μ the mean, Theil T = (1/N)·Σ (x/μ)·ln(x/μ) (top-heavy
+    * sensitive) and Theil L = (1/N)·Σ ln(μ/x) (bottom-heavy sensitive,
+    * the mean log deviation), plus the largest domain's share. Both are
+    * 0 at perfect equality and grow with concentration; under the
+    * two-tier key the mega-domains carry ~20% of mass over ~1/200th of
+    * the domains, so the indices sit far from 0 — the realistic web
+    * shape. One aggregation over the domain key (bounded), a 1-row
+    * broadcast of the totals, one ln-sum rollup. */
+  def theilIndex(spark: SparkSession, dir: String): DataFrame = {
+    val per = docsWithDomain(spark, dir)
+      .groupBy(col("domain"))
+      .agg(sum(col("n_toks")).cast("bigint").as("x"))
+      .filter(col("x") > 0)
+    val tot = per.agg(count(lit(1)).cast("double").as("nd"),
+      sum(col("x")).cast("double").as("s"),
+      max(col("x")).cast("double").as("xmax"))
+    val ratio = col("x").cast("double") / (col("s") / col("nd"))
+    per.crossJoin(broadcast(tot))
+      .agg(max(col("nd")).as("nd"), max(col("s")).as("s"),
+        max(col("xmax")).as("xmax"),
+        sum(ratio * log(ratio)).as("t_sum"),
+        sum(-log(ratio)).as("l_sum"))
+      .select(col("nd").cast("bigint").as("n_domains"),
+        col("s").cast("bigint").as("total_tokens"),
+        stableRound4(col("t_sum") / col("nd")).as("theil_t"),
+        stableRound4(col("l_sum") / col("nd")).as("theil_l"),
+        stableRound4(col("xmax") / col("s")).as("top_share"))
+  }
+
   /** q_curriculum: curriculum-ordering stages — bucket the corpus into
     * four difficulty quartiles by a deterministic progress score
     * (characters per token ×1000 in exact integer arithmetic:

@@ -31,7 +31,7 @@ object InferenceOps {
   /** Abramowitz–Stegun 7.1.26 erfc approximation (|error| < 1.5e-7 —
     * far inside the stable-rounding barrier), evaluated in Horner form
     * with the SAME association order as the oracle SQL. x must be ≥ 0. */
-  private def erfcAS(x: Column): Column = {
+  private[operators] def erfcAS(x: Column): Column = {
     val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
     val poly = ((((lit(1.061405429) * t + lit(-1.453152027)) * t
       + lit(1.421413741)) * t + lit(-0.284496736)) * t

@@ -157,6 +157,130 @@ object SeriesOps {
       .orderBy(col("k"))
   }
 
+  /** q_spectral_entropy: Shannon entropy of the normalized periodogram —
+    * the one-number "how concentrated is the spectrum" screen read with
+    * [[periodogram]]: H = −Σ p_k ln p_k over the K normalized powers
+    * (low H = one dominant cycle, H near ln K = white-noise-flat), plus
+    * the normalized H/ln K, the spectral flatness (geometric/arithmetic
+    * power mean — the audio-DSP tonality coefficient), and the dominant
+    * harmonic. Builds on the DECLARED periodogram output (powers already
+    * stable-rounded, so the cross-engine float chain starts from
+    * identical doubles); everything after is scalar algebra on K rows.
+    * Scale: the periodogram's one |hours|·K aggregation dominates. */
+  def spectralEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val pg = periodogram(spark, dir)
+    val tot = pg.agg(sum(col("power")).as("tot"),
+      count(lit(1)).cast("double").as("kk"))
+    val shares = pg.crossJoin(broadcast(tot))
+      .select(col("k"), col("power"), col("kk"),
+        (col("power") / col("tot")).as("p"))
+    val wDom = Window.orderBy(col("power").desc, col("k"))
+    val dom = pg.withColumn("rn", row_number().over(wDom))
+      .filter(col("rn") === 1)
+      .select(col("k").as("k_dominant"),
+        col("period_hours").as("dominant_period_hours"))
+    val ent = shares.agg(
+      max(col("kk")).as("kk"),
+      sum(when(col("p") > 0, -col("p") * log(col("p")))
+        .otherwise(lit(0.0))).as("h"),
+      sum(when(col("p") > 0, log(col("p"))).otherwise(lit(0.0)))
+        .as("sum_ln"),
+      avg(col("p")).as("mean_p"))
+    ent.crossJoin(dom)
+      .select(col("kk").cast("int").as("n_harmonics"),
+        col("k_dominant"), col("dominant_period_hours"),
+        stableRound4(col("h")).as("entropy"),
+        stableRound4(col("h") / log(col("kk"))).as("entropy_norm"),
+        stableRound4(exp(col("sum_ln") / col("kk")) / col("mean_p"))
+          .as("flatness"))
+  }
+
+  /** q_pettitt: the Pettitt change-point test on the daily-revenue
+    * series — the rank-based (outlier-robust) answer to "did the level
+    * shift, and WHEN", vs [[EventOps.changepoint]]'s variance-reduction
+    * split: U_t = 2·Σ_{i≤t} r_i − t(n+1) with midranks (the O(n) rank
+    * identity for Σ_{i≤t,j>t} sgn(x_i−x_j) with sgn-ties zeroed),
+    * K = max_t |U_t| over the interior split points, and the standard
+    * approximation p ≈ 2·exp(−6K²/(n³+n²)). Midranks are rationals of
+    * halves (exact doubles) over the ROUNDED daily sums, so the rank
+    * structure — and therefore K and the argmax day — is engine-exact;
+    * only the final exp rides float, from an identical argument.
+    * Scale shape: one daily aggregation, then rank + prefix windows on
+    * the |days|-bounded frame. */
+  def pettitt(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")), 4).as("y"))
+    val wRank = Window.orderBy(col("y"))
+    val wTies = Window.partitionBy(col("y"))
+    val ranked = d
+      .withColumn("r_min", rank().over(wRank))
+      .withColumn("ties", count(lit(1)).over(wTies))
+      .withColumn("r",
+        col("r_min") + (col("ties") - 1).cast("double") / 2.0)
+    val wDay = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val u = ranked
+      .withColumn("t", row_number().over(Window.orderBy(col("day"))))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("cum_r", sum(col("r")).over(wDay))
+      .filter(col("t") < col("n"))
+      .select(col("day"), col("n"),
+        (lit(2.0) * col("cum_r")
+          - col("t").cast("double") * (col("n") + 1)).as("u_t"))
+    val wK = Window.orderBy(abs(col("u_t")).desc, col("day"))
+    u.withColumn("rn", row_number().over(wK))
+      .filter(col("rn") === 1)
+      .select(col("n").cast("bigint").as("n_days"),
+        abs(col("u_t")).cast("bigint").as("k_stat"),
+        col("day").as("change_day"),
+        round(least(lit(1.0),
+          lit(2.0) * exp(lit(-6.0) * col("u_t") * col("u_t")
+            / (pow(col("n").cast("double"), 3.0)
+              + col("n").cast("double") * col("n"))))
+          .cast("decimal(20,8)"), 6).cast("double").as("p_approx"))
+  }
+
+  /** Max lag (each direction) for [[crossCorr]] — shared with the
+    * oracle SQL. */
+  val CcfMaxLag = 7
+
+  /** q_cross_corr: the sample cross-correlation function between daily
+    * event volume (x) and daily revenue (y) at lags −K..K — the
+    * lead/lag screen read before [[StatOps.granger]]'s single-lag F
+    * test: r(k) = Σ_t (x_t − x̄)(y_{t+k} − ȳ) / √(Σ(x−x̄)² · Σ(y−ȳ)²),
+    * full-series means and the lag-independent denominator (the
+    * standard biased CCF estimator, so |r| comparisons across lags are
+    * apples-to-apples). Negative lags answer "does y lead x".
+    * Scale shape: one daily aggregation; the lag pairing is a
+    * (2K+1)-fanout self-join of the |days|-bounded frame. */
+  def crossCorr(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("x"),
+        round(sum(col("value")), 4).as("y"))
+    val idx = Materialize(d
+      .withColumn("t", row_number().over(Window.orderBy(col("day")))))
+    val m = idx.agg(avg(col("x")).as("mx"), avg(col("y")).as("my"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x")).as("sx"),
+      sum(col("y") * col("y")).as("syy"), sum(col("y")).as("sy"),
+      count(lit(1)).cast("double").as("n"))
+    val denom = sqrt((col("sxx") - col("sx") * col("mx"))
+      * (col("syy") - col("sy") * col("my")))
+    val lags = idx.select(col("t").as("ta"), col("x"))
+      .withColumn("lag", explode(sequence(lit(-CcfMaxLag), lit(CcfMaxLag))))
+    val pairs = lags.join(
+      idx.select(col("t").as("tb"), col("y")),
+      col("tb") === col("ta") + col("lag"))
+    pairs.crossJoin(broadcast(m.select(col("mx"), col("my"), denom.as("dn"))))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+        stableRound4(sum((col("x") - col("mx")) * (col("y") - col("my")))
+          / max(col("dn"))).as("ccf"))
+      .orderBy(col("lag"))
+  }
+
   /** q_durbin_watson: the Durbin–Watson serial-correlation statistic on
     * the residuals of the daily-revenue linear trend fit — DW =
     * Σ(e_t − e_{t−1})² / Σe_t², the "is the trend fit hiding

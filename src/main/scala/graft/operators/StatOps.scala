@@ -1397,4 +1397,99 @@ object StatOps {
             / (col("bigA") - col("n") * col("k") * (col("k") + 1)
               * (col("k") + 1) / 4.0)))).as("friedman_chi2"))
   }
+
+  /** q_xi_corr: Chatterjee's rank correlation ξ (Chatterjee 2020, JASA
+    * 116:2009–2022) between daily event volume and daily revenue, BOTH
+    * directions — ξ is deliberately ASYMMETRIC: ξ(x→y) ≈ 1 when y is
+    * any measurable function of x (not just monotone, where
+    * [[spearman]]/Kendall saturate) and ≈ 0 under independence. The
+    * general ties formula: order the pairs by (x, day) — day is the
+    * deterministic tie-break the paper's random ordering becomes under
+    * a fixed seedless contract — with r_i = #{j: y_j ≤ y_i},
+    * l_i = #{j: y_j ≥ y_i}; ξ = 1 − n·Σ_{i<n}|r_{i+1} − r_i| /
+    * (2·Σ l_i(n − l_i)). Every term is an integer count (RANGE-frame
+    * windows over the rounded daily values), so ξ is exact rational
+    * arithmetic until the final division — bit-identical across
+    * engines. Scale shape: one daily aggregation, then rank/lag
+    * windows on the |days|-bounded frame. */
+  def xiCorr(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("x"),
+        round(sum(col("value")), 4).as("y"))
+    def xiOf(xc: String, yc: String, label: String): DataFrame = {
+      val wLe = Window.orderBy(col("yv"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val wGe = Window.orderBy(col("yv").desc)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val wX = Window.orderBy(col("xv"), col("day"))
+      val wAll = Window.partitionBy()
+      d.select(col("day"), col(xc).as("xv"), col(yc).as("yv"))
+        .withColumn("r", count(lit(1)).over(wLe).cast("double"))
+        .withColumn("l", count(lit(1)).over(wGe).cast("double"))
+        .withColumn("n", count(lit(1)).over(wAll).cast("double"))
+        .withColumn("dr", abs(col("r") - lag(col("r"), 1).over(wX)))
+        .agg(max(col("n")).as("n"),
+          sum(col("dr")).as("sum_dr"),
+          sum(col("l") * (col("n") - col("l"))).as("denom"))
+        .select(lit(label).as("direction"),
+          col("n").cast("bigint").as("n_days"),
+          stableRound4(when(col("denom") > 0,
+            lit(1.0) - col("n") * col("sum_dr")
+              / (lit(2.0) * col("denom")))).as("xi"))
+    }
+    xiOf("x", "y", "volume_to_revenue")
+      .unionAll(xiOf("y", "x", "revenue_to_volume"))
+      .orderBy(col("direction"))
+  }
+
+  /** q_wilcoxon_signed: the Wilcoxon signed-rank test on paired daily
+    * (click, view) counts — the nonparametric paired companion to
+    * [[mannwhitney]]'s independent two-sample rank-sum: d_i = clicks −
+    * views per day, zeros dropped (the standard Wilcoxon reduction),
+    * |d| midranked (integer |d| → midranks exact halves), W⁺ = Σ ranks
+    * over d > 0, and the tie-corrected normal approximation z =
+    * (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − Σ(t³−t)/48),
+    * p = erfc(|z|/√2) two-sided via the shared A&S 7.1.26 chain
+    * ([[InferenceOps.erfcAS]] — identical Horner literals both
+    * engines). All rank arithmetic is integer-exact; only z/p ride
+    * float, from identical inputs. Scale shape: one conditional daily
+    * aggregation, rank + tie windows on the |days|-bounded frame. */
+  def wilcoxonSigned(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("clicks"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("views"))
+      .select((col("clicks") - col("views")).as("diff"))
+      .filter(col("diff") =!= 0)
+      .withColumn("ad", abs(col("diff")))
+    val wRank = Window.orderBy(col("ad"))
+    val wTie = Window.partitionBy(col("ad"))
+    val wAll = Window.partitionBy()
+    val ranked = d
+      .withColumn("r_min", rank().over(wRank))
+      .withColumn("t_sz", count(lit(1)).over(wTie))
+      .withColumn("r",
+        col("r_min") + (col("t_sz") - 1).cast("double") / 2.0)
+      .withColumn("n", count(lit(1)).over(wAll).cast("double"))
+    val ties = ranked.select(col("ad"), col("t_sz")).distinct()
+      .agg(coalesce(sum(col("t_sz") * col("t_sz") * col("t_sz")
+        - col("t_sz")), lit(0L)).cast("double").as("tie_corr"))
+    val agg = ranked.agg(max(col("n")).as("n"),
+      sum(when(col("diff") > 0, col("r")).otherwise(lit(0.0)))
+        .as("w_plus"))
+    val mu = col("n") * (col("n") + 1) / 4.0
+    val sig = sqrt(col("n") * (col("n") + 1)
+      * (lit(2.0) * col("n") + 1) / 24.0 - col("tie_corr") / 48.0)
+    val z = (col("w_plus") - mu) / sig
+    agg.crossJoin(broadcast(ties))
+      .select(col("n").cast("bigint").as("n_pairs"),
+        stableRound4(col("w_plus")).as("w_plus"),
+        stableRound4(when(sig > 0, z)).as("z"),
+        round(when(sig > 0,
+          InferenceOps.erfcAS(abs(z) * InferenceOps.InvSqrt2))
+          .cast("decimal(20,8)"), 6).cast("double").as("p"))
+  }
 }
