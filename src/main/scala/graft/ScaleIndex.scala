@@ -54,7 +54,11 @@ object ScaleIndex {
     "q_edit_distance" -> "1.93 (r6, CONTRAST DIAL)",
     "q_edit_distance_blocked" -> "1.02 (r6)",
     "q_embed_pca" -> "0.73 (r7)",
-    "q_entity_match" -> "1.14 (r5)",
+    "q_entity_match" -> "1.35 (r15, CONTRAST DIAL; was 1.14 r5)",
+    "q_entity_match_capped" -> "0.92 (r15)",
+    "q_domain_caps" -> "0.10 (r15, 292k domains)",
+    "q_domain_mix" -> "0.15 (r15, 292k domains)",
+    "q_theil_index" -> "0.05 (r15)",
     "q_event_lag" -> "0.24 (r7)",
     "q_event_paths" -> "0.53 (r6)",
     "q_fuzzy_jw" -> "~1.9 (r6 family: q_edit_distance's 2-char blocking, CONTRAST DIAL)",

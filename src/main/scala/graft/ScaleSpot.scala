@@ -176,7 +176,11 @@ object ScaleSpot {
     // to measure) while the per-source mega-domains keep the cap
     // binding; mix and the Theil rollup stress the same high-cardinality
     // partial-agg keyspace
-    "q_theil_index")
+    "q_theil_index",
+    // r15 entity-resolution primary: per-block candidate cap makes pair
+    // volume linear in |blocks|; spot proves the dial against the
+    // uncapped e=1.35 contrast
+    "q_entity_match_capped")
   val Scales = Seq(10, 100)
 
   def outDir(copies: Int) = s"/tmp/graft_spot_${copies}x"

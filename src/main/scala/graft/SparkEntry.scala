@@ -291,6 +291,9 @@ object SparkEntry {
     // oracle-checked (recursive-CTE transitive closure); DedupSpec pins
     // clusters to a driver union-find over the same scored edges
     "q_entity_match"   -> ((s, d) => DedupOps.entityMatch(s, d)),
+    // CONTRAST DIAL (r15 re-spot e=1.35): uncapped block join; the capped
+    // form below is the declared 100 TB primary.
+    "q_entity_match_capped" -> ((s, d) => DedupOps.entityMatchCapped(s, d)),
     "q_debounce"       -> ((s, d) => EventOps.debounce(s, d)),
     // oracle-checked: the declared 2^15 map provably never purges at
     // shipped SFs, so heavy hitters equal the exact frequency table;
@@ -3757,6 +3760,23 @@ object SparkEntry {
     // jaro_winkler_similarity), and the connected-components min-label
     // fixpoint equals MIN(r) over the transitive closure computed by a
     // recursive CTE (UNION dedup terminates it)
+    "q_entity_match_capped" ->
+      ("WITH RECURSIVE p0 AS (SELECT doc_id, substr(lower(text), 1, 16) AS name, " +
+        "substr(lower(text), 1, 8) AS blk FROM documents), " +
+        "p AS (SELECT doc_id, name, blk FROM (SELECT doc_id, name, blk, " +
+        "row_number() OVER (PARTITION BY blk ORDER BY doc_id) AS rn FROM p0) " +
+        s"WHERE rn <= ${operators.DedupOps.EntityBlockCap}), " +
+        "e AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM p a " +
+        "JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
+        "WHERE jaro_winkler_similarity(a.name, b.name) >= 0.92), " +
+        "und AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e), " +
+        "reach AS (SELECT src AS node, src AS r FROM und " +
+        "UNION SELECT reach.node, u.dst FROM reach JOIN und u ON reach.r = u.src), " +
+        "comp AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node) " +
+        "SELECT comp AS entity_id, COUNT(*) AS n_members, " +
+        "string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members " +
+        "FROM comp GROUP BY comp HAVING COUNT(*) >= 2 " +
+        "ORDER BY n_members DESC, entity_id LIMIT 20"),
     "q_entity_match" ->
       ("WITH RECURSIVE p AS (SELECT doc_id, substr(lower(text), 1, 16) AS name, " +
         "substr(lower(text), 1, 8) AS blk FROM documents), " +

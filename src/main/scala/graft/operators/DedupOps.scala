@@ -1375,13 +1375,65 @@ object DedupOps {
     * bit-identical to DuckDB's `jaro_winkler_similarity`, so the edge set
     * is plain SQL, and the CC min-label fixpoint equals `min(r)` over the
     * transitive closure of a recursive CTE; DedupSpec additionally pins
-    * clusters to a driver union-find on the same scored edges. */
+    * clusters to a driver union-find on the same scored edges.
+    *
+    * ROUND-15 MEASUREMENT (fresh ScaleSpot on the current corpus): the
+    * uncapped block join re-spots at e = 1.35 (2.16 → 48.3 s warm,
+    * 10×→100×; candidate pairs 2.14M → 33.5M) — block sizes grow with
+    * the data on this prefix key, so this form is the declared
+    * CONTRAST DIAL; [[entityMatchCapped]] (q_entity_match_capped) is
+    * the 100 TB PRIMARY with the per-block candidate cap. */
   def entityMatch(spark: SparkSession, dir: String, thr: Double = 0.92,
       blockChars: Int = 8, k: Int = 20): DataFrame = {
     val recs = Tables.documents(spark, dir)
       .select(col("doc_id"),
         substring(lower(col("text")), 1, 16).as("name"),
         substring(lower(col("text")), 1, blockChars).as("blk"))
+    val edges = recs.as("a").join(recs.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .filter(jaroWinkler(col("a.name"), col("b.name")) >= thr)
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+    connectedComponents(edges)
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_members"),
+        sort_array(collect_list(col("node"))).as("members"))
+      .filter(col("n_members") >= 2)
+      .select(col("comp").as("entity_id"), col("n_members"),
+        concat_ws(",", col("members").cast("array<string>")).as("members"))
+      .orderBy(col("n_members").desc, col("entity_id"))
+      .limit(k)
+  }
+
+  /** Per-block candidate cap for [[entityMatchCapped]] — shared with the
+    * oracle SQL. */
+  val EntityBlockCap = 64
+
+  /** q_entity_match_capped — the declared 100 TB PRIMARY of the
+    * entity-resolution family (round 15; [[entityMatch]] stays as the
+    * measured CONTRAST DIAL, e = 1.35). Standard record-linkage block
+    * capping: within each block only the first [[EntityBlockCap]]
+    * records (doc_id order — deterministic) enter the pair join, so
+    * per-block candidates are ≤ cap²/2 and the total pair volume is
+    * LINEAR in the number of blocks (which grows with the data) instead
+    * of quadratic in block size. An oversized block on a real corpus is
+    * a too-generic key ("john smith…"), and production linkage skips or
+    * caps it and recovers recall by unioning other blocking passes —
+    * the same df-cap philosophy as q_dedup_ngram_capped's shingle cap.
+    * The rank window runs per block key (parallel, bounded state after
+    * WindowGroupLimit pushdown); everything downstream is
+    * [[entityMatch]] unchanged. */
+  def entityMatchCapped(spark: SparkSession, dir: String,
+      thr: Double = 0.92, blockChars: Int = 8, k: Int = 20,
+      cap: Int = EntityBlockCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+    val recs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        substring(lower(col("text")), 1, 16).as("name"),
+        substring(lower(col("text")), 1, blockChars).as("blk"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .drop("rn")
     val edges = recs.as("a").join(recs.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
       .filter(jaroWinkler(col("a.name"), col("b.name")) >= thr)
