@@ -362,6 +362,46 @@ object StreamGate {
         got.toSet == replay.toSet && streamKept == declaredKept && anyDrop)
     }
 
+    run("domain_caps_production_sink") {
+      // the PRODUCTION shape of the cap (round 15): payload rides the
+      // stateful operator, only survivors reach the parquet sink. Pins
+      // (a) the survivor doc_id set == the batch first-arrival replay's
+      // keeps, (b) payload integrity — every sunk row's (source, text)
+      // is bitwise the fixture's row for that doc_id, and (c) per-domain
+      // survivor counts == the DECLARED q_domain_caps audit's n_kept.
+      val base = Files.createTempDirectory("graft-gate-domprod")
+      val in = Files.createDirectories(base.resolve("in"))
+      val out = base.resolve("out").toString
+      val cp = base.resolve("cp").toString
+      val d3 = docs.select("doc_id", "source", "text")
+      land(d3.filter(col("doc_id") < 250), in, "001.parquet")
+      land(d3.filter(col("doc_id") >= 250), in, "002.parquet")
+      val q = CorpusStreamOps.startDomainCapStream(spark, in.toString,
+        d3.schema, out, cp)
+      q.processAllAvailable(); q.stop()
+      val sunk = spark.read.parquet(out)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("domain")).orderBy(col("doc_id"))
+      val replayKeeps = d3
+        .select(col("doc_id"),
+          graft.operators.DomainOps.domainKey.as("domain"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= graft.operators.DomainOps.CapDocs)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val sunkIds = sunk.select("doc_id").collect().map(_.getLong(0)).toSet
+      // payload integrity: anti-join survivors against the fixture on
+      // ALL of (doc_id, source, text) — zero rows means bitwise intact
+      val corrupted = sunk.select("doc_id", "source", "text")
+        .exceptAll(d3).count()
+      val sunkPerDomain = sunk.groupBy(col("domain")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val declaredKept2 = graft.operators.DomainOps.domainCaps(spark, sfDir)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      Check(sunkIds.size.toLong, replayKeeps.size.toLong,
+        sunkIds == replayKeeps && corrupted == 0 &&
+          sunkPerDomain == declaredKept2)
+    }
+
     run("neardup_cross_batch_minhash") {
       val base = Files.createTempDirectory("graft-gate-neardup")
       val in = Files.createDirectories(base.resolve("in"))

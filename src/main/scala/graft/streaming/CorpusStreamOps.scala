@@ -165,6 +165,74 @@ object CorpusStreamOps {
       }
   }
 
+  /** A full-payload document flowing through the streaming domain cap. */
+  final case class DomainCapDoc(doc_id: Long, domain: String, source: String,
+      text: String)
+
+  /** PRODUCTION streaming domain cap (round 15): the same
+    * one-long-per-domain state as [[domainCapFlags]], but the document
+    * PAYLOAD rides through the stateful operator and only KEPT documents
+    * are emitted — the curation cap as an actual in-stream filter feeding
+    * a sink, not an audit of verdicts. [[domainCapFlags]] stays the audit
+    * shape (verdicts for every doc, including drops); this is the shape a
+    * crawl pipeline deploys.
+    *
+    * Scale: the payload pays exactly one shuffle — to the domain key —
+    * the same shuffle the batch group-by pays; a dropped document's text
+    * is discarded AT the stateful operator, so the sink only ever writes
+    * survivors (for a binding cap that is a small fraction of arrivals).
+    * State is still one long per domain, bounded by the domain keyspace
+    * and independent of payload size. A mega-domain concentrates its
+    * micro-batch rows in one task, but per-batch volume is bounded by the
+    * trigger (`maxFilesPerTrigger`), and once the cap is hit the
+    * per-row work is a counter compare — the skew-hostile part (carrying
+    * a mega-domain's full history) never exists because only the COUNT is
+    * state. Micro-batch rows process in doc_id order, so replays emit
+    * identical survivor sets. */
+  def domainCapDocs(docs: DataFrame,
+      cap: Int = graft.operators.DomainOps.CapDocs)
+      : Dataset[DomainCapDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"),
+        graft.operators.DomainOps.domainKey.as("domain"),
+        col("source"), col("text"))
+      .as[DomainCapDoc]
+      .groupByKey(_.domain)
+      .flatMapGroupsWithState[Long, DomainCapDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[DomainCapDoc], state: GroupState[Long]) =>
+          var kept = state.getOption.getOrElse(0L)
+          val out = List.newBuilder[DomainCapDoc]
+          it.toList.sortBy(_.doc_id).foreach { d =>
+            if (kept < cap) { kept += 1; out += d }
+          }
+          state.update(kept)
+          out.result().iterator
+      }
+  }
+
+  /** File-source document stream → [[domainCapDocs]] → append parquet
+    * sink: the deployable curation-cap loop (new crawl drops land as
+    * files; capped survivors land in `outDir` with full payload;
+    * per-domain running counts persist in the checkpoint across
+    * restarts). Sink caveat as [[startBandIndexStream]]: parquet append
+    * is at-least-once under replays — dedup downstream by doc_id if the
+    * consumer needs exactly-once. */
+  def startDomainCapStream(spark: SparkSession, inputDir: String,
+      schema: StructType, outDir: String, checkpointDir: String,
+      cap: Int = graft.operators.DomainOps.CapDocs): StreamingQuery =
+    domainCapDocs(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inputDir), cap)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+
   /** Fold [[nearDupFlags]]' per-band verdicts into one per-doc verdict: a
     * doc is a near-dup iff ANY band flagged it; `dup_of` is the lowest
     * flagged partner. A plain batch aggregation, run on the sink output

@@ -256,4 +256,40 @@ class CorpusStreamSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
     assert(bandSet(idx) == bandSet(idx1))
   }
+
+  test("production domain-cap stream sinks exactly the first-arrival survivors with intact payload") {
+    val base = Files.createTempDirectory("graft-domprod")
+    val in = Files.createDirectories(base.resolve("in"))
+    val out = base.resolve("out").toString
+    val cp = base.resolve("cp").toString
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text")
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmpDir = Files.createTempDirectory("graft-land")
+      df.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+      val part = Files.list(tmpDir).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, in.resolve(name))
+    }
+    // two drops in doc_id order — the cap must count ACROSS them
+    land(docs.filter(col("doc_id") < 250), "001.parquet")
+    land(docs.filter(col("doc_id") >= 250), "002.parquet")
+    val q = CorpusStreamOps.startDomainCapStream(spark, in.toString,
+      docs.schema, out, cp)
+    q.processAllAvailable(); q.stop()
+    val sunk = spark.read.parquet(out)
+    // survivor set == the batch replay of the same first-arrival policy
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("domain")).orderBy(col("doc_id"))
+    val expected = docs
+      .select(col("doc_id"), graft.operators.DomainOps.domainKey.as("domain"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= graft.operators.DomainOps.CapDocs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sunkIds = sunk.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sunkIds == expected)
+    assert(sunkIds.size < docs.count()) // drops actually happened
+    // payload integrity: every sunk (doc_id, source, text) is a fixture row
+    assert(sunk.select("doc_id", "source", "text").exceptAll(docs).count() == 0)
+  }
 }
