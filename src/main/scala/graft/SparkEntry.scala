@@ -551,6 +551,14 @@ object SparkEntry {
     "q_xi_corr"        -> (StatOps.xiCorr _),
     "q_wilcoxon_signed" -> (StatOps.wilcoxonSigned _),
     "q_theil_index"    -> (DomainOps.theilIndex _),
+    // round 15, second batch: stationarity complement, dose trend,
+    // variance homogeneity, robust location screen, risk curve, centrality
+    "q_kpss"           -> (SeriesOps.kpssTest _),
+    "q_cochran_armitage" -> (InferenceOps.cochranArmitage _),
+    "q_bartlett"       -> (StatOps.bartlett _),
+    "q_mood_median"    -> (StatOps.moodMedian _),
+    "q_max_drawdown"   -> (EventOps.maxDrawdown _),
+    "q_harmonic_centrality" -> ((s, d) => GraphOps.harmonicCentrality(s, d)),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -5975,6 +5983,138 @@ object SparkEntry {
         r4(s"sum(-ln$ratio) / max(nd)") + " AS theil_l, " +
         r4("max(xmax) / max(s)") + " AS top_share " +
         "FROM per CROSS JOIN tot"
+    },
+    // Bartlett-kernel weights are driver-computed literals inlined into
+    // both engines (Double.toString round-trips); the + chain is
+    // left-associated identically
+    "q_kpss" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      val l = operators.SeriesOps.KpssLags
+      val lagCols = (1 to l).map(k =>
+        s"lag(e, $k) OVER (ORDER BY day) AS e$k").mkString(", ")
+      val gSums = (1 to l).map(k => s"sum(e * e$k) AS g$k").mkString(", ")
+      val lrvn = "g0" + (1 to l).map { j =>
+        s" + ${2.0 * (1.0 - j.toDouble / (l + 1))} * g$j"
+      }.mkString
+      "WITH d AS (SELECT CAST(ts AS DATE) AS day, sum(value) AS y FROM events GROUP BY 1), " +
+        "mu AS (SELECT avg(y) AS m, CAST(count(*) AS DOUBLE) AS n FROM d), " +
+        "e AS (SELECT day, y - m AS e, n FROM d CROSS JOIN mu), " +
+        "s AS (SELECT day, e, n, sum(e) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s FROM e), " +
+        s"lg AS (SELECT e, s, n, $lagCols FROM s), " +
+        s"m2 AS (SELECT max(n) AS n, sum(s * s) AS ss, sum(e * e) AS g0, $gSums FROM lg), " +
+        s"v AS (SELECT n, ss, g0, $lrvn AS lrvn FROM m2) " +
+        s"SELECT CAST(n AS BIGINT) AS n_days, CAST($l AS INTEGER) AS lags, " +
+        r4("(ss / (n * n)) / (lrvn / n)") + " AS kpss_stat, " +
+        r4("lrvn / g0") + " AS lrv_ratio " +
+        s"FROM v WHERE n > ${l + 1} AND g0 > 0 AND lrvn > 0"
+    },
+    "q_cochran_armitage" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      val waves = operators.InferenceOps.TrendWaves
+      "WITH f AS (SELECT user_id, event_type, ROW_NUMBER() OVER " +
+        "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn FROM events), " +
+        s"pu AS (SELECT user_id % $waves AS wave, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS converted FROM f WHERE rn = 1), " +
+        "bw AS (SELECT wave, CAST(count(*) AS BIGINT) AS n, CAST(sum(converted) AS BIGINT) AS c FROM pu GROUP BY wave), " +
+        "m AS (SELECT CAST(count(*) AS INTEGER) AS n_waves, CAST(sum(n) AS BIGINT) AS n_total, " +
+        "CAST(sum(c) AS BIGINT) AS conv_total, " +
+        "sum(CAST(wave AS DOUBLE) * CAST(c AS DOUBLE)) AS sc, " +
+        "sum(CAST(wave AS DOUBLE) * CAST(n AS DOUBLE)) AS sn, " +
+        "sum(CAST(wave AS DOUBLE) * CAST(wave AS DOUBLE) * CAST(n AS DOUBLE)) AS ssn FROM bw), " +
+        "v AS (SELECT n_waves, n_total, conv_total, " +
+        "CAST(conv_total AS DOUBLE) / CAST(n_total AS DOUBLE) AS p, sc, sn, ssn FROM m), " +
+        "v2 AS (SELECT n_waves, n_total, conv_total, " +
+        "sc - p * sn AS t, p * (1.0 - p) * (ssn - sn * sn / CAST(n_total AS DOUBLE)) AS var_t FROM v), " +
+        "z0 AS (SELECT n_waves, n_total, conv_total, var_t, t / sqrt(var_t) AS z FROM v2), " +
+        s"x AS (SELECT *, abs(z) * ${operators.InferenceOps.InvSqrt2} AS xx FROM z0), " +
+        "tt AS (SELECT *, 1.0 / (1.0 + 0.3275911 * xx) AS t2 FROM x) " +
+        "SELECT n_waves, n_total, conv_total, " +
+        r4("CASE WHEN var_t > 0 THEN z END") + " AS trend_z, " +
+        r4("CASE WHEN var_t > 0 THEN ((((1.061405429 * t2 + -1.453152027) * t2 + 1.421413741) * t2 + -0.284496736) * t2 + 0.254829592) * t2 * exp(-(xx * xx)) END") + " AS p_value " +
+        "FROM tt WHERE conv_total > 0 AND conv_total < n_total"
+    },
+    // per-source Σv² is an exact integer in both engines (HUGEINT /
+    // DECIMAL(38,0)) before ONE cast to double, so the variance float
+    // chain starts bit-identical
+    "q_bartlett" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      val vi = "(s2 - CAST(s AS DOUBLE) * s / n_s) / (n_s - 1)"
+      "WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s, " +
+        "CAST(sum(n_chars) AS BIGINT) AS s, " +
+        "CAST(sum(n_chars * n_chars) AS DOUBLE) AS s2 FROM documents GROUP BY source), " +
+        s"rows0 AS (SELECT n_s, $vi AS v_i FROM per WHERE n_s > 1 AND $vi > 0), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_s) AS BIGINT) AS n_total, " +
+        "sum(CAST(n_s - 1 AS DOUBLE) * ln(v_i)) AS sln, " +
+        "sum(CAST(n_s - 1 AS DOUBLE) * v_i) AS sv, " +
+        "sum(1.0 / CAST(n_s - 1 AS DOUBLE)) AS sinv FROM rows0), " +
+        "v AS (SELECT k, n_total, sln, sv, sinv, CAST(n_total - k AS DOUBLE) AS df FROM m), " +
+        "c AS (SELECT k, n_total, df, df * ln(sv / df) - sln AS chi2num, " +
+        "1.0 + (sinv - 1.0 / df) / (3.0 * CAST(k - 1 AS DOUBLE)) AS corr FROM v) " +
+        "SELECT k AS n_sources, n_total AS n_docs, " +
+        r4("corr") + " AS correction_c, " +
+        r4("chi2num / corr") + " AS chi2_stat " +
+        "FROM c WHERE k > 1 AND n_total > k"
+    },
+    "q_mood_median" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH byv AS (SELECT n_chars AS v, count(*) AS nv FROM documents GROUP BY 1), " +
+        "tot0 AS (SELECT sum(nv) AS nn0 FROM byv), " +
+        "cc AS (SELECT v, nv, nn0, sum(nv) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM byv CROSS JOIN tot0), " +
+        "med AS (SELECT v AS med FROM cc WHERE cum - nv < ceil(nn0 / 2.0) AND cum >= ceil(nn0 / 2.0)), " +
+        "per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(CASE WHEN n_chars > med THEN 1 ELSE 0 END) AS BIGINT) AS n_above, " +
+        "CAST(max(med) AS BIGINT) AS med FROM documents CROSS JOIN med GROUP BY source), " +
+        "tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn, CAST(sum(n_above) AS BIGINT) AS aa FROM per), " +
+        "e AS (SELECT source, n_docs, n_above, med, " +
+        "CAST(n_docs AS DOUBLE) * aa / nn AS e_a, " +
+        "CAST(n_docs AS DOUBLE) * (nn - aa) / nn AS e_b FROM per CROSS JOIN tot) " +
+        "SELECT source, n_docs, n_above, med, " +
+        r4("CAST(n_above AS DOUBLE) / n_docs") + " AS share_above, " +
+        r4("CASE WHEN e_a > 0 THEN e_a END") + " AS exp_above, " +
+        r4("CASE WHEN e_a > 0 AND e_b > 0 THEN " +
+          "(CAST(n_above AS DOUBLE) - e_a) * (CAST(n_above AS DOUBLE) - e_a) / e_a " +
+          "+ (CAST(n_docs - n_above AS DOUBLE) - e_b) * (CAST(n_docs - n_above AS DOUBLE) - e_b) / e_b END") +
+        " AS chi2_term " +
+        "FROM e ORDER BY source"
+    },
+    "q_max_drawdown" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS v FROM events GROUP BY 1, 2), " +
+        "c AS (SELECT event_type, day, sum(v) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d), " +
+        "p AS (SELECT event_type, cum, max(cum) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak FROM c) " +
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_days, " +
+        r4("max(peak)") + " AS peak, " +
+        r4("max(peak - cum)") + " AS max_drawdown, " +
+        r4("max(CASE WHEN peak > 0 THEN (peak - cum) / peak END)") + " AS max_drawdown_pct " +
+        "FROM p GROUP BY event_type ORDER BY event_type"
+    },
+    // same unrolled Bellman-Ford CTE chain as q_bfs_hops; only the
+    // final fold differs (per-node 1/d sum instead of per-seed counts)
+    "q_harmonic_centrality" -> {
+      import graft.operators.GraphOps.{BfsSeeds, BfsMaxHops, HarmonicTopN}
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      val rounds = (1 to BfsMaxHops).map { t =>
+        s"s$t AS MATERIALIZED (SELECT seed, node, MIN(dist) AS dist FROM " +
+          s"(SELECT seed, node, dist FROM s${t - 1} " +
+          s"UNION ALL SELECT s.seed, u.dst AS node, s.dist + 1 AS dist " +
+          s"FROM s${t - 1} s JOIN und u ON u.src = s.node) x GROUP BY 1, 2)"
+      }.mkString(", ")
+      "WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem), " +
+        "ok AS (SELECT okey FROM op GROUP BY okey HAVING COUNT(*) <= 64), " +
+        "e AS MATERIALIZED (SELECT DISTINCT a.pkey AS src, b.pkey AS dst FROM op a " +
+        "JOIN op b ON a.okey = b.okey AND a.pkey < b.pkey " +
+        "WHERE a.okey IN (SELECT okey FROM ok)), " +
+        "und AS MATERIALIZED (SELECT src, dst FROM e " +
+        "UNION ALL SELECT dst AS src, src AS dst FROM e), " +
+        "d AS (SELECT node, COUNT(*) AS degree FROM " +
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e) u GROUP BY node), " +
+        s"seeds AS MATERIALIZED (SELECT node FROM d ORDER BY degree DESC, node LIMIT $BfsSeeds), " +
+        "s0 AS MATERIALIZED (SELECT node AS seed, node, 0 AS dist FROM seeds), " +
+        rounds + " " +
+        "SELECT node, CAST(COUNT(*) AS INTEGER) AS n_seeds_reached, " +
+        r4("sum(1.0 / CAST(dist AS DOUBLE))") + " AS harmonic " +
+        s"FROM s$BfsMaxHops WHERE dist > 0 GROUP BY node " +
+        s"ORDER BY harmonic DESC, node LIMIT $HarmonicTopN"
     },
   )
 

@@ -1606,4 +1606,40 @@ object EventOps {
         stableRound4(col("mad").cast("double") / 10000.0).as("mad"))
       .orderBy(col("day"))
   }
+
+  /** q_max_drawdown: per-event-type maximum drawdown of the cumulative
+    * daily value series — the largest peak-to-trough drop (absolute and
+    * as a share of the running peak), the standard "worst losing streak"
+    * risk screen applied to an operational KPI: how far below its
+    * high-water mark has each stream's cumulative total fallen.
+    *
+    * Plan: one (type, day) compression off the scan, then TWO nested
+    * running windows per type (cumulative sum, running max — both
+    * partitioned by type, so parallel across the type domain and
+    * \|days\|-bounded within), one final rollup. No argmax day is
+    * emitted: drawdowns are float sums and a float-tied argmax picks
+    * different days per engine ([[graft.SparkEntry]] oracle rule); the
+    * VALUE columns are deterministic under stable rounding. */
+  def maxDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val d = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value")).as("v"))
+    val wRun = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = d.select(col("event_type"), col("day"),
+        sum(col("v")).over(wRun).as("cum"))
+      .withColumn("peak", max(col("cum")).over(wRun))
+    val dd = col("peak") - col("cum")
+    cum.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("bigint").as("n_days"),
+        max(col("peak")).as("final_peak"),
+        max(dd).as("mdd"),
+        max(when(col("peak") > 0, dd / col("peak"))).as("mddp"))
+      .select(col("event_type"), col("n_days"),
+        stableRound4(col("final_peak")).as("peak"),
+        stableRound4(col("mdd")).as("max_drawdown"),
+        stableRound4(col("mddp")).as("max_drawdown_pct"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -152,4 +152,51 @@ object InferenceOps {
           col("n_short").cast("double") / col("n") + eps)).as("hi"))
       .orderBy(col("source"))
   }
+
+  /** Number of ordered rollout waves for [[cochranArmitage]] — shared
+    * with the oracle SQL. */
+  val TrendWaves = 4
+
+  /** q_cochran_armitage: the Cochran–Armitage trend test across ordered
+    * rollout waves — does first-touch conversion trend MONOTONICALLY
+    * across the staged-rollout buckets (user_id mod [[TrendWaves]], the
+    * [[StatOps.abTest]] assignment convention extended to an ordered
+    * dose), which a wave-by-wave grid of pairwise z-tests cannot answer
+    * without the multiple-testing cost [[bhFdr]] exists to pay. With
+    * per-wave totals N_i, conversions c_i and scores s_i = i:
+    * T = Σ s_i(c_i − N_i·p̂), Var T = p̂(1−p̂)(Σ s_i²N_i − (Σ s_iN_i)²/N),
+    * z = T/√Var, two-sided p = erfc(|z|/√2) (the [[bhFdr]] A&S chain).
+    *
+    * Plan: one per-user first-event aggregation (the abTest shape), one
+    * [[TrendWaves]]-row rollup, closed-form scalar algebra — every term
+    * an exact integer until the final float chain. */
+  def cochranArmitage(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(struct(unix_micros(col("ts")).as("us"),
+        col("event_id").as("eid"), col("event_type").as("et")))
+        .as("first"))
+      .select((col("user_id") % TrendWaves).as("wave"),
+        (col("first.et") === "purchase").cast("int").as("converted"))
+    val byWave = perUser.groupBy(col("wave"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("converted")).cast("bigint").as("c"))
+    val s = col("wave").cast("double")
+    val m = byWave.agg(
+      count(lit(1)).cast("int").as("n_waves"),
+      sum(col("n")).cast("bigint").as("n_total"),
+      sum(col("c")).cast("bigint").as("conv_total"),
+      sum(s * col("c").cast("double")).as("sc"),
+      sum(s * col("n").cast("double")).as("sn"),
+      sum(s * s * col("n").cast("double")).as("ssn"))
+    val nD = col("n_total").cast("double")
+    val p = col("conv_total").cast("double") / nD
+    val t = col("sc") - p * col("sn")
+    val v = p * (lit(1.0) - p) * (col("ssn") - col("sn") * col("sn") / nD)
+    val z = t / sqrt(v)
+    m.filter(col("conv_total") > 0 && col("conv_total") < col("n_total"))
+      .select(col("n_waves"), col("n_total"), col("conv_total"),
+        stableRound4(when(v > 0, z)).as("trend_z"),
+        stableRound4(when(v > 0, erfcAS(abs(z) * InvSqrt2))).as("p_value"))
+  }
 }

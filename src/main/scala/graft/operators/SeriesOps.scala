@@ -314,4 +314,55 @@ object SeriesOps {
         stableRound4(sum(col("de") * col("de")) / sum(col("e") * col("e")))
           .as("dw"))
   }
+
+  /** Bartlett-kernel lag truncation for [[kpssTest]]'s long-run
+    * variance — shared with the oracle SQL. */
+  val KpssLags = 4
+
+  /** q_kpss: the KPSS level-stationarity test (Kwiatkowski–Phillips–
+    * Schmidt–Shin 1992) on daily revenue — the COMPLEMENT of [[adfTest]]:
+    * ADF's null is a unit root, KPSS's null is stationarity, so the
+    * standard screen reads both (both reject → structural break /
+    * misspecification; a series can't be adjudicated from one side).
+    * η = (Σ_t S_t²)/n² / σ̂²_l with S_t the running sum of the demeaned
+    * series and σ̂²_l the Newey–West long-run variance under a Bartlett
+    * kernel of [[KpssLags]] lags: σ̂²_l = γ̂_0 + 2·Σ_{j≤l} (1−j/(l+1))·γ̂_j.
+    *
+    * Emitted statistics are DIMENSIONLESS ratios (η and the long-run/
+    * instantaneous variance ratio) — the raw variance magnitudes are
+    * fixture-scaled floats whose 4-dp rounding would be magnitude-
+    * fragile. Kernel weights are driver-computed literals inlined into
+    * both engines. Plan: one \|days\| compression, one running-sum +
+    * lag window on the bounded frame, one moment rollup. */
+  def kpssTest(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(col("value")).as("y"))
+    val mu = d.agg(avg(col("y")).as("m"),
+      count(lit(1)).cast("double").as("n"))
+    val w = Window.orderBy(col("day"))
+    val e = d.crossJoin(broadcast(mu))
+      .select(col("day"), (col("y") - col("m")).as("e"), col("n"))
+      .withColumn("s", sum(col("e"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val lagd = (1 to KpssLags).foldLeft(e) { (acc, k) =>
+      acc.withColumn(s"e$k", lag(col("e"), k).over(w))
+    }
+    val aggs = Seq(max(col("n")).as("n"),
+      sum(col("s") * col("s")).as("ss"),
+      sum(col("e") * col("e")).as("g0")) ++
+      (1 to KpssLags).map(k => sum(col("e") * col(s"e$k")).as(s"g$k"))
+    val m = lagd.agg(aggs.head, aggs.tail: _*)
+    // σ̂²_l·n = g0 + 2·Σ w_j·g_j (the common 1/n cancels in both ratios;
+    // weights as driver literals, left-associated like the SQL)
+    val lrvN = (1 to KpssLags).foldLeft(col("g0")) { (acc, j) =>
+      acc + lit(2.0 * (1.0 - j.toDouble / (KpssLags + 1))) * col(s"g$j")
+    }
+    m.filter(col("n") > KpssLags + 1 && col("g0") > 0 && lrvN > 0)
+      .select(col("n").cast("bigint").as("n_days"),
+        lit(KpssLags).as("lags"),
+        stableRound4((col("ss") / (col("n") * col("n"))) / (lrvN / col("n")))
+          .as("kpss_stat"),
+        stableRound4(lrvN / col("g0")).as("lrv_ratio"))
+  }
 }

@@ -1492,4 +1492,91 @@ object StatOps {
           InferenceOps.erfcAS(abs(z) * InferenceOps.InvSqrt2))
           .cast("decimal(20,8)"), 6).cast("double").as("p"))
   }
+
+  /** q_bartlett: Bartlett's test for homogeneity of variances of document
+    * length across sources — the PARAMETRIC companion to [[levene]] (same
+    * groups, same column): more powerful when lengths are near-normal,
+    * fragile to heavy tails, so a variance-policy dashboard reads both.
+    * χ² = [(N−k)·ln S_p² − Σ(n_i−1)·ln S_i²] / C with
+    * C = 1 + (Σ 1/(n_i−1) − 1/(N−k)) / (3(k−1)).
+    *
+    * Per-source Σv and Σv² are exact integers (Σv² in DECIMAL(38,0), the
+    * [[grubbs]] overflow rule — both engines round the same exact integer
+    * to double, so the variance float chain starts identical); everything
+    * after runs on the \|sources\|-row frame. Only the DIMENSIONLESS χ²
+    * and C are emitted — raw pooled variances are fixture-scaled
+    * magnitudes whose 4-dp rounding would be fragile. */
+  def bartlett(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_s"),
+        sum(col("n_chars")).cast("bigint").as("s"),
+        sum((col("n_chars") * col("n_chars")).cast("decimal(38,0)"))
+          .cast("double").as("s2"))
+    val vi = (col("s2") - col("s").cast("double") * col("s") / col("n_s")) /
+      (col("n_s") - 1)
+    val rows = per.filter(col("n_s") > 1 && vi > 0)
+      .select(col("n_s"), vi.as("v_i"))
+    val m = rows.agg(count(lit(1)).cast("bigint").as("k"),
+      sum(col("n_s")).cast("bigint").as("n_total"),
+      sum((col("n_s") - 1).cast("double") * log(col("v_i"))).as("sln"),
+      sum((col("n_s") - 1).cast("double") * col("v_i")).as("sv"),
+      sum(lit(1.0) / (col("n_s") - 1).cast("double")).as("sinv"))
+    val df = (col("n_total") - col("k")).cast("double")
+    val pooled = col("sv") / df
+    val chi2num = df * log(pooled) - col("sln")
+    val corr = lit(1.0) + (col("sinv") - lit(1.0) / df) /
+      (lit(3.0) * (col("k") - 1).cast("double"))
+    m.filter(col("k") > 1 && col("n_total") > col("k"))
+      .select(col("k").as("n_sources"), col("n_total").as("n_docs"),
+        stableRound4(corr).as("correction_c"),
+        stableRound4(chi2num / corr).as("chi2_stat"))
+  }
+
+  /** q_mood_median: Mood's median test of document length across
+    * sources — the rank-free robust screen between [[levene]] (spread)
+    * and [[kruskal]] (full ranks): split every document at the GRAND
+    * median and ask whether above-median share is homogeneous across
+    * sources, per-source χ² contributions against the pooled
+    * expectation. Survives arbitrary outliers because only the
+    * above/below bit enters.
+    *
+    * The grand median comes from the value-compressed (n_chars, count)
+    * distribution (the [[levene]] per-source median trick, globally) —
+    * the cumulative window runs on the \|distinct lengths\|-bounded
+    * frame, never corpus rows; the verdict table is one exact-integer
+    * aggregation over sources with the 1-row median broadcast. */
+  def moodMedian(spark: SparkSession, dir: String): DataFrame = {
+    val byV = Tables.documents(spark, dir)
+      .groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("nv"))
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot0 = byV.agg(sum(col("nv")).as("nn"))
+    val med = byV.crossJoin(broadcast(tot0))
+      .withColumn("cum", sum(col("nv")).over(wCum))
+      .filter(col("cum") - col("nv") < ceil(col("nn") / 2.0)
+        && col("cum") >= ceil(col("nn") / 2.0))
+      .select(col("v").as("med"))
+    val per = Tables.documents(spark, dir).crossJoin(broadcast(med))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(when(col("n_chars") > col("med"), 1L).otherwise(0L))
+          .cast("bigint").as("n_above"))
+    val tot = per.agg(sum(col("n_docs")).cast("bigint").as("nn"),
+      sum(col("n_above")).cast("bigint").as("aa"))
+    val expAbove = col("n_docs").cast("double") * col("aa") / col("nn")
+    val expBelow = col("n_docs").cast("double") * (col("nn") - col("aa")) /
+      col("nn")
+    val dAbove = col("n_above").cast("double") - expAbove
+    val dBelow = (col("n_docs") - col("n_above")).cast("double") - expBelow
+    per.crossJoin(broadcast(tot)).crossJoin(broadcast(med))
+      .select(col("source"), col("n_docs"), col("n_above"), col("med"),
+        stableRound4(col("n_above").cast("double") / col("n_docs"))
+          .as("share_above"),
+        stableRound4(when(expAbove > 0, expAbove)).as("exp_above"),
+        stableRound4(when(expAbove > 0 && expBelow > 0,
+          dAbove * dAbove / expAbove + dBelow * dBelow / expBelow))
+          .as("chi2_term"))
+      .orderBy(col("source"))
+  }
 }

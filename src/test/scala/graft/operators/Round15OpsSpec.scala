@@ -211,4 +211,176 @@ class Round15OpsSpec extends SparkTestBase {
     assert(math.abs(row.getDouble(3) - l) < 1e-3)
     assert(row.getDouble(2) >= 0 && row.getDouble(3) >= 0)
   }
+
+  /** A&S 7.1.26 erfc with the engine/oracle literals — the shared
+    * closed-form p-value replay. */
+  private def erfcAS(x: Double): Double = {
+    val t = 1.0 / (1.0 + 0.3275911 * x)
+    ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+      - 0.284496736) * t + 0.254829592) * t * math.exp(-(x * x))
+  }
+
+  test("kpss: eta and the lrv ratio match a driver replay") {
+    val ys = graft.Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(col("value")).as("y")).orderBy(col("day"))
+      .collect().map(_.getDouble(1))
+    val n = ys.length
+    val m = ys.sum / n
+    val e = ys.map(_ - m)
+    val s = e.scanLeft(0.0)(_ + _).drop(1)
+    val l = SeriesOps.KpssLags
+    val g = (0 to l).map(j => (j until n).map(t => e(t) * e(t - j)).sum)
+    val lrvn = g(0) + (1 to l).map(j =>
+      2.0 * (1.0 - j.toDouble / (l + 1)) * g(j)).sum
+    val eta = (s.map(x => x * x).sum / (n.toDouble * n)) / (lrvn / n)
+    val row = SeriesOps.kpssTest(spark, sf).collect()(0)
+    assert(row.getLong(0) == n)
+    assert(row.getInt(1) == l)
+    assert(math.abs(row.getDouble(2) - eta) < 1e-3)
+    assert(math.abs(row.getDouble(3) - lrvn / g(0)) < 1e-3)
+    assert(row.getDouble(2) > 0)
+  }
+
+  test("cochranArmitage: z and p match the closed form on independently recomputed wave counts") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    val byWave = graft.Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select((col("user_id") % InferenceOps.TrendWaves).as("wave"),
+        (col("event_type") === "purchase").cast("long").as("conv"))
+      .groupBy(col("wave"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nTot = byWave.map(_._2).sum
+    val cTot = byWave.map(_._3).sum
+    val p = cTot.toDouble / nTot
+    val sn = byWave.map { case (s, n, _) => s.toDouble * n }.sum
+    val ssn = byWave.map { case (s, n, _) => s.toDouble * s * n }.sum
+    val v = p * (1.0 - p) * (ssn - sn * sn / nTot)
+    val z = (byWave.map { case (s, _, c) => s.toDouble * c }.sum - p * sn) /
+      math.sqrt(v)
+    val row = InferenceOps.cochranArmitage(spark, sf).collect()(0)
+    assert(row.getInt(0) == byWave.length)
+    assert(row.getLong(1) == nTot && row.getLong(2) == cTot)
+    assert(math.abs(row.getDouble(3) - z) < 1e-3)
+    val pv = erfcAS(math.abs(z) * InferenceOps.InvSqrt2)
+    assert(math.abs(row.getDouble(4) - pv) < 1e-3)
+    assert(row.getDouble(4) >= 0 && row.getDouble(4) <= 1.0)
+  }
+
+  test("bartlett: chi2 matches a driver replay from exact per-source moments") {
+    val per = graft.Tables.documents(spark, sf)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"),
+        sum(col("n_chars") * col("n_chars")).as("s2"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2).toDouble, r.getLong(3).toDouble))
+      .filter(_._1 > 1)
+    val vis = per.map { case (n, s, s2) =>
+      (n, (s2 - s * s / n) / (n - 1)) }.filter(_._2 > 0)
+    val k = vis.length
+    val nTot = vis.map(_._1).sum
+    val df = (nTot - k).toDouble
+    val sv = vis.map { case (n, v) => (n - 1) * v }.sum
+    val sln = vis.map { case (n, v) => (n - 1) * math.log(v) }.sum
+    val sinv = vis.map { case (n, _) => 1.0 / (n - 1) }.sum
+    val corr = 1.0 + (sinv - 1.0 / df) / (3.0 * (k - 1))
+    val chi2 = (df * math.log(sv / df) - sln) / corr
+    val row = StatOps.bartlett(spark, sf).collect()(0)
+    assert(row.getLong(0) == k && row.getLong(1) == nTot)
+    assert(math.abs(row.getDouble(2) - corr) < 1e-3)
+    assert(math.abs(row.getDouble(3) - chi2) < 1e-2)
+    assert(row.getDouble(3) >= 0)
+  }
+
+  test("moodMedian: grand median and per-source counts are exact; chi2 terms match the replay") {
+    val lens = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val sorted = lens.map(_._2).sorted
+    val nn = sorted.length
+    val med = sorted((nn + 1) / 2 - 1) // lower median, 1-based ceil(N/2)
+    val aa = lens.count(_._2 > med)
+    val rows = StatOps.moodMedian(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == nn)
+    assert(rows.map(_.getLong(2)).sum == aa)
+    rows.foreach { r =>
+      val (src, nD, nA) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(r.getLong(3) == med)
+      assert(nD == lens.count(_._1 == src))
+      assert(nA == lens.count(x => x._1 == src && x._2 > med))
+      val eA = nD.toDouble * aa / nn
+      val eB = nD.toDouble * (nn - aa) / nn
+      val term = (nA - eA) * (nA - eA) / eA +
+        ((nD - nA) - eB) * ((nD - nA) - eB) / eB
+      assert(math.abs(r.getDouble(6) - term) < 1e-3)
+    }
+  }
+
+  test("maxDrawdown: matches a per-type driver replay; bounds hold") {
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value")).as("v"))
+      .orderBy(col("event_type"), col("day"))
+      .collect().map(r => (r.getString(0), r.getDouble(2)))
+    val rows = EventOps.maxDrawdown(spark, sf).collect()
+    rows.foreach { r =>
+      val vs = daily.filter(_._1 == r.getString(0)).map(_._2)
+      val cums = vs.scanLeft(0.0)(_ + _).drop(1)
+      val peaks = cums.scanLeft(Double.MinValue)(math.max).drop(1)
+      val mdd = peaks.zip(cums).map { case (p, c) => p - c }.max
+      val mddp = peaks.zip(cums).collect {
+        case (p, c) if p > 0 => (p - c) / p }.max
+      assert(r.getLong(1) == vs.length)
+      assert(math.abs(r.getDouble(2) - peaks.max) < 1e-2)
+      assert(math.abs(r.getDouble(3) - mdd) < 1e-2)
+      assert(math.abs(r.getDouble(4) - mddp) < 1e-4)
+      assert(r.getDouble(3) >= 0 && r.getDouble(4) >= 0
+        && r.getDouble(4) <= 1.0)
+    }
+  }
+
+  test("harmonicCentrality: matches a driver BFS replay from the shared edge table") {
+    val edges = GraphOps.copurchaseEdgesShared(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, xs) => k -> xs.map(_._2).toSet }
+    val deg = (edges.map(_._1) ++ edges.map(_._2)).groupBy(identity)
+      .map { case (k, xs) => k -> xs.length }
+    val seeds = deg.toSeq.sortBy { case (n, d) => (-d, n) }
+      .take(GraphOps.BfsSeeds).map(_._1)
+    // 4-hop BFS per seed
+    def dists(seed: Long): Map[Long, Int] = {
+      var d = Map(seed -> 0)
+      var frontier = Set(seed)
+      for (h <- 1 to GraphOps.BfsMaxHops) {
+        val nxt = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+          .diff(d.keySet)
+        d ++= nxt.map(_ -> h)
+        frontier = nxt
+      }
+      d
+    }
+    val scores = seeds.flatMap(s => dists(s).toSeq.filter(_._2 > 0))
+      .groupBy(_._1)
+      .map { case (node, xs) =>
+        node -> ((xs.length, xs.map(x => 1.0 / x._2).sum)) }
+    val expect = scores.toSeq
+      .map { case (n, (c, h)) =>
+        val r4 = BigDecimal(h).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble
+        (n, c, r4)
+      }
+      .sortBy { case (n, _, h) => (-h, n) }
+      .take(GraphOps.HarmonicTopN)
+    val got = GraphOps.harmonicCentrality(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2, s"node/count: $g vs $e")
+      assert(math.abs(g._3 - e._3) < 1e-9, s"score: $g vs $e")
+    }
+  }
 }
