@@ -56,6 +56,7 @@ object ScaleIndex {
     "q_embed_pca" -> "0.73 (r7)",
     "q_entity_match" -> "1.35 (r15, CONTRAST DIAL; was 1.14 r5)",
     "q_entity_match_capped" -> "0.92 (r15)",
+    "q_harmonic_centrality" -> "0.55 (r15; bfs_hops relaxation family, no spill at 100x)",
     "q_domain_caps" -> "0.10 (r15, 292k domains)",
     "q_domain_mix" -> "0.15 (r15, 292k domains)",
     "q_theil_index" -> "0.05 (r15)",

@@ -180,7 +180,11 @@ object ScaleSpot {
     // r15 entity-resolution primary: per-block candidate cap makes pair
     // volume linear in |blocks|; spot proves the dial against the
     // uncapped e=1.35 contrast
-    "q_entity_match_capped")
+    "q_entity_match_capped",
+    // r15 second batch: landmark harmonic centrality rides the bfs_hops
+    // relaxation joins (frontier → |V|·seeds) plus a per-node fold —
+    // the one new op with graph-growth risk
+    "q_harmonic_centrality")
   val Scales = Seq(10, 100)
 
   def outDir(copies: Int) = s"/tmp/graft_spot_${copies}x"
