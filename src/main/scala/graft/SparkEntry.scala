@@ -559,6 +559,14 @@ object SparkEntry {
     "q_mood_median"    -> (StatOps.moodMedian _),
     "q_max_drawdown"   -> (EventOps.maxDrawdown _),
     "q_harmonic_centrality" -> ((s, d) => GraphOps.harmonicCentrality(s, d)),
+    // round 15, third batch: randomness/order/effect-size screens,
+    // decomposition strength, domain transfer share, PRF expansion
+    "q_turning_points" -> (SeriesOps.turningPoints _),
+    "q_seasonal_strength" -> (EventOps.seasonalStrength _),
+    "q_page_trend"     -> (StatOps.pageTrend _),
+    "q_brunner_munzel" -> (StatOps.brunnerMunzel _),
+    "q_hoover"         -> (DomainOps.hoover _),
+    "q_rocchio_prf"    -> (RetrievalOps.rocchioExpansion _),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Integer-typed derived
@@ -6115,6 +6123,145 @@ object SparkEntry {
         r4("sum(1.0 / CAST(dist AS DOUBLE))") + " AS harmonic " +
         s"FROM s$BfsMaxHops WHERE dist > 0 GROUP BY node " +
         s"ORDER BY harmonic DESC, node LIMIT $HarmonicTopN"
+    },
+    // sign arithmetic on the x10^4 longs of the round-4ed daily totals
+    // (the stl determinism trick): the turn count is integer-exact
+    "q_turning_points" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      "WITH d AS (SELECT CAST(ts AS DATE) AS day, round(sum(value), 4) AS y FROM events GROUP BY 1), " +
+        "d2 AS (SELECT day, CAST(round(y * 10000) AS BIGINT) AS yl FROM d), " +
+        "l AS (SELECT yl - lag(yl, 1) OVER (ORDER BY day) AS d1, " +
+        "lag(yl, 1) OVER (ORDER BY day) - lag(yl, 2) OVER (ORDER BY day) AS d0 FROM d2), " +
+        "m AS (SELECT CAST(count(*) + 2 AS DOUBLE) AS n, " +
+        "CAST(sum(CASE WHEN (d0 > 0 AND d1 < 0) OR (d0 < 0 AND d1 > 0) THEN 1 ELSE 0 END) AS BIGINT) AS t " +
+        "FROM l WHERE d0 IS NOT NULL) " +
+        "SELECT CAST(n AS BIGINT) AS n_days, t AS n_turns, " +
+        r4("2.0 * (n - 2.0) / 3.0") + " AS expected_turns, " +
+        r4("CASE WHEN (16.0 * n - 29.0) / 90.0 > 0 THEN " +
+          "(CAST(t AS DOUBLE) - 2.0 * (n - 2.0) / 3.0) / sqrt((16.0 * n - 29.0) / 90.0) END") + " AS z " +
+        "FROM m WHERE n > 3"
+    },
+    // variance ratios over the DECLARED stl components (all round-4ed
+    // before this query's float chain starts)
+    "q_seasonal_strength" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      val vr = "((q_r - s_r * s_r / n) / (n - 1))"
+      val vsr = "((q_sr - s_sr * s_sr / n) / (n - 1))"
+      val vtr = "((q_tr - s_tr * s_tr / n) / (n - 1))"
+      "WITH d AS (SELECT CAST(ts AS DATE) AS day, round(SUM(value), 4) AS total FROM events GROUP BY 1), " +
+        "d2 AS (SELECT day, total, CAST(round(total * 10000) AS BIGINT) AS total_l FROM d), " +
+        "t AS (SELECT day, total, total_l, COUNT(*) OVER w AS n_win, SUM(total_l) OVER w AS trend_l FROM d2 " +
+        "WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), " +
+        "t2 AS (SELECT day, total, round(CAST(trend_l AS DOUBLE) / 7.0 / 10000.0, 4) AS trend, " +
+        "total_l - CAST(round(round(CAST(trend_l AS DOUBLE) / 7.0 / 10000.0, 4) * 10000) AS BIGINT) AS detr_l " +
+        "FROM t WHERE n_win = 7), " +
+        "s AS (SELECT dayofweek(day) AS dow, " +
+        "round(CAST(SUM(detr_l) AS DOUBLE) / COUNT(*) / 10000.0, 4) AS seasonal FROM t2 GROUP BY 1), " +
+        "f AS (SELECT round(total - trend - seasonal, 4) AS r, " +
+        "seasonal + round(total - trend - seasonal, 4) AS sr, " +
+        "trend + round(total - trend - seasonal, 4) AS tr " +
+        "FROM t2 JOIN s ON dayofweek(day) = dow), " +
+        "m AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(r) AS s_r, sum(r * r) AS q_r, " +
+        "sum(sr) AS s_sr, sum(sr * sr) AS q_sr, sum(tr) AS s_tr, sum(tr * tr) AS q_tr FROM f) " +
+        "SELECT CAST(n AS BIGINT) AS n_days, " +
+        r4(s"CASE WHEN $vsr > 0 THEN greatest(0.0, 1.0 - $vr / $vsr) END") + " AS seasonal_strength, " +
+        r4(s"CASE WHEN $vtr > 0 THEN greatest(0.0, 1.0 - $vr / $vtr) END") + " AS trend_strength " +
+        "FROM m WHERE n > 1"
+    },
+    // the friedman midrank grid with a fixed alphabetical score vector
+    "q_page_trend" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      val el = "(n * k * (k + 1) * (k + 1) / 4.0)"
+      val vl = "(n * k * k * (k + 1) * (k + 1) * (k - 1) / 144.0)"
+      "WITH grid AS (SELECT day, event_type FROM " +
+        "(SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) " +
+        "CROSS JOIN (SELECT DISTINCT event_type FROM events)), " +
+        "dd AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS x FROM events GROUP BY 1, 2), " +
+        "f AS (SELECT grid.day, grid.event_type, COALESCE(dd.x, 0) AS x " +
+        "FROM grid LEFT JOIN dd ON grid.day = dd.day AND grid.event_type = dd.event_type), " +
+        "rk AS (SELECT day, event_type, x, " +
+        "rank() OVER (PARTITION BY day ORDER BY x) + (count(*) OVER (PARTITION BY day, x) - 1) / 2.0 AS r FROM f), " +
+        "pars AS (SELECT CAST(count(DISTINCT day) AS DOUBLE) AS n, " +
+        "CAST(count(DISTINCT event_type) AS DOUBLE) AS k FROM f), " +
+        "scores AS (SELECT event_type, CAST(row_number() OVER (ORDER BY event_type) AS DOUBLE) AS s " +
+        "FROM (SELECT DISTINCT event_type FROM events)), " +
+        "rj AS (SELECT event_type, sum(r) AS rsum FROM rk GROUP BY 1), " +
+        "l AS (SELECT sum(s * rsum) AS l FROM rj JOIN scores USING (event_type)) " +
+        "SELECT CAST(n AS BIGINT) AS n_days, CAST(k AS BIGINT) AS k_types, " +
+        r4("l") + " AS page_l, " + r4(el) + " AS expected_l, " +
+        r4(s"CASE WHEN $vl > 0 THEN (l - $el) / sqrt($vl) END") + " AS z " +
+        "FROM l CROSS JOIN pars WHERE k > 1 AND n > 0"
+    },
+    // pooled + within-sample midranks on the compressed (variant,
+    // per-user count) grid; lawstat statistic form
+    "q_brunner_munzel" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      val se = "sqrt(n1 * s21 + n2 * s22)"
+      "WITH pu AS (SELECT user_id % 2 AS g, count(*) AS v FROM events GROUP BY user_id), " +
+        "bgv AS (SELECT g, v, count(*) AS c FROM pu GROUP BY 1, 2), " +
+        "bv AS (SELECT v, sum(c) AS n_v FROM bgv GROUP BY 1), " +
+        "pool AS (SELECT v, CAST(coalesce(sum(n_v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) " +
+        "+ CAST(n_v + 1 AS DOUBLE) / 2.0 AS rp FROM bv), " +
+        "cl AS (SELECT g, v, c, CAST(coalesce(sum(c) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) " +
+        "+ CAST(c + 1 AS DOUBLE) / 2.0 AS ri FROM bgv), " +
+        "j AS (SELECT g, v, c, ri, rp FROM cl JOIN pool USING (v)), " +
+        "pg AS (SELECT g, CAST(sum(c) AS DOUBLE) AS n_g, sum(CAST(c AS DOUBLE) * rp) AS rp_sum FROM j GROUP BY 1), " +
+        "wm AS (SELECT j.g, c, rp - ri - rp_sum / n_g + (n_g + 1.0) / 2.0 AS dev, n_g, rp_sum / n_g AS m_g " +
+        "FROM j JOIN pg ON j.g = pg.g), " +
+        "sg AS (SELECT g, max(n_g) AS n_g, max(m_g) AS m_g, " +
+        "sum(CAST(c AS DOUBLE) * dev * dev) / (max(n_g) - 1.0) AS s2 FROM wm GROUP BY g), " +
+        "wide AS (SELECT sum(CASE WHEN g = 0 THEN n_g END) AS n1, sum(CASE WHEN g = 1 THEN n_g END) AS n2, " +
+        "sum(CASE WHEN g = 0 THEN m_g END) AS m1, sum(CASE WHEN g = 1 THEN m_g END) AS m2, " +
+        "sum(CASE WHEN g = 0 THEN s2 END) AS s21, sum(CASE WHEN g = 1 THEN s2 END) AS s22 FROM sg) " +
+        "SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b, " +
+        r4("(m2 - (n2 + 1.0) / 2.0) / n1") + " AS p_hat, " +
+        r4(s"CASE WHEN $se > 0 THEN n1 * n2 * (m2 - m1) / (n1 + n2) / $se END") + " AS bm_stat " +
+        "FROM wide WHERE n1 > 1 AND n2 > 1"
+    },
+    "q_hoover" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      val share = "(CAST(x AS DOUBLE) / s)"
+      s"WITH d AS ($domainDocsSql), " +
+        "per AS (SELECT domain, CAST(sum(n_toks) AS BIGINT) AS x FROM d GROUP BY domain HAVING sum(n_toks) > 0), " +
+        "tot AS (SELECT CAST(count(*) AS DOUBLE) AS nd, CAST(sum(x) AS DOUBLE) AS s FROM per) " +
+        "SELECT CAST(max(nd) AS BIGINT) AS n_domains, CAST(max(s) AS BIGINT) AS total_tokens, " +
+        r4(s"sum(abs($share - 1.0 / nd)) / 2.0") + " AS hoover, " +
+        s"CAST(sum(CASE WHEN $share > 1.0 / nd THEN 1 ELSE 0 END) AS BIGINT) AS n_donors, " +
+        r4(s"CAST(sum(CASE WHEN $share > 1.0 / nd THEN 1 ELSE 0 END) AS DOUBLE) / max(nd)") + " AS donor_share " +
+        "FROM per CROSS JOIN tot"
+    },
+    // the q_bm25 score chain cut to the top-10 feedback set, then
+    // feedback-tf x corpus-idf expansion weights
+    "q_rocchio_prf" -> {
+      def r4(x: String) = s"CAST(round(CAST($x AS DECIMAL(20,8)), 4) AS DOUBLE)"
+      val stop = (operators.RetrievalOps.QueryTerms ++
+        Seq("the", "a", "of", "and")).map(t => s"'$t'").mkString(", ")
+      "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(toks)) AS avgdl, " +
+        "CAST(SUM(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df_join, " +
+        "CAST(SUM(CASE WHEN list_contains(toks, 'hash') THEN 1 ELSE 0 END) AS DOUBLE) AS df_hash, " +
+        "CAST(SUM(CASE WHEN list_contains(toks, 'scan') THEN 1 ELSE 0 END) AS DOUBLE) AS df_scan FROM t), " +
+        "dd AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, " +
+        "CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf_join, " +
+        "CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tf_hash, " +
+        "CAST(len(list_filter(toks, x -> x = 'scan')) AS DOUBLE) AS tf_scan FROM t), " +
+        "sc AS (SELECT doc_id, CAST(round(CAST(" +
+        "(ln((n_docs - df_join + 0.5) / (df_join + 0.5) + 1.0) * (tf_join * (1.2 + 1.0))) / (tf_join + 1.2 * (0.25 + 0.75 * dl / avgdl)) " +
+        "+ (ln((n_docs - df_hash + 0.5) / (df_hash + 0.5) + 1.0) * (tf_hash * (1.2 + 1.0))) / (tf_hash + 1.2 * (0.25 + 0.75 * dl / avgdl)) " +
+        "+ (ln((n_docs - df_scan + 0.5) / (df_scan + 0.5) + 1.0) * (tf_scan * (1.2 + 1.0))) / (tf_scan + 1.2 * (0.25 + 0.75 * dl / avgdl)) " +
+        "AS DECIMAL(20,8)), 4) AS DOUBLE) AS bm25 " +
+        "FROM dd CROSS JOIN s WHERE (tf_join + tf_hash + tf_scan) > 0.0), " +
+        s"fb AS (SELECT doc_id FROM sc ORDER BY bm25 DESC, doc_id LIMIT ${operators.RetrievalOps.PrfFeedbackDocs}), " +
+        "fbt AS (SELECT term, CAST(count(*) AS BIGINT) AS tf_fb FROM " +
+        "(SELECT unnest(toks) AS term FROM t JOIN fb USING (doc_id)) " +
+        s"WHERE len(term) >= 3 AND term NOT IN ($stop) GROUP BY term), " +
+        "dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM " +
+        "(SELECT DISTINCT doc_id, term FROM (SELECT doc_id, unnest(toks) AS term FROM t)) GROUP BY term), " +
+        "tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM t) " +
+        "SELECT term, tf_fb, df, " +
+        r4("CAST(tf_fb AS DOUBLE) * ln(n_docs / df)") + " AS weight " +
+        "FROM dft JOIN fbt USING (term) CROSS JOIN tot " +
+        s"ORDER BY weight DESC, term LIMIT ${operators.RetrievalOps.PrfExpansionTerms}"
     },
   )
 

@@ -204,6 +204,39 @@ object DomainOps {
         stableRound4(col("xmax") / col("s")).as("top_share"))
   }
 
+  /** q_hoover: the Hoover (Robin Hood) index of token mass across the
+    * two-tier domain key — H = ½·Σ|xᵢ/T − 1/n|, the share of the corpus
+    * that would have to MOVE between domains to equalize them: the
+    * plainly-interpretable companion to [[theilIndex]] (Theil weights
+    * extremes logarithmically; Hoover is the L1 transfer share a
+    * rebalancing cap would actually ship). Also emits the share of
+    * domains above the equal split — the "how many domains are donors"
+    * count a caps policy reads.
+    *
+    * Same shape as the Theil rollup: one per-domain aggregation (bounded
+    * by the domain keyspace), a 1-row broadcast total, one scalar fold.
+    * Only dimensionless shares are emitted. */
+  def hoover(spark: SparkSession, dir: String): DataFrame = {
+    val per = docsWithDomain(spark, dir)
+      .groupBy(col("domain"))
+      .agg(sum(col("n_toks")).cast("bigint").as("x"))
+      .filter(col("x") > 0)
+    val tot = per.agg(count(lit(1)).cast("double").as("nd"),
+      sum(col("x")).cast("double").as("s"))
+    val share = col("x").cast("double") / col("s")
+    per.crossJoin(broadcast(tot))
+      .agg(max(col("nd")).as("nd"), max(col("s")).as("s"),
+        sum(abs(share - lit(1.0) / col("nd"))).as("l1"),
+        sum(when(share > lit(1.0) / col("nd"), 1L).otherwise(0L))
+          .cast("bigint").as("n_donors"))
+      .select(col("nd").cast("bigint").as("n_domains"),
+        col("s").cast("bigint").as("total_tokens"),
+        stableRound4(col("l1") / 2.0).as("hoover"),
+        col("n_donors"),
+        stableRound4(col("n_donors").cast("double") / col("nd"))
+          .as("donor_share"))
+  }
+
   /** q_curriculum: curriculum-ordering stages — bucket the corpus into
     * four difficulty quartiles by a deterministic progress score
     * (characters per token ×1000 in exact integer arithmetic:

@@ -987,6 +987,38 @@ object EventOps {
       .orderBy(col("day"))
   }
 
+  /** q_seasonal_strength: Hyndman–Athanasopoulos seasonal/trend strength
+    * of the daily value series — F_s = max(0, 1 − Var(R)/Var(S+R)) and
+    * F_t = max(0, 1 − Var(R)/Var(T+R)) over the DECLARED
+    * [[stlDecompose]] components (already stable-rounded, so the
+    * cross-engine float chain starts from identical doubles): the
+    * one-number "is the weekly cycle real / is the trend real" screen
+    * read before q_seasonal_naive or any calendar-based forecast.
+    * Everything after the decomposition is one moment rollup on the
+    * \|days\| frame; only dimensionless ratios are emitted. */
+  def seasonalStrength(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NumericFunctions.stableRound4
+    val f = stlDecompose(spark, dir).select(
+      col("residual").as("r"),
+      (col("seasonal") + col("residual")).as("sr"),
+      (col("trend") + col("residual")).as("tr"))
+    val m = f.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("r")).as("s_r"), sum(col("r") * col("r")).as("q_r"),
+      sum(col("sr")).as("s_sr"), sum(col("sr") * col("sr")).as("q_sr"),
+      sum(col("tr")).as("s_tr"), sum(col("tr") * col("tr")).as("q_tr"))
+    def v(s: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column) =
+      (q - s * s / col("n")) / (col("n") - 1)
+    val vr = v(col("s_r"), col("q_r"))
+    val vsr = v(col("s_sr"), col("q_sr"))
+    val vtr = v(col("s_tr"), col("q_tr"))
+    m.filter(col("n") > 1)
+      .select(col("n").cast("bigint").as("n_days"),
+        stableRound4(when(vsr > 0,
+          greatest(lit(0.0), lit(1.0) - vr / vsr))).as("seasonal_strength"),
+        stableRound4(when(vtr > 0,
+          greatest(lit(0.0), lit(1.0) - vr / vtr))).as("trend_strength"))
+  }
+
   /** q_kaplan_meier: the Kaplan-Meier survival curve of user LIFETIME
     * (Kaplan & Meier 1958) — the churn/retention estimator a product
     * analytics stack runs daily. A user's lifetime is the days between

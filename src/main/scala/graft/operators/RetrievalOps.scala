@@ -277,4 +277,50 @@ object RetrievalOps {
       .orderBy(col("ql_score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Feedback depth / expansion width for [[rocchioExpansion]] — shared
+    * with the oracle SQL. */
+  val PrfFeedbackDocs = 10
+  val PrfExpansionTerms = 15
+
+  /** q_rocchio_prf: pseudo-relevance-feedback query expansion (Rocchio's
+    * β term over the BM25 top-[[PrfFeedbackDocs]] feedback set) — the
+    * classic second-round retrieval operator: treat the first-pass top
+    * documents as relevant, score every candidate term by
+    * feedback-tf × corpus-idf (ln(N/df)), and emit the
+    * top-[[PrfExpansionTerms]] expansion terms with their weights. The
+    * original query terms, the [[graft.operators.TextOps]] stopword set
+    * and sub-3-char tokens are excluded (the α/original component is the
+    * query itself; this emits the expansion MODEL — rescoring reuses
+    * [[bm25Scores]] with the widened term list).
+    *
+    * Scale shape: the feedback set is [[PrfFeedbackDocs]] rows (ranking
+    * key is the ROUNDED BM25 score, ties to doc_id — engine-reproducible),
+    * so feedback term counts are a broadcast-sized frame; the corpus-df
+    * table is one distinct-explode aggregation (the established
+    * [[graft.operators.CorpusOps]] tfidf cost family), joined
+    * broadcast-side. Ordering ties break on the rounded weight then
+    * term. */
+  def rocchioExpansion(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokensLower(col("text")).as("toks"))
+    val fb = bm25TopK(spark, dir, PrfFeedbackDocs).select(col("doc_id"))
+    val stop = QueryTerms ++ graft.operators.TextOps.EnWords
+    val fbTf = docs.join(broadcast(fb), Seq("doc_id"))
+      .select(explode(col("toks")).as("term"))
+      .filter(length(col("term")) >= 3 && !col("term").isin(stop: _*))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).cast("bigint").as("tf_fb"))
+    val df = docs
+      .select(explode(array_distinct(col("toks"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).cast("bigint").as("df"))
+    val tot = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    df.join(broadcast(fbTf), Seq("term"))
+      .crossJoin(broadcast(tot))
+      .select(col("term"), col("tf_fb"), col("df"),
+        stableRound4(col("tf_fb").cast("double")
+          * log(col("n_docs") / col("df"))).as("weight"))
+      .orderBy(col("weight").desc, col("term"))
+      .limit(PrfExpansionTerms)
+  }
 }

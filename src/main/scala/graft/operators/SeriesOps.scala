@@ -365,4 +365,42 @@ object SeriesOps {
           .as("kpss_stat"),
         stableRound4(lrvN / col("g0")).as("lrv_ratio"))
   }
+
+  /** q_turning_points: the turning-point test of randomness on daily
+    * revenue — count local peaks/troughs (strict sign CHANGE of
+    * consecutive differences) and compare with the i.i.d. expectation
+    * E[T] = 2(n−2)/3, Var[T] = (16n−29)/90: too few turns = trending,
+    * too many = oscillation. The differencing-based complement to
+    * [[EventOps.runsTest]]'s above/below-median runs.
+    *
+    * Sign arithmetic runs on the ×10⁴-scaled LONGS of the round-4ed
+    * daily totals (the [[EventOps.stlDecompose]] determinism trick), so
+    * the turn count is integer-exact cross-engine; a zero difference is
+    * not a sign change (documented, identical in the oracle). One daily
+    * compression, one \|days\| lag window, closed-form z. */
+  def turningPoints(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")), 4).as("y"))
+      .withColumn("yl", round(col("y") * 10000).cast("long"))
+    val w = Window.orderBy(col("day"))
+    val diffs = d
+      .withColumn("d1", col("yl") - lag(col("yl"), 1).over(w))
+      .withColumn("d0", lag(col("yl"), 1).over(w)
+        - lag(col("yl"), 2).over(w))
+      .filter(col("d0").isNotNull)
+    val m = diffs.agg(
+      (count(lit(1)) + 2).cast("double").as("n"),
+      sum(when((col("d0") > 0 && col("d1") < 0)
+        || (col("d0") < 0 && col("d1") > 0), 1L).otherwise(0L))
+        .cast("bigint").as("t"))
+    val et = lit(2.0) * (col("n") - 2.0) / 3.0
+    val vt = (lit(16.0) * col("n") - 29.0) / 90.0
+    m.filter(col("n") > 3)
+      .select(col("n").cast("bigint").as("n_days"),
+        col("t").as("n_turns"),
+        stableRound4(et).as("expected_turns"),
+        stableRound4(when(vt > 0,
+          (col("t").cast("double") - et) / sqrt(vt))).as("z"))
+  }
 }

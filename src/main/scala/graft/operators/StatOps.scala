@@ -1493,6 +1493,123 @@ object StatOps {
           .cast("decimal(20,8)"), 6).cast("double").as("p"))
   }
 
+  /** q_page_trend: Page's L test for an ORDERED alternative across the
+    * [[friedman]] layout — same (day × event-type) within-day midranks,
+    * but against the hypothesis that type intensity follows the FIXED
+    * type order (alphabetical — the deterministic stand-in for a
+    * domain-given dose order): L = Σ_j s_j·R_j with s_j the 1-based
+    * ordinal of type j and R_j its rank sum across days. Friedman asks
+    * "are the treatments different at all"; Page asks "do they trend in
+    * the stated order" — strictly more powerful when an order is
+    * pre-registered. z from the no-ties moments E[L] = n·k(k+1)²/4,
+    * Var[L] = n·k²(k+1)²(k−1)/144 (midranks make |z| conservative under
+    * ties — documented, identical both engines).
+    *
+    * Scale shape: identical to [[friedman]] — one (day, type) partial
+    * aggregation, per-day rank windows on the bounded grid, a k-row
+    * score join. */
+  def pageTrend(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("x"))
+    val days = d.select(col("day")).distinct()
+    val types = d.select(col("event_type")).distinct()
+    val f = days.crossJoin(broadcast(types))
+      .join(d, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val wDay = Window.partitionBy(col("day")).orderBy(col("x"))
+    val wTie = Window.partitionBy(col("day"), col("x"))
+    val rk = f.withColumn("r",
+      (rank().over(wDay).cast("double")
+        + (count(lit(1)).over(wTie) - 1).cast("double") / 2.0))
+    val pars = Materialize(f.agg(
+      countDistinct(col("day")).cast("double").as("n"),
+      countDistinct(col("event_type")).cast("double").as("k")))
+    val wScore = Window.orderBy(col("event_type"))
+    val scores = types.withColumn("s",
+      row_number().over(wScore).cast("double"))
+    val lStat = rk.groupBy(col("event_type")).agg(sum(col("r")).as("rsum"))
+      .join(broadcast(scores), Seq("event_type"))
+      .agg(sum(col("s") * col("rsum")).as("l"))
+    val el = col("n") * col("k") * (col("k") + 1) * (col("k") + 1) / 4.0
+    val vl = col("n") * col("k") * col("k") * (col("k") + 1) *
+      (col("k") + 1) * (col("k") - 1) / 144.0
+    lStat.crossJoin(broadcast(pars))
+      .filter(col("k") > 1 && col("n") > 0)
+      .select(col("n").cast("bigint").as("n_days"),
+        col("k").cast("bigint").as("k_types"),
+        stableRound4(col("l")).as("page_l"),
+        stableRound4(el).as("expected_l"),
+        stableRound4(when(vl > 0, (col("l") - el) / sqrt(vl))).as("z"))
+  }
+
+  /** q_brunner_munzel: the Brunner–Munzel generalized Wilcoxon test
+    * (Brunner & Munzel 2000) on per-user activity between the two
+    * rollout variants (user_id mod 2, the [[abTest]] assignment) — the
+    * modern replacement for Mann–Whitney when variances/shapes differ
+    * (the Behrens–Fisher rank problem): tests P(X < Y) + ½P(X = Y) = ½
+    * and emits that common-language effect p̂ directly.
+    *
+    * Everything runs on the value-compressed (variant, n_events) grid:
+    * pooled and within-sample midranks are exact halves from integer
+    * count windows over the bounded distinct-count domain; the rank
+    * variances S²_k weight each distinct value by its count, so no
+    * per-user row survives the first aggregation. Statistic in the
+    * lawstat form W = n₁n₂(m₂−m₁)/(N·√(n₁S₁² + n₂S₂²)). */
+  def brunnerMunzel(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("v"))
+      .select((col("user_id") % 2).as("g"), col("v"))
+    val byGV = perUser.groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val byV = byGV.groupBy(col("v")).agg(sum(col("c")).as("n_v"))
+    val wAll = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pooled = byV
+      .withColumn("below", coalesce(sum(col("n_v")).over(wAll), lit(0L)))
+      .select(col("v"),
+        (col("below").cast("double")
+          + (col("n_v") + 1).cast("double") / 2.0).as("rp"))
+    val wG = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cells = byGV
+      .withColumn("below_g", coalesce(sum(col("c")).over(wG), lit(0L)))
+      .withColumn("ri",
+        col("below_g").cast("double") + (col("c") + 1).cast("double") / 2.0)
+      .join(pooled, Seq("v"))
+    val perG = cells.groupBy(col("g")).agg(
+      sum(col("c")).cast("double").as("n_g"),
+      sum(col("c").cast("double") * col("rp")).as("rp_sum"))
+    val withMean = cells.join(broadcast(perG), Seq("g"))
+      .withColumn("m_g", col("rp_sum") / col("n_g"))
+      .withColumn("dev",
+        col("rp") - col("ri") - col("m_g")
+          + (col("n_g") + 1.0) / 2.0)
+    val sg = withMean.groupBy(col("g")).agg(
+      max(col("n_g")).as("n_g"), max(col("m_g")).as("m_g"),
+      (sum(col("c").cast("double") * col("dev") * col("dev"))
+        / (max(col("n_g")) - 1.0)).as("s2"))
+    val wide = sg.agg(
+      sum(when(col("g") === 0, col("n_g"))).as("n1"),
+      sum(when(col("g") === 1, col("n_g"))).as("n2"),
+      sum(when(col("g") === 0, col("m_g"))).as("m1"),
+      sum(when(col("g") === 1, col("m_g"))).as("m2"),
+      sum(when(col("g") === 0, col("s2"))).as("s21"),
+      sum(when(col("g") === 1, col("s2"))).as("s22"))
+    val nn = col("n1") + col("n2")
+    val se = sqrt(col("n1") * col("s21") + col("n2") * col("s22"))
+    wide.filter(col("n1") > 1 && col("n2") > 1)
+      .select(col("n1").cast("bigint").as("n_a"),
+        col("n2").cast("bigint").as("n_b"),
+        stableRound4((col("m2") - (col("n2") + 1.0) / 2.0) / col("n1"))
+          .as("p_hat"),
+        stableRound4(when(se > 0,
+          col("n1") * col("n2") * (col("m2") - col("m1")) / nn / se))
+          .as("bm_stat"))
+  }
+
   /** q_bartlett: Bartlett's test for homogeneity of variances of document
     * length across sources — the PARAMETRIC companion to [[levene]] (same
     * groups, same column): more powerful when lengths are near-normal,

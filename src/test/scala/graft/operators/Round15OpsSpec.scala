@@ -342,6 +342,154 @@ class Round15OpsSpec extends SparkTestBase {
     }
   }
 
+  test("turningPoints: count matches a driver replay on the scaled longs") {
+    val yl = graft.Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")), 4).as("y"))
+      .withColumn("yl", round(col("y") * 10000).cast("long"))
+      .orderBy(col("day")).collect().map(_.getLong(2))
+    val diffs = yl.sliding(2).map { case Array(a, b) => b - a }.toSeq
+    val turns = diffs.sliding(2).count { case Seq(a, b) =>
+      (a > 0 && b < 0) || (a < 0 && b > 0) }
+    val n = yl.length
+    val row = SeriesOps.turningPoints(spark, sf).collect()(0)
+    assert(row.getLong(0) == n)
+    assert(row.getLong(1) == turns)
+    val et = 2.0 * (n - 2.0) / 3.0
+    assert(math.abs(row.getDouble(2) - et) < 1e-3) // engine value is round4'd
+    assert(math.abs(row.getDouble(3) -
+      (turns - et) / math.sqrt((16.0 * n - 29.0) / 90.0)) < 1e-3)
+  }
+
+  test("seasonalStrength: strengths match a driver replay over the declared stl output") {
+    val comp = EventOps.stlDecompose(spark, sf).collect()
+      .map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    def vr(xs: Seq[Double]): Double = {
+      val n = xs.length.toDouble
+      (xs.map(x => x * x).sum - xs.sum * xs.sum / n) / (n - 1)
+    }
+    val r = comp.map(_._3).toSeq
+    val sr = comp.map(c => c._2 + c._3).toSeq
+    val tr = comp.map(c => c._1 + c._3).toSeq
+    val fs = math.max(0.0, 1.0 - vr(r) / vr(sr))
+    val ft = math.max(0.0, 1.0 - vr(r) / vr(tr))
+    val row = EventOps.seasonalStrength(spark, sf).collect()(0)
+    assert(row.getLong(0) == comp.length)
+    assert(math.abs(row.getDouble(1) - fs) < 1e-3)
+    assert(math.abs(row.getDouble(2) - ft) < 1e-3)
+    assert(row.getDouble(1) >= 0 && row.getDouble(1) <= 1.0001)
+  }
+
+  test("pageTrend: L matches a driver midrank replay; consistent with friedman's layout") {
+    val cells = graft.Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => ((r.getDate(0).toString, r.getString(1)), r.getLong(2)))
+      .toMap
+    val days = cells.keys.map(_._1).toSeq.distinct.sorted
+    val types = cells.keys.map(_._2).toSeq.distinct.sorted
+    val k = types.length
+    // midranks within each day over the 0-filled grid
+    var l = 0.0
+    val rsums = scala.collection.mutable.Map[String, Double]()
+    days.foreach { d =>
+      val xs = types.map(t => t -> cells.getOrElse((d, t), 0L))
+      xs.foreach { case (t, x) =>
+        val below = xs.count(_._2 < x)
+        val ties = xs.count(_._2 == x)
+        val r = below + (ties + 1) / 2.0
+        rsums(t) = rsums.getOrElse(t, 0.0) + r
+      }
+    }
+    types.zipWithIndex.foreach { case (t, i) => l += (i + 1) * rsums(t) }
+    val row = StatOps.pageTrend(spark, sf).collect()(0)
+    assert(row.getLong(0) == days.length && row.getLong(1) == k)
+    assert(math.abs(row.getDouble(2) - l) < 1e-6)
+    val n = days.length.toDouble
+    val el = n * k * (k + 1) * (k + 1) / 4.0
+    assert(math.abs(row.getDouble(3) - el) < 1e-6)
+  }
+
+  test("brunnerMunzel: statistic matches a full driver replay") {
+    val vs = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("v"))
+      .collect().map(r => (r.getLong(0) % 2, r.getLong(1)))
+    val s1 = vs.filter(_._1 == 0).map(_._2.toDouble)
+    val s2 = vs.filter(_._1 == 1).map(_._2.toDouble)
+    val pooled = s1 ++ s2
+    def midranks(all: Seq[Double], xs: Seq[Double]): Seq[Double] =
+      xs.map(x => all.count(_ < x) + (all.count(_ == x) + 1) / 2.0)
+    val r1 = midranks(pooled, s1); val r2 = midranks(pooled, s2)
+    val ri1 = midranks(s1, s1); val ri2 = midranks(s2, s2)
+    val (n1, n2) = (s1.length.toDouble, s2.length.toDouble)
+    val (m1, m2) = (r1.sum / n1, r2.sum / n2)
+    def s2of(rp: Seq[Double], ri: Seq[Double], m: Double, n: Double) =
+      rp.zip(ri).map { case (a, b) =>
+        val d = a - b - m + (n + 1) / 2.0; d * d }.sum / (n - 1)
+    val v1 = s2of(r1, ri1, m1, n1); val v2 = s2of(r2, ri2, m2, n2)
+    val bm = n1 * n2 * (m2 - m1) / (n1 + n2) /
+      math.sqrt(n1 * v1 + n2 * v2)
+    val pHat = (m2 - (n2 + 1) / 2.0) / n1
+    val row = StatOps.brunnerMunzel(spark, sf).collect()(0)
+    assert(row.getLong(0) == s1.length && row.getLong(1) == s2.length)
+    assert(math.abs(row.getDouble(2) - pHat) < 1e-3)
+    assert(math.abs(row.getDouble(3) - bm) < 1e-3)
+    assert(row.getDouble(2) >= 0 && row.getDouble(2) <= 1.0)
+  }
+
+  test("hoover: transfer share matches a driver replay over the domain key") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def dom(id: Long, src: String): String = {
+      val hex = md.digest(s"dom:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      if (h % 100 < DomainOps.MegaSharePct) s"$src.big0"
+      else s"$src.${h % DomainOps.SmallBuckets}"
+    }
+    val per = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("n_toks"))
+      .collect().map(r => (dom(r.getLong(0), r.getString(1)),
+        r.getInt(2).toLong))
+      .groupBy(_._1).map { case (_, xs) => xs.map(_._2).sum }
+      .filter(_ > 0).toSeq
+    val s = per.sum.toDouble; val nd = per.length.toDouble
+    val hoov = per.map(x => math.abs(x / s - 1.0 / nd)).sum / 2.0
+    val donors = per.count(_ / s > 1.0 / nd)
+    val row = DomainOps.hoover(spark, sf).collect()(0)
+    assert(row.getLong(0) == per.length && row.getLong(1) == per.sum)
+    assert(math.abs(row.getDouble(2) - hoov) < 1e-3)
+    assert(row.getLong(3) == donors)
+    assert(row.getDouble(2) >= 0 && row.getDouble(2) <= 1.0)
+  }
+
+  test("rocchioExpansion: terms come from the feedback docs, exclude query/stopwords, weights replay") {
+    val rows = RetrievalOps.rocchioExpansion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.length <= RetrievalOps.PrfExpansionTerms)
+    val banned = (RetrievalOps.QueryTerms ++ Seq("the", "a", "of", "and")).toSet
+    rows.foreach { case (t, tfFb, df, w) =>
+      assert(!banned.contains(t) && t.length >= 3)
+      assert(tfFb >= 1 && df >= 1)
+      assert(w > 0)
+    }
+    // weights replay from the emitted integers + corpus size
+    val nDocs = graft.Tables.documents(spark, sf).count().toDouble
+    rows.foreach { case (_, tfFb, df, w) =>
+      assert(math.abs(w - tfFb * math.log(nDocs / df)) < 1e-3)
+    }
+    // descending by rounded weight, ties by term
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._4 > b._4 || (a._4 == b._4 && a._1 < b._1) })
+    // every term occurs in at least one of the BM25 top-10 feedback docs
+    val fbIds = RetrievalOps.bm25TopK(spark, sf, RetrievalOps.PrfFeedbackDocs)
+      .collect().map(_.getLong(0)).toSet
+    val fbText = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id").isInCollection(fbIds))
+      .collect().map(_.getAs[String]("text").toLowerCase).mkString(" ")
+    rows.foreach { case (t, _, _, _) => assert(fbText.contains(t)) }
+  }
+
   test("harmonicCentrality: matches a driver BFS replay from the shared edge table") {
     val edges = GraphOps.copurchaseEdgesShared(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
