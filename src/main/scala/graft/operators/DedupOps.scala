@@ -1259,6 +1259,15 @@ object DedupOps {
       numClusters: Int = IvfOps.DefaultK): DataFrame = {
     val e = Materialize(emb)
     val (_, assigned) = IvfOps.trainIndex(e, numClusters)
+    semDedupFromAssigned(e, assigned, threshold)
+  }
+
+  /** The within-cluster compare + keep/drop labeling over a PRE-BUILT
+    * inverted list — split out (round 15) so the declared query can ride
+    * the session-shared IVF trainer ([[IvfOps.trainIndexShared]]) instead
+    * of re-running the Lloyd scans six other queries already paid for. */
+  private def semDedupFromAssigned(e: DataFrame, assigned: DataFrame,
+      threshold: Double): DataFrame = {
     val a = assigned.select(col("centroid_id"), col("vec_id"),
       col("embedding"), l2Norm(col("embedding")).as("nrm"))
     val earlierDups = a.as("a").join(a.as("b"),
@@ -1282,8 +1291,13 @@ object DedupOps {
     * expressed in DuckDB via SparkEntry.lloydCtes' unrolled-Lloyd CTE);
     * DedupSpec additionally proves every dropped vector has a genuine
     * lower-id near-dup under the exact all-pairs ground truth. */
-  def semDedupQuery(spark: SparkSession, dir: String): DataFrame =
-    semDedup(Tables.embeddings(spark, dir))
+  def semDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    // session-shared corpus + IVF inverted list (round 15): identical
+    // centroids/assignments to the ad-hoc trainer (deterministic k-means
+    // over the same parquet), so the keep/drop sets are bit-identical
+    val (_, assigned) = IvfOps.trainIndexShared(spark, dir)
+    semDedupFromAssigned(Tables.embeddings(spark, dir), assigned, 0.25)
+  }
 
   /** Scale path for embedding near-dup: bucket vectors by hyperplane-LSH
     * signature, compare only within a bucket (equality join on the bucket

@@ -102,6 +102,45 @@ object PqOps {
     }
   }
 
+  // ---- session-shared PQ artifacts (round 15, guide §2.4: remove
+  // repeated work outright; the GraphOps baskets/edges first-payer
+  // contract, judged rounds 13–14). Six declared queries (q_pq_ann,
+  // q_pq_distortion, q_ivfpq, q_knn_graph, q_knn_components, q_lof,
+  // q_knn_recall) each re-normalized the corpus, re-trained the IDENTICAL
+  // deterministic PQ codebook (3 Lloyd scan+agg+collect jobs) and
+  // re-encoded the corpus from the same parquet within one session. All
+  // entries are deterministic recomputations keyed by (session, dir,
+  // dial...) — different scale dirs or dials never alias — dropped by
+  // SessionCache.clearAll, and result-invisible: every consumer reads
+  // bit-identical codebooks/codes.
+  private val sharedDf = new SessionCache[(SparkSession, String, String, Int)]()
+  private val sharedModel =
+    new SessionValueCache[(SparkSession, String, Int), Model]()
+  private val sharedIndex =
+    new SessionValueCache[(SparkSession, String, Int, Int), IvfPqIndex]()
+
+  /** L2-normalized corpus vectors, materialized once per (session, dir). */
+  private[operators] def vecsShared(spark: SparkSession, dir: String): DataFrame =
+    sharedDf.getOrBuild((spark, "vecs", dir, 0))(
+      Materialize(normalized(Tables.embeddings(spark, dir))))
+
+  /** The trained PQ codebook (M·Codes·SubDim doubles on the driver), once
+    * per (session, dir, iters). */
+  private[operators] def pqModelShared(spark: SparkSession, dir: String,
+      iters: Int): Model =
+    sharedModel.getOrBuild((spark, dir, iters)) {
+      train(vecsShared(spark, dir), iters)
+    }
+
+  /** The coded corpus (vec_id + M 4-bit codes, no IVF cell), once per
+    * (session, dir, iters). */
+  private def codedShared(spark: SparkSession, dir: String,
+      iters: Int): DataFrame =
+    sharedDf.getOrBuild((spark, "coded", dir, iters))(
+      Materialize(withCodes(vecsShared(spark, dir),
+        pqModelShared(spark, dir, iters))
+        .select(col("vec_id"), col("codes"))))
+
   /** q_pq_ann: PQ-coded ANN for probe vectors vec_id < 5 — ADC shortlist
     * of `shortlist` candidates per query from the 4-byte codes, exact
     * cosine re-rank of the shortlist down to top-`k`. Output shape matches
@@ -127,11 +166,12 @@ object PqOps {
     * measured 5→500 probe scaling. */
   def pqTopK(spark: SparkSession, dir: String, k: Int = 10,
       shortlist: Int = 50, iters: Int = 3, nProbes: Int = 5): DataFrame = {
-    val vecs = Materialize(normalized(Tables.embeddings(spark, dir)))
-    val model = train(vecs, iters)
+    // session-shared (round 15): normalization, codebook training and the
+    // coded corpus are common to the whole PQ family
+    val vecs = vecsShared(spark, dir)
+    val model = pqModelShared(spark, dir, iters)
     // the coded corpus: vec_id + M small ints — the compressed index
-    val coded = Materialize(withCodes(vecs, model)
-      .select(col("vec_id"), col("codes")))
+    val coded = codedShared(spark, dir, iters)
     // flat PQ: one probe row per query (no cell fan-out), so the ADC
     // broadcast is gated at rowsPerProbe = 1 — same bytes dial as the
     // cell-restricted path (round 12; the old shape force-broadcast
@@ -335,17 +375,19 @@ object PqOps {
     * unrolled-Lloyd oracle stays replayable — measured exponents for
     * both postures in SCALE.md's round-12 kNN-cell table). */
   def buildIndex(spark: SparkSession, dir: String, iters: Int = 3,
-      kCells: Int = IvfOps.DefaultK): IvfPqIndex = {
-    val emb = Materialize(Tables.embeddings(spark, dir))
-    val (centroids, assigned) = IvfOps.trainIndex(emb, k = kCells)
-    val vecs = Materialize(normalized(emb))
-    val model = train(vecs, iters)
-    val coded = Materialize(withCodes(vecs, model)
-      .select(col("vec_id"), col("codes"))
-      .join(assigned.select(col("vec_id"), col("centroid_id")),
-        Seq("vec_id")))
-    IvfPqIndex(model, centroids, coded, vecs)
-  }
+      kCells: Int = IvfOps.DefaultK): IvfPqIndex =
+    // session-shared (round 15): both trainers, the normalization pass and
+    // the cell-tagged coded corpus build once per (session, dir, dials);
+    // five declared queries consume this index
+    sharedIndex.getOrBuild((spark, dir, iters, kCells)) {
+      val (centroids, assigned) = IvfOps.trainIndexShared(spark, dir, kCells)
+      val vecs = vecsShared(spark, dir)
+      val model = pqModelShared(spark, dir, iters)
+      val coded = Materialize(codedShared(spark, dir, iters)
+        .join(assigned.select(col("vec_id"), col("centroid_id")),
+          Seq("vec_id")))
+      IvfPqIndex(model, centroids, coded, vecs)
+    }
 
   /** q_knn_graph: the k-nearest-neighbor GRAPH of the whole embedding
     * corpus — EVERY vector is a probe through the IVF+PQ path
@@ -364,8 +406,24 @@ object PqOps {
     * nothing new to prove, only the batch size. */
   def knnGraph(spark: SparkSession, dir: String, k: Int = 3,
       shortlist: Int = 20, kCells: Int = IvfOps.DefaultK): DataFrame =
-    ivfPqTopK(spark, dir, k = k, shortlist = shortlist, nProbes = None,
-      kCells = kCells)
+    // the materialized graph is unordered blocks; the declared contract
+    // orders by (q_id, rn) — a |V|·k-row re-sort, paid per call
+    knnGraphShared(spark, dir, k, shortlist, kCells)
+      .orderBy(col("q_id"), col("rn"))
+
+  /** The full-corpus kNN graph, built once per (session, dir, dials) —
+    * the precursor THREE declared queries consume (q_knn_graph itself,
+    * q_knn_components' mutual-edge clustering, q_lof's density audit).
+    * Each used to re-run the complete full-corpus ADC search (the
+    * dominant ~6–8 s cost at sf0.1). A production pipeline materializes
+    * the kNN graph once and fans the analytics out from it — the same
+    * first-payer contract as [[GraphOps.copurchaseEdgesShared]].
+    * Deterministic recomputation of the same parquet; result-invisible. */
+  private def knnGraphShared(spark: SparkSession, dir: String, k: Int,
+      shortlist: Int, kCells: Int): DataFrame =
+    sharedDf.getOrBuild((spark, s"knng:$k:$shortlist", dir, kCells))(
+      Materialize(ivfPqTopK(spark, dir, k = k, shortlist = shortlist,
+        nProbes = None, kCells = kCells)))
 
   /** q_knn_components: semantic clusters from the kNN graph — MUTUAL-kNN
     * edges (a and b are each other's top-k; the standard hub-suppression
@@ -385,8 +443,8 @@ object PqOps {
     * q_dedup_clusters oracle proved. */
   def knnComponents(spark: SparkSession, dir: String, k: Int = 3,
       shortlist: Int = 20, kCells: Int = IvfOps.DefaultK): DataFrame = {
-    val g = Materialize(knnGraph(spark, dir, k, shortlist, kCells)
-      .select(col("q_id").as("a"), col("cand_id").as("b")))
+    val g = knnGraphShared(spark, dir, k, shortlist, kCells)
+      .select(col("q_id").as("a"), col("cand_id").as("b"))
     val mutual = g.intersect(g.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a") < col("b"))
     val comps = DedupOps.connectedComponents(
@@ -437,9 +495,9 @@ object PqOps {
     // all-zero reachability sums and a 0-divisor lrd — the standard
     // duplicate-handling tweak (Breunig et al. §4 discuss the
     // degeneracy); deterministic on both engines
-    val edges = Materialize(knnGraph(spark, dir, k, shortlist, kCells)
+    val edges = knnGraphShared(spark, dir, k, shortlist, kCells)
       .select(col("q_id"), col("cand_id"),
-        greatest(lit(1e-4), lit(1.0) - col("cos_sim")).as("dist")))
+        greatest(lit(1e-4), lit(1.0) - col("cos_sim")).as("dist"))
     val kdist = edges.groupBy(col("q_id"))
       .agg(max(col("dist")).as("kdist"), count(lit(1)).as("deg"))
     val reach = edges
@@ -483,8 +541,10 @@ object PqOps {
     import graft.functions.NumericFunctions.stableRound4
     val spark0 = spark
     import spark0.implicits._
-    val vecs = Materialize(normalized(Tables.embeddings(spark, dir)))
-    val model = train(vecs, iters)
+    // session-shared (round 15): same normalized vectors and codebook as
+    // the rest of the PQ family
+    val vecs = vecsShared(spark, dir)
+    val model = pqModelShared(spark, dir, iters)
     val cents = model.zipWithIndex.flatMap { case (cb, j) =>
       cb.zipWithIndex.map { case (cen, c) => (j, c, cen.toSeq) }
     }.toSeq.toDF("j", "c", "cen")

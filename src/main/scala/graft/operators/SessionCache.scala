@@ -29,7 +29,7 @@ import org.apache.spark.sql.DataFrame
   */
 final class SessionCache[K] {
   private val map = new java.util.concurrent.ConcurrentHashMap[K, DataFrame]()
-  SessionCache.register(this)
+  SessionCache.register(() => map.clear())
 
   /** Cached lookup; `build` runs at most once per key per session, modulo
     * a benign first-put-wins race. The builder is responsible for
@@ -48,12 +48,35 @@ final class SessionCache[K] {
   def clear(): Unit = map.clear()
 }
 
+/** [[SessionCache]] for NON-DataFrame session artifacts — the driver-held
+  * trained models (k-means centroid arrays, PQ codebooks) that several
+  * declared queries re-derive identically from the same parquet input
+  * (round 15). Same contract: deterministic content, get/putIfAbsent (no
+  * bin lock across a nested build), registered for [[SessionCache.clearAll]]
+  * so retry harnesses and multi-dataset loops drop it with everything else. */
+final class SessionValueCache[K, V <: AnyRef] {
+  private val map = new java.util.concurrent.ConcurrentHashMap[K, V]()
+  SessionCache.register(() => map.clear())
+
+  def getOrBuild(key: K)(build: => V): V = {
+    val cur = map.get(key)
+    if (cur != null) cur
+    else {
+      val built = build
+      val prev = map.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
+
+  def clear(): Unit = map.clear()
+}
+
 object SessionCache {
   private val all =
-    new java.util.concurrent.CopyOnWriteArrayList[SessionCache[_]]()
+    new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()
 
-  private def register(c: SessionCache[_]): Unit = all.add(c)
+  private[operators] def register(clear: () => Unit): Unit = all.add(clear)
 
   /** Drop every entry of every registered cache (see class doc). */
-  def clearAll(): Unit = all.forEach(_.clear())
+  def clearAll(): Unit = all.forEach(_.apply())
 }

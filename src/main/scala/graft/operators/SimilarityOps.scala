@@ -146,11 +146,14 @@ object SimilarityOps {
   def annRecall(spark: SparkSession, dir: String, k: Int = 10,
       nProbes: Int = 50): DataFrame = {
     import graft.functions.NumericFunctions.stableRound4
+    // session-shared IVF trainer (round 15): same first-payer contract as
+    // the graph family — see IvfOps.trainIndexShared. The raw corpus is
+    // re-materialized per call (base tables are never session-cached).
     val emb = Materialize(Tables.embeddings(spark, dir))
     val probes = emb.filter(col("vec_id") < nProbes)
     val exact = Materialize(
       bruteForceTopK(probes, emb, k).select(col("q_id"), col("cand_id")))
-    val (centroids, assigned) = IvfOps.trainIndex(emb)
+    val (centroids, assigned) = IvfOps.trainIndexShared(spark, dir)
     def recallOf(method: String, ann: DataFrame): DataFrame = {
       val short = ann.select(col("q_id"), col("cand_id"))
       val hits = exact.join(short, Seq("q_id", "cand_id"), "left_semi")
