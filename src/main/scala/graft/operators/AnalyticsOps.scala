@@ -170,19 +170,40 @@ object AnalyticsOps {
       .drop("l_partkey", "l_suppkey", "l_extendedprice")
 
   /** Statistical aggregates: exact percentiles (interpolated), sample
-    * stddev, distinct counts. Exact percentile holds every group value in
-    * one aggregation state — round 15 declares [[statsAggSketch]] as the
-    * 100 TB PRIMARY; this exact form stays declared as the CONTRAST DIAL
-    * whose oracle is quantile-exact. */
-  def statsAgg(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
+    * stddev, distinct counts. Round 15: the exact percentiles now come
+    * from [[ExactPercentile]]'s bounded-state bracketed selection
+    * (bit-identical to `percentile()` — the unchanged quantile-exact
+    * oracle is the proof) instead of the O(n)-state full-buffer
+    * aggregate, so this exact form no longer carries the single-reducer
+    * memory liability; [[statsAggSketch]] stays the declared
+    * tolerance-oracled sketch PRIMARY. */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val medQty = ExactPercentile.compute(li, Seq("l_returnflag"),
+      "l_quantity", Seq(0.5))
+    val p90 = ExactPercentile.compute(li, Seq("l_returnflag"),
+      "l_extendedprice", Seq(0.9))
+    val cuts = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        medQty.keys.toSeq.map(k => org.apache.spark.sql.Row(
+          k.head, medQty(k)(0), p90(k)(0))), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        li.schema("l_returnflag"),
+        org.apache.spark.sql.types.StructField("__med",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("__p90",
+          org.apache.spark.sql.types.DoubleType)))))
+    li.groupBy(col("l_returnflag"))
       .agg(
-        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
         round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
         countDistinct(col("l_partkey")).as("n_parts"))
+      .join(cuts, Seq("l_returnflag"))
+      .select(col("l_returnflag"),
+        round(col("__med"), 4).as("median_qty"),
+        round(col("__p90"), 4).as("p90_price"),
+        col("sd_qty"), col("n_parts"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Winsorized aggregation: clamp a heavy-tailed metric at its global
     * exact p05/p95 before averaging — the outlier-robust mean training
@@ -195,12 +216,13 @@ object AnalyticsOps {
   def winsorize(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.NumericFunctions.stableRound4
     val li = Tables.lineitem(spark, dir)
-    val bounds = li.agg(
-      expr("percentile(l_extendedprice, 0.05)").as("lo"),
-      expr("percentile(l_extendedprice, 0.95)").as("hi"))
-    li.crossJoin(broadcast(bounds))
-      .select(col("l_returnflag"), col("l_extendedprice").as("p"),
-        greatest(least(col("l_extendedprice"), col("hi")), col("lo")).as("w"))
+    // round 15: exact p05/p95 via ExactPercentile's bounded-state
+    // bracketed selection (bit-identical to percentile(); the unchanged
+    // exact oracle is the proof) — no full-buffer aggregation state
+    val Array(lo, hi) = ExactPercentile.computeGlobal(
+      li, "l_extendedprice", Seq(0.05, 0.95))
+    li.select(col("l_returnflag"), col("l_extendedprice").as("p"),
+        greatest(least(col("l_extendedprice"), lit(hi)), lit(lo)).as("w"))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
         stableRound4(avg(col("p"))).as("avg_raw"),
@@ -289,18 +311,22 @@ object AnalyticsOps {
   def madOutlier(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.NumericFunctions.stableRound4
     val li = Tables.lineitem(spark, dir)
-    val med = li.agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
-    val dev = li.crossJoin(broadcast(med))
-      .select(col("l_returnflag"), col("l_extendedprice"), col("med"),
-        abs(col("l_extendedprice") - col("med")).as("adev"))
-    val mad = dev.agg(expr("percentile(adev, 0.5)").as("mad"))
-    dev.crossJoin(broadcast(mad))
-      .groupBy(col("l_returnflag"))
+    // round 15: both exact medians via ExactPercentile's bounded-state
+    // bracketed selection (bit-identical to percentile(); the unchanged
+    // exact oracle is the proof) — this query used to pay the O(n)
+    // full-buffer state TWICE, back to back
+    val med = ExactPercentile.computeGlobal(
+      li, "l_extendedprice", Seq(0.5))(0)
+    val dev = li.select(col("l_returnflag"),
+      abs(col("l_extendedprice") - lit(med)).as("adev"))
+    val mad = ExactPercentile.computeGlobal(dev, "adev", Seq(0.5))(0)
+    dev.groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
-          .as("n_outliers"),
-        stableRound4(max(col("med"))).as("med"),
-        stableRound4(max(col("mad"))).as("mad"))
+        sum(when(col("adev") > lit(3.0) * lit(mad), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("l_returnflag"), col("n"), col("n_outliers"),
+        stableRound4(lit(med)).as("med"),
+        stableRound4(lit(mad)).as("mad"))
       .orderBy(col("l_returnflag"))
   }
 

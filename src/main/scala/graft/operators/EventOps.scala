@@ -760,20 +760,55 @@ object EventOps {
         ((unix_timestamp(col("hr")) - unix_timestamp(col("hr0"))) / 3600L)
           .cast("double").as("x"),
         col("v"))
+    // the C(|hours|,2)-row pair set is consumed twice by the exact-median
+    // selection (sketch pass + bracket pass); it is RECOMPUTED per pass
+    // from the materialized hourly table rather than checkpointed —
+    // regenerating the codegen'd pair join (~|hours|² projected rows,
+    // nothing shuffled) is cheaper than writing those rows to checkpoint
+    // blocks (measured: 3.59 s materialized vs 2.5 s recomputed at sf0.1)
     val slopes = pts.as("a").join(pts.as("b"),
         col("a.event_type") === col("b.event_type")
           && col("a.x") < col("b.x"))
       .select(col("a.event_type").as("event_type"),
         ((col("b.v") - col("a.v")) / (col("b.x") - col("a.x"))).as("s"))
-    val slopeMed = slopes.groupBy(col("event_type"))
-      .agg(expr("percentile(s, 0.5)").as("slope"))
-    pts.join(broadcast(slopeMed), Seq("event_type"))
+    // round 15: both exact medians (pairwise slope, residual intercept)
+    // via ExactPercentile's bounded-state bracketed selection —
+    // bit-identical to percentile() (unchanged exact oracle), without
+    // the O(|hours|²) single aggregation state per type
+    val slopeMed = graft.operators.ExactPercentile.compute(
+      slopes, Seq("event_type"), "s", Seq(0.5))
+    val spark0 = spark
+    val smDf = broadcast(spark0.createDataFrame(
+      spark0.sparkContext.parallelize(
+        slopeMed.keys.toSeq.map(k =>
+          org.apache.spark.sql.Row(k.head, slopeMed(k)(0))), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("slope",
+          org.apache.spark.sql.types.DoubleType)))))
+    val resid = pts.join(smDf, Seq("event_type"))
       .select(col("event_type"), col("slope"),
         (col("v") - col("slope") * col("x")).as("r"))
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_hours"),
-        stableRound4(first(col("slope"))).as("slope"),
-        stableRound4(expr("percentile(r, 0.5)")).as("intercept"))
+    val interceptMed = graft.operators.ExactPercentile.compute(
+      resid, Seq("event_type"), "r", Seq(0.5))
+    val cuts = broadcast(spark0.createDataFrame(
+      spark0.sparkContext.parallelize(
+        slopeMed.keys.toSeq.map(k => org.apache.spark.sql.Row(
+          k.head, slopeMed(k)(0), interceptMed(k)(0))), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("slope",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("intercept_raw",
+          org.apache.spark.sql.types.DoubleType)))))
+    pts.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"))
+      .join(cuts, Seq("event_type"))
+      .select(col("event_type"), col("n_hours"),
+        stableRound4(col("slope")).as("slope"),
+        stableRound4(col("intercept_raw")).as("intercept"))
       .orderBy(col("event_type"))
   }
 

@@ -498,7 +498,9 @@ class PlanQualitySpec extends SparkTestBase {
   }
 
   test("graph family: no wedge shuffle in triangles, no cartesian anywhere") {
-    val pt = plan(GraphOps.triangleTop(spark, sf))
+    // pre-barrier frame (round 15): the declared query reads the
+    // session-shared nodeTriangles checkpoint, so assert on the builder
+    val pt = plan(GraphOps.nodeTriangles(spark, sf))
     // the adjacency-intersection plan: pair explode (Generate) + joins on
     // u/v keys — never a CartesianProduct or BroadcastNestedLoopJoin
     assert(!pt.contains("CartesianProduct"), pt)
@@ -852,7 +854,9 @@ class PlanQualitySpec extends SparkTestBase {
   }
 
   test("labelPropagation: no per-round window; edges grouped once") {
-    val p = plan(GraphOps.labelPropagation(spark, sf))
+    // pre-barrier frame (round 15): the declared query reads the shared
+    // lpaLabels checkpoint, so assert on the label builder itself
+    val p = plan(GraphOps.lpaLabels(spark, sf, 3))
     assert(!p.contains("Window"), p)
     // the vote argmax is a struct max aggregate, not a rank window
     assert(p.contains("max(top") || p.contains("partial_max"), p)
