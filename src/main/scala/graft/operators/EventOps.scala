@@ -765,12 +765,18 @@ object EventOps {
     // from the materialized hourly table rather than checkpointed —
     // regenerating the codegen'd pair join (~|hours|² projected rows,
     // nothing shuffled) is cheaper than writing those rows to checkpoint
-    // blocks (measured: 3.59 s materialized vs 2.5 s recomputed at sf0.1)
+    // blocks (measured: 3.59 s materialized vs 2.5 s recomputed at sf0.1).
+    // try_divide, not /: ExactPercentile pushes isnotnull(s) into the join,
+    // where Catalyst may evaluate the division BEFORE the a.x < b.x guard;
+    // an equal-x pair then divides by zero and ANSI mode throws. Every pair
+    // that survives the guard has b.x > a.x, so try_divide is value-identical
+    // on the result set (the NULL-on-zero rows are exactly the guard-dropped
+    // pairs, and isNotNull discards them either way).
     val slopes = pts.as("a").join(pts.as("b"),
         col("a.event_type") === col("b.event_type")
           && col("a.x") < col("b.x"))
       .select(col("a.event_type").as("event_type"),
-        ((col("b.v") - col("a.v")) / (col("b.x") - col("a.x"))).as("s"))
+        try_divide(col("b.v") - col("a.v"), col("b.x") - col("a.x")).as("s"))
     // round 15: both exact medians (pairwise slope, residual intercept)
     // via ExactPercentile's bounded-state bracketed selection —
     // bit-identical to percentile() (unchanged exact oracle), without

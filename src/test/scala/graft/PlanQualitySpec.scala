@@ -289,9 +289,9 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"), p)
   }
 
-  test("winsorize: one-row bounds broadcast; fact side aggregates partially") {
+  test("winsorize: driver-literal bounds (no join at all); fact side aggregates partially") {
     val p = plan(AnalyticsOps.winsorize(spark, sf))
-    assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row cross join
+    assert(!p.contains("Join"), p) // round 15: bounds inlined as literals
     assert(p.contains("partial_avg") || p.contains("partial_count"), p)
   }
 
