@@ -272,6 +272,20 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"metric":"slowest","n":20,"unit":"sec","reps":2,"agg":"min","queries":$slowest,"sf":"$sfDir"}""")
+    // Fourth line (round 16, additions-only): the shared-artifact build
+    // ledger. Session-shared family builds (ANN indexes, graph artifacts)
+    // are paid once by the first consumer's rep 1 and then best-of-2 `min`
+    // drops them from every per-query figure and the total — the round-15
+    // verdict's accounting gap. SessionCache records each winning build's
+    // wall-clock; "value" sums the builds keyed on the TIMED data dir (the
+    // warm pass at sf0.001 builds its own keys, reported but not summed),
+    // so a cold-session sweep cost reconstructs as total + build_sec.
+    val buildLog = graft.operators.SessionCache.buildLog
+    val timedBuilds = buildLog.filter(_._1.contains(sfDir))
+    val buildsJson = buildLog.toSeq.sortBy(-_._2).map { case (k, v) =>
+      "\"" + jsonEscape(k) + "\":" + f4(v)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"build_sec","value":${f4(timedBuilds.values.sum)},"unit":"sec","n_builds_timed_dir":${timedBuilds.size},"n_builds_total":${buildLog.size},"note":"first-payer shared-artifact builds excluded from best-of-2 minima; cold-session sweep ~= total + value","builds":$buildsJson,"sf":"$sfDir"}""")
     // And persist the complete per-query JSON as a file so round-over-round
     // deltas never depend on how much of stdout the driver kept. The forked
     // JVM's cwd is the sbt base directory, so the default lands in-repo and

@@ -1124,20 +1124,59 @@ object AnalyticsOps {
     * Gini closed form over ranked values, G = (2·Σᵢ i·xᵢ − (n+1)·Σx) /
     * (n·Σx), reduces to exact-integer numerators and ONE final division.
     *
-    * Scale shape: one per-customer aggregation, one total-order
-    * ranked window over |customers| rows (the global sort is the
-    * operator's price — at 100 TB |customers| ≪ |facts|, and Spark's
-    * rangepartitioned sort handles it), then a 10-row decile table. */
+    * Scale shape (round 16): one per-customer aggregation, then a
+    * DISTRIBUTED global rank — range-partition by the rank key, rank
+    * within each range partition, add driver-collected partition offsets
+    * (≤ shuffle-partition longs). Replaces the unpartitioned
+    * row_number/ntile window that funneled every customer through ONE
+    * task (the round-15 WindowExec-WARN audit's only corpus-scale hit).
+    * The global rank i is invariant to where the range boundaries land
+    * (the sort key (cents, custkey) is a total order), and the decile is
+    * Spark's exact ntile arithmetic on (i, n) — first n%10 buckets take
+    * ⌈n/10⌉ rows, the rest ⌊n/10⌋ — so outputs are bit-identical. */
   def giniLorenz(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.NumericFunctions.stableRound4
     val cents = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(round(col("o_totalprice").cast("decimal(20,8)") * 100, 0)
         .cast("long")).as("cents"))
-    val w = Window.orderBy(col("cents"), col("o_custkey"))
-    val ranked = cents
-      .withColumn("i", row_number().over(w))
-      .withColumn("decile", ntile(10).over(w))
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    // Materialize: pid must be CONSISTENT between the offsets collect and
+    // the ranked pass — re-executing the range exchange could draw
+    // different boundaries (RangePartitioner samples per execution)
+    val parted = Materialize(cents
+      .repartitionByRange(nPart, col("cents"), col("o_custkey"))
+      .withColumn("pid", spark_partition_id()))
+    val counts = parted.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = counts.keys.toSeq.sorted
+    val offs = pids.scanLeft(0L)((acc, pid) => acc + counts(pid))
+    val n = counts.values.sum
+    val offDf = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        pids.zipWithIndex.map { case (pid, ix) =>
+          org.apache.spark.sql.Row(pid, offs(ix)) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pid",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("off",
+          org.apache.spark.sql.types.LongType)))))
+    val wIn = Window.partitionBy(col("pid"))
+      .orderBy(col("cents"), col("o_custkey"))
+    val q = n / 10
+    val r = n % 10
+    val cut = r * (q + 1)
+    val ranked = parted
+      .withColumn("li", row_number().over(wIn))
+      .join(offDf, Seq("pid"))
+      .withColumn("i", col("off") + col("li"))
+      // integer floor division (`div`), not `/` (Spark's `/` on integral
+      // operands is true double division)
+      .withColumn("decile",
+        when(col("i") <= lit(cut), expr(s"(i - 1) div ${q + 1} + 1"))
+          .otherwise(expr(
+            s"$r + (i - 1 - $cut) div ${math.max(q, 1L)} + 1"))
+          .cast("int"))
     val totals = ranked.agg(count(lit(1)).as("n"),
       sum(col("cents")).as("total"),
       sum(col("i") * col("cents")).as("sum_rank_spend"))

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
 
 /** EXACT interpolated percentiles with BOUNDED aggregation state — the
   * round-15 replacement for `percentile()` in the declared exact-percentile
@@ -20,9 +21,7 @@ import org.apache.spark.sql.functions._
   *      primaries already ship).
   *   2. ONE counting pass per bracket attempt: per group, the exact number
   *      of rows BELOW the bracket plus a (value → count) histogram of the
-  *      rows INSIDE it. The bracket spans rank p·n ± 4n/accuracy, so the
-  *      histogram is O(n/accuracy) rows — a driver pull in the same
-  *      bounded-model-state class as the k-means centroid collects.
+  *      rows INSIDE it.
   *   3. Driver-side exact selection + interpolation replicating
   *      `PercentileBase.getPercentile` BIT-FOR-BIT (verified against the
   *      disassembled Spark 4.1.2 bytecode, and pinned by
@@ -32,31 +31,60 @@ import org.apache.spark.sql.functions._
   *      lowerV if higher == lower or lowerV == higherV, else
   *      (higher − position)·lowerV + (position − lower)·higherV.
   *
+  * Round 16 — the driver pull is now CAPPED, not O(n/accuracy): the
+  * round-15 version always collected the in-window histogram, whose size
+  * is ≈ 8n/accuracy rows — linear in n, tens of GB at 100 TB (the r15
+  * verdict's finding). Now a bracket whose PREDICTED window
+  * (≤ 10n/accuracy rows from the sketch's rank-error guarantee, ≤ 34n/acc
+  * for the widened retry, n for the [min,max] fallback) exceeds
+  * `maxPullRows` first runs a cheap COUNTING pass (2 longs per group to
+  * the driver), then — if the exact window is still too wide — a
+  * NARROWING pass: a second `approx_percentile` sketch over only the
+  * in-window rows at the target ranks re-expressed window-relative, which
+  * shrinks the window by ~accuracy/10 per round (10¹² rows → ≤ cap in 3
+  * rounds). The histogram is only ever collected once its row count is
+  * proven ≤ `maxPullRows`. The final exact selection is unchanged, so
+  * results are bit-identical whatever path found the bracket; at bench
+  * scale (windows ≪ cap) the plan sequence is exactly the round-15 one —
+  * no extra jobs.
+  *
   * If a bracket misses its rank (the sketch's guarantee failed — not
-  * observed, but the code must be total), the pass-2 attempt retries with
-  * the 4×-wider sketch values already computed in pass 1, then with the
+  * observed, but the code must be total), the attempt retries with the
+  * 4×-wider sketch values already computed in pass 1, then with the
   * group's [min, max]. Deterministic: the final selection depends only on
   * the data, never on which bracket found it.
   *
   * Restriction: the value column must cast to DOUBLE order-isomorphically
   * (doubles, or decimals that are exact in double — both table families
   * here qualify); NULLs are ignored exactly as `percentile` ignores them.
+  * NULL GROUP KEYS are supported (round-16 advisor fix): the pass-2 joins
+  * compare group columns null-safely (`<=>`), matching `percentile()`'s
+  * behavior of keeping a NULL-keyed group.
   */
 object ExactPercentile {
+
+  /** Hard cap on rows any single driver collect may carry (histogram
+    * rows across all pending (group, p) items). 2ⁱ⁷ ≈ 131 k rows of
+    * (key, double, long) is ~a few MB — the same driver-model budget
+    * class as the k-means centroid collects. */
+  val DefaultMaxPullRows: Int = 1 << 17
 
   /** Exact percentiles of `valueCol` at `ps` per distinct `groupCols` key.
     * Returns group key (as a Seq in `groupCols` order) → values aligned
     * with `ps`. Empty `groupCols` → single key `Seq()` (global). Groups
     * with zero non-null rows are absent (as `percentile` returns NULL). */
   def compute(df0: DataFrame, groupCols: Seq[String], valueCol: String,
-      ps: Seq[Double], accuracy: Int = 10000): Map[Seq[Any], Array[Double]] = {
+      ps: Seq[Double], accuracy: Int = 10000,
+      maxPullRows: Int = DefaultMaxPullRows): Map[Seq[Any], Array[Double]] = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"percentages must be in [0,1]: $ps")
     val gs = groupCols.map(col)
+    val nG = groupCols.size
     val v = col("__v")
     val df = df0
       .select((gs :+ col(valueCol).cast("double").as("__v")): _*)
       .filter(v.isNotNull)
+    val spark = df0.sparkSession
 
     // pass 1: n, min, max, and bracket candidates at two widths per p
     val margins = Seq(4.0 / accuracy, 16.0 / accuracy)
@@ -67,7 +95,6 @@ object ExactPercentile {
       .agg(count(v).as("__n"), min(v).as("__mn"), max(v).as("__mx"),
         expr(s"approx_percentile(__v, $pctsSql, $accuracy)").as("__apx"))
       .collect()
-    val nG = groupCols.size
     // group key → (n, per-attempt brackets per p)
     val groups: Seq[(Seq[Any], Long, Array[Array[(Double, Double)]])] =
       aggd.toSeq.filter(_.getLong(nG) > 0L).map { r =>
@@ -83,87 +110,212 @@ object ExactPercentile {
         }.toArray
         (key, n, brackets)
       }
-
-    // resolved results; pending (group, pIdx) start at attempt 0
-    val resolved = scala.collection.mutable.Map[(Seq[Any], Int), Double]()
-    var pending: Seq[(Seq[Any], Int)] =
-      groups.flatMap { case (key, _, _) => ps.indices.map(i => (key, i)) }
     val nOf = groups.map { case (key, n, _) => key -> n }.toMap
     val brOf = groups.map { case (key, _, b) => key -> b }.toMap
 
-    var attempt = 0
-    while (pending.nonEmpty && attempt < margins.size + 1) {
-      // bracket frame for this attempt: (group..., __pi, __lo, __hi)
-      val spark = df0.sparkSession
-      val bRows = pending.map { case (key, pi) =>
-        val (lo, hi) = brOf(key)(pi)(attempt)
+    // ---- per-item bracket state machine (round 16) ----
+    // Ladder(a): bracket = pass-1 attempt a (0: ±4/acc, 1: ±16/acc,
+    //   2: [min,max]); window size only PREDICTED from n and the sketch
+    //   rank-error bound. Uncounted: a narrowed bracket whose exact
+    //   below/in-window counts are not known yet. Counted: exact counts
+    //   known, ranks proven covered.
+    sealed trait St
+    case class Ladder(attempt: Int) extends St
+    case class Uncounted(lo: Double, hi: Double) extends St
+    case class Counted(lo: Double, hi: Double, below: Long, inWin: Long)
+      extends St
+    // Forced: narrowing made no progress (a window pinned by two massive
+    // tie blocks cannot shrink below their two values) — collect the
+    // histogram regardless of inWin: the pull is per DISTINCT value, and
+    // a stuck window is by construction tie-dominated (few distinct values)
+    case class Forced(lo: Double, hi: Double) extends St
+
+    type Item = (Seq[Any], Int)
+    val state = scala.collection.mutable.Map[Item, St]()
+    val lastLadder = scala.collection.mutable.Map[Item, Int]()
+    groups.foreach { case (key, _, _) =>
+      ps.indices.foreach { i =>
+        state((key, i)) = Ladder(0); lastLadder((key, i)) = 0
+      }
+    }
+    val resolved = scala.collection.mutable.Map[Item, Double]()
+
+    def bracketOf(it: Item, st: St): (Double, Double) = st match {
+      case Ladder(a) => brOf(it._1)(it._2)(a)
+      case Uncounted(lo, hi) => (lo, hi)
+      case Counted(lo, hi, _, _) => (lo, hi)
+      case Forced(lo, hi) => (lo, hi)
+    }
+    // conservative window-row bound for a ladder bracket: rank width of
+    // the two query points + one sketch rank error (n/accuracy) per side
+    def ladderBound(key: Seq[Any], a: Int): Long = {
+      val n = nOf(key)
+      a match {
+        case 0 => math.ceil(10.0 * n / accuracy).toLong + 2
+        case 1 => math.ceil(34.0 * n / accuracy).toLong + 2
+        case _ => n
+      }
+    }
+    def ranksOf(it: Item): (Long, Long, Double) = {
+      val n = nOf(it._1)
+      val position = ps(it._2) * (n - 1)
+      (math.floor(position).toLong, math.ceil(position).toLong, position)
+    }
+    val failed = scala.collection.mutable.ArrayBuffer[Item]()
+    def nextLadder(it: Item): Unit = {
+      val a = lastLadder(it) + 1
+      lastLadder(it) = a
+      if (a <= margins.size) state(it) = Ladder(a)
+      else { state.remove(it); failed += it }
+    }
+
+    // broadcast bracket frame for a batch of items; group cols renamed
+    // __g0.. so the join can be NULL-SAFE (<=>) — percentile() keeps a
+    // NULL-keyed group, and a plain equality join would never match it
+    val bFields = groupCols.zipWithIndex.map { case (c, i) =>
+      StructField(s"__g$i", df0.schema(c).dataType, nullable = true)
+    } ++ Seq(StructField("__pi", IntegerType),
+      StructField("__lo", DoubleType), StructField("__hi", DoubleType))
+    def joinBrackets(items: Seq[(Item, (Double, Double))]): DataFrame = {
+      val bRows = items.map { case ((key, pi), (lo, hi)) =>
         Row.fromSeq(key ++ Seq[Any](pi, lo, hi))
       }
-      val bSchema = org.apache.spark.sql.types.StructType(
-        groupCols.map(c => df0.schema(c))
-          ++ Seq(
-            org.apache.spark.sql.types.StructField("__pi",
-              org.apache.spark.sql.types.IntegerType),
-            org.apache.spark.sql.types.StructField("__lo",
-              org.apache.spark.sql.types.DoubleType),
-            org.apache.spark.sql.types.StructField("__hi",
-              org.apache.spark.sql.types.DoubleType)))
       val bdf = broadcast(spark.createDataFrame(
-        spark.sparkContext.parallelize(bRows, 1), bSchema))
-      val joined =
-        if (gs.isEmpty) df.crossJoin(bdf)
-        else df.join(bdf, groupCols)
-      // pass 2: tag = below/inside/above bracket; histogram inside only
-      val tagged = joined
-        .select((gs :+ col("__pi")
-          :+ when(v < col("__lo"), lit(-1))
-            .when(v > col("__hi"), lit(1)).otherwise(lit(0)).as("__tag")
-          :+ when(v.between(col("__lo"), col("__hi")), v).as("__wv")): _*)
-        .groupBy((gs :+ col("__pi") :+ col("__tag") :+ col("__wv")): _*)
-        .agg(count(lit(1)).as("__c"))
-        .collect()
-      // per (group, pi): rows below + sorted in-window histogram
-      val byKey = tagged.groupBy(r =>
-        ((0 until nG).map(r.get): Seq[Any], r.getInt(nG)))
-      val stillPending = scala.collection.mutable.ArrayBuffer[(Seq[Any], Int)]()
-      pending.foreach { case (key, pi) =>
-        val rows = byKey.getOrElse((key, pi), Array.empty[Row])
-        val below = rows.filter(_.getInt(nG + 1) == -1).map(_.getLong(nG + 3)).sum
-        val hist = rows.filter(_.getInt(nG + 1) == 0)
-          .map(r => (r.getDouble(nG + 2), r.getLong(nG + 3)))
-          .sortBy(_._1)
-        val inWin = hist.map(_._2).sum
-        val n = nOf(key)
-        val position = ps(pi) * (n - 1)
-        val lower = math.floor(position).toLong
-        val higher = math.ceil(position).toLong
-        if (lower >= below && higher < below + inWin) {
-          def valueAtRank(rank: Long): Double = {
-            var cum = below
-            var res = Double.NaN
-            var i = 0
-            while (i < hist.length && cum <= rank) {
-              if (rank < cum + hist(i)._2) { res = hist(i)._1; cum = rank + 1 }
-              cum += hist(i)._2
-              i += 1
-            }
-            res
-          }
-          val lowerV = valueAtRank(lower)
-          resolved((key, pi)) =
-            if (higher == lower) lowerV
-            else {
-              val higherV = valueAtRank(higher)
-              if (higherV == lowerV) lowerV
-              else (higher - position) * lowerV + (position - lower) * higherV
-            }
-        } else stillPending += ((key, pi))
-      }
-      pending = stillPending.toSeq
-      attempt += 1
+        spark.sparkContext.parallelize(bRows, 1), StructType(bFields)))
+      if (nG == 0) df.crossJoin(bdf)
+      else df.join(bdf, groupCols.zipWithIndex
+        .map { case (c, i) => df(c) <=> bdf(s"__g$i") }.reduce(_ && _))
     }
-    require(pending.isEmpty,
-      s"exact-percentile bracket never covered ranks for: $pending")
+    val gOut: Seq[Column] = (0 until nG).map(i => col(s"__g$i"))
+    def keyOf(r: Row): Seq[Any] = (0 until nG).map(r.get)
+
+    var iter = 0
+    while (state.nonEmpty && iter < 64) {
+      val items = state.toSeq
+      // lo == hi: the window holds ONE distinct value however many rows —
+      // its histogram is 1 row, so collect it whatever inWin says (also
+      // the escape hatch for tie-dominated windows narrowing can't split)
+      val histogram = items.filter {
+        case (_, Counted(lo, hi, _, inWin)) =>
+          inWin <= maxPullRows || lo == hi
+        case (it, Ladder(a)) => ladderBound(it._1, a) <= maxPullRows
+        case (_, Forced(_, _)) => true
+        case _ => false
+      }
+      val counting = items.filter {
+        case (_, Uncounted(_, _)) => true
+        case (it, Ladder(a)) => ladderBound(it._1, a) > maxPullRows
+        case _ => false
+      }
+      val narrowing = items.collect {
+        case (it, c @ Counted(lo, hi, _, inWin))
+          if inWin > maxPullRows && lo != hi => (it, c)
+      }
+
+      if (histogram.nonEmpty) {
+        // histogram pass: tag = below/inside/above bracket; collect the
+        // exact (value → count) histogram of in-window rows (proven or
+        // predicted ≤ maxPullRows) plus the exact below-count
+        val joined = joinBrackets(histogram.map { case (it, st) =>
+          (it, bracketOf(it, st)) })
+        val tagged = joined
+          .select((gOut :+ col("__pi")
+            :+ when(v < col("__lo"), lit(-1))
+              .when(v > col("__hi"), lit(1)).otherwise(lit(0)).as("__tag")
+            :+ when(v.between(col("__lo"), col("__hi")), v).as("__wv")): _*)
+          .groupBy((gOut :+ col("__pi") :+ col("__tag") :+ col("__wv")): _*)
+          .agg(count(lit(1)).as("__c"))
+          .collect()
+        val byKey = tagged.groupBy(r => (keyOf(r), r.getInt(nG)))
+        histogram.foreach { case (it, _) =>
+          val rows = byKey.getOrElse(it, Array.empty[Row])
+          val below = rows.filter(_.getInt(nG + 1) == -1)
+            .map(_.getLong(nG + 3)).sum
+          val hist = rows.filter(_.getInt(nG + 1) == 0)
+            .map(r => (r.getDouble(nG + 2), r.getLong(nG + 3)))
+            .sortBy(_._1)
+          val inWin = hist.map(_._2).sum
+          val (lower, higher, position) = ranksOf(it)
+          if (lower >= below && higher < below + inWin) {
+            def valueAtRank(rank: Long): Double = {
+              var cum = below
+              var res = Double.NaN
+              var i = 0
+              while (i < hist.length && cum <= rank) {
+                if (rank < cum + hist(i)._2) { res = hist(i)._1; cum = rank + 1 }
+                cum += hist(i)._2
+                i += 1
+              }
+              res
+            }
+            val lowerV = valueAtRank(lower)
+            resolved(it) =
+              if (higher == lower) lowerV
+              else {
+                val higherV = valueAtRank(higher)
+                if (higherV == lowerV) lowerV
+                else (higher - position) * lowerV + (position - lower) * higherV
+              }
+            state.remove(it)
+          } else nextLadder(it)
+        }
+      }
+
+      if (counting.nonEmpty) {
+        // counting pass: 2 longs per item to the driver — exact below and
+        // in-window counts, no values
+        val joined = joinBrackets(counting.map { case (it, st) =>
+          (it, bracketOf(it, st)) })
+        val counted = joined
+          .groupBy((gOut :+ col("__pi")): _*)
+          .agg(sum(when(v < col("__lo"), 1L).otherwise(0L)).as("__below"),
+            sum(when(v.between(col("__lo"), col("__hi")), 1L).otherwise(0L))
+              .as("__inwin"))
+          .collect()
+          .map(r => ((keyOf(r), r.getInt(nG)),
+            (r.getLong(nG + 1), r.getLong(nG + 2)))).toMap
+        counting.foreach { case (it, st) =>
+          val (below, inWin) = counted.getOrElse(it, (0L, 0L))
+          val (lower, higher, _) = ranksOf(it)
+          if (lower >= below && higher < below + inWin) {
+            val (lo, hi) = bracketOf(it, st)
+            state(it) = Counted(lo, hi, below, inWin)
+          } else nextLadder(it)
+        }
+      }
+
+      narrowing.foreach { case (it @ (key, pi), Counted(lo, hi, below, m)) =>
+        // narrowing pass (rare; only at window > maxPullRows, i.e. only at
+        // scale): re-sketch the in-window rows at the target ranks
+        // re-expressed window-relative; shrinks the window ~accuracy/10×
+        val (lower, higher, _) = ranksOf(it)
+        val kLo = lower - below
+        val kHi = higher - below
+        // the narrowing sketch is NOT pass-1 state — it may use its own
+        // accuracy. Floor it at 1000 so the window provably shrinks ~100×
+        // per round even when the caller dialed `accuracy` low (shrink
+        // factor is ~10/accuracy; accuracy ≤ 10 would never converge)
+        val narrowAcc = math.max(accuracy, 1000)
+        val margin = 4.0 * m / narrowAcc
+        val plo = math.max(0.0, (kLo - margin) / math.max(1.0, (m - 1).toDouble))
+        val phi = math.min(1.0, (kHi + margin) / math.max(1.0, (m - 1).toDouble))
+        val groupEq =
+          if (nG == 0) lit(true)
+          else groupCols.zip(key).map { case (c, kv) =>
+            if (kv == null) col(c).isNull else col(c) === lit(kv)
+          }.reduce(_ && _)
+        val apx = df.filter(groupEq && v.between(lit(lo), lit(hi)))
+          .agg(expr(s"approx_percentile(__v, array($plo,$phi), $narrowAcc)"))
+          .collect()(0).getSeq[Double](0)
+        state(it) =
+          if (apx(0) == lo && apx(1) == hi) Forced(lo, hi)
+          else Uncounted(apx(0), apx(1))
+      }
+      iter += 1
+    }
+    require(state.isEmpty && failed.isEmpty,
+      "exact-percentile bracket never covered ranks for: " +
+        s"${state.keys.toSeq ++ failed}")
     groups.map { case (key, _, _) =>
       key -> ps.indices.map(i => resolved((key, i))).toArray
     }.toMap
@@ -171,6 +323,7 @@ object ExactPercentile {
 
   /** [[compute]] for a global (ungrouped) percentile set. */
   def computeGlobal(df: DataFrame, valueCol: String, ps: Seq[Double],
-      accuracy: Int = 10000): Array[Double] =
-    compute(df, Nil, valueCol, ps, accuracy)(Seq())
+      accuracy: Int = 10000,
+      maxPullRows: Int = DefaultMaxPullRows): Array[Double] =
+    compute(df, Nil, valueCol, ps, accuracy, maxPullRows)(Seq())
 }

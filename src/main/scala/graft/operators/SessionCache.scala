@@ -11,9 +11,11 @@ import org.apache.spark.sql.DataFrame
   * same cache under a different key (GraphOps' edges builder reads the
   * shared baskets), and a nested computeIfAbsent on one map throws
   * IllegalStateException("Recursive update") whenever the two keys land in
-  * the same bin — hash-dependent, so it surfaces flakily. Plain
-  * get/putIfAbsent never holds a bin lock across a build; a racing
-  * duplicate build is benign (deterministic content, first-put wins).
+  * the same bin — hash-dependent, so it surfaces flakily. Instead, misses
+  * take a JVM-global RE-ENTRANT build lock (nested builds re-enter it;
+  * round 16): a racing duplicate build would otherwise leave the loser's
+  * Materialize'd localCheckpoint blocks orphaned in executor storage with
+  * no reference to unpersist them (round-15 advisor finding).
   *
   * Every instance registers itself so [[SessionCache.clearAll]] can drop
   * the WHOLE session state in one call: a cached entry is backed by
@@ -38,10 +40,23 @@ final class SessionCache[K] {
   def getOrBuild(key: K)(build: => DataFrame): DataFrame = {
     val cur = map.get(key)
     if (cur != null) cur
-    else {
-      val built = build
-      val prev = map.putIfAbsent(key, built)
-      if (prev != null) prev else built
+    else SessionCache.buildLock.synchronized {
+      // re-check under the lock: the round-15 advisor flagged that a
+      // putIfAbsent loser's Materialize'd localCheckpoint blocks become
+      // orphaned executor storage nothing can unpersist. One JVM-global
+      // re-entrant build lock (re-entrant because a builder may consult
+      // the same or a sibling cache for a nested artifact) serializes
+      // builds so a duplicate never starts; builds are rare and
+      // session-scoped, so the serialization costs nothing measurable.
+      val again = map.get(key)
+      if (again != null) again
+      else {
+        val t0 = System.nanoTime()
+        val built = build
+        map.put(key, built)
+        SessionCache.recordBuild(key.toString, (System.nanoTime() - t0) / 1e9)
+        built
+      }
     }
   }
 
@@ -61,10 +76,16 @@ final class SessionValueCache[K, V <: AnyRef] {
   def getOrBuild(key: K)(build: => V): V = {
     val cur = map.get(key)
     if (cur != null) cur
-    else {
-      val built = build
-      val prev = map.putIfAbsent(key, built)
-      if (prev != null) prev else built
+    else SessionCache.buildLock.synchronized {
+      val again = map.get(key)
+      if (again != null) again
+      else {
+        val t0 = System.nanoTime()
+        val built = build
+        map.put(key, built)
+        SessionCache.recordBuild(key.toString, (System.nanoTime() - t0) / 1e9)
+        built
+      }
     }
   }
 
@@ -72,6 +93,9 @@ final class SessionValueCache[K, V <: AnyRef] {
 }
 
 object SessionCache {
+  /** JVM-global re-entrant build lock (see [[SessionCache.getOrBuild]]). */
+  private[operators] val buildLock = new Object
+
   private val all =
     new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()
 
@@ -79,4 +103,31 @@ object SessionCache {
 
   /** Drop every entry of every registered cache (see class doc). */
   def clearAll(): Unit = all.forEach(_.apply())
+
+  /** Build-cost ledger (round 16): wall-clock seconds of every shared
+    * artifact build that WON its putIfAbsent race, keyed by the cache
+    * key's string form. The round-15 verdict's first-payer accounting
+    * gap: Bench's best-of-2 `min` drops the first payer's build cost
+    * from every per-query figure AND the total, so the reported numbers
+    * understate true cold-session cost by the sum of the family builds.
+    * Bench reads this ledger after the sweep and emits it as a separate
+    * additions-only `build_sec` metric line, so a cold-session total can
+    * be reconstructed (total + Σ build_sec). Cleared by [[clearAll]]
+    * only via explicit [[clearBuildLog]] — retry harnesses that clear
+    * caches mid-run must KEEP the ledger or rebuilds double-count. */
+  private val builds =
+    new java.util.concurrent.ConcurrentHashMap[String, Double]()
+
+  private[operators] def recordBuild(key: String, sec: Double): Unit =
+    builds.merge(key, sec, (a, b) => a + b)
+
+  /** Snapshot of the build ledger: cache-key string → total build seconds
+    * spent on builds under that key this session. */
+  def buildLog: Map[String, Double] = {
+    val b = Map.newBuilder[String, Double]
+    builds.forEach((k, v) => b += (k -> v))
+    b.result()
+  }
+
+  def clearBuildLog(): Unit = builds.clear()
 }

@@ -217,8 +217,12 @@ object StatOps {
     * groups) are dropped identically on both sides. */
   def bootstrapMean(spark: SparkSession, dir: String,
       reps: Int = 200): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("lang"), col("doc_id"), col("n_chars"))
+    // Spread before the ×reps explode: the md5 weight draw runs reps×|docs|
+    // times and must not be pinned to the 1-2 scan splits a small input
+    // reads as (identity at scale — see Spread). Replicate means are
+    // exact-integer ratios, so partitioning cannot move any result bit.
+    val docs = Spread(Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars")))
     val u6 = substring(md5(concat(col("doc_id").cast("string"), lit(":"),
       col("b").cast("string"))), 1, 6)
     val w = PoissonCdfHex.zipWithIndex.reverse

@@ -282,27 +282,47 @@ object TextOps {
   def bigramLogprob(spark: SparkSession, dir: String): DataFrame =
     bigramLogprobDocs(Tables.documents(spark, dir))
 
-  /** Core of [[bigramLogprob]] over any (doc_id, text) frame. */
+  /** Core of [[bigramLogprob]] over any (doc_id, text) frame.
+    *
+    * Round 16: the round-15 version [[Materialize]]d the FULL exploded
+    * (doc_id, prev, cur) bigram OCCURRENCE stream — a corpus-sized
+    * localCheckpoint that contradicts Materialize's own scale note —
+    * and then ran two more corpus-wide aggregation passes over it. Now
+    * ONE explode pass partial-aggregates straight into the per-doc
+    * bigram PROFILE (doc_id, prev, cur, c) and only that is
+    * checkpointed: within-doc repeats collapse, so the checkpoint is
+    * strictly smaller than the r15 one (closed 31-token fixture
+    * vocabulary: ≤ 961 types per doc however long the doc). Both count
+    * tables now derive from the profile by exact integer rollups —
+    * bigram counts nbg = Σ_docs c, prefix counts nprev = Σ_cur nbg —
+    * deleting BOTH extra corpus passes. The per-doc mean re-weights by c
+    * (sum(logp·c)/sum(c)), which is the same contribution per occurrence
+    * as before (the unigramLogprobDocs re-weighting trade, oracle-pinned
+    * at sf0.01 and sf0.1). */
   def bigramLogprobDocs(docs: DataFrame): DataFrame = {
     import graft.functions.NumericFunctions.stableRound4
-    val bg = Materialize(
-      docs.select(col("doc_id"), tokensLower(col("text")).as("toks"))
-        .filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "zip_with(slice(toks, 1, size(toks) - 1), " +
-            "slice(toks, 2, size(toks) - 1), " +
-            "(x, y) -> named_struct('prev', x, 'cur', y))")).as("b"))
-        .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur")))
-    val bgCounts = bg.groupBy(col("prev"), col("cur"))
-      .agg(count(lit(1)).as("nbg"))
-    val prevCounts = bg.groupBy(col("prev")).agg(count(lit(1)).as("nprev"))
-    bg.join(bgCounts, Seq("prev", "cur"))
+    val dgb = Materialize(Spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), tokensLower(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), " +
+          "slice(toks, 2, size(toks) - 1), " +
+          "(x, y) -> named_struct('prev', x, 'cur', y))")).as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+      .groupBy(col("doc_id"), col("prev"), col("cur"))
+      .agg(count(lit(1)).as("c")))
+    val bgCounts = dgb.groupBy(col("prev"), col("cur"))
+      .agg(sum(col("c")).cast("bigint").as("nbg"))
+    val prevCounts = bgCounts.groupBy(col("prev"))
+      .agg(sum(col("nbg")).cast("bigint").as("nprev"))
+    dgb.join(bgCounts, Seq("prev", "cur"))
       .join(prevCounts, Seq("prev"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("c"),
         log10(col("nbg").cast("double") / col("nprev")).as("logp"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        stableRound4(avg(col("logp"))).as("mean_logp"))
+      .agg(sum(col("c")).cast("bigint").as("n_bigrams"),
+        stableRound4(sum(col("logp") * col("c")) / sum(col("c")))
+          .as("mean_logp"))
       .orderBy(col("doc_id"))
   }
 
@@ -568,9 +588,27 @@ object TextOps {
     var w = Array(0.0, 0.0, 0.0, 0.0, 0.0)
     def zCol = lit(w(0)) + col("x1") * w(1) + col("x2") * w(2) +
       col("x3") * w(3) + col("x4") * w(4)
+    // round 16: the weights enter each GD step through [[RefDouble]] —
+    // a reference-object "literal". With plain lit(w) every step embeds
+    // different doubles into the generated Java source, so whole-stage
+    // codegen RECOMPILES per step (the dominant per-iteration cost for a
+    // 5-column aggregate over a checkpointed feature table; a broadcast
+    // 1-row weight frame was measured WORSE — per-step exchange overhead
+    // exceeds the compile it saves). RefDouble keeps the source identical
+    // across steps (Janino cache hit) while the float chain is the same
+    // ops in the same order on the same doubles — bit-identical
+    // gradients, unchanged oracle.
+    def wRef(arr: Array[Double], i: Int) =
+      org.apache.spark.sql.GraftColumnBridge.toColumn(
+        graft.functions.expressions.RefDouble(arr, i))
     for (_ <- 1 to iters) {
-      val err = (lit(1.0) / (lit(1.0) + exp(-zCol)) - col("y")).as("e")
-      val g = feats.select(err, col("x1"), col("x2"), col("x3"), col("x4"))
+      val wa = w.clone()
+      val zColW = wRef(wa, 0) + col("x1") * wRef(wa, 1) +
+        col("x2") * wRef(wa, 2) + col("x3") * wRef(wa, 3) +
+        col("x4") * wRef(wa, 4)
+      val err = (lit(1.0) / (lit(1.0) + exp(-zColW)) - col("y")).as("e")
+      val g = feats
+        .select(err, col("x1"), col("x2"), col("x3"), col("x4"))
         .agg(avg(col("e")), avg(col("e") * col("x1")),
           avg(col("e") * col("x2")), avg(col("e") * col("x3")),
           avg(col("e") * col("x4")))
@@ -1225,17 +1263,31 @@ object TextOps {
     * zero on the closed
     * synthetic vocabulary, so the declared form is the per-doc ratio,
     * which stays live — the round-12 saturation lesson applied).
-    * Scale shape: one explode + per-doc count aggregation (both
-    * partial-aggregated), one \|sources\| rollup. */
+    * Scale shape (round 16): the ratio is WITHIN-document, so it needs no
+    * cross-row state at all — the round-15 explode + two corpus-sized
+    * hash aggregations (8-core sweep: 4.6 s) are replaced by one per-row
+    * array expression over the sorted token array (a token is a hapax iff
+    * it differs from both sorted neighbors; distinct = \|array_distinct\|,
+    * the identical integer counts the (doc, token) rollup produced), then
+    * the same \|sources\| rollup. Zero token-level shuffles; the only
+    * exchange left is the \|sources\|-key aggregate. Docs with no tokens
+    * are filtered exactly as the explode dropped them. */
   def hapaxRatio(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        explode(tokensLower(col("text"))).as("t"))
-      .groupBy(col("doc_id"), col("source"), col("t"))
-      .agg(count(lit(1)).as("n"))
-      .groupBy(col("doc_id"), col("source"))
-      .agg((sum(when(col("n") === 1, 1).otherwise(0)).cast("double")
-        / count(lit(1))).as("hr"))
+    Spread(Tables.documents(spark, dir).select(col("source"), col("text")))
+      .select(col("source"), tokensLower(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      // bind the sorted array to a column FIRST: referencing
+      // array_sort(...) inside the filter lambda would re-sort per element
+      .select(col("source"), array_sort(col("toks")).as("s"),
+        size(col("toks")).as("n"),
+        size(array_distinct(col("toks"))).as("n_distinct"))
+      .select(col("source"), expr(
+        // sorted neighbors: position i (1-based) is a run of length 1 —
+        // a hapax — iff it differs from both i-1 and i+1
+        """CAST(size(filter(sequence(1, n),
+          |  i -> (i = 1 OR element_at(s, i) != element_at(s, i - 1))
+          |   AND (i = n OR element_at(s, i) != element_at(s, i + 1))))
+          |  AS DOUBLE) / n_distinct""".stripMargin).as("hr"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         stableRound4(avg(col("hr"))).as("avg_hapax_ratio"))

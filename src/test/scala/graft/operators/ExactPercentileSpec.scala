@@ -63,4 +63,40 @@ class ExactPercentileSpec extends SparkTestBase {
     val got = ExactPercentile.computeGlobal(df, "x", Seq(0.42), accuracy = 1)
     assert(got(0) == sparkPercentile(df, "x", 0.42))
   }
+
+  test("capped driver pull (maxPullRows) routes through counting+narrowing" +
+    " and stays bit-identical") {
+    val spark0 = spark
+    import spark0.implicits._
+    // accuracy 10 predicts windows of ~n rows; maxPullRows 8 forces the
+    // counting pass and at least one narrowing round before any histogram
+    // is collected — the 100 TB path, exercised at unit scale
+    val df = (1 to 5000).map(i => ((i * 37) % 5000).toDouble).toDF("x")
+    for (p <- Seq(0.0, 0.25, 0.5, 0.77, 0.9, 1.0)) {
+      val got = ExactPercentile.computeGlobal(df, "x", Seq(p),
+        accuracy = 10, maxPullRows = 8)
+      assert(got(0) == sparkPercentile(df, "x", p), s"p=$p got=${got(0)}")
+    }
+    // tie-dominated window: narrowing collapses to lo == hi and the
+    // 1-distinct-value histogram escape must fire, not loop
+    val ties = ((1 to 4000).map(_ => 7.0) ++ Seq(1.0, 2.0, 99.0)).toDF("x")
+    val gotT = ExactPercentile.computeGlobal(ties, "x", Seq(0.5),
+      accuracy = 10, maxPullRows = 8)
+    assert(gotT(0) == sparkPercentile(ties, "x", 0.5))
+  }
+
+  test("NULL group keys resolve like percentile() (null-safe pass-2 join)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(
+      (Some("a"), 1.0), (Some("a"), 2.0), (Some("a"), 3.0),
+      (None, 10.0), (None, 20.0), (None, 21.0), (None, 40.0))
+      .toDF("g", "x")
+    val got = ExactPercentile.compute(df, Seq("g"), "x", Seq(0.5))
+    val want = df.groupBy(col("g"))
+      .agg(expr("percentile(x, 0.5)").as("m")).collect()
+      .map(r => Seq[Any](r.get(0)) -> r.getDouble(1)).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, vs) => assert(vs(0) == want(k), s"$k") }
+  }
 }
