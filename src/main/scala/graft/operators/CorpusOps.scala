@@ -1466,7 +1466,9 @@ object CorpusOps {
       buckets: Int = DsirBuckets): DataFrame = {
     import graft.functions.NumericFunctions.stableRound4
     val docs = Tables.documents(spark, dir)
-    val grams = docs
+    // Spread before the gram explode: one md5Hash60 per token AND bigram
+    // occurrence must not run fused to a 1-2 split scan (identity at scale)
+    val grams = Spread(docs.select(col("doc_id"), col("source"), col("text")))
       .select(col("doc_id"), col("source"),
         tokensLower(col("text")).as("toks"))
       .select(col("doc_id"), col("source"),
@@ -1563,7 +1565,10 @@ object CorpusOps {
   private def cdcChunkTable(spark: SparkSession, dir: String,
       modulus: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pos = Tables.documents(spark, dir)
+    // Spread before the tokenize+posexplode (per-row-heavy on a 1-2 split
+    // scan; identity at scale — chunk ids/hashes are partition-independent)
+    val pos = Spread(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text")))
       .select(col("doc_id"), col("source"),
         posexplode(tokensLower(col("text"))))
       .select(col("doc_id"), col("source"), col("pos"),

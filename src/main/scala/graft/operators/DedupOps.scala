@@ -528,7 +528,12 @@ object DedupOps {
   def dedupIncrNear(spark: SparkSession, dir: String,
       threshold: Double = 0.5, numHashes: Int = 32, bands: Int = 8)
       : DataFrame = {
-    val flagged = Tables.documents(spark, dir)
+    // Spread before the shingle+minhash stage: both are per-row-heavy
+    // (32 hashes × |shingles| per doc) and would otherwise run fused to
+    // the 1-2 splits a small input scans as; the checkpoint inherits the
+    // fan-out, so the signature pass parallelizes too (identity at scale)
+    val flagged = Spread(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         (substring(md5(col("doc_id").cast("string")), 1, 1) === "f")
           .as("is_batch"),

@@ -370,7 +370,9 @@ object TextOps {
       discount: Double = KnDiscount, minCount: Int = KnMinCount,
       topN: Int = KnTopN): DataFrame = {
     import graft.functions.NumericFunctions.stableRound4
-    val toks = Tables.documents(spark, dir)
+    // Spread before the tokenize+trigram explode (per-row-heavy on a 1-2
+    // split scan; identity at scale — all downstream counts are integers)
+    val toks = Spread(Tables.documents(spark, dir).select(col("text")))
       .select(tokensLower(col("text")).as("toks"))
     // trigram TYPE counts — the single corpus-sized explode
     val tgc = Materialize(toks
@@ -1019,7 +1021,10 @@ object TextOps {
     * transcendental is the BP exponential on the length ratio. */
   def selfBleu(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
+    // Spread before the tokenize (three explode/window consumers would
+    // otherwise each re-run it on a 1-2 split scan; identity at scale)
+    val docs = Spread(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text")))
       .select(col("doc_id"), col("source"), tokensLower(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
     val uni = docs
