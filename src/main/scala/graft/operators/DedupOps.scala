@@ -717,24 +717,55 @@ object DedupOps {
         / (col("na") + col("nb") - col("shared")) >= tau)
       .select(col("da"), col("db")))
     val sigs = Materialize(minhashSignaturesFromShingles(surv, numHashes))
-    val perBanding = Seq(4, 8, 16).map { b =>
+    // round 16: ONE band-tagged self-join + ONE aggregation for all three
+    // bandings, replacing three explode+join pipelines with three 1-row
+    // count aggregates each (9 jobs → 2 over the same exploded volume).
+    // The (bands, band, bkey) key space is the disjoint union of the
+    // per-banding key spaces, so the tagged join produces exactly the
+    // union of the three candidate sets; truth is |pairs|-sized and
+    // broadcast, so detection folds into the same aggregation as the
+    // candidate count instead of a separate semi-join per banding.
+    val bandings = Seq(4, 8, 16)
+    val tagged = bandings.map { b =>
+        bandedSignatures(sigs, b, numHashes)
+          .select(lit(b).as("bands"), col("doc_id"), col("band"), col("bkey"))
+      }.reduce(_ unionAll _)
+    val cands = tagged.as("a").hint("shuffle_hash")
+      .join(tagged.as("b"),
+        col("a.bands") === col("b.bands")
+          && col("a.band") === col("b.band")
+          && col("a.bkey") === col("b.bkey")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.bands").as("bands"),
+        col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val stats = cands
+      .join(broadcast(truth.select(col("da"), col("db"), lit(1L).as("__t"))),
+        Seq("da", "db"), "left")
+      .groupBy(col("bands"))
+      .agg(count(lit(1)).as("n_cand"),
+        sum(coalesce(col("__t"), lit(0L))).as("n_detected"))
+    // a banding with ZERO candidates must still emit its row (the old
+    // shape's 1-row count aggregates always did) — drive the output from
+    // the static banding list and coalesce the measured counts
+    import spark.implicits._
+    val meta = bandings.map { b =>
       val r = numHashes / b
-      val cands = minhashCandidates(sigs, bands = b, numHashes = numHashes)
-      val nCand = cands.agg(count(lit(1)).as("n_cand"))
-      val nDet = cands.join(truth, Seq("da", "db"), "left_semi")
-        .agg(count(lit(1)).as("n_detected"))
-      val nTrue = truth.agg(count(lit(1)).as("n_true"))
-      val theory = 1.0 - math.pow(1.0 - math.pow(tau, r), b)
-      nCand.join(nDet).join(nTrue)
-        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
-          col("n_true"), col("n_cand"), col("n_detected"),
-          stableRound4(col("n_detected").cast("double")
-            / greatest(col("n_true"), lit(1L))).as("recall"),
-          stableRound4(col("n_detected").cast("double")
-            / greatest(col("n_cand"), lit(1L))).as("precision"),
-          stableRound4(lit(theory)).as("theory_recall"))
-    }
-    perBanding.reduce(_ unionByName _).orderBy(col("bands"))
+      (b, r, 1.0 - math.pow(1.0 - math.pow(tau, r), b))
+    }.toDF("bands", "rows_per_band", "__theory")
+    meta.join(stats, Seq("bands"), "left")
+      .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+      .select(col("bands"), col("rows_per_band"),
+        col("n_true"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_detected"), lit(0L)).as("n_detected"),
+        stableRound4(coalesce(col("n_detected"), lit(0L)).cast("double")
+          / greatest(col("n_true"), lit(1L))).as("recall"),
+        stableRound4(coalesce(col("n_detected"), lit(0L)).cast("double")
+          / greatest(coalesce(col("n_cand"), lit(0L)), lit(1L)))
+          .as("precision"),
+        stableRound4(col("__theory")).as("theory_recall"))
+      .orderBy(col("bands"))
   }
 
   /** Distributed connected components over an undirected edge list
