@@ -683,11 +683,16 @@ object CorpusOps {
   /** Core of [[dupSpanFrac]] over any (doc_id, text) frame. */
   def dupSpanFracDocs(docs: DataFrame, n: Int = 5,
       minDocs: Int = 2): DataFrame = {
-    val sh = Materialize(
-      docs
-        .select(col("doc_id"),
-          explode(shingles(tokensLower(col("text")), n)).as("shingle"))
-        .select(col("doc_id"), xxhash64(col("shingle")).as("shingle")))
+    // round 16: NOT Materialize'd — the exploded (doc_id, shingle) table
+    // is CORPUS-sized, and checkpointing it pins corpus-scale blocks in
+    // executor storage (the r15-verdict bigram_logprob pathology;
+    // Materialize's scale note allows signatures/keys, not corpus bytes).
+    // The two consumers (df aggregation, join probe) recompute the
+    // codegen'd explode from the scan instead — nothing is stored.
+    val sh = Spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        explode(shingles(tokensLower(col("text")), n)).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
     val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val frac = sh.hint("shuffle_hash").join(df, Seq("shingle"))
       .groupBy(col("doc_id"))
@@ -728,12 +733,17 @@ object CorpusOps {
   /** Core of [[removeDupSpans]] over any (doc_id, text) frame. */
   def removeDupSpansDocs(input: DataFrame, n: Int = 5,
       minDocs: Int = 2): DataFrame = {
-    val docs = input
+    val docs = Spread(input.select(col("doc_id"), col("text")))
       .select(col("doc_id"), tokensLower(col("text")).as("toks"))
     // positional grams: (doc_id, start i, hashed gram) for i in 0..m-n
     // the CASE guards short docs: sequence(0, m-n) DESCENDS when m < n
-    // (negative starts), so emit an empty gram array instead
-    val grams = Materialize(
+    // (negative starts), so emit an empty gram array instead.
+    // round 16: NOT Materialize'd — positional grams are CORPUS-sized,
+    // and checkpointing them pins corpus-scale blocks in executor
+    // storage (the r15-verdict bigram_logprob pathology). The two
+    // consumers (gram-df aggregation, dup-position probe) recompute the
+    // codegen'd explode from the scan instead — nothing is stored.
+    val grams =
       docs.select(col("doc_id"),
           posexplode(expr(
             s"CASE WHEN size(toks) >= $n THEN " +
@@ -741,7 +751,7 @@ object CorpusOps {
             s"array_join(slice(toks, i + 1, $n), ' ')) " +
             s"ELSE CAST(array() AS ARRAY<STRING>) END"))
             .as(Seq("start", "gram")))
-        .select(col("doc_id"), col("start"), xxhash64(col("gram")).as("gh")))
+        .select(col("doc_id"), col("start"), xxhash64(col("gram")).as("gh"))
     val dupGrams = grams.select(col("doc_id"), col("gh")).distinct()
       .groupBy(col("gh")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocs).select(col("gh"))

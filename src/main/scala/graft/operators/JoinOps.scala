@@ -892,20 +892,25 @@ object JoinOps {
     * part-keyed partial agg, and a 1-row broadcast total. */
   def tpchQ11(spark: SparkSession, dir: String,
       frac: Double = 0.0001): DataFrame = {
-    val ps = Tables.lineitem(spark, dir)
+    // round 16 (guide §2.2 shuffle fewer bytes): the region's supplier
+    // filter semi-joins the FACT SCAN, not the aggregated pairs — every
+    // (l_partkey, l_suppkey) group belongs to exactly one supplier, so
+    // filtering before the groupBy keeps whole groups intact (min/sum
+    // unchanged) while the pair aggregation shuffles only the selected
+    // region's ~1/|regions| of the fact rows.
+    val regionSupp = broadcast(Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .filter(col("n_regionkey") === 0)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey")))
+    val v = Tables.lineitem(spark, dir)
+      .join(regionSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(
         round(min(graft.functions.NumericFunctions.stableRound4(
           col("l_extendedprice") / col("l_quantity"))) * 100)
           .cast("bigint").as("cost_cents"),
         sum(col("l_quantity")).cast("bigint").as("qty"))
-    val v = ps
-      .join(broadcast(Tables.supplier(spark, dir)
-        .join(broadcast(Tables.nation(spark, dir)
-          .filter(col("n_regionkey") === 0)),
-          col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"))),
-        col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey").as("p_partkey"))
       .agg(sum(col("cost_cents") * col("qty")).cast("bigint")
         .as("value_cents"))
