@@ -802,11 +802,18 @@ object JoinOps {
     * partial-aggregated shuffle over the fact; the result is
     * |parts|·|suppliers-per-part| rows — dimension-sized, broadcastable
     * downstream. */
-  private[operators] def derivedPartSupp(spark: SparkSession, dir: String)
-      : DataFrame = {
+  private[operators] def derivedPartSupp(spark: SparkSession, dir: String,
+      partKeys: Option[DataFrame] = None): DataFrame = {
     import graft.functions.NumericFunctions.stableRound4
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_partkey").as("ps_partkey"),
+    // round 16 (guide §2.2): callers that only consume a part-filtered
+    // slice pass the qualifying `p_partkey` set, which SEMI-JOINS THE
+    // FACT SCAN before the pair aggregation — groups are partkey-atomic,
+    // so the per-group min is unchanged while the aggregation shuffles
+    // only the qualifying parts' share of fact rows.
+    val li0 = Tables.lineitem(spark, dir)
+    val li = partKeys.fold(li0)(pk => li0.join(broadcast(pk),
+      col("l_partkey") === pk("p_partkey"), "left_semi"))
+    li.groupBy(col("l_partkey").as("ps_partkey"),
         col("l_suppkey").as("ps_suppkey"))
       .agg(min(stableRound4(col("l_extendedprice") / col("l_quantity")))
         .as("ps_supplycost"))
@@ -821,9 +828,11 @@ object JoinOps {
     * and the "cost = min" correlation is an equi-join on
     * (partkey, round4 cost) — never a per-part subquery execution. */
   def tpchQ2(spark: SparkSession, dir: String): DataFrame = {
-    val eligible = derivedPartSupp(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)
-        .filter(col("p_size") <= 10 && col("p_type") === "LARGE")),
+    val qualParts = Tables.part(spark, dir)
+      .filter(col("p_size") <= 10 && col("p_type") === "LARGE")
+    val eligible = derivedPartSupp(spark, dir,
+        Some(qualParts.select(col("p_partkey"))))
+      .join(broadcast(qualParts),
         col("ps_partkey") === col("p_partkey"))
       .join(broadcast(Tables.supplier(spark, dir)),
         col("ps_suppkey") === col("s_suppkey"))
@@ -854,17 +863,20 @@ object JoinOps {
     * big-big shuffle is lineitem ⋈ orders on the order key; year() and
     * the profit expression fold into the scan projection. */
   def tpchQ9(spark: SparkSession, dir: String): DataFrame = {
+    val redParts = Tables.part(spark, dir)
+      .filter(col("p_name").like("%red%"))
+      .select(col("p_partkey"))
     val li = Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)
-        .filter(col("p_name").like("%red%"))
-        .select(col("p_partkey"))),
+      .join(broadcast(redParts),
         col("l_partkey") === col("p_partkey"))
       // NO broadcast hint on the derived partsupp: it is FACT-derived
       // (distinct (partkey, suppkey) pairs — ~19M rows at the 100× spot
       // scale, where a forced broadcast killed the run), so it
       // shuffle-joins on its keys and AQE may still broadcast it when a
-      // filtered dir makes it genuinely small
-      .join(derivedPartSupp(spark, dir),
+      // filtered dir makes it genuinely small. Round 16: it aggregates
+      // only the red parts' fact rows (partKeys semi-join, see
+      // derivedPartSupp) — the join discards every other group anyway.
+      .join(derivedPartSupp(spark, dir, Some(redParts)),
         col("l_partkey") === col("ps_partkey")
           && col("l_suppkey") === col("ps_suppkey"))
       .join(broadcast(Tables.supplier(spark, dir)),
