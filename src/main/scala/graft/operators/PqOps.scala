@@ -119,10 +119,15 @@ object PqOps {
   private val sharedIndex =
     new SessionValueCache[(SparkSession, String, Int, Int), IvfPqIndex]()
 
-  /** L2-normalized corpus vectors, materialized once per (session, dir). */
+  /** L2-normalized corpus vectors. Round 16 (advisor): NOT materialized
+    * or session-cached — this is a full-corpus, embedding-width frame,
+    * and pinning it for the session cut against the round-15 invariant
+    * that only bounded derived index artifacts (models, inverted lists,
+    * 4-bit codes) are cached while base-table-sized frames re-scan.
+    * normalized() is one narrow codegen'd map over the parquet scan, so
+    * each consumer re-derives it at scan cost. */
   private[operators] def vecsShared(spark: SparkSession, dir: String): DataFrame =
-    sharedDf.getOrBuild((spark, "vecs", dir, 0))(
-      Materialize(normalized(Tables.embeddings(spark, dir))))
+    normalized(Tables.embeddings(spark, dir))
 
   /** The trained PQ codebook (M·Codes·SubDim doubles on the driver), once
     * per (session, dir, iters). */
