@@ -530,6 +530,23 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.matches("(?s).*Window \\[[^\\]]*windowspecdefinition\\(unix[^,]*, event_id.*"), p)
   }
 
+  test("declared shared-artifact consumers keep sane post-checkpoint plans") {
+    // round-16 advisor: assert on the DECLARED outputs too, not only the
+    // shared builders — a regression introduced BETWEEN the session
+    // checkpoint and the declared output (a rogue cartesian, a global
+    // window) must fail a test even though the builder plans are clean
+    for (q <- Seq("q_knn_graph", "q_triangles", "q_graph_lpa",
+        "q_modularity", "q_pq_ann")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      // 1-row broadcast crosses (modularity's scalar m) are legitimate
+      // BroadcastNestedLoopJoins; only an unbroadcast cartesian is banned
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+    // knnGraph's declared output is a Sort over the checkpointed artifact
+    val pk = plan(SparkEntry.queries("q_knn_graph")(spark, sf))
+    assert(pk.contains("Sort"), pk)
+  }
+
   test("hardNegatives broadcasts the probe side of the non-equi join") {
     val p = plan(SimilarityOps.hardNegatives(spark, sf))
     // label≠label is a non-equi join: the correct shape is a nested-loop
