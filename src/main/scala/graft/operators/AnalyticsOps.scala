@@ -274,20 +274,37 @@ object AnalyticsOps {
     import graft.functions.NumericFunctions.stableRound4
     val orders = Tables.orders(spark, dir)
     val maxDay = orders.agg(max(to_date(col("o_orderdate"))).as("d0"))
-    val per = orders.crossJoin(broadcast(maxDay))
+    // Materialized (round 16): the per-customer aggregate feeds both the
+    // percentile passes and the banding scan — same barrier contract as
+    // pareto's perCust (narrow |customers|-row derived aggregate)
+    val per = Materialize(orders.crossJoin(broadcast(maxDay))
       .groupBy(col("o_custkey"))
       .agg(min(datediff(col("d0"), to_date(col("o_orderdate"))))
           .cast("double").as("recency"),
         count(lit(1)).cast("double").as("frequency"),
-        stableRound4(sum(col("o_totalprice"))).as("monetary"))
-    val cuts = per.agg(
-      expr("percentile(recency, array(0.25, 0.5, 0.75))").as("rc"),
-      expr("percentile(frequency, array(0.25, 0.5, 0.75))").as("fc"),
-      expr("percentile(monetary, array(0.25, 0.5, 0.75))").as("mc"))
+        stableRound4(sum(col("o_totalprice"))).as("monetary")))
+    // round 16: all three quartile triples via ONE melted ExactPercentile
+    // call (column index as group key) — bounded aggregation state,
+    // bit-identical to percentile() (unchanged oracle); the old single
+    // aggregate buffered every customer's three values in one reducer
+    val melted = per.select(explode(array(
+        struct(lit(0).as("ci"), col("recency").as("v")),
+        struct(lit(1).as("ci"), col("frequency").as("v")),
+        struct(lit(2).as("ci"), col("monetary").as("v")))).as("m"))
+      .select(col("m.ci").as("__ci"), col("m.v").as("__mv"))
+    val pm = ExactPercentile.compute(melted, Seq("__ci"), "__mv",
+      Seq(0.25, 0.5, 0.75))
+    val cuts = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+        pm(Seq(0)).toSeq, pm(Seq(1)).toSeq, pm(Seq(2)).toSeq)), 1),
+      org.apache.spark.sql.types.StructType(Seq("rc", "fc", "mc").map(n =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))))))
     def band(v: String, c: String) = expr(
       s"aggregate($c, 1, (acc, x) -> acc + " +
         s"IF($v > CAST(round(CAST(x AS DECIMAL(20,8)), 4) AS DOUBLE), 1, 0))")
-    per.crossJoin(broadcast(cuts))
+    per.crossJoin(cuts)
       .select(col("o_custkey"), col("monetary"),
         (lit(5) - band("recency", "rc")).as("r"),
         band("frequency", "fc").as("f"),
@@ -834,20 +851,23 @@ object AnalyticsOps {
       Tables.orders(spark, dir)
         .groupBy(col("o_custkey"))
         .agg(stableRound4(sum(col("o_totalprice"))).as("rev")))
+    // round 16: the three revenue thresholds via ExactPercentile's
+    // bounded-state selection over the checkpointed per-customer frame
+    // (bit-identical to percentile() — unchanged oracle); the old
+    // aggregate buffered every customer's revenue in one reducer
+    val Array(p50, p80, p95) = ExactPercentile.computeGlobal(
+      perCust, "rev", Seq(0.5, 0.8, 0.95))
     val scalars = perCust.agg(
       sum(col("rev")).as("total_rev"),
-      count(lit(1)).as("n_cust"),
-      expr("percentile(rev, 0.5)").as("p50"),
-      expr("percentile(rev, 0.8)").as("p80"),
-      expr("percentile(rev, 0.95)").as("p95"))
+      count(lit(1)).as("n_cust"))
     perCust.crossJoin(broadcast(scalars))
       .agg(
         max(col("n_cust")).as("n_cust"),
-        stableRound4(sum(when(col("rev") >= col("p50"), col("rev"))
+        stableRound4(sum(when(col("rev") >= lit(p50), col("rev"))
           .otherwise(0.0)) / max(col("total_rev"))).as("share_top50"),
-        stableRound4(sum(when(col("rev") >= col("p80"), col("rev"))
+        stableRound4(sum(when(col("rev") >= lit(p80), col("rev"))
           .otherwise(0.0)) / max(col("total_rev"))).as("share_top20"),
-        stableRound4(sum(when(col("rev") >= col("p95"), col("rev"))
+        stableRound4(sum(when(col("rev") >= lit(p95), col("rev"))
           .otherwise(0.0)) / max(col("total_rev"))).as("share_top5"))
   }
 
@@ -861,15 +881,22 @@ object AnalyticsOps {
     import graft.functions.NumericFunctions.stableRound4
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("day"), col("o_orderkey"))
-    Tables.orders(spark, dir)
+    val gaps = Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderkey"),
         to_date(col("o_orderdate")).as("day"))
       .withColumn("gap", datediff(col("day"), lag(col("day"), 1).over(w)))
       .filter(col("gap").isNotNull)
-      .agg(count(lit(1)).as("n_gaps"),
+    // round 16: exact median/p90 via ExactPercentile's bounded-state
+    // selection (bit-identical to percentile() — unchanged oracle); the
+    // old global aggregate buffered EVERY gap (fact-sized) in one
+    // reducer. The gap frame recomputes per pass rather than
+    // checkpointing a fact-sized frame (narrow window shuffle ×3).
+    val Array(med, p90) = ExactPercentile.computeGlobal(gaps, "gap",
+      Seq(0.5, 0.9))
+    gaps.agg(count(lit(1)).as("n_gaps"),
         stableRound4(avg(col("gap"))).as("avg_gap_days"),
-        stableRound4(expr("percentile(gap, 0.5)")).as("med_gap_days"),
-        stableRound4(expr("percentile(gap, 0.9)")).as("p90_gap_days"))
+        stableRound4(lit(med)).as("med_gap_days"),
+        stableRound4(lit(p90)).as("p90_gap_days"))
   }
 
   /** Fixed-width histogram: order totals bucketed by integer division —
@@ -1008,11 +1035,27 @@ object AnalyticsOps {
     * is `approx_percentile`/t-digest in SketchOps, same query shape. */
   def percentileProfile(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.NumericFunctions.stableRound4
-    val pct = expr(
-      "percentile(n_chars, array(0.1, 0.25, 0.5, 0.75, 0.9))")
-    Tables.documents(spark, dir)
+    // round 16: the per-lang profile via ExactPercentile's bounded-state
+    // selection (bit-identical to percentile() — unchanged oracle); the
+    // old aggregate buffered every doc length of a lang in one reducer.
+    // Non-null n_chars assumed (physical parquet column), matching the
+    // statsAgg contract.
+    val docs = Tables.documents(spark, dir)
+    val pm = ExactPercentile.compute(docs, Seq("lang"), "n_chars",
+      Seq(0.1, 0.25, 0.5, 0.75, 0.9))
+    val pdf = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(pm.toSeq.map { case (k, vs) =>
+        org.apache.spark.sql.Row(k.head, vs.toSeq) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("p",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))))))
+    docs
       .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"), pct.as("p"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(pdf, Seq("lang"))
       .select(col("lang"), col("n_docs"),
         stableRound4(element_at(col("p"), 1)).as("p10"),
         stableRound4(element_at(col("p"), 2)).as("p25"),

@@ -1336,6 +1336,12 @@ object CorpusOps {
         length(col("text")).as("n_chars_exact"),
         size(tokensLower(col("text"))).as("n_toks"),
         md5(col("text")).as("fp"))
+    // round 16: the exact token-count median via ExactPercentile's
+    // bounded-state selection (bit-identical to percentile() — unchanged
+    // oracle); the old aggregate buffered every doc's token count in one
+    // reducer. Column pruning keeps the two extra passes at
+    // tokenize-only cost (no md5 fingerprint work).
+    val p50Toks = ExactPercentile.computeGlobal(d, "n_toks", Seq(0.5))(0)
     d.agg(
         count(lit(1)).as("n_docs"),
         countDistinct(col("source")).as("n_sources"),
@@ -1344,7 +1350,6 @@ object CorpusOps {
         sum(col("n_toks").cast("long")).as("total_tokens"),
         countDistinct(col("fp")).as("n_unique_docs"),
         avg(col("n_toks")).as("mean_toks_raw"),
-        expr("percentile(n_toks, 0.5)").as("p50_toks_raw"),
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
       .select(col("n_docs"), col("n_sources"), col("n_langs"),
         col("total_chars"), col("total_tokens"),
@@ -1352,7 +1357,7 @@ object CorpusOps {
           - col("n_unique_docs").cast("double") / col("n_docs"))
           .as("dup_rate"),
         stableRound4(col("mean_toks_raw")).as("mean_toks"),
-        stableRound4(col("p50_toks_raw")).as("p50_toks"),
+        stableRound4(lit(p50Toks)).as("p50_toks"),
         stableRound4(col("n_en").cast("double") / col("n_docs"))
           .as("en_share"))
   }
@@ -1458,12 +1463,16 @@ object CorpusOps {
     // both the percentile cut and the final select — without the barrier
     // the dominant scoring stage runs twice per action
     val keyed = Materialize(dsirKeyed(spark, dir, targetSource, buckets))
-    val cut = keyed.agg(
-      expr(s"percentile(gumbel_key, ${1.0 - keepFrac})").as("c"))
-    keyed.crossJoin(broadcast(cut))
+    // round 16: the keep-threshold percentile via ExactPercentile's
+    // bounded-state selection over the checkpointed keyed frame
+    // (bit-identical to percentile() — unchanged oracle); the old global
+    // aggregate buffered every doc's Gumbel key in one reducer
+    val c = ExactPercentile.computeGlobal(keyed, "gumbel_key",
+      Seq(1.0 - keepFrac))(0)
+    keyed
       .select(col("doc_id"), col("n_grams"), col("log_weight"),
         col("gumbel_key"),
-        (col("gumbel_key") > stableRound4(col("c"))).as("keep"))
+        (col("gumbel_key") > stableRound4(lit(c))).as("keep"))
       .orderBy(col("doc_id"))
   }
 

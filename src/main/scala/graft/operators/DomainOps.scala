@@ -256,9 +256,21 @@ object DomainOps {
       // integer quotient DuckDB's `//` computes
       .withColumn("score_mil",
         expr("CAST((n_chars * 1000) div greatest(n_toks, 1) AS BIGINT)")))
-    val cuts = scored.agg(
-      expr("percentile(score_mil, array(0.25, 0.5, 0.75))").as("cuts"))
-    scored.crossJoin(broadcast(cuts))
+    // round 16: exact quartile cuts via ExactPercentile's bounded-state
+    // selection over the checkpointed scored frame (bit-identical to
+    // percentile() — unchanged oracle); the old global aggregate buffered
+    // every doc's score in one reducer. score_mil ≤ 1000·n_chars is
+    // exactly representable in double, so the cast is order-isomorphic.
+    val cutArr = ExactPercentile.computeGlobal(scored, "score_mil",
+      Seq(0.25, 0.5, 0.75))
+    val cuts = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(org.apache.spark.sql.Row(cutArr.toSeq)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cuts",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))))))
+    scored.crossJoin(cuts)
       .select(col("doc_id"), col("n_toks"), col("score_mil"), expr(
         "1 + aggregate(cuts, 0, (acc, c) -> acc + " +
           "IF(score_mil > CAST(round(CAST(c AS DECIMAL(20,8)), 4) " +

@@ -117,9 +117,24 @@ object TextOps {
     val scored = graft.operators.Materialize(
       unigramLogprobDocs(docs)
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")))
-    val cuts = scored.groupBy(col("lang"))
-      .agg(expr("percentile(mean_logp, array(1.0D/3, 2.0D/3))").as("cuts"))
-    scored.join(broadcast(cuts), Seq("lang"))
+    // round 16: per-lang exact tercile cuts via ExactPercentile's
+    // bounded-state bracketed selection (bit-identical to percentile();
+    // the unchanged oracle is the proof) — percentile()'s aggregation
+    // state buffered every per-doc score of the lang, O(|docs|) at 100 TB
+    val cutMap = ExactPercentile.compute(scored, Seq("lang"), "mean_logp",
+      Seq(1.0 / 3, 2.0 / 3))
+    val spark0 = spark
+    val cuts = broadcast(spark0.createDataFrame(
+      spark0.sparkContext.parallelize(
+        cutMap.toSeq.map { case (k, vs) =>
+          org.apache.spark.sql.Row(k.head, vs.toSeq) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cuts",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))))))
+    scored.join(cuts, Seq("lang"))
       .select(col("lang"), col("mean_logp"), col("n_tokens"), expr(
         "aggregate(cuts, 0, (acc, c) -> acc + " +
           "IF(mean_logp > CAST(round(CAST(c AS DECIMAL(20,8)), 4) AS DOUBLE), 1, 0))")
@@ -179,9 +194,20 @@ object TextOps {
     val scored = graft.operators.Materialize(
       qualityScore(spark, dir).select(col("doc_id"),
         col("quality_score").as("qs")))
-    val cuts = scored.agg(expr(
-      "percentile(qs, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("cuts"))
-    scored.crossJoin(broadcast(cuts))
+    // round 16: the 9 global decile cuts via ExactPercentile (bounded
+    // state, bit-identical to percentile() — unchanged oracle); the old
+    // aggregate buffered EVERY doc's score in one reducer at 100 TB
+    val cutArr = ExactPercentile.computeGlobal(scored, "qs",
+      Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))
+    val spark0 = spark
+    val cuts = broadcast(spark0.createDataFrame(
+      spark0.sparkContext.parallelize(
+        Seq(org.apache.spark.sql.Row(cutArr.toSeq)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cuts",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))))))
+    scored.crossJoin(cuts)
       .select(col("doc_id"), col("qs"), expr(
         "aggregate(cuts, 0, (acc, c) -> acc + " +
           "IF(qs > CAST(round(CAST(c AS DECIMAL(20,8)), 4) AS DOUBLE), 1, 0))")

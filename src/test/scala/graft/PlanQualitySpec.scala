@@ -124,10 +124,12 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // and the full query broadcasts the 1-row percentile cut
+    // round 16: the percentile cut is computed via ExactPercentile and
+    // inlined as a LITERAL — the declared plan has no join at all (and
+    // no O(n)-state percentile aggregate)
     val full = plan(CorpusOps.dsir(spark, sf))
-    assert(full.contains("BroadcastNestedLoopJoin"), full)
-    assert(!full.contains("CartesianProduct"), full)
+    assert(!full.contains("Join"), full)
+    assert(!full.contains("percentile("), full)
   }
 
   test("doremi: both grid crosses broadcast; no cartesian") {
@@ -362,14 +364,17 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p) // totals never merge-join
   }
 
-  test("percentileProfile: one multi-quantile aggregate, no per-percentile sort") {
+  test("percentileProfile: bounded-state profile, no O(n) percentile buffer") {
     val df = AnalyticsOps.percentileProfile(spark, sf)
     val p = plan(df)
-    // percentile is a TypedImperativeAggregate → ObjectHashAggregate,
-    // partial-aggregated before the exchange; no Window, no global Sort
-    // other than the final orderBy
-    assert(p.contains("ObjectHashAggregate"), p)
-    assert(p.contains("partial_percentile") || p.contains("partial_"), p)
+    // round 16: the exact profile comes from ExactPercentile (bounded
+    // sketch+bracket passes at construction); the declared plan is a
+    // partial-aggregated count + a broadcast join of the driver-built
+    // per-lang cut rows — no ObjectHashAggregate percentile buffer, no
+    // Window
+    assert(!p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_count") || p.contains("partial_"), p)
+    assert(p.contains("Broadcast"), p)
     assert(!p.contains("WindowExec"), p)
   }
 
