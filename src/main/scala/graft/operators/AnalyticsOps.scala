@@ -179,6 +179,12 @@ object AnalyticsOps {
     * tolerance-oracled sketch PRIMARY. */
   def statsAgg(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
+    // Non-null value columns assumed (advisor round 16): a group whose
+    // l_extendedprice is all-NULL while l_quantity is not would miss from
+    // p90 and throw here, where percentile() emitted a NULL row. Both are
+    // physical TPC-H columns with no NULLs at any tested SF; the same
+    // assumption is documented at the theilSen and percentileProfile
+    // call sites.
     val medQty = ExactPercentile.compute(li, Seq("l_returnflag"),
       "l_quantity", Seq(0.5))
     val p90 = ExactPercentile.compute(li, Seq("l_returnflag"),
