@@ -185,10 +185,14 @@ object AnalyticsOps {
     // physical TPC-H columns with no NULLs at any tested SF; the same
     // assumption is documented at the theilSen and percentileProfile
     // call sites.
-    val medQty = ExactPercentile.compute(li, Seq("l_returnflag"),
-      "l_quantity", Seq(0.5))
-    val p90 = ExactPercentile.compute(li, Seq("l_returnflag"),
-      "l_extendedprice", Seq(0.9))
+    // round 16b: ONE fused ExactPercentile call for both value columns —
+    // pass 1 aggregates both sketches in one lineitem scan and pass 2 runs
+    // one tagged histogram scan for both items (5 lineitem passes → 3);
+    // per-column selection is unchanged, so results stay bit-identical
+    val multi = ExactPercentile.computeMulti(li, Seq("l_returnflag"),
+      Seq("l_quantity" -> Seq(0.5), "l_extendedprice" -> Seq(0.9)))
+    val medQty = multi(0)
+    val p90 = multi(1)
     val cuts = broadcast(spark.createDataFrame(
       spark.sparkContext.parallelize(
         medQty.keys.toSeq.map(k => org.apache.spark.sql.Row(
@@ -289,20 +293,18 @@ object AnalyticsOps {
           .cast("double").as("recency"),
         count(lit(1)).cast("double").as("frequency"),
         stableRound4(sum(col("o_totalprice"))).as("monetary")))
-    // round 16: all three quartile triples via ONE melted ExactPercentile
-    // call (column index as group key) — bounded aggregation state,
-    // bit-identical to percentile() (unchanged oracle); the old single
-    // aggregate buffered every customer's three values in one reducer
-    val melted = per.select(explode(array(
-        struct(lit(0).as("ci"), col("recency").as("v")),
-        struct(lit(1).as("ci"), col("frequency").as("v")),
-        struct(lit(2).as("ci"), col("monetary").as("v")))).as("m"))
-      .select(col("m.ci").as("__ci"), col("m.v").as("__mv"))
-    val pm = ExactPercentile.compute(melted, Seq("__ci"), "__mv",
-      Seq(0.25, 0.5, 0.75))
+    // round 16b: all three quartile triples via ONE fused multi-column
+    // ExactPercentile call — bounded aggregation state, bit-identical to
+    // percentile() (unchanged oracle). The round-16 melt (explode to
+    // (__ci, __mv) with the column index as group key) tripled every
+    // pass's aggregation input; computeMulti aggregates the three columns'
+    // sketches in one un-exploded pass over the checkpointed frame.
+    val qs = Seq(0.25, 0.5, 0.75)
+    val pm = ExactPercentile.computeMulti(per, Nil,
+      Seq("recency" -> qs, "frequency" -> qs, "monetary" -> qs))
     val cuts = broadcast(spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
-        pm(Seq(0)).toSeq, pm(Seq(1)).toSeq, pm(Seq(2)).toSeq)), 1),
+        pm(0)(Seq()).toSeq, pm(1)(Seq()).toSeq, pm(2)(Seq()).toSeq)), 1),
       org.apache.spark.sql.types.StructType(Seq("rc", "fc", "mc").map(n =>
         org.apache.spark.sql.types.StructField(n,
           org.apache.spark.sql.types.ArrayType(

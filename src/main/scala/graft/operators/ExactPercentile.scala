@@ -48,6 +48,19 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructT
   * scale (windows ≪ cap) the plan sequence is exactly the round-15 one —
   * no extra jobs.
   *
+  * Round 16b — MULTI-VALUE-COLUMN FUSION ([[computeMulti]]): callers that
+  * need exact percentiles of SEVERAL columns of the same frame (q_stats_agg:
+  * median l_quantity + p90 l_extendedprice; q_rfm: three quartile triples)
+  * used to pay one full pass-1 scan and one pass-2 scan PER COLUMN (or melt
+  * the frame k× through an explode). `computeMulti` aggregates every
+  * column's count/min/max/sketch in ONE pass-1 scan and tags the pass-2
+  * bracket frame with a column index so one histogram/counting scan serves
+  * all columns' pending items — the scan count no longer grows with the
+  * column count. Per-(column, group, p) bracket selection, rank arithmetic
+  * and the exact interpolation are UNCHANGED (single-column [[compute]] is
+  * now a 1-column delegation, so the existing bit-identity spec pins the
+  * shared engine).
+  *
   * If a bracket misses its rank (the sketch's guarantee failed — not
   * observed, but the code must be total), the attempt retries with the
   * 4×-wider sketch values already computed in pass 1, then with the
@@ -75,43 +88,85 @@ object ExactPercentile {
     * with zero non-null rows are absent (as `percentile` returns NULL). */
   def compute(df0: DataFrame, groupCols: Seq[String], valueCol: String,
       ps: Seq[Double], accuracy: Int = 10000,
-      maxPullRows: Int = DefaultMaxPullRows): Map[Seq[Any], Array[Double]] = {
-    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
-      s"percentages must be in [0,1]: $ps")
+      maxPullRows: Int = DefaultMaxPullRows): Map[Seq[Any], Array[Double]] =
+    computeMulti(df0, groupCols, Seq(valueCol -> ps), accuracy, maxPullRows)(0)
+
+  /** [[compute]] for a global (ungrouped) percentile set. */
+  def computeGlobal(df: DataFrame, valueCol: String, ps: Seq[Double],
+      accuracy: Int = 10000,
+      maxPullRows: Int = DefaultMaxPullRows): Array[Double] =
+    compute(df, Nil, valueCol, ps, accuracy, maxPullRows)(Seq())
+
+  /** Exact percentiles for SEVERAL value columns of the same frame in a
+    * constant number of scans (see the class doc's round-16b note). One
+    * `specs` entry per value column: (column name, percentages). Returns
+    * one result map per spec, aligned with `specs` — each exactly what
+    * [[compute]] would return for that column alone. A group whose column
+    * is all-NULL is absent from that column's map only. */
+  def computeMulti(df0: DataFrame, groupCols: Seq[String],
+      specs: Seq[(String, Seq[Double])], accuracy: Int = 10000,
+      maxPullRows: Int = DefaultMaxPullRows)
+      : IndexedSeq[Map[Seq[Any], Array[Double]]] = {
+    require(specs.nonEmpty, "computeMulti needs at least one value column")
+    specs.foreach { case (c, ps) =>
+      require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+        s"percentages must be in [0,1]: $c -> $ps")
+    }
     val gs = groupCols.map(col)
     val nG = groupCols.size
-    val v = col("__v")
+    val vc = specs.indices.map(i => col(s"__v$i"))
+    // keep a row iff ANY value column is non-null (for one column this is
+    // exactly the old single-column prefilter, so the scan predicate —
+    // and the plan — of every existing caller is unchanged)
     val df = df0
-      .select((gs :+ col(valueCol).cast("double").as("__v")): _*)
-      .filter(v.isNotNull)
+      .select((gs ++ specs.zipWithIndex.map { case ((c, _), i) =>
+        col(c).cast("double").as(s"__v$i") }): _*)
+      .filter(vc.map(_.isNotNull).reduce(_ || _))
     val spark = df0.sparkSession
 
-    // pass 1: n, min, max, and bracket candidates at two widths per p
+    // pass 1 (ONE scan for all columns): per group and column, n, min,
+    // max, and bracket candidates at two widths per p
     val margins = Seq(4.0 / accuracy, 16.0 / accuracy)
-    val pcts: Seq[Double] = ps.flatMap(p => margins.flatMap(m =>
-      Seq(math.max(0.0, p - m), math.min(1.0, p + m))))
-    val pctsSql = pcts.mkString("array(", ",", ")")
+    val aggExprs: Seq[Column] = specs.zipWithIndex.flatMap {
+      case ((_, ps), i) =>
+        val pcts: Seq[Double] = ps.flatMap(p => margins.flatMap(m =>
+          Seq(math.max(0.0, p - m), math.min(1.0, p + m))))
+        val pctsSql = pcts.mkString("array(", ",", ")")
+        Seq(count(vc(i)).as(s"__n$i"), min(vc(i)).as(s"__mn$i"),
+          max(vc(i)).as(s"__mx$i"),
+          expr(s"approx_percentile(__v$i, $pctsSql, $accuracy)")
+            .as(s"__apx$i"))
+    }
     val aggd = (if (gs.isEmpty) df.groupBy() else df.groupBy(gs: _*))
-      .agg(count(v).as("__n"), min(v).as("__mn"), max(v).as("__mx"),
-        expr(s"approx_percentile(__v, $pctsSql, $accuracy)").as("__apx"))
+      .agg(aggExprs.head, aggExprs.tail: _*)
       .collect()
-    // group key → (n, per-attempt brackets per p)
-    val groups: Seq[(Seq[Any], Long, Array[Array[(Double, Double)]])] =
-      aggd.toSeq.filter(_.getLong(nG) > 0L).map { r =>
-        val key = (0 until nG).map(r.get)
-        val n = r.getLong(nG)
-        val mn = r.getDouble(nG + 1)
-        val mx = r.getDouble(nG + 2)
-        val apx = r.getSeq[Double](nG + 3)
-        // attempts per p: [p±4/acc], [p±16/acc], [min, max]
-        val brackets = ps.indices.map { i =>
-          Array((apx(4 * i), apx(4 * i + 1)),
-            (apx(4 * i + 2), apx(4 * i + 3)), (mn, mx))
-        }.toArray
-        (key, n, brackets)
+    // (column, group key) → n / per-attempt brackets per p; plus the
+    // per-column key list in pass-1 row order (stable output ordering)
+    val nOf = scala.collection.mutable.Map[(Int, Seq[Any]), Long]()
+    val brOf =
+      scala.collection.mutable.Map[(Int, Seq[Any]), Array[Array[(Double, Double)]]]()
+    val keysOf: IndexedSeq[scala.collection.mutable.ArrayBuffer[Seq[Any]]] =
+      specs.indices.map(_ => scala.collection.mutable.ArrayBuffer[Seq[Any]]())
+    aggd.foreach { r =>
+      val key = (0 until nG).map(r.get)
+      specs.indices.foreach { ci =>
+        val base = nG + 4 * ci
+        val n = r.getLong(base)
+        if (n > 0L) {
+          val mn = r.getDouble(base + 1)
+          val mx = r.getDouble(base + 2)
+          val apx = r.getSeq[Double](base + 3)
+          val ps = specs(ci)._2
+          // attempts per p: [p±4/acc], [p±16/acc], [min, max]
+          brOf((ci, key)) = ps.indices.map { j =>
+            Array((apx(4 * j), apx(4 * j + 1)),
+              (apx(4 * j + 2), apx(4 * j + 3)), (mn, mx))
+          }.toArray
+          nOf((ci, key)) = n
+          keysOf(ci) += key
+        }
       }
-    val nOf = groups.map { case (key, n, _) => key -> n }.toMap
-    val brOf = groups.map { case (key, _, b) => key -> b }.toMap
+    }
 
     // ---- per-item bracket state machine (round 16) ----
     // Ladder(a): bracket = pass-1 attempt a (0: ±4/acc, 1: ±16/acc,
@@ -130,26 +185,27 @@ object ExactPercentile {
     // a stuck window is by construction tie-dominated (few distinct values)
     case class Forced(lo: Double, hi: Double) extends St
 
-    type Item = (Seq[Any], Int)
+    // item = (column index, group key, percentage index)
+    type Item = (Int, Seq[Any], Int)
     val state = scala.collection.mutable.Map[Item, St]()
     val lastLadder = scala.collection.mutable.Map[Item, Int]()
-    groups.foreach { case (key, _, _) =>
-      ps.indices.foreach { i =>
-        state((key, i)) = Ladder(0); lastLadder((key, i)) = 0
+    nOf.keys.foreach { case (ci, key) =>
+      specs(ci)._2.indices.foreach { pi =>
+        state((ci, key, pi)) = Ladder(0); lastLadder((ci, key, pi)) = 0
       }
     }
     val resolved = scala.collection.mutable.Map[Item, Double]()
 
     def bracketOf(it: Item, st: St): (Double, Double) = st match {
-      case Ladder(a) => brOf(it._1)(it._2)(a)
+      case Ladder(a) => brOf((it._1, it._2))(it._3)(a)
       case Uncounted(lo, hi) => (lo, hi)
       case Counted(lo, hi, _, _) => (lo, hi)
       case Forced(lo, hi) => (lo, hi)
     }
     // conservative window-row bound for a ladder bracket: rank width of
     // the two query points + one sketch rank error (n/accuracy) per side
-    def ladderBound(key: Seq[Any], a: Int): Long = {
-      val n = nOf(key)
+    def ladderBound(ci: Int, key: Seq[Any], a: Int): Long = {
+      val n = nOf((ci, key))
       a match {
         case 0 => math.ceil(10.0 * n / accuracy).toLong + 2
         case 1 => math.ceil(34.0 * n / accuracy).toLong + 2
@@ -157,8 +213,8 @@ object ExactPercentile {
       }
     }
     def ranksOf(it: Item): (Long, Long, Double) = {
-      val n = nOf(it._1)
-      val position = ps(it._2) * (n - 1)
+      val n = nOf((it._1, it._2))
+      val position = specs(it._1)._2(it._3) * (n - 1)
       (math.floor(position).toLong, math.ceil(position).toLong, position)
     }
     val failed = scala.collection.mutable.ArrayBuffer[Item]()
@@ -171,21 +227,30 @@ object ExactPercentile {
 
     // broadcast bracket frame for a batch of items; group cols renamed
     // __g0.. so the join can be NULL-SAFE (<=>) — percentile() keeps a
-    // NULL-keyed group, and a plain equality join would never match it
+    // NULL-keyed group, and a plain equality join would never match it.
+    // __ci selects which value column the item brackets.
     val bFields = groupCols.zipWithIndex.map { case (c, i) =>
       StructField(s"__g$i", df0.schema(c).dataType, nullable = true)
-    } ++ Seq(StructField("__pi", IntegerType),
+    } ++ Seq(StructField("__ci", IntegerType), StructField("__pi", IntegerType),
       StructField("__lo", DoubleType), StructField("__hi", DoubleType))
+    // the value the item measures: its column, NULL rows dropped (exactly
+    // the single-column prefilter, now applied per item after the join)
+    val vSel: Column = specs.indices.tail.foldLeft(
+      when(col("__ci") === 0, vc(0)))((acc, i) =>
+      acc.when(col("__ci") === i, vc(i)))
     def joinBrackets(items: Seq[(Item, (Double, Double))]): DataFrame = {
-      val bRows = items.map { case ((key, pi), (lo, hi)) =>
-        Row.fromSeq(key ++ Seq[Any](pi, lo, hi))
+      val bRows = items.map { case ((ci, key, pi), (lo, hi)) =>
+        Row.fromSeq(key ++ Seq[Any](ci, pi, lo, hi))
       }
       val bdf = broadcast(spark.createDataFrame(
         spark.sparkContext.parallelize(bRows, 1), StructType(bFields)))
-      if (nG == 0) df.crossJoin(bdf)
-      else df.join(bdf, groupCols.zipWithIndex
-        .map { case (c, i) => df(c) <=> bdf(s"__g$i") }.reduce(_ && _))
+      val joined =
+        if (nG == 0) df.crossJoin(bdf)
+        else df.join(bdf, groupCols.zipWithIndex
+          .map { case (c, i) => df(c) <=> bdf(s"__g$i") }.reduce(_ && _))
+      joined.withColumn("__vs", vSel).filter(col("__vs").isNotNull)
     }
+    val v = col("__vs")
     val gOut: Seq[Column] = (0 until nG).map(i => col(s"__g$i"))
     def keyOf(r: Row): Seq[Any] = (0 until nG).map(r.get)
 
@@ -198,13 +263,13 @@ object ExactPercentile {
       val histogram = items.filter {
         case (_, Counted(lo, hi, _, inWin)) =>
           inWin <= maxPullRows || lo == hi
-        case (it, Ladder(a)) => ladderBound(it._1, a) <= maxPullRows
+        case ((ci, key, _), Ladder(a)) => ladderBound(ci, key, a) <= maxPullRows
         case (_, Forced(_, _)) => true
         case _ => false
       }
       val counting = items.filter {
         case (_, Uncounted(_, _)) => true
-        case (it, Ladder(a)) => ladderBound(it._1, a) > maxPullRows
+        case ((ci, key, _), Ladder(a)) => ladderBound(ci, key, a) > maxPullRows
         case _ => false
       }
       val narrowing = items.collect {
@@ -219,20 +284,22 @@ object ExactPercentile {
         val joined = joinBrackets(histogram.map { case (it, st) =>
           (it, bracketOf(it, st)) })
         val tagged = joined
-          .select((gOut :+ col("__pi")
+          .select((gOut :+ col("__ci") :+ col("__pi")
             :+ when(v < col("__lo"), lit(-1))
               .when(v > col("__hi"), lit(1)).otherwise(lit(0)).as("__tag")
             :+ when(v.between(col("__lo"), col("__hi")), v).as("__wv")): _*)
-          .groupBy((gOut :+ col("__pi") :+ col("__tag") :+ col("__wv")): _*)
+          .groupBy((gOut :+ col("__ci") :+ col("__pi") :+ col("__tag")
+            :+ col("__wv")): _*)
           .agg(count(lit(1)).as("__c"))
           .collect()
-        val byKey = tagged.groupBy(r => (keyOf(r), r.getInt(nG)))
+        val byKey = tagged.groupBy(r =>
+          (r.getInt(nG), keyOf(r), r.getInt(nG + 1)))
         histogram.foreach { case (it, _) =>
           val rows = byKey.getOrElse(it, Array.empty[Row])
-          val below = rows.filter(_.getInt(nG + 1) == -1)
-            .map(_.getLong(nG + 3)).sum
-          val hist = rows.filter(_.getInt(nG + 1) == 0)
-            .map(r => (r.getDouble(nG + 2), r.getLong(nG + 3)))
+          val below = rows.filter(_.getInt(nG + 2) == -1)
+            .map(_.getLong(nG + 4)).sum
+          val hist = rows.filter(_.getInt(nG + 2) == 0)
+            .map(r => (r.getDouble(nG + 3), r.getLong(nG + 4)))
             .sortBy(_._1)
           val inWin = hist.map(_._2).sum
           val (lower, higher, position) = ranksOf(it)
@@ -267,13 +334,13 @@ object ExactPercentile {
         val joined = joinBrackets(counting.map { case (it, st) =>
           (it, bracketOf(it, st)) })
         val counted = joined
-          .groupBy((gOut :+ col("__pi")): _*)
+          .groupBy((gOut :+ col("__ci") :+ col("__pi")): _*)
           .agg(sum(when(v < col("__lo"), 1L).otherwise(0L)).as("__below"),
             sum(when(v.between(col("__lo"), col("__hi")), 1L).otherwise(0L))
               .as("__inwin"))
           .collect()
-          .map(r => ((keyOf(r), r.getInt(nG)),
-            (r.getLong(nG + 1), r.getLong(nG + 2)))).toMap
+          .map(r => ((r.getInt(nG), keyOf(r), r.getInt(nG + 1)),
+            (r.getLong(nG + 2), r.getLong(nG + 3)))).toMap
         counting.foreach { case (it, st) =>
           val (below, inWin) = counted.getOrElse(it, (0L, 0L))
           val (lower, higher, _) = ranksOf(it)
@@ -284,7 +351,7 @@ object ExactPercentile {
         }
       }
 
-      narrowing.foreach { case (it @ (key, pi), Counted(lo, hi, below, m)) =>
+      narrowing.foreach { case (it @ (ci, key, pi), Counted(lo, hi, below, m)) =>
         // narrowing pass (rare; only at window > maxPullRows, i.e. only at
         // scale): re-sketch the in-window rows at the target ranks
         // re-expressed window-relative; shrinks the window ~accuracy/10×
@@ -304,8 +371,8 @@ object ExactPercentile {
           else groupCols.zip(key).map { case (c, kv) =>
             if (kv == null) col(c).isNull else col(c) === lit(kv)
           }.reduce(_ && _)
-        val apx = df.filter(groupEq && v.between(lit(lo), lit(hi)))
-          .agg(expr(s"approx_percentile(__v, array($plo,$phi), $narrowAcc)"))
+        val apx = df.filter(groupEq && vc(ci).between(lit(lo), lit(hi)))
+          .agg(expr(s"approx_percentile(__v$ci, array($plo,$phi), $narrowAcc)"))
           .collect()(0).getSeq[Double](0)
         state(it) =
           if (apx(0) == lo && apx(1) == hi) Forced(lo, hi)
@@ -316,14 +383,10 @@ object ExactPercentile {
     require(state.isEmpty && failed.isEmpty,
       "exact-percentile bracket never covered ranks for: " +
         s"${state.keys.toSeq ++ failed}")
-    groups.map { case (key, _, _) =>
-      key -> ps.indices.map(i => resolved((key, i))).toArray
-    }.toMap
+    specs.indices.map { ci =>
+      keysOf(ci).toSeq.map { key =>
+        key -> specs(ci)._2.indices.map(pi => resolved((ci, key, pi))).toArray
+      }.toMap
+    }
   }
-
-  /** [[compute]] for a global (ungrouped) percentile set. */
-  def computeGlobal(df: DataFrame, valueCol: String, ps: Seq[Double],
-      accuracy: Int = 10000,
-      maxPullRows: Int = DefaultMaxPullRows): Array[Double] =
-    compute(df, Nil, valueCol, ps, accuracy, maxPullRows)(Seq())
 }

@@ -85,6 +85,54 @@ class ExactPercentileSpec extends SparkTestBase {
     assert(gotT(0) == sparkPercentile(ties, "x", 0.5))
   }
 
+  test("computeMulti fuses two columns and matches per-column compute bitwise") {
+    val li = Tables.lineitem(spark, sf)
+    val multi = ExactPercentile.computeMulti(li, Seq("l_returnflag"),
+      Seq("l_quantity" -> Seq(0.5), "l_extendedprice" -> Seq(0.9, 0.5)))
+    val qty = ExactPercentile.compute(li, Seq("l_returnflag"),
+      "l_quantity", Seq(0.5))
+    val price = ExactPercentile.compute(li, Seq("l_returnflag"),
+      "l_extendedprice", Seq(0.9, 0.5))
+    assert(multi(0).keySet == qty.keySet && multi(1).keySet == price.keySet)
+    multi(0).foreach { case (k, vs) => assert(vs.toSeq == qty(k).toSeq, s"$k") }
+    multi(1).foreach { case (k, vs) => assert(vs.toSeq == price(k).toSeq, s"$k") }
+  }
+
+  test("computeMulti: per-column NULLs are independent (a group all-NULL in" +
+    " one column is absent from that column's map only)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(
+      ("a", Some(1.0), Some(10.0)), ("a", Some(2.0), None),
+      ("a", Some(3.0), Some(30.0)),
+      ("b", None, Some(5.0)), ("b", None, Some(7.0)))
+      .toDF("g", "x", "y")
+    val multi = ExactPercentile.computeMulti(df, Seq("g"),
+      Seq("x" -> Seq(0.5), "y" -> Seq(0.5)))
+    def want(c: String) = df.groupBy(col("g"))
+      .agg(expr(s"percentile($c, 0.5)").as("m")).collect()
+      .filter(!_.isNullAt(1))
+      .map(r => Seq[Any](r.get(0)) -> r.getDouble(1)).toMap
+    val wx = want("x"); val wy = want("y")
+    assert(multi(0).keySet == wx.keySet, s"x keys ${multi(0).keySet}")
+    assert(multi(1).keySet == wy.keySet, s"y keys ${multi(1).keySet}")
+    multi(0).foreach { case (k, vs) => assert(vs(0) == wx(k), s"x $k") }
+    multi(1).foreach { case (k, vs) => assert(vs(0) == wy(k), s"y $k") }
+  }
+
+  test("computeMulti under forced counting/narrowing stays bit-identical") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = (1 to 5000).map(i =>
+      (((i * 37) % 5000).toDouble, ((i * 13) % 101).toDouble)).toDF("x", "y")
+    val multi = ExactPercentile.computeMulti(df, Nil,
+      Seq("x" -> Seq(0.25, 0.9), "y" -> Seq(0.5)),
+      accuracy = 10, maxPullRows = 8)
+    assert(multi(0)(Seq())(0) == sparkPercentile(df, "x", 0.25))
+    assert(multi(0)(Seq())(1) == sparkPercentile(df, "x", 0.9))
+    assert(multi(1)(Seq())(0) == sparkPercentile(df, "y", 0.5))
+  }
+
   test("NULL group keys resolve like percentile() (null-safe pass-2 join)") {
     val spark0 = spark
     import spark0.implicits._
