@@ -722,33 +722,48 @@ object JoinOps {
     * orders per supplier. Lateness adapts commit/receipt to
     * "shipped > 60 days after the order date" (same rule as q4/q12).
     *
-    * Plan shape: the late set is one pushed-filter join distilled to
-    * DISTINCT (orderkey, suppkey) pairs; the EXISTS rides the (narrow)
-    * lineitem key projection; the anti-join probes the late set against
-    * itself — both shuffles carry two small key columns, never the fact
-    * width; the supplier dim joins broadcast-sized at the end. */
+    * Plan shape (round 16b): the late set is one pushed-filter join
+    * distilled to DISTINCT (orderkey, suppkey) pairs; BOTH correlated
+    * predicates then run as per-order aggregates — min≠max supplier over
+    * all lines (EXISTS) and a count-1 late-pair rollup that also pins the
+    * surviving suppkey (NOT EXISTS) — so every exchange carries a
+    * partial-aggregated ≤\|orders\|-row frame, never un-reduced fact rows;
+    * the supplier dim joins broadcast-sized at the end. */
   def tpchQ21(spark: SparkSession, dir: String, lateDays: Int = 60,
       k: Int = 20): DataFrame = {
     val lines = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
     val orders = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderdate"))
-    val late = Materialize(lines
+    val late = lines
       .join(orders, col("l_orderkey") === col("o_orderkey")
         && col("l_shipdate") > col("o_orderdate")
           + expr(s"INTERVAL $lateDays DAYS"))
       .select(col("l_orderkey"), col("l_suppkey"))
-      .distinct())
-    val othersExist = late.as("l1")
-      .join(lines.select(col("l_orderkey"), col("l_suppkey")).as("l2"),
-        col("l1.l_orderkey") === col("l2.l_orderkey")
-          && col("l1.l_suppkey") =!= col("l2.l_suppkey"),
-        "left_semi")
-    val soleBlame = othersExist.as("l1")
-      .join(late.as("l3"),
-        col("l1.l_orderkey") === col("l3.l_orderkey")
-          && col("l1.l_suppkey") =!= col("l3.l_suppkey"),
-        "left_anti")
+      .distinct()
+    // round 16b (§2.3 aggregate-before-shuffle): the EXISTS / NOT-EXISTS
+    // pair used to run as a semi join of the late set against the FULL
+    // un-aggregated lineitem key projection plus an anti join of the late
+    // set against itself — the semi shuffled every (orderkey, suppkey)
+    // fact row with no map-side reduction. Both predicates are per-ORDER
+    // facts, so they reduce instead:
+    //   EXISTS another supplier on the order  ⇔  min ≠ max supplier over
+    //     ALL lines of the order (the late supplier is itself one of the
+    //     order's suppliers, so ≥2 distinct suppliers ⇒ a different one);
+    //   NOT EXISTS another LATE supplier  ⇔  the order has exactly ONE
+    //     distinct late (orderkey, suppkey) pair — which pins that pair's
+    //     suppkey, so the survivor row falls out of the same aggregate.
+    // Both aggregates partial-aggregate to ≤|orders| rows before their
+    // exchange; results are row-identical (JoinOpsSpec driver recompute).
+    val multiSupp = lines.groupBy(col("l_orderkey"))
+      .agg(min(col("l_suppkey")).as("__smin"),
+        max(col("l_suppkey")).as("__smax"))
+      .filter(col("__smin") =!= col("__smax"))
+      .select(col("l_orderkey"))
+    val soleBlame = late.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("__nlate"), min(col("l_suppkey")).as("l_suppkey"))
+      .filter(col("__nlate") === 1)
+      .join(multiSupp, Seq("l_orderkey"), "left_semi")
     soleBlame
       .join(broadcast(Tables.supplier(spark, dir)
         .select(col("s_suppkey"), col("s_name"))),
