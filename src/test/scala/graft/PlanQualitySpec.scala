@@ -869,6 +869,17 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("Window"), p)
   }
 
+  test("tpchQ21: correlated EXISTS/NOT-EXISTS run as per-order aggregates") {
+    val p = plan(JoinOps.tpchQ21(spark, sf))
+    // round 16b: the fact never shuffles un-aggregated — the EXISTS is a
+    // partial-aggregated min/max supplier span and the NOT-EXISTS a
+    // count-1 late-pair rollup; the old fact-probing anti join is gone
+    assert(p.contains("partial_min(l_suppkey") &&
+      p.contains("partial_max(l_suppkey"), p)
+    assert("partial_count\\(1\\)".r.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("LeftAnti"), p)
+  }
+
   test("dpTopK: ordered limit is a TakeOrderedAndProject over the vocab agg") {
     val p = plan(StatOps.dpTopK(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p)
